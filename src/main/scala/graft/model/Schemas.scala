@@ -1,0 +1,63 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical schemas for the stock-tracker domain, re-expressed as Spark
+ * `StructType`s. Derived from the reference DDL
+ * (reference `dags/dag.py:130-148` production, `dags/dag.py:158-175`
+ * staging, `dags/dag.py:336-354` cumulative).
+ *
+ * The reference's staging INSERT carries an epoch-millis `timestamp`
+ * field that its DDL omits (reference `dags/dag.py:90-102` vs `160-172`);
+ * we resolve the discrepancy by carrying it as `event_ts BIGINT`
+ * (SURVEY.md §1.4).
+ */
+object Schemas {
+
+  /** Whitelisted tickers (reference `dags/dag.py:61`). */
+  val TickerWhitelist: Seq[String] = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META")
+
+  /** Production / staging table schema (`daily_stock_prices`). */
+  val stockBar: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("open", DecimalType(10, 2)),
+    StructField("high", DecimalType(10, 2)),
+    StructField("low", DecimalType(10, 2)),
+    StructField("close", DecimalType(10, 2)),
+    StructField("volume", LongType),
+    StructField("vwap", DecimalType(10, 2)),
+    StructField("event_ts", LongType), // epoch millis from the source feed
+    StructField("transactions", IntegerType),
+    StructField("insertion_timestamp", TimestampType)
+  ))
+
+  /** Derived rolling-metrics table (`daily_stock_prices_cumulative`). */
+  val cumulative: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("last_7_days_open", ArrayType(DecimalType(10, 2))),
+    StructField("last_7_days_high", ArrayType(DecimalType(10, 2))),
+    StructField("last_7_days_low", ArrayType(DecimalType(10, 2))),
+    StructField("last_7_days_close", ArrayType(DecimalType(10, 2))),
+    StructField("last_7_days_volume", ArrayType(LongType)),
+    StructField("avg_7_day_volume", DecimalType(15, 2)),
+    StructField("volatility_7_day", DecimalType(10, 4)),
+    StructField("updated_at", TimestampType)
+  ))
+}
+
+/** Typed row model for the production table (Dataset[StockBar] use). */
+case class StockBar(
+    ticker: String,
+    date: java.sql.Date,
+    open: BigDecimal,
+    high: BigDecimal,
+    low: BigDecimal,
+    close: BigDecimal,
+    volume: Long,
+    vwap: BigDecimal,
+    event_ts: Long,
+    transactions: Int,
+    insertion_timestamp: java.sql.Timestamp)

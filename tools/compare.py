@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify (parquet dir per query +
+oracle_sql.json), runs the oracle SQL in DuckDB against views named after
+the sfDir parquet tables and diffs: row count, column names (sorted),
+and per-cell values (rows sorted, floats rounded)."""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows):
+    out = []
+    for r in rows:
+        cr = []
+        for v in r:
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0: v = 0.0
+            if isinstance(v, list):
+                v = tuple(round(x, 6) if isinstance(x, float) else x for x in v)
+            cr.append(v)
+        out.append(tuple(cr))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols = sorted(got_rel.columns)
+        got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
+                     for r in got_rel.fetchall()])
+        if name not in oracle:
+            print(f"[rows-only] {name}: rows={len(got)} {'OK' if got else 'EMPTY!'}")
+            continue
+        exp_rel = con.sql(oracle[name])
+        exp_cols = sorted(exp_rel.columns)
+        exp = canon([tuple(r[exp_rel.columns.index(c)] for c in exp_cols)
+                     for r in exp_rel.fetchall()])
+        ok = got_cols == exp_cols and got == exp
+        if ok:
+            n_pass += 1
+            print(f"[PASS] {name}: {len(got)} rows")
+        else:
+            n_fail += 1
+            print(f"[FAIL] {name}: cols {got_cols==exp_cols} "
+                  f"({got_cols} vs {exp_cols}) rows {len(got)}/{len(exp)}")
+            for g, e in zip(got, exp):
+                if g != e:
+                    print("  first diff:\n   got:", g, "\n   exp:", e)
+                    break
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
