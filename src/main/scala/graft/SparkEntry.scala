@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ingest, Rolling}
+import graft.ops.{Ingest, Quality, Rolling}
+import graft.ops.Quality.{violations, DqCheck}
 import graft.sources.Tables
 
 /**
@@ -56,9 +57,47 @@ object SparkEntry {
       .select("user_id", "event_type", "date", "event_id", "value")
       .orderBy("user_id", "event_type", "date")
 
+  // ---------------------------------------------------------------- DQ —
+  // the reference's 6-check validation (reference `dags/dag.py:202-277`)
+  // realized on lineitem/orders. Each single check returns the one-row
+  // reference shape; dq_all is the unioned report computed in one
+  // aggregation pass per table (vs the reference's 6 scans).
+
+  private def lineitemChecks: Seq[DqCheck] = Seq(
+    DqCheck("distinct_presence", countDistinct(col("l_returnflag")), 3L),
+    violations("null_values",
+      col("l_quantity").isNull || col("l_extendedprice").isNull ||
+      col("l_discount").isNull || col("l_tax").isNull),
+    violations("range_violation",
+      col("l_discount") < 0 || col("l_discount") > 1 ||
+      col("l_extendedprice") < 0 || col("l_tax") < 0),
+    violations("nonpositive_quantity", col("l_quantity") <= 0))
+
+  private def ordersChecks: Seq[DqCheck] = Seq(
+    violations("date_mismatch",
+      to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1995-01-01")) ||
+      to_date(col("o_orderdate")) > lit(java.sql.Date.valueOf("2001-12-31"))),
+    violations("ticker_whitelist", !col("o_orderstatus").isin("O", "F", "P")))
+
+  private def dqSingle(spark: SparkSession, dir: String, table: String,
+      check: DqCheck): DataFrame =
+    Quality.report(read(spark, dir, table), Seq(check))
+
+  private def dqAll(spark: SparkSession, dir: String): DataFrame =
+    Quality.report(read(spark, dir, "lineitem"), lineitemChecks)
+      .unionAll(Quality.report(read(spark, dir, "orders"), ordersChecks))
+      .orderBy("check_name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_7day" -> ((s, dir) => rolling7Day(s, dir)),
-    "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir))
+    "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
+    "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
+    "dq_nulls" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(1))),
+    "dq_range_violation" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(2))),
+    "dq_nonpositive" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(3))),
+    "dq_date_mismatch" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(0))),
+    "dq_whitelist" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(1))),
+    "dq_all" -> ((s, dir) => dqAll(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,5 +134,50 @@ object SparkEntry {
         |)
         |WHERE rn = 1
         |ORDER BY user_id, event_type, date""".stripMargin
-  )
+  ) ++ dqOracles
+
+  // DuckDB oracle for one violation-count check in the reference shape.
+  private def dqOracle(name: String, table: String, violation: String): String =
+    s"""SELECT '$name' AS check_name,
+       |       count(*) FILTER (WHERE $violation) AS actual_count,
+       |       CAST(0 AS BIGINT) AS expected_count,
+       |       CASE WHEN count(*) FILTER (WHERE $violation) = 0
+       |            THEN 'PASS' ELSE 'FAIL' END AS status
+       |FROM $table""".stripMargin
+
+  private val dqViolationSql = Map(
+    "null_values" -> ("lineitem",
+      "l_quantity IS NULL OR l_extendedprice IS NULL OR l_discount IS NULL OR l_tax IS NULL"),
+    "range_violation" -> ("lineitem",
+      "l_discount < 0 OR l_discount > 1 OR l_extendedprice < 0 OR l_tax < 0"),
+    "nonpositive_quantity" -> ("lineitem", "l_quantity <= 0"),
+    "date_mismatch" -> ("orders",
+      "CAST(o_orderdate AS DATE) < DATE '1995-01-01' OR CAST(o_orderdate AS DATE) > DATE '2001-12-31'"),
+    "ticker_whitelist" -> ("orders", "o_orderstatus NOT IN ('O', 'F', 'P')"))
+
+  private val distinctPresenceSql =
+    """SELECT 'distinct_presence' AS check_name,
+      |       count(DISTINCT l_returnflag) AS actual_count,
+      |       CAST(3 AS BIGINT) AS expected_count,
+      |       CASE WHEN count(DISTINCT l_returnflag) = 3
+      |            THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM lineitem""".stripMargin
+
+  private def dqOracles: Map[String, String] = {
+    val singles = Map(
+      "dq_distinct_presence" -> distinctPresenceSql,
+      "dq_nulls" -> oneViolation("null_values"),
+      "dq_range_violation" -> oneViolation("range_violation"),
+      "dq_nonpositive" -> oneViolation("nonpositive_quantity"),
+      "dq_date_mismatch" -> oneViolation("date_mismatch"),
+      "dq_whitelist" -> oneViolation("ticker_whitelist"))
+    val all = (distinctPresenceSql +: dqViolationSql.keys.toSeq.map(oneViolation))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    singles + ("dq_all" -> all)
+  }
+
+  private def oneViolation(name: String): String = {
+    val (table, violation) = dqViolationSql(name)
+    dqOracle(name, table, violation)
+  }
 }

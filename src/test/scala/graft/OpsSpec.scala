@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Date
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Schemas
+import graft.ops.{Ingest, Quality, Rolling}
+
+/** Shared local session for specs. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bars(rows: (String, String, Double, Double, Double, Double, Long)*) =
+    rows.toSeq.toDF("ticker", "d", "open", "high", "low", "close", "volume")
+      .withColumn("date", to_date($"d")).drop("d")
+
+  // Reference window semantics (dags/dag.py:385-437): frame of ≤7 observed
+  // rows, arrays oldest→newest, sample stddev with NULL→0 for 1-row frames.
+  test("Rolling.metrics: frame order, bounded arrays, stddev coalesce") {
+    val in = bars(
+      ("A", "2024-01-01", 1, 1, 1, 10, 100),
+      ("A", "2024-01-02", 1, 1, 1, 20, 200),
+      ("A", "2024-01-03", 1, 1, 1, 30, 300),
+      ("B", "2024-01-01", 1, 1, 1, 5, 50))
+    val out = Rolling.metrics(in, Seq("ticker"), "date",
+      Seq("close", "volume"), "volume", "close")
+    val a3 = out.where($"ticker" === "A" && $"date" === "2024-01-03")
+      .select("last_7_days_close", "last_7_days_volume",
+        "avg_7_day_volume", "volatility_7_day").head()
+    assert(a3.getSeq[Double](0) == Seq(10.0, 20.0, 30.0)) // oldest→newest
+    assert(a3.getSeq[Long](1) == Seq(100L, 200L, 300L))
+    assert(a3.getDouble(2) == 200.0)
+    assert(math.abs(a3.getDouble(3) - 10.0) < 1e-9) // stddev_samp(10,20,30)
+    val b1 = out.where($"ticker" === "B").select("volatility_7_day").head()
+    assert(b1.getDouble(0) == 0.0) // 1-row frame: NULL stddev → 0
+  }
+
+  test("Rolling.metrics: frame capped at 7 rows") {
+    val in = bars((1 to 10).map(i =>
+      ("A", f"2024-01-$i%02d", 1.0, 1.0, 1.0, i.toDouble, i.toLong)): _*)
+    val out = Rolling.metrics(in, Seq("ticker"), "date", Seq("close"), "volume", "close")
+    val last = out.where($"date" === "2024-01-10").select("last_7_days_close").head()
+    assert(last.getSeq[Double](0) == (4 to 10).map(_.toDouble))
+  }
+
+  // Reference per-run shape: 8-calendar-day inclusive pre-filter, only ds
+  // rows kept (dags/dag.py:399-400,436) — gaps (weekends) simply absent.
+  test("Rolling.forDay: trailing 8-day range, ds-only output") {
+    val in = bars(
+      ("A", "2024-01-01", 1, 1, 1, 1, 1), // outside 8-day range of Jan 10
+      ("A", "2024-01-03", 1, 1, 1, 2, 1), // = ds-7 → inside (inclusive)
+      ("A", "2024-01-05", 1, 1, 1, 3, 1),
+      ("A", "2024-01-10", 1, 1, 1, 4, 1))
+    val out = Rolling.forDay(in, LocalDate.parse("2024-01-10"), Seq("ticker"),
+      "date", Seq("close"), "volume", "close")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getAs[Date]("date") == Date.valueOf("2024-01-10"))
+    assert(out.select("last_7_days_close").head().getSeq[Double](0) == Seq(2.0, 3.0, 4.0))
+  }
+
+  test("Ingest.dailyBars: open/close by id order, volume = count") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "c", 10.0),
+      (2L, "2024-01-01 11:00:00", 7L, "c", 30.0),
+      (3L, "2024-01-01 12:00:00", 7L, "c", 20.0)
+    ).toDF("event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"t"))
+    val b = Ingest.dailyBars(ev, Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .select("open", "high", "low", "close", "volume").head()
+    assert(b.getDouble(0) == 10.0 && b.getDouble(1) == 30.0 &&
+      b.getDouble(2) == 10.0 && b.getDouble(3) == 20.0 && b.getLong(4) == 3L)
+  }
+
+  test("Ingest.firstPerDay keeps exactly one row per key-day") {
+    val ev = Seq(
+      (2L, "2024-01-01 10:00:00", 7L, "c", 1.0),
+      (1L, "2024-01-01 10:00:00", 7L, "c", 2.0), // ts tie → event_id breaks
+      (3L, "2024-01-02 09:00:00", 7L, "c", 3.0)
+    ).toDF("event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"t"))
+    val out = Ingest.firstPerDay(ev, Seq("user_id", "event_type"), "ts", Seq("ts", "event_id"))
+    assert(out.count() == 2)
+    assert(out.where($"date" === "2024-01-01").select("event_id").head().getLong(0) == 1L)
+  }
+
+  // Reference DQ semantics (dags/dag.py:202-277): 6 checks, PASS on
+  // actual == expected, advisory report shape.
+  test("Quality.stockChecks: one failing row per violation class") {
+    val ds = LocalDate.parse("2024-01-10")
+    val d = "2024-01-10"
+    val staged = Seq(
+      ("AAPL", d, Some(1.0), Some(2.0), Some(0.5), Some(1.5), 10L),
+      ("AMZN", d, None, Some(2.0), Some(0.5), Some(1.5), 10L),      // null open
+      ("NFLX", d, Some(1.0), Some(0.4), Some(0.5), Some(0.45), 10L), // high<low
+      ("GOOGL", d, Some(1.0), Some(2.0), Some(0.5), Some(1.5), 0L),  // volume<=0
+      ("META", "2024-01-09", Some(1.0), Some(2.0), Some(0.5), Some(1.5), 10L), // off-date
+      ("BOGUS", d, Some(1.0), Some(2.0), Some(0.5), Some(1.5), 10L)  // not whitelisted
+    ).toDF("ticker", "dt", "open", "high", "low", "close", "volume")
+      .withColumn("date", to_date($"dt")).drop("dt")
+    val rep = Quality.report(staged, Quality.stockChecks(ds, Schemas.TickerWhitelist))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(rep("Missing stocks check") == ((6L, "FAIL"))) // 6 distinct ≠ 5
+    assert(rep("Null values check") == ((1L, "FAIL")))
+    assert(rep("Invalid OHLC relationship check") == ((1L, "FAIL")))
+    assert(rep("Invalid volume check") == ((1L, "FAIL")))
+    assert(rep("Date consistency check") == ((1L, "FAIL")))
+    assert(rep("Invalid ticker check") == ((1L, "FAIL")))
+  }
+
+  test("Quality.report passes on clean data and enforce throws on dirty") {
+    val ds = LocalDate.parse("2024-01-10")
+    val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>
+      (t, "2024-01-10", Some(1.0), Some(2.0), Some(0.5), Some(1.5), 10L))
+      .toDF("ticker", "dt", "open", "high", "low", "close", "volume")
+      .withColumn("date", to_date($"dt")).drop("dt")
+    val rep = Quality.report(clean, Quality.stockChecks(ds, Schemas.TickerWhitelist))
+    assert(rep.where($"status" === "FAIL").count() == 0)
+    val dirty = clean.withColumn("volume", lit(-1L))
+    intercept[IllegalStateException] {
+      Quality.enforce(dirty, Quality.stockChecks(ds, Schemas.TickerWhitelist))
+    }
+  }
+}
