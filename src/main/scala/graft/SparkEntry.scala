@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ingest, Quality, Rolling}
+import graft.ops.{Exchange, Ingest, Quality, Rolling}
 import graft.ops.Quality.{violations, DqCheck}
 import graft.sources.Tables
 
@@ -88,7 +88,31 @@ object SparkEntry {
       .unionAll(Quality.report(read(spark, dir, "orders"), ordersChecks))
       .orderBy("check_name")
 
+  /**
+   * Idempotent exchange (SURVEY §2.2 D6 / §2.1 S4): promote the same
+   * date-partitioned slice TWICE via dynamic partition overwrite (the
+   * reference's DELETE+INSERT re-run, `dags/dag.py:292-311`), read the
+   * table back, and return per-date counts — identical to a single run's
+   * counts iff the exchange is idempotent (append would double them).
+   */
+  private def exchangeIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val slice = read(spark, dir, "orders")
+      .withColumn("date", to_date(col("o_orderdate")))
+      .where(col("date").between(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-03-31"))))
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"target/graft_tmp/exchange_$tag"
+    Exchange.promote(slice, path) // initial run
+    Exchange.promote(slice, path) // backfill re-run of the same partitions
+    Exchange.table(spark, path)
+      .groupBy("date").agg(count(lit(1)).as("n_rows"))
+      .select(col("date").cast("date").as("date"), col("n_rows"))
+      .orderBy("date")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exchange_idempotent" -> ((s, dir) => exchangeIdempotent(s, dir)),
     "rolling_7day" -> ((s, dir) => rolling7Day(s, dir)),
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
     "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
@@ -133,7 +157,13 @@ object SparkEntry {
         |  FROM events
         |)
         |WHERE rn = 1
-        |ORDER BY user_id, event_type, date""".stripMargin
+        |ORDER BY user_id, event_type, date""".stripMargin,
+    "exchange_idempotent" ->
+      """SELECT CAST(o_orderdate AS DATE) AS date, count(*) AS n_rows
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   ) ++ dqOracles
 
   // DuckDB oracle for one violation-count check in the reference shape.

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Idempotent partition promotion — the reference's DELETE-then-INSERT
+ * exchange (reference `dags/dag.py:292-311` production,
+ * `dags/dag.py:367-371` cumulative) collapsed into one dynamic-partition
+ * overwrite.
+ *
+ * The reference deletes `WHERE date = ds` and re-inserts the staging rows
+ * so any re-run (backfill) replaces exactly one date partition. With
+ * `partitionOverwriteMode=dynamic`, `mode("overwrite")` rewrites only the
+ * partitions present in the incoming frame — same idempotence, one atomic
+ * job, no read-modify-write of unrelated partitions. At 100 TB this
+ * touches a single date directory regardless of table size, and the
+ * date-partitioned layout gives downstream range scans partition pruning
+ * for free (reference `PARTITIONED BY (date)` at `dags/dag.py:146,352`).
+ */
+object Exchange {
+
+  /**
+   * Overwrite exactly the partitions of `partitionCol` present in `df`
+   * (the reference's per-ds DELETE + INSERT pair, SURVEY.md §2.2 D6).
+   */
+  def promote(df: DataFrame, path: String, partitionCol: String = "date"): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
+  /**
+   * Schema-checked promotion (resolution of reference bug #6, SURVEY.md
+   * §2.14: the reference's positional `SELECT *` silently depends on
+   * column order). Columns are aligned by NAME against `target`; a
+   * missing or extra column fails fast instead of corrupting.
+   */
+  def promoteByName(df: DataFrame, targetColumns: Seq[String], path: String,
+      partitionCol: String = "date"): Unit = {
+    val have = df.columns.toSet
+    val missing = targetColumns.filterNot(have)
+    val extra = df.columns.filterNot(targetColumns.contains(_))
+    require(missing.isEmpty && extra.isEmpty,
+      s"schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    promote(df.select(targetColumns.map(col): _*), path, partitionCol)
+  }
+
+  /** Read the promoted table back (partition-pruned scans on `date`). */
+  def table(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

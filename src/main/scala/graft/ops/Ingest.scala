@@ -34,6 +34,19 @@ object Ingest {
   }
 
   /**
+   * Generic first-row-per-key dedup: keep the first row per `keys`
+   * ordered by `orderCols` (must be unique per group for determinism).
+   */
+  def firstPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
    * Aggregate a tick-level stream into daily OHLCV bars per key:
    * open/close = value at min/max `idCol` within the day (the id must be
    * unique and time-ordered within a group), high/low = max/min value,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.ops.{Exchange, Ingest, Quality, Rolling}
+
+/**
+ * The whole reference DAG as one composable daily run (reference
+ * `dags/dag.py:444-452` task graph → plain function composition,
+ * SURVEY.md §2.13).
+ *
+ * Per `ds`: normalize the day's raw bars → stage (a DataFrame — staging
+ * needs no materialization in-process, reference `dags/dag.py:158-175`) →
+ * advisory DQ report (reference `dags/dag.py:198-282`) → idempotent
+ * promote of partition `date=ds` → derive rolling 7-day metrics from the
+ * trailing 8-day production range and promote partition `ds` of the
+ * cumulative table (reference `dags/dag.py:385-437`).
+ *
+ * `runDay` is pure in `ds` (no hidden state), so backfills are re-runs:
+ * partition overwrite makes them byte-idempotent
+ * (reference `README.md:25-26,127-134`).
+ */
+final case class PipelineConfig(
+    productionPath: String,
+    cumulativePath: String,
+    whitelist: Seq[String] = Schemas.TickerWhitelist,
+    strictDq: Boolean = false)
+
+final case class DayResult(ds: LocalDate, staged: Long, dqReport: DataFrame)
+
+class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
+
+  /**
+   * `rawBars(ds)` plays the reference's Polygon fetch (reference
+   * `dags/dag.py:68-112`): any frame with ticker/date/open/high/low/
+   * close/volume/vwap/event_ts/transactions rows for that day (possibly
+   * duplicated or multi-bar — normalization dedups to 1 row/ticker/day).
+   */
+  def runDay(ds: LocalDate, rawBars: LocalDate => DataFrame): DayResult = {
+    val d = java.sql.Date.valueOf(ds)
+
+    // ingest + normalize: ≤1 bar per (ticker, day) — reference break at
+    // dag.py:109; distributed row_number dedup, no driver loop.
+    val raw = rawBars(ds).where(col("date") === lit(d))
+    val hasEventTs = raw.columns.contains("event_ts")
+    val ordered = if (hasEventTs) Seq("event_ts") else Seq("date")
+    val staged0 = Ingest.firstPerKey(raw, Seq("ticker", "date"), ordered)
+    val staged = Ingest.stampInsertion(staged0).cache()
+
+    // advisory DQ (strict mode = documented deviation, SURVEY §2.13)
+    val checks = Quality.stockChecks(ds, cfg.whitelist)
+    val report = Quality.report(staged, checks)
+    if (cfg.strictDq) Quality.enforce(staged, checks)
+
+    // promote: replace exactly partition date=ds (DELETE+INSERT pair →
+    // one dynamic partition overwrite)
+    Exchange.promoteByName(staged, staged.columns.toSeq, cfg.productionPath)
+
+    // cumulate from production: trailing 8-calendar-day scan (partition
+    // pruned to ≤8 date dirs), window, keep ds rows only
+    val prod = Exchange.table(spark, cfg.productionPath)
+    val cum = Rolling.forDay(prod, ds, Seq("ticker"), "date",
+        arrayCols = Seq("open", "high", "low", "close", "volume"),
+        volumeCol = "volume", closeCol = "close")
+      .select(col("ticker"), col("date"),
+        col("last_7_days_open"), col("last_7_days_high"),
+        col("last_7_days_low"), col("last_7_days_close"),
+        col("last_7_days_volume"),
+        col("avg_7_day_volume"), col("volatility_7_day"))
+    Exchange.promote(
+      cum.withColumn("updated_at", current_timestamp()), cfg.cumulativePath)
+
+    val n = staged.count()
+    staged.unpersist()
+    DayResult(ds, n, report)
+  }
+
+  def production: DataFrame = Exchange.table(spark, cfg.productionPath)
+  def cumulative: DataFrame = Exchange.table(spark, cfg.cumulativePath)
+}

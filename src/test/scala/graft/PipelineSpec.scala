@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pipeline, PipelineConfig}
+
+/**
+ * End-to-end daily runs over a synthetic bar feed with weekend gaps and a
+ * backfill re-run — the reference DAG's semantics (SURVEY §2.13):
+ * idempotent per-date exchange, advisory DQ, rolling 7-day cumulative.
+ */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tickers = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META")
+  // Mon Jan 1 2024 .. Fri Jan 12 2024, weekends absent (Jan 6,7 skipped)
+  private val tradingDays = (1 to 12).map(d => LocalDate.of(2024, 1, d))
+    .filterNot(d => d.getDayOfWeek.getValue >= 6)
+
+  /** Deterministic synthetic feed: price varies by (ticker, day). */
+  private def feed(ds: LocalDate): DataFrame = {
+    val rows = tickers.zipWithIndex.map { case (t, i) =>
+      val base = 100.0 + 10 * i + ds.getDayOfMonth
+      (t, java.sql.Date.valueOf(ds), base - 1, base + 2, base - 3, base,
+        1000L + i, base + 0.5, ds.toEpochDay * 86400000L, 10 + i)
+    }
+    rows.toDF("ticker", "date", "open", "high", "low", "close",
+      "volume", "vwap", "event_ts", "transactions")
+  }
+
+  test("multi-day run with gaps, then backfill re-run, is idempotent") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val cfg = PipelineConfig(s"$root/prod", s"$root/cum")
+    val pipe = new Pipeline(spark, cfg)
+
+    tradingDays.foreach(ds => pipe.runDay(ds, feed))
+    val prod1 = pipe.production.orderBy("ticker", "date")
+      .drop("insertion_timestamp").collect().toSeq
+    val cum1 = pipe.cumulative.orderBy("ticker", "date")
+      .drop("updated_at").collect().toSeq
+
+    assert(prod1.size == tickers.size * tradingDays.size)
+    assert(cum1.size == tickers.size * tradingDays.size)
+
+    // last trading day (Jan 12): trailing 8 calendar days = Jan 5..12 →
+    // observed rows Jan 5, 8..12 = 6 (weekend gap), frame holds 6
+    val last = pipe.cumulative
+      .where($"ticker" === "AAPL" && $"date" === "2024-01-12")
+      .select("last_7_days_close", "avg_7_day_volume", "volatility_7_day").head()
+    val closes = last.getSeq[Double](0)
+    assert(closes.size == 6)
+    assert(closes == Seq(5, 8, 9, 10, 11, 12).map(d => 100.0 + d)) // oldest→newest
+    // first day: 1-row frame → volatility coalesced to 0
+    val first = pipe.cumulative
+      .where($"ticker" === "AAPL" && $"date" === "2024-01-01")
+      .select("volatility_7_day").head()
+    assert(first.getDouble(0) == 0.0)
+
+    // backfill: re-run a middle day — outputs must be unchanged
+    pipe.runDay(LocalDate.of(2024, 1, 8), feed)
+    val prod2 = pipe.production.orderBy("ticker", "date")
+      .drop("insertion_timestamp").collect().toSeq
+    val cum2 = pipe.cumulative.orderBy("ticker", "date")
+      .drop("updated_at").collect().toSeq
+    assert(prod2 == prod1)
+    assert(cum2 == cum1)
+  }
+
+  test("duplicate source bars are deduped to one per ticker-day") {
+    val root = Files.createTempDirectory("graft_pipe2").toString
+    val pipe = new Pipeline(spark, PipelineConfig(s"$root/prod", s"$root/cum"))
+    val ds = LocalDate.of(2024, 2, 5)
+    val res = pipe.runDay(ds, d => feed(d).unionAll(feed(d))) // doubled feed
+    assert(res.staged == tickers.size)
+    assert(pipe.production.count() == tickers.size)
+  }
+
+  test("strict DQ mode fails the run on a violation") {
+    val root = Files.createTempDirectory("graft_pipe3").toString
+    val pipe = new Pipeline(spark,
+      PipelineConfig(s"$root/prod", s"$root/cum", strictDq = true))
+    val ds = LocalDate.of(2024, 2, 6)
+    intercept[IllegalStateException] {
+      pipe.runDay(ds, d => feed(d).withColumn("volume", lit(0L)))
+    }
+  }
+}
