@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale corpus curation:
+ * exact, MinHash+LSH, SimHash, and n-gram-Jaccard set-similarity join.
+ *
+ * Scale design (the 100 TB shape):
+ *  - Signatures (MinHash, SimHash) are computed IN-ROW with higher-order
+ *    array functions — no explode, no shuffle, no UDF; a signature pass
+ *    is a single narrow projection over the corpus.
+ *  - Candidate generation is always a bucket equi-join (LSH band buckets,
+ *    SimHash chunks, shingle postings) — never a cross join. Shuffle keys
+ *    are the bucket ids, so co-candidates land on the same partition and
+ *    pair expansion happens locally.
+ *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+ *
+ * All hashes are seeded xxhash64 — deterministic across runs/executors.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: one surviving row per distinct `textCol`, keeping the
+   * smallest `idCol` as the canonical representative (deterministic,
+   * unlike dropDuplicates' arbitrary winner). Single hash-aggregate
+   * shuffled on the text — at scale, swap the raw text for its
+   * xxhash64+length key to shrink shuffle width (`exactByHash`).
+   */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+
+  /**
+   * Exact dedup keyed on (xxhash64(text), length(text)) instead of the
+   * full text — the 100 TB variant: the shuffle carries 16 bytes per row
+   * rather than the document body. Collision probability at 2^64 with a
+   * length guard is negligible for curation purposes.
+   */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(textCol),
+      xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+    val winners = keyed.groupBy(col("__h"), col("__l"))
+      .agg(min(col(idCol)).as(idCol))
+    winners.join(keyed.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col(textCol))
+  }
+
+  /**
+   * MinHash signatures: `numHashes` independent permutations approximated
+   * by seeded xxhash64; sig[i] = min over shingles of xxhash64(s, i).
+   * Computed entirely in-row over the shingle array.
+   */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    df.withColumn("__shingles",
+        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK))
+      .withColumn("__sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "i -> array_min(transform(__shingles, s -> xxhash64(s, i))))"))
+
+  /**
+   * LSH banding: split the signature into `bands` bands of
+   * numHashes/bands rows each; docs sharing any band hash become
+   * candidate pairs. One explode (×bands), one shuffle on the band
+   * bucket, local pair expansion via self-join, distinct pairs out.
+   * Bucket skew at scale is bounded by band hash width; degenerate
+   * buckets (all-identical docs) are the pairs we want anyway.
+   */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val rows = sigs.select(col(idCol), col("__sig"))
+    val n = bands
+    val banded = rows.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${n - 1}), " +
+          s"b -> xxhash64(concat_ws(',', slice(__sig, b * (size(__sig) div $n) + 1, size(__sig) div $n)), b))")))
+      .toDF(idCol, "__band", "__bucket")
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
+    a.join(b, Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /**
+   * End-to-end MinHash near-dup pairs: signature → LSH candidates →
+   * exact Jaccard verification on the candidates' shingle sets, keeping
+   * pairs with jaccard ≥ threshold. Verification joins the (small)
+   * candidate set back to shingle arrays on id — sort-merge on id at
+   * scale, never a cross join.
+   */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = withMinhashSignature(df, textCol, numHashes, shingleK)
+    val cands = lshCandidatePairs(sigs, idCol, bands)
+    val sets = sigs.select(col(idCol), col("__shingles"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over the token multiset (unit weights): bit i is set
+   * iff the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is
+   * positive. One in-row expression, O(64·|tokens|) per doc, no shuffle.
+   */
+  def simhash64(tokensColName: String): Column = expr(
+    s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+      acc + CASE WHEN aggregate(`$tokensColName`, cast(0 as bigint),
+        (a, tk) -> a + CASE WHEN ((xxhash64(tk) >> i) & 1) = 1
+                       THEN 1 ELSE -1 END) > 0
+      THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)""")
+
+  /**
+   * SimHash near-dups with Hamming distance ≤ maxHamming (≤3 by
+   * default): candidates via the pigeonhole chunking scheme — split the
+   * 64-bit hash into 4×16-bit chunks; any pair within Hamming 3 must
+   * agree on at least one chunk, so an equi-join per chunk finds all of
+   * them. Verification = bit_count(xor) on the pair.
+   */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers Hamming <= 3")
+    val hashed = df
+      .withColumn("__toks", TextNorm.tokens(col(textCol)))
+      .withColumn("__simhash", simhash64("__toks"))
+      .select(col(idCol), col("__simhash"))
+    val chunked = hashed.select(col(idCol), col("__simhash"), posexplode(expr(
+        "transform(sequence(0, 3), c -> (__simhash >> (c * 16)) & 65535)")))
+      .toDF(idCol, "__simhash", "__chunk", "__key")
+    val a = chunked.select(col(idCol).as("id_a"),
+      col("__simhash").as("__ha"), col("__chunk"), col("__key"))
+    val b = chunked.select(col(idCol).as("id_b"),
+      col("__simhash").as("__hb"), col("__chunk"), col("__key"))
+    a.join(b, Seq("__chunk", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__ha ^ __hb)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram-Jaccard set-similarity join via shingle postings (the
+   * classic inverted-index plan): explode distinct shingles, self-join
+   * the postings list to count common shingles per pair, then
+   * jaccard = common / (|A| + |B| − common). Exact — no candidate loss —
+   * and shuffles on the shingle, not the pair. At 100 TB add prefix
+   * filtering (PPJoin) to cap hot postings; here df-skew is bounded by
+   * `maxDocFreq` which drops ubiquitous shingles from candidate
+   * generation only when set (None = fully exact).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sets = df.select(col(idCol),
+        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__s"))
+      .withColumn("__n", size(col("__s")))
+    val postings0 = sets.select(col(idCol), col("__n"), explode(col("__s")).as("__shingle"))
+    val postings = maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = postings0.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+        postings0.join(dfreq.where(col("__df") <= cap), "__shingle")
+      case None => postings0
+    }
+    val a = postings.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__shingle"))
+    val b = postings.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__shingle"))
+    a.join(b, "__shingle").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}
