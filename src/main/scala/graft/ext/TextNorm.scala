@@ -25,7 +25,7 @@ object TextNorm {
   def shingles(tokens: Column, k: Int): Column = {
     val windows = transform(
       sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens, i, k)))
+      i => concat_ws(" ", slice(tokens, i, lit(k))))
     array_distinct(windows)
   }
 }
