@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/**
+ * North-star extension queries (SURVEY.md §7.5) over the `documents` and
+ * `embeddings` testdata, each with an exact DuckDB oracle where the
+ * semantics are SQL-expressible. Merged into `SparkEntry.queries`.
+ *
+ * Oracle notes:
+ *  - Text normalization (lower → strip non-alnum → split) is mirrored
+ *    token-for-token in RE2-compatible SQL.
+ *  - Hash-based ops (MinHash/SimHash LSH) cannot be re-derived in DuckDB
+ *    (no xxhash64); their oracles verify the SEMANTIC claim instead —
+ *    the returned pairs must equal the exact similarity-threshold pairs,
+ *    which on this corpus (near-dups at j ≥ 0.9, everything else ≤ 0.2)
+ *    any correctly-tuned sketch must recover exactly.
+ */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------- dedup —
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), "doc_id", "text",
+        maxHamming = 6, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------- similarity —
+
+  /** Every 20th vector queries the full corpus for its 5 nearest
+    * neighbors by cosine — exact brute force (the correctness baseline). */
+  private def similarityTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN variant (the 100 TB shape) — approximate, so no SQL
+    * oracle; recall vs brute force is spec-asserted (SimilaritySpec). */
+  private def similarityAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.annTopK(e, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, nBits = 64, bands = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------------------------- text —
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.stats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private def textLangProfile(s: SparkSession, dir: String): DataFrame =
+    TextOps.stats(docs(s, dir), "doc_id", "text")
+      .groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+      .orderBy("lang_guess")
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // --------------------------------------------------------- multimodal —
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryFeatures(
+        Multimodal.binarize(docs(s, dir), "doc_id", "text"), "doc_id")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- wiring —
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
+    "dedup_minhash" -> ((s, dir) => dedupMinhash(s, dir)),
+    "dedup_simhash" -> ((s, dir) => dedupSimhash(s, dir)),
+    "dedup_ngram" -> ((s, dir) => dedupNgram(s, dir)),
+    "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
+    "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
+    "text_stats" -> ((s, dir) => textStats(s, dir)),
+    "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
+    "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
+    "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir))
+  )
+
+  // SQL fragments shared by the oracles -------------------------------
+
+  /** Tokenization identical to TextNorm.tokens. */
+  private val toksSql =
+    """list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '), x -> x != '')"""
+
+  /** Distinct 3-shingles identical to TextNorm.shingles(toks, 3). */
+  private val shinglesSql =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, greatest(len(toks) - 2, 1) + 1)])""".stripMargin
+
+  /** Exact Jaccard ≥ 0.5 pairs over 3-shingle sets — the ground truth the
+    * minhash / simhash / ngram variants must each recover. */
+  private def jaccardPairsSql(selectCols: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.sh, b.sh))::DOUBLE
+       |               / len(list_distinct(a.sh || b.sh)) AS j
+       |      FROM d a, d b WHERE a.doc_id < b.doc_id)
+       |SELECT $selectCols FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  private val langHitsSql = TextOps.langProfiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> x IN ($list))) AS h_$lang"
+  }.mkString(",\n         ")
+
+  /** CASE chain mirroring TextOps.langId (first global argmax in
+    * profile-priority order). */
+  private val langCaseSql = {
+    val langs = TextOps.langProfiles.map(_._1)
+    val branches = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      val cond = later.map(l => s"h_$lang >= h_$l").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  private val statsSql =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+       |         length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+       |           / length(text) AS punct_raw,
+       |         $langHitsSql
+       |  FROM t
+       |),
+       |x AS (
+       |  SELECT doc_id, text, toks, n_tokens, punct_raw,
+       |         CASE WHEN n_tokens > 0 THEN h_en::DOUBLE / n_tokens ELSE 0.0 END AS stop_raw,
+       |         $langCaseSql AS lang_guess
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |       length(text) AS n_chars,
+       |       n_tokens,
+       |       len(list_distinct(toks)) AS n_distinct_tokens,
+       |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+       |       round(CASE WHEN n_tokens > 0
+       |             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / n_tokens
+       |             ELSE 0.0 END, 4) AS avg_token_len,
+       |       round(stop_raw, 4) AS stopword_ratio,
+       |       round(punct_raw, 4) AS punct_ratio,
+       |       round(0.4 * least(stop_raw / 0.4, 1.0)
+       |           + 0.3 * (1.0 - least(punct_raw / 0.2, 1.0))
+       |           + 0.3 * least(n_tokens::DOUBLE / 100.0, 1.0), 4) AS quality_score,
+       |       lang_guess
+       |FROM x""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |             list_cosine_similarity(cv, qv) AS sim
+        |      FROM c, q WHERE neighbor_id != query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_stats" -> (statsSql + "\nORDER BY doc_id"),
+    "text_lang_profile" ->
+      s"""WITH stats AS ($statsSql)
+         |SELECT lang_guess, count(*) AS n_docs,
+         |       round(avg(n_tokens), 4) AS avg_tokens,
+         |       round(avg(quality_score), 4) AS avg_quality
+         |FROM stats GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |             [substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)
+         |              for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS hs
+         |      FROM t)
+         |SELECT doc_id,
+         |       list_sort(list_distinct([list_aggregate(hs[i:i+3], 'min')
+         |                 for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fingerprint
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, 'text' AS modality,
+        |       octet_length(encode(text)) AS byte_len,
+        |       md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // similarity_ann: intentionally no oracle (approximate); recall is
+    // asserted against bruteForceTopK in SimilaritySpec.
+  )
+}

@@ -101,8 +101,9 @@ object SparkEntry {
       .where(col("date").between(
         lit(java.sql.Date.valueOf("1995-01-01")),
         lit(java.sql.Date.valueOf("1995-03-31"))))
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"target/graft_tmp/exchange_$tag"
+    // hermetic absolute scratch path — unique per invocation, OS-cleaned
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_exchange_").resolve("t").toString
     Exchange.promote(slice, path) // initial run
     Exchange.promote(slice, path) // backfill re-run of the same partitions
     Exchange.table(spark, path)
@@ -122,7 +123,7 @@ object SparkEntry {
     "dq_date_mismatch" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(0))),
     "dq_whitelist" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(1))),
     "dq_all" -> ((s, dir) => dqAll(s, dir))
-  )
+  ) ++ ExtQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "rolling_7day" ->
@@ -164,7 +165,7 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
-  ) ++ dqOracles
+  ) ++ dqOracles ++ ExtQueries.oracleSql
 
   // DuckDB oracle for one violation-count check in the reference shape.
   private def dqOracle(name: String, table: String, violation: String): String =

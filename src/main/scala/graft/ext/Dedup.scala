@@ -95,7 +95,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sigs = withMinhashSignature(df, textCol, numHashes, shingleK)
     val cands = lshCandidatePairs(sigs, idCol, bands)
-    val sets = sigs.select(col(idCol), col("__shingles"))
+    verifyJaccard(cands, sigs.select(col(idCol), col("__shingles")), idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-id shingle sets — the shared final stage of every sketch-blocked
+    * near-dup join. Joins on id (sort-merge at scale), never a cross
+    * join; the candidate set is assumed small relative to the corpus. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), "id_b")
@@ -104,7 +112,6 @@ object Dedup {
           size(array_union(col("__sa"), col("__sb"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /**
    * 64-bit SimHash over the token multiset (unit weights): bit i is set
@@ -119,21 +126,27 @@ object Dedup {
       THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)""")
 
   /**
-   * SimHash near-dups with Hamming distance ≤ maxHamming (≤3 by
-   * default): candidates via the pigeonhole chunking scheme — split the
-   * 64-bit hash into 4×16-bit chunks; any pair within Hamming 3 must
-   * agree on at least one chunk, so an equi-join per chunk finds all of
-   * them. Verification = bit_count(xor) on the pair.
+   * SimHash candidate pairs with Hamming distance ≤ maxHamming, via the
+   * generalized pigeonhole chunking scheme: split the 64-bit hash into
+   * (maxHamming + 1) near-equal chunks — any pair within the Hamming
+   * bound must agree on at least one chunk, so a chunk-keyed equi-join
+   * finds every such pair. Verification = bit_count(xor) on candidates.
    */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole covers Hamming <= 3")
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val n = maxHamming + 1
+    require(n >= 2 && n <= 64, "need 2..64 chunks")
     val hashed = df
       .withColumn("__toks", TextNorm.tokens(col(textCol)))
       .withColumn("__simhash", simhash64("__toks"))
       .select(col(idCol), col("__simhash"))
+    // chunk c covers bits [c*64 div n, (c+1)*64 div n) — widths differ by
+    // ≤1 bit when n ∤ 64; the mask strips arithmetic-shift sign fill.
     val chunked = hashed.select(col(idCol), col("__simhash"), posexplode(expr(
-        "transform(sequence(0, 3), c -> (__simhash >> (c * 16)) & 65535)")))
+        s"""transform(sequence(0, ${n - 1}), c ->
+           (__simhash >> cast((c * 64) div $n as int)) &
+           (shiftleft(cast(1 as bigint),
+                      cast(((c + 1) * 64) div $n - (c * 64) div $n as int)) - 1))""")))
       .toDF(idCol, "__simhash", "__chunk", "__key")
     val a = chunked.select(col(idCol).as("id_a"),
       col("__simhash").as("__ha"), col("__chunk"), col("__key"))
@@ -148,18 +161,50 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram-Jaccard set-similarity join via shingle postings (the
-   * classic inverted-index plan): explode distinct shingles, self-join
-   * the postings list to count common shingles per pair, then
-   * jaccard = common / (|A| + |B| − common). Exact — no candidate loss —
-   * and shuffles on the shingle, not the pair. At 100 TB add prefix
-   * filtering (PPJoin) to cap hot postings; here df-skew is bounded by
-   * `maxDocFreq` which drops ubiquitous shingles from candidate
-   * generation only when set (None = fully exact).
+   * SimHash-blocked near-dup join: SimHash/Hamming is the cheap blocking
+   * sketch (one 64-bit key per doc), exact shingle-Jaccard on the
+   * candidates is the decision. Blocking-only thresholding is NOT
+   * reliable on corpora with a shared core vocabulary — unrelated docs
+   * land within small Hamming distances — so like the MinHash path this
+   * always verifies. `maxHamming` trades candidate volume for recall.
+   *
+   * Recall caveat: precision is exact (verification), but blocking
+   * recall is corpus-dependent — very short documents (≲15 tokens) have
+   * unstable bit sums, so a one-token edit can flip more than
+   * `maxHamming` bits. Prefer `minhashNearDups` when short docs matter;
+   * SimHash wins on sketch size (8 bytes/doc vs numHashes×8).
    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = simhashCandidatePairs(df, idCol, textCol, maxHamming)
+      .select("id_a", "id_b")
+    val sets = df.select(col(idCol),
+      TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
+    verifyJaccard(cands, sets, idCol, threshold)
+  }
+
+  /**
+   * N-gram-Jaccard set-similarity join via shingle postings (the classic
+   * inverted-index plan): explode distinct shingles, self-join the
+   * postings list to count common shingles per pair, then
+   * jaccard = common / (|A| + |B| − common).
+   *
+   * Hot-posting bound: a shingle appearing in d docs contributes d² pair
+   * candidates, so one ubiquitous shingle ("of the and" in 1M docs) makes
+   * the self-join quadratic. `maxDocFreq` therefore DEFAULTS to a cap:
+   * shingles above it are dropped from candidate generation (IDF
+   * intuition — a shingle shared by everyone identifies nothing). The
+   * result stays exact whenever true near-dup pairs share at least one
+   * sub-cap shingle, which holds for any realistic cap/corpus; pass
+   * `maxDocFreq = None` for the unconditionally-exact quadratic plan, and
+   * audit what a cap drops with `droppedShingles`.
+   */
+  val DefaultMaxDocFreq = 10000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sets = df.select(col(idCol),
         TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__s"))
       .withColumn("__n", size(col("__s")))
@@ -180,4 +225,14 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Audit companion to `ngramJaccardPairs`' cap: the shingles a given
+    * `maxDocFreq` would drop, with their document frequencies — log or
+    * persist this next to any capped run. */
+  def droppedShingles(df: DataFrame, textCol: String, shingleK: Int,
+      maxDocFreq: Long): DataFrame =
+    df.select(explode(
+        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
 }

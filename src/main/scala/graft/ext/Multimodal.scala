@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video carried as opaque BINARY
+ * columns with typed metadata, plus the decode / feature-extract /
+ * resize / frame-sample operator surface a training-data pipeline needs.
+ *
+ * The media codec libraries are NOT available in this environment, so the
+ * byte-decoding step is a clearly-marked STUB (`StubCodec`) — a
+ * deterministic fake. Everything around it is real and tested: the
+ * schema, the partition-batched iteration shape (decode cost amortized
+ * over a batch, the Scala analogue of an Arrow-batched UDF), the feature
+ * output shape, and the metadata-only transforms.
+ *
+ * Scale notes: decode runs inside `mapPartitions` — per-executor batches,
+ * no driver involvement, no shuffle; media bytes never leave the
+ * partition they were read in. Feature vectors (small) are what flows
+ * downstream into the similarity/dedup ops.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque bytes. */
+  case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+      nFrames: Int, mime: String)
+
+  case class MediaRow(media_id: Long, modality: String, bytes: Array[Byte],
+      meta: MediaMeta)
+
+  case class MediaFeatures(media_id: Long, modality: String, byte_len: Long,
+      features: Array[Double])
+
+  /** Canonical media table schema (DataFrame form of MediaRow). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sampleRate", IntegerType),
+      StructField("nFrames", IntegerType),
+      StructField("mime", StringType))))))
+
+  /**
+   * ======================= STUB =======================
+   * Stand-in for the real codec (JPEG/PNG decode, audio PCM decode,
+   * video frame extraction). Deterministic fake: a 64-bit FNV-1a over
+   * the bytes seeds a tiny LCG that emits `dim` pseudo-features in
+   * [0, 1). Replace `decode` with the real library call; nothing else
+   * in the pipeline changes.
+   */
+  object StubCodec {
+    def fnv1a(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+    /** STUB decode: real implementation would parse the media container
+      * and run feature extraction; this emits deterministic pseudo-
+      * features so the surrounding plumbing is testable. */
+    def decode(bytes: Array[Byte], dim: Int): Array[Double] = {
+      var state = fnv1a(bytes)
+      Array.fill(dim) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        ((state >>> 11).toDouble / (1L << 53).toDouble)
+      }
+    }
+  }
+
+  /**
+   * Partition-batched decode + feature extraction. The decoder runs once
+   * per row inside a partition iterator — the batch shape a real codec
+   * wants (shared decoder state per partition, zero per-row setup).
+   */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      decoder: (Array[Byte], Int) => Array[Double] = StubCodec.decode)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would initialize the real codec here, once
+      rows.map { r =>
+        val bytes = if (r.bytes == null) Array.empty[Byte] else r.bytes
+        MediaFeatures(r.media_id, r.modality, bytes.length.toLong,
+          decoder(bytes, dim))
+      }
+    }
+  }
+
+  /** Metadata-only resize plan: target box with aspect preserved —
+    * pure Column arithmetic, no decode needed. */
+  def resizePlan(df: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    df.withColumn("target_width", ceil(w * scale).cast("int"))
+      .withColumn("target_height", ceil(h * scale).cast("int"))
+  }
+
+  /** Frame-sample plan for video rows: every `stride`-th frame index —
+    * the work list a real frame extractor would consume. */
+  def frameSamplePlan(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("sample_frames",
+      when(col("meta.nFrames") > 0,
+        sequence(lit(0), col("meta.nFrames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")))
+
+  /**
+   * Binary ingestion from a text column — lets the binary-column path be
+   * exercised (and oracle-verified) against the `documents` testdata:
+   * bytes = UTF-8 encoding, content hash + byte length as the features.
+   */
+  def binarize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      lit("text").as("modality"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+
+  /** Oracle-verifiable binary features: byte length + md5 content hash
+    * (md5 over UTF-8 bytes — identical in any engine). */
+  def binaryFeatures(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), col("modality"),
+      length(col("bytes")).as("byte_len"),
+      md5(col("bytes")).as("content_hash"))
+}

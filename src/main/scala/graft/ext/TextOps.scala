@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for corpus curation (SURVEY.md §7.5): per-doc
+ * stats, token counting (whitespace + a BPE-ish regex segmentation),
+ * stopword-profile language ID, heuristic quality scoring, and winnowing
+ * document fingerprints.
+ *
+ * Everything is a pure Column expression (whole-stage codegen, no UDFs,
+ * no shuffles beyond any final aggregate the caller adds), and every
+ * formula is chosen to be replicable in ANSI-ish SQL so the DuckDB
+ * oracle can verify it exactly.
+ */
+object TextOps {
+
+  /** Small per-language stopword profiles for the language-ID heuristic.
+    * Order = deterministic tie-break priority. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个"))
+
+  /** English stopwords used by the quality heuristic. */
+  val enStopwords: Seq[String] = langProfiles.head._2
+
+  /** BPE-ish segmentation: letter runs, digit runs, and single
+    * non-alnum-non-space symbols — a cheap proxy for subword token count
+    * that both Java regex and RE2 interpret identically. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Count of tokens from `toks` present in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /**
+   * Stopword-profile language ID over a token array: the language whose
+   * profile has the most hits wins; ties resolve in `langProfiles` order.
+   */
+  def langId(toks: Column): Column = {
+    val hits = langProfiles.map { case (lang, words) => lang -> hitCount(toks, words) }
+    // CASE chain: first language (priority order) whose hits >= every
+    // later language's hits — provably the first global argmax.
+    hits.init.zipWithIndex.foldRight(lit(hits.last._1): Column) {
+      case (((lang, h), i), els) =>
+        val later = hits.drop(i + 1).map(_._2)
+        when(later.map(h >= _).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Ratio of non-letter/digit/whitespace characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+      length(text)
+
+  /**
+   * Heuristic quality score in [0,1]: rewards natural stopword density,
+   * penalizes symbol soup, rewards non-trivial length. Pure arithmetic so
+   * the oracle can recompute it bit-close.
+   */
+  def qualityScore(stopRatio: Column, punct: Column, nTokens: Column): Column =
+    lit(0.4) * least(stopRatio / 0.4, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(punct / 0.2, lit(1.0))) +
+      lit(0.3) * least(nTokens.cast("double") / 100.0, lit(1.0))
+
+  /**
+   * Per-document stats frame: char/token/type counts, BPE-ish token
+   * estimate, mean token length, stopword & punctuation ratios, quality
+   * score, language guess. One narrow projection — no shuffle.
+   */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("__toks", TextNorm.tokens(text))
+      .withColumn("__stop", hitCount(col("__toks"), enStopwords))
+      .withColumn("__punct", punctRatio(text))
+      .select(
+        col(idCol),
+        length(text).as("n_chars"),
+        size(col("__toks")).as("n_tokens"),
+        size(array_distinct(col("__toks"))).as("n_distinct_tokens"),
+        size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).as("n_bpeish"),
+        round(when(size(col("__toks")) > 0,
+          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("__toks"))).otherwise(0.0), 4)
+          .as("avg_token_len"),
+        round(when(size(col("__toks")) > 0,
+          col("__stop").cast("double") / size(col("__toks"))).otherwise(0.0), 4)
+          .as("stopword_ratio"),
+        round(col("__punct"), 4).as("punct_ratio"),
+        round(qualityScore(
+          when(size(col("__toks")) > 0,
+            col("__stop").cast("double") / size(col("__toks"))).otherwise(0.0),
+          col("__punct"), size(col("__toks"))), 4).as("quality_score"),
+        langId(col("__toks")).as("lang_guess"))
+  }
+
+  /** Ordered (non-distinct) k-shingles — winnowing needs positional
+    * k-grams, unlike the set-shaped `TextNorm.shingles`. */
+  def orderedShingles(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /**
+   * Winnowing fingerprint (the classic local-min document fingerprint):
+   * hash every positional k-shingle (first 8 hex chars of md5 — ASCII
+   * lexicographic min == numeric min), take the min hash of every
+   * w-window of consecutive shingle hashes, dedupe, sort. Robust to small
+   * edits; two docs sharing content share fingerprint entries.
+   */
+  def fingerprint(toks: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(orderedShingles(toks, k), s => substring(md5(s), 1, 8))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Per-doc fingerprint frame. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+      fingerprint(TextNorm.tokens(col(textCol)), k, w).as("fingerprint"))
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextNorm, TextOps}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+
+  // ----------------------------------------------------------- dedup —
+
+  test("Dedup.exact and exactByHash keep the min-id representative") {
+    val in = docs((1L, "aa bb"), (5L, "aa bb"), (3L, "cc dd"), (2L, "aa bb"))
+    for (out <- Seq(Dedup.exact(in, "id", "text"),
+                    Dedup.exactByHash(in, "id", "text"))) {
+      val got = out.orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "aa bb"), (3L, "cc dd")))
+    }
+  }
+
+  test("ngramJaccardPairs finds a planted near-dup pair and nothing else") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"token$i").mkString(" ") + " tokenX"
+    val other = (100 to 130).map(i => s"word$i").mkString(" ")
+    val in = docs((1L, base), (2L, nearDup), (3L, other))
+    val got = Dedup.ngramJaccardPairs(in, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("near-dup sketch family agrees with exact pairs on real documents") {
+    // the sketch-blocked variants (MinHash-LSH, SimHash-pigeonhole) must
+    // recover exactly the exact-Jaccard pair set on the testdata corpus
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(p: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      p.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", maxDocFreq = None))
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(pairSet(Dedup.minhashNearDups(d, "doc_id", "text",
+      numHashes = 128, bands = 32)) == exact)
+    // SimHash is a blocker with corpus-dependent recall: tiny documents
+    // (~10 tokens) have unstable bit sums, so a one-token diff can exceed
+    // the Hamming budget. Verification guarantees precision == 1; recall
+    // is asserted, not exactness.
+    val sim = pairSet(Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 6))
+    assert(sim.subsetOf(exact), "verified simhash pairs must be true pairs")
+    val recall = sim.size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash blocking recall $recall too low")
+  }
+
+  test("ngramJaccardPairs: doc-freq cap bounds hot postings, keeps clean output") {
+    // every doc shares one ubiquitous prefix shingle; true dups still
+    // share rare shingles, so a cap must not change the pair output
+    val common = "the same old prefix"
+    val in = docs((1 to 40).map(i =>
+      (i.toLong, s"$common unique$i body$i tail$i")): _*)
+      .union(docs((100L, s"$common dup body dup tail extra"),
+                  (101L, s"$common dup body dup tail extra")))
+    val capped = Dedup.ngramJaccardPairs(in, "id", "text",
+      maxDocFreq = Some(5L))
+    val exact = Dedup.ngramJaccardPairs(in, "id", "text", maxDocFreq = None)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSeq ==
+      exact.select("id_a", "id_b").as[(Long, Long)].collect().toSeq)
+    // the audit op surfaces exactly the ubiquitous shingles a cap drops
+    val dropped = Dedup.droppedShingles(in, "text", 3, 5L)
+      .as[(String, Long)].collect().toMap
+    assert(dropped.nonEmpty && dropped.keys.forall(_.contains("same old")))
+  }
+
+  // ------------------------------------------------------ similarity —
+
+  test("Similarity.bruteForceTopK: exact ranks on a hand-computed case") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Array(0.7f, 0.7f))    // diagonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs,
+        vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("Similarity.annTopK: recall >= 0.9 vs brute force on sf0.001 embeddings") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where($"vec_id" % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 5,
+        nBits = 64, bands = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall too low")
+  }
+
+  test("Similarity.signBitsInline is deterministic and length-correct") {
+    val vecs = Seq((0L, Array(0.3, -1.2, 2.0)), (1L, Array(-0.5, 0.5, 0.1)))
+      .toDF("vec_id", "v")
+    val bits = vecs.select(Similarity.signBitsInline("v", 16).as("b"))
+      .as[Seq[Int]].collect()
+    assert(bits.forall(b => b.length == 16 && b.forall(x => x == 0 || x == 1)))
+    val again = vecs.select(Similarity.signBitsInline("v", 16).as("b"))
+      .as[Seq[Int]].collect()
+    assert(bits.toSeq == again.toSeq)
+  }
+
+  // ------------------------------------------------------------ text —
+
+  test("TextOps.stats: hand-computed counts and ratios") {
+    val in = docs((1L, "The cat and the dog!! 42 times."))
+    val r = TextOps.stats(in, "id", "text").head()
+    // toks: the cat and the dog 42 times
+    assert(r.getAs[Int]("n_tokens") == 7)
+    assert(r.getAs[Int]("n_distinct_tokens") == 6)
+    // bpe-ish: The cat and the dog ! ! 42 times . = 10
+    assert(r.getAs[Int]("n_bpeish") == 10)
+    // hits: the, and, the → 3 of 7
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.4286) < 1e-9)
+    assert(r.getAs[String]("lang_guess") == "en")
+  }
+
+  test("TextOps.langId: priority tie-break and clear winners") {
+    val in = docs(
+      (1L, "der und das ist nicht mit"),      // german stopwords
+      (2L, "el la de que y en un"),           // spanish
+      (3L, "xyzzy plugh"))                    // no hits anywhere → first lang
+    val got = in.select($"id", TextOps.langId(TextNorm.tokens($"text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "es")
+    assert(got(3L) == "en") // all-zero tie resolves to highest priority
+  }
+
+  test("TextOps.fingerprint: winnowing overlaps on shared content, stable under edit") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 20).map(i => s"w$i") ++ Seq("EDIT") ++
+      (21 to 40).map(i => s"w$i")).mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val fp = TextOps.fingerprints(docs((1L, a), (2L, edited), (3L, unrelated)),
+        "id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    val overlapEdit = (fp(1L).toSet & fp(2L).toSet).size.toDouble / fp(1L).size
+    val overlapNone = (fp(1L).toSet & fp(3L).toSet).size
+    assert(overlapEdit > 0.5, s"edited doc should share most fingerprints: $overlapEdit")
+    assert(overlapNone == 0)
+    assert(fp(1L) == fp(1L).sorted && fp(1L).distinct == fp(1L))
+  }
+
+  // ------------------------------------------------------ multimodal —
+
+  test("Multimodal: stub decode is deterministic with correct batch shape") {
+    import Multimodal._
+    val rows = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3), MediaMeta(800, 600, 0, 0, "image/png")),
+      MediaRow(2L, "audio", Array[Byte](9, 9), MediaMeta(0, 0, 44100, 0, "audio/wav")),
+      MediaRow(3L, "video", Array[Byte](7), MediaMeta(1920, 1080, 0, 300, "video/mp4")))
+    val ds = spark.createDataset(rows).repartition(2)
+    val feats = decodeFeatures(ds, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.byte_len).toSeq == Seq(3L, 2L, 1L))
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(_.features.forall(x => x >= 0.0 && x < 1.0)))
+    val again = decodeFeatures(ds, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("Multimodal: resize plan preserves aspect, frame sampling strides") {
+    import Multimodal._
+    val df = spark.createDataset(Seq(
+      MediaRow(1L, "image", Array[Byte](1), MediaMeta(4000, 2000, 0, 0, "i")),
+      MediaRow(2L, "video", Array[Byte](2), MediaMeta(100, 50, 0, 10, "v")))).toDF()
+    val rs = resizePlan(df, maxSide = 1000)
+      .select("media_id", "target_width", "target_height")
+      .as[(Long, Int, Int)].collect().map { case (k, w, h) => k -> (w, h) }.toMap
+    assert(rs(1L) == (1000, 500))   // downscale to box
+    assert(rs(2L) == (100, 50))     // never upscale
+    val fs = frameSamplePlan(df, stride = 3)
+      .where($"media_id" === 2).select("sample_frames")
+      .as[Seq[Int]].head()
+    assert(fs == Seq(0, 3, 6, 9))
+  }
+
+  test("Multimodal.binarize + binaryFeatures roundtrip byte length") {
+    val in = docs((1L, "hej"), (2L, "åäö"))
+    val out = Multimodal.binaryFeatures(
+        Multimodal.binarize(in, "id", "text"), "id")
+      .select("id", "byte_len").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 3)
+    assert(out(2L) == 6) // non-ASCII: UTF-8 is 2 bytes per char
+  }
+}
