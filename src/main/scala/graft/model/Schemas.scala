@@ -1,5 +1,7 @@
 package graft.model
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /**
@@ -46,6 +48,22 @@ object Schemas {
     StructField("volatility_7_day", DecimalType(10, 4)),
     StructField("updated_at", TimestampType)
   ))
+
+  /**
+   * Conform a frame to a canonical schema: align columns BY NAME (the
+   * resolution of reference bug #6, SURVEY.md §2.14 — its positional
+   * `SELECT *` promote silently depends on column order), cast each to
+   * the declared type (the reference's implicit cast-on-INSERT into the
+   * DECIMAL DDL), and fail fast on missing or extra columns.
+   */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val missing = schema.fieldNames.filterNot(have)
+    val extra = df.columns.filterNot(schema.fieldNames.contains(_))
+    require(missing.isEmpty && extra.isEmpty,
+      s"schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
 }
 
 /** Typed row model for the production table (Dataset[StockBar] use). */

@@ -57,8 +57,10 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     if (cfg.strictDq) Quality.enforce(staged, checks)
 
     // promote: replace exactly partition date=ds (DELETE+INSERT pair →
-    // one dynamic partition overwrite)
-    Exchange.promoteByName(staged, staged.columns.toSeq, cfg.productionPath)
+    // one dynamic partition overwrite), conformed to the canonical
+    // DECIMAL schema (the reference DDL, dags/dag.py:130-148)
+    Exchange.promote(Schemas.conform(staged, Schemas.stockBar),
+      cfg.productionPath)
 
     // cumulate from production: trailing 8-calendar-day scan (partition
     // pruned to ≤8 date dirs), window, keep ds rows only
@@ -72,7 +74,9 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         col("last_7_days_volume"),
         col("avg_7_day_volume"), col("volatility_7_day"))
     Exchange.promote(
-      cum.withColumn("updated_at", current_timestamp()), cfg.cumulativePath)
+      Schemas.conform(cum.withColumn("updated_at", current_timestamp()),
+        Schemas.cumulative),
+      cfg.cumulativePath)
 
     val n = staged.count()
     staged.unpersist()

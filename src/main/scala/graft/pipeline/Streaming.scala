@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+import graft.ops.{Exchange, Ingest, Rolling}
+
+/**
+ * Structured Streaming variant of the daily pipeline (SURVEY.md §2.11) —
+ * the reference's Airflow-scheduled daily micro-batch
+ * (reference `dags/dag.py:54-56`) re-expressed as a streaming query:
+ *
+ *  - file source (new bar files appear under `inputPath`) replaces the
+ *    scheduled REST pull;
+ *  - `withWatermark + dropDuplicates` replaces the full-partition-rewrite
+ *    duplicate protection (reference `README.md:25-26`) with bounded
+ *    streaming state: late duplicates beyond the watermark age out;
+ *  - `Trigger.AvailableNow` gives the reference's run-to-completion batch
+ *    cadence with streaming exactly-once bookkeeping (checkpointed);
+ *  - `foreachBatch` promotes each micro-batch via the same idempotent
+ *    dynamic-partition-overwrite `Exchange.promote` the batch path uses
+ *    (reference DELETE+INSERT, `dags/dag.py:292-311`), then re-derives
+ *    the cumulative partitions for exactly the dates the batch touched.
+ *
+ * Scale notes: dedup state is keyed by (ticker, date) — bounded by the
+ * watermark horizon × key cardinality, not by history. The only
+ * driver-side collect is the distinct DATE list of a micro-batch
+ * (partition metadata, a handful of values). Re-derivation reads only
+ * the trailing 8-day partition-pruned slice per touched date.
+ */
+object Streaming {
+
+  /**
+   * Start the streaming pipeline over a bar-file directory. The feed
+   * schema must carry ticker/date/open/high/low/close/volume and
+   * `event_ts` (epoch millis) for watermarking and in-day ordering.
+   * Returns the started query; callers `awaitTermination()`.
+   */
+  def run(spark: SparkSession, inputPath: String, feedSchema: StructType,
+      cfg: PipelineConfig, checkpointDir: String,
+      watermark: String = "2 days"): StreamingQuery = {
+    val raw = spark.readStream.schema(feedSchema).parquet(inputPath)
+    val deduped = raw
+      .withColumn("__event_time", timestamp_millis(col("event_ts")))
+      .withWatermark("__event_time", watermark)
+      // cross-batch duplicate protection with bounded state; in-batch
+      // winner is made deterministic below (firstPerKey by event_ts)
+      .dropDuplicates("ticker", "date")
+      .drop("__event_time")
+
+    deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) promoteBatch(spark, batch, cfg)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch: deterministic in-batch dedup → stamp → promote →
+    * re-derive cumulative metrics for the touched dates. Shared by the
+    * streaming sink and tests. */
+  private[pipeline] def promoteBatch(spark: SparkSession, batch: DataFrame,
+      cfg: PipelineConfig): Unit = {
+    val staged = Ingest.stampInsertion(
+      Ingest.firstPerKey(batch, Seq("ticker", "date"), Seq("event_ts")))
+    Exchange.promote(Schemas.conform(staged, Schemas.stockBar),
+      cfg.productionPath)
+
+    // distinct dates of the batch: partition metadata, tiny by design
+    val touched = staged.select(col("date")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val prod = Exchange.table(spark, cfg.productionPath)
+    touched.foreach { ds =>
+      val cum = Rolling.forDay(prod, ds, Seq("ticker"), "date",
+          arrayCols = Seq("open", "high", "low", "close", "volume"),
+          volumeCol = "volume", closeCol = "close")
+        .select(col("ticker"), col("date"),
+          col("last_7_days_open"), col("last_7_days_high"),
+          col("last_7_days_low"), col("last_7_days_close"),
+          col("last_7_days_volume"),
+          col("avg_7_day_volume"), col("volatility_7_day"))
+      Exchange.promote(
+        Schemas.conform(cum.withColumn("updated_at", current_timestamp()),
+          Schemas.cumulative),
+        cfg.cumulativePath)
+    }
+  }
+}

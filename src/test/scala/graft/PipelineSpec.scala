@@ -48,19 +48,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(prod1.size == tickers.size * tradingDays.size)
     assert(cum1.size == tickers.size * tradingDays.size)
 
+    // canonical DECIMAL schemas are enforced on the write path (readback
+    // reorders the partition column and relaxes nullability — compare
+    // name→type pairs)
+    def types(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toSet
+    assert(types(pipe.production.schema) == types(graft.model.Schemas.stockBar))
+    assert(types(pipe.cumulative.schema) == types(graft.model.Schemas.cumulative))
+
     // last trading day (Jan 12): trailing 8 calendar days = Jan 5..12 →
     // observed rows Jan 5, 8..12 = 6 (weekend gap), frame holds 6
     val last = pipe.cumulative
       .where($"ticker" === "AAPL" && $"date" === "2024-01-12")
       .select("last_7_days_close", "avg_7_day_volume", "volatility_7_day").head()
-    val closes = last.getSeq[Double](0)
+    val closes = last.getSeq[java.math.BigDecimal](0).map(_.doubleValue)
     assert(closes.size == 6)
     assert(closes == Seq(5, 8, 9, 10, 11, 12).map(d => 100.0 + d)) // oldest→newest
     // first day: 1-row frame → volatility coalesced to 0
     val first = pipe.cumulative
       .where($"ticker" === "AAPL" && $"date" === "2024-01-01")
       .select("volatility_7_day").head()
-    assert(first.getDouble(0) == 0.0)
+    assert(first.getDecimal(0).doubleValue == 0.0)
+
+    // vwap/transactions ride the pipeline end-to-end with DECIMAL/INT types
+    val vt = pipe.production
+      .where($"ticker" === "META" && $"date" === "2024-01-12")
+      .select("vwap", "transactions").head()
+    assert(vt.getDecimal(0).doubleValue == 100.0 + 40 + 12 + 0.5)
+    assert(vt.getInt(1) == 14)
 
     // backfill: re-run a middle day — outputs must be unchanged
     pipe.runDay(LocalDate.of(2024, 1, 8), feed)
