@@ -22,10 +22,19 @@ import graft.sources.Tables
  */
 object ExtQueries {
 
+  /** The testdata corpus tables arrive as a single parquet file → ONE
+    * input partition, which would serialize the compute-heavy in-row
+    * sketching (MinHash ≈ docs × hashes × shingles hash evals) onto one
+    * core. Spread the tiny scan across the cluster before computing; on
+    * a real many-file table the scan is already parallel and callers use
+    * the ops directly without this. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    spread(Tables.load(s, dir, "documents"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    spread(Tables.load(s, dir, "embeddings"))
 
   // ------------------------------------------------------------- dedup —
 
@@ -65,7 +74,7 @@ object ExtQueries {
   private def similarityAnn(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.annTopK(e, e.where(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", k = 5, nBits = 64, bands = 16)
+        "vec_id", "embedding", k = 5, dim = 64, nBits = 64, bands = 16)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
       .orderBy("query_id", "rank")

@@ -49,17 +49,36 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: `numHashes` independent permutations approximated
-   * by seeded xxhash64; sig[i] = min over shingles of xxhash64(s, i).
-   * Computed entirely in-row over the shingle array.
+   * MinHash signatures, (idCol, __sig) per row, via the standard
+   * one-hash + universal-mixing scheme: each shingle is xxhash64'd ONCE,
+   * then the `numHashes` permutations are multiply-add universal hashes
+   * h_i(x) = (a_i·x + b_i) mod p with fixed pseudo-random constants —
+   * deterministic across runs/executors. Operands are masked to 31 bits
+   * so products stay < 2^62 (ANSI-overflow-safe); p = 4294967291.
+   *
+   * Plan shape matters here: the naive in-row nested higher-order
+   * functions are CodegenFallback (measured ~20µs per inner lambda eval
+   * — minutes of core time at 5k docs × 128 perms); instead the shingles
+   * are exploded and the permutations become `numHashes` codegen'd
+   * min-aggregates with map-side partial aggregation — the only shuffle
+   * carries numHashes longs per document.
    */
-  def withMinhashSignature(df: DataFrame, textCol: String,
-      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
-    df.withColumn("__shingles",
-        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK))
-      .withColumn("__sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "i -> array_min(transform(__shingles, s -> xxhash64(s, i))))"))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val rnd = new scala.util.Random(0x5eed)
+    val a = Array.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
+    val b = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    val posted = df.select(col(idCol),
+        explode(TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK))
+          .as("__s"))
+      .withColumn("__h", expr("xxhash64(__s) & 2147483647"))
+    val mins = (0 until numHashes).map(i =>
+      min((col("__h") * a(i) + b(i)) % 4294967291L).as(s"__m$i"))
+    posted.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .withColumn("__sig",
+        array((0 until numHashes).map(i => col(s"__m$i")): _*))
+      .select(col(idCol), col("__sig"))
+  }
 
   /**
    * LSH banding: split the signature into `bands` bands of
@@ -93,9 +112,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = withMinhashSignature(df, textCol, numHashes, shingleK)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
     val cands = lshCandidatePairs(sigs, idCol, bands)
-    verifyJaccard(cands, sigs.select(col(idCol), col("__shingles")), idCol, threshold)
+    val sets = df.select(col(idCol),
+      TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
+    verifyJaccard(cands, sets, idCol, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -114,16 +135,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /**
-   * 64-bit SimHash over the token multiset (unit weights): bit i is set
-   * iff the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is
-   * positive. One in-row expression, O(64·|tokens|) per doc, no shuffle.
+   * 64-bit SimHash per document, (idCol, __simhash) rows: bit i is set
+   * iff the sum over token occurrences of ±1 (sign of bit i of
+   * xxhash64(token)) is positive. Tokens are exploded and the 64 bit
+   * sums are codegen'd aggregates with map-side partials (nested in-row
+   * higher-order functions are CodegenFallback and orders of magnitude
+   * slower) — the shuffle carries 64 longs per document.
    */
-  def simhash64(tokensColName: String): Column = expr(
-    s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-      acc + CASE WHEN aggregate(`$tokensColName`, cast(0 as bigint),
-        (a, tk) -> a + CASE WHEN ((xxhash64(tk) >> i) & 1) = 1
-                       THEN 1 ELSE -1 END) > 0
-      THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)""")
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val posted = df.select(col(idCol),
+        explode(TextNorm.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val sums = (0 until 64).map(i =>
+      sum(when(expr(s"((__h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"__b$i"))
+    posted.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .withColumn("__simhash",
+        (0 until 64).map(i => when(col(s"__b$i") > 0, lit(1L << i))
+          .otherwise(lit(0L)): Column).reduce(_.bitwiseOR(_)))
+      .select(col(idCol), col("__simhash"))
+  }
 
   /**
    * SimHash candidate pairs with Hamming distance ≤ maxHamming, via the
@@ -136,10 +167,7 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     val n = maxHamming + 1
     require(n >= 2 && n <= 64, "need 2..64 chunks")
-    val hashed = df
-      .withColumn("__toks", TextNorm.tokens(col(textCol)))
-      .withColumn("__simhash", simhash64("__toks"))
-      .select(col(idCol), col("__simhash"))
+    val hashed = simhashSignatures(df, idCol, textCol)
     // chunk c covers bits [c*64 div n, (c+1)*64 div n) — widths differ by
     // ≤1 bit when n ∤ 64; the mask strips arithmetic-shift sign fill.
     val chunked = hashed.select(col(idCol), col("__simhash"), posexplode(expr(

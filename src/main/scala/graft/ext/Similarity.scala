@@ -73,12 +73,15 @@ object Similarity {
    * recall, more candidates. Every join here is a bucket equi-join.
    */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 64, bands: Int = 16): DataFrame = {
+      vecCol: String, k: Int, dim: Int, nBits: Int = 64,
+      bands: Int = 16): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val c = prep(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
-      .withColumn("__bits", signBitsInline("__cv", nBits))
-    val q = prep(queries, idCol, vecCol, "query_id", "__qv", "__qn")
-      .withColumn("__bits", signBitsInline("__qv", nBits))
+    val c = withSignBits(
+      prep(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn"),
+      "__cv", "__bits", nBits, dim)
+    val q = withSignBits(
+      prep(queries, idCol, vecCol, "query_id", "__qv", "__qn"),
+      "__qv", "__bits", nBits, dim)
     val cb = c.select(col("neighbor_id"), col("__cv"), col("__cn"),
       explode(bandBucketsInline("__bits", nBits, bands)).as("__bucket"))
     val qb = q.select(col("query_id"), col("__qv"), col("__qn"),
@@ -96,18 +99,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Deterministic ±1 hyperplane matrix (nBits × dim), seeded. */
+  private def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /**
-   * Random-hyperplane sign bits over an existing ARRAY<DOUBLE> column:
-   * bit i = [⟨h_i, v⟩ > 0] where hyperplane h_i has ±1 components with
-   * sign xxhash64(i, j) & 1 — deterministic across runs/executors,
-   * computed entirely in-row.
+   * Add random-hyperplane sign bits for an ARRAY<DOUBLE> column:
+   * bit i = [⟨h_i, v⟩ > 0] with ±1 hyperplane components — deterministic
+   * across runs/executors. The plane matrix rides as a literal row
+   * column so the lambda body only does O(1) element access (a literal
+   * array inside a lambda would be rebuilt per evaluation); `dim` must
+   * equal the embedding dimensionality.
    */
-  def signBitsInline(vecColName: String, nBits: Int): Column = expr(
-    s"""transform(sequence(0, ${nBits - 1}), i ->
-      CASE WHEN aggregate(
-        zip_with(`$vecColName`, sequence(0, size(`$vecColName`) - 1),
-                 (x, j) -> CASE WHEN (xxhash64(i, j) & 1) = 1 THEN x ELSE -x END),
-        cast(0.0 as double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)""")
+  def withSignBits(df: DataFrame, vecColName: String, bitsColName: String,
+      nBits: Int, dim: Int): DataFrame =
+    df.withColumn("__planes", typedLit(planes(nBits, dim)))
+      .withColumn(bitsColName, expr(
+        s"""transform(__planes, p ->
+          CASE WHEN aggregate(zip_with(p, `$vecColName`, (s, x) -> s * x),
+            cast(0.0 as double), (acc, x) -> acc + x) > 0
+          THEN 1 ELSE 0 END)"""))
+      .drop("__planes")
 
   /** Band buckets from sign bits: `bands` longs, each packing
     * nBits/bands consecutive bits, seeded with the band index so buckets

@@ -93,21 +93,20 @@ class ExtSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 5,
-        nBits = 64, bands = 32)
+        dim = 64, nBits = 64, bands = 32)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.9, s"ANN recall $recall too low")
   }
 
-  test("Similarity.signBitsInline is deterministic and length-correct") {
+  test("Similarity.withSignBits is deterministic and length-correct") {
     val vecs = Seq((0L, Array(0.3, -1.2, 2.0)), (1L, Array(-0.5, 0.5, 0.1)))
       .toDF("vec_id", "v")
-    val bits = vecs.select(Similarity.signBitsInline("v", 16).as("b"))
-      .as[Seq[Int]].collect()
-    assert(bits.forall(b => b.length == 16 && b.forall(x => x == 0 || x == 1)))
-    val again = vecs.select(Similarity.signBitsInline("v", 16).as("b"))
-      .as[Seq[Int]].collect()
-    assert(bits.toSeq == again.toSeq)
+    def bits() = Similarity.withSignBits(vecs, "v", "b", 16, 3)
+      .select("b").as[Seq[Int]].collect()
+    val first = bits()
+    assert(first.forall(b => b.length == 16 && b.forall(x => x == 0 || x == 1)))
+    assert(first.toSeq == bits().toSeq)
   }
 
   // ------------------------------------------------------------ text —
