@@ -103,6 +103,32 @@ object ExtQueries {
         Multimodal.binarize(docs(s, dir), "doc_id", "text"), "doc_id")
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------- joins —
+
+  /**
+   * Multi-way analytic join (the §2.4 surface the reference lacks but the
+   * extension ops depend on): revenue per nation — dimension tables
+   * broadcast (nation, customer at this SF), fact-fact join shuffles on
+   * the key, aggregation with map-side partials. The classic TPC-H-style
+   * join pipeline shape.
+   */
+  private def joinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------------------------- wiring —
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,7 +141,8 @@ object ExtQueries {
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
-    "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir))
+    "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
+    "join_revenue" -> ((s, dir) => joinRevenue(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -230,7 +257,16 @@ object ExtQueries {
       """SELECT doc_id, 'text' AS modality,
         |       octet_length(encode(text)) AS byte_len,
         |       md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "join_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
     // similarity_ann: intentionally no oracle (approximate); recall is
     // asserted against bruteForceTopK in SimilaritySpec.
   )
