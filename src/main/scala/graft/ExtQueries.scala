@@ -80,6 +80,23 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-space near-dup pairs (semantic dedup): exact cosine over
+    * the upper triangle, threshold tuned to the corpus sim range. */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** IVF ANN variant (pruned probing) — approximate like similarity_ann,
+    * so rows-only; exhaustive-probe == brute-force is spec-asserted. */
+  private def similarityIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, centroidStride = 20, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   // --------------------------------------------------------------- text —
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -136,8 +153,10 @@ object ExtQueries {
     "dedup_minhash" -> ((s, dir) => dedupMinhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => dedupSimhash(s, dir)),
     "dedup_ngram" -> ((s, dir) => dedupNgram(s, dir)),
+    "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
+    "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
@@ -222,6 +241,13 @@ object ExtQueries {
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |             list_cosine_similarity(a.dv, b.dv) AS c
+        |      FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos
+        |FROM p WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 20 = 0),

@@ -99,6 +99,27 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall too low")
   }
 
+  test("Similarity.ivfTopK: exhaustive probe == brute force; pruning keeps useful recall") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    // 500 vecs, stride 50 → 10 centroids; probing all 10 cells == exact
+    val exhaustive = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+      centroidStride = 50, nProbe = 10))
+    assert(exhaustive == exact)
+    // pruned probing scores ~40% of the corpus; on isotropic random data
+    // recall degrades gracefully rather than collapsing
+    val pruned = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+        centroidStride = 50, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactIds = exact.map { case (a, b, _) => (a, b) }
+    val recall = (pruned & exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.4, s"IVF pruned recall $recall collapsed")
+  }
+
   test("Similarity.withSignBits is deterministic and length-correct") {
     val vecs = Seq((0L, Array(0.3, -1.2, 2.0)), (1L, Array(-0.5, 0.5, 0.1)))
       .toDF("vec_id", "v")
