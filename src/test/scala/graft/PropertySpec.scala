@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ingest, Rolling}
+
+/**
+ * Property-based invariants (SURVEY §5.2) over randomized bar series:
+ * for ANY input, the rolling output must satisfy the reference window
+ * algebra — bounded frames, array/aggregate consistency, oldest→newest
+ * order, determinism — and ingest normalization must be a proper
+ * first-row-per-group reduction. Violations are counted IN Spark so one
+ * job checks every row of a random corpus.
+ */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class GenBar(ticker: String, day: Int, close: Double, volume: Long)
+
+  private val barsGen: Gen[List[GenBar]] = Gen.listOfN(300, for {
+    t <- Gen.oneOf("A", "B", "C", "D")
+    d <- Gen.choose(1, 40)
+    c <- Gen.choose(1.0, 500.0)
+    v <- Gen.choose(1L, 100000L)
+  } yield GenBar(t, d, c, v))
+
+  private def sample(seed: Long): DataFrame = {
+    val raw = barsGen(Gen.Parameters.default, Seed(seed)).get
+      .groupBy(b => (b.ticker, b.day)).map(_._2.head).toSeq // unique key-day
+    raw.map(b => (b.ticker, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(b.day)), b.close, b.volume))
+      .toDF("ticker", "date", "close", "volume")
+  }
+
+  test("rolling window invariants hold on randomized series") {
+    for (seed <- 1L to 5L) {
+      val in = sample(seed)
+      val out = Rolling.metrics(in, Seq("ticker"), "date",
+        Seq("close", "volume"), "volume", "close")
+      val checked = out.select(
+        (size($"last_7_days_close").between(1, 7) &&
+          size($"last_7_days_close") === size($"last_7_days_volume"))
+          .as("frame_bounded"),
+        // frame is oldest→newest: the newest element is the row's close
+        (element_at($"last_7_days_close", -1) === $"close").as("frame_order"),
+        // avg aggregate consistent with its own array
+        (abs($"avg_7_day_volume" -
+          expr("aggregate(last_7_days_volume, cast(0 as double), (a,x) -> a + x)")
+            / size($"last_7_days_volume")) < 1e-9).as("avg_consistent"),
+        // volatility == sample stddev of the close array (0 for 1-row frames)
+        (abs($"volatility_7_day" - coalesce(expr(
+          """CASE WHEN size(last_7_days_close) > 1 THEN
+               sqrt(aggregate(last_7_days_close, cast(0 as double), (a, x) ->
+                 a + (x - (aggregate(last_7_days_close, cast(0 as double), (a2, x2) -> a2 + x2)
+                      / size(last_7_days_close))) *
+                     (x - (aggregate(last_7_days_close, cast(0 as double), (a3, x3) -> a3 + x3)
+                      / size(last_7_days_close))))
+                 / (size(last_7_days_close) - 1))
+             ELSE 0.0 END"""), lit(0.0))) < 1e-6).as("vol_consistent"))
+      val bad = checked.where(!$"frame_bounded" || !$"frame_order" ||
+        !$"avg_consistent" || !$"vol_consistent").count()
+      assert(bad == 0, s"seed $seed: $bad rows violate rolling invariants")
+      // determinism: the same plan evaluated twice is identical
+      val a = out.orderBy("ticker", "date").collect().toSeq
+      val b = Rolling.metrics(in, Seq("ticker"), "date",
+          Seq("close", "volume"), "volume", "close")
+        .orderBy("ticker", "date").collect().toSeq
+      assert(a == b, s"seed $seed: nondeterministic rolling output")
+    }
+  }
+
+  test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
+    for (seed <- 10L to 12L) {
+      // duplicated feed: every bar appears 1-3 times with distinct event ids
+      val base = barsGen(Gen.Parameters.default, Seed(seed)).get
+      val rows = base.zipWithIndex.flatMap { case (b, i) =>
+        (0 to i % 3).map(r => (b.ticker,
+          java.sql.Timestamp.valueOf(f"2024-02-${b.day % 28 + 1}%02d 10:0${r}:00"),
+          i.toLong * 10 + r, b.close))
+      }
+      val in = rows.toDF("ticker", "ts", "event_id", "value")
+      val out = Ingest.firstPerDay(in, Seq("ticker"), "ts", Seq("ts", "event_id"))
+      // exactly one row per (ticker, day), and it is the min (ts, event_id)
+      val grouped = in.withColumn("date", to_date($"ts"))
+        .groupBy("ticker", "date")
+        .agg(min(struct($"ts", $"event_id")).as("first"))
+      val joined = out.join(grouped, Seq("ticker", "date"))
+      assert(out.count() == grouped.count())
+      assert(joined.where($"event_id" =!= $"first.event_id").count() == 0,
+        s"seed $seed: firstPerDay picked a non-first row")
+    }
+  }
+}
