@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.Sessions
 import graft.sources.Tables
 
 /**
@@ -146,6 +147,22 @@ object ExtQueries {
       .orderBy("n_name")
   }
 
+  // ------------------------------------------------- event analytics —
+
+  /** Gap-based sessionization of the event stream (lag → boundary →
+    * running sum → per-session agg; two windows share one shuffle). */
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessions.stats(Tables.load(s, dir, "events"), Seq("user_id"), "ts",
+        "value", gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
+      .orderBy("user_id", "session_id")
+
+  /** ROLLUP grouping sets over the corpus: (lang, source), (lang), (). */
+  private def docsRollup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
   // ------------------------------------------------------------- wiring —
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,7 +178,9 @@ object ExtQueries {
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
-    "join_revenue" -> ((s, dir) => joinRevenue(s, dir))
+    "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
+    "sessionize" -> ((s, dir) => sessionize(s, dir)),
+    "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -284,6 +303,32 @@ object ExtQueries {
         |       octet_length(encode(text)) AS byte_len,
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN prev_ts IS NULL THEN 0
+        |              WHEN epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1
+        |              ELSE 0 END AS boundary
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
+        |       round(sum(value), 4) AS value_sum
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "docs_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "join_revenue" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -172,6 +172,26 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) == fp(1L).sorted && fp(1L).distinct == fp(1L))
   }
 
+  // ---------------------------------------------------------- sessions —
+
+  test("Sessions: gap boundaries, per-session stats, key isolation") {
+    import graft.ops.Sessions
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    val in = Seq(
+      (1L, t("10:00"), 1L, 10.0), (1L, t("10:10"), 2L, 20.0), // session 0
+      (1L, t("11:10"), 3L, 5.0),                              // gap 60m → session 1
+      (2L, t("10:00"), 4L, 7.0))                              // other key
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Sessions.stats(in, Seq("user_id"), "ts", "value",
+        gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 600000L, 30.0), // 2 events spanning 10 minutes
+      (1L, 1L, 1L, 0L, 5.0),
+      (2L, 0L, 1L, 0L, 7.0)))
+  }
+
   // ------------------------------------------------------ multimodal —
 
   test("Multimodal: stub decode is deterministic with correct batch shape") {
