@@ -81,6 +81,14 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Near-dup clusters: MinHash pairs → connected components → canonical
+    * (min-id) representative per cluster. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
+      .orderBy("id")
+
   /** Embedding-space near-dup pairs (semantic dedup): exact cosine over
     * the upper triangle, threshold tuned to the corpus sim range. */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -170,6 +178,7 @@ object ExtQueries {
     "dedup_minhash" -> ((s, dir) => dedupMinhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => dedupSimhash(s, dir)),
     "dedup_ngram" -> ((s, dir) => dedupNgram(s, dir)),
+    "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
@@ -194,16 +203,45 @@ object ExtQueries {
     """list_distinct([array_to_string(toks[i:i+2], ' ')
       |               for i in range(1, greatest(len(toks) - 2, 1) + 1)])""".stripMargin
 
-  /** Exact Jaccard ≥ 0.5 pairs over 3-shingle sets — the ground truth the
-    * minhash / simhash / ngram variants must each recover. */
-  private def jaccardPairsSql(selectCols: String): String =
+  /** Shared CTE prefix: exact Jaccard pairs over 3-shingle sets. */
+  private val pairsCte =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |d AS (SELECT doc_id, $shinglesSql AS sh FROM t),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |             len(list_intersect(a.sh, b.sh))::DOUBLE
        |               / len(list_distinct(a.sh || b.sh)) AS j
-       |      FROM d a, d b WHERE a.doc_id < b.doc_id)
+       |      FROM d a, d b WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact Jaccard ≥ 0.5 pairs — the ground truth the minhash / simhash /
+    * ngram variants must each recover. */
+  private def jaccardPairsSql(selectCols: String): String =
+    s"""$pairsCte
        |SELECT $selectCols FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components of the exact-pair graph by fixed-depth min-
+    * label propagation (rounds ≥ true diameter on this corpus — the
+    * Spark side iterates to FIXPOINT, so equality additionally proves
+    * the corpus components converged within `rounds`). */
+  private def componentsSql(rounds: Int): String = {
+    val edges =
+      """e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.5
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM p WHERE j >= 0.5),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |l0 AS (SELECT id, id AS label FROM n)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT n.id,
+         |  least(l.label, coalesce(m.minl, l.label)) AS label
+         |  FROM n JOIN l${i - 1} l ON n.id = l.id
+         |  LEFT JOIN (SELECT e.dst AS id, min(l2.label) AS minl
+         |             FROM e JOIN l${i - 1} l2 ON e.src = l2.id
+         |             GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    }
+    s"""$pairsCte,
+       |$edges,
+       |${steps.mkString(",\n")}
+       |SELECT id, label AS component FROM l$rounds ORDER BY id""".stripMargin
+  }
 
   private val langHitsSql = TextOps.langProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -260,6 +298,7 @@ object ExtQueries {
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "dedup_clusters" -> componentsSql(4),
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

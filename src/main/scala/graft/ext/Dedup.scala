@@ -254,6 +254,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /**
+   * Connected components over an undirected pair list (the transitive
+   * closure step that turns near-dup PAIRS into dedup CLUSTERS): min-
+   * label propagation iterated to fixpoint. Returns (id, component) with
+   * component = the smallest id in the component — the canonical
+   * representative.
+   *
+   * Scale notes: each round is one join + one aggregation shuffled on
+   * node id; rounds needed = graph diameter (near-dup clusters are
+   * shallow — duplicates of a common source — so a handful). Lineage is
+   * cut every round with localCheckpoint so plans stay O(1) deep; the
+   * driver holds only the changed-count per round, never the labels.
+   */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("__nmin"))
+      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") =!= col("__old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"components did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /**
+   * End-to-end near-dup corpus dedup: pairs → components → keep only the
+   * representative (min id) of every cluster plus all unpaired docs.
+   */
+  def dedupByPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val comps = components(pairs)
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Audit companion to `ngramJaccardPairs`' cap: the shingles a given
     * `maxDocFreq` would drop, with their document frequencies — log or
     * persist this next to any capped run. */

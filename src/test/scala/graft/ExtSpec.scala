@@ -72,6 +72,22 @@ class ExtSpec extends AnyFunSuite {
     assert(dropped.nonEmpty && dropped.keys.forall(_.contains("same old")))
   }
 
+  test("Dedup.components: chains, triangles, and end-to-end representative keep") {
+    // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+
+    val corpus = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L) ++ Seq(99L))
+      .map(i => (i, s"doc$i")).toDF("id", "text")
+    val kept = Dedup.dedupByPairs(corpus, pairs, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 20L, 99L)) // reps + untouched singleton
+  }
+
   // ------------------------------------------------------ similarity —
 
   test("Similarity.bruteForceTopK: exact ranks on a hand-computed case") {
