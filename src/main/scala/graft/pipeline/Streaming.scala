@@ -61,6 +61,31 @@ object Streaming {
       .start()
   }
 
+  /**
+   * Watermarked tumbling-window aggregation over a raw event stream —
+   * the streaming form of `Ingest.dailyBars`: per (key, day) OHLCV-style
+   * aggregates that finalize once the watermark passes the window end.
+   * Late events within `watermark` update their window; older ones are
+   * dropped with their state (bounded by horizon × key cardinality).
+   * Works on a streaming OR batch Dataset (same plan, batch emits all).
+   */
+  def windowedBars(events: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, idCol: String,
+      watermark: String = "2 days"): DataFrame = {
+    val v = col(valueCol)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), "1 day") +: keys.map(col)): _*)
+      .agg(
+        min_by(v, col(idCol)).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, col(idCol)).as("close"),
+        count(lit(1)).as("volume"))
+      .withColumn("date", to_date(col("window.start")))
+      .drop("window")
+  }
+
   /** One micro-batch: deterministic in-batch dedup → stamp → promote →
     * re-derive cumulative metrics for the touched dates. Shared by the
     * streaming sink and tests. */

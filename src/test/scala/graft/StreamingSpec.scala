@@ -15,6 +15,9 @@ import graft.pipeline.{Pipeline, PipelineConfig, Streaming}
  * production rows, same cumulative rolling metrics, duplicate bars
  * deduped, incremental restarts processing only new files.
  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    value: Double)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -39,6 +42,52 @@ class StreamingSpec extends AnyFunSuite {
       .select(df.drop("insertion_timestamp", "updated_at")
         .columns.sorted.map(col): _*)
       .collect().toSeq
+
+  test("windowedBars: watermarked tumbling windows equal batch dailyBars; late data handled") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, day: Int, hour: Int, u: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-04-$day%02d $hour%02d:00:00"), u, v)
+
+    val stream = MemoryStream[Ev]
+    val q = graft.pipeline.Streaming.windowedBars(stream.toDF(),
+        Seq("user_id"), "ts", "value", "event_id")
+      .writeStream.format("memory").queryName("wbars")
+      .outputMode("update").start()
+    // batch 1: two days of events; batch 2: a LATE event for day 1
+    // (inside the 2-day watermark → must update day 1's window)
+    stream.addData(Seq(ev(1, 1, 9, 7L, 10.0), ev(2, 1, 15, 7L, 30.0),
+      ev(3, 2, 10, 7L, 20.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(4, 1, 12, 7L, 99.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    // memory sink in update mode appends revisions; last write per key wins
+    val res = spark.table("wbars")
+      .withColumn("__o", monotonically_increasing_id())
+      .orderBy(desc("__o")).dropDuplicates("user_id", "date")
+      .select("date", "open", "high", "low", "close", "volume")
+      .as[(java.sql.Date, Double, Double, Double, Double, Long)]
+      .collect()
+      .map { case (d, o, h, l, c, v) => d.toString -> ((o, h, l, c, v)) }.toMap
+    // late event folded into day 1; close = value at max event_id (the
+    // dailyBars contract: ids are ingest-ordered, so the late-arriving
+    // id 4 is "latest")
+    assert(res("2024-04-01") == (10.0, 99.0, 10.0, 99.0, 3L))
+    assert(res("2024-04-02") == (20.0, 20.0, 20.0, 20.0, 1L))
+
+    // batch equivalence: same operator over a static frame == dailyBars
+    val all = Seq(ev(1, 1, 9, 7L, 10.0), ev(2, 1, 15, 7L, 30.0),
+      ev(3, 2, 10, 7L, 20.0), ev(4, 1, 12, 7L, 99.0)).toDF()
+    val streamed = graft.pipeline.Streaming.windowedBars(all,
+        Seq("user_id"), "ts", "value", "event_id")
+      .select("user_id", "date", "open", "high", "low", "close", "volume")
+    val batch = graft.ops.Ingest.dailyBars(all, Seq("user_id"), "ts", "value", "event_id")
+      .select("user_id", "date", "open", "high", "low", "close", "volume")
+    assert(streamed.orderBy("date").collect().toSeq ==
+      batch.orderBy("date").collect().toSeq)
+  }
 
   test("streaming AvailableNow run equals batch runDay output, dedupes, resumes") {
     val root = Files.createTempDirectory("graft_stream").toString
