@@ -64,13 +64,20 @@ object Dedup {
    * carries numHashes longs per document.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    sigsFromShingles(
+      df.select(col(idCol),
+        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK)
+          .as("__shingles")),
+      idCol, numHashes)
+
+  /** Signatures from a prepared (idCol, __shingles) frame. */
+  private def sigsFromShingles(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     val rnd = new scala.util.Random(0x5eed)
     val a = Array.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
     val b = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val posted = df.select(col(idCol),
-        explode(TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK))
-          .as("__s"))
+    val posted = sets.select(col(idCol), explode(col("__shingles")).as("__s"))
       .withColumn("__h", expr("xxhash64(__s) & 2147483647"))
     val mins = (0 until numHashes).map(i =>
       min((col("__h") * a(i) + b(i)) % 4294967291L).as(s"__m$i"))
@@ -112,12 +119,24 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    // shingling (interpreted HOF transform) is the expensive narrow step
+    // and three consumers need it (signatures, LSH both join sides,
+    // verification) — persist ONE shingle pass instead of recomputing it
+    // per plan branch
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    val sigs = sigsFromShingles(sets, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(sigs, idCol, bands)
-    val sets = df.select(col(idCol),
-      TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
     verifyJaccard(cands, sets, idCol, threshold)
   }
+
+  /** Persisted (idCol, __shingles) frame — the shared input of every
+    * shingle-based stage. MEMORY_AND_DISK: spills, never recomputes. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol),
+        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * per-id shingle sets — the shared final stage of every sketch-blocked
@@ -167,7 +186,10 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     val n = maxHamming + 1
     require(n >= 2 && n <= 64, "need 2..64 chunks")
+    // both self-join sides read the signatures — persist the (tiny)
+    // (id, simhash) frame instead of re-aggregating the token stream
     val hashed = simhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // chunk c covers bits [c*64 div n, (c+1)*64 div n) — widths differ by
     // ≤1 bit when n ∤ 64; the mask strips arithmetic-shift sign fill.
     val chunked = hashed.select(col(idCol), col("__simhash"), posexplode(expr(
@@ -207,8 +229,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val cands = simhashCandidatePairs(df, idCol, textCol, maxHamming)
       .select("id_a", "id_b")
-    val sets = df.select(col(idCol),
-      TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
+    val sets = shingleSets(df, idCol, textCol, shingleK)
     verifyJaccard(cands, sets, idCol, threshold)
   }
 
@@ -233,10 +254,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
-    val sets = df.select(col(idCol),
-        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__s"))
-      .withColumn("__n", size(col("__s")))
-    val postings0 = sets.select(col(idCol), col("__n"), explode(col("__s")).as("__shingle"))
+    // one persisted shingle pass feeds the doc-freq branch and BOTH
+    // sides of the postings self-join (3 consumers)
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+      .withColumn("__n", size(col("__shingles")))
+    val postings0 = sets.select(col(idCol), col("__n"),
+      explode(col("__shingles")).as("__shingle"))
     val postings = maxDocFreq match {
       case Some(cap) =>
         val dfreq = postings0.groupBy("__shingle").agg(count(lit(1)).as("__df"))
