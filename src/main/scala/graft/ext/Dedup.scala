@@ -64,12 +64,13 @@ object Dedup {
    * carries numHashes longs per document.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     sigsFromShingles(
       df.select(col(idCol),
-        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK)
-          .as("__shingles")),
+        expr(s"token_shingles(`$textCol`, $shingleK)").as("__shingles")),
       idCol, numHashes)
+  }
 
   /** Signatures from a prepared (idCol, __shingles) frame. */
   private def sigsFromShingles(sets: DataFrame, idCol: String,
@@ -131,12 +132,16 @@ object Dedup {
   }
 
   /** Persisted (idCol, __shingles) frame — the shared input of every
-    * shingle-based stage. MEMORY_AND_DISK: spills, never recomputes. */
+    * shingle-based stage. MEMORY_AND_DISK: spills, never recomputes.
+    * Uses the native codegen token_shingles expression (one JIT'd call
+    * per row) rather than the interpreted HOF pipeline. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame =
+      shingleK: Int): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     df.select(col(idCol),
-        TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK).as("__shingles"))
+        expr(s"token_shingles(`$textCol`, $shingleK)").as("__shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * per-id shingle sets — the shared final stage of every sketch-blocked
@@ -163,8 +168,9 @@ object Dedup {
    */
   def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     val posted = df.select(col(idCol),
-        explode(TextNorm.tokens(col(textCol))).as("__t"))
+        explode(expr(s"norm_tokens(`$textCol`)")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
     val sums = (0 until 64).map(i =>
       sum(when(expr(s"((__h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"__b$i"))

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions (WITH doGenCode — not CodegenFallback) for
+ * the text-normalization hot path. The Column-function equivalents
+ * (`TextNorm.tokens/shingles`) are built from higher-order functions,
+ * whose lambda bodies are evaluated interpreted per element; these
+ * expressions run the whole tokenize→shingle pass as one JIT-compiled
+ * call per row inside whole-stage codegen.
+ *
+ * Semantics are BIT-IDENTICAL to the Column versions (spec-asserted on
+ * the corpus): lowercase → split on runs of non-letter/digit →
+ * non-empty tokens; shingles = distinct space-joined k-windows
+ * (first-occurrence order), whole-text shingle for docs shorter than k.
+ */
+object TextExprs {
+
+  /** Shared scalar kernel: normalized tokens of a UTF8 string. */
+  def tokenize(text: UTF8String): Array[String] =
+    text.toLowerCase.toString
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(_.nonEmpty)
+
+  def normTokens(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenize(text).map(t => UTF8String.fromString(t): Any))
+
+  def tokenShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    val n = math.max(toks.length - (k - 1), 1)
+    // distinct, preserving first-occurrence order (== array_distinct)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + k, toks.length)
+      seen.add(toks.slice(i, end).mkString(" "))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class NormTokens(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "norm_tokens"
+    override def nullSafeEval(input: Any): Any =
+      normTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.normTokens($c)")
+    override protected def withNewChildInternal(newChild: Expression): NormTokens =
+      copy(child = newChild)
+  }
+
+  case class TokenShingles(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(k >= 1, "shingle size must be >= 1")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "token_shingles"
+    override def nullSafeEval(input: Any): Any =
+      tokenShingles(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenShingles($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+      copy(child = newChild)
+  }
+
+  /**
+   * Register `norm_tokens(text)` and `token_shingles(text, k)` on a
+   * session (idempotent). Registration-on-session (rather than a
+   * SparkSessionExtensions injection) keeps the library usable on
+   * sessions the caller did not build — the driver contract hands us an
+   * already-constructed SparkSession.
+   */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("norm_tokens"),
+      new ExpressionInfo(classOf[NormTokens].getName, "norm_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "norm_tokens(text)")
+        NormTokens(children.head)
+      })
+    registry.registerFunction(
+      FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "token_shingles(text, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"token_shingles k must be an int literal, got $other")
+        }
+        TokenShingles(children.head, k)
+      })
+  }
+}

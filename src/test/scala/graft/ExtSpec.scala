@@ -72,6 +72,24 @@ class ExtSpec extends AnyFunSuite {
     assert(dropped.nonEmpty && dropped.keys.forall(_.contains("same old")))
   }
 
+  test("native codegen text expressions match the HOF Column versions bit-for-bit") {
+    graft.functions.TextExprs.register(spark)
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = d.select(
+      TextNorm.tokens($"text").as("hof_toks"),
+      expr("norm_tokens(text)").as("nat_toks"),
+      TextNorm.shingles(TextNorm.tokens($"text"), 3).as("hof_sh"),
+      expr("token_shingles(text, 3)").as("nat_sh"))
+    assert(both.where($"hof_toks" =!= $"nat_toks" || $"hof_sh" =!= $"nat_sh")
+      .count() == 0)
+    // edge cases: punctuation-only, empty, shorter-than-k
+    val edges = Seq("", "!!! ---", "one two", "Mixed CASE 42!x").toDF("text")
+    val e = edges.select(
+      TextNorm.shingles(TextNorm.tokens($"text"), 3).as("hof"),
+      expr("token_shingles(text, 3)").as("nat"))
+    assert(e.where($"hof" =!= $"nat").count() == 0)
+  }
+
   test("Dedup.components: chains, triangles, and end-to-end representative keep") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
