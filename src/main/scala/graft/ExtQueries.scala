@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.Sessions
+import graft.ops.{Profile, Sessions}
 import graft.sources.Tables
 
 /**
@@ -164,6 +164,12 @@ object ExtQueries {
         "value", gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
       .orderBy("user_id", "session_id")
 
+  /** Single-pass numeric profile of lineitem's measure columns. */
+  private def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    Profile.numeric(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name")
+
   /** ROLLUP grouping sets over the corpus: (lang, source), (lang), (). */
   private def docsRollup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).rollup("lang", "source")
@@ -189,6 +195,7 @@ object ExtQueries {
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
+    "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
     "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
@@ -363,6 +370,16 @@ object ExtQueries {
         |       round(sum(value), 4) AS value_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "profile_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       round(min($c)::DOUBLE, 4) AS min_value,
+           |       round(max($c)::DOUBLE, 4) AS max_value,
+           |       round(avg($c), 4) AS avg_value
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "docs_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Single-pass numeric column profiler — the data-exploration companion
+ * to Quality's pass/fail checks: per column, row/null/distinct counts
+ * and min/max/mean, computed in ONE aggregation over one scan (all
+ * per-column aggregates live in the same `agg`; map-side partials
+ * apply; `countDistinct` expands the plan per column, which is the
+ * exact-count trade-off — swap for `approx_count_distinct` at 100 TB
+ * when ±2% is acceptable), then unpivoted to the row-per-column report
+ * shape like Quality.report.
+ */
+object Profile {
+
+  def numeric(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count_if(col(c).isNull).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        avg(col(c)).as(s"__avg_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__rows_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        round(col(s"__min_$c"), 4).as("min_value"),
+        round(col(s"__max_$c"), 4).as("max_value"),
+        round(col(s"__avg_$c"), 4).as("avg_value"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -206,6 +206,27 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) == fp(1L).sorted && fp(1L).distinct == fp(1L))
   }
 
+  test("Skew.saltedJoin equals the plain join and spreads the hot key") {
+    import graft.ops.Skew
+    // 90% of the big side hammers one key
+    val big = (1 to 5000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong, i * 1.5))
+      .toDF("key", "row_id", "v")
+    val small = (Seq("HOT") ++ (0 until 7).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"dim$i") }.toDF("key", "dim")
+    val plain = big.join(small, "key")
+      .select("key", "row_id", "v", "dim").orderBy("row_id")
+    val salted = Skew.saltedJoin(big, small, "key",
+        bigIdCols = Seq("row_id"), parts = 8)
+      .select("key", "row_id", "v", "dim").orderBy("row_id")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+    // the hot key really lands on multiple salts
+    val salts = big.where($"key" === "HOT")
+      .select(pmod(xxhash64($"row_id"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts == 8)
+  }
+
   // ---------------------------------------------------------- sessions —
 
   test("Sessions: gap boundaries, per-session stats, key isolation") {
