@@ -86,6 +86,28 @@ object Streaming {
       .drop("window")
   }
 
+  /**
+   * Session-window aggregation — the streaming counterpart of the batch
+   * `ops/Sessions` operator: events within `gapSeconds` of each other
+   * merge into one session per key; a session closes (and, in streaming
+   * append mode, emits) once the watermark passes its end. Works on a
+   * batch frame too (same plan, all sessions emitted), which is how the
+   * spec proves equivalence with the batch sessionizer.
+   */
+  def sessionStats(events: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, gapSeconds: Long,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(events.withWatermark(tsCol, _))
+    in.groupBy(
+        (session_window(col(tsCol), s"$gapSeconds seconds") +: keys.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("value_sum"))
+      .select((keys.map(col) :+
+        col("session_window.start").as("session_start") :+
+        col("n_events") :+ col("value_sum")): _*)
+  }
+
   /** One micro-batch: deterministic in-batch dedup → stamp → promote →
     * re-derive cumulative metrics for the touched dates. Shared by the
     * streaming sink and tests. */

@@ -89,6 +89,50 @@ class StreamingSpec extends AnyFunSuite {
       batch.orderBy("date").collect().toSeq)
   }
 
+  test("sessionStats: session_window equals the batch sessionizer; streaming closes on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Sessions
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int, u: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-07-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"), u, v)
+    // user 7: events at m0, m10 (one session), m50 (gap 40m >= 30m → new)
+    // user 8: single event
+    val events = Seq(ev(1, 0, 7L, 1.0), ev(2, 10, 7L, 2.0),
+      ev(3, 50, 7L, 4.0), ev(4, 5, 8L, 8.0))
+
+    // batch equivalence: session_window grouping == lag/cumsum sessionizer
+    val batchWin = graft.pipeline.Streaming.sessionStats(events.toDF(),
+        Seq("user_id"), "ts", "value", gapSeconds = 1800)
+      .select("user_id", "n_events", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    val batchLag = Sessions.stats(events.toDF(), Seq("user_id"), "ts", "value",
+        gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
+      .select("user_id", "n_events", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchWin == batchLag)
+    assert(batchWin == Set((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
+
+    // streaming append mode: sessions emit once the watermark passes
+    val stream = MemoryStream[Ev]
+    val q = graft.pipeline.Streaming.sessionStats(stream.toDF(),
+        Seq("user_id"), "ts", "value", gapSeconds = 1800,
+        watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    val open = spark.table("sessions_out").count()
+    // advance the watermark far past every session end → all close
+    stream.addData(Seq(ev(99, 600, 9L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_out")
+      .select("user_id", "n_events", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(open < 3 && closed.size >= 3)
+    assert(batchWin.subsetOf(closed))
+  }
+
   test("streaming AvailableNow run equals batch runDay output, dedupes, resumes") {
     val root = Files.createTempDirectory("graft_stream").toString
     val in = s"$root/in"
