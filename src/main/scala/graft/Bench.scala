@@ -1,10 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: times a `count()` of every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failing query keeps its
-  * elapsed time AND is listed in `failed` — it can never *improve* the
-  * total by erroring out early. */
+/** Per-round benchmark: times every registered query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Per query it reports
+  * total seconds (the driver contract) and, separately, the build phase
+  * (query construction — includes any eager writes, e.g.
+  * exchange_idempotent's two parquet promotes) so read timings are
+  * interpretable. A failing query keeps its elapsed time AND is listed
+  * in `failed` — it can never *improve* the total by erroring early.
+  * Caches are cleared between queries so persisted intermediates from
+  * one query never subsidize another. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,21 +21,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    case class R(name: String, sec: Double, buildSec: Double, ok: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      var tBuilt = t0
       val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          tBuilt = System.nanoTime()
+          df.count(); true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t1 = System.nanoTime()
+      spark.catalog.clearCache()
+      R(name, (t1 - t0) / 1e9, (tBuilt - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def obj(f: R => Double) =
+      results.map(r => s"\"${r.name}\":${f(r)}").mkString("{", ",", "}")
+    val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.map(_.sec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
