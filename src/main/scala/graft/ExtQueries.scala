@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Profile, Sessions}
+import graft.ops.{AsOf, Ingest, Profile, RangeJoin, Sessions}
 import graft.sources.Tables
 
 /**
@@ -164,6 +164,44 @@ object ExtQueries {
         "value", gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
       .orderBy("user_id", "session_id")
 
+  /**
+   * As-of join realized on testdata: every event joined to its user's
+   * most recent day-opening event (first event per (user, day)) at or
+   * before it — the "tick joined to latest reference bar" shape.
+   */
+  private def asofRef(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+    val refs = Ingest.firstPerDay(events, Seq("user_id"), "ts",
+        orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("rid"), col("value").as("rvalue"))
+    AsOf.join(events, refs, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("rid", "rvalue"))
+      .select(col("event_id"), col("user_id"),
+        col("ref_rid"), round(col("ref_rvalue"), 4).as("ref_rvalue"))
+      .orderBy("event_id")
+  }
+
+  /**
+   * Range join realized on testdata: price bands derived from `part`
+   * (every 20th part's retail price scaled to a [lo, lo+2000) band),
+   * counting the lineitems whose extended price falls in each band —
+   * keyless interval containment via the bucketed equi-join.
+   */
+  private def rangeBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.load(s, dir, "part")
+      .where(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("band_id"),
+        (col("p_retailprice") * 10).as("lo"),
+        (col("p_retailprice") * 10 + 2000).as("hi"))
+    val points = Tables.load(s, dir, "lineitem")
+      .select(col("l_extendedprice"))
+    RangeJoin.pointInInterval(points, bands, Nil,
+        "l_extendedprice", "lo", "hi", bucketWidth = 2000)
+      .groupBy("band_id").agg(count(lit(1)).as("n_points"))
+      .orderBy("band_id")
+  }
+
   /** Single-pass numeric profile of lineitem's measure columns. */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.load(s, dir, "lineitem"),
@@ -196,6 +234,8 @@ object ExtQueries {
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
+    "asof_ref" -> ((s, dir) => asofRef(s, dir)),
+    "range_bands" -> ((s, dir) => rangeBands(s, dir)),
     "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
@@ -380,6 +420,29 @@ object ExtQueries {
            |       round(avg($c), 4) AS avg_value
            |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "asof_ref" ->
+      """WITH refs AS (
+        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events)
+        |  WHERE rn = 1)
+        |SELECT l.event_id, l.user_id,
+        |       r.rid AS ref_rid, round(r.rvalue, 4) AS ref_rvalue
+        |FROM events l
+        |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "range_bands" ->
+      """WITH bands AS (
+        |  SELECT p_partkey AS band_id,
+        |         p_retailprice * 10 AS lo,
+        |         p_retailprice * 10 + 2000 AS hi
+        |  FROM part WHERE p_partkey % 20 = 0)
+        |SELECT band_id, count(*) AS n_points
+        |FROM bands b JOIN lineitem l
+        |  ON l.l_extendedprice BETWEEN b.lo AND b.hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "docs_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars

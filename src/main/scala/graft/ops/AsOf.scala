@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join — for every left row, the most recent right row with
+ * `rightTs <= leftTs` per key (the time-series join Spark has no native
+ * operator for; reference engines and DuckDB ship it as ASOF JOIN).
+ *
+ * Plan: the classic union–sort–fill. Tag both inputs, union them, and
+ * run ONE window per key ordered by (ts, side) carrying the right
+ * side's payload forward with `last_value(ignoreNulls)`; left rows then
+ * hold their as-of match. At equal timestamps the right row sorts
+ * first, so `>=` is inclusive (DuckDB ASOF semantics).
+ *
+ * Scale: one shuffle on the key for the union'd stream, O(1) window
+ * state (last seen payload) per key — no per-key loops, no range
+ * self-join blowup, skewed keys bounded by the window's streaming
+ * frame. This beats the broadcast-right/filter-max alternative whenever
+ * the right side is large; `tolerance` bounds match staleness.
+ */
+object AsOf {
+
+  /**
+   * Left as-of join. `rightPayload` columns are emitted with a `ref_`
+   * prefix; rows with no earlier right row (or none within
+   * `toleranceMs`) carry nulls.
+   */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val l = left
+      .withColumn("__ats", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__side")) ++
+        rightPayload.map(c => col(c).as(s"ref_$c")): _*)
+      .withColumn("__ref_ts", col("__ats"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (rightPayload.map(c => s"ref_$c") :+ "__ref_ts")
+      .foldLeft(unioned) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    val matched = filled.where(col("__side") === 1)
+    val bounded = toleranceMs match {
+      case Some(tol) =>
+        val stale = col("__ref_ts").isNull ||
+          unix_millis(col("__ats")) - unix_millis(col("__ref_ts")) > tol
+        rightPayload.foldLeft(matched) { (df, c) =>
+          df.withColumn(s"ref_$c", when(stale, lit(null)).otherwise(col(s"ref_$c")))
+        }
+      case None => matched
+    }
+    bounded.drop("__ats", "__side", "__ref_ts")
+  }
+}

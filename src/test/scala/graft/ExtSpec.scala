@@ -206,6 +206,52 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) == fp(1L).sorted && fp(1L).distinct == fp(1L))
   }
 
+  test("AsOf.join: latest-at-or-before match, tie inclusivity, tolerance, no-match nulls") {
+    import graft.ops.AsOf
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val left = Seq(
+      (1L, t("09:00:00"), 100L),  // before any right row → null
+      (1L, t("10:00:00"), 101L),  // exactly at right ts → inclusive match
+      (1L, t("10:59:00"), 102L),  // latest right row <= 10:59 is 10:00
+      (1L, t("13:30:00"), 103L),  // after 11:00 right row
+      (2L, t("10:30:00"), 200L))  // other key: its own right stream
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, t("10:00:00"), "a"), (1L, t("11:00:00"), "b"),
+      (2L, t("10:15:00"), "z"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.join(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("lid", "ref_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 200L -> Some("z")))
+    // tolerance: 103's match (11:00) is 2.5h stale → nulled at 1h bound
+    val bounded = AsOf.join(left, right, Seq("k"), "ts", "ts", Seq("tag"),
+        toleranceMs = Some(3600 * 1000L))
+      .select("lid", "ref_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(bounded(103L).isEmpty && bounded(102L) == Some("a"))
+  }
+
+  test("RangeJoin.pointInInterval equals the brute-force theta join") {
+    import graft.ops.RangeJoin
+    val points = (1 to 500).map(i => (i % 5L, i * 7.0 % 331)).toDF("k", "x")
+    val intervals = Seq((0L, 10.0, 50.0), (0L, 45.0, 47.0), (1L, 300.0, 600.0),
+      (2L, -20.0, 5.0), (3L, 100.0, 100.0), (4L, 0.0, 330.0))
+      .toDF("k", "lo", "hi")
+    for (width <- Seq(1L, 13L, 1000L)) { // narrow, medium, one-bucket-fits-all
+      val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+          "x", "lo", "hi", width)
+        .select("k", "x", "lo", "hi").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      val brute = points.join(intervals, "k")
+        .where($"x".between($"lo", $"hi"))
+        .select("k", "x", "lo", "hi").collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      assert(got == brute, s"width=$width")
+    }
+  }
+
   test("Skew.saltedJoin equals the plain join and spreads the hot key") {
     import graft.ops.Skew
     // 90% of the big side hammers one key
