@@ -202,6 +202,16 @@ object ExtQueries {
       .orderBy("band_id")
   }
 
+  /** Exact interpolated quantiles per group (the percentile aggregate
+    * family; Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  private def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(
+        """transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D)),
+           x -> round(x, 4))""").as("price_quantiles"))
+      .orderBy("l_returnflag")
+
   /** Single-pass numeric profile of lineitem's measure columns. */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.load(s, dir, "lineitem"),
@@ -236,6 +246,7 @@ object ExtQueries {
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
     "asof_ref" -> ((s, dir) => asofRef(s, dir)),
     "range_bands" -> ((s, dir) => rangeBands(s, dir)),
+    "quantiles_lineitem" -> ((s, dir) => quantiles(s, dir)),
     "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
@@ -433,6 +444,11 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "quantiles_lineitem" ->
+      """SELECT l_returnflag,
+        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
+        |                      x -> round(x, 4)) AS price_quantiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "range_bands" ->
       """WITH bands AS (
         |  SELECT p_partkey AS band_id,
