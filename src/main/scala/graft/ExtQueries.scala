@@ -202,6 +202,24 @@ object ExtQueries {
       .orderBy("band_id")
   }
 
+  /** JSON scalar-function family: parse the `props` JSON payload and
+    * aggregate the extracted field per event type. */
+  private def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Pivot (wide aggregation): avg doc length per source × language. */
+  private def docsPivot(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(round(avg(col("n_chars")), 4))
+      .orderBy("source")
+
   /** Exact interpolated quantiles per group (the percentile aggregate
     * family; Spark `percentile` ≡ DuckDB `quantile_cont`). */
   private def quantiles(s: SparkSession, dir: String): DataFrame =
@@ -247,6 +265,8 @@ object ExtQueries {
     "asof_ref" -> ((s, dir) => asofRef(s, dir)),
     "range_bands" -> ((s, dir) => rangeBands(s, dir)),
     "quantiles_lineitem" -> ((s, dir) => quantiles(s, dir)),
+    "json_props" -> ((s, dir) => jsonProps(s, dir)),
+    "docs_pivot" -> ((s, dir) => docsPivot(s, dir)),
     "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
@@ -444,6 +464,18 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+        |       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "docs_pivot" ->
+      """SELECT source, round(de, 4) AS de, round(en, 4) AS en,
+        |       round(es, 4) AS es, round(fr, 4) AS fr, round(zh, 4) AS zh
+        |FROM (PIVOT (SELECT source, lang, n_chars FROM documents)
+        |      ON lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |      USING avg(n_chars) GROUP BY source)
+        |ORDER BY source""".stripMargin,
     "quantiles_lineitem" ->
       """SELECT l_returnflag,
         |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
