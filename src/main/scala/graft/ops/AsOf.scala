@@ -27,6 +27,11 @@ object AsOf {
    * Left as-of join. `rightPayload` columns are emitted with a `ref_`
    * prefix; rows with no earlier right row (or none within
    * `toleranceMs`) carry nulls.
+   *
+   * Determinism contract: `rightTs` must be unique per key (the usual
+   * as-of shape — one reference row per key-instant). With duplicate
+   * right timestamps the winner among them is tie-ordered arbitrarily;
+   * dedupe the right side first (`Ingest.firstPerKey`) if that matters.
    */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPayload: Seq[String],
