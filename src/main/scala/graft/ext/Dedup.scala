@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,6 +19,12 @@ import org.apache.spark.sql.functions._
  *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
  *
  * All hashes are seeded xxhash64 — deterministic across runs/executors.
+ *
+ * Cache lifecycle: the near-dup joins persist their shared shingle/
+ * signature frames (MEMORY_AND_DISK) for the duration of the session —
+ * long-lived sessions issuing many dedup calls should
+ * `spark.catalog.clearCache()` between batches (the Verify/Bench
+ * harnesses do).
  */
 object Dedup {
 
@@ -174,11 +181,16 @@ object Dedup {
       .withColumn("__h", xxhash64(col("__t")))
     val sums = (0 until 64).map(i =>
       sum(when(expr(s"((__h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"__b$i"))
-    posted.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val agged = posted.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .withColumn("__simhash",
         (0 until 64).map(i => when(col(s"__b$i") > 0, lit(1L << i))
           .otherwise(lit(0L)): Column).reduce(_.bitwiseOR(_)))
       .select(col(idCol), col("__simhash"))
+    // token-less docs vanish in the explode — restore them with the
+    // all-zeros signature so they can still pair (e.g. two
+    // punctuation-only duplicates), like the in-row formulation did
+    df.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .withColumn("__simhash", coalesce(col("__simhash"), lit(0L)))
   }
 
   /**
@@ -263,15 +275,21 @@ object Dedup {
     // one persisted shingle pass feeds the doc-freq branch and BOTH
     // sides of the postings self-join (3 consumers)
     val sets = shingleSets(df, idCol, textCol, shingleK)
-      .withColumn("__n", size(col("__shingles")))
-    val postings0 = sets.select(col(idCol), col("__n"),
+    val postings0 = sets.select(col(idCol),
       explode(col("__shingles")).as("__shingle"))
-    val postings = maxDocFreq match {
+    val capped = maxDocFreq match {
       case Some(cap) =>
         val dfreq = postings0.groupBy("__shingle").agg(count(lit(1)).as("__df"))
         postings0.join(dfreq.where(col("__df") <= cap), "__shingle")
       case None => postings0
     }
+    // set sizes are computed over the SAME (capped) shingle universe as
+    // the intersections — sizing from the uncapped sets would deflate
+    // jaccard for any pair sharing a capped shingle (identical docs
+    // would score < 1). With a cap, jaccard is exact over the
+    // sub-cap-shingle universe.
+    val postings = capped.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col(idCol))))
     val a = postings.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__shingle"))
     val b = postings.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__shingle"))
     a.join(b, "__shingle").where(col("id_a") < col("id_b"))

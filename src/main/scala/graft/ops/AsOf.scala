@@ -39,29 +39,30 @@ object AsOf {
     val l = left
       .withColumn("__ats", col(leftTs))
       .withColumn("__side", lit(1))
+    // the whole right row travels as ONE struct: filling payload columns
+    // independently would splice fields from different right rows
+    // whenever a payload column is null
     val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__side")) ++
-        rightPayload.map(c => col(c).as(s"ref_$c")): _*)
-      .withColumn("__ref_ts", col("__ats"))
+      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__side")) :+
+        struct((col(rightTs).as("__ref_ts") +:
+          rightPayload.map(c => col(c).as(s"ref_$c"))): _*).as("__ref"): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ats"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (rightPayload.map(c => s"ref_$c") :+ "__ref_ts")
-      .foldLeft(unioned) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    val matched = filled.where(col("__side") === 1)
-    val bounded = toleranceMs match {
-      case Some(tol) =>
-        val stale = col("__ref_ts").isNull ||
-          unix_millis(col("__ats")) - unix_millis(col("__ref_ts")) > tol
-        rightPayload.foldLeft(matched) { (df, c) =>
-          df.withColumn(s"ref_$c", when(stale, lit(null)).otherwise(col(s"ref_$c")))
-        }
-      case None => matched
+    val matched = unioned
+      .withColumn("__ref", last(col("__ref"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val stale = toleranceMs match {
+      case Some(tol) => col("__ref").isNull ||
+        unix_millis(col("__ats")) - unix_millis(col("__ref.__ref_ts")) > tol
+      case None => col("__ref").isNull
     }
-    bounded.drop("__ats", "__side", "__ref_ts")
+    val out = rightPayload.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"ref_$c",
+        when(stale, lit(null)).otherwise(col(s"__ref.ref_$c")))
+    }
+    out.drop("__ats", "__side", "__ref")
   }
 }

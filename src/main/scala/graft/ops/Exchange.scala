@@ -36,21 +36,9 @@ object Exchange {
     }
   }
 
-  /**
-   * Schema-checked promotion (resolution of reference bug #6, SURVEY.md
-   * §2.14: the reference's positional `SELECT *` silently depends on
-   * column order). Columns are aligned by NAME against `target`; a
-   * missing or extra column fails fast instead of corrupting.
-   */
-  def promoteByName(df: DataFrame, targetColumns: Seq[String], path: String,
-      partitionCol: String = "date"): Unit = {
-    val have = df.columns.toSet
-    val missing = targetColumns.filterNot(have)
-    val extra = df.columns.filterNot(targetColumns.contains(_))
-    require(missing.isEmpty && extra.isEmpty,
-      s"schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-    promote(df.select(targetColumns.map(col): _*), path, partitionCol)
-  }
+  // Schema-checked promotion lives in Schemas.conform + promote — the
+  // resolution of reference bug #6 (positional SELECT *, SURVEY.md §2.14)
+  // aligns columns by name AND casts to the declared types in one place.
 
   /** Read the promoted table back (partition-pruned scans on `date`). */
   def table(spark: SparkSession, path: String): DataFrame =

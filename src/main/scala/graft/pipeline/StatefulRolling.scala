@@ -26,6 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * State size: 7 bars × ~48 bytes per key — bounded, no timeout needed
  * for a finite ticker universe; pass a timeout config for unbounded key
  * spaces.
+ *
+ * Output semantics: a CHANGELOG. A same-day re-send replaces state
+ * idempotently and emits a REVISED row for that (ticker, date); append
+ * sinks therefore hold every revision, and downstream consumers keep
+ * the last row per (ticker, date) (the pipeline's partition-overwrite
+ * sink does exactly that).
  */
 object StatefulRolling {
 

@@ -43,12 +43,17 @@ object Streaming {
       cfg: PipelineConfig, checkpointDir: String,
       watermark: String = "2 days"): StreamingQuery = {
     val raw = spark.readStream.schema(feedSchema).parquet(inputPath)
+    // dropDuplicatesWithinWatermark bounds dedup state by the watermark
+    // horizon (a plain dropDuplicates subset without the event-time
+    // column would retain every (ticker, date) ever seen, forever).
+    // It is a volume optimization only — CORRECTNESS does not depend on
+    // which duplicate survives, because promoteBatch merges against the
+    // already-promoted partition rows and deterministically keeps the
+    // min-event_ts bar per (ticker, date).
     val deduped = raw
       .withColumn("__event_time", timestamp_millis(col("event_ts")))
       .withWatermark("__event_time", watermark)
-      // cross-batch duplicate protection with bounded state; in-batch
-      // winner is made deterministic below (firstPerKey by event_ts)
-      .dropDuplicates("ticker", "date")
+      .dropDuplicatesWithinWatermark("ticker", "date")
       .drop("__event_time")
 
     deduped.writeStream
@@ -108,19 +113,44 @@ object Streaming {
         col("n_events") :+ col("value_sum")): _*)
   }
 
-  /** One micro-batch: deterministic in-batch dedup → stamp → promote →
-    * re-derive cumulative metrics for the touched dates. Shared by the
-    * streaming sink and tests. */
+  /**
+   * One micro-batch: MERGE against the already-promoted rows of the
+   * touched date partitions, keep the first bar per (ticker, date) by
+   * event_ts deterministically, overwrite those partitions, then
+   * re-derive cumulative metrics for the touched dates.
+   *
+   * The merge is load-bearing for two correctness properties a naive
+   * overwrite-the-batch loses: (a) a partial-date micro-batch (only
+   * some tickers of a day) must not wipe the day's other tickers from
+   * production; (b) the surviving bar for a re-sent (ticker, date) must
+   * be chosen by min event_ts, not by which duplicate a streaming dedup
+   * happened to keep. The read-back is pruned to the batch's date
+   * partitions — O(touched days), not table size.
+   */
   private[pipeline] def promoteBatch(spark: SparkSession, batch: DataFrame,
       cfg: PipelineConfig): Unit = {
-    val staged = Ingest.stampInsertion(
-      Ingest.firstPerKey(batch, Seq("ticker", "date"), Seq("event_ts")))
-    Exchange.promote(Schemas.conform(staged, Schemas.stockBar),
-      cfg.productionPath)
+    val incoming = batch.select(
+      Schemas.stockBar.fieldNames.filterNot(_ == "insertion_timestamp")
+        .map(col): _*)
 
     // distinct dates of the batch: partition metadata, tiny by design
-    val touched = staged.select(col("date")).distinct()
+    val touched0 = incoming.select(col("date")).distinct()
       .collect().map(_.getDate(0).toLocalDate).sorted
+    val existing =
+      try Exchange.table(spark, cfg.productionPath)
+        .where(col("date").isin(touched0.map(java.sql.Date.valueOf): _*))
+        .select(incoming.columns.map(col): _*)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), incoming.schema)
+      }
+
+    val staged = Ingest.stampInsertion(
+      Ingest.firstPerKey(existing.unionByName(incoming),
+        Seq("ticker", "date"), Seq("event_ts")))
+    Exchange.promote(Schemas.conform(staged, Schemas.stockBar),
+      cfg.productionPath)
+    val touched = touched0
     val prod = Exchange.table(spark, cfg.productionPath)
     touched.foreach { ds =>
       val cum = Rolling.forDay(prod, ds, Seq("ticker"), "date",

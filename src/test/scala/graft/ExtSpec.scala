@@ -66,6 +66,11 @@ class ExtSpec extends AnyFunSuite {
     val exact = Dedup.ngramJaccardPairs(in, "id", "text", maxDocFreq = None)
     assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSeq ==
       exact.select("id_a", "id_b").as[(Long, Long)].collect().toSeq)
+    // identical docs sharing a CAPPED shingle must still score 1.0 —
+    // set sizes are taken over the capped universe, not the raw sets
+    val cappedJ = capped.where($"id_a" === 100 && $"id_b" === 101)
+      .select("jaccard").as[Double].head()
+    assert(cappedJ == 1.0)
     // the audit op surfaces exactly the ubiquitous shingles a cap drops
     val dropped = Dedup.droppedShingles(in, "text", 3, 5L)
       .as[(String, Long)].collect().toMap
@@ -231,6 +236,16 @@ class ExtSpec extends AnyFunSuite {
       .select("lid", "ref_tag").as[(Long, Option[String])]
       .collect().toMap
     assert(bounded(103L).isEmpty && bounded(102L) == Some("a"))
+
+    // a NULL payload field in the matched right row must stay null —
+    // not be spliced from an older right row's non-null value
+    val rightNulls = Seq((1L, t("10:00:00"), Some("a"), Some(5.0)),
+      (1L, t("11:00:00"), Some("b"), None))
+      .toDF("k", "ts", "tag", "v")
+    val spliced = AsOf.join(left.where($"lid" === 103), rightNulls,
+        Seq("k"), "ts", "ts", Seq("tag", "v"))
+      .select("ref_tag", "ref_v").as[(Option[String], Option[Double])].head()
+    assert(spliced == ((Some("b"), None)))
   }
 
   test("RangeJoin.pointInInterval equals the brute-force theta join") {

@@ -173,5 +173,24 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(spark.read.parquet(batchCfg.productionPath)))
     assert(sortedRows(spark.read.parquet(streamCfg.cumulativePath)) ==
       sortedRows(spark.read.parquet(batchCfg.cumulativePath)))
+
+    // PARTIAL-date re-send: one ticker of an already-promoted day
+    // arrives again with a corrected value and a LATER event_ts. The
+    // merge must (a) keep every other ticker of that day and (b) keep
+    // the original min-event_ts bar for the re-sent ticker.
+    import org.apache.spark.sql.functions.{col, lit}
+    feed(extra).where(col("ticker") === "AAPL")
+      .withColumn("close", lit(9999.0))
+      .withColumn("event_ts", col("event_ts") + 1000)
+      .write.mode("append").parquet(in)
+    val q3 = Streaming.run(spark, in, feed(extra).schema, streamCfg,
+      s"$root/ckpt")
+    q3.awaitTermination()
+    val day = spark.read.parquet(streamCfg.productionPath)
+      .where(col("date") === java.sql.Date.valueOf(extra))
+    assert(day.count() == tickers.size)
+    assert(day.where(col("ticker") === "AAPL")
+      .select("close").head().getDecimal(0).doubleValue ==
+        200.0 + 0 + extra.getDayOfMonth)
   }
 }
