@@ -155,6 +155,38 @@ object ExtQueries {
       .orderBy("n_name")
   }
 
+  /** Semi/anti join family: customers with no orders (left_anti) and
+    * per-segment counts of customers having orders (left_semi). */
+  private def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val semi = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val anti = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_without_orders"))
+    semi.join(anti, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Set operations: nations present on the supplier side INTERSECT /
+    * EXCEPT the customer side. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val cust = Tables.load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val both = sup.intersect(cust).withColumn("op", lit("intersect"))
+    val supOnly = sup.except(cust).withColumn("op", lit("supplier_only"))
+    val custOnly = cust.except(sup).withColumn("op", lit("customer_only"))
+    both.unionAll(supOnly).unionAll(custOnly)
+      .select(col("op"), col("nk")).orderBy("op", "nk")
+  }
+
   // ------------------------------------------------- event analytics —
 
   /** Gap-based sessionization of the event stream (lag → boundary →
@@ -267,6 +299,8 @@ object ExtQueries {
     "quantiles_lineitem" -> ((s, dir) => quantiles(s, dir)),
     "json_props" -> ((s, dir) => jsonProps(s, dir)),
     "docs_pivot" -> ((s, dir) => docsPivot(s, dir)),
+    "join_semi_anti" -> ((s, dir) => joinSemiAnti(s, dir)),
+    "set_ops" -> ((s, dir) => setOps(s, dir)),
     "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
   )
 
@@ -464,6 +498,31 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "join_semi_anti" ->
+      """WITH with_orders AS (
+        |  SELECT c_mktsegment, count(*) AS n_with_orders
+        |  FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment),
+        |without_orders AS (
+        |  SELECT c_mktsegment, count(*) AS n_without_orders
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment,
+        |       coalesce(n_with_orders, 0) AS n_with_orders,
+        |       coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM with_orders FULL OUTER JOIN without_orders USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+    "set_ops" ->
+      """WITH s AS (SELECT s_nationkey AS nk FROM supplier),
+        |c AS (SELECT c_nationkey AS nk FROM customer)
+        |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM s INTERSECT SELECT nk FROM c)
+        |UNION ALL
+        |SELECT 'supplier_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+        |UNION ALL
+        |SELECT 'customer_only', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |ORDER BY op, nk""".stripMargin,
     "json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
