@@ -37,12 +37,18 @@ object Bench {
       spark.catalog.clearCache()
       R(name, (t1 - t0) / 1e9, (tBuilt - t0) / 1e9, ok)
     }
+    // The stdout JSON line must stay SHORT (well under ~2 KB): the driver
+    // captures only a bounded tail of the output and a line that gets cut
+    // mid-JSON is recorded as parsed=null (this zeroed round 2's bench).
+    // So: 3-decimal seconds, and the build-phase split goes to stderr.
+    def fmt(d: Double) = f"$d%.3f"
     def obj(f: R => Double) =
-      results.map(r => s"\"${r.name}\":${f(r)}").mkString("{", ",", "}")
+      results.map(r => s"\"${r.name}\":${fmt(f(r))}").mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)},"failed":$failed,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] build_sec=${obj(_.buildSec)}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(_.sec)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,8 +70,11 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN variant (the 100 TB shape) — approximate, so no SQL
-    * oracle; recall vs brute force is spec-asserted (SimilaritySpec). */
+  /** LSH-bucketed ANN variant (the 100 TB shape). Approximate vs brute
+    * force (recall is spec-asserted), but fully DETERMINISTIC — the
+    * hyperplanes are md5-derived — so the oracle replays the entire
+    * LSH pipeline (planes → sign bits → band buckets → bucket join →
+    * exact re-rank) in SQL and verifies the algorithm exactly. */
   private def similarityAnn(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.annTopK(e, e.where(col("vec_id") % 20 === 0),
@@ -95,8 +98,10 @@ object ExtQueries {
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
-  /** IVF ANN variant (pruned probing) — approximate like similarity_ann,
-    * so rows-only; exhaustive-probe == brute-force is spec-asserted. */
+  /** IVF ANN variant (pruned probing) — approximate like similarity_ann
+    * but deterministic (stride-sampled centroids, tie-broken argmax
+    * assignment), so the oracle replays assignment → probing → scoring
+    * in SQL exactly; exhaustive-probe == brute-force is spec-asserted. */
   private def similarityIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.ivfTopK(e, e.where(col("vec_id") % 20 === 0),
@@ -120,7 +125,11 @@ object ExtQueries {
       .orderBy("lang_guess")
 
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextOps.fingerprints(docs(s, dir), "doc_id", "text")
+      // scalar CSV for the gate — the sorted-distinct hex entries join
+      // identically in both engines; the op itself returns a real array
+      .withColumn("fingerprint", concat_ws(",", col("fingerprint")))
+      .orderBy("doc_id")
 
   // --------------------------------------------------------- multimodal —
 
@@ -190,10 +199,17 @@ object ExtQueries {
   // ------------------------------------------------- event analytics —
 
   /** Gap-based sessionization of the event stream (lag → boundary →
-    * running sum → per-session agg; two windows share one shuffle). */
+    * running sum → per-session agg; two windows share one shuffle).
+    * `value` is pre-cast to decimal so the per-session sum is exact and
+    * order-independent — double summation order differs between engines
+    * and flips the 4th decimal on a handful of sessions. */
   private def sessionize(s: SparkSession, dir: String): DataFrame =
-    Sessions.stats(Tables.load(s, dir, "events"), Seq("user_id"), "ts",
-        "value", gapSeconds = 1800, orderCols = Seq("ts", "event_id"))
+    Sessions.stats(
+        Tables.load(s, dir, "events")
+          .withColumn("value", col("value").cast("decimal(24,6)")),
+        Seq("user_id"), "ts", "value", gapSeconds = 1800,
+        orderCols = Seq("ts", "event_id"))
+      .withColumn("value_sum", col("value_sum").cast("double"))
       .orderBy("user_id", "session_id")
 
   /**
@@ -253,13 +269,17 @@ object ExtQueries {
       .orderBy("source")
 
   /** Exact interpolated quantiles per group (the percentile aggregate
-    * family; Spark `percentile` ≡ DuckDB `quantile_cont`). */
+    * family; Spark `percentile` ≡ DuckDB `quantile_cont`). One array-form
+    * aggregate pass, flattened to scalar columns — the driver's compare
+    * cannot sort array cells. */
   private def quantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr(
-        """transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D)),
-           x -> round(x, 4))""").as("price_quantiles"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        .as("q"))
+      .select(col("l_returnflag"),
+        round(col("q")(0), 4).as("p25"), round(col("q")(1), 4).as("p50"),
+        round(col("q")(2), 4).as("p75"), round(col("q")(3), 4).as("p95"))
       .orderBy("l_returnflag")
 
   /** Single-pass numeric profile of lineitem's measure columns. */
@@ -446,8 +466,10 @@ object ExtQueries {
          |              for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS hs
          |      FROM t)
          |SELECT doc_id,
-         |       list_sort(list_distinct([list_aggregate(hs[i:i+3], 'min')
-         |                 for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fingerprint
+         |       array_to_string(
+         |         list_sort(list_distinct([list_aggregate(hs[i:i+3], 'min')
+         |                   for i in range(1, greatest(len(hs) - 3, 1) + 1)])),
+         |         ',') AS fingerprint
          |FROM h ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, 'text' AS modality,
@@ -467,12 +489,13 @@ object ExtQueries {
         |  FROM e),
         |s AS (
         |  SELECT user_id, ts, value,
-        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
         |  FROM b)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
-        |       round(sum(value), 4) AS value_sum
+        |       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 4) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "profile_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -537,9 +560,12 @@ object ExtQueries {
         |ORDER BY source""".stripMargin,
     "quantiles_lineitem" ->
       """SELECT l_returnflag,
-        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
-        |                      x -> round(x, 4)) AS price_quantiles
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |       round(q[1], 4) AS p25, round(q[2], 4) AS p50,
+        |       round(q[3], 4) AS p75, round(q[4], 4) AS p95
+        |FROM (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS q
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "range_bands" ->
       """WITH bands AS (
         |  SELECT p_partkey AS band_id,
@@ -563,8 +589,76 @@ object ExtQueries {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
-    // similarity_ann: intentionally no oracle (approximate); recall is
-    // asserted against bruteForceTopK in SimilaritySpec.
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // similarity_ann / similarity_ivf: the ANN pipelines are approximate
+    // vs brute force but DETERMINISTIC functions of the data (md5-derived
+    // hyperplanes / stride-sampled centroids), so the oracles replay the
+    // full algorithm — candidate generation included — in SQL. Params
+    // mirror the queries above: nBits=64, dim=64, bands=16 (4 bits/band),
+    // centroidStride=20, nProbe=8, k=5, queries = vec_id % 20 = 0.
+    "similarity_ann" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
+        |planes AS (
+        |  SELECT j, list(CASE WHEN substr(md5(j || ':' || i), 1, 1) < '8'
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS p
+        |  FROM range(64) t1(j), range(64) t2(i) GROUP BY j),
+        |bits AS (
+        |  SELECT n.vec_id,
+        |         list(CASE WHEN list_dot_product(pl.p, n.dv) > 0 THEN 1 ELSE 0 END
+        |              ORDER BY pl.j) AS b
+        |  FROM n, planes pl GROUP BY n.vec_id),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         [CAST(k*16 + b[k*4+1]*8 + b[k*4+2]*4 + b[k*4+3]*2 + b[k*4+4] AS BIGINT)
+        |          for k in range(0, 16)] AS bk
+        |  FROM bits),
+        |cb AS (SELECT vec_id, unnest(bk) AS bucket FROM buckets),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM cb q JOIN cb c ON q.bucket = c.bucket
+        |  WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(cn.dv, qn.dv) / (cn.nm * qn.nm) AS sim
+        |  FROM cands
+        |  JOIN n cn ON cn.vec_id = neighbor_id
+        |  JOIN n qn ON qn.vec_id = query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "similarity_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
+        |cents AS (SELECT vec_id AS cent_id, dv AS ev, nm AS en
+        |          FROM n WHERE vec_id % 20 = 0),
+        |assigned AS (
+        |  SELECT neighbor_id, cv, cn, cent_id FROM (
+        |    SELECT a.vec_id AS neighbor_id, a.dv AS cv, a.nm AS cn, c.cent_id,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY list_dot_product(a.dv, c.ev) / (a.nm * c.en) DESC,
+        |                      c.cent_id) AS rn
+        |    FROM n a, cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, qn, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, q.dv AS qv, q.nm AS qn, c.cent_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_dot_product(q.dv, c.ev) / (q.nm * c.en) DESC,
+        |                      c.cent_id) AS rn
+        |    FROM n q, cents c WHERE q.vec_id % 20 = 0) WHERE rn <= 8),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |         list_dot_product(a.cv, p.qv) / (a.cn * p.qn) AS sim
+        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Exchange, Ingest, Quality, Rolling}
@@ -37,13 +37,25 @@ object SparkEntry {
     val keys = Seq("user_id", "event_type")
     val bars = Ingest.dailyBars(read(spark, dir, "events"), keys,
       tsCol = "ts", valueCol = "value", idCol = "event_id")
+    // The verified output carries the 5 rolling arrays as scalar strings
+    // (scaled-int CSV): the driver's oracle compare sorts result cells
+    // with pandas, which cannot hash/sort array values. The in-engine
+    // shape (`Rolling.metrics`) keeps real arrays; only the gate output
+    // flattens. Doubles are packed as round(x*10000) longs — integer-
+    // exact and identical in Spark and DuckDB since the inputs are raw
+    // (unarithmetic'd) parquet doubles.
+    def packD(c: Column): Column =
+      array_join(transform(c, x => round(x * 10000).cast("long").cast("string")), ",")
+    def packL(c: Column): Column = array_join(c.cast("array<string>"), ",")
     Rolling.metrics(bars, keys, dateCol = "date",
         arrayCols = Seq("open", "high", "low", "close", "volume"),
         volumeCol = "volume", closeCol = "close")
       .select(col("user_id"), col("event_type"), col("date"),
-        col("last_7_days_open"), col("last_7_days_high"),
-        col("last_7_days_low"), col("last_7_days_close"),
-        col("last_7_days_volume"),
+        packD(col("last_7_days_open")).as("last_7_days_open"),
+        packD(col("last_7_days_high")).as("last_7_days_high"),
+        packD(col("last_7_days_low")).as("last_7_days_low"),
+        packD(col("last_7_days_close")).as("last_7_days_close"),
+        packL(col("last_7_days_volume")).as("last_7_days_volume"),
         round(col("avg_7_day_volume"), 4).as("avg_7_day_volume"),
         round(col("volatility_7_day"), 4).as("volatility_7_day"))
       .orderBy("user_id", "event_type", "date")
@@ -136,18 +148,28 @@ object SparkEntry {
         |         count(*) AS volume
         |  FROM events
         |  GROUP BY 1, 2, 3
+        |),
+        |wf AS (
+        |  SELECT user_id, event_type, date,
+        |         list(open)   OVER w AS o,
+        |         list(high)   OVER w AS h,
+        |         list(low)    OVER w AS l,
+        |         list(close)  OVER w AS c,
+        |         list(volume) OVER w AS v,
+        |         round(avg(volume) OVER w, 4) AS avg_7_day_volume,
+        |         round(coalesce(stddev_samp(close) OVER w, 0), 4) AS volatility_7_day
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |)
         |SELECT user_id, event_type, date,
-        |       list(open)   OVER w AS last_7_days_open,
-        |       list(high)   OVER w AS last_7_days_high,
-        |       list(low)    OVER w AS last_7_days_low,
-        |       list(close)  OVER w AS last_7_days_close,
-        |       list(volume) OVER w AS last_7_days_volume,
-        |       round(avg(volume) OVER w, 4) AS avg_7_day_volume,
-        |       round(coalesce(stddev_samp(close) OVER w, 0), 4) AS volatility_7_day
-        |FROM bars
-        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date
-        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |       array_to_string([CAST(round(x * 10000) AS BIGINT) for x in o], ',') AS last_7_days_open,
+        |       array_to_string([CAST(round(x * 10000) AS BIGINT) for x in h], ',') AS last_7_days_high,
+        |       array_to_string([CAST(round(x * 10000) AS BIGINT) for x in l], ',') AS last_7_days_low,
+        |       array_to_string([CAST(round(x * 10000) AS BIGINT) for x in c], ',') AS last_7_days_close,
+        |       array_to_string(v, ',') AS last_7_days_volume,
+        |       avg_7_day_volume, volatility_7_day
+        |FROM wf
         |ORDER BY user_id, event_type, date""".stripMargin,
     "ingest_normalize" ->
       """SELECT user_id, event_type, date, event_id, value

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
  * variant as the 100 TB scale path.
  *
  * Scale design:
- *  - All vector math is in-row `zip_with`/`aggregate` Column expressions
- *    over `ARRAY<DOUBLE>` — no UDFs, no driver-side collect; norms are
- *    precomputed once per row so the pairwise step is one fused dot.
+ *  - All vector math is in-row via the native codegen `vec_dot` /
+ *    `sign_band_buckets` expressions (functions/VectorExprs.scala) — no
+ *    UDFs, no interpreted higher-order-function lambdas (those are
+ *    CodegenFallback, ~µs per ELEMENT), no driver-side collect; norms
+ *    are precomputed once per row so the pairwise step is one fused dot.
  *  - Brute force broadcasts the (small) QUERY side against the corpus, so
  *    the corpus is scanned once with zero shuffle for scoring; the only
  *    shuffle is the per-query top-k, which Spark's rank-limit pushdown
@@ -27,9 +29,9 @@ object Similarity {
 
   /** Sequential-fold dot product of two double arrays (deterministic
     * summation order — matches a single-threaded oracle bit-for-bit at
-    * rounding granularity). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * rounding granularity). Native codegen expression; callers must have
+    * gone through `prep` (or registered VectorExprs) on the session. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -39,9 +41,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   private def prep(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, normAs: String): DataFrame =
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
       .withColumn(normAs, l2norm(col(vecAs)))
+  }
 
   /**
    * Exact brute-force cosine top-k: for every row of `queries`, the `k`
@@ -76,16 +80,16 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, nBits: Int = 64,
       bands: Int = 16): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val c = withSignBits(
+    val c = withBandBuckets(
       prep(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn"),
-      "__cv", "__bits", nBits, dim)
-    val q = withSignBits(
+      "__cv", "__buckets", nBits, dim, bands)
+    val q = withBandBuckets(
       prep(queries, idCol, vecCol, "query_id", "__qv", "__qn"),
-      "__qv", "__bits", nBits, dim)
+      "__qv", "__buckets", nBits, dim, bands)
     val cb = c.select(col("neighbor_id"), col("__cv"), col("__cn"),
-      explode(bandBucketsInline("__bits", nBits, bands)).as("__bucket"))
+      explode(col("__buckets")).as("__bucket"))
     val qb = q.select(col("query_id"), col("__qv"), col("__qn"),
-      explode(bandBucketsInline("__bits", nBits, bands)).as("__bucket"))
+      explode(col("__buckets")).as("__bucket"))
     val cands = cb.join(qb, "__bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__cv", "__cn", "__qv", "__qn")
@@ -176,37 +180,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Deterministic ±1 hyperplane matrix (nBits × dim), seeded. */
-  private def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(0x9e3779b9L)
-    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
   /**
-   * Add random-hyperplane sign bits for an ARRAY<DOUBLE> column:
-   * bit i = [⟨h_i, v⟩ > 0] with ±1 hyperplane components — deterministic
-   * across runs/executors. The plane matrix rides as a literal row
-   * column so the lambda body only does O(1) element access (a literal
-   * array inside a lambda would be rebuilt per evaluation); `dim` must
-   * equal the embedding dimensionality.
+   * Add the LSH band-bucket keys (ARRAY<BIGINT>, one per band) for an
+   * ARRAY<DOUBLE> vector column: bit j = [⟨plane_j, v⟩ > 0] with
+   * md5-derived ±1 hyperplanes (VectorExprs.planes — reproducible in any
+   * engine with md5(), which is what lets the DuckDB oracle replay the
+   * full ANN pipeline); band b packs its nBits/bands bits onto seed b so
+   * bands yield disjoint join keys. One native codegen call per row.
    */
-  def withSignBits(df: DataFrame, vecColName: String, bitsColName: String,
-      nBits: Int, dim: Int): DataFrame =
-    df.withColumn("__planes", typedLit(planes(nBits, dim)))
-      .withColumn(bitsColName, expr(
-        s"""transform(__planes, p ->
-          CASE WHEN aggregate(zip_with(p, `$vecColName`, (s, x) -> s * x),
-            cast(0.0 as double), (acc, x) -> acc + x) > 0
-          THEN 1 ELSE 0 END)"""))
-      .drop("__planes")
-
-  /** Band buckets from sign bits: `bands` longs, each packing
-    * nBits/bands consecutive bits, seeded with the band index so buckets
-    * of different bands are disjoint join keys. */
-  def bandBucketsInline(bitsColName: String, nBits: Int, bands: Int): Column = {
-    val r = nBits / bands
-    expr(s"""transform(sequence(0, ${bands - 1}), b ->
-      aggregate(slice(`$bitsColName`, b * $r + 1, $r), cast(b as bigint),
-                (acc, x) -> acc * 2 + x))""")
+  def withBandBuckets(df: DataFrame, vecColName: String,
+      bucketsColName: String, nBits: Int, dim: Int, bands: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.withColumn(bucketsColName, call_function("sign_band_buckets",
+      col(vecColName), lit(nBits), lit(dim), lit(bands)))
   }
 }

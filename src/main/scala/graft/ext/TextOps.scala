@@ -17,13 +17,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Small per-language stopword profiles for the language-ID heuristic.
-    * Order = deterministic tie-break priority. */
-  val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour"),
-    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个"))
+    * Order = deterministic tie-break priority. (Canonical copy lives in
+    * `functions.TextExprs` so the native `token_stats` kernel can bake
+    * the sets in statically.) */
+  val langProfiles: Seq[(String, Seq[String])] =
+    graft.functions.TextExprs.langProfiles
 
   /** English stopwords used by the quality heuristic. */
   val enStopwords: Seq[String] = langProfiles.head._2
@@ -38,19 +36,24 @@ object TextOps {
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /**
-   * Stopword-profile language ID over a token array: the language whose
-   * profile has the most hits wins; ties resolve in `langProfiles` order.
+   * First-global-argmax language pick from per-language hit-count
+   * columns (priority = `langProfiles` order): a CASE chain — first
+   * language whose hits >= every later language's hits.
    */
-  def langId(toks: Column): Column = {
-    val hits = langProfiles.map { case (lang, words) => lang -> hitCount(toks, words) }
-    // CASE chain: first language (priority order) whose hits >= every
-    // later language's hits — provably the first global argmax.
+  def langIdFromHits(hits: Seq[(String, Column)]): Column =
     hits.init.zipWithIndex.foldRight(lit(hits.last._1): Column) {
       case (((lang, h), i), els) =>
         val later = hits.drop(i + 1).map(_._2)
         when(later.map(h >= _).reduce(_ && _), lit(lang)).otherwise(els)
     }
-  }
+
+  /**
+   * Stopword-profile language ID over a token array: the language whose
+   * profile has the most hits wins; ties resolve in `langProfiles` order.
+   */
+  def langId(toks: Column): Column =
+    langIdFromHits(
+      langProfiles.map { case (lang, words) => lang -> hitCount(toks, words) })
 
   /** Ratio of non-letter/digit/whitespace characters. */
   def punctRatio(text: Column): Column =
@@ -70,32 +73,37 @@ object TextOps {
   /**
    * Per-document stats frame: char/token/type counts, BPE-ish token
    * estimate, mean token length, stopword & punctuation ratios, quality
-   * score, language guess. One narrow projection — no shuffle.
+   * score, language guess. One narrow projection — no shuffle; all
+   * token-derived scalars come from ONE native `token_stats` call per
+   * row (the HOF formulation was 6+ interpreted passes — the difference
+   * between 0.5 s and 50 s on the sf0.1 corpus). Catalyst's
+   * CollapseProject keeps the struct a single evaluation because it is
+   * referenced more than once and is not cheap.
    */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     val text = col(textCol)
-    df.withColumn("__toks", TextNorm.tokens(text))
-      .withColumn("__stop", hitCount(col("__toks"), enStopwords))
+    val nToks = col("__ts.n_tokens")
+    val stopRaw = when(nToks > 0,
+      col("__ts.h_en").cast("double") / nToks).otherwise(0.0)
+    df.withColumn("__ts", expr(s"token_stats(`$textCol`)"))
       .withColumn("__punct", punctRatio(text))
       .select(
         col(idCol),
         length(text).as("n_chars"),
-        size(col("__toks")).as("n_tokens"),
-        size(array_distinct(col("__toks"))).as("n_distinct_tokens"),
+        nToks.as("n_tokens"),
+        col("__ts.n_distinct").as("n_distinct_tokens"),
         size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).as("n_bpeish"),
-        round(when(size(col("__toks")) > 0,
-          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
-            .cast("double") / size(col("__toks"))).otherwise(0.0), 4)
+        round(when(nToks > 0,
+          col("__ts.sum_token_len").cast("double") / nToks).otherwise(0.0), 4)
           .as("avg_token_len"),
-        round(when(size(col("__toks")) > 0,
-          col("__stop").cast("double") / size(col("__toks"))).otherwise(0.0), 4)
-          .as("stopword_ratio"),
+        round(stopRaw, 4).as("stopword_ratio"),
         round(col("__punct"), 4).as("punct_ratio"),
-        round(qualityScore(
-          when(size(col("__toks")) > 0,
-            col("__stop").cast("double") / size(col("__toks"))).otherwise(0.0),
-          col("__punct"), size(col("__toks"))), 4).as("quality_score"),
-        langId(col("__toks")).as("lang_guess"))
+        round(qualityScore(stopRaw, col("__punct"), nToks), 4)
+          .as("quality_score"),
+        langIdFromHits(langProfiles.map { case (lang, _) =>
+          lang -> col(s"__ts.h_$lang")
+        }).as("lang_guess"))
   }
 
   /** Ordered (non-distinct) k-shingles — winnowing needs positional

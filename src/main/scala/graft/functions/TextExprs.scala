@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -22,6 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
  * (first-occurrence order), whole-text shingle for docs shorter than k.
  */
 object TextExprs {
+
+  /** Small per-language stopword profiles for the language-ID heuristic
+    * (canonical copy — `TextOps.langProfiles` aliases this).
+    * Order = deterministic tie-break priority. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个"))
+
+  private val profileSets: Array[java.util.HashSet[String]] =
+    langProfiles.map { case (_, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }.toArray
 
   /** Shared scalar kernel: normalized tokens of a UTF8 string. */
   def tokenize(text: UTF8String): Array[String] =
@@ -51,6 +69,50 @@ object TextExprs {
     new GenericArrayData(out)
   }
 
+  /** Struct schema returned by `token_stats`: token-derived scalars plus
+    * one hit count per language profile, all from ONE tokenize pass. */
+  val tokenStatsType: StructType = StructType(
+    Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("sum_token_len", LongType, nullable = false)) ++
+    langProfiles.map { case (lang, _) =>
+      StructField(s"h_$lang", IntegerType, nullable = false) })
+
+  /**
+   * One-pass token statistics: token count, distinct-token count, summed
+   * token length (code points — same unit as Spark's `length()`), and
+   * per-profile stopword hit counts (non-distinct, like
+   * `size(filter(toks, isin(words)))`). The Column formulation of these
+   * needs 6+ interpreted higher-order-function passes per row; this is
+   * one JIT-compiled call.
+   */
+  def tokenStats(text: UTF8String): InternalRow = {
+    val toks = tokenize(text)
+    val distinct = new java.util.HashSet[String]()
+    var sumLen = 0L
+    val hits = new Array[Int](profileSets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      distinct.add(t)
+      sumLen += t.codePointCount(0, t.length)
+      var p = 0
+      while (p < profileSets.length) {
+        if (profileSets(p).contains(t)) hits(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](3 + hits.length)
+    out(0) = toks.length
+    out(1) = distinct.size
+    out(2) = sumLen
+    var j = 0
+    while (j < hits.length) { out(3 + j) = hits(j); j += 1 }
+    new GenericInternalRow(out)
+  }
+
   case class NormTokens(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -78,9 +140,22 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  case class TokenStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = tokenStatsType
+    override def prettyName: String = "token_stats"
+    override def nullSafeEval(input: Any): Any =
+      tokenStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenStats =
+      copy(child = newChild)
+  }
+
   /**
-   * Register `norm_tokens(text)` and `token_shingles(text, k)` on a
-   * session (idempotent). Registration-on-session (rather than a
+   * Register `norm_tokens(text)`, `token_shingles(text, k)` and
+   * `token_stats(text)` on a session (idempotent). Registration-on-session (rather than a
    * SparkSessionExtensions injection) keeps the library usable on
    * sessions the caller did not build — the driver contract hands us an
    * already-constructed SparkSession.
@@ -105,6 +180,13 @@ object TextExprs {
             s"token_shingles k must be an int literal, got $other")
         }
         TokenShingles(children.head, k)
+      })
+    registry.registerFunction(
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_stats(text)")
+        TokenStats(children.head)
       })
   }
 }

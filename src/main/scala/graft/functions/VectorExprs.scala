@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions (WITH doGenCode — not CodegenFallback) for
+ * the vector hot path. The Column-function equivalents built from
+ * `zip_with`/`aggregate` higher-order functions evaluate their lambda
+ * bodies interpreted per ELEMENT (~µs each) — a 64-dim dot product that
+ * should be ~64 fused multiply-adds becomes ~128 boxed lambda calls.
+ * Over the pairwise similarity joins (corpus × queries, upper-triangle
+ * near-dup scans) that is the difference between seconds and minutes.
+ *
+ * `vec_dot` sums in ascending index order — the same sequential fold as
+ * the HOF formulation and as a single-threaded oracle engine, so results
+ * are bit-identical at either granularity.
+ *
+ * The LSH hyperplanes are derived from md5 (`plane[j][i] = +1 iff the
+ * first hex digit of md5("j:i") < '8'`) rather than a JVM PRNG, so any
+ * engine with an md5() function can reproduce the exact bucketing — the
+ * DuckDB oracle recomputes the full ANN pipeline from SQL.
+ */
+object VectorExprs {
+
+  /** Sequential-order dot product over two double arrays. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** md5-derived ±1 hyperplane matrix (nBits × dim), engine-reproducible. */
+  def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (j, i) =>
+      md.reset()
+      val d = md.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
+      // first hex digit = high nibble of byte 0; '0'..'7' → +1
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+  }
+
+  private val planeCache = TrieMap.empty[(Int, Int), Array[Array[Double]]]
+  def planesCached(nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((nBits, dim), planes(nBits, dim))
+
+  /**
+   * LSH band bucket keys for a vector, one long per band: band b packs
+   * its nBits/bands sign bits (bit j = [⟨plane_j, v⟩ > 0]) big-endian
+   * onto the seed b — `acc = b; acc = acc*2 + bit` — so buckets of
+   * different bands are disjoint join keys.
+   */
+  def signBandBuckets(v: ArrayData, nBits: Int, dim: Int,
+      bands: Int): ArrayData = {
+    val ps = planesCached(nBits, dim)
+    val r = nBits / bands
+    val n = v.numElements()
+    val out = new Array[Any](bands)
+    var band = 0
+    while (band < bands) {
+      var acc = band.toLong
+      var t = 0
+      while (t < r) {
+        val p = ps(band * r + t)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += p(i) * v.getDouble(i); i += 1 }
+        acc = acc * 2 + (if (s > 0) 1L else 0L)
+        t += 1
+      }
+      out(band) = acc
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorExprs.dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class SignBandBucketsExpr(child: Expression, nBits: Int, dim: Int,
+      bands: Int) extends UnaryExpression with ExpectsInputTypes {
+    require(nBits % bands == 0, "bands must divide nBits")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sign_band_buckets"
+    override def nullSafeEval(v: Any): Any =
+      signBandBuckets(v.asInstanceOf[ArrayData], nBits, dim, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExprs.signBandBuckets($c, $nBits, $dim, $bands)")
+    override protected def withNewChildInternal(
+        newChild: Expression): SignBandBucketsExpr =
+      copy(child = newChild)
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
+  /** Register `vec_dot(a, b)` and `sign_band_buckets(vec, nBits, dim,
+    * bands)` on a session (idempotent; same rationale as
+    * `TextExprs.register`). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot(a, b)")
+        VecDot(children(0), children(1))
+      })
+    registry.registerFunction(
+      FunctionIdentifier("sign_band_buckets"),
+      new ExpressionInfo(classOf[SignBandBucketsExpr].getName, "sign_band_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "sign_band_buckets(vec, nBits, dim, bands)")
+        SignBandBucketsExpr(children.head,
+          intLit(children(1), "nBits"), intLit(children(2), "dim"),
+          intLit(children(3), "bands"))
+      })
+  }
+}

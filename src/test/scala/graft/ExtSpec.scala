@@ -159,14 +159,30 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF pruned recall $recall collapsed")
   }
 
-  test("Similarity.withSignBits is deterministic and length-correct") {
+  test("Similarity.withBandBuckets is deterministic, disjoint across bands, in range") {
     val vecs = Seq((0L, Array(0.3, -1.2, 2.0)), (1L, Array(-0.5, 0.5, 0.1)))
       .toDF("vec_id", "v")
-    def bits() = Similarity.withSignBits(vecs, "v", "b", 16, 3)
-      .select("b").as[Seq[Int]].collect()
-    val first = bits()
-    assert(first.forall(b => b.length == 16 && b.forall(x => x == 0 || x == 1)))
-    assert(first.toSeq == bits().toSeq)
+    def buckets() = Similarity.withBandBuckets(vecs, "v", "b",
+        nBits = 16, dim = 3, bands = 4)
+      .select("b").as[Seq[Long]].collect()
+    val first = buckets()
+    // band b with r=4 bits packs onto seed b: bucket ∈ [b*16, (b+1)*16)
+    assert(first.forall(_.length == 4))
+    assert(first.forall(_.zipWithIndex.forall { case (v, b) =>
+      v >= b * 16L && v < (b + 1) * 16L
+    }))
+    assert(first.toSeq == buckets().toSeq)
+  }
+
+  test("VectorExprs.planes match their md5 definition") {
+    val p = graft.functions.VectorExprs.planes(4, 3)
+    def ref(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.head < '8') 1.0 else -1.0
+    }
+    for (j <- 0 until 4; i <- 0 until 3) assert(p(j)(i) == ref(j, i))
   }
 
   // ------------------------------------------------------------ text —
