@@ -9,7 +9,13 @@ import org.apache.spark.sql.SparkSession
   * interpretable. A failing query keeps its elapsed time AND is listed
   * in `failed` — it can never *improve* the total by erroring early.
   * Caches are cleared between queries so persisted intermediates from
-  * one query never subsidize another. */
+  * one query never subsidize another.
+  *
+  * Queries are evaluated with a noop-format write, not `count()`:
+  * count() lets Catalyst prune every unreferenced column, so a
+  * projection-heavy query (text_stats, fingerprints) would be timed
+  * without computing its columns at all. The noop sink evaluates every
+  * output column and discards rows executor-side — the honest cost. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,7 +35,7 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           tBuilt = System.nanoTime()
-          df.count(); true
+          df.write.format("noop").mode("overwrite").save(); true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -128,9 +128,13 @@ object TextOps {
     array_sort(array_distinct(mins))
   }
 
-  /** Per-doc fingerprint frame. */
+  /** Per-doc fingerprint frame — native one-pass kernel (the Column
+    * `fingerprint` formulation is semantically identical but interpreted
+    * per shingle; a parity spec keeps the two in lockstep). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame =
+      k: Int = 3, w: Int = 4): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
     df.select(col(idCol),
-      fingerprint(TextNorm.tokens(col(textCol)), k, w).as("fingerprint"))
+      expr(s"winnow_fingerprint(`$textCol`, $k, $w)").as("fingerprint"))
+  }
 }

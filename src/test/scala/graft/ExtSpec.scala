@@ -227,6 +227,21 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) == fp(1L).sorted && fp(1L).distinct == fp(1L))
   }
 
+  test("winnow_fingerprint native kernel ≡ Column HOF formulation") {
+    val corpus = docs(
+      (1L, "The cat and the dog!! 42 times over the lazy dog."),
+      (2L, "short"),
+      (3L, ""),
+      (4L, (1 to 60).map(i => s"tok$i word$i").mkString(" ")),
+      (5L, "a b a b a b a b a b"))
+    val native = TextOps.fingerprints(corpus, "id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    val viaColumns = corpus.select($"id",
+        TextOps.fingerprint(TextNorm.tokens($"text"), 3, 4).as("fp"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == viaColumns)
+  }
+
   test("AsOf.join: latest-at-or-before match, tie inclusivity, tolerance, no-match nulls") {
     import graft.ops.AsOf
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
