@@ -295,6 +295,122 @@ object ExtQueries {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** Lead/lag window family: per-user deltas between consecutive events
+    * (previous-value delta, inter-event gap, next event's type). */
+  private def eventsLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+        (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+          .as("gap_ms"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  /** CUBE grouping sets with grouping_id over the corpus dimensions. */
+  private def docsCube(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).cube("lang", "source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(col("lang"), col("source"), col("gid"), col("n_docs"),
+        col("avg_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first,
+        col("gid"))
+
+  /** Top-k per group via rank-limited window (WindowGroupLimit pushes
+    * the k-filter below the shuffle: each task keeps its local top 3). */
+  private def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.load(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk")
+  }
+
+  /**
+   * Deterministic content-hash sampling (the reproducible train/eval
+   * split primitive): a row is in the 2/16 sample iff the first hex
+   * digit of md5(orderkey:linenumber) ∈ {0,1} — portable across engines
+   * and stable under re-runs/backfills, unlike rand()-based sampling.
+   */
+  private def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .where(substring(md5(concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 1).isin("0", "1"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("qty_sum"))
+      .orderBy("l_returnflag")
+
+  /** TF-IDF top terms per document: explode tokens (native tokenizer) →
+    * tf per (doc, token) → df per token → score = tf·ln(N/df) → top 3
+    * per doc. Two hash-agg shuffles plus one broadcast scalar — no
+    * driver-side collect. */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val posted = docs(s, dir)
+      .select(col("doc_id"), explode(expr("norm_tokens(text)")).as("tok"))
+    val tf = posted.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * log(col("n_total").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("rank"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Skew-salted join (Skew.saltedJoin): events are heavily skewed on
+    * event_type (5 hot keys); the salt spreads each hot key over 8
+    * reducers. The oracle is the equivalent UNSALTED join+agg — salting
+    * must be invisible in the result. */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+    val dim = events.groupBy("event_type")
+      .agg(count(lit(1)).as("type_count"))
+    graft.ops.Skew.saltedJoin(events, dim, "event_type",
+        bigIdCols = Seq("event_id"), parts = 8)
+      .groupBy("event_type")
+      .agg(max(col("type_count")).as("type_count"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Temporal function family: month-truncation, quarter extraction,
+    * monthly order rollup. */
+  private def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .withColumn("d", to_date(col("o_orderdate")))
+      .groupBy(date_trunc("month", col("d")).cast("date").as("month_start"),
+        quarter(col("d")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("month_start")
+
+  /** Scalar string-function family over customer names: substring,
+    * case-mapping, reverse, zero-padding, regex extraction. */
+  private def stringsNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        reverse(lower(col("c_name"))).as("name_rev"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_digits"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
   // ------------------------------------------------------------- wiring —
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -321,7 +437,15 @@ object ExtQueries {
     "docs_pivot" -> ((s, dir) => docsPivot(s, dir)),
     "join_semi_anti" -> ((s, dir) => joinSemiAnti(s, dir)),
     "set_ops" -> ((s, dir) => setOps(s, dir)),
-    "docs_rollup" -> ((s, dir) => docsRollup(s, dir))
+    "docs_rollup" -> ((s, dir) => docsRollup(s, dir)),
+    "events_lead_lag" -> ((s, dir) => eventsLeadLag(s, dir)),
+    "docs_cube" -> ((s, dir) => docsCube(s, dir)),
+    "top_parts_per_brand" -> ((s, dir) => topPartsPerBrand(s, dir)),
+    "sample_hash" -> ((s, dir) => sampleHash(s, dir)),
+    "tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
+    "join_skew_salted" -> ((s, dir) => joinSkewSalted(s, dir)),
+    "orders_by_month" -> ((s, dir) => ordersByMonth(s, dir)),
+    "strings_norm" -> ((s, dir) => stringsNorm(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -590,6 +714,72 @@ object ExtQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "events_lead_lag" ->
+      """SELECT event_id, user_id,
+        |       round(value - lag(value) OVER w, 4) AS delta_prev,
+        |       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+        |       lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "docs_cube" ->
+      """SELECT lang, source,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |       count(*) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin,
+    "top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem
+        |WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok, tf.tf * ln(n_total::DOUBLE / df) AS score
+         |  FROM tf JOIN dfreq USING (tok), n),
+         |r AS (SELECT doc_id, tok, score,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, tok) AS rank
+         |      FROM scored)
+         |SELECT doc_id, tok, rank, round(score, 4) AS score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "join_skew_salted" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_count
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, max(d.type_count) AS type_count,
+        |       count(*) AS n_events,
+        |       round(sum(e.value), 2) AS value_sum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "orders_by_month" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
+        |       EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS qtr,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
+    "strings_norm" ->
+      """SELECT c_custkey,
+        |       upper(substr(c_name, 1, 8)) AS name_prefix,
+        |       reverse(lower(c_name)) AS name_rev,
+        |       lpad(c_custkey::VARCHAR, 10, '0') AS key_padded,
+        |       regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
+        |       length(c_name) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // similarity_ann / similarity_ivf: the ANN pipelines are approximate
     // vs brute force but DETERMINISTIC functions of the data (md5-derived
     // hyperplanes / stride-sampled centroids), so the oracles replay the

@@ -323,8 +323,8 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var changed = true
+    while (changed && round < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("__nmin"))
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
@@ -332,12 +332,15 @@ object Dedup {
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") =!= col("__old")).count()
+      // existence check (early-exit take(1)), not a full count — the
+      // driver only needs "any label moved?", never how many
+      changed = !next
+        .join(labels.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") =!= col("__old")).isEmpty
       labels = next
       round += 1
     }
-    require(changed == 0, s"components did not converge in $maxRounds rounds")
+    require(!changed, s"components did not converge in $maxRounds rounds")
     labels
   }
 

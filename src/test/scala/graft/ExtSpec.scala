@@ -319,6 +319,29 @@ class ExtSpec extends AnyFunSuite {
     assert(salts == 8)
   }
 
+  test("tfidf top terms rank distinguishing tokens above shared ones") {
+    // "common" appears in all 3 docs (idf = ln(1) = 0); each doc's unique
+    // token must outrank it
+    val corpus = docs(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma gamma"))
+    graft.functions.TextExprs.register(spark)
+    val posted = corpus.select($"id".as("doc_id"),
+      explode(expr("norm_tokens(text)")).as("tok"))
+    val tf = posted.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = corpus.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    val top = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .withColumn("score", $"tf" * log($"n_total".cast("double") / $"df"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" === 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   // ---------------------------------------------------------- sessions —
 
   test("Sessions: gap boundaries, per-session stats, key isolation") {
