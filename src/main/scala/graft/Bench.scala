@@ -47,7 +47,9 @@ object Bench {
     // captures only a bounded tail of the output and a line that gets cut
     // mid-JSON is recorded as parsed=null (this zeroed round 2's bench).
     // So: 3-decimal seconds, and the build-phase split goes to stderr.
-    def fmt(d: Double) = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would corrupt the JSON line
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     def obj(f: R => Double) =
       results.map(r => s"\"${r.name}\":${fmt(f(r))}").mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")

@@ -384,7 +384,9 @@ object ExtQueries {
       .groupBy("event_type")
       .agg(max(col("type_count")).as("type_count"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("value_sum"))
+        // decimal sum: order-independent, so cross-engine exact
+        round(sum(col("value").cast("decimal(24,6)")), 2).cast("double")
+          .as("value_sum"))
       .orderBy("event_type")
   }
 
@@ -396,7 +398,8 @@ object ExtQueries {
       .groupBy(date_trunc("month", col("d")).cast("date").as("month_start"),
         quarter(col("d")).as("qtr"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        round(sum(col("o_totalprice").cast("decimal(24,6)")), 2).cast("double")
+          .as("total_price"))
       .orderBy("month_start")
 
   /** Scalar string-function family over customer names: substring,
@@ -762,14 +765,14 @@ object ExtQueries {
         |             FROM events GROUP BY event_type)
         |SELECT e.event_type, max(d.type_count) AS type_count,
         |       count(*) AS n_events,
-        |       round(sum(e.value), 2) AS value_sum
+        |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "orders_by_month" ->
       """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
         |       EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS qtr,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS total_price
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
     "strings_norm" ->

@@ -148,10 +148,16 @@ object TextExprs {
    * interpreted md5+slice lambda per shingle per row (~37 s on the
    * sf0.1 corpus); this is one JIT-compiled call (~0.3 s).
    */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
     val toks = tokenize(text)
     val nSh = math.max(toks.length - (k - 1), 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-row getInstance would pay a synchronized JCA provider lookup
+    // in the hot path; MessageDigest is not thread-safe, so thread-local
+    val md = md5Local.get()
     val hashes = new Array[String](nSh)
     var i = 0
     while (i < nSh) {
@@ -263,12 +269,9 @@ object TextExprs {
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (children: Seq[Expression]) => {
         require(children.size == 3, "winnow_fingerprint(text, k, w)")
-        def i(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_fingerprint $what must be an int literal, got $other")
-        }
-        WinnowFingerprint(children.head, i(children(1), "k"), i(children(2), "w"))
+        WinnowFingerprint(children.head,
+          VectorExprs.intLit(children(1), "winnow_fingerprint k"),
+          VectorExprs.intLit(children(2), "winnow_fingerprint w"))
       })
   }
 }

@@ -32,9 +32,13 @@ import org.apache.spark.sql.types._
  */
 object VectorExprs {
 
-  /** Sequential-order dot product over two double arrays. */
+  /** Sequential-order dot product over two double arrays. Mismatched
+    * lengths throw (like DuckDB's list_dot_product) — silent truncation
+    * would diverge from the oracle instead of failing loudly. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"vec_dot: length mismatch (${a.numElements()} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -67,6 +71,9 @@ object VectorExprs {
     val ps = planesCached(nBits, dim)
     val r = nBits / bands
     val n = v.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"sign_band_buckets: vector length $n != declared dim $dim " +
+        "(a truncated projection would silently diverge from the oracle)")
     val out = new Array[Any](bands)
     var band = 0
     while (band < bands) {
@@ -118,7 +125,8 @@ object VectorExprs {
       copy(child = newChild)
   }
 
-  private def intLit(e: Expression, what: String): Int = e match {
+  /** Shared by the function registries here and in TextExprs. */
+  private[functions] def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an int literal, got $other")
