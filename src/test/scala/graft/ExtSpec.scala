@@ -174,6 +174,52 @@ class ExtSpec extends AnyFunSuite {
     assert(first.toSeq == buckets().toSeq)
   }
 
+  test("native expressions: null propagation and loud length mismatches") {
+    graft.functions.VectorExprs.register(spark)
+    graft.functions.TextExprs.register(spark)
+    // nulls propagate as nulls (UnaryExpression/BinaryExpression default)
+    val nullRows = Seq((1L, Option.empty[Array[Double]], Option.empty[String]))
+      .toDF("id", "v", "t")
+      .select(expr("vec_dot(v, v)").as("d"),
+        expr("sign_band_buckets(v, 16, 3, 4)").as("b"),
+        expr("token_stats(t)").as("s"),
+        expr("winnow_fingerprint(t, 3, 4)").as("f"))
+      .collect().head
+    assert((0 until 4).forall(nullRows.isNullAt))
+    // a vector that does not match the declared dim must throw, not
+    // silently bucket a truncated projection
+    val bad = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+      .select(expr("sign_band_buckets(v, 16, 3, 4)"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+    val mism = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+      .select(expr("vec_dot(a, b)"))
+    intercept[Exception](mism.collect())
+  }
+
+  test("token_stats native kernel ≡ Column HOF formulation") {
+    val corpus = docs(
+      (1L, "The cat and the dog!! 42 times."),
+      (2L, ""),
+      (3L, "der und das ist nicht mit"),
+      (4L, "的 了 是 我 不 在"),
+      (5L, (1 to 50).map(i => s"tok$i the").mkString(" ")))
+    graft.functions.TextExprs.register(spark)
+    val native = corpus.select($"id", expr("token_stats(text)").as("s"))
+      .select($"id", $"s.n_tokens", $"s.n_distinct", $"s.sum_token_len",
+        $"s.h_en", $"s.h_de", $"s.h_zh")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val viaColumns = corpus
+      .withColumn("toks", TextNorm.tokens($"text"))
+      .select($"id", size($"toks"), size(array_distinct($"toks")),
+        coalesce(aggregate($"toks", lit(0L), (acc, t) => acc + length(t)), lit(0L)),
+        TextOps.hitCount($"toks", TextOps.langProfiles.head._2),
+        TextOps.hitCount($"toks", TextOps.langProfiles(1)._2),
+        TextOps.hitCount($"toks", TextOps.langProfiles.last._2))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(native == viaColumns)
+  }
+
   test("VectorExprs.planes match their md5 definition") {
     val p = graft.functions.VectorExprs.planes(4, 3)
     def ref(j: Int, i: Int): Double = {
