@@ -402,6 +402,33 @@ object ExtQueries {
           .as("total_price"))
       .orderBy("month_start")
 
+  /**
+   * Bucketed co-located join (ops/Bucketing.scala): lineitem and orders
+   * are written hash-bucketed + bucket-sorted on the order key, then
+   * joined WITHOUT an exchange (the bucketing satisfies the join's
+   * distribution; BucketingSpec asserts the plan is shuffle-free). The
+   * oracle is the equivalent plain join — bucketing must be invisible
+   * in the result, like salting.
+   */
+  private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bucketing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_")
+    Bucketing.writeBucketed(
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_li_bucketed", s"$tmp/li", "l_orderkey", buckets = 8)
+    Bucketing.writeBucketed(
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_or_bucketed", s"$tmp/or", "o_orderkey", buckets = 8)
+    Bucketing.coLocatedJoin(s, "graft_li_bucketed", "graft_or_bucketed",
+        "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,6)")), 2).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Scalar string-function family over customer names: substring,
     * case-mapping, reverse, zero-padding, regex extraction. */
   private def stringsNorm(s: SparkSession, dir: String): DataFrame =
@@ -448,7 +475,8 @@ object ExtQueries {
     "tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "join_skew_salted" -> ((s, dir) => joinSkewSalted(s, dir)),
     "orders_by_month" -> ((s, dir) => ordersByMonth(s, dir)),
-    "strings_norm" -> ((s, dir) => stringsNorm(s, dir))
+    "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
+    "join_bucketed" -> ((s, dir) => joinBucketed(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -775,6 +803,12 @@ object ExtQueries {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "strings_norm" ->
       """SELECT c_custkey,
         |       upper(substr(c_name, 1, 8)) AS name_prefix,

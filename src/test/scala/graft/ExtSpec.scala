@@ -388,6 +388,26 @@ class ExtSpec extends AnyFunSuite {
     assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("Bucketing.coLocatedJoin is exchange-free and equals the plain join") {
+    import graft.ops.Bucketing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bspec_")
+    val a = (1 to 500).map(i => (i.toLong % 40, i.toLong)).toDF("k", "va")
+    val b = (1 to 80).map(i => (i.toLong % 40, s"d$i")).toDF("j", "vb")
+    Bucketing.writeBucketed(a, "bspec_a", s"$tmp/a", "k", buckets = 4)
+    Bucketing.writeBucketed(b, "bspec_b", s"$tmp/b", "j", buckets = 4)
+    val joined = Bucketing.coLocatedJoin(spark, "bspec_a", "bspec_b", "k", "j")
+    // the bucketed scans satisfy the join's distribution: no shuffle AND
+    // no broadcast — the plan is a bucketed sort-merge join
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    val plain = a.join(b, $"k" === $"j")
+      .select("k", "va", "vb").collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val got = joined
+      .select("k", "va", "vb").collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == plain)
+  }
+
   // ---------------------------------------------------------- sessions —
 
   test("Sessions: gap boundaries, per-session stats, key isolation") {
