@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{AsOf, Ingest, Profile, RangeJoin, Sessions}
+import graft.ops.{AsOf, Ingest, Merge, Profile, RangeJoin, Resample, Sessions}
 import graft.sources.Tables
 
 /**
@@ -429,6 +429,137 @@ object ExtQueries {
       .orderBy("o_orderpriority")
   }
 
+  /**
+   * MERGE INTO semantics (ops/Merge.scala): a corrections batch (every
+   * even order, totalprice uplifted by an exact decimal 1.1×) upserted
+   * into a target missing every third order. Matched keys take the
+   * source row, unmatched targets survive, unmatched sources insert.
+   * The uplift stays in DECIMAL until the final output cast, so both
+   * engines compute the identical exact value.
+   */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    // totalprice stays DECIMAL until the final output cast: the 1.1×
+    // uplift lands on exact .5 thirds-of-a-cent (….955), where
+    // double-then-round is engine-dependent but decimal round is not
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderpriority"))
+    val target = base.where(col("o_orderkey") % 3 =!= 0)
+    val source = base.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+          .cast("decimal(18,2)"))
+      .withColumn("o_orderpriority", lit("0-MERGED"))
+    Merge.upsert(target, source, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Calendar resample + forward-fill (ops/Resample.scala): daily close
+    * per (user, type) densified onto each key's full date range, gaps
+    * forward-filled from the last observed bar. */
+  private def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val bars = Ingest.dailyBars(Tables.load(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .select("user_id", "event_type", "date", "close")
+    Resample.dailyFfill(bars, Seq("user_id", "event_type"), "date", Seq("close"))
+      .select(col("user_id"), col("event_type"), col("date"),
+        round(col("close"), 4).as("close"), col("observed"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** RANGE-frame trailing window (the calendar-interval complement of
+    * rolling_7day's ROWS frame): per-key trailing-7-calendar-day count /
+    * avg / max of the daily close. On gappy series ROWS and RANGE
+    * genuinely differ — this pins the RANGE semantics. */
+  private def rollingRange(s: SparkSession, dir: String): DataFrame = {
+    val bars = Ingest.dailyBars(Tables.load(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .select("user_id", "event_type", "date", "close")
+    Resample.trailingRange(bars, Seq("user_id", "event_type"), "date",
+        "close", days = 7)
+      .select(col("user_id"), col("event_type"), col("date"),
+        col("n_in_range"),
+        round(col("avg_in_range"), 4).as("avg_in_range"),
+        round(col("max_in_range"), 4).as("max_in_range"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** Ranking-function family. Two windows by design: rank/dense_rank/
+    * percent_rank/cume_dist order by a TIE-HEAVY column (p_size — tied
+    * rows get equal outputs, deterministic), while ntile and first_value
+    * need a UNIQUE total order (ties would make their row assignment
+    * engine-dependent). */
+  private def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy("p_brand").orderBy("p_size")
+    val wUnique = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.load(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        round(percent_rank().over(wTies), 6).as("prnk"),
+        round(cume_dist().over(wTies), 6).as("cdist"),
+        ntile(4).over(wUnique).as("price_quartile"),
+        first_value(col("p_partkey")).over(wUnique).as("top_part"))
+      .orderBy("p_partkey")
+  }
+
+  /** Outer-join family at row level: lineitem LEFT JOIN a sparse part
+    * subset — unmatched rows keep nulls, aggregated per returnflag
+    * (match rate + coalesced decimal-exact sum). */
+  private def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val sparseParts = Tables.load(s, dir, "part")
+      .where(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.load(s, dir, "lineitem")
+      .join(sparseParts, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_partkey")).as("n_matched"),
+        round(sum(coalesce(col("p_retailprice"), lit(0))
+          .cast("decimal(24,6)")), 2).cast("double").as("price_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Correlated-scalar-subquery shape, decorrelated the Catalyst way
+    * (window aggregate over the correlation key): parts priced strictly
+    * above their brand's average. The membership test is EXACT decimal
+    * arithmetic (price·n > sum, not price > sum/n) — a double division
+    * could flip boundary rows differently per engine. */
+  private def aboveBrandAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand")
+    Tables.load(s, dir, "part")
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sum",
+        sum(col("p_retailprice").cast("decimal(18,2)")).over(w))
+      .where(col("p_retailprice").cast("decimal(18,2)") * col("__n") >
+        col("__sum"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_above"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Array-function family over the embedding vectors: L2 norm via the
+    * native `vec_dot` kernel, dimension, min/max component. */
+  private def embeddingNorms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Tables.load(s, dir, "embeddings")
+      .withColumn("dv", col("embedding").cast("array<double>"))
+      .select(col("vec_id"),
+        size(col("dv")).as("dim"),
+        round(sqrt(expr("vec_dot(dv, dv)")), 4).as("l2_norm"),
+        round(array_max(col("dv")), 4).as("max_component"),
+        round(array_min(col("dv")), 4).as("min_component"))
+      .orderBy("vec_id")
+  }
+
   /** Scalar string-function family over customer names: substring,
     * case-mapping, reverse, zero-padding, regex extraction. */
   private def stringsNorm(s: SparkSession, dir: String): DataFrame =
@@ -476,7 +607,14 @@ object ExtQueries {
     "join_skew_salted" -> ((s, dir) => joinSkewSalted(s, dir)),
     "orders_by_month" -> ((s, dir) => ordersByMonth(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
-    "join_bucketed" -> ((s, dir) => joinBucketed(s, dir))
+    "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
+    "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
+    "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
+    "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
+    "rank_family" -> ((s, dir) => rankFamily(s, dir)),
+    "join_outer" -> ((s, dir) => joinOuter(s, dir)),
+    "above_brand_avg" -> ((s, dir) => aboveBrandAvg(s, dir)),
+    "embedding_norms" -> ((s, dir) => embeddingNorms(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -809,6 +947,107 @@ object ExtQueries {
         |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |s AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+        |              * CAST(1.1 AS DECIMAL(3,1)), 2) AS DECIMAL(18,2))
+        |           AS o_totalprice,
+        |         '0-MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL
+        |            THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CAST(CASE WHEN s.o_orderkey IS NOT NULL
+        |            THEN s.o_totalprice ELSE t.o_totalprice END AS DOUBLE)
+        |         AS o_totalprice,
+        |       CASE WHEN s.o_orderkey IS NOT NULL
+        |            THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "resample_ffill" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (SELECT user_id, event_type, min(date) AS d0, max(date) AS d1
+        |      FROM b GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, event_type,
+        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
+        |  FROM r),
+        |j AS (
+        |  SELECT s.user_id, s.event_type, s.date, b.close,
+        |         b.close IS NOT NULL AS observed
+        |  FROM spine s LEFT JOIN b
+        |    ON s.user_id = b.user_id AND s.event_type = b.event_type
+        |   AND s.date = b.date)
+        |SELECT user_id, event_type, date,
+        |       round(last_value(close IGNORE NULLS) OVER (
+        |         PARTITION BY user_id, event_type ORDER BY date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close,
+        |       observed
+        |FROM j ORDER BY user_id, event_type, date""".stripMargin,
+    "rolling_range" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, date,
+        |       count(*) OVER w AS n_in_range,
+        |       round(avg(close) OVER w, 4) AS avg_in_range,
+        |       round(max(close) OVER w, 4) AS max_in_range
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_type, date""".stripMargin,
+    "rank_family" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |       rank() OVER wt AS rnk,
+        |       dense_rank() OVER wt AS drnk,
+        |       round(percent_rank() OVER wt, 6) AS prnk,
+        |       round(cume_dist() OVER wt, 6) AS cdist,
+        |       ntile(4) OVER wu AS price_quartile,
+        |       first_value(p_partkey) OVER wu AS top_part
+        |FROM part
+        |WINDOW wt AS (PARTITION BY p_brand ORDER BY p_size),
+        |       wu AS (PARTITION BY p_brand
+        |              ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "join_outer" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       count(p.p_partkey) AS n_matched,
+        |       CAST(round(sum(CAST(coalesce(p.p_retailprice, 0)
+        |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS price_sum
+        |FROM lineitem l
+        |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part
+        |           WHERE p_partkey % 5 = 0) p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "above_brand_avg" ->
+      """WITH x AS (
+        |  SELECT p_brand, p_retailprice,
+        |         count(*) OVER (PARTITION BY p_brand) AS n,
+        |         sum(CAST(p_retailprice AS DECIMAL(18,2)))
+        |           OVER (PARTITION BY p_brand) AS s
+        |  FROM part)
+        |SELECT p_brand, count(*) AS n_above,
+        |       round(max(p_retailprice), 2) AS max_price
+        |FROM x
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * n > s
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "embedding_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                   embedding::DOUBLE[])), 4) AS l2_norm,
+        |       round(list_max(embedding::DOUBLE[]), 4) AS max_component,
+        |       round(list_min(embedding::DOUBLE[]), 4) AS min_component
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "strings_norm" ->
       """SELECT c_custkey,
         |       upper(substr(c_name, 1, 8)) AS name_prefix,

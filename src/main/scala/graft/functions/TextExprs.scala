@@ -229,49 +229,47 @@ object TextExprs {
       copy(child = newChild)
   }
 
-  /**
-   * Register `norm_tokens(text)`, `token_shingles(text, k)` and
-   * `token_stats(text)` on a session (idempotent). Registration-on-session (rather than a
-   * SparkSessionExtensions injection) keeps the library usable on
-   * sessions the caller did not build — the driver contract hands us an
-   * already-constructed SparkSession.
-   */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("norm_tokens"),
+  /** The text-function registry entries, shared by per-session
+    * `register` and the `GraftExtensions` session-builder injection. */
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("norm_tokens"),
       new ExpressionInfo(classOf[NormTokens].getName, "norm_tokens"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "norm_tokens(text)")
         NormTokens(children.head)
-      })
-    registry.registerFunction(
-      FunctionIdentifier("token_shingles"),
+      }),
+    (FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "token_shingles(text, k)")
-        val k = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"token_shingles k must be an int literal, got $other")
-        }
-        TokenShingles(children.head, k)
-      })
-    registry.registerFunction(
-      FunctionIdentifier("token_stats"),
+        TokenShingles(children.head,
+          VectorExprs.intLit(children(1), "token_shingles k"))
+      }),
+    (FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "token_stats(text)")
         TokenStats(children.head)
-      })
-    registry.registerFunction(
-      FunctionIdentifier("winnow_fingerprint"),
+      }),
+    (FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (children: Seq[Expression]) => {
         require(children.size == 3, "winnow_fingerprint(text, k, w)")
         WinnowFingerprint(children.head,
           VectorExprs.intLit(children(1), "winnow_fingerprint k"),
           VectorExprs.intLit(children(2), "winnow_fingerprint w"))
-      })
-  }
+      }))
+
+  /**
+   * Register the text functions on a session (idempotent).
+   * Registration-on-session keeps the library usable on sessions the
+   * caller did not build — the driver contract hands us an
+   * already-constructed SparkSession; sessions built by the caller can
+   * instead set `spark.sql.extensions=graft.functions.GraftExtensions`.
+   */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

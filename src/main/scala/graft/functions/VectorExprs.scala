@@ -132,26 +132,30 @@ object VectorExprs {
       s"$what must be an int literal, got $other")
   }
 
-  /** Register `vec_dot(a, b)` and `sign_band_buckets(vec, nBits, dim,
-    * bands)` on a session (idempotent; same rationale as
-    * `TextExprs.register`). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("vec_dot"),
+  /** The vector-function registry entries, shared by per-session
+    * `register` and the `GraftExtensions` session-builder injection. */
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot(a, b)")
         VecDot(children(0), children(1))
-      })
-    registry.registerFunction(
-      FunctionIdentifier("sign_band_buckets"),
+      }),
+    (FunctionIdentifier("sign_band_buckets"),
       new ExpressionInfo(classOf[SignBandBucketsExpr].getName, "sign_band_buckets"),
       (children: Seq[Expression]) => {
         require(children.size == 4, "sign_band_buckets(vec, nBits, dim, bands)")
         SignBandBucketsExpr(children.head,
           intLit(children(1), "nBits"), intLit(children(2), "dim"),
           intLit(children(3), "bands"))
-      })
-  }
+      }))
+
+  /** Register `vec_dot(a, b)` and `sign_band_buckets(vec, nBits, dim,
+    * bands)` on a session (idempotent; same rationale as
+    * `TextExprs.register`). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

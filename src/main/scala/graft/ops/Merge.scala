@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * MERGE INTO — the general upsert primitive behind the reference's
+ * idempotence pattern. The reference approximates "merge this day's rows
+ * into production" with a DELETE + INSERT pair over a whole partition
+ * (reference `dags/dag.py:292-311`); an Iceberg/Delta engine expresses
+ * the same intent as `MERGE INTO target USING source ON key WHEN MATCHED
+ * THEN UPDATE WHEN NOT MATCHED THEN INSERT`. This operator provides that
+ * row-level semantics natively.
+ *
+ * Scale shape: `upsert` is a single hash shuffle on the merge key (union
+ * + windowed precedence — no outer join, no null-key ambiguity);
+ * `merge` (column-level updates / conditional delete) is one sort-merge
+ * full-outer join on the key. Both shuffle rows exactly once and never
+ * collect; combined with `Exchange.promote` the rewritten rows land as a
+ * dynamic partition overwrite, so only the touched partitions of a
+ * 100 TB table are rewritten.
+ */
+object Merge {
+
+  /**
+   * Full-row upsert: for every key present in `source` the source row
+   * wins; keys only in `target` keep their target row. Schemas must
+   * match by name (the frames are aligned with `unionByName`).
+   *
+   * Implemented as union + first-row-per-key precedence rather than an
+   * outer join: one shuffle, and a key appearing multiple times in
+   * `source` resolves deterministically via `sourceOrder` (defaults to
+   * "any single source row per key" being an error surfaced by tests —
+   * pass e.g. an event-time column to keep the latest).
+   */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+      sourceOrder: Seq[String] = Nil): DataFrame = {
+    val precedence = "__merge_precedence"
+    val tagged = source.withColumn(precedence, lit(0))
+      .unionByName(target.select(source.columns.map(col): _*)
+        .withColumn(precedence, lit(1)))
+    Ingest.firstPerKey(tagged, keys, precedence +: sourceOrder)
+      .drop(precedence)
+  }
+
+  /**
+   * Column-level merge: full-outer join on `keys`, then per output row
+   *  - matched (key in both): `updates` columns take the source value,
+   *    all other columns keep the target value;
+   *  - source-only: inserted as-is (columns outside `source` are null);
+   *  - target-only: kept, unless `deleteWhen` (evaluated over the
+   *    target row) says to drop it — the WHEN NOT MATCHED BY SOURCE
+   *    THEN DELETE clause.
+   *
+   * `updates` defaults to every non-key source column.
+   */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      updates: Seq[String] = Nil, deleteWhen: Option[Column] = None): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val updateCols =
+      if (updates.nonEmpty) updates
+      else source.columns.filterNot(keys.contains).toSeq
+    val matched = col(s"s.${keys.head}").isNotNull
+    val inTarget = col(s"t.${keys.head}").isNotNull
+    val outCols = target.columns.toSeq.map { c =>
+      if (keys.contains(c))
+        coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+      else if (source.columns.contains(c)) {
+        // updates apply on match; inserts (no target row) always take
+        // every source-present column, whether or not it is an update col
+        val takeSource =
+          if (updateCols.contains(c)) matched || !inTarget else !inTarget
+        when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      } else col(s"t.$c").as(c)
+    }
+    val joined = t.join(s,
+      keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val kept = deleteWhen match {
+      case Some(cond) => joined.where(matched || !inTarget || !cond)
+      case None => joined
+    }
+    kept.select(outCols: _*)
+  }
+}

@@ -114,6 +114,36 @@ object Streaming {
   }
 
   /**
+   * Watermarked stream-stream interval join — the remaining stateful-
+   * streaming operator family: rows of `left` matched to rows of `right`
+   * with the same key whose event time falls in
+   * `[leftTs, leftTs + maxDelaySeconds]` (the impression→click /
+   * quote→trade attribution shape). Both sides carry a watermark, so the
+   * join state an executor must buffer is bounded by
+   * watermark-horizon × key cardinality — Spark evicts a side's rows as
+   * soon as the other side's watermark proves no future match can
+   * arrive. Without the time bound (a plain stream-stream equi-join)
+   * state would grow forever; the interval condition is what makes the
+   * join feasible on an unbounded stream, exactly as at 100 TB/day.
+   *
+   * Works on batch frames too (same plan, watermarks ignored), which is
+   * how the spec pins streaming ≡ batch equivalence. Key columns are
+   * emitted once (left side); both timestamp/payload columns survive, so
+   * they must be named distinctly across the two inputs.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, maxDelaySeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySeconds SECONDS")
+    keys.foldLeft(l.join(r, keyCond && timeCond, "inner"))(
+      (df, k) => df.drop(r(k)))
+  }
+
+  /**
    * One micro-batch: MERGE against the already-promoted rows of the
    * touched date partitions, keep the first bar per (ticker, date) by
    * event_ts deterministically, overwrite those partitions, then

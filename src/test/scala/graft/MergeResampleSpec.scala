@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Merge, Resample}
+
+/** Hand-computed expectations for the round-3 operators: MERGE/upsert
+  * semantics and time-series resampling (forward-fill, RANGE-frame
+  * trailing windows, linear interpolation). */
+class MergeResampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("Merge.upsert: source wins on match, unmatched rows survive both sides") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    val source = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    val out = Merge.upsert(target, source, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("Merge.upsert: duplicate source keys resolve by sourceOrder") {
+    val target = Seq((1L, 0L, "old")).toDF("id", "ver", "tag")
+    val source = Seq((1L, 5L, "v5"), (1L, 9L, "v9")).toDF("id", "ver", "tag")
+    // keep the LATEST source row per key: order by descending version via
+    // a computed column is not supported in orderCols, so negate upstream
+    val latestFirst = source.withColumn("__neg_ver", -col("ver"))
+    val out = Merge.upsert(target.withColumn("__neg_ver", -col("ver")),
+        latestFirst, Seq("id"), sourceOrder = Seq("__neg_ver"))
+      .drop("__neg_ver")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 9L, "v9")))
+  }
+
+  test("Merge.merge: column-level update, insert, and conditional delete") {
+    val target = Seq((1L, "a", 10.0, "keep"), (2L, "b", 20.0, "keep"),
+      (3L, "c", 30.0, "drop")).toDF("id", "tag", "v", "note")
+    val source = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    // update only v on match → tag keeps the target value; target-only
+    // rows with note == "drop" are deleted (NOT MATCHED BY SOURCE DELETE)
+    val out = Merge.merge(target, source, Seq("id"), updates = Seq("v"),
+        deleteWhen = Some(col("t.note") === "drop"))
+      .orderBy("id").as[(Long, String, Double, String)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0, "keep"), (2L, "b", 99.0, "keep"),
+      (4L, "d", 40.0, null)))
+  }
+
+  test("Resample.dailyFfill: dense spine, forward-filled gaps, observed flag") {
+    val obs = Seq(("k", d("2024-01-01"), 1.0), ("k", d("2024-01-04"), 4.0),
+      ("j", d("2024-02-10"), 7.0)).toDF("key", "date", "v")
+    val out = Resample.dailyFfill(obs, Seq("key"), "date", Seq("v"))
+      .orderBy("key", "date")
+      .as[(String, java.sql.Date, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("j", d("2024-02-10"), 7.0, true),
+      ("k", d("2024-01-01"), 1.0, true),
+      ("k", d("2024-01-02"), 1.0, false),
+      ("k", d("2024-01-03"), 1.0, false),
+      ("k", d("2024-01-04"), 4.0, true)))
+  }
+
+  test("Resample.trailingRange: calendar-interval frame differs from ROWS on gaps") {
+    // rows at day 1, 2, 9: the day-9 row's trailing-7-day window must
+    // see ONLY itself (a 3-ROW frame would see all three)
+    val obs = Seq(("k", d("2024-01-01"), 10.0), ("k", d("2024-01-02"), 20.0),
+      ("k", d("2024-01-09"), 90.0)).toDF("key", "date", "v")
+    val out = Resample.trailingRange(obs, Seq("key"), "date", "v", days = 7)
+      .select("date", "n_in_range", "avg_in_range", "max_in_range")
+      .orderBy("date")
+      .as[(java.sql.Date, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (d("2024-01-01"), 1L, 10.0, 10.0),
+      (d("2024-01-02"), 2L, 15.0, 20.0),
+      (d("2024-01-09"), 1L, 90.0, 90.0)))
+  }
+
+  test("Resample.dailyInterpolate: gaps take the straight line; ffill after last obs") {
+    val obs = Seq(("k", d("2024-01-01"), 10.0), ("k", d("2024-01-04"), 40.0))
+      .toDF("key", "date", "v")
+    val out = Resample.dailyInterpolate(obs, Seq("key"), "date", "v")
+      .select("date", "v").orderBy("date")
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(out == Seq((d("2024-01-01"), 10.0), (d("2024-01-02"), 20.0),
+      (d("2024-01-03"), 30.0), (d("2024-01-04"), 40.0)))
+  }
+
+  test("GraftExtensions: a builder-injected session resolves every native kernel") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the existing default session (extensions are
+    // only applied when a session is CONSTRUCTED), so detach the default
+    // first — the new session still reuses the running SparkContext —
+    // and restore it after.
+    spark // force the shared session to exist before detaching it
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 =
+      try SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    import s2.implicits._
+    val row = Seq("The quick brown fox").toDF("text")
+      .selectExpr("size(norm_tokens(text)) AS n",
+        "size(token_shingles(text, 2)) AS s",
+        "token_stats(text).n_tokens AS ts",
+        "size(winnow_fingerprint(text, 2, 4)) AS w")
+      .as[(Int, Int, Int, Int)].head()
+    assert(row == ((4, 3, 4, 1)))
+    val vec = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("vec_dot(a, b) AS d",
+        "size(sign_band_buckets(a, 4, 2, 2)) AS nb")
+      .as[(Double, Int)].head()
+    assert(vec == ((11.0, 2)))
+  }
+}

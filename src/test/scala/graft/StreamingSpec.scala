@@ -17,6 +17,8 @@ import graft.pipeline.{Pipeline, PipelineConfig, Streaming}
  */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     value: Double)
+case class Imp(user_id: Long, imp_ts: java.sql.Timestamp, imp_id: Long)
+case class Clk(user_id: Long, clk_ts: java.sql.Timestamp, clk_id: Long)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -131,6 +133,46 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(open < 3 && closed.size >= 3)
     assert(batchWin.subsetOf(closed))
+  }
+
+  test("intervalJoin: stream-stream attribution equals the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-05-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    val imps = Seq(Imp(1, ts(0), 100), Imp(1, ts(100), 101), Imp(2, ts(0), 200))
+    val clks = Seq(
+      Clk(1, ts(20), 900),  // 20 s after imp 100 → attributed
+      Clk(1, ts(110), 901), // 10 s after imp 101 → attributed
+      Clk(1, ts(95), 902),  // 95 s after imp 100 (> 30 s), before imp 101 → no
+      Clk(3, ts(5), 903))   // no impression for this user → no
+    val expected = Set((1L, 100L, 900L), (1L, 101L, 901L))
+
+    // batch equivalence: same operator over static frames
+    val batch = Streaming.intervalJoin(imps.toDF(), clks.toDF(),
+        Seq("user_id"), "imp_ts", "clk_ts", maxDelaySeconds = 30)
+      .select("user_id", "imp_id", "clk_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == expected)
+
+    // streaming: both sides incremental, matches emit across micro-batches
+    val li = MemoryStream[Imp]
+    val ri = MemoryStream[Clk]
+    val q = Streaming.intervalJoin(li.toDF(), ri.toDF(),
+        Seq("user_id"), "imp_ts", "clk_ts", maxDelaySeconds = 30,
+        watermark = "1 minute")
+      .select("user_id", "imp_id", "clk_id")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    li.addData(imps.take(2))
+    ri.addData(clks.take(2))
+    q.processAllAvailable()
+    li.addData(imps.drop(2))
+    ri.addData(clks.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ssjoin")
+      .as[(Long, Long, Long)].collect().toSet == expected)
   }
 
   test("streaming AvailableNow run equals batch runDay output, dedupes, resumes") {
