@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
@@ -560,6 +560,40 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /**
+   * Typed custom aggregation (functions/TypedAggs.TopKAgg): exact top-5
+   * events by value per type via an `Aggregator` with k-bounded state —
+   * the map-side-combinable alternative to the window top-k (see
+   * `top_parts_per_brand` for the window form; the oracle is that very
+   * window formulation, so the two plans are pinned equivalent).
+   */
+  private def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(5),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("ids"))
+      .select(col("event_type"), posexplode(col("ids")).as(Seq("pos", "event_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** UNPIVOT (wide→long, the inverse of docs_pivot): lineitem's four
+    * measure columns melted to (measure, value) rows, then aggregated —
+    * the `Dataset.unpivot` API surface with a decimal-exact sum. */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("val").cast("decimal(24,6)")), 2).cast("double")
+          .as("val_sum"))
+      .orderBy("l_returnflag", "measure")
+
   /** Scalar string-function family over customer names: substring,
     * case-mapping, reverse, zero-padding, regex extraction. */
   private def stringsNorm(s: SparkSession, dir: String): DataFrame =
@@ -614,7 +648,9 @@ object ExtQueries {
     "rank_family" -> ((s, dir) => rankFamily(s, dir)),
     "join_outer" -> ((s, dir) => joinOuter(s, dir)),
     "above_brand_avg" -> ((s, dir) => aboveBrandAvg(s, dir)),
-    "embedding_norms" -> ((s, dir) => embeddingNorms(s, dir))
+    "embedding_norms" -> ((s, dir) => embeddingNorms(s, dir)),
+    "topk_agg" -> ((s, dir) => topkAgg(s, dir)),
+    "unpivot_measures" -> ((s, dir) => unpivotMeasures(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -1041,6 +1077,26 @@ object ExtQueries {
         |FROM x
         |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * n > s
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "topk_agg" ->
+      """SELECT event_type, rank, event_id FROM (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n_rows,
+        |       CAST(round(sum(CAST(val AS DECIMAL(24,6))), 2) AS DOUBLE) AS val_sum
+        |FROM u GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "embedding_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
         |       round(sqrt(list_dot_product(embedding::DOUBLE[],

@@ -327,17 +327,18 @@ object Dedup {
     while (changed && round < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("__nmin"))
+      // carry the previous label through the checkpoint so convergence
+      // detection is a filter over the materialized frame — joining back
+      // against the old labels would cost one more shuffle per round
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
       // existence check (early-exit take(1)), not a full count — the
       // driver only needs "any label moved?", never how many
-      changed = !next
-        .join(labels.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") =!= col("__old")).isEmpty
-      labels = next
+      changed = !next.where(col("component") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("component"))
       round += 1
     }
     require(!changed, s"components did not converge in $maxRounds rounds")

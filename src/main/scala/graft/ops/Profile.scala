@@ -39,4 +39,42 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * The 100 TB variant: identical report shape with
+   * `approx_count_distinct` (HyperLogLog++, `rsd` relative error) in the
+   * `n_distinct` slot. Exact `countDistinct` EXPANDs the aggregate — one
+   * shuffled pass per distinct-counted column — while the HLL sketches
+   * of all columns ride one pass with bounded state (2^p registers
+   * each), which is the difference between #cols shuffles and one.
+   * Deterministic for a given input (hash-based, no sampling), but NOT
+   * oracle-portable: the sketch estimate is engine-specific, so this
+   * variant is spec-verified against `numeric` within rsd tolerance
+   * rather than DuckDB-diffed.
+   */
+  def numericApprox(df: DataFrame, columns: Seq[String],
+      rsd: Double = 0.02): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count_if(col(c).isNull).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        avg(col(c)).as(s"__avg_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__rows_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        round(col(s"__min_$c"), 4).as("min_value"),
+        round(col(s"__max_$c"), 4).as("max_value"),
+        round(col(s"__avg_$c"), 4).as("avg_value"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }
