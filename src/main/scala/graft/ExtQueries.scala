@@ -594,6 +594,20 @@ object ExtQueries {
           .as("val_sum"))
       .orderBy("l_returnflag", "measure")
 
+  /** MAP-type function family (the one complex type the surface had not
+    * exercised): JSON props parsed to `map<string,string>`, exploded to
+    * key/value rows, aggregated per (type, key). Generic over however
+    * many keys the payload carries. */
+  private def mapFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .select(col("event_type"), explode(col("m")).as(Seq("k", "v")))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 4).as("avg_v"))
+      .orderBy("event_type", "k")
+
   /** Scalar string-function family over customer names: substring,
     * case-mapping, reverse, zero-padding, regex extraction. */
   private def stringsNorm(s: SparkSession, dir: String): DataFrame =
@@ -650,7 +664,8 @@ object ExtQueries {
     "above_brand_avg" -> ((s, dir) => aboveBrandAvg(s, dir)),
     "embedding_norms" -> ((s, dir) => embeddingNorms(s, dir)),
     "topk_agg" -> ((s, dir) => topkAgg(s, dir)),
-    "unpivot_measures" -> ((s, dir) => unpivotMeasures(s, dir))
+    "unpivot_measures" -> ((s, dir) => unpivotMeasures(s, dir)),
+    "map_functions" -> ((s, dir) => mapFunctions(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -1077,6 +1092,13 @@ object ExtQueries {
         |FROM x
         |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * n > s
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "map_functions" ->
+      """SELECT event_type, k, count(*) AS n,
+        |       round(avg(json_extract_string(props, '$.' || k)::DOUBLE), 4)
+        |         AS avg_v
+        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+        |      FROM events)
+        |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
     "topk_agg" ->
       """SELECT event_type, rank, event_id FROM (
         |  SELECT event_type, event_id,

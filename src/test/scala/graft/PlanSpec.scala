@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape assertions — the scale properties SCALE.md claims
+ * are pinned here so a refactor that silently loses one (a dropped
+ * broadcast, a vanished rank-limit pushdown, a filter that stops
+ * reaching the scan) fails a spec instead of surfacing as a 100×
+ * regression on a real cluster. String-contains on the executed plan is
+ * deliberately loose: operator names are stable, operand details are
+ * not.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("top_parts_per_brand: rank-limit pushes below the shuffle (WindowGroupLimit)") {
+    assert(plan("top_parts_per_brand").contains("WindowGroupLimit"))
+  }
+
+  test("join_revenue: dimension tables broadcast, fact join stays shuffled") {
+    val p = plan("join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    // the lineitem-orders fact-fact join must NOT broadcast at scale —
+    // it is written without a hint, so at sf0.001 AQE may still choose
+    // broadcast; assert only that the dims broadcast (two exchanges)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+  }
+
+  test("sample_hash: the md5 filter evaluates in the scan stage, before aggregation") {
+    val p = plan("sample_hash")
+    val filterAt = p.indexOf("Filter ")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(filterAt > 0 && aggAt >= 0 && filterAt > aggAt,
+      "filter should appear below (after, in tree print order) the aggregate")
+  }
+
+  test("dq single-check: column pruning reaches the parquet scan") {
+    val p = plan("dq_nonpositive")
+    // the 6-check table has 16 columns; the check needs exactly one
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"), p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("similarity_topk: query side broadcasts; corpus is never cross-joined unbucketed") {
+    val p = plan("similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rolling_7day: exactly two exchanges — partial-agg'd bars, then bars-only window") {
+    val p = plan("rolling_7day")
+    // Two hash exchanges is the CORRECT plan, not a miss: the first
+    // carries map-side-combined partial bars to (key, date); the second
+    // re-clusters only the aggregated bars (#bars ≪ #events) to (key)
+    // for the window. The single-exchange alternative (repartition raw
+    // events by key, then agg + window exchange-free) would shuffle the
+    // full event stream uncombined — strictly more bytes at any scale.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, plan:\n$p")
+    // and the second exchange must sit ABOVE the aggregate (bars), not
+    // above the scan (raw events): the aggregate appears between them
+    val first = p.indexOf("Exchange hashpartitioning")
+    val agg = p.indexOf("HashAggregate", first)
+    assert(agg > 0, "aggregation between the exchanges")
+  }
+}
