@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Clustering, Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{AsOf, Ingest, Merge, Profile, RangeJoin, Resample, Sessions}
 import graft.sources.Tables
 
@@ -110,6 +110,27 @@ object ExtQueries {
         round(col("sim"), 4).as("sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** End-to-end corpus dedup: the surviving documents after MinHash
+    * near-dup pairs → connected components → drop every non-
+    * representative. The operator a training pipeline actually calls
+    * (the pair/cluster queries above verify its internals). */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupByPairs(d,
+        Dedup.minhashNearDups(d, "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
+        "doc_id")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Deterministic Lloyd k-means over the embeddings (2 assignment
+    * rounds, stride-sampled init) — the oracle replays init → assign →
+    * decimal-exact centroid update → assign in SQL. */
+  private def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeans(embs(s, dir), "vec_id", "embedding",
+        centroidStride = 25, iters = 2)
+      .orderBy("vec_id")
 
   // --------------------------------------------------------------- text —
 
@@ -665,7 +686,9 @@ object ExtQueries {
     "embedding_norms" -> ((s, dir) => embeddingNorms(s, dir)),
     "topk_agg" -> ((s, dir) => topkAgg(s, dir)),
     "unpivot_measures" -> ((s, dir) => unpivotMeasures(s, dir)),
-    "map_functions" -> ((s, dir) => mapFunctions(s, dir))
+    "map_functions" -> ((s, dir) => mapFunctions(s, dir)),
+    "dedup_corpus" -> ((s, dir) => dedupCorpus(s, dir)),
+    "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -694,11 +717,11 @@ object ExtQueries {
     s"""$pairsCte
        |SELECT $selectCols FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
-  /** Connected components of the exact-pair graph by fixed-depth min-
-    * label propagation (rounds ≥ true diameter on this corpus — the
-    * Spark side iterates to FIXPOINT, so equality additionally proves
-    * the corpus components converged within `rounds`). */
-  private def componentsSql(rounds: Int): String = {
+  /** Shared WITH-body for the fixed-depth min-label propagation over the
+    * exact-pair graph (rounds ≥ true diameter on this corpus — the Spark
+    * side iterates to FIXPOINT, so equality additionally proves the
+    * corpus components converged within `rounds`). */
+  private def componentsCtes(rounds: Int): String = {
     val edges =
       """e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.5
         |      UNION ALL
@@ -715,9 +738,20 @@ object ExtQueries {
     }
     s"""$pairsCte,
        |$edges,
-       |${steps.mkString(",\n")}
-       |SELECT id, label AS component FROM l$rounds ORDER BY id""".stripMargin
+       |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private def componentsSql(rounds: Int): String =
+    s"""${componentsCtes(rounds)}
+       |SELECT id, label AS component FROM l$rounds ORDER BY id""".stripMargin
+
+  /** Corpus minus every non-representative (label != id) member. */
+  private def dedupCorpusSql(rounds: Int): String =
+    s"""${componentsCtes(rounds)}
+       |SELECT d.doc_id FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM l$rounds l
+       |                  WHERE l.id = d.doc_id AND l.label <> l.id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private val langHitsSql = TextOps.langProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -775,6 +809,38 @@ object ExtQueries {
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_clusters" -> componentsSql(4),
+    "dedup_corpus" -> dedupCorpusSql(4),
+    // k-means replay: distances use the LITERAL expression
+    // |p|^2 - 2 p.c + |c|^2 (same operation order as the Spark side →
+    // bit-identical doubles); centroid means sum in DECIMAL(38,20) and
+    // divide in double, so the update is order-independent and exact
+    "kmeans_clusters" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, dv AS cv FROM v WHERE vec_id % 25 = 0),
+        |a1 AS (
+        |  SELECT vec_id, dv, cent_id FROM (
+        |    SELECT v.vec_id, v.dv, c.cent_id,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_dot_product(v.dv, v.dv)
+        |             - 2.0 * list_dot_product(v.dv, c.cv)
+        |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
+        |    FROM v, c0 c) WHERE rn = 1),
+        |e1 AS (
+        |  SELECT cent_id, i AS pos,
+        |         CAST(sum(CAST(dv[i] AS DECIMAL(38,20))) AS DOUBLE)
+        |           / count(*) AS m
+        |  FROM a1, range(1, 65) t(i)
+        |  GROUP BY cent_id, i),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM e1 GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT v.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_dot_product(v.dv, v.dv)
+        |             - 2.0 * list_dot_product(v.dv, c.cv)
+        |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
+        |    FROM v, c1 c) WHERE rn = 1)
+        |SELECT vec_id, cent_id AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

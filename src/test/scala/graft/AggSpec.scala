@@ -44,6 +44,43 @@ class AggSpec extends AnyFunSuite {
     assert(ids == Seq(2L, 3L, 1L))
   }
 
+  test("Clustering.kmeans: hand-computed two-round Lloyd on separable points") {
+    import graft.ext.Clustering
+    // two tight groups; stride-2 init seeds centroids from ids 0 (at 0.0)
+    // and 2 (at 10.0); round 1 assigns {0,1} / {2,3}; the update moves
+    // centroids to the group means; round 2 keeps the same assignment
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(10.0, 0.0)), (3L, Array(11.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(pts, "vec_id", "embedding",
+        centroidStride = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("Clustering.kmeans: distance ties break to the lower centroid id, updates shift cells") {
+    import graft.ext.Clustering
+    // stride 2 seeds THREE centroids: ids 0 (0.0), 2 (6.0), 4 (7.0).
+    // Round 1: p5=3.0 is equidistant from seeds 0.0 and 6.0 (d²=9) →
+    // lower centroid id wins → cluster 0; p3=4.0 → cluster 2 (d²=4).
+    // Update: c0 → mean(0,1,3)=4/3, c2 → mean(6,4)=5, c4 → 7.
+    // Round 2: p2=6.0 is now equidistant from c2=5 and c4=7 (d²=1) →
+    // stays cluster 2 by the same tie rule; no other point moves.
+    val pts = Seq(
+      (0L, Array(0.0)), (1L, Array(1.0)), (2L, Array(6.0)),
+      (3L, Array(4.0)), (4L, Array(7.0)), (5L, Array(3.0)))
+      .toDF("vec_id", "embedding")
+    val expected = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),
+      (4L, 4L), (5L, 0L))
+    val r1 = Clustering.kmeans(pts, "vec_id", "embedding", 2, iters = 1)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val r2 = Clustering.kmeans(pts, "vec_id", "embedding", 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(r1 == expected)
+    assert(r2 == expected)
+  }
+
   test("Profile.numericApprox matches exact profile except HLL distinct within tolerance") {
     val df = TestData.lineitem(spark)
     val cols = Seq("l_quantity", "l_extendedprice")
