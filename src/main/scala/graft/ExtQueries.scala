@@ -185,6 +185,20 @@ object ExtQueries {
       .orderBy("n_name")
   }
 
+  /** Region rollup — exercises the last untouched testdata table: the
+    * full dimension chain region ← nation ← supplier with a broadcast
+    * snowflake join and a left join preserving supplier-less nations. */
+  private def joinRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation")
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.load(s, dir, "supplier"),
+        col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy("r_name")
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+        count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("r_name")
+
   /** Semi/anti join family: customers with no orders (left_anti) and
     * per-segment counts of customers having orders (left_semi). */
   private def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
@@ -688,7 +702,8 @@ object ExtQueries {
     "unpivot_measures" -> ((s, dir) => unpivotMeasures(s, dir)),
     "map_functions" -> ((s, dir) => mapFunctions(s, dir)),
     "dedup_corpus" -> ((s, dir) => dedupCorpus(s, dir)),
-    "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir))
+    "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir)),
+    "join_region" -> ((s, dir) => joinRegion(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -931,6 +946,13 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "join_region" ->
+      """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
+        |       count(s_suppkey) AS n_suppliers
+        |FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "join_semi_anti" ->
       """WITH with_orders AS (
         |  SELECT c_mktsegment, count(*) AS n_with_orders
