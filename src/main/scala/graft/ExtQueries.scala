@@ -199,6 +199,26 @@ object ExtQueries {
         count(col("s_suppkey")).as("n_suppliers"))
       .orderBy("r_name")
 
+  /**
+   * Ratio-to-total — written the scale-safe way: the grand total comes
+   * from a separate aggregate broadcast-cross-joined back, NOT from
+   * `sum().over(Window.partitionBy())`, whose empty partitioning drags
+   * every row onto ONE reducer. All arithmetic is integer (cents in,
+   * floor-divided basis points out) — decimal/double division rounds
+   * engine-specifically, integer division cannot.
+   */
+  private def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val perStatus = Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("status_cents"))
+    val grand = perStatus.agg(sum(col("status_cents")).as("grand_cents"))
+    perStatus.crossJoin(broadcast(grand))
+      .select(col("o_orderstatus"), col("status_cents"),
+        expr("status_cents * 10000L DIV grand_cents").as("share_bps"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Semi/anti join family: customers with no orders (left_anti) and
     * per-segment counts of customers having orders (left_semi). */
   private def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
@@ -703,7 +723,8 @@ object ExtQueries {
     "map_functions" -> ((s, dir) => mapFunctions(s, dir)),
     "dedup_corpus" -> ((s, dir) => dedupCorpus(s, dir)),
     "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir)),
-    "join_region" -> ((s, dir) => joinRegion(s, dir))
+    "join_region" -> ((s, dir) => joinRegion(s, dir)),
+    "revenue_share" -> ((s, dir) => revenueShare(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -946,6 +967,15 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "revenue_share" ->
+      """WITH ps AS (
+        |  SELECT o_orderstatus,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS status_cents
+        |  FROM orders GROUP BY o_orderstatus),
+        |g AS (SELECT sum(status_cents) AS grand_cents FROM ps)
+        |SELECT o_orderstatus, status_cents,
+        |       (status_cents * 10000) // grand_cents AS share_bps
+        |FROM ps, g ORDER BY o_orderstatus""".stripMargin,
     "join_region" ->
       """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
         |       count(s_suppkey) AS n_suppliers

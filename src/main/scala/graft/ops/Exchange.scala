@@ -23,13 +23,24 @@ object Exchange {
   /**
    * Overwrite exactly the partitions of `partitionCol` present in `df`
    * (the reference's per-ds DELETE + INSERT pair, SURVEY.md §2.2 D6).
+   *
+   * The frame is re-clustered on the partition column first: without
+   * it, every one of N upstream tasks writes a file into every date dir
+   * it touches — N×#dates small files per promote, the classic
+   * partitioned-write explosion (measured 2× of exchange_idempotent's
+   * bench cost at sf0.1). Clustered, each date dir gets one file per
+   * owning task. A pathologically hot single date serializes onto one
+   * task; callers with that shape pass `cluster = false` and manage
+   * file counts themselves.
    */
-  def promote(df: DataFrame, path: String, partitionCol: String = "date"): Unit = {
+  def promote(df: DataFrame, path: String, partitionCol: String = "date",
+      cluster: Boolean = true): Unit = {
     val spark = df.sparkSession
+    val out = if (cluster) df.repartition(col(partitionCol)) else df
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    try out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
