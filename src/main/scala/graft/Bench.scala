@@ -27,6 +27,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT/classloading/codegen-cache startup otherwise
+    // lands entirely on the alphabetically first query (measured ~6 s of
+    // its time at sf0.1 — more than most queries cost). One tiny
+    // aggregate over each table warms the parquet reader, codegen and
+    // shuffle machinery without touching any query's own work.
+    graft.sources.Tables.tableNames.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).limit(64)
+        .groupBy().count().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     case class R(name: String, sec: Double, buildSec: Double, ok: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -152,6 +152,33 @@ object ExtQueries {
       .withColumn("fingerprint", concat_ws(",", col("fingerprint")))
       .orderBy("doc_id")
 
+  /**
+   * Token-budget shard packing — the training-data step that turns a
+   * curated corpus into fixed-capacity shards: docs are laid out in
+   * deterministic (doc_id) order, a running token count assigns each to
+   * shard floor((cum − own)/capacity) (documents may straddle a
+   * boundary — the contiguous-fill policy), and shards report their
+   * membership and size. Packing runs PER LANGUAGE: the cumulative sum
+   * parallelizes across packing groups, and a global pack order would
+   * serialize onto one reducer at scale. Token counts come from the
+   * native `token_stats` kernel.
+   */
+  private def packShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExprs.register(s)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tokens", expr("token_stats(text).n_tokens").cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / lit(512L)).cast("long"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard")
+  }
+
   // --------------------------------------------------------- multimodal —
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -724,7 +751,8 @@ object ExtQueries {
     "dedup_corpus" -> ((s, dir) => dedupCorpus(s, dir)),
     "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir)),
     "join_region" -> ((s, dir) => joinRegion(s, dir)),
-    "revenue_share" -> ((s, dir) => revenueShare(s, dir))
+    "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
+    "pack_shards" -> ((s, dir) => packShards(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -967,6 +995,17 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard,
+         |       count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "revenue_share" ->
       """WITH ps AS (
         |  SELECT o_orderstatus,

@@ -18,6 +18,14 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("driver contract: entry returns rows on sf0.001 and every query has an oracle") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+    assert(q.subsetOf(o), s"queries without oracles (rows-only gate): ${q.diff(o)}")
+  }
+
   test("top_parts_per_brand: rank-limit pushes below the shuffle (WindowGroupLimit)") {
     assert(plan("top_parts_per_brand").contains("WindowGroupLimit"))
   }
