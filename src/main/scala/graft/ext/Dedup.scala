@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
  * exact, MinHash+LSH, SimHash, and n-gram-Jaccard set-similarity join.
  *
  * Scale design (the 100 TB shape):
- *  - Signatures (MinHash, SimHash) are computed IN-ROW with higher-order
- *    array functions — no explode, no shuffle, no UDF; a signature pass
- *    is a single narrow projection over the corpus.
+ *  - Signatures (MinHash, SimHash) are explode + CODEGEN'D aggregates
+ *    (min over permuted hashes / signed bit sums) with map-side partials
+ *    — measured 3× faster than the in-row higher-order-function
+ *    formulation, whose per-element lambdas are CodegenFallback
+ *    (~20 µs/element; see BASELINE.md perf notes). Tokenize/shingle
+ *    kernels are native codegen expressions (functions/TextExprs).
  *  - Candidate generation is always a bucket equi-join (LSH band buckets,
  *    SimHash chunks, shingle postings) — never a cross join. Shuffle keys
  *    are the bucket ids, so co-candidates land on the same partition and
