@@ -54,4 +54,26 @@ object Exchange {
   /** Read the promoted table back (partition-pruned scans on `date`). */
   def table(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * Small-file compaction — the table-maintenance companion to
+   * `promote`: rewrite one partition's files into
+   * ceil(bytes / targetFileBytes) files (min 1). Long-lived
+   * incrementally-promoted tables accumulate a file per promote per
+   * partition; scan cost grows with file count (task scheduling, footer
+   * reads), not bytes. Compaction reads ONE partition and dynamically
+   * overwrites the same partition — the table stays queryable
+   * throughout and other partitions are untouched, exactly how
+   * Iceberg/Delta rewrite-data-files actions scope their work.
+   */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+      partitionValue: Any, targetFileBytes: Long = 128L << 20): Unit = {
+    val slice = table(spark, path)
+      .where(col(partitionCol) === lit(partitionValue))
+    val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L,
+      ((bytes + targetFileBytes - 1) / BigInt(targetFileBytes)).toLong)
+    promote(slice.repartition(nFiles.toInt), path, partitionCol,
+      cluster = false)
+  }
 }

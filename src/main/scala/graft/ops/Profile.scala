@@ -77,4 +77,30 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Approximate per-column quantiles (Greenwald–Khanna via
+   * `approx_percentile`): one pass, bounded sketch state per column —
+   * the exact `percentile` aggregate buffers every value of a group.
+   * `accuracy` trades state (≈ accuracy × #quantiles ints) for rank
+   * error ≤ n/accuracy. Like the HLL profile, the estimate is
+   * engine-specific, so it is spec-verified against the exact quantiles
+   * within rank tolerance rather than DuckDB-diffed.
+   */
+  def quantilesApprox(df: DataFrame, columns: Seq[String],
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(columns.nonEmpty && probs.nonEmpty, "columns and probs required")
+    val probsArr = s"array(${probs.mkString("D, ")}D)"
+    val aggs = columns.map { c =>
+      expr(s"approx_percentile(`$c`, $probsArr, $accuracy)").as(s"__q_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { c =>
+      struct((lit(c).as("col_name") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          round(col(s"__q_$c")(i), 4).as(s"p${(p * 100).toInt}")
+        }): _*)
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

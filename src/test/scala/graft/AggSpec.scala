@@ -81,6 +81,47 @@ class AggSpec extends AnyFunSuite {
     assert(r2 == expected)
   }
 
+  test("Exchange.compact: one partition's files collapse, content and other partitions untouched") {
+    import graft.ops.Exchange
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_")
+      .resolve("t").toString
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    // simulate incremental promotes: many small files in each partition
+    (1 to 4).foreach { i =>
+      Seq((d1, i.toLong, s"a$i"), (d2, i.toLong + 100, s"b$i"))
+        .toDF("date", "v", "tag").repartition(3)
+        .write.mode("append").partitionBy("date").parquet(root)
+    }
+    def files(day: String) =
+      new java.io.File(s"$root/date=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val before = Exchange.table(spark, root).orderBy("v", "tag").collect().toSeq
+    assert(files("2024-01-01") >= 4)             // one file per append
+    Exchange.compact(spark, root, "date", d1)
+    assert(files("2024-01-01") == 1)             // tiny data → one file
+    assert(files("2024-01-02") >= 4)             // other partition untouched
+    val after = Exchange.table(spark, root).orderBy("v", "tag").collect().toSeq
+    assert(after.map(_.toString) == before.map(_.toString))
+  }
+
+  test("Profile.quantilesApprox: within rank tolerance of exact quantiles") {
+    import graft.ops.Profile
+    val df = TestData.lineitem(spark)
+    val probs = Seq(0.25, 0.5, 0.75)
+    val approx = Profile.quantilesApprox(df, Seq("l_extendedprice"), probs)
+      .collect().head
+    // exact reference values via the exact percentile aggregate
+    val exact = df.selectExpr(
+      "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)) AS q")
+      .collect().head.getSeq[Double](0)
+    probs.indices.foreach { i =>
+      val a = approx.getDouble(1 + i)
+      val e = exact(i)
+      assert(math.abs(a - e) / e < 0.05, s"p${probs(i)}: approx $a exact $e")
+    }
+  }
+
   test("Profile.numericApprox matches exact profile except HLL distinct within tolerance") {
     val df = TestData.lineitem(spark)
     val cols = Seq("l_quantity", "l_extendedprice")
