@@ -132,6 +132,30 @@ object ExtQueries {
         centroidStride = 25, iters = 2)
       .orderBy("vec_id")
 
+  /** Clustering evaluation against the labeled testdata: per-cluster
+    * majority label and purity (majority count / cluster size, in exact
+    * integer bps) — the eval step that closes the curation loop. Ties
+    * on the majority break to the lower label. */
+  private def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val km = Clustering.kmeans(embs(s, dir), "vec_id", "embedding",
+      centroidStride = 25, iters = 2)
+    val labeled = km.join(
+      Tables.load(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val byLabel = labeled.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n").desc, col("label").asc)
+    byLabel
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cluster_n", sum(col("n")).over(Window.partitionBy("cluster")))
+      .where(col("rnk") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("cluster_n").as("n_vectors"),
+        expr("n * 10000L DIV cluster_n").as("purity_bps"))
+      .orderBy("cluster")
+  }
+
   // --------------------------------------------------------------- text —
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -752,7 +776,8 @@ object ExtQueries {
     "kmeans_clusters" -> ((s, dir) => kmeansClusters(s, dir)),
     "join_region" -> ((s, dir) => joinRegion(s, dir)),
     "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
-    "pack_shards" -> ((s, dir) => packShards(s, dir))
+    "pack_shards" -> ((s, dir) => packShards(s, dir)),
+    "cluster_purity" -> ((s, dir) => clusterPurity(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -817,6 +842,36 @@ object ExtQueries {
        |                  WHERE l.id = d.doc_id AND l.label <> l.id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared WITH-body replaying the deterministic 2-round k-means
+    * (init stride 25, dim 64 — mirrors `Clustering.kmeans` params in
+    * `kmeansClusters`/`clusterPurity`); final assignment is `a2`. */
+  private val kmeansCtes =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+      |c0 AS (SELECT vec_id AS cent_id, dv AS cv FROM v WHERE vec_id % 25 = 0),
+      |a1 AS (
+      |  SELECT vec_id, dv, cent_id FROM (
+      |    SELECT v.vec_id, v.dv, c.cent_id,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             list_dot_product(v.dv, v.dv)
+      |             - 2.0 * list_dot_product(v.dv, c.cv)
+      |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
+      |    FROM v, c0 c) WHERE rn = 1),
+      |e1 AS (
+      |  SELECT cent_id, i AS pos,
+      |         CAST(sum(CAST(dv[i] AS DECIMAL(38,20))) AS DOUBLE)
+      |           / count(*) AS m
+      |  FROM a1, range(1, 65) t(i)
+      |  GROUP BY cent_id, i),
+      |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM e1 GROUP BY cent_id),
+      |a2 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             list_dot_product(v.dv, v.dv)
+      |             - 2.0 * list_dot_product(v.dv, c.cv)
+      |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
+      |    FROM v, c1 c) WHERE rn = 1)""".stripMargin
+
   private val langHitsSql = TextOps.langProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, x -> x IN ($list))) AS h_$lang"
@@ -879,32 +934,23 @@ object ExtQueries {
     // bit-identical doubles); centroid means sum in DECIMAL(38,20) and
     // divide in double, so the update is order-independent and exact
     "kmeans_clusters" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |c0 AS (SELECT vec_id AS cent_id, dv AS cv FROM v WHERE vec_id % 25 = 0),
-        |a1 AS (
-        |  SELECT vec_id, dv, cent_id FROM (
-        |    SELECT v.vec_id, v.dv, c.cent_id,
-        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |             list_dot_product(v.dv, v.dv)
-        |             - 2.0 * list_dot_product(v.dv, c.cv)
-        |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
-        |    FROM v, c0 c) WHERE rn = 1),
-        |e1 AS (
-        |  SELECT cent_id, i AS pos,
-        |         CAST(sum(CAST(dv[i] AS DECIMAL(38,20))) AS DOUBLE)
-        |           / count(*) AS m
-        |  FROM a1, range(1, 65) t(i)
-        |  GROUP BY cent_id, i),
-        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM e1 GROUP BY cent_id),
-        |a2 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT v.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |             list_dot_product(v.dv, v.dv)
-        |             - 2.0 * list_dot_product(v.dv, c.cv)
-        |             + list_dot_product(c.cv, c.cv) ASC, c.cent_id) AS rn
-        |    FROM v, c1 c) WHERE rn = 1)
-        |SELECT vec_id, cent_id AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+      s"""$kmeansCtes
+         |SELECT vec_id, cent_id AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "cluster_purity" ->
+      s"""$kmeansCtes,
+         |bl AS (
+         |  SELECT a2.cent_id AS cluster, e.label, count(*) AS n
+         |  FROM a2 JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT cluster, label, n,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY n DESC, label ASC) AS rnk,
+         |         sum(n) OVER (PARTITION BY cluster) AS cluster_n
+         |  FROM bl)
+         |SELECT cluster, label AS majority_label, cluster_n AS n_vectors,
+         |       (n * 10000) // cluster_n AS purity_bps
+         |FROM r WHERE rnk = 1 ORDER BY cluster""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
