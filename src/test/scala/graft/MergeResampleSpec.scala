@@ -89,6 +89,18 @@ class MergeResampleSpec extends AnyFunSuite {
       (d("2024-01-03"), 30.0), (d("2024-01-04"), 40.0)))
   }
 
+  test("Graft.registerFunctions makes every SQL kernel resolvable on a foreign session") {
+    Graft.registerFunctions(spark)
+    val n = spark.sql(
+      "SELECT size(norm_tokens('a b')) + size(token_shingles('a b c', 2)) " +
+        "+ token_stats('x y').n_tokens + size(winnow_fingerprint('a b c', 2, 4)) " +
+        "+ CAST(vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS INT) " +
+        "+ size(sign_band_buckets(array(1.0D, 2.0D), 4, 2, 2))")
+      .head().getInt(0)
+    // 2 + 2 + 2 + 1 + 11 + 2
+    assert(n == 20)
+  }
+
   test("GraftExtensions: a builder-injected session resolves every native kernel") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate returns the existing default session (extensions are
