@@ -203,6 +203,28 @@ object ExtQueries {
       .orderBy("lang", "shard")
   }
 
+  /**
+   * Cross-modal join — text quality per embedding cluster (doc_id and
+   * vec_id are the same identity in the corpus): the curation-analytics
+   * shape that decides which semantic clusters to keep, downsample or
+   * drop. Aggregates are exact (counts, a decimal token/quality sum cast
+   * to double) so no cross-engine averaging divides.
+   */
+  private def modalityJoin(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Clustering.kmeans(embs(s, dir), "vec_id", "embedding",
+      centroidStride = 25, iters = 2)
+    val stats = TextOps.stats(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        col("quality_score").cast("decimal(10,4)").as("q"), col("lang_guess"))
+    clusters.join(stats, col("vec_id") === col("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("q")).cast("double").as("sum_quality"),
+        countDistinct(col("lang_guess")).as("n_langs"))
+      .orderBy("cluster")
+  }
+
   // --------------------------------------------------------- multimodal —
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -777,7 +799,8 @@ object ExtQueries {
     "join_region" -> ((s, dir) => joinRegion(s, dir)),
     "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
     "pack_shards" -> ((s, dir) => packShards(s, dir)),
-    "cluster_purity" -> ((s, dir) => clusterPurity(s, dir))
+    "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
+    "modality_join" -> ((s, dir) => modalityJoin(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -936,6 +959,16 @@ object ExtQueries {
     "kmeans_clusters" ->
       s"""$kmeansCtes
          |SELECT vec_id, cent_id AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "modality_join" ->
+      s"""$kmeansCtes,
+         |stats AS ($statsSql)
+         |SELECT a2.cent_id AS cluster, count(*) AS n_docs,
+         |       sum(n_tokens) AS sum_tokens,
+         |       CAST(sum(CAST(quality_score AS DECIMAL(10,4))) AS DOUBLE)
+         |         AS sum_quality,
+         |       count(DISTINCT lang_guess) AS n_langs
+         |FROM a2 JOIN stats ON a2.vec_id = stats.doc_id
+         |GROUP BY a2.cent_id ORDER BY cluster""".stripMargin,
     "cluster_purity" ->
       s"""$kmeansCtes,
          |bl AS (
