@@ -60,6 +60,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  private def hashExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(name)).size
+
+  test("merge_upsert: the union+precedence upsert costs exactly ONE hash shuffle") {
+    // (the trailing rangepartitioning is the gate's determinism orderBy)
+    assert(hashExchanges("merge_upsert") == 1)
+  }
+
+  test("sessionize: boundary lag, session-id cumsum and the session agg share ONE shuffle") {
+    assert(hashExchanges("sessionize") == 1)
+  }
+
+  test("asof_ref: two hash shuffles — refs derivation, then the union-sort-fill merge") {
+    assert(hashExchanges("asof_ref") == 2)
+  }
+
   test("rolling_7day: exactly two exchanges — partial-agg'd bars, then bars-only window") {
     val p = plan("rolling_7day")
     // Two hash exchanges is the CORRECT plan, not a miss: the first
