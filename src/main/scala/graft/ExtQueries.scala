@@ -410,6 +410,23 @@ object ExtQueries {
         round(col("q")(2), 4).as("p75"), round(col("q")(3), 4).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregate family per group: sample variance/stddev,
+    * sample covariance and Pearson correlation of the price/quantity
+    * measures. Restricted to the SAMPLE variants — population skewness/
+    * kurtosis definitions differ between engines (Spark g1/g2 vs
+    * DuckDB's bias-corrected forms) and are deliberately excluded. */
+  private def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("qty_price_covar"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"))
+      .orderBy("l_returnflag")
+
   /** Single-pass numeric profile of lineitem's measure columns. */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.load(s, dir, "lineitem"),
@@ -800,7 +817,8 @@ object ExtQueries {
     "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
     "pack_shards" -> ((s, dir) => packShards(s, dir)),
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
-    "modality_join" -> ((s, dir) => modalityJoin(s, dir))
+    "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
+    "stats_agg" -> ((s, dir) => statsAgg(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -1051,6 +1069,13 @@ object ExtQueries {
         |       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 4) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(var_samp(l_quantity), 4) AS qty_var,
+        |       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "profile_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
