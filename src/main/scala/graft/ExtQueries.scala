@@ -410,6 +410,33 @@ object ExtQueries {
         round(col("q")(2), 4).as("p75"), round(col("q")(3), 4).as("p95"))
       .orderBy("l_returnflag")
 
+  /**
+   * SCD2 dimension-history build — collapse a change stream into
+   * effective-dated versions: keep only rows where the tracked value
+   * differs from the previous row (change points), then close each
+   * version with the next change's timestamp (open-ended for the
+   * current version). Two windows over the same key; the second runs on
+   * the already-collapsed change points (≪ input). Timestamps are
+   * emitted as epoch millis — raw timestamp cells round-trip the
+   * parquet/DuckDB gate less portably than integers.
+   */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.load(s, dir, "events")
+      .withColumn("__prev", lag(col("event_type"), 1).over(wAll))
+      .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    val wChg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("version", row_number().over(wChg))
+      .withColumn("effective_to_ms",
+        unix_millis(lead(col("ts"), 1).over(wChg)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_millis(col("ts")).as("effective_from_ms"),
+        col("effective_to_ms"))
+      .orderBy("user_id", "version")
+  }
+
   /** Statistical aggregate family per group: sample variance/stddev,
     * sample covariance and Pearson correlation of the price/quantity
     * measures. Restricted to the SAMPLE variants — population skewness/
@@ -818,7 +845,8 @@ object ExtQueries {
     "pack_shards" -> ((s, dir) => packShards(s, dir)),
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
     "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
-    "stats_agg" -> ((s, dir) => statsAgg(s, dir))
+    "stats_agg" -> ((s, dir) => statsAgg(s, dir)),
+    "scd2_history" -> ((s, dir) => scd2History(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -1069,6 +1097,23 @@ object ExtQueries {
         |       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 4) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM marked WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |       row_number() OVER w AS version,
+        |       event_type,
+        |       epoch_ms(ts) AS effective_from_ms,
+        |       epoch_ms(lead(ts) OVER w) AS effective_to_ms
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "stats_agg" ->
       """SELECT l_returnflag,
         |       round(var_samp(l_quantity), 4) AS qty_var,
