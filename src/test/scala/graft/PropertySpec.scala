@@ -74,6 +74,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Merge.upsert is idempotent and key-total on random target/source splits") {
+    import graft.ops.Merge
+    for (seed <- 20L to 23L) {
+      val base = sample(seed).withColumnRenamed("date", "d")
+      val target = base.where(pmod(hash($"ticker", $"d"), lit(3)) =!= 0)
+      val source = base.where(pmod(hash($"ticker", $"d"), lit(2)) === 0)
+        .withColumn("close", $"close" + 1000.0)
+      val once = Merge.upsert(target, source, Seq("ticker", "d"))
+      val twice = Merge.upsert(once, source, Seq("ticker", "d"))
+      // idempotent: re-applying the same source changes nothing
+      assert(once.orderBy("ticker", "d").collect().toSeq ==
+        twice.orderBy("ticker", "d").collect().toSeq, s"seed $seed")
+      // key-total: exactly the union of both key sets, no dupes
+      val keys = target.select("ticker", "d")
+        .union(source.select("ticker", "d")).distinct()
+      assert(once.count() == keys.count(), s"seed $seed")
+      // source precedence: every source key carries the uplifted close
+      val fromSource = once.join(source.select($"ticker", $"d",
+        $"close".as("sclose")), Seq("ticker", "d"))
+      assert(fromSource.where($"close" =!= $"sclose").count() == 0, s"seed $seed")
+    }
+  }
+
+  test("Resample.dailyFfill yields a dense, gap-free, observed-consistent spine") {
+    import graft.ops.Resample
+    for (seed <- 30L to 32L) {
+      val in = sample(seed)
+      val out = Resample.dailyFfill(in, Seq("ticker"), "date", Seq("close"))
+      // per key: exactly (max-min+1) days, no null closes, first day observed
+      val spine = out.groupBy("ticker").agg(
+        count(lit(1)).as("n"),
+        (datediff(max($"date"), min($"date")) + 1).as("span"),
+        count_if($"close".isNull).as("nulls"),
+        min(struct($"date", $"observed")).as("first"))
+      assert(spine.where($"n" =!= $"span" || $"nulls" =!= 0 ||
+        !$"first.observed").count() == 0, s"seed $seed")
+      // observed rows carry their original close unchanged
+      val obs = out.where($"observed")
+        .join(in.withColumnRenamed("close", "orig"), Seq("ticker", "date"))
+      assert(obs.where($"close" =!= $"orig").count() == 0, s"seed $seed")
+      assert(obs.count() == in.count(), s"seed $seed")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
