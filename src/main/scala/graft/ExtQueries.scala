@@ -1009,7 +1009,7 @@ object ExtQueries {
       s"""$kmeansCtes,
          |stats AS ($statsSql)
          |SELECT a2.cent_id AS cluster, count(*) AS n_docs,
-         |       sum(n_tokens) AS sum_tokens,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |       CAST(sum(CAST(quality_score AS DECIMAL(10,4))) AS DOUBLE)
          |         AS sum_quality,
          |       count(DISTINCT lang_guess) AS n_langs
@@ -1025,10 +1025,10 @@ object ExtQueries {
          |  SELECT cluster, label, n,
          |         row_number() OVER (PARTITION BY cluster
          |                            ORDER BY n DESC, label ASC) AS rnk,
-         |         sum(n) OVER (PARTITION BY cluster) AS cluster_n
+         |         CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
          |  FROM bl)
          |SELECT cluster, label AS majority_label, cluster_n AS n_vectors,
-         |       (n * 10000) // cluster_n AS purity_bps
+         |       CAST((n * 10000) // cluster_n AS BIGINT) AS purity_bps
          |FROM r WHERE rnk = 1 ORDER BY cluster""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
@@ -1152,17 +1152,18 @@ object ExtQueries {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM t)
          |SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard,
-         |       count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "revenue_share" ->
       """WITH ps AS (
         |  SELECT o_orderstatus,
-        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS status_cents
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS status_cents
         |  FROM orders GROUP BY o_orderstatus),
-        |g AS (SELECT sum(status_cents) AS grand_cents FROM ps)
+        |g AS (SELECT CAST(sum(status_cents) AS BIGINT) AS grand_cents FROM ps)
         |SELECT o_orderstatus, status_cents,
-        |       (status_cents * 10000) // grand_cents AS share_bps
+        |       CAST((status_cents * 10000) // grand_cents AS BIGINT) AS share_bps
         |FROM ps, g ORDER BY o_orderstatus""".stripMargin,
     "join_region" ->
       """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,

@@ -6,7 +6,15 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 For each query dumped by graft.Verify (parquet dir per query +
 oracle_sql.json), runs the oracle SQL in DuckDB against views named after
 the sfDir parquet tables and diffs: row count, column names (sorted),
-and per-cell values (rows sorted, floats rounded)."""
+per-cell values (rows sorted, floats rounded), AND pandas dtypes.
+
+The dtype check is driver-faithful: the driver materializes both sides
+through pandas before hashing, so a DuckDB HUGEINT column (integer sum()
+or // division) becomes float64 while the Spark parquet stays int64 —
+identical values, different rendered cell ("123.0" vs "123"), different
+hash. Round 3 lost 4 queries to exactly this. Width differences within a
+kind (int32 vs int64) rendered identically and passed the driver in r3,
+so we compare numpy dtype KIND (i/u/f/b/O/M), not width."""
 import sys, os, json, math
 import duckdb
 
@@ -41,6 +49,7 @@ def main(sf_dir, out_dir):
             continue
         got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
         got_cols = sorted(got_rel.columns)
+        got_dtypes = {c: t.kind for c, t in got_rel.df().dtypes.items()}
         got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
                      for r in got_rel.fetchall()])
         if name not in oracle:
@@ -48,9 +57,12 @@ def main(sf_dir, out_dir):
             continue
         exp_rel = con.sql(oracle[name])
         exp_cols = sorted(exp_rel.columns)
+        exp_dtypes = {c: t.kind for c, t in exp_rel.df().dtypes.items()}
         exp = canon([tuple(r[exp_rel.columns.index(c)] for c in exp_cols)
                      for r in exp_rel.fetchall()])
-        ok = got_cols == exp_cols and got == exp
+        dtype_diff = [(c, got_dtypes.get(c), exp_dtypes.get(c))
+                      for c in got_cols if got_dtypes.get(c) != exp_dtypes.get(c)]
+        ok = got_cols == exp_cols and got == exp and not dtype_diff
         if ok:
             n_pass += 1
             print(f"[PASS] {name}: {len(got)} rows")
@@ -58,6 +70,8 @@ def main(sf_dir, out_dir):
             n_fail += 1
             print(f"[FAIL] {name}: cols {got_cols==exp_cols} "
                   f"({got_cols} vs {exp_cols}) rows {len(got)}/{len(exp)}")
+            if dtype_diff:
+                print("  dtype diff (col, spark, oracle):", dtype_diff)
             for g, e in zip(got, exp):
                 if g != e:
                     print("  first diff:\n   got:", g, "\n   exp:", e)
