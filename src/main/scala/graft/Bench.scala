@@ -53,10 +53,12 @@ object Bench {
       spark.catalog.clearCache()
       R(name, (t1 - t0) / 1e9, (tBuilt - t0) / 1e9, ok)
     }
-    // The stdout JSON line must stay SHORT (well under ~2 KB): the driver
-    // captures only a bounded tail of the output and a line that gets cut
-    // mid-JSON is recorded as parsed=null (this zeroed round 2's bench).
-    // So: 3-decimal seconds, and the build-phase split goes to stderr.
+    // The stdout JSON line must stay SHORT: the driver captures only a
+    // bounded (~2 KB) tail of the output and parses the JSON from it — a
+    // line that gets cut mid-JSON is recorded as parsed=null (this zeroed
+    // round 2's bench, and even the complete-but-1.9KB line in rounds 3/4
+    // failed to parse). So stdout carries only the scalar summary; the
+    // per-query map goes to stderr AND target/bench_queries.json.
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would corrupt the JSON line
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
@@ -65,8 +67,15 @@ object Bench {
     val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_.sec).sum
-    System.err.println(s"""[bench] build_sec=${obj(_.buildSec)}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(_.sec)},"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)}}"""
+    System.err.println(s"[bench] $full")
+    try {
+      val out = java.nio.file.Paths.get("target/bench_queries.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,9 +62,18 @@ object Exchange {
    * incrementally-promoted tables accumulate a file per promote per
    * partition; scan cost grows with file count (task scheduling, footer
    * reads), not bytes. Compaction reads ONE partition and dynamically
-   * overwrites the same partition — the table stays queryable
-   * throughout and other partitions are untouched, exactly how
-   * Iceberg/Delta rewrite-data-files actions scope their work.
+   * overwrites the same partition — other partitions are untouched,
+   * exactly how Iceberg/Delta rewrite-data-files actions scope their
+   * work.
+   *
+   * Because source and destination are the same directory, the slice is
+   * MATERIALIZED (localCheckpoint) before the overwrite commits: a lazy
+   * plan would race the scan against the commit's delete of the old
+   * files. Non-atomicity caveat: on a plain filesystem the overwrite
+   * commit itself (delete old files, move new in) is not atomic — a
+   * crash mid-commit can leave the partition partial. A table format
+   * with a metadata pointer (Iceberg/Delta) is the real fix; see
+   * SCALE.md's Iceberg-semantics section.
    */
   def compact(spark: SparkSession, path: String, partitionCol: String,
       partitionValue: Any, targetFileBytes: Long = 128L << 20): Unit = {
@@ -73,7 +82,7 @@ object Exchange {
     val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L,
       ((bytes + targetFileBytes - 1) / BigInt(targetFileBytes)).toLong)
-    promote(slice.repartition(nFiles.toInt), path, partitionCol,
-      cluster = false)
+    val materialized = slice.repartition(nFiles.toInt).localCheckpoint()
+    promote(materialized, path, partitionCol, cluster = false)
   }
 }

@@ -28,10 +28,12 @@ object Merge {
    * match by name (the frames are aligned with `unionByName`).
    *
    * Implemented as union + first-row-per-key precedence rather than an
-   * outer join: one shuffle, and a key appearing multiple times in
-   * `source` resolves deterministically via `sourceOrder` (defaults to
-   * "any single source row per key" being an error surfaced by tests —
-   * pass e.g. an event-time column to keep the latest).
+   * outer join: one shuffle. A key appearing multiple times in `source`
+   * resolves via `sourceOrder` (pass e.g. an event-time column to keep
+   * the latest); with `sourceOrder` empty, duplicate source keys resolve
+   * to an ARBITRARY source row (row_number over a tie — the pick can
+   * change with partitioning), so callers with possibly-duplicate
+   * sources must pass a total order or dedup first.
    */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       sourceOrder: Seq[String] = Nil): DataFrame = {
@@ -56,13 +58,17 @@ object Merge {
    */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       updates: Seq[String] = Nil, deleteWhen: Option[Column] = None): DataFrame = {
-    val t = target.alias("t")
-    val s = source.alias("s")
+    // Literal presence flags, not key-null tests: the join condition is
+    // null-safe (<=>), so a key that is NULL on both sides MATCHES — a
+    // key-nullness test would misclassify that row as neither matched
+    // nor target-only (skipping its update and exposing it to delete).
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s = source.withColumn("__s_present", lit(true)).alias("s")
     val updateCols =
       if (updates.nonEmpty) updates
       else source.columns.filterNot(keys.contains).toSeq
-    val matched = col(s"s.${keys.head}").isNotNull
-    val inTarget = col(s"t.${keys.head}").isNotNull
+    val matched = col("s.__s_present").isNotNull
+    val inTarget = col("t.__t_present").isNotNull
     val outCols = target.columns.toSeq.map { c =>
       if (keys.contains(c))
         coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
@@ -77,8 +83,13 @@ object Merge {
     val joined = t.join(s,
       keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
       "full_outer")
+    // SQL MERGE's WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE drops a
+    // row only when cond IS TRUE. Under three-valued logic a NULL cond
+    // would make `!cond` NULL and the WHERE silently drop the row, so the
+    // condition is collapsed to definite-true first.
     val kept = deleteWhen match {
-      case Some(cond) => joined.where(matched || !inTarget || !cond)
+      case Some(cond) =>
+        joined.where(matched || !inTarget || !coalesce(cond, lit(false)))
       case None => joined
     }
     kept.select(outCols: _*)

@@ -27,6 +27,16 @@ object Resample {
    * row and an `observed` flag marking real rows. The first spine day of
    * every key is observed by construction, so forward-fill never emits
    * a leading null.
+   *
+   * Observed rows ALWAYS keep their original value — including a
+   * legitimate NULL (a bare `last(ignoreNulls)` over every row would
+   * overwrite an observed null with the prior day's value). An observed
+   * null also becomes the fill source: gap days after it are null until
+   * the next observation, matching "the most recent observed row", not
+   * "the most recent non-null value". (The struct wrap below is what
+   * lets `last(ignoreNulls)` distinguish "no observation" from
+   * "observed null": the struct is non-null whenever the row is
+   * observed, whatever its payload.)
    */
   def dailyFfill(df: DataFrame, keys: Seq[String], dateCol: String,
       valueCols: Seq[String]): DataFrame = {
@@ -44,7 +54,10 @@ object Resample {
     valueCols.foldLeft(
         joined.withColumn("observed", coalesce(col("__obs"), lit(false)))
           .drop("__obs")) { (acc, c) =>
-        acc.withColumn(c, last(col(c), ignoreNulls = true).over(ffillW))
+        acc.withColumn(c,
+          when(col("observed"), col(c)).otherwise(
+            last(when(col("observed"), struct(col(c).as("v"))),
+              ignoreNulls = true).over(ffillW)("v")))
       }
   }
 

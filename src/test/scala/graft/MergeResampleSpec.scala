@@ -50,6 +50,36 @@ class MergeResampleSpec extends AnyFunSuite {
       (4L, "d", 40.0, null)))
   }
 
+  test("Merge.merge: NULL deleteWhen condition keeps the row (3VL)") {
+    // SQL MERGE deletes only when the condition IS TRUE: a target-only
+    // row whose tested column is NULL must survive, not be silently
+    // dropped by a NULL WHERE.
+    val target = Seq((1L, Some("drop"), 10.0), (2L, None, 20.0),
+      (3L, Some("keep"), 30.0)).toDF("id", "note", "v")
+    val source = Seq((9L, "s", 90.0)).toDF("id", "note", "v")
+    val out = Merge.merge(target, source, Seq("id"),
+        deleteWhen = Some(col("t.note") === "drop"))
+      .orderBy("id").as[(Long, Option[String], Double)].collect().toSeq
+    assert(out == Seq((2L, None, 20.0), (3L, Some("keep"), 30.0),
+      (9L, Some("s"), 90.0)))
+  }
+
+  test("Merge.merge: NULL-on-both-sides key is MATCHED (null-safe join ⇒ update applies)") {
+    // The <=> join condition matches null keys; presence must be derived
+    // from literal flags, not key nullness, or this row is neither
+    // matched nor in-target — skipping its update and exposing it to
+    // deleteWhen.
+    val target = Seq((Option.empty[Long], "old", 1.0),
+      (Some(7L), "t7", 7.0)).toDF("id", "tag", "v")
+    val source = Seq((Option.empty[Long], "new", 2.0)).toDF("id", "tag", "v")
+    val out = Merge.merge(target, source, Seq("id"),
+        deleteWhen = Some(lit(true)))
+      .orderBy("v").as[(Option[Long], String, Double)].collect().toSeq
+    // null-key row updated in place; the unmatched target row (7) is
+    // deleted by the always-true NOT MATCHED BY SOURCE condition
+    assert(out == Seq((None, "new", 2.0)))
+  }
+
   test("Resample.dailyFfill: dense spine, forward-filled gaps, observed flag") {
     val obs = Seq(("k", d("2024-01-01"), 1.0), ("k", d("2024-01-04"), 4.0),
       ("j", d("2024-02-10"), 7.0)).toDF("key", "date", "v")
@@ -62,6 +92,24 @@ class MergeResampleSpec extends AnyFunSuite {
       ("k", d("2024-01-02"), 1.0, false),
       ("k", d("2024-01-03"), 1.0, false),
       ("k", d("2024-01-04"), 4.0, true)))
+  }
+
+  test("Resample.dailyFfill: observed NULL is kept AND becomes the fill source") {
+    // day1=1.0, day3=observed NULL, day5=5.0 → day2 fills 1.0; day3 keeps
+    // its real NULL (not overwritten by day1); day4 fills NULL (the most
+    // recent OBSERVED row, not the most recent non-null value).
+    val obs = Seq(("k", d("2024-01-01"), Some(1.0)),
+      ("k", d("2024-01-03"), Option.empty[Double]),
+      ("k", d("2024-01-05"), Some(5.0))).toDF("key", "date", "v")
+    val out = Resample.dailyFfill(obs, Seq("key"), "date", Seq("v"))
+      .orderBy("date")
+      .as[(String, java.sql.Date, Option[Double], Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("k", d("2024-01-01"), Some(1.0), true),
+      ("k", d("2024-01-02"), Some(1.0), false),
+      ("k", d("2024-01-03"), None, true),
+      ("k", d("2024-01-04"), None, false),
+      ("k", d("2024-01-05"), Some(5.0), true)))
   }
 
   test("Resample.trailingRange: calendar-interval frame differs from ROWS on gaps") {
