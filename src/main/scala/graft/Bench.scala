@@ -69,7 +69,10 @@ object Bench {
     val total = results.map(_.sec).sum
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)}}"""
-    System.err.println(s"[bench] $full")
+    // Do NOT echo `full` to stderr: sbt interleaves stderr into the same
+    // captured stream, and a ~2 KB line truncated inside the driver's
+    // bounded tail can shadow the short stdout JSON below. The per-query
+    // map lives only in target/bench_queries.json.
     try {
       val out = java.nio.file.Paths.get("target/bench_queries.json")
       java.nio.file.Files.createDirectories(out.getParent)
