@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNDECORATED: sbt's default
+// LoggedOutput prefixes every run line with "[info] ", which breaks any
+// consumer that expects a bare JSON line on stdout (the bench driver's
+// extraction rule — rounds 2-5 recorded parsed=null with the line fully
+// present in the tail but "[info] "-prefixed).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,22 +53,31 @@ object Bench {
       spark.catalog.clearCache()
       R(name, (t1 - t0) / 1e9, (tBuilt - t0) / 1e9, ok)
     }
-    // The stdout JSON line must stay SHORT: the driver captures only a
-    // bounded (~2 KB) tail of the output and parses the JSON from it — a
-    // line that gets cut mid-JSON is recorded as parsed=null (this zeroed
-    // round 2's bench, and even the complete-but-1.9KB line in rounds 3/4
-    // failed to parse). So stdout carries only the scalar summary; the
-    // per-query map goes to stderr AND target/bench_queries.json.
+    // The stdout JSON line must be SHORT and BARE. Short: the driver
+    // captures only a bounded (~2 KB) tail of the output, so the
+    // per-query map goes to target/bench_queries.json, not stdout.
+    // Bare: sbt's logger decorates forked-run stdout with "[info] " by
+    // default, and rounds 2-5 recorded parsed=null with the JSON line
+    // complete in the tail but prefixed — build.sbt now sets
+    // outputStrategy := StdoutOutput so this line reaches the driver
+    // undecorated at column 0.
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would corrupt the JSON line
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     def obj(f: R => Double) =
       results.map(r => s"\"${r.name}\":${fmt(f(r))}").mkString("{", ",", "}")
-    val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
+    // Cap the inline failed list: a broad regression across 62 queries
+    // would otherwise put ~1.5 KB of names into the "short" line and
+    // re-trigger tail truncation exactly when the signal matters most.
+    // The complete list lives in target/bench_queries.json.
+    val allFailed = results.filterNot(_.ok).map(_.name)
+    val failedCount = allFailed.size
+    val failed = allFailed.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val failedFull = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.sec).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedFull,"sf":"$sfDir","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)}}"""
     // Do NOT echo `full` to stderr: sbt interleaves stderr into the same
     // captured stream, and a ~2 KB line truncated inside the driver's
     // bounded tail can shadow the short stdout JSON below. The per-query
@@ -78,7 +87,11 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE the summary line: shutdown logs go to stderr,
+    // and with stdout/stderr interleaved in the driver's capture they
+    // must not land after the JSON and push it out of the bounded tail.
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"failed_count":$failedCount,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
