@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Clustering, Dedup, Multimodal, Shards, Similarity, TextOps}
 import graft.ops.{AsOf, Ingest, Merge, Profile, RangeJoin, Resample, Sessions}
 import graft.sources.Tables
 
@@ -96,6 +96,17 @@ object ExtQueries {
     * the upper triangle, threshold tuned to the corpus sim range. */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** ANN-blocked embedding near-dup (the 100 TB path): LSH band-bucket
+    * candidate pairs → exact-cosine verify at the same 0.45 threshold as
+    * dedup_embedding. Same md5-derived hyperplanes as similarity_ann
+    * (nBits=64, bands=16), so the oracle replays candidates AND
+    * verification; every surviving pair is a true dedup_embedding pair
+    * (precision exact, recall ≈ the band collision probability). */
+  private def dedupEmbeddingAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupsAnn(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.45, dim = 64, nBits = 64, bands = 16)
       .orderBy("id_a", "id_b")
 
   /** IVF ANN variant (pruned probing) — approximate like similarity_ann
@@ -200,6 +211,23 @@ object ExtQueries {
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard")
+  }
+
+  /** Distributed-prefix-sum variant of packShards (ext/Shards.scala):
+    * identical shard layout — same oracle SQL — but the cumulative sum
+    * runs as a two-pass parallel prefix (per-bucket totals → broadcast
+    * offsets → per-bucket local sums) instead of one sequential window
+    * reducer per language. This is the formulation to reach for at
+    * scale: packShards above serializes each language's whole corpus
+    * through one task. */
+  private def packShardsDist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val d = docs(s, dir)
+      .withColumn("n_tokens", expr("token_stats(text).n_tokens").cast("long"))
+    val packed = Shards.packByBudget(d, Seq("lang"), "doc_id", "n_tokens",
+      capacity = 512L, bucketExpr = floor(col("doc_id") / 64).cast("long"))
+    Shards.manifest(packed, Seq("lang"), "doc_id", "n_tokens")
       .orderBy("lang", "shard")
   }
 
@@ -643,6 +671,24 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** Calendar resample + linear interpolation (the continuous-measure
+    * complement of resample_ffill's step function). The value column is
+    * emitted UNROUNDED: the interpolation arithmetic is written in the
+    * identical IEEE operation order in both engines (vp + ((vn-vp) *
+    * days_num) / days_den on bit-identical inputs), so the doubles match
+    * bit-for-bit — any post-hoc rounding could only introduce cross-
+    * engine half-case divergence, never remove it. */
+  private def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val bars = Ingest.dailyBars(Tables.load(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .select("user_id", "event_type", "date", "close")
+    Resample.dailyInterpolate(bars, Seq("user_id", "event_type"), "date",
+        "close")
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        col("observed"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   /** RANGE-frame trailing window (the calendar-interval complement of
     * rolling_7day's ROWS frame): per-key trailing-7-calendar-day count /
     * avg / max of the daily close. On gappy series ROWS and RANGE
@@ -801,6 +847,7 @@ object ExtQueries {
     "dedup_ngram" -> ((s, dir) => dedupNgram(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
+    "dedup_embedding_ann" -> ((s, dir) => dedupEmbeddingAnn(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
@@ -830,6 +877,7 @@ object ExtQueries {
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
+    "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
     "rank_family" -> ((s, dir) => rankFamily(s, dir)),
     "join_outer" -> ((s, dir) => joinOuter(s, dir)),
@@ -843,6 +891,7 @@ object ExtQueries {
     "join_region" -> ((s, dir) => joinRegion(s, dir)),
     "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
     "pack_shards" -> ((s, dir) => packShards(s, dir)),
+    "pack_shards_dist" -> ((s, dir) => packShardsDist(s, dir)),
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
     "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
     "stats_agg" -> ((s, dir) => statsAgg(s, dir)),
@@ -989,6 +1038,45 @@ object ExtQueries {
        |       lang_guess
        |FROM x""".stripMargin
 
+  /** pack_shards and pack_shards_dist are the SAME layout computed two
+    * ways (sequential window vs two-pass distributed prefix sum), so
+    * they share one oracle — the strongest possible check that the
+    * distributed formulation is exact. */
+  private val packShardsSql =
+    s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
+  /** The LSH bucket pipeline (md5 hyperplanes → sign bits → band
+    * buckets → exploded bucket keys) shared by the similarity_ann and
+    * dedup_embedding_ann oracles. Params fixed at nBits=64, dim=64,
+    * bands=16 (4 bits/band), matching the registered queries. */
+  private val annCtesSql =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+      |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
+      |planes AS (
+      |  SELECT j, list(CASE WHEN substr(md5(j || ':' || i), 1, 1) < '8'
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS p
+      |  FROM range(64) t1(j), range(64) t2(i) GROUP BY j),
+      |bits AS (
+      |  SELECT n.vec_id,
+      |         list(CASE WHEN list_dot_product(pl.p, n.dv) > 0 THEN 1 ELSE 0 END
+      |              ORDER BY pl.j) AS b
+      |  FROM n, planes pl GROUP BY n.vec_id),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         [CAST(k*16 + b[k*4+1]*8 + b[k*4+2]*4 + b[k*4+3]*2 + b[k*4+4] AS BIGINT)
+      |          for k in range(0, 16)] AS bk
+      |  FROM bits),
+      |cb AS (SELECT vec_id, unnest(bk) AS bucket FROM buckets)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
@@ -1035,6 +1123,20 @@ object ExtQueries {
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |             list_cosine_similarity(a.dv, b.dv) AS c
         |      FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos
+        |FROM p WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_ann" ->
+      s"""WITH $annCtesSql,
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cb a JOIN cb b ON a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |         list_dot_product(na.dv, nb.dv) / (na.nm * nb.nm) AS c
+        |  FROM cands
+        |  JOIN n na ON na.vec_id = id_a
+        |  JOIN n nb ON nb.vec_id = id_b)
         |SELECT id_a, id_b, round(c, 4) AS cos
         |FROM p WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "similarity_topk" ->
@@ -1144,17 +1246,8 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
-    "pack_shards" ->
-      s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_tokens
-         |           FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM t)
-         |SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard,
-         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    "pack_shards" -> packShardsSql,
+    "pack_shards_dist" -> packShardsSql,
     "revenue_share" ->
       """WITH ps AS (
         |  SELECT o_orderstatus,
@@ -1351,6 +1444,49 @@ object ExtQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close,
         |       observed
         |FROM j ORDER BY user_id, event_type, date""".stripMargin,
+    // resample_interp emits close UNROUNDED: the arithmetic below is the
+    // exact IEEE operation order of Resample.dailyInterpolate
+    // (vp + ((vn-vp) * num) / den with integer day distances), so the
+    // doubles agree bit-for-bit; rounding would only add half-case risk.
+    "resample_interp" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (SELECT user_id, event_type, min(date) AS d0, max(date) AS d1
+        |      FROM b GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, event_type,
+        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
+        |  FROM r),
+        |j AS (
+        |  SELECT s.user_id, s.event_type, s.date, b.close,
+        |         b.close IS NOT NULL AS observed
+        |  FROM spine s LEFT JOIN b
+        |    ON s.user_id = b.user_id AND s.event_type = b.event_type
+        |   AND s.date = b.date),
+        |a AS (
+        |  SELECT user_id, event_type, date, close, observed,
+        |         last_value(CASE WHEN observed AND close IS NOT NULL
+        |                         THEN date END IGNORE NULLS) OVER fwd AS d_prev,
+        |         last_value(CASE WHEN observed AND close IS NOT NULL
+        |                         THEN close END IGNORE NULLS) OVER fwd AS v_prev,
+        |         first_value(CASE WHEN observed AND close IS NOT NULL
+        |                          THEN date END IGNORE NULLS) OVER bwd AS d_next,
+        |         first_value(CASE WHEN observed AND close IS NOT NULL
+        |                          THEN close END IGNORE NULLS) OVER bwd AS v_next
+        |  FROM j
+        |  WINDOW fwd AS (PARTITION BY user_id, event_type ORDER BY date
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         bwd AS (PARTITION BY user_id, event_type ORDER BY date
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_type, date,
+        |       CASE WHEN observed THEN close
+        |            WHEN d_next IS NULL THEN v_prev
+        |            ELSE v_prev + (v_next - v_prev) * (date - d_prev)
+        |                          / (d_next - d_prev) END AS close,
+        |       observed
+        |FROM a ORDER BY user_id, event_type, date""".stripMargin,
     "rolling_range" ->
       """WITH b AS (
         |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
@@ -1448,23 +1584,7 @@ object ExtQueries {
     // mirror the queries above: nBits=64, dim=64, bands=16 (4 bits/band),
     // centroidStride=20, nProbe=8, k=5, queries = vec_id % 20 = 0.
     "similarity_ann" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
-        |planes AS (
-        |  SELECT j, list(CASE WHEN substr(md5(j || ':' || i), 1, 1) < '8'
-        |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS p
-        |  FROM range(64) t1(j), range(64) t2(i) GROUP BY j),
-        |bits AS (
-        |  SELECT n.vec_id,
-        |         list(CASE WHEN list_dot_product(pl.p, n.dv) > 0 THEN 1 ELSE 0 END
-        |              ORDER BY pl.j) AS b
-        |  FROM n, planes pl GROUP BY n.vec_id),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         [CAST(k*16 + b[k*4+1]*8 + b[k*4+2]*4 + b[k*4+3]*2 + b[k*4+4] AS BIGINT)
-        |          for k in range(0, 16)] AS bk
-        |  FROM bits),
-        |cb AS (SELECT vec_id, unnest(bk) AS bucket FROM buckets),
+      s"""WITH $annCtesSql,
         |cands AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM cb q JOIN cb c ON q.bucket = c.bucket

@@ -129,6 +129,46 @@ object Similarity {
   }
 
   /**
+   * ANN-blocked embedding near-dup — the 100 TB path for
+   * `cosineNearDups`: candidate pairs are the pairs sharing at least one
+   * LSH band bucket (the same md5-derived hyperplane machinery as
+   * `annTopK`), then the identical exact-cosine verify/threshold stage.
+   * Every join is a bucket equi-join — nothing is ever all-pairs and
+   * nothing is broadcast, so the shape survives a corpus too big for
+   * `cosineNearDups`' broadcast side. Precision is exact (candidates are
+   * re-verified with true cosine); recall follows the band collision
+   * probability 1-(1-p^r)^b with p = 1-θ/π — at threshold 0.45 with 16
+   * bands of 4 bits, ≈0.96. Fully deterministic, so an oracle replays
+   * candidate generation AND verification in SQL.
+   *
+   * The cosine is computed and thresholded BEFORE the pair-dedup, so the
+   * dropDuplicates shuffle carries only (id_a, id_b, cos) survivors —
+   * never the vectors (a pair sharing several buckets scores its cheap
+   * codegen'd dot once per bucket instead of shipping 2×dim doubles
+   * through the exchange).
+   */
+  def cosineNearDupsAnn(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val v = withBandBuckets(prep(df, idCol, vecCol, "id", "__v", "__n"),
+      "__v", "__buckets", nBits, dim, bands)
+    val e = v.select(col("id"), col("__v"), col("__n"),
+      explode(col("__buckets")).as("__bucket"))
+    val a = e.select(col("id").as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"), col("__bucket"))
+    val b = e.select(col("id").as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__bucket"))
+    a.join(b, "__bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k — the data-adaptive
    * alternative to hyperplane LSH: centroids are a deterministic corpus
    * sample (every `centroidStride`-th id), each corpus vector is

@@ -84,7 +84,16 @@ object Resample {
     * column: gaps get the straight line between the surrounding observed
     * values (the forward-fill's step function is right for state-like
     * series, interpolation for continuous measures). Same plan shape —
-    * spine + two windows over one key partitioning. */
+    * spine + two windows over one key partitioning.
+    *
+    * Same observed-row contract as `dailyFfill`: an observed row ALWAYS
+    * keeps its original value, including an observed NULL. Interpolation
+    * anchors are the surrounding NON-NULL observations on both the date
+    * and value axes — an observed-NULL row contributes neither (a
+    * one-sided anchor would distort the slope across it), so gap days
+    * interpolate straight across it between the non-null endpoints.
+    * Gaps after the last non-null observation forward-fill from it; gaps
+    * before the first one stay null. */
   def dailyInterpolate(df: DataFrame, keys: Seq[String], dateCol: String,
       valueCol: String): DataFrame = {
     val k = keys.map(col)
@@ -92,15 +101,19 @@ object Resample {
     val byKey = Window.partitionBy(k: _*).orderBy(col(dateCol))
     val fwd = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bwd = byKey.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsDate = when(col("observed"), col(dateCol))
-    val obsVal = when(col("observed"), col(valueCol))
+    // dailyFfill preserved observed values verbatim, so "observed and
+    // non-null" identifies exactly the rows fit to anchor a segment.
+    val anchor = col("observed") && col(valueCol).isNotNull
+    val obsDate = when(anchor, col(dateCol))
+    val obsVal = when(anchor, col(valueCol))
     filled
       .withColumn("__d_prev", last(obsDate, ignoreNulls = true).over(fwd))
       .withColumn("__v_prev", last(obsVal, ignoreNulls = true).over(fwd))
       .withColumn("__d_next", first(obsDate, ignoreNulls = true).over(bwd))
       .withColumn("__v_next", first(obsVal, ignoreNulls = true).over(bwd))
       .withColumn(valueCol,
-        when(col("observed") || col("__d_next").isNull, col("__v_prev"))
+        when(col("observed"), col(valueCol))
+          .when(col("__d_next").isNull, col("__v_prev"))
           .otherwise(col("__v_prev") +
             (col("__v_next") - col("__v_prev")) *
             (unix_date(col(dateCol)) - unix_date(col("__d_prev"))) /

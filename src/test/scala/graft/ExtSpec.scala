@@ -138,6 +138,39 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall too low")
   }
 
+  test("Similarity.cosineNearDupsAnn: exact precision, high recall vs the O(n²) scan") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty, "corpus should contain planted embedding near-dups")
+    val ann = pairs(Similarity.cosineNearDupsAnn(e, "vec_id", "embedding",
+      threshold = 0.45, dim = 64, nBits = 64, bands = 16))
+    // candidates are re-verified with true cosine → every ANN pair is real
+    assert(ann.subsetOf(exact), "ANN near-dup pairs must be true pairs")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN near-dup recall $recall too low")
+  }
+
+  test("Shards.packByBudget equals the single-window running-sum layout") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups (90% "en") and irregular token counts; coarse buckets
+    // so most buckets hold several rows and offsets genuinely compose
+    val df = (0 until 300)
+      .map(i => (if (i % 10 == 0) "fr" else "en", i.toLong, (i * 37 % 97 + 1).toLong))
+      .toDF("lang", "id", "toks")
+    val packed = graft.ext.Shards
+      .packByBudget(df, Seq("lang"), "id", "toks", capacity = 100L,
+        bucketExpr = floor($"id" / 7).cast("long"))
+      .select("lang", "id", "shard").as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum", sum($"toks").over(w))
+      .withColumn("shard", floor(($"cum" - $"toks") / lit(100L)).cast("long"))
+      .select("lang", "id", "shard").as[(String, Long, Long)].collect().toSet
+    assert(packed == ref)
+  }
+
   test("Similarity.ivfTopK: exhaustive probe == brute force; pruning keeps useful recall") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where($"vec_id" % 50 === 0)

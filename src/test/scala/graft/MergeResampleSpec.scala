@@ -137,6 +137,39 @@ class MergeResampleSpec extends AnyFunSuite {
       (d("2024-01-03"), 30.0), (d("2024-01-04"), 40.0)))
   }
 
+  test("Resample.dailyInterpolate: observed NULL is kept; gaps interpolate across it") {
+    // day1=10, day3=observed NULL, day5=50: the NULL row keeps its real
+    // NULL, and days 2/4 interpolate on the day1→day5 NON-NULL segment
+    // (20, 40) — an observed NULL must contribute neither anchor date
+    // nor anchor value, or the slope across it is distorted.
+    val obs = Seq(("k", d("2024-01-01"), Some(10.0)),
+      ("k", d("2024-01-03"), Option.empty[Double]),
+      ("k", d("2024-01-05"), Some(50.0))).toDF("key", "date", "v")
+    val out = Resample.dailyInterpolate(obs, Seq("key"), "date", "v")
+      .select("date", "v").orderBy("date")
+      .as[(java.sql.Date, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (d("2024-01-01"), Some(10.0)),
+      (d("2024-01-02"), Some(20.0)),
+      (d("2024-01-03"), None),
+      (d("2024-01-04"), Some(40.0)),
+      (d("2024-01-05"), Some(50.0))))
+  }
+
+  test("Resample.dailyInterpolate: gaps after the last non-null obs forward-fill") {
+    // day1=10, day3=observed NULL: day2 has no non-null next anchor →
+    // forward-fills 10; the trailing observed NULL still keeps its NULL.
+    val obs = Seq(("k", d("2024-01-01"), Some(10.0)),
+      ("k", d("2024-01-03"), Option.empty[Double])).toDF("key", "date", "v")
+    val out = Resample.dailyInterpolate(obs, Seq("key"), "date", "v")
+      .select("date", "v").orderBy("date")
+      .as[(java.sql.Date, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (d("2024-01-01"), Some(10.0)),
+      (d("2024-01-02"), Some(10.0)),
+      (d("2024-01-03"), None)))
+  }
+
   test("Graft.registerFunctions makes every SQL kernel resolvable on a foreign session") {
     Graft.registerFunctions(spark)
     val n = spark.sql(
