@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +57,59 @@ object Exchange {
     spark.read.parquet(path)
 
   /**
+   * Staging-dir + rename promotion — the commit-protocol hardening of
+   * `promote` for plain filesystems (SURVEY's Iceberg-semantics gap).
+   * `promote`'s dynamic partition overwrite is correct single-writer,
+   * but its commit is delete-old-files-then-move-new: a crash mid-commit
+   * leaves the partition PARTIAL, and if source == destination (the
+   * compact case) the scan races its own deletion.
+   *
+   * Here the frame is first written COMPLETELY to a sibling staging
+   * directory (the expensive, failure-prone part — a crash leaves the
+   * live table untouched), then each staged partition directory is
+   * swapped in with filesystem renames, which are atomic per directory
+   * on local/HDFS-like filesystems. The crash window shrinks from
+   * "partition partially rewritten, old rows gone" to "partition
+   * momentarily absent, old rows intact in a hidden .<dir>.old sibling"
+   * — recoverable by re-running the promote (idempotent) or renaming
+   * the .old back. Cross-partition atomicity (all-or-nothing over many
+   * dates) still needs a metadata-pointer table format; per-partition
+   * atomicity is what this buys without any new dependency.
+   *
+   * Because the staged write finishes before any rename touches the
+   * destination, reading FROM `path` while promoting INTO `path` is
+   * safe — `compact` relies on exactly that.
+   */
+  def promoteAtomic(df: DataFrame, path: String, partitionCol: String = "date",
+      cluster: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val out = if (cluster) df.repartition(col(partitionCol)) else df
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new HPath(path.stripSuffix("/") + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    out.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staging.toString)
+    try {
+      if (!fs.exists(target)) fs.mkdirs(target)
+      val parts = fs.listStatus(staging)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partitionCol + "="))
+      parts.foreach { p =>
+        val dest = new HPath(target, p.getPath.getName)
+        // hidden name: Spark/Hadoop scans skip '.'-prefixed dirs, so a
+        // crash between the two renames never double-counts rows
+        val old = new HPath(target, "." + p.getPath.getName + ".old")
+        if (fs.exists(old)) fs.delete(old, true)
+        val existed = fs.exists(dest)
+        if (existed) fs.rename(dest, old)
+        fs.rename(p.getPath, dest)
+        if (existed) fs.delete(old, true)
+      }
+    } finally fs.delete(staging, true)
+  }
+
+  /**
    * Small-file compaction — the table-maintenance companion to
    * `promote`: rewrite one partition's files into
    * ceil(bytes / targetFileBytes) files (min 1). Long-lived
@@ -66,14 +120,15 @@ object Exchange {
    * exactly how Iceberg/Delta rewrite-data-files actions scope their
    * work.
    *
-   * Because source and destination are the same directory, the slice is
-   * MATERIALIZED (localCheckpoint) before the overwrite commits: a lazy
-   * plan would race the scan against the commit's delete of the old
-   * files. Non-atomicity caveat: on a plain filesystem the overwrite
-   * commit itself (delete old files, move new in) is not atomic — a
-   * crash mid-commit can leave the partition partial. A table format
-   * with a metadata pointer (Iceberg/Delta) is the real fix; see
-   * SCALE.md's Iceberg-semantics section.
+   * Source and destination are the same directory, so the rewrite goes
+   * through `promoteAtomic`: the compacted files are FULLY written to
+   * the staging directory while the source partition is still intact
+   * (no read-while-overwrite race, no reliance on non-reliable
+   * localCheckpoint blocks — an executor loss during the staged write
+   * just recomputes from the untouched source), and only then swapped
+   * in with per-directory atomic renames. A metadata-pointer table
+   * format (Iceberg/Delta) is still the full fix for cross-partition
+   * atomicity; see SCALE.md's Iceberg-semantics section.
    */
   def compact(spark: SparkSession, path: String, partitionCol: String,
       partitionValue: Any, targetFileBytes: Long = 128L << 20): Unit = {
@@ -82,7 +137,7 @@ object Exchange {
     val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L,
       ((bytes + targetFileBytes - 1) / BigInt(targetFileBytes)).toLong)
-    val materialized = slice.repartition(nFiles.toInt).localCheckpoint()
-    promote(materialized, path, partitionCol, cluster = false)
+    promoteAtomic(slice.repartition(nFiles.toInt), path, partitionCol,
+      cluster = false)
   }
 }

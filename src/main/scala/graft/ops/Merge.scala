@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
  */
 object Merge {
 
+  /** An internal column name guaranteed absent from every schema in
+    * `frames`: withColumn silently REPLACES a same-named user column,
+    * which here would corrupt matched/in-target classification (and the
+    * helper columns are dropped before output, so the corruption would
+    * be silent). */
+  private def freshName(base: String, frames: DataFrame*): String = {
+    val taken = frames.flatMap(_.columns).toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(!taken.contains(_)).get
+  }
+
   /**
    * Full-row upsert: for every key present in `source` the source row
    * wins; keys only in `target` keep their target row. Schemas must
@@ -37,7 +49,7 @@ object Merge {
    */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       sourceOrder: Seq[String] = Nil): DataFrame = {
-    val precedence = "__merge_precedence"
+    val precedence = freshName("__merge_precedence", target, source)
     val tagged = source.withColumn(precedence, lit(0))
       .unionByName(target.select(source.columns.map(col): _*)
         .withColumn(precedence, lit(1)))
@@ -62,13 +74,15 @@ object Merge {
     // null-safe (<=>), so a key that is NULL on both sides MATCHES — a
     // key-nullness test would misclassify that row as neither matched
     // nor target-only (skipping its update and exposing it to delete).
-    val t = target.withColumn("__t_present", lit(true)).alias("t")
-    val s = source.withColumn("__s_present", lit(true)).alias("s")
+    val tFlag = freshName("__t_present", target, source)
+    val sFlag = freshName("__s_present", target, source)
+    val t = target.withColumn(tFlag, lit(true)).alias("t")
+    val s = source.withColumn(sFlag, lit(true)).alias("s")
     val updateCols =
       if (updates.nonEmpty) updates
       else source.columns.filterNot(keys.contains).toSeq
-    val matched = col("s.__s_present").isNotNull
-    val inTarget = col("t.__t_present").isNotNull
+    val matched = col(s"s.$sFlag").isNotNull
+    val inTarget = col(s"t.$tFlag").isNotNull
     val outCols = target.columns.toSeq.map { c =>
       if (keys.contains(c))
         coalesce(col(s"t.$c"), col(s"s.$c")).as(c)

@@ -105,6 +105,28 @@ class AggSpec extends AnyFunSuite {
     assert(after.map(_.toString) == before.map(_.toString))
   }
 
+  test("Exchange.promoteAtomic: swaps only staged partitions, leaves no debris") {
+    import graft.ops.Exchange
+    val root = java.nio.file.Files.createTempDirectory("graft_atomic_")
+      .resolve("t").toString
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    Exchange.promoteAtomic(
+      Seq((d1, 1L, "a"), (d2, 2L, "b")).toDF("date", "v", "tag"), root)
+    // re-promote ONLY d1: d2 must be untouched, d1 fully replaced
+    Exchange.promoteAtomic(Seq((d1, 10L, "A")).toDF("date", "v", "tag"), root)
+    val rows = Exchange.table(spark, root)
+      .select("date", "v", "tag").orderBy("v")
+      .as[(java.sql.Date, Long, String)].collect().toSeq
+    assert(rows == Seq((d2, 2L, "b"), (d1, 10L, "A")))
+    // the commit must clean up after itself: no staging sibling, no
+    // .old backups inside the table
+    val parent = new java.io.File(root).getParentFile
+    assert(parent.listFiles().forall(!_.getName.contains("__staging")))
+    assert(new java.io.File(root).listFiles()
+      .forall(f => !f.getName.endsWith(".old")))
+  }
+
   test("Profile.quantilesApprox: within rank tolerance of exact quantiles") {
     import graft.ops.Profile
     val df = TestData.lineitem(spark)

@@ -80,6 +80,19 @@ class MergeResampleSpec extends AnyFunSuite {
     assert(out == Seq((None, "new", 2.0)))
   }
 
+  test("Merge.merge: a user column named like an internal flag survives untouched") {
+    // withColumn silently REPLACES same-named columns: before the fresh-
+    // name guard, a user's __t_present column was overwritten with the
+    // internal lit(true) flag and emitted corrupted (true instead of its
+    // real NULL) — silently, since classification still worked.
+    val target = Seq((1L, Option.empty[Boolean], 10.0))
+      .toDF("id", "__t_present", "v")
+    val source = Seq((2L, 99.0)).toDF("id", "v")
+    val out = Merge.merge(target, source, Seq("id"))
+      .orderBy("id").as[(Long, Option[Boolean], Double)].collect().toSeq
+    assert(out == Seq((1L, None, 10.0), (2L, None, 99.0)))
+  }
+
   test("Resample.dailyFfill: dense spine, forward-filled gaps, observed flag") {
     val obs = Seq(("k", d("2024-01-01"), 1.0), ("k", d("2024-01-04"), 4.0),
       ("j", d("2024-02-10"), 7.0)).toDF("key", "date", "v")
