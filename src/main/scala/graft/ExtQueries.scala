@@ -427,7 +427,14 @@ object ExtQueries {
   /** Exact interpolated quantiles per group (the percentile aggregate
     * family; Spark `percentile` ≡ DuckDB `quantile_cont`). One array-form
     * aggregate pass, flattened to scalar columns — the driver's compare
-    * cannot sort array cells. */
+    * cannot sort array cells.
+    *
+    * ROUTING NOTE: this exact form exists for the oracle gate only. The
+    * `percentile` aggregate buffers EVERY group value on one reducer —
+    * at 100× scale a single returnflag group holds ~600 M doubles. The
+    * operator users should reach for is `Profile.quantilesApprox`
+    * (`ops/Profile.scala`): bounded-state Greenwald-Khanna sketch via
+    * `approx_percentile`, mergeable map-side, same call shape. */
   private def quantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")

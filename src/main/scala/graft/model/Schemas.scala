@@ -1,7 +1,7 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /**
@@ -63,6 +63,40 @@ object Schemas {
     require(missing.isEmpty && extra.isEmpty,
       s"schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /**
+   * Schema evolution on promote: like `conform`, but a column declared
+   * in `schema` and ABSENT from the frame is added with a default (NULL
+   * unless given in `defaults`) instead of failing — the add-column
+   * migration the reference motivates with Iceberg schema evolution
+   * (reference `README.md:29`). Two-step rollout on a plain-parquet
+   * table, where old partition files won't carry the new column:
+   *
+   *   1. backfill: `Exchange.promoteAtomic(evolve(Exchange.table(...),
+   *      newSchema, defaults), path)` rewrites existing partitions with
+   *      the default filled in;
+   *   2. new writes go through `evolve` (a no-op once the writer emits
+   *      the column).
+   *
+   * Extra frame columns still fail fast — silently dropping data is
+   * never a migration — and a default for a column the schema doesn't
+   * declare is rejected as a likely typo.
+   */
+  def evolve(df: DataFrame, schema: StructType,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val have = df.columns.toSet
+    val extra = df.columns.filterNot(schema.fieldNames.contains(_))
+    require(extra.isEmpty, s"schema mismatch: extra=${extra.mkString(",")}")
+    val unknown = defaults.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"defaults for undeclared columns: ${unknown.mkString(",")}")
+    df.select(schema.fields.map { f =>
+      val base =
+        if (have(f.name)) col(f.name)
+        else defaults.getOrElse(f.name, lit(null))
+      base.cast(f.dataType).as(f.name)
+    }: _*)
   }
 }
 

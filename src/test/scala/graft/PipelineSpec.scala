@@ -87,6 +87,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(cum2 == cum1)
   }
 
+  test("Schemas.evolve: add-column default, whole-table backfill, fail-fast extras") {
+    import graft.model.Schemas
+    import graft.ops.Exchange
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_evolve_").resolve("t").toString
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val v1 = StructType(Seq(StructField("date", DateType),
+      StructField("v", LongType)))
+    val v2 = v1.add(StructField("src", StringType))
+    Exchange.promote(
+      Schemas.conform(Seq((d1, 1L)).toDF("date", "v"), v1), root)
+    // migration: backfill existing partitions with the default, then
+    // promote new data that already carries the column
+    Exchange.promoteAtomic(
+      Schemas.evolve(Exchange.table(spark, root), v2,
+        Map("src" -> lit("legacy"))), root)
+    Exchange.promote(
+      Schemas.evolve(Seq((d2, 2L, "feed")).toDF("date", "v", "src"), v2), root)
+    val rows = Exchange.table(spark, root)
+      .select("date", "v", "src").orderBy("v")
+      .as[(java.sql.Date, Long, String)].collect().toSeq
+    assert(rows == Seq((d1, 1L, "legacy"), (d2, 2L, "feed")))
+    // extra columns and defaults for undeclared columns still fail fast
+    intercept[IllegalArgumentException] {
+      Schemas.evolve(Seq((d1, 1L, "x")).toDF("date", "v", "rogue"), v2)
+    }
+    intercept[IllegalArgumentException] {
+      Schemas.evolve(Seq((d1, 1L)).toDF("date", "v"), v2,
+        Map("rogue" -> lit("x")))
+    }
+  }
+
   test("duplicate source bars are deduped to one per ticker-day") {
     val root = Files.createTempDirectory("graft_pipe2").toString
     val pipe = new Pipeline(spark, PipelineConfig(s"$root/prod", s"$root/cum"))
