@@ -60,6 +60,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_embedding_ann: pure bucket equi-joins — no cross product anywhere") {
+    val p = plan("dedup_embedding_ann")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be a bucket equi-join, not a cross join")
+  }
+
+  test("pack_shards_dist: bucket offsets broadcast; doc rows never serialize per group") {
+    val p = plan("pack_shards_dist")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket offsets should broadcast-join back onto doc rows")
+    // the per-doc running sum must window over (lang, bucket), not lang
+    // alone — lang-only would be the one-reducer-per-language shape
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__bucket")))
+  }
+
   private def hashExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(plan(name)).size
 
