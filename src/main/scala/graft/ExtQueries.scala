@@ -98,6 +98,22 @@ object ExtQueries {
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup — admit only the novel documents of a simulated
+    * daily batch (doc_id % 10 == 0) against the standing corpus (the
+    * rest). A batch doc survives iff it has no Jaccard-0.5 partner in
+    * the corpus and no lower-id partner within the batch; the oracle
+    * states exactly that rule over exact shingle-Jaccard (on this
+    * corpus the tuned MinHash recovers the exact pair set, as
+    * dedup_minhash pins). */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalNearDups(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 128, bands = 32, shingleK = 3,
+        threshold = 0.5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** ANN-blocked embedding near-dup (the 100 TB path): LSH band-bucket
     * candidate pairs → exact-cosine verify at the same 0.45 threshold as
     * dedup_embedding. Same md5-derived hyperplanes as similarity_ann
@@ -855,6 +871,7 @@ object ExtQueries {
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "dedup_embedding_ann" -> ((s, dir) => dedupEmbeddingAnn(s, dir)),
+    "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
@@ -1091,6 +1108,19 @@ object ExtQueries {
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    // the incremental admit rule, stated over exact Jaccard: a batch doc
+    // (doc_id % 10 = 0) is dropped iff it pairs with a corpus doc, or
+    // with ANY lower batch id (p already has id_a < id_b, so id_b =
+    // doc_id covers both corpus and lower-batch partners on that side)
+    "dedup_incremental" ->
+      s"""$pairsCte
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM p
+         |    WHERE j >= 0.5 AND ((id_a = doc_id AND id_b % 10 != 0)
+         |                        OR id_b = doc_id))
+         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
     "dedup_corpus" -> dedupCorpusSql(4),
     // k-means replay: distances use the LITERAL expression

@@ -107,17 +107,24 @@ object Dedup {
    * buckets (all-identical docs) are the pairs we want anyway.
    */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val rows = sigs.select(col(idCol), col("__sig"))
-    val n = bands
-    val banded = rows.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${n - 1}), " +
-          s"b -> xxhash64(concat_ws(',', slice(__sig, b * (size(__sig) div $n) + 1, size(__sig) div $n)), b))")))
-      .toDF(idCol, "__band", "__bucket")
+    val banded = bandBuckets(sigs, idCol, bands)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
     a.join(b, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** (id, __band, __bucket) band-hash keys of a `__sig` signature frame —
+    * the join keys of every LSH stage (self-join for corpus×corpus,
+    * broadcast for batch×corpus). */
+  private def bandBuckets(sigs: DataFrame, idCol: String,
+      bands: Int): DataFrame = {
+    val n = bands
+    sigs.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${n - 1}), " +
+          s"b -> xxhash64(concat_ws(',', slice(__sig, b * (size(__sig) div $n) + 1, size(__sig) div $n)), b))")))
+      .toDF(idCol, "__band", "__bucket")
   }
 
   /**
@@ -167,6 +174,58 @@ object Dedup {
           size(array_union(col("__sa"), col("__sb"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /**
+   * Incremental near-dup dedup — the daily-ingest shape: admit only the
+   * NOVEL documents of a small `batch` against a large existing
+   * `corpus`, without ever re-deduping the corpus against itself.
+   *
+   * A batch document is dropped iff it has a verified near-dup partner
+   * (shingle Jaccard ≥ threshold) in the corpus, or an EARLIER
+   * (lower-id) partner within the batch — so re-running a backfilled
+   * day admits the same set, and two mutual dups arriving together
+   * admit exactly the lower id. The rule is deliberately
+   * non-transitive within the batch boundary (a doc pairing only with
+   * an already-dropped batch doc still drops: its content is
+   * duplicated either way).
+   *
+   * Scale shape: the corpus contributes ONE signature + band-bucket
+   * pass (in production, precomputed and stored as the dedup index —
+   * signatures are content-addressed, so the index appends per batch);
+   * the batch's band keys are tiny and BROADCAST against the corpus
+   * band scan — no corpus self-join, no corpus shuffle at all.
+   * Verification joins only candidate ids back to shingle sets.
+   */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cSets = shingleSets(corpus, idCol, textCol, shingleK)
+    val bSets = shingleSets(batch, idCol, textCol, shingleK)
+    val cBands = bandBuckets(sigsFromShingles(cSets, idCol, numHashes),
+      idCol, bands)
+    // two consumers (vs-corpus join, within-batch self-join) of a small
+    // frame — persist instead of re-aggregating the batch signatures
+    val bBands = bandBuckets(sigsFromShingles(bSets, idCol, numHashes),
+        idCol, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // id_b is the batch doc in BOTH candidate branches, so the verified
+    // losers are exactly the distinct id_b values
+    val vsCorpus = cBands.select(col(idCol).as("id_a"),
+        col("__band"), col("__bucket"))
+      .join(broadcast(bBands.select(col(idCol).as("id_b"),
+        col("__band"), col("__bucket"))), Seq("__band", "__bucket"))
+      .select("id_a", "id_b").distinct()
+    val withinBatch = bBands.select(col(idCol).as("id_a"),
+        col("__band"), col("__bucket"))
+      .join(bBands.select(col(idCol).as("id_b"),
+        col("__band"), col("__bucket")), Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dupPairs = verifyJaccard(vsCorpus.unionByName(withinBatch),
+      cSets.unionByName(bSets), idCol, threshold)
+    val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
 
   /**
    * 64-bit SimHash per document, (idCol, __simhash) rows: bit i is set

@@ -95,6 +95,26 @@ class ExtSpec extends AnyFunSuite {
     assert(e.where($"hof" =!= $"nat").count() == 0)
   }
 
+  test("Dedup.incrementalNearDups: corpus dups drop, lower batch id wins, novel survives") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearBase = (1 to 29).map(i => s"token$i").mkString(" ") + " tokenX"
+    val pairA = (50 to 80).map(i => s"word$i").mkString(" ")
+    val pairB = (50 to 79).map(i => s"word$i").mkString(" ") + " wordY"
+    val novel = (200 to 230).map(i => s"fresh$i").mkString(" ")
+    val corpus = docs((1L, base))
+    // batch: 10 dups the corpus doc → dropped; 11/12 are mutual dups →
+    // 11 (lower id) admitted, 12 dropped; 13 is novel → admitted
+    val batch = docs((10L, nearBase), (11L, pairA), (12L, pairB), (13L, novel))
+    val got = Dedup.incrementalNearDups(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(11L, 13L))
+    // idempotence: re-running the same batch against the corpus admits
+    // the same set (the admit rule depends only on content and ids)
+    val again = Dedup.incrementalNearDups(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(again == Seq(11L, 13L))
+  }
+
   test("Dedup.components: chains, triangles, and end-to-end representative keep") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
