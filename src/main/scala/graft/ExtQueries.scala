@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Dedup, Multimodal, Shards, Similarity, TextOps}
+import graft.ext.{Clustering, Dedup, Multimodal, Sampling, Shards, Similarity, TextOps}
 import graft.ops.{AsOf, Ingest, Merge, Profile, RangeJoin, Resample, Sessions}
 import graft.sources.Tables
 
@@ -97,6 +97,29 @@ object ExtQueries {
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
+
+  /** Benchmark decontamination — training docs sharing 5-gram overlap
+    * with a simulated eval set (doc_id % 7 == 0): the data-prep step
+    * that keeps eval answers out of the corpus. Integer outputs →
+    * exact oracle. */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.decontaminate(d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified downsampling: keep 25 % of English, all of
+    * every other language (the rebalancing step of corpus curation),
+    * summarized per language. Membership is a pure md5(doc_id) predicate
+    * — reproducible, backfill-stable, replayed verbatim by the oracle. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedByHash(docs(s, dir), "lang", "doc_id",
+        rates = Map("en" -> 0.25))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang")
 
   /** Incremental dedup — admit only the novel documents of a simulated
     * daily batch (doc_id % 10 == 0) against the standing corpus (the
@@ -872,6 +895,8 @@ object ExtQueries {
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "dedup_embedding_ann" -> ((s, dir) => dedupEmbeddingAnn(s, dir)),
     "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
+    "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
+    "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
@@ -928,10 +953,13 @@ object ExtQueries {
   private val toksSql =
     """list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '), x -> x != '')"""
 
+  /** Distinct k-shingles identical to TextNorm.shingles(toks, k). */
+  private def shinglesSqlK(k: Int): String =
+    s"""list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+       |               for i in range(1, greatest(len(toks) - ${k - 1}, 1) + 1)])""".stripMargin
+
   /** Distinct 3-shingles identical to TextNorm.shingles(toks, 3). */
-  private val shinglesSql =
-    """list_distinct([array_to_string(toks[i:i+2], ' ')
-      |               for i in range(1, greatest(len(toks) - 2, 1) + 1)])""".stripMargin
+  private val shinglesSql = shinglesSqlK(3)
 
   /** Shared CTE prefix: exact Jaccard pairs over 3-shingle sets. */
   private val pairsCte =
@@ -1121,6 +1149,24 @@ object ExtQueries {
          |    WHERE j >= 0.5 AND ((id_a = doc_id AND id_b % 10 != 0)
          |                        OR id_b = doc_id))
          |ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM t),
+         |e AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM d
+         |      WHERE doc_id % 7 = 0),
+         |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 7 != 0)
+         |SELECT c.doc_id, count(DISTINCT c.s) AS n_overlap_shingles,
+         |       count(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM c JOIN e ON c.s = e.s
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+        |      (CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
     "dedup_corpus" -> dedupCorpusSql(4),
     // k-means replay: distances use the LITERAL expression

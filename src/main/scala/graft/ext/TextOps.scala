@@ -137,4 +137,31 @@ object TextOps {
     df.select(col(idCol),
       expr(s"winnow_fingerprint(`$textCol`, $k, $w)").as("fingerprint"))
   }
+
+  /**
+   * Benchmark decontamination — flag training documents that share
+   * `shingleK`-gram overlap with an evaluation set (the data-prep step
+   * that keeps eval answers out of the training corpus; production
+   * pipelines use 8–13-grams on long documents). Returns one row per
+   * CONTAMINATED corpus doc: the distinct overlapping shingle count and
+   * how many eval docs it hits; clean docs are absent (filter the
+   * corpus with a left_anti join on the result to scrub).
+   *
+   * Scale shape: the eval set is small by definition, so its exploded
+   * shingle set is BROADCAST against the corpus shingle stream — the
+   * 100 TB corpus is never shuffled; the only aggregation runs on the
+   * (tiny) matched candidates.
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5): DataFrame = {
+    graft.functions.TextExprs.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol),
+      explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
+    val e = evalSet.select(col(idCol).as("__eval_id"),
+      explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
+    c.join(broadcast(e), "__s")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__s")).as("n_overlap_shingles"),
+        countDistinct(col("__eval_id")).as("n_eval_docs"))
+  }
 }

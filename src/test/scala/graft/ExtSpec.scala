@@ -115,6 +115,44 @@ class ExtSpec extends AnyFunSuite {
     assert(again == Seq(11L, 13L))
   }
 
+  test("TextOps.decontaminate: flags exactly the docs overlapping the eval set") {
+    val shared = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val evalSet = docs((100L, s"$shared and some eval framing text"))
+    val corpus = docs(
+      (1L, s"prefix words then $shared trailing content"), // contaminated
+      (2L, (20 to 40).map(i => s"clean$i").mkString(" ")), // clean
+      (3L, s"also carries $shared inside it"))             // contaminated
+    val got = TextOps.decontaminate(corpus, evalSet, "id", "text",
+        shingleK = 5)
+      .orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L))
+    assert(got.forall { case (_, nSh, nEval) => nSh >= 6 && nEval == 1 })
+  }
+
+  test("Sampling.stratifiedByHash: per-group rates, determinism, append stability") {
+    import graft.ext.Sampling
+    val df = (0 until 2000)
+      .map(i => (i.toLong, if (i % 4 == 0) "fr" else "en")).toDF("id", "lang")
+    val kept = Sampling.stratifiedByHash(df, "lang", "id",
+        Map("en" -> 0.25)).select("id", "lang")
+      .as[(Long, String)].collect().toSet
+    // fr keeps everything; en keeps ~25% (hash-binomial, loose bounds)
+    assert(kept.count(_._2 == "fr") == 500)
+    val en = kept.count(_._2 == "en")
+    assert(en > 290 && en < 460, s"en kept $en of 1500, expected ~375")
+    // deterministic: same input → same sample
+    val again = Sampling.stratifiedByHash(df, "lang", "id",
+        Map("en" -> 0.25)).select("id", "lang")
+      .as[(Long, String)].collect().toSet
+    assert(again == kept)
+    // append stability: sampling a prefix yields exactly the subset
+    val prefix = Sampling.stratifiedByHash(
+        df.where($"id" < 1000), "lang", "id", Map("en" -> 0.25))
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(prefix == kept.filter(_._1 < 1000))
+  }
+
   test("Dedup.components: chains, triangles, and end-to-end representative keep") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
