@@ -98,6 +98,27 @@ object ExtQueries {
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Intra-document repetition stats — the duplicate-n-gram quality
+    * signal of Gopher/RefinedWeb-style filters: the fraction of a doc's
+    * 2-grams / 3-grams that are repeats, in exact integer bps
+    * (total − distinct over total; `token_shingles` is distinct by
+    * construction, so distinct counts come free from the native
+    * kernels). Zero shuffle — one JIT'd projection per row. */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("token_stats(text).n_tokens").cast("long").as("n_tokens"),
+        expr("size(token_shingles(text, 2))").cast("long").as("__d2"),
+        expr("size(token_shingles(text, 3))").cast("long").as("__d3"))
+      .withColumn("__n2", greatest(col("n_tokens") - 1, lit(1L)))
+      .withColumn("__n3", greatest(col("n_tokens") - 2, lit(1L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(__n2 - __d2) * 10000 DIV __n2").as("rep2_bps"),
+        expr("(__n3 - __d3) * 10000 DIV __n3").as("rep3_bps"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — training docs sharing 5-gram overlap
     * with a simulated eval set (doc_id % 7 == 0): the data-prep step
     * that keeps eval answers out of the corpus. Integer outputs →
@@ -897,6 +918,7 @@ object ExtQueries {
     "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
     "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
     "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
+    "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
@@ -1159,6 +1181,20 @@ object ExtQueries {
          |       count(DISTINCT e.eval_id) AS n_eval_docs
          |FROM c JOIN e ON c.s = e.s
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             len(${shinglesSqlK(2)}) AS d2,
+         |             len(${shinglesSqlK(3)}) AS d3
+         |      FROM t),
+         |n AS (SELECT doc_id, n_tokens,
+         |             greatest(n_tokens - 1, 1) AS n2,
+         |             greatest(n_tokens - 2, 1) AS n3, d2, d3
+         |      FROM d)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST((n2 - d2) * 10000 // n2 AS BIGINT) AS rep2_bps,
+         |       CAST((n3 - d3) * 10000 // n3 AS BIGINT) AS rep3_bps
+         |FROM n ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
