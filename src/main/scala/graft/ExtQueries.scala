@@ -98,6 +98,18 @@ object ExtQueries {
     Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Best-survivor corpus dedup: like dedup_corpus but each near-dup
+    * cluster keeps its LONGEST member (n_chars, ties to min doc_id) —
+    * the keep-the-best curation policy rather than min-id. */
+  private def dedupCorpusBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupByPairsBest(d,
+        Dedup.minhashNearDups(d, "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
+        "doc_id", col("n_chars"))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Intra-document repetition stats — the duplicate-n-gram quality
     * signal of Gopher/RefinedWeb-style filters: the fraction of a doc's
     * 2-grams / 3-grams that are repeats, in exact integer bps
@@ -919,6 +931,7 @@ object ExtQueries {
     "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
     "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
+    "dedup_corpus_best" -> ((s, dir) => dedupCorpusBest(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
@@ -1033,6 +1046,16 @@ object ExtQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM l$rounds l
        |                  WHERE l.id = d.doc_id AND l.label <> l.id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Best-survivor corpus dedup: rank clusters (singletons = own label)
+    * by n_chars desc, doc_id asc; keep rank 1. */
+  private def dedupCorpusBestSql(rounds: Int): String =
+    s"""${componentsCtes(rounds)},
+       |lab AS (SELECT d.doc_id, d.n_chars, coalesce(l.label, d.doc_id) AS comp
+       |        FROM documents d LEFT JOIN l$rounds l ON l.id = d.doc_id),
+       |r AS (SELECT doc_id, row_number() OVER (PARTITION BY comp
+       |        ORDER BY n_chars DESC, doc_id) AS rk FROM lab)
+       |SELECT doc_id FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared WITH-body replaying the deterministic 2-round k-means
     * (init stride 25, dim 64 — mirrors `Clustering.kmeans` params in
@@ -1205,6 +1228,7 @@ object ExtQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
     "dedup_corpus" -> dedupCorpusSql(4),
+    "dedup_corpus_best" -> dedupCorpusBestSql(4),
     // k-means replay: distances use the LITERAL expression
     // |p|^2 - 2 p.c + |c|^2 (same operation order as the Spark side →
     // bit-identical doubles); centroid means sum in DECIMAL(38,20) and

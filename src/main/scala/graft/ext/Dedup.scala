@@ -419,6 +419,34 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Quality-aware variant of `dedupByPairs`: the survivor of each
+   * near-dup cluster is the member maximizing `preference` (ties break
+   * to the smallest id) instead of the arbitrary min-id — the curation
+   * policy that keeps the BEST duplicate (longest, highest quality
+   * score, most recent crawl) rather than whichever got the lowest id.
+   * Unpaired docs are their own singleton cluster and always survive.
+   *
+   * Scale shape: components over the (tiny) pair graph, then ONE extra
+   * hash shuffle of the corpus on the cluster label for the rank-1
+   * window; the window state is O(1) per cluster.
+   */
+  def dedupByPairsBest(df: DataFrame, pairs: DataFrame, idCol: String,
+      preference: Column): DataFrame = {
+    // rename the label frame's columns before joining: the caller's
+    // idCol may itself be named "id"/"component"
+    val comps = components(pairs)
+      .select(col("id").as("__comp_id"), col("component").as("__comp_label"))
+    val labeled = df.join(comps, df(idCol) === col("__comp_id"), "left")
+      .withColumn("__comp", coalesce(col("__comp_label"), col(idCol)))
+      .drop("__comp_id", "__comp_label")
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(preference.desc, col(idCol))
+    labeled.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__comp", "__rk")
+  }
+
   /** Audit companion to `ngramJaccardPairs`' cap: the shingles a given
     * `maxDocFreq` would drop, with their document frequencies — log or
     * persist this next to any capped run. */

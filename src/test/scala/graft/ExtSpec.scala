@@ -169,6 +169,16 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 20L, 99L)) // reps + untouched singleton
   }
 
+  test("Dedup.dedupByPairsBest keeps the preferred member, not the min id") {
+    val corpus = Seq((1L, "dup short", 9L), (5L, "dup long", 50L),
+      (3L, "solo", 4L)).toDF("id", "text", "len")
+    val pairs = Seq((1L, 5L)).toDF("id_a", "id_b")
+    // min-id policy would keep 1; preference = len keeps 5; singleton 3 stays
+    val got = graft.ext.Dedup.dedupByPairsBest(corpus, pairs, "id", $"len")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(3L, 5L))
+  }
+
   // ------------------------------------------------------ similarity —
 
   test("Similarity.bruteForceTopK: exact ranks on a hand-computed case") {
