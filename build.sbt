@@ -17,7 +17,6 @@ run / fork := true
 // extraction rule — rounds 2-5 recorded parsed=null with the line fully
 // present in the tail but "[info] "-prefixed).
 outputStrategy := Some(StdoutOutput)
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
