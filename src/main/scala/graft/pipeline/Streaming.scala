@@ -157,6 +157,55 @@ object Streaming {
    * happened to keep. The read-back is pruned to the batch's date
    * partitions — O(touched days), not table size.
    */
+  /**
+   * Streaming corpus ingest with incremental near-dup dedup — the
+   * training-data counterpart of `run`: each micro-batch of documents
+   * is admitted against the standing admitted corpus with
+   * `Dedup.incrementalNearDups` (batch band keys broadcast against the
+   * corpus, lower-id-wins within the batch) and only the NOVEL
+   * survivors are appended to `corpusPath`.
+   *
+   * Replay-idempotent without any extra bookkeeping: if a micro-batch
+   * re-runs after a failure, every previously-admitted doc now
+   * near-dups ITSELF in the corpus (Jaccard 1.0) and is dropped, and
+   * every previously-rejected doc still has its original partner — the
+   * corpus is unchanged. State lives entirely in the corpus table;
+   * nothing accumulates in streaming state.
+   */
+  def dedupIngest(spark: SparkSession, inputPath: String,
+      docSchema: StructType, corpusPath: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5): StreamingQuery = {
+    val raw = spark.readStream.schema(docSchema).parquet(inputPath)
+    raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          admitBatch(spark, batch, corpusPath, idCol, textCol, threshold)
+        ()
+      }
+      .start()
+  }
+
+  private[pipeline] def admitBatch(spark: SparkSession, batch: DataFrame,
+      corpusPath: String, idCol: String, textCol: String,
+      threshold: Double): Unit = {
+    val corpus =
+      try Exchange.table(spark, corpusPath).select(batch.columns.map(col): _*)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+      }
+    val novel = graft.ext.Dedup.incrementalNearDups(corpus, batch,
+      idCol, textCol, numHashes = 128, bands = 32, threshold = threshold)
+    // the plan reads corpusPath while appending to it, which is safe
+    // here: append never deletes or rewrites existing files, and the
+    // scan's file index was fixed at planning time — new files are
+    // invisible to in-flight (and retried) corpus-scan tasks
+    novel.write.mode("append").parquet(corpusPath)
+  }
+
   private[pipeline] def promoteBatch(spark: SparkSession, batch: DataFrame,
       cfg: PipelineConfig): Unit = {
     val incoming = batch.select(

@@ -175,6 +175,45 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet == expected)
   }
 
+  test("dedupIngest: per-batch incremental admits, restart picks up new files, replay is a no-op") {
+    val root = Files.createTempDirectory("graft_dedup_ingest").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val corpus = s"$root/corpus"
+
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearBase = (1 to 29).map(i => s"token$i").mkString(" ") + " tokenX"
+    val fresh1 = (50 to 80).map(i => s"word$i").mkString(" ")
+    val fresh2 = (200 to 230).map(i => s"new$i").mkString(" ")
+    val nearFresh1 = (50 to 79).map(i => s"word$i").mkString(" ") + " wordZ"
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // day 1: 1 admitted; 2 near-dups 1 within the batch → dropped
+    docsDf((1L, base), (2L, nearBase)).write.mode("append").parquet(in)
+    val schema = docsDf((0L, "")).schema
+    Streaming.dedupIngest(spark, in, schema, corpus, s"$root/ckpt")
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L))
+
+    // day 2 (restart, same checkpoint): 10 dups the corpus → dropped;
+    // 11 and 12 novel, 12 near-dups 11 in-batch → 11 admitted
+    docsDf((10L, nearBase), (11L, fresh1), (12L, nearFresh1),
+      (13L, fresh2)).write.mode("append").parquet(in)
+    Streaming.dedupIngest(spark, in, schema, corpus, s"$root/ckpt")
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L, 11L, 13L))
+
+    // replay the SAME files through a fresh checkpoint: every admitted
+    // doc now self-matches in the corpus, every rejected doc still has
+    // its partner → the corpus must not change
+    Streaming.dedupIngest(spark, in, schema, corpus, s"$root/ckpt2")
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L, 11L, 13L))
+  }
+
   test("streaming AvailableNow run equals batch runDay output, dedupes, resumes") {
     val root = Files.createTempDirectory("graft_stream").toString
     val in = s"$root/in"
