@@ -118,6 +118,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packByBudget equals the sequential running-sum pack on random corpora") {
+    // random group skew, token counts and bucket granularities — the
+    // distributed two-pass prefix sum must be bit-identical to the
+    // single-window formulation for EVERY input, including buckets of
+    // size 1 (pure window) and one giant bucket (pure offset)
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(400, for {
+      g <- Gen.frequency((9, Gen.const("en")), (1, Gen.oneOf("fr", "de")))
+      t <- Gen.choose(1L, 900L)
+    } yield (g, t))
+    for ((seed, bucketDiv) <- Seq((21L, 1L), (22L, 16L), (23L, 100000L))) {
+      val rows = gen(Gen.Parameters.default, Seed(seed)).get.zipWithIndex
+        .map { case ((g, t), i) => (g, i.toLong, t) }
+      val in = rows.toDF("lang", "id", "toks")
+      val packed = graft.ext.Shards.packByBudget(in, Seq("lang"), "id",
+          "toks", capacity = 777L,
+          bucketExpr = floor($"id" / bucketDiv).cast("long"))
+        .select("lang", "id", "shard").as[(String, Long, Long)]
+        .collect().toSet
+      val w = Window.partitionBy("lang").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = in.withColumn("cum", sum($"toks").over(w))
+        .withColumn("shard", floor(($"cum" - $"toks") / lit(777L)).cast("long"))
+        .select("lang", "id", "shard").as[(String, Long, Long)]
+        .collect().toSet
+      assert(packed == ref, s"seed $seed bucketDiv $bucketDiv")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
