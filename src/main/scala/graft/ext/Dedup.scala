@@ -189,12 +189,14 @@ object Dedup {
    * an already-dropped batch doc still drops: its content is
    * duplicated either way).
    *
-   * Scale shape: the corpus contributes ONE signature + band-bucket
-   * pass (in production, precomputed and stored as the dedup index —
-   * signatures are content-addressed, so the index appends per batch);
-   * the batch's band keys are tiny and BROADCAST against the corpus
-   * band scan — no corpus self-join, no corpus shuffle at all.
-   * Verification joins only candidate ids back to shingle sets.
+   * Scale shape: the expensive corpus work is ONE signature +
+   * band-bucket build — an explode + aggregate that shuffles (id, hash)
+   * postings once. In production that index is precomputed and stored
+   * (signatures are content-addressed, so it appends per admitted
+   * batch), making the steady-state admit corpus-shuffle-free: the
+   * batch's band keys are tiny and BROADCAST against the index scan,
+   * and there is never a corpus self-join. Verification joins only
+   * candidate ids back to shingle sets.
    */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 64, bands: Int = 16,
