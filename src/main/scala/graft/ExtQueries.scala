@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Clustering, Dedup, Multimodal, Sampling, Shards, Similarity, TextOps}
-import graft.ops.{AsOf, Ingest, Merge, Profile, RangeJoin, Resample, Sessions}
+import graft.ops.{AsOf, Funnel, Ingest, Merge, Profile, RangeJoin, Resample, Retention, Sessions}
 import graft.sources.Tables
 
 /**
@@ -917,6 +917,67 @@ object ExtQueries {
         length(col("c_name")).as("name_len"))
       .orderBy("c_custkey")
 
+  // -------------------------------------------- event-behavior queries —
+
+  /** Ordered-step funnel over the event stream: users whose journey
+    * reaches view → click → purchase in order (each step strictly after
+    * the previous step's earliest completion). One user-keyed shuffle;
+    * see ops/Funnel.scala for the scale analysis. */
+  private def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.conversion(Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), tieBreak = "event_id")
+      .orderBy("step")
+
+  /** Cohort retention grid: users bucketed by first-activity day,
+    * counted per day-offset, with retention vs the cohort's own size. */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    Retention.cohorts(Tables.load(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+
+  // ------------------------------------------- corpus-curation queries —
+
+  /** Deterministic seed-parameterized training-order shuffle: global
+    * position under an md5 sort key, computed with the two-pass bucketed
+    * rank (ext/Shards.scala) — no single-reducer global sort. The oracle
+    * replays the naive global row_number, which the bucketed construction
+    * must equal exactly. */
+  private def shuffleOrderQ(s: SparkSession, dir: String): DataFrame =
+    Shards.shuffleOrder(docs(s, dir), "doc_id", seed = "r6")
+      .select("doc_id", "pos").orderBy("doc_id")
+
+  /** C4/Gopher-style composite quality filter: per-doc reason flags
+    * (too short / too long / unnaturally stopword-free) and the keep
+    * verdict. Pure projection over the native token_stats kernel —
+    * zero shuffle; thresholds sit inside the corpus' observed range so
+    * both kept and dropped classes are non-empty. */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val d = docs(s, dir).withColumn("__ts", expr("token_stats(text)"))
+    val n = col("__ts.n_tokens")
+    val stopRaw = when(n > 0,
+      col("__ts.h_en").cast("double") / n).otherwise(0.0)
+    d.select(col("doc_id"), n.as("n_tokens"),
+        (n < 25).as("too_short"), (n > 90).as("too_long"),
+        (stopRaw < 0.02).as("low_stopword"))
+      .withColumn("keep",
+        !col("too_short") && !col("too_long") && !col("low_stopword"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-shape pattern scrub over the event props payload: digit runs
+    * masked, with the per-row masked-span audit count. Pure per-row
+    * regex projection (RE2-compatible pattern — Java and DuckDB agree). */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.maskPattern(Tables.load(s, dir, "events"), "props",
+        "[0-9]+", "#")
+      .select("event_id", "scrubbed", "n_masked").orderBy("event_id")
+
+  /** Per-language vocabulary profile: token/type/hapax counts and
+    * type–token ratio via explode → two chained hash aggregates (the
+    * shuffle carries distinct (lang, token) rows, not occurrences). */
+  private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabStats(docs(s, dir), "text", Seq("lang")).orderBy("lang")
+
   // ------------------------------------------------------------- wiring —
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -979,7 +1040,13 @@ object ExtQueries {
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
     "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
     "stats_agg" -> ((s, dir) => statsAgg(s, dir)),
-    "scd2_history" -> ((s, dir) => scd2History(s, dir))
+    "scd2_history" -> ((s, dir) => scd2History(s, dir)),
+    "event_funnel" -> ((s, dir) => eventFunnel(s, dir)),
+    "retention_cohorts" -> ((s, dir) => retentionCohorts(s, dir)),
+    "shuffle_order" -> ((s, dir) => shuffleOrderQ(s, dir)),
+    "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
+    "pii_scrub" -> ((s, dir) => piiScrub(s, dir)),
+    "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -987,6 +1054,10 @@ object ExtQueries {
   /** Tokenization identical to TextNorm.tokens. */
   private val toksSql =
     """list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '), x -> x != '')"""
+
+  /** The English stopword profile as a SQL IN-list (quality_filter's
+    * stop_raw must be the same h_en / n_tokens division text_stats uses). */
+  private val enStopSql = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
 
   /** Distinct k-shingles identical to TextNorm.shingles(toks, k). */
   private def shinglesSqlK(k: Int): String =
@@ -1773,6 +1844,91 @@ object ExtQueries {
         |                                ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Funnel replay: the same chained conditional cumulative mins — step
+    // i's earliest in-order completion as of each row, reduced per user,
+    // then counted per step.
+    "event_funnel" ->
+      """WITH c0 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS f0
+        |  FROM events),
+        |c1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click'
+        |                      AND f0 IS NOT NULL AND ts > f0 THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS f1
+        |  FROM c0),
+        |c2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase'
+        |                      AND f1 IS NOT NULL AND ts > f1 THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS f2
+        |  FROM c1),
+        |u AS (SELECT user_id, min(f0) AS f0, min(f1) AS f1, min(f2) AS f2
+        |      FROM c2 GROUP BY user_id)
+        |SELECT 1 AS step, 'view' AS step_type,
+        |       count(*) FILTER (WHERE f0 IS NOT NULL) AS n_users FROM u
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FILTER (WHERE f1 IS NOT NULL) FROM u
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FILTER (WHERE f2 IS NOT NULL) FROM u
+        |ORDER BY step""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ts::DATE AS active_day FROM events),
+        |g AS (SELECT cohort_day, active_day - cohort_day AS day_offset,
+        |             count(*) AS n_users
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |z AS (SELECT cohort_day, day_offset, n_users,
+        |             max(CASE WHEN day_offset = 0 THEN n_users END)
+        |               OVER (PARTITION BY cohort_day) AS cohort_size
+        |      FROM g)
+        |SELECT cohort_day, day_offset, n_users, cohort_size,
+        |       round(n_users::DOUBLE / cohort_size, 4) AS retention
+        |FROM z ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // The naive global row_number the two-pass bucketed rank must equal.
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':r6'),
+        |                          doc_id) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             CASE WHEN len(toks) > 0 THEN
+         |               len(list_filter(toks, x -> x IN ($enStopSql)))::DOUBLE
+         |                 / len(toks)
+         |             ELSE 0.0 END AS stop_raw
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |       n_tokens < 25 AS too_short,
+         |       n_tokens > 90 AS too_long,
+         |       stop_raw < 0.02 AS low_stopword,
+         |       NOT (n_tokens < 25 OR n_tokens > 90 OR stop_raw < 0.02) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT event_id,
+        |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |       len(regexp_extract_all(props, '[0-9]+')) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "vocab_stats" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |o AS (SELECT lang, unnest(toks) AS tok FROM t),
+         |c AS (SELECT lang, tok, count(*) AS occ FROM o GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_types,
+         |       count(*) FILTER (WHERE occ = 1) AS n_hapax,
+         |       round(count(*)::DOUBLE / sum(occ), 4) AS type_token_ratio
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -68,6 +68,43 @@ object Shards {
       .drop("__bucket", "__offset", "__cum")
   }
 
+  /**
+   * Deterministic global training-order shuffle: every row gets a
+   * position `pos` (1-based, dense) equal to its rank under an
+   * md5-derived sort key — a stable, seed-parameterized permutation a
+   * training loader can reproduce anywhere (md5 of "<id>:<seed>" is the
+   * same bytes in every engine, unlike xxhash64).
+   *
+   * The naive formulation is `row_number() OVER (ORDER BY key)` — one
+   * global sort partition, one reducer ranking the whole corpus. This is
+   * the two-pass shape instead: the first hex byte of the key buckets
+   * rows into 256 ranges; because the bucket is a PREFIX of the sort key,
+   * ordering by (bucket, key) is the global key order, so
+   * pos = bucket_offset + rank_within_bucket exactly — every bucket ranks
+   * in parallel and the only serial step is a 256-row prefix sum.
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val withKey = df.withColumn("__key", key)
+      // hex chars sort the same as their numeric value, so the first two
+      // chars are both the top byte and a prefix of the string order.
+      .withColumn("__bucket", conv(substring(col("__key"), 1, 2), 16, 10)
+        .cast("int"))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(wBuckets), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    // md5 collisions are no-shows; idCol tie-breaks anyway so the rank is
+    // total and deterministic.
+    val wLocal = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__key"), col(idCol))
+    withKey.join(broadcast(offsets), "__bucket")
+      .withColumn("pos", (col("__offset") + row_number().over(wLocal)).cast("long"))
+      .drop("__key", "__bucket", "__offset")
+  }
+
   /** Shard manifest: one row per (group, shard) with membership bounds
     * and sizes — the summary a training loader consumes. */
   def manifest(packed: DataFrame, groupCols: Seq[String], orderCol: String,

@@ -139,6 +139,45 @@ object TextOps {
   }
 
   /**
+   * Pattern scrubbing (the PII-redaction shape): replace every match of
+   * `pattern` in `textCol` with `replacement` and report how many spans
+   * were masked — the audit column a compliance pipeline logs. Pure
+   * per-row projection: zero shuffle, codegen'd regex (use RE2-compatible
+   * patterns so an external SQL engine replays it identically).
+   */
+  def maskPattern(df: DataFrame, textCol: String, pattern: String,
+      replacement: String, outCol: String = "scrubbed",
+      countCol: String = "n_masked"): DataFrame =
+    df.withColumn(outCol,
+        regexp_replace(col(textCol), pattern, replacement))
+      .withColumn(countCol,
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
+
+  /**
+   * Corpus vocabulary profile per group: token count, vocabulary size
+   * (types), hapax count (types seen exactly once in the group), and
+   * type–token ratio — the quick Zipf health check run before training.
+   *
+   * Scale shape: explode → two chained hash aggregates. The first
+   * groupBy (group, token) partial-aggregates map-side, so the shuffle
+   * carries one row per distinct (group, token), not per occurrence; the
+   * second collapses to one row per group. No windows, no driver work.
+   */
+  def vocabStats(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ explode(TextNorm.tokens(col(textCol))).as("__tok"): _*)
+      .groupBy(g :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(g: _*)
+      .agg(sum(col("__occ")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("__occ") === 1, lit(1))).as("n_hapax"),
+        round(count(lit(1)).cast("double") / sum(col("__occ")), 4)
+          .as("type_token_ratio"))
+  }
+
+  /**
    * Benchmark decontamination — flag training documents that share
    * `shingleK`-gram overlap with an evaluation set (the data-prep step
    * that keeps eval answers out of the training corpus; production

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cohort retention: users grouped by first-activity day (their cohort),
+ * counted on each subsequent active day as an offset from the cohort
+ * day, with retention as a fraction of the cohort's size.
+ *
+ * Scale shape: two user-keyed hash aggregates (first-day per user, then
+ * distinct (user, day)) that share one shuffle key, a co-partitioned
+ * join, and a final aggregate whose output is bounded by
+ * #cohort-days × #offsets — calendar-sized, not data-sized. The
+ * per-(cohort, offset) count uses count(*), not count(DISTINCT user):
+ * the (user, day) frame is already distinct and a user has exactly one
+ * cohort, so the distinct expansion would be pure overhead. The
+ * cohort-size denominator comes from a window over the calendar-sized
+ * result (every user is active on their own day 0, so offset 0 IS the
+ * cohort size), not from another pass over the data.
+ */
+object Retention {
+
+  def cohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val user = col(userCol)
+    val day = to_date(col(tsCol))
+    val firstDay = events.groupBy(user)
+      .agg(min(day).as("cohort_day"))
+    val activeDays = events.select(user, day.as("active_day")).distinct()
+    val grid = activeDays.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wCohort = Window.partitionBy(col("cohort_day"))
+    grid
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_users"))).over(wCohort))
+      .withColumn("retention",
+        round(col("n_users").cast("double") / col("cohort_size"), 4))
+  }
+}

@@ -109,4 +109,28 @@ class PlanSpec extends AnyFunSuite {
     val agg = p.indexOf("HashAggregate", first)
     assert(agg > 0, "aggregation between the exchanges")
   }
+
+  test("event_funnel: all step windows AND the per-user reduce share ONE shuffle") {
+    // three stacked Window ops + groupBy(user) reuse the same
+    // hashpartitioning(user_id) — per-row state is O(#steps), and a
+    // second exchange here would mean the funnel re-shuffles per step
+    assert(hashExchanges("event_funnel") == 1)
+  }
+
+  test("shuffle_order: bucketed parallel rank, no global-sort reducer") {
+    val p = plan("shuffle_order")
+    // big side ranks per __bucket; the only SinglePartition window runs
+    // over the 256-row bucket-count frame, which then broadcasts
+    assert(hashExchanges("shuffle_order") == 2, s"plan:\n$p")
+    assert(p.contains("BroadcastExchange"))
+    // exactly one rangepartitioning: the gate-determinism orderBy — the
+    // rank itself must NOT be a global sort
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
+  }
+
+  test("vocab_stats: occurrence and vocabulary aggs are two map-combined shuffles") {
+    // (lang, token) then (lang) — the shuffle carries distinct tokens,
+    // never raw occurrences (partial_count combines map-side)
+    assert(hashExchanges("vocab_stats") == 2)
+  }
 }
