@@ -57,6 +57,14 @@ object ExtQueries {
         shingleK = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Exact-substring dup pairs: any shared 8-token window (containment,
+    * not whole-doc similarity — finds shared boilerplate spans Jaccard
+    * misses). The oracle recomputes the same distinct-window
+    * intersection from SQL. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(docs(s, dir), "doc_id", "text", windowK = 8)
+      .orderBy("id_a", "id_b")
+
   // -------------------------------------------------------- similarity —
 
   /** Every 20th vector queries the full corpus for its 5 nearest
@@ -671,6 +679,36 @@ object ExtQueries {
 
   /** Temporal function family: month-truncation, quarter extraction,
     * monthly order rollup. */
+  /** Bloom-pruned semi-join: orders of BUILDING-segment customers,
+    * aggregated per month. The bloom over the filtered dimension's keys
+    * prunes the fact scan BEFORE the shuffle (the explicit runtime-filter
+    * pattern); the trailing exact semi-join removes false positives, so
+    * the result is exactly the plain semi-join's. */
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(s, dir, "orders")
+    graft.ops.BloomPrune.semiJoin(orders, cust, "o_custkey", "c_custkey")
+      .groupBy(date_trunc("month", to_date(col("o_orderdate"))).cast("date")
+        .as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(24,6)")), 2).cast("double")
+          .as("total_price"))
+      .orderBy("month_start")
+  }
+
+  /** Z-order layout key over (p_size, p_partkey % 64): the multi-column
+    * clustering sort for scan pruning. The registered query verifies the
+    * interleave bit-for-bit — the oracle replays the identical shift/
+    * mask formula symbolically (`ZOrder.zkeySql`). */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    p.select(col("p_partkey"), col("p_size"),
+        graft.ops.ZOrder.zkey(
+          Seq(col("p_size"), pmod(col("p_partkey"), lit(64L))), 6).as("zkey"))
+      .orderBy("zkey", "p_partkey")
+  }
+
   private def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .withColumn("d", to_date(col("o_orderdate")))
@@ -985,6 +1023,7 @@ object ExtQueries {
     "dedup_minhash" -> ((s, dir) => dedupMinhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => dedupSimhash(s, dir)),
     "dedup_ngram" -> ((s, dir) => dedupNgram(s, dir)),
+    "dedup_substring" -> ((s, dir) => dedupSubstring(s, dir)),
     "dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "dedup_embedding_ann" -> ((s, dir) => dedupEmbeddingAnn(s, dir)),
@@ -1018,6 +1057,8 @@ object ExtQueries {
     "tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "join_skew_salted" -> ((s, dir) => joinSkewSalted(s, dir)),
     "orders_by_month" -> ((s, dir) => ordersByMonth(s, dir)),
+    "bloom_semi_join" -> ((s, dir) => bloomSemiJoin(s, dir)),
+    "zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1252,6 +1293,14 @@ object ExtQueries {
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, ${shinglesSqlK(8)} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             len(list_intersect(a.sh, b.sh)) AS n_shared
+         |      FROM d a, d b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared > 0
+         |ORDER BY id_a, id_b""".stripMargin,
     // the incremental admit rule, stated over exact Jaccard: a batch doc
     // (doc_id % 10 = 0) is dropped iff it pairs with a corpus doc, or
     // with ANY lower batch id (p already has id_a < id_b, so id_b =
@@ -1599,6 +1648,18 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "zorder_layout" ->
+      s"""SELECT p_partkey, p_size,
+         |       ${graft.ops.ZOrder.zkeySql(Seq("p_size", "p_partkey % 64"), 6)} AS zkey
+         |FROM part ORDER BY zkey, p_partkey""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
+        |       count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY month_start""".stripMargin,
     "orders_by_month" ->
       """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
         |       EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS qtr,

@@ -366,6 +366,48 @@ object Dedup {
   }
 
   /**
+   * Exact-substring dup pairs: two documents are substring duplicates
+   * iff they share at least one contiguous window of `windowK` tokens —
+   * the shared-long-span criterion of training-data dedup (the n-gram
+   * formulation of the suffix-array approach in Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better", ACL
+   * 2022; k-token windows instead of a global suffix array because
+   * windows shard — a suffix array does not). Unlike `ngramJaccardPairs`
+   * this is a CONTAINMENT test, not a whole-document similarity: a 40
+   * word boilerplate paragraph embedded in two otherwise-unrelated pages
+   * is found even though their Jaccard is ~0.
+   *
+   * Plan: k-token windows are exactly the k-shingles, so this reuses the
+   * shingle postings index — explode distinct windows, self-join on the
+   * window, count distinct shared windows per pair. Shuffles carry
+   * (id, window-string) postings, never document bodies. `maxDocFreq`
+   * bounds the d² pair blow-up of a window shared by d docs, same as the
+   * Jaccard join; at `windowK` ≥ 8 a super-cap window is mass-duplicated
+   * boilerplate — at scale, route such windows to a dedicated
+   * boilerplate-strip pass (their pair lists identify nothing) rather
+   * than enumerating quadratically many pairs.
+   */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+      windowK: Int = 8,
+      maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, windowK)
+    val postings0 = sets.select(col(idCol),
+      explode(col("__shingles")).as("__w"))
+    val postings = maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = postings0.groupBy("__w").agg(count(lit(1)).as("__df"))
+        postings0.join(dfreq.where(col("__df") <= cap), "__w")
+          .select(col(idCol), col("__w"))
+      case None => postings0
+    }
+    val a = postings.select(col(idCol).as("id_a"), col("__w"))
+    val b = postings.select(col(idCol).as("id_b"), col("__w"))
+    a.join(b, "__w").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Connected components over an undirected pair list (the transitive
    * closure step that turns near-dup PAIRS into dedup CLUSTERS): min-
    * label propagation iterated to fixpoint. Returns (id, component) with

@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSessionExtensions
  *
  * Every session (and every cloned session of the same context) then
  * resolves `norm_tokens`, `token_shingles`, `token_stats`,
- * `winnow_fingerprint`, `vec_dot` and `sign_band_buckets` in SQL and
+ * `winnow_fingerprint`, `vec_dot`, `sign_band_buckets` and
+ * `bloom_might_contain` in SQL and
  * `expr(...)` without any per-session `register` call. The per-session
  * `TextExprs.register` / `VectorExprs.register` path stays available for
  * sessions the caller did not build (the driver contract hands this
@@ -24,7 +25,8 @@ import org.apache.spark.sql.SparkSessionExtensions
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (TextExprs.injections ++ VectorExprs.injections).foreach {
+    (TextExprs.injections ++ VectorExprs.injections ++
+        graft.ops.BloomPrune.injections).foreach {
       case (id, info, builder) => ext.injectFunction((id, info, builder))
     }
 }

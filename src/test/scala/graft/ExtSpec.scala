@@ -32,6 +32,32 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("substringDupPairs: containment pairs Jaccard misses, none invented") {
+    // docs 1/2 share one 8-token boilerplate span inside otherwise
+    // disjoint text (whole-doc Jaccard ~0.1 — below any near-dup
+    // threshold); doc 3 shares nothing; docs 4/5 are short (< 8 tokens)
+    // identical, matching via the whole-doc degenerate window
+    val span = (1 to 8).map(i => s"legal$i").mkString(" ")
+    val a = s"alpha1 alpha2 alpha3 $span alpha4 alpha5 alpha6 alpha7"
+    val b = s"beta1 beta2 beta3 beta4 $span beta5 beta6 beta7"
+    val c = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val in = docs((1L, a), (2L, b), (3L, c), (4L, "tiny doc"), (5L, "tiny doc"))
+    val got = Dedup.substringDupPairs(in, "id", "text", windowK = 8)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1-2 share exactly the one distinct 8-window wholly inside the span
+    assert(got == Seq((1L, 2L, 1L), (4L, 5L, 1L)))
+    // the same pair is invisible to whole-document Jaccard at 0.5
+    val j = Dedup.ngramJaccardPairs(in, "id", "text", shingleK = 3,
+      threshold = 0.5).where($"id_a" === 1 && $"id_b" === 2)
+    assert(j.isEmpty)
+    // doc-freq cap drops a window shared by > cap docs (boilerplate in
+    // every doc identifies nothing and costs d² pairs)
+    val many = docs((1 to 12).map(i => (i.toLong, s"$span suffix$i")): _*)
+    assert(Dedup.substringDupPairs(many, "id", "text", windowK = 8,
+      maxDocFreq = Some(5L)).isEmpty)
+  }
+
   test("near-dup sketch family agrees with exact pairs on real documents") {
     // the sketch-blocked variants (MinHash-LSH, SimHash-pigeonhole) must
     // recover exactly the exact-Jaccard pair set on the testdata corpus

@@ -125,6 +125,50 @@ class OpsSpec extends AnyFunSuite {
     assert(rep("Invalid ticker check") == ((1L, "FAIL")))
   }
 
+  test("BloomPrune.semiJoin equals the plain semi-join; the bloom prunes") {
+    import graft.ops.BloomPrune
+    val small = Seq(1L, 5L, 9L, 13L).toDF("k")
+    val big = (1 to 1000).map(i => (i.toLong % 50, i.toLong))
+      .toDF("k2", "row_id")
+    val plain = big.join(small, $"k2" === $"k", "left_semi").orderBy("row_id")
+    val got = BloomPrune.semiJoin(big, small, "k2", "k").orderBy("row_id")
+    assert(got.collect().toSeq == plain.collect().toSeq)
+    // no false negatives (every true match survives the pruned scan);
+    // real pruning (the scan drops the bulk of the non-matching rows —
+    // deterministic for a fixed key set, fpp bounds it statistically)
+    val pruned = BloomPrune.prunedScan(big, "k2",
+      BloomPrune.keyBloom(small, "k")).count()
+    assert(pruned >= plain.count() && pruned < big.count() / 2)
+  }
+
+  test("ZOrder.zkey: hand-computed interleave, quadrant locality, range guard") {
+    import graft.ops.ZOrder
+    // n=2, bits=2: out bit0 = x bit0, bit1 = y bit0, bit2 = x bit1,
+    // bit3 = y bit1. (x=2, y=1) -> 0b0110 = 6.
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("x", "y")
+    val z = pts.select($"x", $"y",
+        ZOrder.zkey(Seq($"x", $"y"), 2).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(z((0L, 0L)) == 0L && z((1L, 0L)) == 1L && z((0L, 1L)) == 2L)
+    assert(z((2L, 1L)) == 6L && z((3L, 3L)) == 15L)
+    // quadrant locality: the top n bits of z are the columns' top bits,
+    // so sorting by z keeps each quadrant contiguous
+    val all = (for (x <- 0L until 4L; y <- 0L until 4L) yield (x, y))
+      .toDF("x", "y")
+    val byZ = all.select(($"x" / 2).cast("long").as("qx"),
+        ($"y" / 2).cast("long").as("qy"),
+        ZOrder.zkey(Seq($"x", $"y"), 2).as("z"))
+      .orderBy("z").select("qx", "qy").as[(Long, Long)].collect().toSeq
+    assert(byZ.grouped(4).map(_.distinct.size).toSeq == Seq(1, 1, 1, 1))
+    // out-of-range raises instead of silently scattering the layout
+    val err = intercept[Exception] {
+      Seq(4L).toDF("x").select(ZOrder.zkey(Seq($"x"), 2)).collect()
+    }
+    assert(err.getMessage.contains("zkey"))
+  }
+
   test("Quality.report passes on clean data and enforce throws on dirty") {
     val ds = LocalDate.parse("2024-01-10")
     val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>
