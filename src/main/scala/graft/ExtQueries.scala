@@ -162,6 +162,19 @@ object ExtQueries {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("lang")
 
+  /** Target-weight domain mixture over four sources (weights 1/2, 1/4,
+    * 1/8, 1/8 — exactly representable, so the binding-constraint float
+    * math is engine-identical): the corpus-assembly step that composes
+    * a training set with prescribed source proportions. The oracle
+    * replays the full pipeline — md5 ranking, binding constraint,
+    * per-group targets — in SQL. */
+  private def domainMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixByWeight(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+          "src3" -> 0.125), seed = "mix1")
+      .select("doc_id", "source", "mix_rank")
+      .orderBy("doc_id")
+
   /** Incremental dedup — admit only the novel documents of a simulated
     * daily batch (doc_id % 10 == 0) against the standing corpus (the
     * rest). A batch doc survives iff it has no Jaccard-0.5 partner in
@@ -1030,6 +1043,7 @@ object ExtQueries {
     "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
     "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
     "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
+    "domain_mix" -> ((s, dir) => domainMix(s, dir)),
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
     "dedup_corpus_best" -> ((s, dir) => dedupCorpusBest(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
@@ -1346,6 +1360,21 @@ object ExtQueries {
         |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
         |      (CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "domain_mix" ->
+      """WITH w(g, wt) AS (VALUES
+        |       ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |       ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
+        |d AS (SELECT doc_id, source, wt,
+        |             md5(CAST(doc_id AS VARCHAR) || ':mix1') AS key
+        |      FROM documents JOIN w ON source = g),
+        |t AS (SELECT source,
+        |             CAST(floor(min(CAST(ng AS DOUBLE) / wt) OVER () * wt) AS BIGINT) AS target
+        |      FROM (SELECT source, wt, count(*) AS ng FROM d GROUP BY 1, 2)),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS mix_rank
+        |      FROM d)
+        |SELECT r.doc_id, r.source, mix_rank FROM r JOIN t USING (source)
+        |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
     "dedup_corpus" -> dedupCorpusSql(4),
     "dedup_corpus_best" -> dedupCorpusBestSql(4),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,5 +39,69 @@ object Sampling {
         when(col(groupCol) === group, lit(hex(f))).otherwise(acc)
     }
     df.where(substring(md5(col(idCol).cast("string")), 1, 4) < threshold)
+  }
+
+  /**
+   * Target-weight domain mixing — compose a corpus whose group (source /
+   * domain / language) proportions match prescribed weights, the data-
+   * mixture step of training-corpus assembly (fixed per-source sampling
+   * weights à la GPT-3 / The Pile mixture tables).
+   *
+   * Sizing comes from the binding constraint: `scale = min_g(n_g / w_g)`
+   * is the largest mixture for which every group can supply
+   * `floor(scale * w_g)` rows without replacement; groups absent from
+   * `weights` are dropped. Within a group, the kept rows are the lowest
+   * `md5(id:seed)` ranks — deterministic, engine-reproducible, uniform
+   * over the group. Unlike `stratifiedByHash` (fixed RATES, append-
+   * stable), fixed PROPORTIONS necessarily re-balance when group counts
+   * change, so membership is stable only for a fixed input corpus.
+   *
+   * Plan shape at 100 TB: per-row work is one md5 plus broadcast-joined
+   * comparisons; in-group ranks use the same two-pass prefix sum as
+   * `Shards.shuffleOrder` — bucket by the key's first byte, offset by a
+   * (#groups × 256)-row broadcast frame, rank inside (group, bucket) —
+   * so no window serializes a whole group onto one reducer. Group
+   * counts/targets are a #groups-row aggregate, broadcast back.
+   */
+  def mixByWeight(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], seed: String): DataFrame = {
+    require(weights.nonEmpty, "mixByWeight needs at least one weighted group")
+    weights.values.foreach(w =>
+      require(w > 0, s"mixByWeight weights must be > 0, got $w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("__g", "__w"))
+    val inMix = df.join(wdf, col(groupCol) === col("__g")).drop("__g")
+    val withKey = inMix
+      .withColumn("__key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__bucket",
+        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    val bucketCounts = withKey.groupBy(col(groupCol), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("__offset", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col(groupCol), col("__bucket"), col("__offset"))
+    // binding constraint over per-group totals — #groups rows, so the
+    // empty-partitionBy window is a deliberate tiny single partition
+    val targets = bucketCounts.groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("__ng"))
+      .join(wdf, col(groupCol) === col("__g"))
+      .withColumn("__scale", min(col("__ng").cast("double") / col("__w"))
+        .over(Window.partitionBy()))
+      .withColumn("__target",
+        floor(col("__scale") * col("__w")).cast("long"))
+      .select(col(groupCol), col("__target"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__bucket"))
+      .orderBy(col("__key"), col(idCol))
+    withKey
+      .join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .join(broadcast(targets), Seq(groupCol))
+      .withColumn("__rank", col("__offset") + row_number().over(wLocal))
+      .where(col("__rank") <= col("__target"))
+      .drop("__w", "__key", "__bucket", "__offset", "__target")
+      .withColumnRenamed("__rank", "mix_rank")
   }
 }

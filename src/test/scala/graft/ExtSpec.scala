@@ -179,6 +179,31 @@ class ExtSpec extends AnyFunSuite {
     assert(prefix == kept.filter(_._1 < 1000))
   }
 
+  test("Sampling.mixByWeight: binding constraint, md5 order, dropped groups") {
+    import graft.ext.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // a has slack (8 rows, weight .5), b binds (2 rows, weight .5):
+    // scale = min(8/.5, 2/.5) = 4 → target 2 per group; c is unlisted
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++
+      Seq((101L, "b"), (102L, "b"), (201L, "c"))).toDF("id", "grp")
+    val out = Sampling.mixByWeight(df, "grp", "id",
+      Map("a" -> 0.5, "b" -> 0.5), "s1")
+    val got = out.select("grp", "id", "mix_rank")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 2)
+    assert(!got.exists(_._1 == "c"))
+    assert(got.filter(_._1 == "a").map(_._3).sorted == Seq(1L, 2L))
+    // the two-pass rank must equal the naive single-window formulation,
+    // and the kept rows are exactly the rank <= target ones
+    val naive = df.where($"grp".isin("a", "b"))
+      .withColumn("key", md5(concat($"id".cast("string"), lit(":s1"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"grp").orderBy($"key", $"id")))
+      .select($"grp", $"id", $"rk".cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.toSet == naive.filter(_._3 <= 2).toSet)
+  }
+
   test("Dedup.components: chains, triangles, and end-to-end representative keep") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
