@@ -722,6 +722,14 @@ object ExtQueries {
       .orderBy("zkey", "p_partkey")
   }
 
+  /** Blocked Levenshtein self-join over distinct part names: candidate
+    * pairs share a first-or-last-token block key, exact edit distance
+    * decides. The oracle replays blocking and verification verbatim. */
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fuzzy.selfJoin(Tables.load(s, dir, "part"), "p_name",
+        maxDist = 4)
+      .orderBy("s_a", "s_b")
+
   private def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .withColumn("d", to_date(col("o_orderdate")))
@@ -1073,6 +1081,7 @@ object ExtQueries {
     "orders_by_month" -> ((s, dir) => ordersByMonth(s, dir)),
     "bloom_semi_join" -> ((s, dir) => bloomSemiJoin(s, dir)),
     "zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
+    "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1677,6 +1686,16 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "fuzzy_join" ->
+      """WITH v AS (SELECT DISTINCT p_name AS s FROM part),
+        |k AS (SELECT DISTINCT s,
+        |             unnest([string_split(s, ' ')[1], string_split(s, ' ')[-1]]) AS bk
+        |      FROM v),
+        |p AS (SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |      FROM k a JOIN k b USING (bk) WHERE a.s < b.s)
+        |SELECT s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM p WHERE levenshtein(s_a, s_b) <= 4
+        |ORDER BY s_a, s_b""".stripMargin,
     "zorder_layout" ->
       s"""SELECT p_partkey, p_size,
          |       ${graft.ops.ZOrder.zkeySql(Seq("p_size", "p_partkey % 64"), 6)} AS zkey

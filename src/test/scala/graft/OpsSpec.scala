@@ -169,6 +169,32 @@ class OpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("zkey"))
   }
 
+  test("Fuzzy.selfJoin: blocked pairs match brute force within the block") {
+    import graft.ops.Fuzzy
+    val names = Seq("red widget", "rad widget", "red gadget", "blue bolt",
+      "blue belt", "green gear", "red widgets", "totally different")
+      .toDF("name")
+    val got = Fuzzy.selfJoin(names, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    // brute force over pairs sharing first or last token
+    def keys(s: String) = { val t = s.split(" "); Set(t.head, t.last) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val all = names.as[String].collect().toSeq
+    val brute = (for {
+      x <- all; y <- all if x < y
+      if keys(x).intersect(keys(y)).nonEmpty && lev(x, y) <= 2
+    } yield (x, y, lev(x, y))).toSet
+    assert(got == brute && got.nonEmpty)
+    assert(got.contains(("rad widget", "red widget", 1)))
+  }
+
   test("Quality.report passes on clean data and enforce throws on dirty") {
     val ds = LocalDate.parse("2024-01-10")
     val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>
