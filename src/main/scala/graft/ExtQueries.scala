@@ -730,6 +730,14 @@ object ExtQueries {
         maxDist = 4)
       .orderBy("s_a", "s_b")
 
+  /** Market-basket co-occurrence: part pairs ordered together in ≥3
+    * distinct orders (the support-counting kernel of association
+    * mining). */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccur.pairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 3L)
+      .orderBy("item_a", "item_b")
+
   private def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .withColumn("d", to_date(col("o_orderdate")))
@@ -1082,6 +1090,7 @@ object ExtQueries {
     "bloom_semi_join" -> ((s, dir) => bloomSemiJoin(s, dir)),
     "zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
+    "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1686,6 +1695,12 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS item_a, b2.p AS item_b, count(*) AS n_baskets
+        |FROM b a JOIN b b2 USING (o) WHERE a.p < b2.p
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY item_a, item_b""".stripMargin,
     "fuzzy_join" ->
       """WITH v AS (SELECT DISTINCT p_name AS s FROM part),
         |k AS (SELECT DISTINCT s,

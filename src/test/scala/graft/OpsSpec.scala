@@ -195,6 +195,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains(("rad widget", "red widget", 1)))
   }
 
+  test("Cooccur.pairs: support counts, dup rows collapse, size guard") {
+    import graft.ops.Cooccur
+    // baskets: (1: a,b,c), (2: a,b), (3: a,b — with a duplicated row),
+    // (4: a,c), (5: giant basket that must be excluded)
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "a"), (3L, "b"), (4L, "a"), (4L, "c")) ++
+      (1 to 50).map(i => (5L, s"x$i"))
+    val df = rows.toDF("basket", "item")
+    val got = Cooccur.pairs(df, "basket", "item", minSupport = 2L,
+        maxBasketSize = 10L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long)].collect().toSeq
+    // (a,b) in baskets 1,2,3 (dup row counted once); (a,c) in 1,4
+    assert(got == Seq(("a", "b", 3L), ("a", "c", 2L)))
+    val over = Cooccur.oversizedBaskets(df, "basket", "item", 10L)
+      .as[(Long, Long)].collect().toSeq
+    assert(over == Seq((5L, 50L)))
+  }
+
   test("Quality.report passes on clean data and enforce throws on dirty") {
     val ds = LocalDate.parse("2024-01-10")
     val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>
