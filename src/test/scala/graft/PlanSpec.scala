@@ -133,4 +133,37 @@ class PlanSpec extends AnyFunSuite {
     // never raw occurrences (partial_count combines map-side)
     assert(hashExchanges("vocab_stats") == 2)
   }
+
+  test("bloom_semi_join: bloom probe filters the fact scan below the semi-join") {
+    val p = plan("bloom_semi_join")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("LeftSemi"))
+    // the probe must sit BELOW the semi-join (later in tree print
+    // order): pruning after the shuffle would defeat the point
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"))
+  }
+
+  test("domain_mix: per-(group,bucket) rank; offsets and targets broadcast back") {
+    val p = plan("domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "offsets/targets should broadcast-join onto doc rows")
+    // the per-doc rank must window over (source, bucket), never source
+    // alone — source-only is the one-reducer-per-domain shape
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__bucket")), s"plan:\n$p")
+  }
+
+  test("pair-mining joins are postings equi-joins, never cross products") {
+    for (q <- Seq("dedup_substring", "fuzzy_join", "basket_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("zorder_layout: a pure projection — the only exchange is the output sort") {
+    val p = plan("zorder_layout")
+    assert(hashExchanges("zorder_layout") == 0, s"plan:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
+  }
 }
