@@ -738,6 +738,33 @@ object ExtQueries {
         "l_orderkey", "l_partkey", minSupport = 3L)
       .orderBy("item_a", "item_b")
 
+  /** Dyadic EWMA (half-life one bar) over the daily close series — the
+    * recency-weighted smoothing companion of rolling_7day, stated with
+    * power-of-two weights and a fixed fold order so the doubles are
+    * engine-identical before the display rounding. */
+  private def ewmaClose(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val bars = Ingest.dailyBars(
+      spread(Tables.load(s, dir, "events")), keys,
+      tsCol = "ts", valueCol = "value", idCol = "event_id")
+    graft.ops.Rolling.ewmaHalfLife(bars, keys, "date", "close",
+        window = 7, outCol = "ewma_close")
+      .select(col("user_id"), col("event_type"), col("date"),
+        round(col("ewma_close"), 4).as("ewma_close"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** Exact-arithmetic z-score outliers: events more than 3 sample
+    * standard deviations from their event_type mean. Membership is the
+    * cleared-of-divisions decimal inequality (`Outliers.zscore`), so
+    * both engines flag the identical set; z is cosmetic. */
+  private def eventsOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.zscore(
+        Tables.load(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", scale = 2, threshold = 3)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+
   private def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .withColumn("d", to_date(col("o_orderdate")))
@@ -1091,6 +1118,8 @@ object ExtQueries {
     "zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
+    "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
+    "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1695,6 +1724,36 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "ewma_close" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |wf AS (
+        |  SELECT user_id, event_type, date,
+        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
+        |                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c
+        |  FROM bars)
+        |SELECT user_id, event_type, date,
+        |       round(list_reduce([c[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
+        |                          for i in range(1, len(c) + 1)],
+        |                         (a, v) -> a + v)
+        |             / CAST((1::BIGINT << len(c)) - 1 AS DOUBLE), 4) AS ewma_close
+        |FROM wf ORDER BY user_id, event_type, date""".stripMargin,
+    "events_outliers" ->
+      """WITH x AS (SELECT event_id, event_type, value,
+        |                  CAST(round(value * 100) AS HUGEINT) AS xv
+        |           FROM events),
+        |s AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |             sum(xv) AS sv, sum(xv * xv) AS q
+        |      FROM x GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       round(CAST(xv * n - sv AS DOUBLE)
+        |             / sqrt(CAST(n * (n * q - sv * sv) AS DOUBLE) / (n - 1)), 4) AS z
+        |FROM x JOIN s USING (event_type)
+        |WHERE n >= 2 AND
+        |      (xv * n - sv) * (xv * n - sv) * (n - 1) > 9 * n * (n * q - sv * sv)
+        |ORDER BY event_id""".stripMargin,
     "basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
         |SELECT a.p AS item_a, b2.p AS item_b, count(*) AS n_baskets

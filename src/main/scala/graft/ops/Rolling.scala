@@ -46,6 +46,37 @@ object Rolling {
   }
 
   /**
+   * Dyadic exponentially-weighted trailing average (half-life = one
+   * bar): weight 2^i for the i-th-oldest row of the trailing `window`
+   * frame, normalized by 2^m − 1 — the recency-weighted smoothing of a
+   * price/metric series, stated so every arithmetic step is exact or
+   * order-fixed. Weights are integer powers of two via `shiftleft`
+   * (multiplying a double by 2^i is exact scaling — no `pow`, whose
+   * libm rounding differs across engines), and the weighted sum folds
+   * left-to-right over the frame-ordered array, so any engine replaying
+   * the same fold reproduces the doubles bit-for-bit.
+   *
+   * A general-α EWMA over unbounded history is inherently sequential
+   * per key (x̄_t = αx + (1−α)x̄_{t−1}); the windowed dyadic form keeps
+   * the operator frame-bounded (O(window) state, same single shuffle as
+   * `metrics`) and covers the smoothing use while staying distributed
+   * and oracle-portable.
+   */
+  def ewmaHalfLife(bars: DataFrame, keys: Seq[String], dateCol: String,
+      valueCol: String, window: Int = 7, outCol: String = "ewma"): DataFrame = {
+    require(window >= 1 && window <= 62, "window in [1, 62] (weights fit a long)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    bars
+      .withColumn("__arr", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn(outCol, expr(
+        """aggregate(transform(__arr, (x, i) -> x * cast(shiftleft(1L, i) as double)),
+          |          0D, (a, v) -> a + v)
+          |  / cast(shiftleft(1L, size(__arr)) - 1 as double)""".stripMargin))
+      .drop("__arr")
+  }
+
+  /**
    * The reference's exact per-run shape: restrict the scan to the trailing
    * (n+1)-calendar-day inclusive range ending at `ds` (8 days for n=7 —
    * reference `dags/dag.py:399-400`), window, then keep only `ds` rows

@@ -214,6 +214,52 @@ class OpsSpec extends AnyFunSuite {
     assert(over == Seq((5L, 50L)))
   }
 
+  test("Rolling.ewmaHalfLife: hand-computed weights, frame bound, key isolation") {
+    import graft.ops.Rolling
+    val in = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 4.0), ("b", "2024-01-01", 100.0))
+      .toDF("k", "d", "close").withColumn("d", to_date($"d"))
+    val got = Rolling.ewmaHalfLife(in, Seq("k"), "d", "close", window = 7)
+      .select("k", "d", "ewma").as[(String, java.sql.Date, Double)]
+      .collect().map(t => (t._1, t._2.toString) -> t._3).toMap
+    // day1: 1; day2: (1*1 + 2*2)/3; day3: (1*1 + 2*2 + 4*4)/7 = 3
+    assert(got(("a", "2024-01-01")) == 1.0)
+    assert(math.abs(got(("a", "2024-01-02")) - 5.0 / 3) < 1e-12)
+    assert(got(("a", "2024-01-03")) == 3.0)
+    assert(got(("b", "2024-01-01")) == 100.0)
+    // the frame is bounded: with window=2 only the last two rows weigh
+    val w2 = Rolling.ewmaHalfLife(in.where($"k" === "a"), Seq("k"), "d",
+        "close", window = 2)
+      .select("d", "ewma").as[(java.sql.Date, Double)].collect()
+      .map(t => t._1.toString -> t._2).toMap
+    assert(w2("2024-01-03") == (2.0 * 1 + 4.0 * 2) / 3)
+  }
+
+  test("Outliers.zscore: flags the planted spike, exact edge behavior") {
+    import graft.ops.Outliers
+    // 20 tens + one 1000: the spike's z ≈ 4.36, the tens sit at ≈ -0.22
+    val g = (1 to 20).map(i => (i.toLong, "g", 10.0)) :+ (21L, "g", 1000.0)
+    // zero-variance and singleton groups must flag nothing
+    val z = Seq((31L, "z", 5.0), (32L, "z", 5.0), (41L, "solo", 99.0))
+    val df = (g ++ z).toDF("id", "grp", "v")
+    val got = Outliers.zscore(df, "grp", "v", scale = 2, threshold = 3)
+      .select("id", "z").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(21L))
+    assert(math.abs(got.head._2 - 4.3644) < 1e-3)
+    // agreement with the naive double gate on real data (no row of the
+    // testdata sits within an ulp of the boundary)
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val exact = Outliers.zscore(e, "event_type", "value")
+      .select("event_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val naive = e.withColumn("m", avg($"value").over(w))
+      .withColumn("sd", stddev_samp($"value").over(w))
+      .where(abs($"value" - $"m") / $"sd" > 3)
+      .select("event_id").as[Long].collect().toSet
+    assert(exact == naive && exact.nonEmpty)
+  }
+
   test("Quality.report passes on clean data and enforce throws on dirty") {
     val ds = LocalDate.parse("2024-01-10")
     val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>
