@@ -754,6 +754,14 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** Rolling 7-day distinct active users per observed day (WAU): the
+    * explode-contribution formulation of exact sliding distinct — no
+    * per-day user-set buffering. */
+  private def rollingWau(s: SparkSession, dir: String): DataFrame =
+    Retention.rollingActiveUsers(Tables.load(s, dir, "events"),
+        "user_id", "ts", window = 7)
+      .orderBy("report_day")
+
   /** Exact-arithmetic z-score outliers: events more than 3 sample
     * standard deviations from their event_type mean. Membership is the
     * cleared-of-divisions decimal inequality (`Outliers.zscore`), so
@@ -1120,6 +1128,7 @@ object ExtQueries {
     "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
     "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
     "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
+    "rolling_wau" -> ((s, dir) => rollingWau(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1724,6 +1733,12 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "rolling_wau" ->
+      """WITH p AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM p)
+        |SELECT d.day AS report_day, count(DISTINCT u) AS active_users
+        |FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ewma_close" ->
       """WITH bars AS (
         |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,

@@ -39,4 +39,42 @@ object Retention {
       .withColumn("retention",
         round(col("n_users").cast("double") / col("cohort_size"), 4))
   }
+
+  /**
+   * Rolling distinct-active-user counts (WAU-style): for every observed
+   * activity day, the number of distinct users active in the trailing
+   * `window` days.
+   *
+   * Exact sliding DISTINCT does not decompose into window partials
+   * (distinct is not subtractable), and the collect_set-over-window
+   * formulation buffers every active user id of the window per day on
+   * one reducer — the classic rolling-MAU OOM. The scalable exact
+   * shape instead: dedup activity to (user, day) once, EXPLODE each
+   * pair into the `window` report days it contributes to, and
+   * count-distinct per report day. Work scales linearly with
+   * window × distinct activity pairs; the count itself is a standard
+   * two-phase distinct aggregate per day — nothing holds a whole
+   * window's user set in one task's memory. (When window × activity is
+   * still too hot, the approximate path is per-day HLL partials
+   * unioned over the window — same sketch family as
+   * `Profile.numericApprox`.)
+   *
+   * Report days are restricted to observed activity days (a broadcast
+   * semi-join against the tiny distinct-day frame), so the output is a
+   * well-defined function of the data, not of the explode horizon.
+   */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+      tsCol: String, window: Int = 7): DataFrame = {
+    require(window >= 1, "window must be at least 1 day")
+    val pairs = events
+      .select(col(userCol).as("__user"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val days = pairs.select(col("__day").as("report_day")).distinct()
+    pairs
+      .select(col("__user"), explode(sequence(col("__day"),
+        date_add(col("__day"), window - 1))).as("report_day"))
+      .join(broadcast(days), Seq("report_day"), "left_semi")
+      .groupBy("report_day")
+      .agg(countDistinct(col("__user")).as("active_users"))
+  }
 }

@@ -214,6 +214,24 @@ class OpsSpec extends AnyFunSuite {
     assert(over == Seq((5L, 50L)))
   }
 
+  test("Retention.rollingActiveUsers: trailing distinct, observed days only") {
+    import graft.ops.Retention
+    // A active on day 1 and day 9; B on day 2; C on day 2 twice (dup
+    // events collapse). Observed days: 1, 2, 9.
+    val in = Seq((1L, "2024-01-01"), (1L, "2024-01-09"), (2L, "2024-01-02"),
+      (3L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("user_id", "d").withColumn("ts", to_timestamp($"d"))
+    val got = Retention.rollingActiveUsers(in, "user_id", "ts", window = 7)
+      .orderBy("report_day")
+      .as[(java.sql.Date, Long)].collect()
+      .map(t => t._1.toString -> t._2).toSeq
+    // day 1: {A}; day 2: {A, B, C}; day 9: {A} (days 3-8 unobserved →
+    // absent; A's day-1 activity expired from day 9's trailing window
+    // but day-9 activity counts)
+    assert(got == Seq("2024-01-01" -> 1L, "2024-01-02" -> 3L,
+      "2024-01-09" -> 1L))
+  }
+
   test("Rolling.ewmaHalfLife: hand-computed weights, frame bound, key isolation") {
     import graft.ops.Rolling
     val in = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
