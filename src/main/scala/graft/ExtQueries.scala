@@ -754,6 +754,38 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** Latest value per (user, event_type) as of a cutoff date — the
+    * "table snapshot" both sides of snapshot_diff are built from. */
+  private def latestState(s: SparkSession, dir: String,
+      cutoff: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, dir, "events")
+    val sliced = cutoff.fold(base)(c =>
+      base.where(to_date(col("ts")) <= lit(java.sql.Date.valueOf(c))))
+    sliced
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rn") === 1)
+      .select("user_id", "event_type", "value")
+  }
+
+  /** Fixed-width price histogram (22 × 5000-wide buckets): distribution
+    * profiling with portable clamped-arithmetic bucketing. */
+  private def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, nBuckets = 22)
+      .orderBy("bucket")
+
+  /** CDC snapshot diff: the mid-month state vs the final state of the
+    * latest-value-per-key table — inserts are keys first active after
+    * the cutoff, updates are value changes, unchanged keys drop out. */
+  private def snapshotDiffQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Diff.snapshotDiff(
+        latestState(s, dir, Some("2024-01-15")), latestState(s, dir, None),
+        Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+
   /** Rolling 7-day distinct active users per observed day (WAU): the
     * explode-contribution formulation of exact sliding distinct — no
     * per-day user-set buffering. */
@@ -1129,6 +1161,8 @@ object ExtQueries {
     "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
     "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
     "rolling_wau" -> ((s, dir) => rollingWau(s, dir)),
+    "snapshot_diff" -> ((s, dir) => snapshotDiffQ(s, dir)),
+    "price_histogram" -> ((s, dir) => priceHistogram(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1733,6 +1767,36 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "price_histogram" ->
+      """SELECT bucket,
+        |       round(0 + bucket * 5000.0, 4) AS lo_edge,
+        |       round(0 + (bucket + 1) * 5000.0, 4) AS hi_edge,
+        |       count(*) AS n_rows
+        |FROM (SELECT CAST(least(greatest(floor((l_extendedprice - 0) / 5000.0), 0), 21) AS BIGINT) AS bucket
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (SELECT user_id, event_type, value, TRUE AS op FROM (
+        |        SELECT user_id, event_type, value,
+        |               row_number() OVER (PARTITION BY user_id, event_type
+        |                                  ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15')
+        |      WHERE rn = 1),
+        |n AS (SELECT user_id, event_type, value, TRUE AS np FROM (
+        |        SELECT user_id, event_type, value,
+        |               row_number() OVER (PARTITION BY user_id, event_type
+        |                                  ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |      WHERE rn = 1),
+        |d AS (SELECT user_id, event_type,
+        |             CASE WHEN op IS NULL THEN 'insert'
+        |                  WHEN np IS NULL THEN 'delete'
+        |                  WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+        |                  ELSE 'update' END AS change_type
+        |      FROM o FULL OUTER JOIN n USING (user_id, event_type))
+        |SELECT user_id, event_type, change_type FROM d
+        |WHERE change_type <> 'unchanged'
+        |ORDER BY user_id, event_type""".stripMargin,
     "rolling_wau" ->
       """WITH p AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
         |d AS (SELECT DISTINCT day FROM p)

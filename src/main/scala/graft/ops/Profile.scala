@@ -103,4 +103,30 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Fixed-width histogram of a numeric column over [lo, hi): one
+   * map-combined aggregate; state is `nBuckets` counters regardless of
+   * input size. The bucket formula is plain clamped arithmetic
+   * (`floor((x − lo) / width)`) rather than an engine-specific
+   * `width_bucket`, so any engine replays it term for term.
+   * Out-of-range values clamp into the edge buckets and NULLs are
+   * dropped (both documented — derive lo/hi from a prior `numeric`
+   * profile pass to make clamping empty). Only non-empty buckets are
+   * returned (at scale most histograms are sparse at the edges).
+   */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, "need hi > lo and at least 1 bucket")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+        floor((col(valueCol) - lit(lo)) / lit(width)), lit(0L)),
+      lit(nBuckets - 1L)).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("lo_edge", round(lit(lo) + col("bucket") * lit(width), 4))
+      .withColumn("hi_edge", round(lit(lo) + (col("bucket") + 1) * lit(width), 4))
+      .select("bucket", "lo_edge", "hi_edge", "n_rows")
+  }
 }

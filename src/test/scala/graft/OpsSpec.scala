@@ -214,6 +214,43 @@ class OpsSpec extends AnyFunSuite {
     assert(over == Seq((5L, 50L)))
   }
 
+  test("Diff.snapshotDiff: insert/delete/update classification, NULL semantics") {
+    import graft.ops.Diff
+    val old_ = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val new_ = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, None),
+      (5L, None), (6L, Some(60.0)))
+      .toDF("k", "v")
+    val got = Diff.snapshotDiff(old_, new_, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // 1 unchanged (dropped), 2 updated, 3 NULL→NULL unchanged (dropped),
+    // 4 deleted, 5 value→NULL update, 6 inserted
+    assert(got == Seq((2L, "update"), (4L, "delete"), (5L, "update"),
+      (6L, "insert")))
+    val all = Diff.snapshotDiff(old_, new_, Seq("k"), keepUnchanged = true)
+    assert(all.count() == 6 &&
+      all.where($"change_type" === "unchanged").count() == 2)
+    // mismatched schemas fail loudly, not silently mis-classify
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(old_, new_.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
+
+  test("Profile.histogram: bucket math, clamping, null drop, sparse output") {
+    import graft.ops.Profile
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.99), Some(10.0), Some(35.0),
+      Some(100.0), None).toDF("x")
+    val got = Profile.histogram(df, "x", lo = 0.0, hi = 40.0, nBuckets = 4)
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // -5 clamps into bucket 0; 100 clamps into bucket 3; 10.0 is the
+    // half-open boundary (bucket 1); 35 → bucket 3; NULL dropped;
+    // bucket 2 is empty → absent
+    assert(got == Seq((0L, 0.0, 10.0, 3L), (1L, 10.0, 20.0, 1L),
+      (3L, 30.0, 40.0, 2L)))
+  }
+
   test("Retention.rollingActiveUsers: trailing distinct, observed days only") {
     import graft.ops.Retention
     // A active on day 1 and day 9; B on day 2; C on day 2 twice (dup
