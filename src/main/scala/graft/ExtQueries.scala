@@ -770,6 +770,20 @@ object ExtQueries {
       .select("user_id", "event_type", "value")
   }
 
+  /** Unigram log-prob quality score per document (perplexity proxy):
+    * docs whose tokens are corpus-rare score low. Docs with zero tokens
+    * are absent (no occurrences to score). */
+  private def docLogprob(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Context-window chunking: 32-token chunks, 8-token overlap, over
+    * the documents corpus — every doc yields ≥1 chunk; all index math
+    * integer, replayed exactly by the oracle. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(docs(s, dir), "doc_id", "text", size = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Fixed-width price histogram (22 × 5000-wide buckets): distribution
     * profiling with portable clamped-arithmetic bucketing. */
   private def priceHistogram(s: SparkSession, dir: String): DataFrame =
@@ -1163,6 +1177,8 @@ object ExtQueries {
     "rolling_wau" -> ((s, dir) => rollingWau(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiffQ(s, dir)),
     "price_histogram" -> ((s, dir) => priceHistogram(s, dir)),
+    "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
+    "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1767,6 +1783,28 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "doc_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |f AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM f),
+         |j AS (SELECT doc_id, tok,
+         |             ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+         |      FROM occ JOIN f USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
+         |             / count(*), 4) AS avg_logprob
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |             unnest(range(0, (greatest(len(toks) - 8, 1) + 23) // 24)) AS chunk_id,
+         |             toks
+         |      FROM t)
+         |SELECT doc_id, chunk_id,
+         |       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+         |       len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "price_histogram" ->
       """SELECT bucket,
         |       round(0 + bucket * 5000.0, 4) AS lo_edge,

@@ -203,4 +203,79 @@ object TextOps {
       .agg(countDistinct(col("__s")).as("n_overlap_shingles"),
         countDistinct(col("__eval_id")).as("n_eval_docs"))
   }
+
+  /**
+   * Unigram LM quality score — the mean log-probability of a document's
+   * tokens under the corpus's own unigram distribution, the cheap
+   * perplexity proxy of corpus-quality filters (gibberish, boilerplate
+   * and wrong-language docs score far below the corpus mode; cf. the
+   * KenLM-perplexity feature of CCNet-style pipelines, reduced to its
+   * order-0 term).
+   *
+   * Determinism: the per-doc sum folds over a SORTED token/log-prob
+   * list (`sort_array` fixes the order; equal tokens carry equal
+   * log-probs, so the fold is a function of the multiset, not of
+   * partitioning), leaving only libm `ln` rounding (≤ 1 ulp per term,
+   * ~1e-14 absolute over a document) under the 1e-4 display rounding.
+   *
+   * Scale: token occurrences shuffle once into map-combined counts; the
+   * frequency table joins back on the token (sort-merge — a 100 TB
+   * corpus vocabulary does not broadcast); the only whole-corpus scalar
+   * is the total token count (broadcast). Per-doc state is its own
+   * token list, bounded by document length.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val occ = df.select(col(idCol),
+      explode(expr(s"norm_tokens(`$textCol`)")).as("__tok"))
+    val freq = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum(col("__c")).as("__total"))
+    val scored = occ.join(freq, "__tok").join(broadcast(total))
+      .withColumn("__lp",
+        log(col("__c").cast("double") / col("__total").cast("double")))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__tok"), col("__lp"))))
+          .as("__sorted"))
+      .withColumn("avg_logprob", round(
+        expr("aggregate(transform(__sorted, s -> s.__lp), 0D, (a, v) -> a + v)")
+          / col("n_tokens"), 4))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
+  /**
+   * Fixed-size token chunking with overlap — the context-window prep of
+   * embedding/RAG/training pipelines: split each document into windows
+   * of `size` tokens starting every `size − overlap` tokens, so
+   * consecutive chunks share `overlap` tokens and every token is
+   * covered. Chunk count is `ceil(max(n − overlap, 1) / stride)` —
+   * every document yields ≥ 1 chunk (an empty doc yields one empty
+   * chunk), so doc-level joins against the chunk table never lose rows.
+   *
+   * Zero shuffle: one native tokenize per row, then a generate from the
+   * per-row chunk index sequence — output size is input tokens ×
+   * (1 + overlap/stride), linear. All index math is integer, so any
+   * engine replays the layout exactly.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    graft.functions.TextExprs.register(df.sparkSession)
+    val stride = size - overlap
+    df
+      .withColumn("__toks", expr(s"norm_tokens(`$textCol`)"))
+      .withColumn("__n",
+        org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+      .withColumn("__chunks",
+        expr(s"""transform(
+                |  sequence(0L, (greatest(__n - $overlap, 1L) + ${stride - 1}) div $stride - 1),
+                |  j -> struct(j AS chunk_id,
+                |              array_join(slice(__toks, cast(j * $stride + 1 as int), $size), ' ') AS chunk_text,
+                |              size(slice(__toks, cast(j * $stride + 1 as int), $size)) AS n_tokens))""".stripMargin))
+      .select(col(idCol), explode(col("__chunks")).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"),
+        col("__c.n_tokens").cast("long").as("n_tokens"))
+  }
 }

@@ -179,6 +179,44 @@ class ExtSpec extends AnyFunSuite {
     assert(prefix == kept.filter(_._1 < 1000))
   }
 
+  test("TextOps.unigramLogProb: rare tokens score below common ones") {
+    // corpus: "common" appears 6 times, each "rareN" once → total 9
+    // doc 1 = all common (lp = 3·ln(6/9)), doc 2 = all rare (3·ln(1/9))
+    val in = docs((1L, "common common common"),
+      (2L, "rare1 rare2 rare3"), (3L, "common common common"))
+    val got = TextOps.unigramLogProb(in, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val lnC = math.log(6.0 / 9.0)
+    val lnR = math.log(1.0 / 9.0)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L) && got.forall(_._2 == 3L))
+    assert(math.abs(got(0)._3 - BigDecimal(lnC).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(1)._3 < got(0)._3, "rare doc must score below common doc")
+  }
+
+  test("TextOps.chunk: coverage, overlap, tails, empty docs") {
+    // 10 tokens, size 5, overlap 2 (stride 3): chunks at 0, 3, 6 —
+    // ceil(max(10-2,1)/3) = 3; last chunk is the 4-token tail
+    val in = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, ""))
+    val got = TextOps.chunk(in, "id", "text", size = 5, overlap = 2)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "t1 t2 t3 t4 t5", 5L),
+      (1L, 1L, "t4 t5 t6 t7 t8", 5L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L),
+      (3L, 0L, "", 0L)))
+    // consecutive chunks share exactly `overlap` tokens; union covers all
+    val c0 = got(0)._3.split(" ").toSeq
+    val c1 = got(1)._3.split(" ").toSeq
+    assert(c0.takeRight(2) == c1.take(2))
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(in, "id", "text", size = 3, overlap = 3)
+    }
+  }
+
   test("Sampling.mixByWeight: binding constraint, md5 order, dropped groups") {
     import graft.ext.Sampling
     import org.apache.spark.sql.expressions.Window
