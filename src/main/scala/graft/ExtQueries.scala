@@ -770,6 +770,41 @@ object ExtQueries {
       .select("user_id", "event_type", "value")
   }
 
+  /** Burst detection: each (event_type, day)'s count against its
+    * trailing-7-observed-day baseline, as an exact integer ratio in bps
+    * (n·w·10000 DIV Σprev — no float division, so the spike flag can
+    * never disagree between engines). First days have no baseline →
+    * NULL ratio. One shuffle: the daily agg and the trailing window
+    * share the event_type key. */
+  private def eventBursts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("__prev_sum", sum(col("n_events")).over(w))
+      .withColumn("__prev_n", count(col("n_events")).over(w))
+      .withColumn("ratio_bps",
+        expr("n_events * __prev_n * 10000 DIV __prev_sum"))
+      .withColumn("burst", coalesce(col("ratio_bps") > 20000, lit(false)))
+      .select("event_type", "day", "n_events", "ratio_bps", "burst")
+      .orderBy("event_type", "day")
+  }
+
+  /** Dedup observability: the near-dup cluster size distribution —
+    * how many clusters of each size the MinHash pair graph resolves to
+    * (singletons excluded; they are corpus − clustered docs). */
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
+      .groupBy("component").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Unigram log-prob quality score per document (perplexity proxy):
     * docs whose tokens are corpus-rare score low. Docs with zero tokens
     * are absent (no occurrences to score). */
@@ -1179,6 +1214,8 @@ object ExtQueries {
     "price_histogram" -> ((s, dir) => priceHistogram(s, dir)),
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
+    "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
+    "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
@@ -1783,6 +1820,25 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "event_bursts" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      count(*) AS n_events
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |             sum(n_events) OVER tw AS ps,
+        |             count(n_events) OVER tw AS pn
+        |      FROM daily
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events,
+        |       n_events * pn * 10000 // ps AS ratio_bps,
+        |       coalesce((n_events * pn * 10000 // ps) > 20000, FALSE) AS burst
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    "cluster_sizes" ->
+      s"""${componentsCtes(4)},
+         |lab AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),

@@ -179,6 +179,23 @@ class ExtSpec extends AnyFunSuite {
     assert(prefix == kept.filter(_._1 < 1000))
   }
 
+  test("event_bursts: first-day NULL baseline, integer ratio, flag consistency") {
+    val rows = SparkEntry.queries("event_bursts")(spark, "/root/testdata/sf0.001")
+      .as[(String, java.sql.Date, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // exactly one NULL-baseline row per event_type: its first day
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2.toString)
+      assert(sorted.head._4.isEmpty && sorted.tail.forall(_._4.nonEmpty))
+    }
+    // the burst flag is exactly ratio > 20000, never NULL-true
+    rows.foreach { case (_, _, _, ratio, burst) =>
+      assert(burst == ratio.exists(_ > 20000L))
+    }
+  }
+
   test("TextOps.unigramLogProb: rare tokens score below common ones") {
     // corpus: "common" appears 6 times, each "rareN" once → total 9
     // doc 1 = all common (lp = 3·ln(6/9)), doc 2 = all rare (3·ln(1/9))
