@@ -147,6 +147,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunk reconstructs the token stream on random docs and geometries") {
+    // for ANY doc and any (size, overlap): dropping each non-first
+    // chunk's leading `overlap` tokens and concatenating reproduces the
+    // tokenization exactly — no token lost, duplicated, or reordered
+    val docGen = Gen.listOfN(60, for {
+      n <- Gen.choose(0, 90)
+      toks <- Gen.listOfN(n, Gen.choose(0, 50).map(i => s"w$i"))
+    } yield toks.mkString(" "))
+    for ((seed, size, overlap) <- Seq((31L, 5, 2), (32L, 8, 0), (33L, 3, 2))) {
+      val texts = docGen(Gen.Parameters.default, Seed(seed)).get.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val in = texts.toDF("id", "text")
+      val rebuilt = graft.ext.TextOps.chunk(in, "id", "text", size, overlap)
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct($"chunk_id", $"chunk_text")))
+          .as("cs"))
+        .withColumn("rebuilt", expr(
+          s"""array_join(transform(cs, (c, i) ->
+             |  CASE WHEN i = 0 OR size(split(c.chunk_text, ' ')) = 0
+             |       THEN c.chunk_text
+             |       ELSE array_join(slice(split(c.chunk_text, ' '),
+             |                            ${overlap + 1}, ${size}), ' ')
+             |  END), ' ')""".stripMargin))
+        .select($"id", $"rebuilt")
+      graft.functions.TextExprs.register(spark)
+      val expected = in.select($"id",
+        expr("array_join(norm_tokens(text), ' ')").as("toks"))
+      val bad = rebuilt.join(expected, "id")
+        .where(not(regexp_replace($"rebuilt", " +", " ") <=>
+          regexp_replace($"toks", " +", " ")))
+      assert(bad.isEmpty, s"seed $seed size $size overlap $overlap")
+    }
+  }
+
+  test("snapshotDiff: identity is empty; diff keys reproduce the new snapshot") {
+    val gen = Gen.listOfN(150, for {
+      k <- Gen.choose(0L, 80L)
+      v <- Gen.option(Gen.choose(0, 9))
+    } yield (k, v))
+    for (seed <- 41L to 43L) {
+      val a = gen(Gen.Parameters.default, Seed(seed)).get
+        .groupBy(_._1).map(_._2.head).toSeq.toDF("k", "v")
+      val b = gen(Gen.Parameters.default, Seed(seed + 100)).get
+        .groupBy(_._1).map(_._2.head).toSeq.toDF("k", "v")
+      assert(graft.ops.Diff.snapshotDiff(a, a, Seq("k")).isEmpty,
+        s"seed $seed: self-diff must be empty")
+      val d = graft.ops.Diff.snapshotDiff(a, b, Seq("k"))
+      // replaying the diff on `a` reaches `b`: delete the deletes, take
+      // updates+inserts from `b`, keep untouched `a` rows
+      val touched = d.select("k")
+      val replayed = b.join(
+          d.where($"change_type".isin("insert", "update")).select("k"), Seq("k"))
+        .unionByName(a.join(touched, Seq("k"), "left_anti"))
+      assert(replayed.count() == b.count() &&
+        replayed.unionByName(b).distinct().count() == b.count(),
+        s"seed $seed: replaying the diff must reproduce the new snapshot")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
