@@ -582,6 +582,41 @@ object ExtQueries {
           .as("qty_price_corr"))
       .orderBy("l_returnflag")
 
+  /** Linear-regression aggregate family (slope/intercept/r² of price on
+    * quantity per returnflag) — same sample-moment machinery as
+    * stats_agg, same cross-engine rounding contract. */
+  private def regrStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("avg_qty"))
+      .orderBy("l_returnflag")
+
+  /** Boolean / set-valued aggregate family: every/any predicates and a
+    * deterministic sorted string_agg (collect_set → sort → join — the
+    * order-unspecified engine-native listagg is exactly what this
+    * formulation avoids). */
+  private def miscAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        every(col("o_totalprice") > 0).as("all_positive"),
+        some(col("o_orderstatus") === "P").as("any_pending"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count_if(to_date(col("o_orderdate")) >=
+          lit(java.sql.Date.valueOf("2000-01-01"))).as("n_recent"))
+      .orderBy("o_orderpriority")
+
   /** Single-pass numeric profile of lineitem's measure columns. */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.load(s, dir, "lineitem"),
@@ -1238,6 +1273,8 @@ object ExtQueries {
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
     "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
     "stats_agg" -> ((s, dir) => statsAgg(s, dir)),
+    "regr_stats" -> ((s, dir) => regrStats(s, dir)),
+    "misc_aggs" -> ((s, dir) => miscAggs(s, dir)),
     "scd2_history" -> ((s, dir) => scd2History(s, dir)),
     "event_funnel" -> ((s, dir) => eventFunnel(s, dir)),
     "retention_cohorts" -> ((s, dir) => retentionCohorts(s, dir)),
@@ -1658,6 +1695,22 @@ object ExtQueries {
         |       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
         |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "regr_stats" ->
+      """SELECT l_returnflag,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "misc_aggs" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       bool_and(o_totalprice > 0) AS all_positive,
+        |       bool_or(o_orderstatus = 'P') AS any_pending,
+        |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |       count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01') AS n_recent
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "profile_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
