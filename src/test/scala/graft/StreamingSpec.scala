@@ -274,4 +274,42 @@ class StreamingSpec extends AnyFunSuite {
       .select("close").head().getDecimal(0).doubleValue ==
         200.0 + 0 + extra.getDayOfMonth)
   }
+
+  test("stateless curation ops run unchanged under readStream (streaming-ready)") {
+    // chunking, quality stats and PII scrub are pure projections, so the
+    // SAME operator code must work on a streaming DataFrame with no
+    // changes and produce exactly the batch rows — this is what lets the
+    // curation pipeline move from backfill to incremental ingest without
+    // a rewrite
+    import graft.ext.{TextOps, TextNorm}
+    val root = Files.createTempDirectory("graft_stream_curate_").toString
+    val docs = Seq((1L, "Alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "contact me at user@example.com please"),
+      (3L, "")).toDF("doc_id", "text")
+    docs.write.parquet(s"$root/in")
+    def curate(df: DataFrame): DataFrame = {
+      // the real pipeline order: scrub PII from the RAW text first
+      // (tokenization would shred the email before the regex saw it),
+      // then chunk the scrubbed text
+      val scrubbed = TextOps.maskPattern(df, "text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "EMAILTOKEN")
+      TextOps.chunk(scrubbed.select(col("doc_id"),
+        col("scrubbed").as("text"), col("n_masked")),
+        "doc_id", "text", size = 4, overlap = 1)
+    }
+    val stream = curate(
+      spark.readStream.schema(docs.schema).parquet(s"$root/in"))
+    assert(stream.isStreaming, "the curation plan must stay streaming")
+    val q = stream.writeStream.format("memory").queryName("curated")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+    val got = spark.table("curated").orderBy("doc_id", "chunk_id")
+      .collect().toSeq
+    val batch = curate(docs).orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(got == batch && got.nonEmpty)
+    val texts = got.map(_.getString(2))
+    assert(texts.exists(_.contains("emailtoken")) &&
+      !texts.exists(_.contains("example")))
+  }
 }
