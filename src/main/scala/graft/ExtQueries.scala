@@ -805,6 +805,28 @@ object ExtQueries {
       .select("user_id", "event_type", "value")
   }
 
+  /** Price-series metrics the reference's consumers derive from the
+    * cumulative table: day-over-day return and drawdown-from-peak (both
+    * in bps), per key. One shuffle — the lag and the running max share
+    * the key window; both engines evaluate the identical IEEE division
+    * before the display rounding. */
+  private def priceMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val bars = Ingest.dailyBars(
+      spread(Tables.load(s, dir, "events")), keys,
+      tsCol = "ts", valueCol = "value", idCol = "event_id")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val peak = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("__prev", lag(col("close"), 1).over(w))
+      .withColumn("__peak", max(col("close")).over(peak))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        round((col("close") / col("__prev") - 1) * 10000, 4).as("ret_bps"),
+        round((col("close") / col("__peak") - 1) * 10000, 4).as("drawdown_bps"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -1250,6 +1272,7 @@ object ExtQueries {
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
     "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
+    "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -1873,6 +1896,22 @@ object ExtQueries {
         |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "price_metrics" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT user_id, event_type, date, close,
+        |         lag(close) OVER w AS prev_close,
+        |         max(close) OVER (PARTITION BY user_id, event_type ORDER BY date
+        |                          ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date))
+        |SELECT user_id, event_type, date, close,
+        |       round((close / prev_close - 1) * 10000, 4) AS ret_bps,
+        |       round((close / peak - 1) * 10000, 4) AS drawdown_bps
+        |FROM m ORDER BY user_id, event_type, date""".stripMargin,
     "event_bursts" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |                      count(*) AS n_events

@@ -22,7 +22,8 @@ object Graft {
    * Build (or extend) a session with the engine's recommended settings:
    *  - native kernels injected via `GraftExtensions` (norm_tokens,
    *    token_shingles, token_stats, winnow_fingerprint, vec_dot,
-   *    sign_band_buckets available in SQL/expr on every session);
+   *    sign_band_buckets, bloom_might_contain available in SQL/expr on
+   *    every session);
    *  - UTC session timezone (oracle/dataset portability);
    *  - caller-sized shuffle partitions (set this to ~2-3× total
    *    executor cores on a real cluster; Spark's 200 default is wrong
@@ -48,5 +49,6 @@ object Graft {
   def registerFunctions(spark: SparkSession): Unit = {
     functions.TextExprs.register(spark)
     functions.VectorExprs.register(spark)
+    ops.BloomPrune.register(spark)
   }
 }
