@@ -821,9 +821,13 @@ object ExtQueries {
     bars
       .withColumn("__prev", lag(col("close"), 1).over(w))
       .withColumn("__peak", max(col("close")).over(peak))
+      // a 0.0 price has no defined return/drawdown base → NULL (nullif),
+      // matching the oracle instead of ANSI-erroring on the division
       .select(col("user_id"), col("event_type"), col("date"), col("close"),
-        round((col("close") / col("__prev") - 1) * 10000, 4).as("ret_bps"),
-        round((col("close") / col("__peak") - 1) * 10000, 4).as("drawdown_bps"))
+        round((col("close") / when(col("__prev") =!= 0, col("__prev")) - 1)
+          * 10000, 4).as("ret_bps"),
+        round((col("close") / when(col("__peak") =!= 0, col("__peak")) - 1)
+          * 10000, 4).as("drawdown_bps"))
       .orderBy("user_id", "event_type", "date")
   }
 
@@ -1909,8 +1913,8 @@ object ExtQueries {
         |  FROM bars
         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date))
         |SELECT user_id, event_type, date, close,
-        |       round((close / prev_close - 1) * 10000, 4) AS ret_bps,
-        |       round((close / peak - 1) * 10000, 4) AS drawdown_bps
+        |       round((close / nullif(prev_close, 0) - 1) * 10000, 4) AS ret_bps,
+        |       round((close / nullif(peak, 0) - 1) * 10000, 4) AS drawdown_bps
         |FROM m ORDER BY user_id, event_type, date""".stripMargin,
     "event_bursts" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
