@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSessionExtensions
  * can no longer take effect).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (TextExprs.injections ++ VectorExprs.injections ++
         graft.ops.BloomPrune.injections).foreach {
       case (id, info, builder) => ext.injectFunction((id, info, builder))
     }
+    // session-config-gated execution policies (no-ops until opted in)
+    ext.injectOptimizerRule(graft.plans.QuantileRouting)
+  }
 }

@@ -231,5 +231,26 @@ class MergeResampleSpec extends AnyFunSuite {
         "size(sign_band_buckets(a, 4, 2, 2)) AS nb")
       .as[(Double, Int)].head()
     assert(vec == ((11.0, 2)))
+
+    // QuantileRouting: with the session flag ON, an exact percentile
+    // aggregate is routed to the bounded-state approx_percentile sketch
+    // by the injected optimizer rule — no query rewrite; flag OFF (the
+    // default) leaves the exact aggregate untouched.
+    val data = (1 to 1001).map(_.toDouble).toDF("x")
+    def medianPlan(): (String, Double) = {
+      val df = data.selectExpr("percentile(x, 0.5D) AS p50")
+      (df.queryExecution.optimizedPlan.toString, df.as[Double].head())
+    }
+    val (exactPlan, exactVal) = medianPlan()
+    assert(exactPlan.contains("percentile") &&
+      !exactPlan.contains("percentile_approx"))
+    assert(exactVal == 501.0)
+    s2.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val (approxPlan, approxVal) = medianPlan()
+      assert(approxPlan.contains("percentile_approx"),
+        s"rule did not fire:\n$approxPlan")
+      assert(math.abs(approxVal - 501.0) <= 1.0, s"approx p50 $approxVal")
+    } finally s2.conf.unset("spark.graft.quantiles.approx")
   }
 }
