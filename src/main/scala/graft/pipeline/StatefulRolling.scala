@@ -48,7 +48,7 @@ object StatefulRolling {
       last_7_days_open: Seq[Double], last_7_days_high: Seq[Double],
       last_7_days_low: Seq[Double], last_7_days_close: Seq[Double],
       last_7_days_volume: Seq[Long], avg_7_day_volume: Double,
-      volatility_7_day: Double)
+      volatility_7_day: Double, ewma_close: Double)
 
   private def stddevSamp(xs: Seq[Double]): Double =
     if (xs.size <= 1) 0.0
@@ -57,13 +57,25 @@ object StatefulRolling {
       math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
     }
 
+  /** Bit-identical to `Rolling.ewmaHalfLife`: weight 2^i for the
+    * i-th-oldest close (exact double scaling), left fold from 0.0,
+    * normalized by 2^m − 1. NOTE the frame difference: the EWMA is over
+    * the ≤7 most recent OBSERVED bars (the batch query's ROWS frame),
+    * while the reference arrays use the trailing-8-CALENDAR-day frame —
+    * both semantics ride in one emitted row. */
+  private def ewmaDyadic(closes: Seq[Double]): Double =
+    closes.zipWithIndex
+      .foldLeft(0.0) { case (a, (x, i)) => a + x * (1L << i).toDouble } /
+      ((1L << closes.size) - 1).toDouble
+
   private def emit(ticker: String, frame: Seq[BarLite],
-      date: java.sql.Date): CumulativeOut =
+      rowsFrame: Seq[BarLite], date: java.sql.Date): CumulativeOut =
     CumulativeOut(ticker, date,
       frame.map(_.open), frame.map(_.high), frame.map(_.low),
       frame.map(_.close), frame.map(_.volume),
       frame.map(_.volume.toDouble).sum / frame.size,
-      stddevSamp(frame.map(_.close)))
+      stddevSamp(frame.map(_.close)),
+      ewmaDyadic(rowsFrame.map(_.close)))
 
   /** The state-transition function (exposed for testing). */
   def update(ticker: String, in: Iterator[BarIn],
@@ -75,9 +87,10 @@ object StatefulRolling {
       // replace any same-day bar (idempotent re-send), keep ≤7 most recent
       bars = (bars.filterNot(_.epochDay == d) :+ lite)
         .sortBy(_.epochDay).takeRight(7)
-      // frame: ≤7 rows within the trailing 8-calendar-day range
+      // reference frame: ≤7 rows within the trailing 8-calendar-day
+      // range; EWMA frame: the ≤7 most recent observed rows
       emit(ticker, bars.filter(x => x.epochDay >= d - 7 && x.epochDay <= d),
-        b.date)
+        bars, b.date)
     }
     state.update(RollState(bars))
     out.iterator

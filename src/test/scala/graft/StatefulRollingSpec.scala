@@ -50,6 +50,20 @@ class StatefulRollingSpec extends AnyFunSuite {
       .select("ticker", "date", "last_7_days_close", "last_7_days_volume",
         "avg_7_day_volume", "volatility_7_day")
 
+    // the incremental EWMA must be BIT-identical to the batch operator
+    // (same dyadic weights, same fold order) over its ROWS frame
+    val ewmaBatch = Rolling.ewmaHalfLife(
+        days.flatMap(d => tickers.map(t => bar(t, d))).toDF(),
+        Seq("ticker"), "date", "close", window = 7, outCol = "ewma_close")
+      .select("ticker", "date", "ewma_close")
+      .as[(String, java.sql.Date, Double)].collect()
+      .map(t => (t._1, t._2.toString) -> t._3).toMap
+    spark.table("cum_inc").select("ticker", "date", "ewma_close")
+      .as[(String, java.sql.Date, Double)].collect()
+      .foreach { case (t, d, v) =>
+        assert(v == ewmaBatch((t, d.toString)), s"ewma mismatch at ($t, $d)")
+      }
+
     // the batch baseline is the PIPELINE's per-day shape (Rolling.forDay:
     // trailing 8-calendar-day pre-filter), which is what the cumulative
     // table holds — not the unbounded generalized Rolling.metrics
