@@ -866,6 +866,12 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Document-frequency PMI collocations over the corpus (bigrams with
+    * df ≥ 5) — phrase-mining built on the native shingle kernels. */
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(docs(s, dir), "doc_id", "text", minDf = 5L)
+      .orderBy("bigram")
+
   /** Unigram log-prob quality score per document (perplexity proxy):
     * docs whose tokens are corpus-rare score low. Docs with zero tokens
     * are absent (no occurrences to score). */
@@ -1275,6 +1281,7 @@ object ExtQueries {
     "price_histogram" -> ((s, dir) => priceHistogram(s, dir)),
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
+    "collocations" -> ((s, dir) => collocationsQ(s, dir)),
     "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
     "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
@@ -1935,6 +1942,24 @@ object ExtQueries {
          |lab AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
          |SELECT sz AS cluster_size, count(*) AS n_clusters
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |uni AS (SELECT tok, count(*) AS dft
+         |        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+         |        WHERE len(tok) > 0 GROUP BY 1),
+         |bi AS (SELECT bigram, count(*) AS df_pair
+         |       FROM (SELECT doc_id, unnest(${shinglesSqlK(2)}) AS bigram FROM t)
+         |       WHERE len(string_split(bigram, ' ')) = 2
+         |       GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT bigram, df_pair,
+         |       round(ln((CAST(df_pair AS DOUBLE) / nd)
+         |                / ((CAST(a.dft AS DOUBLE) / nd)
+         |                   * (CAST(b.dft AS DOUBLE) / nd))), 4) AS pmi
+         |FROM bi CROSS JOIN n
+         |JOIN uni a ON a.tok = string_split(bigram, ' ')[1]
+         |JOIN uni b ON b.tok = string_split(bigram, ' ')[2]
+         |ORDER BY bigram""".stripMargin,
     "doc_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),

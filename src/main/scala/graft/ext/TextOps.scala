@@ -245,6 +245,50 @@ object TextOps {
   }
 
   /**
+   * Collocation mining by document-frequency PMI: bigrams that co-occur
+   * in documents far more often than their parts' document frequencies
+   * predict — the phrase-mining signal behind tokenizer merge rules and
+   * multi-word-entity vocabularies. PMI here is over DOCUMENT
+   * frequencies (in how many docs does "machine learning" appear vs
+   * "machine" and "learning" separately), not token occurrences: the
+   * distinct-per-doc counts come straight from the native codegen
+   * `token_shingles` kernels (k=2 / k=1), so the whole op is two
+   * map-combined aggregates and two token-keyed joins — the
+   * occurrence-count variant would need a non-distinct bigram stream
+   * through an interpreted higher-order lambda, the exact
+   * CodegenFallback hazard BASELINE.md documents.
+   *
+   * PMI = ln( (df_ab/N) / ((df_a/N)·(df_b/N)) ), computed with the
+   * identical expression structure in the oracle so the doubles match
+   * before the display rounding.
+   */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5L): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val n = df.select(count(lit(1)).as("__n"))
+    val uni = df.select(
+        explode(expr(s"token_shingles(`$textCol`, 1)")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__df_t"))
+    val bi = df.select(
+        explode(expr(s"token_shingles(`$textCol`, 2)")).as("bigram"))
+      .where(size(split(col("bigram"), " ")) === 2)
+      .groupBy("bigram").agg(count(lit(1)).as("df_pair"))
+      .where(col("df_pair") >= minDf)
+    bi
+      .withColumn("__a", split(col("bigram"), " ")(0))
+      .withColumn("__b", split(col("bigram"), " ")(1))
+      .join(uni.select(col("__t").as("__a"), col("__df_t").as("__df_a")), "__a")
+      .join(uni.select(col("__t").as("__b"), col("__df_t").as("__df_b")), "__b")
+      .join(broadcast(n))
+      .select(col("bigram"), col("df_pair"),
+        round(log(
+          (col("df_pair").cast("double") / col("__n")) /
+            ((col("__df_a").cast("double") / col("__n")) *
+             (col("__df_b").cast("double") / col("__n")))), 4).as("pmi"))
+  }
+
+  /**
    * Fixed-size token chunking with overlap — the context-window prep of
    * embedding/RAG/training pipelines: split each document into windows
    * of `size` tokens starting every `size − overlap` tokens, so

@@ -196,6 +196,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("TextOps.collocations: df counts, PMI value, minDf gate") {
+    // "machine learning" in 6 of 10 docs; "machine" in all 10
+    val in = docs(((1 to 6).map(i => (i.toLong, "machine learning rocks")) ++
+      (7 to 10).map(i => (i.toLong, "machine parts"))): _*)
+    val got = TextOps.collocations(in, "id", "text", minDf = 5L)
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // PMI(machine, learning) = ln((6/10) / ((10/10)·(6/10))) = 0
+    // PMI(learning, rocks)   = ln((6/10) / ((6/10)·(6/10)))  = ln(10/6)
+    assert(got("machine learning")._1 == 6L)
+    assert(got("machine learning")._2 == 0.0)
+    assert(math.abs(got("learning rocks")._2 - math.log(10.0 / 6)) < 1e-4)
+    // "machine parts" has df 4 < minDf → absent
+    assert(!got.contains("machine parts"))
+  }
+
   test("TextOps.unigramLogProb: rare tokens score below common ones") {
     // corpus: "common" appears 6 times, each "rareN" once → total 9
     // doc 1 = all common (lp = 3·ln(6/9)), doc 2 = all rare (3·ln(1/9))
