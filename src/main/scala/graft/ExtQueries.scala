@@ -866,6 +866,25 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Length-bucketed batch packing — the padding-efficiency layout of
+    * inference/training batching: docs group into 64-token-wide length
+    * buckets (similar-length docs batch together, so per-batch padding
+    * waste is bounded by the bucket width), then pack into 2048-token
+    * shards within each bucket with the skew-proof two-pass prefix sum
+    * (`Shards.packByBudget` — buckets are groups, so no reducer
+    * serializes a whole length class). Output is the shard manifest. */
+  private def packLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val sized = docs(s, dir)
+      .withColumn("n_tokens", expr("token_stats(text).n_tokens").cast("long"))
+      .withColumn("len_bucket", expr("n_tokens div 64"))
+    val packed = Shards.packByBudget(sized, Seq("len_bucket"), "doc_id",
+      "n_tokens", capacity = 2048L,
+      bucketExpr = floor(col("doc_id") / 256L).cast("long"))
+    Shards.manifest(packed, Seq("len_bucket"), "doc_id", "n_tokens")
+      .orderBy("len_bucket", "shard")
+  }
+
   /** Document-frequency PMI collocations over the corpus (bigrams with
     * df ≥ 5) — phrase-mining built on the native shingle kernels. */
   private def collocationsQ(s: SparkSession, dir: String): DataFrame =
@@ -1282,6 +1301,7 @@ object ExtQueries {
     "doc_chunks" -> ((s, dir) => docChunks(s, dir)),
     "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
     "collocations" -> ((s, dir) => collocationsQ(s, dir)),
+    "pack_length_buckets" -> ((s, dir) => packLengthBuckets(s, dir)),
     "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
     "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
@@ -1770,6 +1790,18 @@ object ExtQueries {
         |ORDER BY l.event_id""".stripMargin,
     "pack_shards" -> packShardsSql,
     "pack_shards_dist" -> packShardsSql,
+    "pack_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_tokens, n_tokens // 64 AS len_bucket FROM t),
+         |c AS (SELECT doc_id, len_bucket, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM b)
+         |SELECT len_bucket, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS shard,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY len_bucket, shard ORDER BY len_bucket, shard""".stripMargin,
     "revenue_share" ->
       """WITH ps AS (
         |  SELECT o_orderstatus,
