@@ -866,6 +866,27 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Deterministic per-group mode: the dominant source per language
+    * (max by count, ties to the smallest value — engine-native `mode()`
+    * leaves ties unspecified, which is exactly what this formulation
+    * avoids), with its share in exact integer bps. Rank-limit pushdown
+    * applies (WindowGroupLimit), so only per-task top-1 rows shuffle. */
+  private def dominantSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_docs").desc, col("source"))
+    counts
+      .withColumn("__lang_total", sum(col("n_docs")).over(
+        Window.partitionBy("lang")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("lang"), col("source").as("top_source"), col("n_docs"),
+        expr("n_docs * 10000 DIV __lang_total").as("share_bps"))
+      .orderBy("lang")
+  }
+
   /** Length-bucketed batch packing — the padding-efficiency layout of
     * inference/training batching: docs group into 64-token-wide length
     * buckets (similar-length docs batch together, so per-batch padding
@@ -1302,6 +1323,7 @@ object ExtQueries {
     "doc_logprob" -> ((s, dir) => docLogprob(s, dir)),
     "collocations" -> ((s, dir) => collocationsQ(s, dir)),
     "pack_length_buckets" -> ((s, dir) => packLengthBuckets(s, dir)),
+    "dominant_source" -> ((s, dir) => dominantSource(s, dir)),
     "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
     "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
@@ -1790,6 +1812,17 @@ object ExtQueries {
         |ORDER BY l.event_id""".stripMargin,
     "pack_shards" -> packShardsSql,
     "pack_shards_dist" -> packShardsSql,
+    "dominant_source" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_docs
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n_docs,
+        |             sum(n_docs) OVER (PARTITION BY lang) AS lang_total,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_docs DESC, source) AS rn
+        |      FROM c)
+        |SELECT lang, source AS top_source, n_docs,
+        |       CAST(n_docs * 10000 // lang_total AS BIGINT) AS share_bps
+        |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
     "pack_length_buckets" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
