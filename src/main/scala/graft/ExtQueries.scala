@@ -1563,14 +1563,19 @@ object ExtQueries {
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
+    // the doc-freq cap is encoded in the oracle (HAVING <= cap on the
+    // postings) so Spark/oracle equivalence holds by CONSTRUCTION, not
+    // just while no window exceeds the cap in the test corpus
     "dedup_substring" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |d AS (SELECT doc_id, ${shinglesSqlK(8)} AS sh FROM t),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |             len(list_intersect(a.sh, b.sh)) AS n_shared
-         |      FROM d a, d b WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared > 0
-         |ORDER BY id_a, id_b""".stripMargin,
+         |p0 AS (SELECT doc_id, unnest(sh) AS w FROM d),
+         |ok AS (SELECT w FROM p0 GROUP BY w
+         |       HAVING count(*) <= ${graft.ext.Dedup.DefaultMaxDocFreq}),
+         |p AS (SELECT doc_id, w FROM p0 JOIN ok USING (w))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM p a JOIN p b USING (w) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // the incremental admit rule, stated over exact Jaccard: a batch doc
     // (doc_id % 10 = 0) is dropped iff it pairs with a corpus doc, or
     // with ANY lower batch id (p already has id_a < id_b, so id_b =
@@ -2113,10 +2118,14 @@ object ExtQueries {
         |WHERE n >= 2 AND
         |      (xv * n - sv) * (xv * n - sv) * (n - 1) > 9 * n * (n * q - sv * sv)
         |ORDER BY event_id""".stripMargin,
+    // maxBasketSize=1000 encoded in the oracle (HAVING <= cap) so the
+    // oversized-basket exclusion is equivalent by construction
     "basket_pairs" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
+        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o))
         |SELECT a.p AS item_a, b2.p AS item_b, count(*) AS n_baskets
-        |FROM b a JOIN b b2 USING (o) WHERE a.p < b2.p
+        |FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY item_a, item_b""".stripMargin,
     "fuzzy_join" ->

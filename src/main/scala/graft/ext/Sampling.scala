@@ -62,6 +62,13 @@ object Sampling {
    * (#groups × 256)-row broadcast frame, rank inside (group, bucket) —
    * so no window serializes a whole group onto one reducer. Group
    * counts/targets are a #groups-row aggregate, broadcast back.
+   *
+   * Every key of `weights` MUST appear in the data: a weighted group
+   * with zero rows makes the prescribed proportions unsatisfiable (the
+   * only consistent scale is 0 → empty output), so rather than silently
+   * taking the binding constraint over present groups only — a mixture
+   * that violates the prescription — the job raises at execution time
+   * (a #groups-row check on the targets frame, no extra scan).
    */
   def mixByWeight(df: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Double], seed: String): DataFrame = {
@@ -91,6 +98,16 @@ object Sampling {
       .join(wdf, col(groupCol) === col("__g"))
       .withColumn("__scale", min(col("__ng").cast("double") / col("__w"))
         .over(Window.partitionBy()))
+      // absent-group guard: the window count sees only PRESENT weighted
+      // groups; fewer than weights.size means a prescribed source has no
+      // rows and the proportions cannot be met — raise, don't mis-mix
+      .withColumn("__present", count(lit(1)).over(Window.partitionBy()))
+      .where(when(col("__present") === lit(weights.size), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"mixByWeight: only "), col("__present").cast("string"),
+          lit(s" of ${weights.size} weighted groups present in the input;"),
+          lit(" a weighted group with zero rows makes the prescribed"),
+          lit(" proportions unsatisfiable"))).cast("boolean")))
       .withColumn("__target",
         floor(col("__scale") * col("__w")).cast("long"))
       .select(col(groupCol), col("__target"))

@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
  * (x−μ)² > t²·σ² with the SAMPLE variance. The reported z column is
  * cosmetic (doubles, rounded); membership never depends on it.
  *
- * Scale shape: one map-combined aggregate per group (3 numbers), then a
+ * Scale shape: one map-combined aggregate per group (4 numbers), then a
  * broadcast join of the tiny stats frame back onto the scan — the data
- * rows never shuffle. Bounds: the decimal products stay inside
- * DECIMAL(38,0) for |x| ≤ 10^6 and n ≤ 10^9 per group; past that,
- * pre-aggregate per sub-group or accept the double gate with a
- * tolerance band.
+ * rows never shuffle. Bounds: with m = max|x|·10^scale the largest
+ * product is max(4, t²)·m²·n³, which must stay inside DECIMAL(38,0);
+ * at scale=2 and |x| ≤ 10^6 that means n ≲ 10^7 rows per group (NOT
+ * 10^9 — the cube on n dominates). The bound is enforced at runtime:
+ * the per-group stats frame carries max|x| and a violating group
+ * raises rather than silently NULLing the comparison (non-ANSI) or
+ * erroring mid-join (ANSI). Past the bound, pre-aggregate per
+ * sub-group or accept the double gate with a tolerance band.
  */
 object Outliers {
 
@@ -47,10 +51,30 @@ object Outliers {
     val factor = math.pow(10, scale)
     val x = (col(valueCol) * lit(factor)).cast("decimal(12,0)")
     val scaled = df.withColumn("__x", x)
-    val stats = scaled.groupBy(col(groupCol)).agg(
+    val statsRaw = scaled.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__n"),
       sum(col("__x")).as("__s"),
-      sum(col("__x") * col("__x")).as("__q"))
+      sum(col("__x") * col("__x")).as("__q"),
+      max(abs(col("__x"))).as("__m"))
+    // Overflow guard (evaluated per GROUP on the tiny stats frame, not
+    // per row): every decimal product below is bounded by
+    // max(4, t²)·m²·n³, so requiring that ≤ 9e37 keeps all of lhs²(n−1),
+    // n·Q and S² inside DECIMAL(38,0) with headroom. A where-clause
+    // cannot be pruned away, and raise_error fires lazily only on a
+    // violating group.
+    val nD = col("__n").cast("double")
+    val mD = col("__m").cast("double")
+    val guardCoef = math.max(4, threshold.toLong * threshold)
+    val stats = statsRaw.where(
+      when(lit(guardCoef) * mD * mD * nD * nD * nD <= lit(9e37), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"Outliers.zscore: DECIMAL(38,0) overflow risk in group "),
+          col(groupCol).cast("string"),
+          lit(": n="), col("__n").cast("string"),
+          lit(", max|x_scaled|="), col("__m").cast("string"),
+          lit(s" exceeds max(4,t^2)*m^2*n^3 <= 9e37; ") ,
+          lit("pre-aggregate per sub-group or reduce scale"))).cast("boolean")))
+      .drop("__m")
     val n = col("__n").cast("decimal(20,0)")
     val lhs = (col("__x") * n - col("__s"))
     val varNum = n * col("__q") - col("__s") * col("__s") // n·Q − S²  (≥ 0)

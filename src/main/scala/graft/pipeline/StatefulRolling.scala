@@ -88,9 +88,12 @@ object StatefulRolling {
       bars = (bars.filterNot(_.epochDay == d) :+ lite)
         .sortBy(_.epochDay).takeRight(7)
       // reference frame: ≤7 rows within the trailing 8-calendar-day
-      // range; EWMA frame: the ≤7 most recent observed rows
+      // range; EWMA frame: the ≤7 most recent observed rows NOT NEWER
+      // than the emitted date — without the <= d filter, a bar arriving
+      // a micro-batch late would emit an EWMA polluted by bars dated
+      // after its own date, breaking parity with the batch ROWS frame
       emit(ticker, bars.filter(x => x.epochDay >= d - 7 && x.epochDay <= d),
-        bars, b.date)
+        bars.filter(_.epochDay <= d).takeRight(7), b.date)
     }
     state.update(RollState(bars))
     out.iterator

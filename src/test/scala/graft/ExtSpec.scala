@@ -275,6 +275,17 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSet == naive.filter(_._3 <= 2).toSet)
   }
 
+  test("Sampling.mixByWeight raises when a weighted group has no rows") {
+    import graft.ext.Sampling
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val ex = intercept[Exception] {
+      Sampling.mixByWeight(df, "grp", "id",
+        Map("a" -> 0.5, "b" -> 0.25, "ghost" -> 0.25), "s1").collect()
+    }
+    val msgs = ex.getMessage +: Option(ex.getCause).map(_.getMessage).toList
+    assert(msgs.exists(m => m != null && m.contains("weighted groups present")))
+  }
+
   test("Dedup.components: chains, triangles, and end-to-end representative keep") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),

@@ -315,6 +315,20 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == naive && exact.nonEmpty)
   }
 
+  test("Outliers.zscore raises on DECIMAL(38,0) overflow risk instead of NULLing") {
+    import graft.ops.Outliers
+    // max(4,t²)·m²·n³ with t=10^6, m≈10^12 (scale=6), n=5 → ~1.25e38 > 9e37
+    val df = (1 to 5).map(i => (i.toLong, "g", 999999.0)).toDF("id", "grp", "v")
+    val ex = intercept[Exception] {
+      Outliers.zscore(df, "grp", "v", scale = 6, threshold = 1000000).collect()
+    }
+    assert(ex.getMessage.contains("overflow risk") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overflow risk")))
+    // the same data inside the envelope runs clean (zero variance → no rows)
+    assert(Outliers.zscore(df, "grp", "v", scale = 6, threshold = 3)
+      .collect().isEmpty)
+  }
+
   test("Quality.report passes on clean data and enforce throws on dirty") {
     val ds = LocalDate.parse("2024-01-10")
     val clean = Seq("AAPL", "AMZN", "NFLX", "GOOGL", "META").map(t =>

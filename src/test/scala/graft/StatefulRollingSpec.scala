@@ -104,4 +104,23 @@ class StatefulRollingSpec extends AnyFunSuite {
       .select("last_7_days_close").head()
     assert(rows.getSeq[Double](0).size == 2) // day + next day, no duplicate
   }
+
+  test("cross-batch late bar emits EWMA over bars <= its own date only") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[BarIn]
+    val q = StatefulRolling(stream.toDS()).writeStream
+      .format("memory").queryName("cum_late").outputMode("append").start()
+    val d1 = LocalDate.of(2024, 7, 1)
+    val (b1, b2, b3) = (bar("AAPL", d1), bar("AAPL", d1.plusDays(1)),
+      bar("AAPL", d1.plusDays(2)))
+    // day 2 arrives a micro-batch AFTER day 3 — its emitted row must not
+    // see day 3's close in the EWMA (batch ROWS-frame parity)
+    stream.addData(Seq(b1, b3)); q.processAllAvailable()
+    stream.addData(Seq(b2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cum_late")
+      .where(col("date") === b2.date).select("ewma_close").head().getDouble(0)
+    assert(got == (b1.close * 1 + b2.close * 2) / 3.0,
+      s"late-bar EWMA must cover [day1, day2] only, got $got")
+  }
 }
