@@ -191,6 +191,22 @@ object ExtQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The steady-state indexed admit path (corpus side = the PERSISTENT
+    * band index, no corpus re-shingling): same parameters, same admit
+    * rule, same oracle SQL as dedup_incremental — the two registered
+    * rows pin that the stored-index path and the recompute path admit
+    * identical sets. */
+  private def dedupIncrementalIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusIdx = Dedup.buildBandIndex(d.where(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", numHashes = 128, bands = 32, shingleK = 3)
+    Dedup.incrementalNearDupsIndexed(corpusIdx,
+        d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 128, bands = 32, shingleK = 3,
+        threshold = 0.5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** ANN-blocked embedding near-dup (the 100 TB path): LSH band-bucket
     * candidate pairs → exact-cosine verify at the same 0.45 threshold as
     * dedup_embedding. Same md5-derived hyperplanes as similarity_ann
@@ -1280,6 +1296,7 @@ object ExtQueries {
     "dedup_embedding" -> ((s, dir) => dedupEmbedding(s, dir)),
     "dedup_embedding_ann" -> ((s, dir) => dedupEmbeddingAnn(s, dir)),
     "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
+    "dedup_incremental_indexed" -> ((s, dir) => dedupIncrementalIndexed(s, dir)),
     "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
     "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
@@ -1377,6 +1394,21 @@ object ExtQueries {
 
   /** Distinct 3-shingles identical to TextNorm.shingles(toks, 3). */
   private val shinglesSql = shinglesSqlK(3)
+
+  /** The incremental admit rule, stated over exact Jaccard: a batch doc
+    * (doc_id % 10 = 0) is dropped iff it pairs with a corpus doc, or
+    * with ANY lower batch id (p already has id_a < id_b, so id_b =
+    * doc_id covers both corpus and lower-batch partners on that side).
+    * Shared verbatim by dedup_incremental and dedup_incremental_indexed. */
+  private lazy val incrementalAdmitSql =
+    s"""$pairsCte
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 10 = 0
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM p
+       |    WHERE j >= 0.5 AND ((id_a = doc_id AND id_b % 10 != 0)
+       |                        OR id_b = doc_id))
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared CTE prefix: exact Jaccard pairs over 3-shingle sets. */
   private val pairsCte =
@@ -1580,15 +1612,9 @@ object ExtQueries {
     // (doc_id % 10 = 0) is dropped iff it pairs with a corpus doc, or
     // with ANY lower batch id (p already has id_a < id_b, so id_b =
     // doc_id covers both corpus and lower-batch partners on that side)
-    "dedup_incremental" ->
-      s"""$pairsCte
-         |SELECT doc_id FROM documents
-         |WHERE doc_id % 10 = 0
-         |  AND NOT EXISTS (
-         |    SELECT 1 FROM p
-         |    WHERE j >= 0.5 AND ((id_a = doc_id AND id_b % 10 != 0)
-         |                        OR id_b = doc_id))
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalAdmitSql,
+    // the indexed path must admit the SAME set — shared oracle
+    "dedup_incremental_indexed" -> incrementalAdmitSql,
     "decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |d AS (SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM t),

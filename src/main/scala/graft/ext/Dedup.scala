@@ -115,17 +115,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The per-row band-bucket array of a `__sig` column: element b is
+    * xxhash64 of band b's signature slice, salted by b. ONE definition
+    * shared by the in-flight path (`bandBuckets` posexplodes it) and the
+    * persistent index (`buildBandIndex` stores it), so stored and
+    * recomputed buckets are identical by construction. */
+  private def bucketArrayExpr(bands: Int): String =
+    s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> xxhash64(concat_ws(',', slice(__sig, b * (size(__sig) div $bands) + 1, size(__sig) div $bands)), b))"
+
   /** (id, __band, __bucket) band-hash keys of a `__sig` signature frame —
     * the join keys of every LSH stage (self-join for corpus×corpus,
     * broadcast for batch×corpus). */
   private def bandBuckets(sigs: DataFrame, idCol: String,
-      bands: Int): DataFrame = {
-    val n = bands
-    sigs.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${n - 1}), " +
-          s"b -> xxhash64(concat_ws(',', slice(__sig, b * (size(__sig) div $n) + 1, size(__sig) div $n)), b))")))
+      bands: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(expr(bucketArrayExpr(bands))))
       .toDF(idCol, "__band", "__bucket")
-  }
 
   /**
    * End-to-end MinHash near-dup pairs: signature → LSH candidates →
@@ -227,6 +232,98 @@ object Dedup {
       cSets.unionByName(bSets), idCol, threshold)
     val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
     batch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------- persistent band index —
+
+  /** Index column names added by `buildBandIndex`. The index is stored
+    * WITH the corpus rows (two derived columns on the same table) rather
+    * than in a sibling table: one append keeps data and index atomic —
+    * a two-table layout can lose a doc (index ahead of corpus: replay
+    * drops it as its own dup) or duplicate one (corpus ahead of index:
+    * replay re-admits it) on a crash between the writes. */
+  val IndexBucketsCol = "minhash_buckets"
+  val IndexShinglesCol = "shingle_set"
+
+  /**
+   * Attach the persistent signature index to `df`: `minhash_buckets`
+   * (array of `bands` LSH band-bucket hashes) and `shingle_set` (the
+   * distinct k-shingles, the exact-Jaccard verification input). Both are
+   * content-addressed — deterministic functions of the text — so index
+   * rows never need rebuilding and APPEND per admitted batch is the only
+   * maintenance (`incrementalNearDupsIndexed` returns admitted rows
+   * already carrying them).
+   *
+   * This is the one-time corpus bootstrap / per-batch signature step.
+   * Empty text yields the single-empty-shingle signature, exactly like
+   * the in-flight path (the tokenizer's shorter-than-k convention); a
+   * doc with NO shingle set at all (null text) keeps EMPTY arrays — it
+   * blocks with nothing and is always admitted, again matching the
+   * in-flight path where such a row produces no band rows.
+   *
+   * At 100 TB the index columns are a few hundred bytes per doc vs the
+   * document body, and column pruning means doc-column readers never
+   * touch them; partition or z-order the table by a bucket prefix if
+   * the candidate probe itself must prune below a full columnar scan.
+   */
+  def buildBandIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    val sigs = sigsFromShingles(sets, idCol, numHashes)
+    val buckets = sigs.select(col(idCol),
+      expr(bucketArrayExpr(bands)).as(IndexBucketsCol))
+    df.join(sets.select(col(idCol),
+        coalesce(col("__shingles"), array().cast("array<string>"))
+          .as(IndexShinglesCol)), Seq(idCol))
+      .join(buckets, Seq(idCol), "left")
+      .withColumn(IndexBucketsCol,
+        coalesce(col(IndexBucketsCol), array().cast("array<bigint>")))
+  }
+
+  /**
+   * `incrementalNearDups` against a corpus that already carries the
+   * stored index columns — the steady-state daily-admit path: per-batch
+   * work is O(batch) signature building plus ONE corpus columnar scan of
+   * (id, minhash_buckets, shingle_set). The corpus text is never read,
+   * never re-shingled, never re-signed, and never shuffled (batch band
+   * keys broadcast against the index scan; verification reads stored
+   * shingle sets for candidate ids only) — vs `incrementalNearDups`,
+   * which rebuilds the corpus signatures from text on every call.
+   *
+   * Returns the ADMITTED batch rows with their index columns attached,
+   * ready to append to the corpus table (the append IS the index
+   * maintenance). Admit rule, hashing, and banding are identical to
+   * `incrementalNearDups` by construction (shared expressions), so both
+   * paths admit the same set for the same parameters.
+   */
+  def incrementalNearDupsIndexed(corpusIndexed: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 32,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val batchIdx = buildBandIndex(batch, idCol, textCol, numHashes, bands,
+        shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def explodeBands(idx: DataFrame, as: String): DataFrame =
+      idx.select(col(idCol), posexplode(col(IndexBucketsCol)))
+        .toDF(idCol, "__band", "__bucket")
+        .select(col(idCol).as(as), col("__band"), col("__bucket"))
+    val cBands = explodeBands(corpusIndexed, "id_a")
+    val bBands = explodeBands(batchIdx, "id_b")
+    val vsCorpus = cBands
+      .join(broadcast(bBands), Seq("__band", "__bucket"))
+      .select("id_a", "id_b").distinct()
+    val withinBatch = bBands.select(col("id_b").as("id_a"),
+        col("__band"), col("__bucket"))
+      .join(bBands, Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = corpusIndexed
+      .select(col(idCol), col(IndexShinglesCol).as("__shingles"))
+      .unionByName(batchIdx
+        .select(col(idCol), col(IndexShinglesCol).as("__shingles")))
+    val dupPairs = verifyJaccard(vsCorpus.unionByName(withinBatch),
+      sets, idCol, threshold)
+    val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+    batchIdx.join(losers, Seq(idCol), "left_anti")
   }
 
   /**

@@ -110,6 +110,47 @@ object Exchange {
   }
 
   /**
+   * Whole-table staged swap for UNPARTITIONED tables — `promoteAtomic`'s
+   * double-rename at table granularity: the replacement is written
+   * COMPLETELY to a sibling staging dir (reading FROM `path` while
+   * swapping INTO `path` is therefore safe), then the live dir is moved
+   * to a hidden `.name.old` sibling, the staging dir renamed in, and the
+   * old dir deleted. A crash between the renames leaves the table
+   * momentarily absent with the previous contents intact in the hidden
+   * sibling — `recoverSwap` renames them back. Used for the one-time
+   * dedup-corpus index migration (`Streaming.admitBatch`).
+   */
+  def swapTable(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new HPath(path.stripSuffix("/") + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val old = hiddenOld(target)
+    if (fs.exists(old)) fs.delete(old, true)
+    val existed = fs.exists(target)
+    if (existed) fs.rename(target, old)
+    fs.rename(staging, target)
+    if (existed) fs.delete(old, true)
+  }
+
+  /** Close `swapTable`'s crash window: if `path` is absent but the
+    * hidden `.name.old` sibling exists, rename it back and return true.
+    * Callers treating a missing table as empty MUST try this first, or
+    * a crash inside the swap would silently orphan the previous rows. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = hiddenOld(target)
+    if (!fs.exists(target) && fs.exists(old)) { fs.rename(old, target); true }
+    else false
+  }
+
+  private def hiddenOld(target: HPath): HPath =
+    new HPath(target.getParent, "." + target.getName + ".old")
+
+  /**
    * Small-file compaction — the table-maintenance companion to
    * `promote`: rewrite one partition's files into
    * ceil(bytes / targetFileBytes) files (min 1). Long-lived

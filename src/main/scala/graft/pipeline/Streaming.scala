@@ -160,17 +160,31 @@ object Streaming {
   /**
    * Streaming corpus ingest with incremental near-dup dedup — the
    * training-data counterpart of `run`: each micro-batch of documents
-   * is admitted against the standing admitted corpus with
-   * `Dedup.incrementalNearDups` (batch band keys broadcast against the
-   * corpus, lower-id-wins within the batch) and only the NOVEL
-   * survivors are appended to `corpusPath`.
+   * is admitted against the standing admitted corpus (batch band keys
+   * broadcast against the corpus index, lower-id-wins within the batch)
+   * and only the NOVEL survivors are appended to `corpusPath`.
+   *
+   * The corpus table carries the PERSISTENT signature index — two
+   * content-addressed columns (`Dedup.IndexBucketsCol`,
+   * `Dedup.IndexShinglesCol`) written with every admitted row — so the
+   * steady-state per-batch cost is O(batch) signature work plus one
+   * corpus columnar scan of the index columns: the corpus text is never
+   * re-shingled or re-signed per batch (it used to be, making the daily
+   * admit O(corpus)). A pre-index corpus (or one built externally)
+   * bootstraps transparently: the first batch against a corpus lacking
+   * the index columns rebuilds them in-flight, and every batch from
+   * then on reads the stored index. Doc-column consumers are unaffected
+   * (select their columns; pruning skips the index).
    *
    * Replay-idempotent without any extra bookkeeping: if a micro-batch
    * re-runs after a failure, every previously-admitted doc now
    * near-dups ITSELF in the corpus (Jaccard 1.0) and is dropped, and
    * every previously-rejected doc still has its original partner — the
    * corpus is unchanged. State lives entirely in the corpus table;
-   * nothing accumulates in streaming state.
+   * nothing accumulates in streaming state. Storing the index ON the
+   * corpus table preserves this: one append commits data + index
+   * together, where a sibling index table could diverge on a crash
+   * between two writes.
    */
   def dedupIngest(spark: SparkSession, inputPath: String,
       docSchema: StructType, corpusPath: String, checkpointDir: String,
@@ -191,13 +205,40 @@ object Streaming {
   private[pipeline] def admitBatch(spark: SparkSession, batch: DataFrame,
       corpusPath: String, idCol: String, textCol: String,
       threshold: Double): Unit = {
-    val corpus =
-      try Exchange.table(spark, corpusPath).select(batch.columns.map(col): _*)
+    import graft.ext.Dedup
+    val indexCols = Seq(Dedup.IndexBucketsCol, Dedup.IndexShinglesCol)
+    val existing =
+      try Some(Exchange.table(spark, corpusPath))
       catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        // a missing table may be a swap crash window, not an empty
+        // corpus — recover the hidden previous contents before deciding
+        if (Exchange.recoverSwap(spark, corpusPath))
+          Some(Exchange.table(spark, corpusPath))
+        else None
       }
-    val novel = graft.ext.Dedup.incrementalNearDups(corpus, batch,
+    val indexed = existing match {
+      case Some(c) if indexCols.forall(c.columns.contains) =>
+        // steady state: the stored index IS the corpus-side input —
+        // no text read, no re-shingling, no re-signing
+        c.select((batch.columns ++ indexCols).map(col): _*)
+      case Some(c) =>
+        // one-time migration of a pre-index corpus: rebuild the index
+        // for every row and SWAP the table (appending indexed rows to
+        // unindexed files would mix schemas — old files would read NULL
+        // index columns and their docs would silently stop blocking)
+        Exchange.swapTable(
+          Dedup.buildBandIndex(c.select(batch.columns.map(col): _*),
+            idCol, textCol, numHashes = 128, bands = 32),
+          corpusPath)
+        Exchange.table(spark, corpusPath)
+          .select((batch.columns ++ indexCols).map(col): _*)
+      case None =>
+        Dedup.buildBandIndex(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema),
+          idCol, textCol, numHashes = 128, bands = 32)
+    }
+    val novel = Dedup.incrementalNearDupsIndexed(indexed, batch,
       idCol, textCol, numHashes = 128, bands = 32, threshold = threshold)
     // the plan reads corpusPath while appending to it, which is safe
     // here: append never deletes or rewrites existing files, and the

@@ -139,6 +139,32 @@ class ExtSpec extends AnyFunSuite {
     val again = Dedup.incrementalNearDups(corpus, batch, "id", "text")
       .select("id").as[Long].collect().toSeq.sorted
     assert(again == Seq(11L, 13L))
+
+    // the stored-index path must admit the identical set and return rows
+    // carrying the index columns
+    val corpusIdx = Dedup.buildBandIndex(corpus, "id", "text",
+      numHashes = 64, bands = 16)
+    assert(corpusIdx.columns.toSet ==
+      Set("id", "text", Dedup.IndexBucketsCol, Dedup.IndexShinglesCol))
+    val viaIndex = Dedup.incrementalNearDupsIndexed(corpusIdx, batch,
+        "id", "text", numHashes = 64, bands = 16)
+    assert(viaIndex.select("id").as[Long].collect().toSeq.sorted ==
+      Dedup.incrementalNearDups(corpus, batch, "id", "text",
+          numHashes = 64, bands = 16)
+        .select("id").as[Long].collect().toSeq.sorted)
+    assert(viaIndex.columns.contains(Dedup.IndexBucketsCol))
+    // empty text yields the single-empty-shingle signature — SAME as the
+    // recompute path (two empty docs near-dup each other in both); a
+    // null-text doc falls back to empty (not null) index arrays
+    val emptyDoc = Dedup.buildBandIndex(docs((7L, "")), "id", "text",
+        numHashes = 64, bands = 16)
+      .select(col(Dedup.IndexBucketsCol), col(Dedup.IndexShinglesCol))
+      .head()
+    assert(emptyDoc.getSeq[Long](0).size == 16 &&
+      emptyDoc.getSeq[String](1) == Seq(""))
+    assert(Dedup.incrementalNearDupsIndexed(corpusIdx, docs((7L, "")),
+      "id", "text", numHashes = 64, bands = 16)
+      .select("id").as[Long].collect().toSeq == Seq(7L))
   }
 
   test("TextOps.decontaminate: flags exactly the docs overlapping the eval set") {

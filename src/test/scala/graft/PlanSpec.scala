@@ -166,4 +166,26 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges("zorder_layout") == 0, s"plan:\n$p")
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
   }
+
+  test("indexed incremental dedup: corpus scan reads stored index, never text") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxplan").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    Dedup.buildBandIndex(corpus, "id", "text").write.parquet(s"$dir/corpus")
+    val stored = spark.read.parquet(s"$dir/corpus")
+    val batch = Seq((10L, "wholly novel tokens entirely elsewhere")).toDF("id", "text")
+    val q = Dedup.incrementalNearDupsIndexed(stored, batch, "id", "text")
+    val p = q.queryExecution.executedPlan.toString
+    // the only FileScans are the corpus table — their ReadSchema must be
+    // the index columns (id, buckets, shingles), with the text column
+    // pruned away: the steady-state admit never touches corpus bodies
+    assert(p.contains("FileScan"), s"plan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("text")), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }

@@ -212,6 +212,45 @@ class StreamingSpec extends AnyFunSuite {
       .awaitTermination()
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSeq.sorted == Seq(1L, 11L, 13L))
+
+    // the admitted corpus carries the persistent band index: every row
+    // has non-null bucket/shingle arrays (the steady-state admit path
+    // reads these instead of re-shingling the corpus text)
+    val idx = spark.read.parquet(corpus)
+    import graft.ext.Dedup
+    assert(idx.columns.contains(Dedup.IndexBucketsCol) &&
+      idx.columns.contains(Dedup.IndexShinglesCol))
+    assert(idx.where(col(Dedup.IndexBucketsCol).isNull ||
+      col(Dedup.IndexShinglesCol).isNull).count() == 0)
+  }
+
+  test("dedupIngest migrates a pre-index corpus once, then admits against stored index") {
+    import graft.ext.Dedup
+    val root = Files.createTempDirectory("graft_dedup_migrate").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val corpus = s"$root/corpus"
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val base = (1 to 30).map(i => s"mtoken$i").mkString(" ")
+    val nearBase = (1 to 29).map(i => s"mtoken$i").mkString(" ") + " mtokenX"
+    val fresh = (200 to 230).map(i => s"mfresh$i").mkString(" ")
+
+    // legacy layout: corpus written WITHOUT index columns
+    docsDf((1L, base)).write.parquet(corpus)
+    docsDf((10L, nearBase), (13L, fresh)).write.mode("append").parquet(in)
+    val schema = docsDf((0L, "")).schema
+    Streaming.dedupIngest(spark, in, schema, corpus, s"$root/ckpt")
+      .awaitTermination()
+
+    val t = spark.read.parquet(corpus)
+    // 10 near-dups the migrated corpus doc → dropped; 13 novel → admitted
+    assert(t.select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L, 13L))
+    // the MIGRATED row (doc 1) has stored index columns too — the swap
+    // rewrote the whole table, no mixed-schema NULLs anywhere
+    assert(t.where(col(Dedup.IndexBucketsCol).isNull ||
+      col(Dedup.IndexShinglesCol).isNull).count() == 0)
+    assert(t.where(col("doc_id") === 1L)
+      .select(size(col(Dedup.IndexBucketsCol))).head().getInt(0) == 32)
   }
 
   test("streaming AvailableNow run equals batch runDay output, dedupes, resumes") {
