@@ -27,7 +27,15 @@ object Graft {
    *  - UTC session timezone (oracle/dataset portability);
    *  - caller-sized shuffle partitions (set this to ~2-3× total
    *    executor cores on a real cluster; Spark's 200 default is wrong
-   *    in both directions — too many for laptops, too few at 100 TB).
+   *    in both directions — too many for laptops, too few at 100 TB);
+   *  - quantile routing ON (`spark.graft.quantiles.approx=true`): exact
+   *    `percentile` aggregates are rewritten to the bounded-state
+   *    `approx_percentile` sketch by the injected optimizer rule — the
+   *    exact form buffers every group value on one reducer, which is
+   *    the wrong default for a 100 TB pipeline session. Opt back into
+   *    exact semantics per session with
+   *    `spark.conf.set("spark.graft.quantiles.approx", "false")` (the
+   *    correctness-gate harnesses build raw sessions and stay exact).
    * AQE stays on (Spark 4 default): runtime coalescing, skew-join
    * splitting and broadcast re-planning are load-bearing at scale.
    */
@@ -37,6 +45,7 @@ object Graft {
       .appName(appName)
       .withExtensions(new functions.GraftExtensions())
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.quantiles.approx", "true")
     val b1 = if (master.nonEmpty) b.master(master) else b
     val b2 = if (shufflePartitions > 0)
       b1.config("spark.sql.shuffle.partitions", shufflePartitions) else b1

@@ -234,6 +234,26 @@ object Dedup {
     batch.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Embedding near-dup front door — the API a pipeline should call. It
+   * dispatches to the ANN-blocked scale path
+   * (`Similarity.cosineNearDupsAnn`: LSH band equi-joins, nothing
+   * all-pairs, nothing broadcast) so the O(n²) upper-triangle scan
+   * cannot be reached by default; the exact baseline
+   * (`Similarity.cosineNearDups`) is the recall ground truth only and
+   * must be requested with an explicit `exact = true` — it broadcasts a
+   * full side and dies at corpus scale. Precision is identical either
+   * way (ANN candidates are re-verified with true cosine); ANN recall
+   * follows the band collision probability (≈0.96 at the defaults for
+   * threshold 0.45).
+   */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 64, bands: Int = 16,
+      exact: Boolean = false): DataFrame =
+    if (exact) Similarity.cosineNearDups(df, idCol, vecCol, threshold)
+    else Similarity.cosineNearDupsAnn(df, idCol, vecCol, threshold, dim,
+      nBits, bands)
+
   // ------------------------------------------- persistent band index —
 
   /** Index column names added by `buildBandIndex`. The index is stored

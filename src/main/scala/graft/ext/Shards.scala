@@ -40,7 +40,12 @@ object Shards {
    * order. `bucketExpr` partitions each group's order range into
    * parallel prefix-sum chunks; it MUST be monotone non-decreasing in
    * `orderCol` within a group (e.g. `floor(col("doc_id") / 4096)` for a
-   * numeric id order).
+   * numeric id order). The contract is ENFORCED at runtime: pass 1 also
+   * aggregates each bucket's [min, max] `orderCol` range, and a bucket
+   * whose range interleaves its predecessor's (on the tiny per-group
+   * bucket frame, so the check is #buckets rows and costs no extra
+   * scan) raises — a non-monotone `bucketExpr` would otherwise corrupt
+   * every downstream shard id silently.
    */
   def packByBudget(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tokensCol: String, capacity: Long, bucketExpr: Column): DataFrame = {
@@ -48,14 +53,28 @@ object Shards {
     val withBucket = df.withColumn("__bucket", bucketExpr)
     val bucketSums = withBucket
       .groupBy(g :+ col("__bucket"): _*)
-      .agg(sum(col(tokensCol)).as("__bucket_sum"))
+      .agg(sum(col(tokensCol)).as("__bucket_sum"),
+        min(col(orderCol)).as("__omin"), max(col(orderCol)).as("__omax"))
     // Exclusive prefix over bucket totals: still one window per group,
     // but over #buckets rows, not #docs — the whole point of pass 1.
     val wBuckets = Window.partitionBy(g: _*).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(g: _*).orderBy(col("__bucket"))
     val offsets = bucketSums
       .withColumn("__offset",
         coalesce(sum(col("__bucket_sum")).over(wBuckets), lit(0L)))
+      // monotonicity guard: consecutive buckets' order ranges must be
+      // strictly separated, or (bucket, orderCol) order is NOT the
+      // orderCol order and cum sums diverge from the serial formulation
+      .withColumn("__prev_max", lag(col("__omax"), 1).over(wLag))
+      .where(when(col("__prev_max").isNull ||
+          col("__prev_max") < col("__omin"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("packByBudget: bucketExpr is not monotone in "),
+          lit(s"$orderCol: bucket "), col("__bucket").cast("string"),
+          lit(" starts at "), col("__omin").cast("string"),
+          lit(" but an earlier bucket reaches "),
+          col("__prev_max").cast("string"))).cast("boolean")))
       .select((groupCols :+ "__bucket").map(col) :+ col("__offset"): _*)
     val wLocal = Window.partitionBy(g :+ col("__bucket"): _*)
       .orderBy(col(orderCol))

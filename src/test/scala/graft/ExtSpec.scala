@@ -377,6 +377,12 @@ class ExtSpec extends AnyFunSuite {
     assert(ann.subsetOf(exact), "ANN near-dup pairs must be true pairs")
     val recall = ann.size.toDouble / exact.size
     assert(recall >= 0.9, s"ANN near-dup recall $recall too low")
+    // the front-door API routes to ANN by default (the O(n²) scan is
+    // reachable only via an explicit exact = true)
+    assert(pairs(Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold = 0.45, dim = 64)) == ann)
+    assert(pairs(Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold = 0.45, dim = 64, exact = true)) == exact)
   }
 
   test("Shards.packByBudget equals the single-window running-sum layout") {
@@ -396,6 +402,16 @@ class ExtSpec extends AnyFunSuite {
       .withColumn("shard", floor(($"cum" - $"toks") / lit(100L)).cast("long"))
       .select("lang", "id", "shard").as[(String, Long, Long)].collect().toSet
     assert(packed == ref)
+
+    // a NON-monotone bucketExpr must raise (it would silently corrupt
+    // shard ids: (bucket, id) order is no longer the id order)
+    val ex = intercept[Exception] {
+      graft.ext.Shards.packByBudget(df, Seq("lang"), "id", "toks",
+          capacity = 100L, bucketExpr = ($"id" % 3).cast("long"))
+        .collect()
+    }
+    val msgs = ex.getMessage +: Option(ex.getCause).map(_.getMessage).toList
+    assert(msgs.exists(m => m != null && m.contains("not monotone")))
   }
 
   test("Similarity.ivfTopK: exhaustive probe == brute force; pruning keeps useful recall") {

@@ -252,5 +252,29 @@ class MergeResampleSpec extends AnyFunSuite {
         s"rule did not fire:\n$approxPlan")
       assert(math.abs(approxVal - 501.0) <= 1.0, s"approx p50 $approxVal")
     } finally s2.conf.unset("spark.graft.quantiles.approx")
+
+    // Graft.session (the library/pipeline entrypoint) defaults the
+    // routing ON — a naive pipeline caller gets the bounded-state
+    // sketch, and only sessions built elsewhere (Verify/Bench oracle
+    // harnesses) keep exact percentile semantics
+    // clear BOTH registries first or getOrCreate returns the
+    // thread-active spec session instead of building a fresh one
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s3 =
+      try Graft.session("graft-routing-default", "local[2]")
+      finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+      }
+    assert(s3.conf.get("spark.graft.quantiles.approx") == "true")
+    val routed = {
+      import s3.implicits._
+      (1 to 1001).map(_.toDouble).toDF("x")
+        .selectExpr("percentile(x, 0.5D) AS p50")
+    }
+    assert(routed.queryExecution.optimizedPlan.toString
+      .contains("percentile_approx"),
+      s"Graft.session did not route:\n${routed.queryExecution.optimizedPlan}")
   }
 }
