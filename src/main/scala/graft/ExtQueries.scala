@@ -92,6 +92,27 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN recall as a DRIVER-GATED row (it was only a spec assertion):
+    * per query, the integer overlap between annTopK's and brute-force
+    * top-5 neighbor sets — recall@5 in exact counts, no float compare.
+    * The oracle replays BOTH pipelines (each already oracle-verified
+    * alone) and intersects them in SQL, so a recall regression —
+    * banding drift, verify-stage change, tie-break change — now fails
+    * the correctness gate, not just a 0.9-threshold spec. */
+  private def similarityRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.where(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", k = 5,
+        dim = 64, nBits = 64, bands = 16)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("n_overlap"), count(lit(1)).as("k"))
+      .orderBy("query_id")
+  }
+
   /** Near-dup clusters: MinHash pairs → connected components → canonical
     * (min-id) representative per cluster. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1284,6 +1305,42 @@ object ExtQueries {
   private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabStats(docs(s, dir), "text", Seq("lang")).orderBy("lang")
 
+  /** End-to-end curation chain: quality filter → PII scrub → best-
+    * survivor near-dup dedup (over the SCRUBBED text) → domain mixing →
+    * per-language token-budget shard packing. Every stage is an
+    * individually-oracled operator; this one composed row guards the
+    * stage BOUNDARIES — column contracts, ordering assumptions, and
+    * determinism through the whole chain — which no per-stage gate can
+    * see. Output is the final shard manifest a training loader reads. */
+  private def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val d = docs(s, dir)
+    val ts = d.withColumn("__ts", expr("token_stats(text)"))
+    val n = col("__ts.n_tokens")
+    val stopRaw = when(n > 0,
+      col("__ts.h_en").cast("double") / n).otherwise(0.0)
+    val kept = ts.where(!(n < 25 || n > 90 || stopRaw < 0.02)).drop("__ts")
+    // scrub BEFORE dedup: masked digit runs change shingle sets, so the
+    // dedup must see what the trained model would see
+    val scrub = TextOps.maskPattern(kept, "text", "[0-9]+", "#")
+      .select(col("doc_id"), col("scrubbed").as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val surv = Dedup.dedupByPairsBest(scrub,
+      Dedup.minhashNearDups(scrub, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
+      "doc_id", col("n_chars"))
+    val mixed = Sampling.mixByWeight(surv, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+        "src3" -> 0.125), seed = "curate1")
+    val sized = mixed.withColumn("n_tokens",
+      expr("token_stats(text).n_tokens").cast("long"))
+    val packed = Shards.packByBudget(sized, Seq("lang"), "doc_id",
+      "n_tokens", capacity = 512L,
+      bucketExpr = floor(col("doc_id") / 64).cast("long"))
+    Shards.manifest(packed, Seq("lang"), "doc_id", "n_tokens")
+      .orderBy("lang", "shard")
+  }
+
   // ------------------------------------------------------------- wiring —
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1304,6 +1361,7 @@ object ExtQueries {
     "dedup_corpus_best" -> ((s, dir) => dedupCorpusBest(s, dir)),
     "similarity_topk" -> ((s, dir) => similarityTopK(s, dir)),
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
+    "similarity_recall" -> ((s, dir) => similarityRecall(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
@@ -1374,6 +1432,7 @@ object ExtQueries {
     "shuffle_order" -> ((s, dir) => shuffleOrderQ(s, dir)),
     "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
     "pii_scrub" -> ((s, dir) => piiScrub(s, dir)),
+    "curate_corpus" -> ((s, dir) => curateCorpus(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
@@ -1410,6 +1469,17 @@ object ExtQueries {
        |                        OR id_b = doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact-Jaccard-pairs CTE body over 3-shingle sets of relation
+    * `src` (must expose doc_id, text) — no leading WITH, so it composes
+    * inside larger CTE chains (curate_corpus filters first). */
+  private def pairsCteFrom(src: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       |d AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.sh, b.sh))::DOUBLE
+       |               / len(list_distinct(a.sh || b.sh)) AS j
+       |      FROM d a, d b WHERE a.doc_id < b.doc_id)""".stripMargin
+
   /** Shared CTE prefix: exact Jaccard pairs over 3-shingle sets. */
   private val pairsCte =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1429,7 +1499,7 @@ object ExtQueries {
     * exact-pair graph (rounds ≥ true diameter on this corpus — the Spark
     * side iterates to FIXPOINT, so equality additionally proves the
     * corpus components converged within `rounds`). */
-  private def componentsCtes(rounds: Int): String = {
+  private def componentsCtesFrom(rounds: Int, src: String): String = {
     val edges =
       """e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.5
         |      UNION ALL
@@ -1444,10 +1514,13 @@ object ExtQueries {
          |             FROM e JOIN l${i - 1} l2 ON e.src = l2.id
          |             GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
     }
-    s"""$pairsCte,
+    s"""${pairsCteFrom(src)},
        |$edges,
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private def componentsCtes(rounds: Int): String =
+    "WITH " + componentsCtesFrom(rounds, "documents")
 
   private def componentsSql(rounds: Int): String =
     s"""${componentsCtes(rounds)}
@@ -2392,6 +2465,41 @@ object ExtQueries {
         |      FROM scored)
         |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // replay BOTH top-5 pipelines (brute force, identical to the
+    // similarity_topk oracle; ANN, identical to the similarity_ann
+    // oracle) and intersect per query in integer counts
+    "similarity_recall" ->
+      s"""WITH $annCtesSql,
+        |acands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM cb q JOIN cb c ON q.bucket = c.bucket
+        |  WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        |ascored AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(cn.dv, qn.dv) / (cn.nm * qn.nm) AS sim
+        |  FROM acands
+        |  JOIN n cn ON cn.vec_id = neighbor_id
+        |  JOIN n qn ON qn.vec_id = query_id),
+        |ar AS (SELECT query_id, neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY sim DESC, neighbor_id) AS rank
+        |       FROM ascored),
+        |ann AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5),
+        |escored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.dv, q.dv) AS sim
+        |  FROM v c, v q
+        |  WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        |er AS (SELECT query_id, neighbor_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY sim DESC, neighbor_id) AS rank
+        |       FROM escored),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+        |SELECT ex.query_id AS query_id, count(ann.neighbor_id) AS n_overlap,
+        |       count(*) AS k
+        |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+        |                     AND ex.neighbor_id = ann.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "similarity_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
         |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
@@ -2497,6 +2605,57 @@ object ExtQueries {
         |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
         |       len(regexp_extract_all(props, '[0-9]+')) AS n_masked
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the full curation chain replayed in one CTE pipeline: quality
+    // keep → digit-run scrub → exact-Jaccard pairs + 4-round components
+    // over the SCRUBBED text → longest-survivor per cluster → binding-
+    // constraint domain mix → serial running-sum pack (the distributed
+    // pack is pinned equal to the serial form by pack_shards_dist)
+    "curate_corpus" ->
+      s"""WITH w(g, wt) AS (VALUES
+         |       ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+         |       ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
+         |t0 AS (SELECT doc_id, lang, source, n_chars, text, $toksSql AS toks0
+         |       FROM documents),
+         |q AS (SELECT doc_id, lang, source, n_chars, text, len(toks0) AS nt,
+         |             CASE WHEN len(toks0) > 0 THEN
+         |               len(list_filter(toks0, x -> x IN ($enStopSql)))::DOUBLE
+         |                 / len(toks0)
+         |             ELSE 0.0 END AS stop_raw
+         |      FROM t0),
+         |kept AS (SELECT doc_id, lang, source, n_chars,
+         |                regexp_replace(text, '[0-9]+', '#', 'g') AS text
+         |         FROM q
+         |         WHERE NOT (nt < 25 OR nt > 90 OR stop_raw < 0.02)),
+         |${componentsCtesFrom(4, "kept")},
+         |lab AS (SELECT k.doc_id, k.lang, k.source, k.n_chars, k.text,
+         |               coalesce(l.label, k.doc_id) AS comp
+         |        FROM kept k LEFT JOIN l4 l ON l.id = k.doc_id),
+         |rnked AS (SELECT *, row_number() OVER (PARTITION BY comp
+         |            ORDER BY n_chars DESC, doc_id) AS rnk FROM lab),
+         |surv AS (SELECT doc_id, lang, source, text FROM rnked WHERE rnk = 1),
+         |md AS (SELECT s.doc_id, s.lang, s.source, s.text, w.wt,
+         |              md5(CAST(s.doc_id AS VARCHAR) || ':curate1') AS key
+         |       FROM surv s JOIN w ON s.source = w.g),
+         |tgt AS (SELECT source,
+         |               CAST(floor(min(CAST(ng AS DOUBLE) / wt) OVER () * wt)
+         |                 AS BIGINT) AS target
+         |        FROM (SELECT source, wt, count(*) AS ng FROM md GROUP BY 1, 2)),
+         |mr AS (SELECT doc_id, lang, source, text,
+         |              row_number() OVER (PARTITION BY source
+         |                                 ORDER BY key, doc_id) AS mix_rank
+         |       FROM md),
+         |mixed AS (SELECT mr.doc_id, mr.lang, mr.text FROM mr
+         |          JOIN tgt USING (source) WHERE mix_rank <= target),
+         |sized AS (SELECT doc_id, lang, len($toksSql) AS n_tokens FROM mixed),
+         |cw AS (SELECT doc_id, lang, n_tokens,
+         |              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |       FROM sized)
+         |SELECT lang, CAST(floor((c - n_tokens) / 512) AS BIGINT) AS shard,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cw GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     "vocab_stats" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
