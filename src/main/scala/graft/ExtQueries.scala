@@ -1305,6 +1305,29 @@ object ExtQueries {
   private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabStats(docs(s, dir), "text", Seq("lang")).orderBy("lang")
 
+  /** Real-subword tokenization gate: per doc, the word count, the
+    * greedy longest-match WORDPIECE count over the built-in vocab, and
+    * the unknown-word count. The oracle replays the greedy matcher as a
+    * bounded recursive walk over the SAME vocabulary VALUES list —
+    * longest matching piece per position, whole word → [UNK] on a dead
+    * position — so any drift in vocab, matching order, or continuation
+    * handling hash-fails. Distinct words are tokenized once on the
+    * oracle side (piece sequences are word-functional). */
+  private def tokenizeSubword(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    graft.functions.Subword.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("token_stats(text).n_tokens").cast("long").as("n_words"),
+        expr("subword_tokens(text)").as("__p"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__p")).cast("long").as("n_pieces"),
+        (size(col("__p")) -
+          size(array_remove(col("__p"), graft.functions.Subword.Unk)))
+          .cast("long").as("n_unk_words"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation chain: quality filter → PII scrub → best-
     * survivor near-dup dedup (over the SCRUBBED text) → domain mixing →
     * per-language token-budget shard packing. Every stage is an
@@ -1433,6 +1456,7 @@ object ExtQueries {
     "quality_filter" -> ((s, dir) => qualityFilter(s, dir)),
     "pii_scrub" -> ((s, dir) => piiScrub(s, dir)),
     "curate_corpus" -> ((s, dir) => curateCorpus(s, dir)),
+    "tokenize_subword" -> ((s, dir) => tokenizeSubword(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
@@ -2656,6 +2680,52 @@ object ExtQueries {
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM cw GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    // greedy longest-match wordpiece replayed as a bounded recursive
+    // walk: best = the longest vocab piece per (word, position); walk
+    // hops pos -> pos + len(best) collecting pieces, a dead position
+    // voids the word to [UNK]; distinct words tokenize once
+    "tokenize_subword" ->
+      s"""WITH RECURSIVE vocab(piece) AS (VALUES
+         |  ${graft.functions.Subword.defaultVocab
+               .map(p => s"('$p')").mkString(", ")}),
+         |vs AS (SELECT piece,
+         |              CASE WHEN starts_with(piece, '##')
+         |                   THEN substr(piece, 3) ELSE piece END AS stem,
+         |              starts_with(piece, '##') AS cont
+         |       FROM vocab),
+         |vl AS (SELECT piece, stem, cont, len(stem) AS slen FROM vs),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |words AS (SELECT DISTINCT unnest(toks) AS w FROM t),
+         |wpos AS (SELECT w, unnest(range(0, len(w))) AS pos FROM words),
+         |best AS (SELECT w, pos, max_by(piece, slen) AS piece,
+         |                max(slen) AS slen
+         |         FROM wpos JOIN vl ON vl.cont = (wpos.pos > 0)
+         |              AND substr(wpos.w, wpos.pos + 1, vl.slen) = vl.stem
+         |         GROUP BY w, pos),
+         |walk AS (
+         |  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+         |  UNION ALL
+         |  SELECT s.w,
+         |         CASE WHEN b.piece IS NULL THEN len(s.w)
+         |              ELSE s.pos + b.slen END,
+         |         CASE WHEN b.piece IS NULL THEN ['${graft.functions.Subword.Unk}']
+         |              ELSE list_append(s.pieces, b.piece) END
+         |  FROM walk s LEFT JOIN best b ON b.w = s.w AND b.pos = s.pos
+         |  WHERE s.pos < len(s.w)),
+         |wt AS (SELECT w, pieces FROM walk WHERE pos >= len(w)),
+         |dp AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |ag AS (SELECT dp.doc_id, count(*) AS n_words,
+         |              CAST(sum(len(wt.pieces)) AS BIGINT) AS n_pieces,
+         |              CAST(sum(CASE WHEN wt.pieces =
+         |                  ['${graft.functions.Subword.Unk}']
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+         |       FROM dp JOIN wt ON dp.tok = wt.w GROUP BY dp.doc_id)
+         |SELECT d.doc_id AS doc_id, coalesce(ag.n_words, 0) AS n_words,
+         |       coalesce(ag.n_pieces, 0) AS n_pieces,
+         |       coalesce(ag.n_unk_words, 0) AS n_unk_words
+         |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "vocab_stats" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),

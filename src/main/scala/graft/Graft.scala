@@ -58,6 +58,7 @@ object Graft {
   def registerFunctions(spark: SparkSession): Unit = {
     functions.TextExprs.register(spark)
     functions.VectorExprs.register(spark)
+    functions.Subword.register(spark)
     ops.BloomPrune.register(spark)
   }
 }

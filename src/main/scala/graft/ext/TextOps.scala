@@ -145,6 +145,17 @@ object TextOps {
    * per-row projection: zero shuffle, codegen'd regex (use RE2-compatible
    * patterns so an external SQL engine replays it identically).
    */
+  /** Opt-in REAL-subword token count (greedy longest-match wordpiece
+    * over `graft.functions.Subword`'s vocabulary — register the kernel
+    * first): the count a trainer's token budget actually means, vs
+    * `token_stats(text).n_tokens`' whitespace-word count. Swap this in
+    * as the `tokensCol` input of `Shards.packByBudget` / length
+    * bucketing when shard capacities are denominated in model tokens;
+    * the whitespace count remains the default for relative quality
+    * signals, and every existing oracle keeps using it. */
+  def subwordCount(textColName: String): Column =
+    expr(s"size(subword_tokens(`$textColName`))").cast("long")
+
   def maskPattern(df: DataFrame, textCol: String, pattern: String,
       replacement: String, outCol: String = "scrubbed",
       countCol: String = "n_masked"): DataFrame =

@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     (TextExprs.injections ++ VectorExprs.injections ++
-        graft.ops.BloomPrune.injections).foreach {
+        Subword.injections ++ graft.ops.BloomPrune.injections).foreach {
       case (id, info, builder) => ext.injectFunction((id, info, builder))
     }
     // session-config-gated execution policies (no-ops until opted in)

@@ -121,6 +121,31 @@ class ExtSpec extends AnyFunSuite {
     assert(e.where($"hof" =!= $"nat").count() == 0)
   }
 
+  test("Subword: greedy longest match, continuation pieces, whole-word UNK") {
+    import graft.functions.Subword
+    graft.functions.Subword.register(spark)
+    graft.functions.TextExprs.register(spark)
+    def pieces(text: String): Seq[String] =
+      Seq(text).toDF("text").selectExpr("subword_tokens(text)")
+        .as[Seq[String]].head()
+    // "preexisting": longest initial piece is "pre" (not "p"),
+    // continuations prefer "##ex" over "##e", tail matches "##ing"
+    assert(pieces("preexisting") ==
+      Seq("pre", "##ex", "##i", "##s", "##t", "##ing"))
+    // ASCII singles guarantee no UNK; word order preserved across words
+    assert(pieces("ab 12") == Seq("a", "##b", "1", "##2"))
+    // non-ASCII letter has no piece at its position → whole word [UNK],
+    // neighbors unaffected
+    assert(pieces("ok héllo") == Seq("o", "##k", Subword.Unk))
+    assert(pieces("") == Seq())
+    // the opt-in counting helper agrees with the pieces the model sees
+    val c = Seq(("x", "preexisting ok"))
+      .toDF("id", "body")
+      .select(graft.ext.TextOps.subwordCount("body").as("n"))
+      .as[Long].head()
+    assert(c == 8L)
+  }
+
   test("Dedup.incrementalNearDups: corpus dups drop, lower batch id wins, novel survives") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val nearBase = (1 to 29).map(i => s"token$i").mkString(" ") + " tokenX"
