@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * total seconds (the driver contract) and, separately, the build phase
   * (query construction — includes any eager writes, e.g.
   * exchange_idempotent's two parquet promotes) so read timings are
-  * interpretable. A failing query keeps its elapsed time AND is listed
-  * in `failed` — it can never *improve* the total by erroring early.
-  * Caches are cleared between queries so persisted intermediates from
-  * one query never subsidize another.
+  * interpretable; each query additionally repeats (default 3×,
+  * SPARK_GRAFT_BENCH_REPEATS) and the per-query median lands in
+  * target/bench_queries.json so bursty box contention is
+  * self-adjudicating. A failing query keeps its elapsed time AND is
+  * listed in `failed` — it can never *improve* the total by erroring
+  * early. Caches are cleared between queries AND repeats so persisted
+  * intermediates from one run never subsidize another.
   *
   * Queries are evaluated with a noop-format write, not `count()`:
   * count() lets Catalyst prune every unreferenced column, so a
@@ -37,21 +40,39 @@ object Bench {
         .groupBy().count().write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    case class R(name: String, sec: Double, buildSec: Double, ok: Boolean)
+    // Repeats: each query runs SPARK_GRAFT_BENCH_REPEATS times (default
+    // 3) and the per-query MEDIAN goes to target/bench_queries.json as
+    // `queries_median` — box contention (the r5/r6 adjudication story:
+    // individual queries inflated 3-7× by a neighbor process) is bursty,
+    // so the median of three back-to-back runs discards the hit. The
+    // stdout line and the `queries` map keep FIRST-run times so the
+    // headline stays comparable with every earlier round.
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    case class R(name: String, secs: Seq[Double], buildSec: Double, ok: Boolean) {
+      def sec: Double = secs.head
+      def median: Double = { val s = secs.sorted; s(s.size / 2) }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      var tBuilt = t0
-      val ok =
+      var buildSec = 0.0
+      var ok = true
+      val secs = (1 to repeats).iterator.takeWhile(_ => ok).map { rep =>
+        val t0 = System.nanoTime()
+        var tBuilt = t0
         try {
           val df = fn(spark, sfDir)
           tBuilt = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save(); true
+          df.write.format("noop").mode("overwrite").save()
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          ok = false
         }
-      val t1 = System.nanoTime()
-      spark.catalog.clearCache()
-      R(name, (t1 - t0) / 1e9, (tBuilt - t0) / 1e9, ok)
+        val t1 = System.nanoTime()
+        spark.catalog.clearCache()
+        if (rep == 1) buildSec = (tBuilt - t0) / 1e9
+        (t1 - t0) / 1e9
+      }.toVector
+      R(name, secs, buildSec, ok)
     }
     // The stdout JSON line must be SHORT and BARE. Short: the driver
     // captures only a bounded (~2 KB) tail of the output, so the
@@ -76,8 +97,9 @@ object Bench {
       .mkString("[", ",", "]")
     val failedFull = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.sec).sum
+    val totalMedian = results.map(_.median).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedFull,"sf":"$sfDir","queries":${obj(_.sec)},"build_sec":${obj(_.buildSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedFull,"sf":"$sfDir","repeats":$repeats,"total_median":${fmt(totalMedian)},"queries":${obj(_.sec)},"queries_median":${obj(_.median)},"build_sec":${obj(_.buildSec)}}"""
     // Do NOT echo `full` to stderr: sbt interleaves stderr into the same
     // captured stream, and a ~2 KB line truncated inside the driver's
     // bounded tail can shadow the short stdout JSON below. The per-query
