@@ -956,6 +956,26 @@ object ExtQueries {
     TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Interpolated bigram LM score (0.75·bigram + 0.25·unigram floor) —
+    * the order-1 perplexity proxy; first token scores unigram-only. */
+  private def docLogprobBigram(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-doc n-gram novelty: the share (bps, integer) of a doc's
+    * distinct 3-shingles that no other document contains. */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramNovelty(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Exact-substring removal: strip every duplicated 8-token span
+    * corpus-wide (keep-first by (doc_id, span index)), rewrite the
+    * text, report spans kept/removed per document. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateSpans(docs(s, dir), "doc_id", "text",
+        spanTokens = 8)
+      .orderBy("doc_id")
+
   /** Context-window chunking: 32-token chunks, 8-token overlap, over
     * the documents corpus — every doc yields ≥1 chunk; all index math
     * integer, replayed exactly by the oracle. */
@@ -1457,6 +1477,9 @@ object ExtQueries {
     "pii_scrub" -> ((s, dir) => piiScrub(s, dir)),
     "curate_corpus" -> ((s, dir) => curateCorpus(s, dir)),
     "tokenize_subword" -> ((s, dir) => tokenizeSubword(s, dir)),
+    "doc_logprob_bigram" -> ((s, dir) => docLogprobBigram(s, dir)),
+    "ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir)),
+    "dedup_spans" -> ((s, dir) => dedupSpans(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
@@ -2165,6 +2188,67 @@ object ExtQueries {
          |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
          |             / count(*), 4) AS avg_logprob
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_logprob_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ1 AS (SELECT doc_id, unnest(toks) AS cur FROM t),
+         |uni AS (SELECT cur, count(*) AS c1 FROM occ1 GROUP BY 1),
+         |tot AS (SELECT sum(c1) AS n FROM uni),
+         |o2 AS (SELECT doc_id,
+         |              string_split(bg, ' ')[1] AS prev,
+         |              string_split(bg, ' ')[2] AS cur
+         |       FROM (SELECT doc_id,
+         |                    unnest([toks[i] || ' ' || toks[i + 1]
+         |                            for i in range(1, len(toks))]) AS bg
+         |             FROM t WHERE len(toks) >= 2)),
+         |big AS (SELECT prev, cur, count(*) AS c2 FROM o2 GROUP BY 1, 2),
+         |ctx AS (SELECT prev, count(*) AS cctx FROM o2 GROUP BY 1),
+         |s2 AS (SELECT doc_id, prev, cur,
+         |              ln(0.75 * CAST(c2 AS DOUBLE) / CAST(cctx AS DOUBLE)
+         |                 + 0.25 * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+         |       FROM o2 JOIN big USING (prev, cur) JOIN ctx USING (prev)
+         |       JOIN uni USING (cur) CROSS JOIN tot),
+         |s1 AS (SELECT doc_id, '' AS prev, toks[1] AS cur,
+         |              ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+         |       FROM t JOIN uni ON uni.cur = toks[1] CROSS JOIN tot
+         |       WHERE len(toks) >= 1),
+         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(list_reduce(list(lp ORDER BY prev, cur), (a, v) -> a + v)
+         |             / count(*), 4) AS avg_logprob
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM t),
+         |f AS (SELECT sh, count(*) AS dfc FROM d GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |       (CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |         // count(*) AS novelty_bps
+         |FROM d JOIN f USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |             unnest(range(0, (len(toks) + 7) // 8)) AS span_idx,
+         |             toks
+         |      FROM t WHERE len(toks) >= 1),
+         |s AS (SELECT doc_id, span_idx,
+         |             array_to_string(toks[span_idx * 8 + 1 : span_idx * 8 + 8], ' ') AS sp
+         |      FROM c),
+         |r AS (SELECT doc_id, span_idx, sp,
+         |             row_number() OVER (PARTITION BY sp ORDER BY doc_id, span_idx) AS rn
+         |      FROM s),
+         |g AS (SELECT doc_id, count(*) AS n_spans,
+         |             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |             coalesce(string_agg(CASE WHEN rn = 1 THEN sp END, ' '
+         |                                 ORDER BY span_idx), '') AS cleaned_text
+         |      FROM r GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(g.n_spans, 0) AS n_spans,
+         |       coalesce(g.n_removed, 0) AS n_removed,
+         |       coalesce(g.cleaned_text, '') AS cleaned_text
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id,

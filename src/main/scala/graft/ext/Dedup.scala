@@ -608,6 +608,68 @@ object Dedup {
       .drop("__comp", "__rk")
   }
 
+  /**
+   * Exact-substring REMOVAL — the rewrite companion to
+   * `substringDupPairs`: cut every duplicated `spanTokens`-token span
+   * out of the corpus, keeping exactly one copy (the globally first
+   * occurrence by (doc id, span index)), and return the rewritten
+   * documents. This is the "remove the duplicate text itself" step of
+   * training-data dedup (Lee et al., ACL 2022 §4.1 — their
+   * ExactSubstr variant DELETES the repeated span rather than dropping
+   * a whole document; reference analogue: none — extension surface),
+   * which catches mass boilerplate that document-level dedup cannot:
+   * a shared footer in a million otherwise-distinct pages survives
+   * every pairwise filter but disappears here.
+   *
+   * Spans are the NON-overlapping `spanTokens`-token windows of the
+   * normalized token stream (last span may be shorter). Keep-first is
+   * total and deterministic: one occurrence per distinct span text
+   * survives corpus-wide — later repeats inside the SAME document are
+   * removed too.
+   *
+   * Scale shape: span occurrences shuffle once keyed by the 64-bit
+   * span hash for the keep-first window (rank state is O(1); a
+   * boilerplate span shared by d docs puts d rows — linear, never d²
+   * pairs — on one hash partition, AQE-splittable), then survivors
+   * shuffle once doc-keyed for the rebuild. Only the rebuild shuffle
+   * carries span text; the window shuffle carries (hash, id, idx,
+   * text) postings. The keep-first decision keys on xxhash64(span) by
+   * default: a 64-bit collision could merge two distinct spans'
+   * keep-first groups (same accepted risk as `exactByHash`, ~n²/2⁶⁵ —
+   * the DuckDB oracle replays on the span text itself, so the gate
+   * also certifies collision-freedom on the test corpus); pass
+   * `hashKey = false` for the unconditionally-exact text-keyed window.
+   */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, hashKey: Boolean = true): DataFrame = {
+    require(spanTokens >= 1, s"need spanTokens >= 1, got $spanTokens")
+    graft.functions.TextExprs.register(df.sparkSession)
+    val spans = df
+      .select(col(idCol), expr(s"norm_tokens(`$textCol`)").as("__toks"))
+      .where(size(col("__toks")) >= 1)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0L, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1),
+           |  j -> struct(j AS i,
+           |    array_join(slice(__toks, cast(j * $spanTokens + 1 as int), $spanTokens), ' ') AS sp))"""
+          .stripMargin)).as("__s"))
+      .select(col(idCol), col("__s.i").as("__idx"), col("__s.sp").as("__sp"))
+    val keyed = spans.withColumn("__k",
+      if (hashKey) xxhash64(col("__sp")) else col("__sp"))
+    val w = Window.partitionBy(col("__k")).orderBy(col(idCol), col("__idx"))
+    val ranked = keyed.withColumn("__rn", row_number().over(w))
+    val rebuilt = ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr("transform(array_sort(" +
+          "collect_list(CASE WHEN __rn = 1 THEN struct(__idx, __sp) END))," +
+          " s -> s.__sp)"), " ").as("cleaned_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Audit companion to `ngramJaccardPairs`' cap: the shingles a given
     * `maxDocFreq` would drop, with their document frequencies — log or
     * persist this next to any capped run. */

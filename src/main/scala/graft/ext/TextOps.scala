@@ -256,6 +256,107 @@ object TextOps {
   }
 
   /**
+   * Interpolated bigram LM quality score — the order-1 refinement of
+   * `unigramLogProb`: every token after the first scores
+   * `ln(0.75·P(w|prev) + 0.25·P(w))` under the corpus's own bigram and
+   * unigram tables (Jelinek–Mercer interpolation; the unigram floor
+   * keeps unseen-in-context tokens finite), the document's first token
+   * scores under the unigram alone. Word-salad and boilerplate
+   * separate much harder here than under the order-0 score: their
+   * unigram profile can be corpus-typical while their transitions are
+   * not.
+   *
+   * Determinism: the per-doc sum folds over a SORTED (prev, cur, lp)
+   * list — equal (prev, cur) pairs carry equal lp, so the fold is a
+   * function of the multiset; both engines sort the same ASCII keys
+   * binary-wise. The interpolation argument is two exact-rounded IEEE
+   * divisions, two multiplies and one add in the identical structure on
+   * both sides, so the doubles agree before the 1e-4 display rounding.
+   *
+   * Scale: bigram occurrences shuffle once into map-combined (prev,
+   * cur) counts and once into (prev) context counts; the count tables
+   * join back token-keyed (sort-merge — a 100 TB corpus bigram table
+   * does not broadcast); the only broadcast scalar is the total token
+   * count. Nothing is quadratic; per-doc state is its own token list.
+   */
+  def bigramLogProb(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val toks = df.select(col(idCol),
+      expr(s"norm_tokens(`$textCol`)").as("__toks"))
+    val occ1 = toks.select(col(idCol), explode(col("__toks")).as("__cur"))
+    val uni = occ1.groupBy("__cur").agg(count(lit(1)).as("__c1"))
+    val total = uni.agg(sum(col("__c1")).as("__n"))
+    val occ2 = toks.where(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+          |  i -> struct(__toks[i - 1] AS p, __toks[i] AS c))""".stripMargin))
+        .as("__b"))
+      .select(col(idCol), col("__b.p").as("__prev"), col("__b.c").as("__cur"))
+    val big = occ2.groupBy("__prev", "__cur").agg(count(lit(1)).as("__c2"))
+    val ctx = occ2.groupBy("__prev").agg(count(lit(1)).as("__cctx"))
+    val scored2 = occ2.join(big, Seq("__prev", "__cur")).join(ctx, Seq("__prev"))
+      .join(uni, Seq("__cur")).join(broadcast(total))
+      .withColumn("__lp", log(
+        lit(0.75) * col("__c2").cast("double") / col("__cctx").cast("double")
+          + lit(0.25) * col("__c1").cast("double") / col("__n").cast("double")))
+      .select(col(idCol), col("__prev"), col("__cur"), col("__lp"))
+    // the document's first token has no context — unigram term only
+    val first = toks.where(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks")(0).as("__cur"))
+      .join(uni, Seq("__cur")).join(broadcast(total))
+      .withColumn("__lp",
+        log(col("__c1").cast("double") / col("__n").cast("double")))
+      .withColumn("__prev", lit(""))
+      .select(col(idCol), col("__prev"), col("__cur"), col("__lp"))
+    first.unionByName(scored2)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("__prev"), col("__cur"), col("__lp")))).as("__s"))
+      .withColumn("avg_logprob", round(
+        expr("aggregate(transform(__s, s -> s.__lp), 0D, (a, v) -> a + v)")
+          / col("n_tokens"), 4))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
+  /**
+   * N-gram novelty — the fraction (integer basis points) of a
+   * document's distinct k-shingles that appear in NO other document:
+   * the cheap data-selection signal for "how much of this doc is new
+   * text vs corpus-recycled" (high novelty → informative long tail;
+   * near-zero novelty → template/mirror content even when no single
+   * pair-wise near-dup exists). The complement of the doc-frequency
+   * postings that drive the Jaccard dedup join, reused as a per-doc
+   * score.
+   *
+   * A shingle is "unique" iff its corpus document-frequency is exactly
+   * 1 (shingle lists are distinct per doc, so df counts documents).
+   * `novelty_bps = n_unique · 10000 div n_shingles` — integer
+   * arithmetic, exact on any engine. Short docs (< k tokens) collapse
+   * to their single whole-text shingle, empty docs to the empty
+   * shingle, so every document scores.
+   *
+   * Scale: one postings shuffle into map-combined doc-freq counts, one
+   * shingle-keyed join back, one doc-keyed aggregate — shuffles carry
+   * (id, shingle) postings, never document bodies; nothing quadratic,
+   * no broadcast of anything data-sized.
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val posted = df.select(col(idCol),
+      explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__sh"))
+    val dfreq = posted.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    posted.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_bps",
+        expr("(n_unique * 10000) div n_shingles"))
+  }
+
+  /**
    * Collocation mining by document-frequency PMI: bigrams that co-occur
    * in documents far more often than their parts' document frequencies
    * predict — the phrase-mining signal behind tokenizer merge rules and

@@ -278,6 +278,60 @@ class ExtSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3, "rare doc must score below common doc")
   }
 
+  test("TextOps.bigramLogProb: hand-computed interpolation, first-token unigram") {
+    // corpus: d1 = [a b a b], d2 = [a c] → unigrams a:3 b:2 c:1 (N=6)
+    // bigram occurrences: (a,b)×2, (b,a)×1, (a,c)×1; contexts a:3 b:1
+    val in = docs((1L, "a b a b"), (2L, "a c"))
+    val got = TextOps.bigramLogProb(in, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (math.log(3.0 / 6) + 2 * math.log(0.75 * 2 / 3 + 0.25 * 2 / 6) +
+      math.log(0.75 * 1 / 1 + 0.25 * 3 / 6)) / 4
+    val d2 = (math.log(3.0 / 6) + math.log(0.75 * 1 / 3 + 0.25 * 1 / 6)) / 2
+    assert(got == Seq((1L, 4L, r4(d1)), (2L, 2L, r4(d2))))
+    // a doc with corpus-rare transitions (a a, b b) scores below the
+    // corpus-typical alternation, even though unigrams are identical
+    val in2 = docs((1L, "a b a b a b"), (2L, "a b a b a b"), (3L, "a a b b a b"))
+    val s = TextOps.bigramLogProb(in2, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(s(2)._3 < s(0)._3)
+  }
+
+  test("TextOps.ngramNovelty: df-1 share in bps, short and empty docs") {
+    // d1/d2 share "x y z"; each owns its second shingle; d3 all-own
+    val in = docs((1L, "x y z w"), (2L, "x y z q"), (3L, "p q r"),
+      (4L, "hi"), (5L, ""))
+    val got = TextOps.ngramNovelty(in, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 5000L),   // "x y z" shared, "y z w" unique
+      (2L, 2L, 1L, 5000L),
+      (3L, 1L, 1L, 10000L),
+      (4L, 1L, 1L, 10000L),  // sub-k doc → whole-text shingle
+      (5L, 1L, 1L, 10000L))) // empty doc → the '' shingle, unshared
+    // two identical empty docs share the '' shingle → both score 0
+    val e = TextOps.ngramNovelty(docs((1L, ""), (2L, "!!")), "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(e.map(_._4) == Seq(0L, 0L))
+  }
+
+  test("Dedup.stripDuplicateSpans: global keep-first, within-doc repeats, empty docs") {
+    // spans of 2: d1 = [a b][c d][a b] (internal repeat), d2 = [a b][x]
+    val in = docs((1L, "a b c d a b"), (2L, "a b x"), (3L, ""))
+    val got = Dedup.stripDuplicateSpans(in, "id", "text", spanTokens = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "a b c d"), // second "a b" occurrence stripped
+      (2L, 2L, 1L, "x"),       // cross-doc repeat stripped, tail span kept
+      (3L, 0L, 0L, "")))       // token-less doc survives as empty
+    // the text-keyed window decides identically (no collisions here)
+    val exact = Dedup.stripDuplicateSpans(in, "id", "text",
+        spanTokens = 2, hashKey = false)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(exact == got)
+  }
+
   test("TextOps.chunk: coverage, overlap, tails, empty docs") {
     // 10 tokens, size 5, overlap 2 (stride 3): chunks at 0, 3, 6 —
     // ceil(max(10-2,1)/3) = 3; last chunk is the 4-token tail
