@@ -976,6 +976,18 @@ object ExtQueries {
         spanTokens = 8)
       .orderBy("doc_id")
 
+  /** Linear quality-classifier inference: token_stats features × fixed
+    * literal weights → sigmoid score; keep decided on the margin. */
+  private def qualityScoreLr(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScoreLinear(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Symmetric int8 scalar quantization of the embeddings table with
+    * exact mean-squared dequantization error. */
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Context-window chunking: 32-token chunks, 8-token overlap, over
     * the documents corpus — every doc yields ≥1 chunk; all index math
     * integer, replayed exactly by the oracle. */
@@ -1480,6 +1492,8 @@ object ExtQueries {
     "doc_logprob_bigram" -> ((s, dir) => docLogprobBigram(s, dir)),
     "ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir)),
     "dedup_spans" -> ((s, dir) => dedupSpans(s, dir)),
+    "quality_score_lr" -> ((s, dir) => qualityScoreLr(s, dir)),
+    "embed_quantize" -> ((s, dir) => embedQuantize(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
@@ -2249,6 +2263,54 @@ object ExtQueries {
          |       coalesce(g.cleaned_text, '') AS cleaned_text
          |FROM documents d LEFT JOIN g USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "quality_score_lr" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             CASE WHEN len(toks) > 0 THEN
+         |               len(list_distinct(toks))::DOUBLE / len(toks)
+         |             ELSE 0.0 END AS r_distinct,
+         |             CASE WHEN len(toks) > 0 THEN
+         |               list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |                 / len(toks)
+         |             ELSE 0.0 END AS r_meanlen,
+         |             CASE WHEN len(toks) > 0 THEN
+         |               len(list_filter(toks, x -> x IN ($enStopSql)))::DOUBLE
+         |                 / len(toks)
+         |             ELSE 0.0 END AS r_stop
+         |      FROM t),
+         |z AS (SELECT doc_id, n_tokens,
+         |             -3.0 + 1.0 * (CAST(n_tokens AS DOUBLE) / 100.0)
+         |                  + 1.5 * r_distinct
+         |                  + 0.1 * r_meanlen
+         |                  + 8.0 * r_stop AS zv
+         |      FROM s)
+         |SELECT doc_id, n_tokens,
+         |       round(1.0 / (1.0 + exp(-zv)), 4) AS lr_score,
+         |       zv >= 0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |             greatest(list_max(dv), -list_min(dv)) / 127.0 AS scale
+        |      FROM t),
+        |q AS (SELECT vec_id, dv, scale,
+        |             [CAST(CASE WHEN scale > 0
+        |                        THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
+        |                        ELSE 0.0 END AS INT) for x in dv] AS qvec,
+        |             [CASE WHEN scale > 0
+        |                   THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
+        |                   ELSE 0.0 END for x in dv] AS qd
+        |      FROM s),
+        |e AS (SELECT vec_id, len(dv) AS dim, scale, qvec,
+        |             CASE WHEN len(dv) > 0 THEN
+        |               list_reduce([(dv[i] - qd[i] * scale) * (dv[i] - qd[i] * scale)
+        |                            for i in range(1, len(dv) + 1)],
+        |                           (a, v) -> a + v) / len(dv)
+        |             ELSE 0.0 END AS mse_raw
+        |      FROM q)
+        |SELECT vec_id, dim, round(scale, 6) AS q_scale, qvec,
+        |       round(mse_raw, 9) AS mse
+        |FROM e ORDER BY vec_id""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id,

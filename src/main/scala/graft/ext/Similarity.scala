@@ -228,6 +228,32 @@ object Similarity {
    * full ANN pipeline); band b packs its nBits/bands bits onto seed b so
    * bands yield disjoint join keys. One native codegen call per row.
    */
+  /**
+   * Symmetric int8 scalar quantization of the embedding column — the
+   * storage/ANN compression step (4 bytes/dim float → 1 byte/dim code +
+   * one scale per vector, the format IVF/SQ indexes serve from): per
+   * vector, scale = max|x_i|/levels, code_i = clamp(floor(x_i/scale +
+   * 0.5), ±levels), plus the exact mean squared dequantization error as
+   * the quality audit (rising mse = embeddings outgrowing the codebook).
+   *
+   * One native codegen kernel call per row (`vec_quantize` — the
+   * HOF formulation would run 3 interpreted lambdas per ELEMENT), zero
+   * shuffle, output linear in input. floor(+0.5) rounding and e·e
+   * squaring instead of round()/pow() so the oracle replays codes and
+   * error bit-for-bit.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+      levels: Int = 127): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__dv"))
+      .withColumn("__q", expr(s"vec_quantize(__dv, $levels)"))
+      .select(col(idCol), size(col("__dv")).as("dim"),
+        round(col("__q.q_scale"), 6).as("q_scale"),
+        col("__q.qvec").as("qvec"),
+        round(col("__q.mse"), 9).as("mse"))
+  }
+
   def withBandBuckets(df: DataFrame, vecColName: String,
       bucketsColName: String, nBits: Int, dim: Int, bands: Int): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)

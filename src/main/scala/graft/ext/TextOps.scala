@@ -256,6 +256,44 @@ object TextOps {
   }
 
   /**
+   * Linear quality-classifier inference — the model-scoring stage of a
+   * curation pipeline (the fastText/logistic-regression quality filters
+   * of C4/CCNet-style corpora), reduced to its Spark-shaped core:
+   * features from the one-pass native `token_stats` kernel, a
+   * fixed weight vector folded into the plan as literals (a real
+   * deployment swaps in trained weights — same plan), and a sigmoid.
+   * `keep` is decided on the PRE-sigmoid margin (z ≥ 0 ⟺ score ≥ ½):
+   * exact integer-free algebra both engines agree on, no exp() at the
+   * decision boundary.
+   *
+   * Features (all from one tokenize): tokens/100 (length), distinct/n
+   * (lexical diversity), Σlen/n (mean token length), h_en/n (stopword
+   * density). Zero-token docs take 0 for every ratio.
+   *
+   * Scale: zero shuffle — one codegen'd kernel call + scalar arithmetic
+   * per row; the "model" travels inside the serialized plan, so scoring
+   * 100 TB is exactly one scan. The summation order of the z terms is
+   * fixed left-to-right and replayed identically by the oracle.
+   */
+  def qualityScoreLinear(df: DataFrame, idCol: String, textCol: String,
+      bias: Double = -3.0, wLen: Double = 1.0, wDistinct: Double = 1.5,
+      wMeanLen: Double = 0.1, wStop: Double = 8.0): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val d = df.withColumn("__ts", expr(s"token_stats(`$textCol`)"))
+    val n = col("__ts.n_tokens")
+    def ratio(num: Column): Column =
+      when(n > 0, num.cast("double") / n).otherwise(0.0)
+    val z = lit(bias) +
+      lit(wLen) * (n.cast("double") / 100.0) +
+      lit(wDistinct) * ratio(col("__ts.n_distinct")) +
+      lit(wMeanLen) * ratio(col("__ts.sum_token_len")) +
+      lit(wStop) * ratio(col("__ts.h_en"))
+    d.select(col(idCol), n.cast("long").as("n_tokens"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("lr_score"),
+      (z >= 0).as("keep"))
+  }
+
+  /**
    * Interpolated bigram LM quality score — the order-1 refinement of
    * `unigramLogProb`: every token after the first scores
    * `ln(0.75·P(w|prev) + 0.25·P(w))` under the corpus's own bigram and

@@ -6,8 +6,8 @@ import java.security.MessageDigest
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -93,6 +93,53 @@ object VectorExprs {
     new GenericArrayData(out)
   }
 
+  /** Struct schema returned by `vec_quantize`: per-vector scale, the
+    * quantized codes, and the mean squared reconstruction error — all
+    * from one pass over the vector. */
+  val vecQuantizeType: StructType = StructType(Seq(
+    StructField("q_scale", DoubleType, nullable = false),
+    StructField("qvec", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+
+  /**
+   * Symmetric per-vector int quantization (the scalar-quantization
+   * storage/ANN format): scale = max|x_i| / levels, code_i =
+   * clamp(floor(x_i/scale + 0.5), -levels, levels), plus the exact mean
+   * squared dequantization error Σ(x_i − code_i·scale)²/n in ascending
+   * index order. The floor(+0.5) rounding and the e·e squaring are
+   * chosen over library round()/pow() so any engine replays the codes
+   * and the error bit-for-bit. A zero vector quantizes to all-zero
+   * codes with zero error (no 0/0).
+   */
+  def quantizeInt8(v: ArrayData, levels: Int): InternalRow = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / levels
+    val codes = new Array[Any](n)
+    var err = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val q = if (scale > 0) {
+        val f = math.floor(x / scale + 0.5)
+        if (f < -levels) -levels else if (f > levels) levels else f.toInt
+      } else 0
+      codes(i) = q
+      val e = x - q * scale
+      err += e * e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](scale, new GenericArrayData(codes),
+      if (n > 0) err / n else 0.0))
+  }
+
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
@@ -107,6 +154,23 @@ object VectorExprs {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecDot =
       copy(left = newLeft, right = newRight)
+  }
+
+  case class VecQuantize(child: Expression, levels: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(levels >= 1 && levels <= 127,
+      s"vec_quantize levels must be in [1, 127], got $levels")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = vecQuantizeType
+    override def prettyName: String = "vec_quantize"
+    override def nullSafeEval(v: Any): Any =
+      quantizeInt8(v.asInstanceOf[ArrayData], levels)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExprs.quantizeInt8($c, $levels)")
+    override protected def withNewChildInternal(
+        newChild: Expression): VecQuantize =
+      copy(child = newChild)
   }
 
   case class SignBandBucketsExpr(child: Expression, nBits: Int, dim: Int,
@@ -149,6 +213,12 @@ object VectorExprs {
         SignBandBucketsExpr(children.head,
           intLit(children(1), "nBits"), intLit(children(2), "dim"),
           intLit(children(3), "bands"))
+      }),
+    (FunctionIdentifier("vec_quantize"),
+      new ExpressionInfo(classOf[VecQuantize].getName, "vec_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_quantize(vec, levels)")
+        VecQuantize(children.head, intLit(children(1), "vec_quantize levels"))
       }))
 
   /** Register `vec_dot(a, b)` and `sign_band_buckets(vec, nBits, dim,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.Schemas
-import graft.ops.{Exchange, Ingest, Rolling}
+import graft.ops.{Exchange, Ingest, Rolling, Versioned}
 
 /**
  * Structured Streaming variant of the daily pipeline (SURVEY.md §2.11) —
@@ -200,6 +200,49 @@ object Streaming {
         ()
       }
       .start()
+  }
+
+  /**
+   * Exactly-once VISIBLE streaming sink over the `Versioned` table
+   * format: every non-empty micro-batch commits as one atomic snapshot
+   * tagged with its checkpoint epoch, so the table's latest version is
+   * always one complete epoch — readers never observe a partial or
+   * duplicated batch, and every epoch stays time-travelable until
+   * vacuumed.
+   *
+   * `foreachBatch` is at-least-once: after a crash the LAST epoch
+   * replays with the same batchId. The epoch tag turns that replay into
+   * a no-op (`commitEpoch` sees the tag among the retained commits and
+   * skips), upgrading the sink to exactly-once visibility — the same
+   * txnAppId/txnVersion idempotence contract Delta's foreachBatch sinks
+   * document, carried here by the commit file itself so no side channel
+   * can desync from the data. Retention note: Structured Streaming only
+   * ever replays the most recent uncommitted epoch, so any
+   * `Versioned.vacuum(keepLast >= 1)` retention keeps the guard intact.
+   *
+   * Each epoch's snapshot REPLACES the table state (complete-refresh
+   * semantics — the right grain for the dimension/index/manifest tables
+   * `Versioned` targets); append-accumulating sinks union the previous
+   * version inside `transform`.
+   */
+  def versionedSink(stream: DataFrame, root: String, checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) commitEpoch(transform(batch), root, epoch)
+        ()
+      }
+      .start()
+
+  /** Commit `batch` as epoch `epoch` unless that epoch already
+    * committed; returns whether a commit happened (false = replay). */
+  private[graft] def commitEpoch(batch: DataFrame, root: String,
+      epoch: Long): Boolean = {
+    val tag = s"epoch=$epoch"
+    if (Versioned.committedTags(batch.sparkSession, root).contains(tag)) false
+    else { Versioned.commit(batch, root, Some(tag)); true }
   }
 
   private[pipeline] def admitBatch(spark: SparkSession, batch: DataFrame,

@@ -278,6 +278,42 @@ class ExtSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3, "rare doc must score below common doc")
   }
 
+  test("TextOps.qualityScoreLinear: hand-computed margin, sigmoid, zero-token doc") {
+    val in = docs((1L, "the the the the"), (2L, "zz"), (3L, ""))
+    val got = TextOps.qualityScoreLinear(in, "id", "text")
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    def sig(z: Double) = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d1: n=4, distinct=1, sumlen=12, h_en=4 →
+    //     z = -3 + .04 + 1.5·¼ + .1·3 + 8·1 = 5.715
+    val z1 = -3.0 + 1.0 * (4 / 100.0) + 1.5 * 0.25 + 0.1 * 3.0 + 8.0 * 1.0
+    // d2: n=1, distinct=1, sumlen=2, h_en=0 → z = -3 + .01 + 1.5 + .2
+    val z2 = -3.0 + 1.0 * (1 / 100.0) + 1.5 * 1.0 + 0.1 * 2.0 + 8.0 * 0.0
+    assert(got == Seq(
+      (1L, 4L, sig(z1), true),
+      (2L, 1L, sig(z2), false),
+      (3L, 0L, sig(-3.0), false))) // every ratio zeroes out
+  }
+
+  test("Similarity.quantizeInt8: codes, scale, error bound, zero vector, levels") {
+    val in = Seq((1L, Seq(1.0f, -0.4f, 0.2f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(in, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Int, Double, Seq[Int], Double)].collect().toSeq
+    val (id1, dim1, sc1, q1, mse1) = got(0)
+    assert((id1, dim1, q1) == ((1L, 4, Seq(127, -51, 25, 0))))
+    assert(math.abs(sc1 - 1.0 / 127) < 1e-6)
+    // dequant error per element is at most (scale/2)² by construction
+    assert(mse1 >= 0 && mse1 <= math.pow(sc1 / 2, 2) + 1e-12)
+    assert(got(1) == ((2L, 2, 0.0, Seq(0, 0), 0.0)))
+    // 3-level (ternary) codebook: codes collapse to {-1, 0, 1}
+    val tern = Similarity.quantizeInt8(in, "vec_id", "embedding", levels = 1)
+      .orderBy("vec_id").as[(Long, Int, Double, Seq[Int], Double)]
+      .collect().toSeq
+    assert(tern(0)._4 == Seq(1, 0, 0, 0) && tern(0)._3 == 1.0)
+  }
+
   test("TextOps.bigramLogProb: hand-computed interpolation, first-token unigram") {
     // corpus: d1 = [a b a b], d2 = [a c] → unigrams a:3 b:2 c:1 (N=6)
     // bigram occurrences: (a,b)×2, (b,a)×1, (a,c)×1; contexts a:3 b:1

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Versioned
+
+/**
+ * The mini table format's commit protocol: atomic visibility, snapshot
+ * isolation for in-flight readers, time travel, optimistic-concurrency
+ * retry, crash-orphan invisibility, and retention vacuum (SURVEY §8 —
+ * the closeable part of the Iceberg-semantics gap).
+ */
+class VersionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(values: Int*) = values.toSeq.toDF("v")
+
+  test("commit/read/readAt: versions accumulate, latest wins, time travel works") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    assert(Versioned.currentVersion(spark, root).isEmpty)
+    assert(Versioned.commit(df(1, 2), root) == 1L)
+    assert(Versioned.commit(df(3), root) == 2L)
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq.sorted == Seq(3))
+    assert(Versioned.readAt(spark, root, 1L)
+      .as[Int].collect().toSeq.sorted == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      Versioned.readAt(spark, root, 99L)
+    }
+  }
+
+  test("snapshot isolation: a frame resolved before a commit is unaffected by it") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1, 2), root)
+    val pinned = Versioned.read(spark, root)
+    Versioned.commit(df(7, 8, 9), root)
+    // the pinned reader still scans its immutable snapshot dir
+    assert(pinned.as[Int].collect().toSeq.sorted == Seq(1, 2))
+    assert(Versioned.read(spark, root)
+      .as[Int].collect().toSeq.sorted == Seq(7, 8, 9))
+  }
+
+  test("optimistic concurrency: a stolen version number is retried, both commits survive") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1), root)
+    // another writer claims version 2 between our write and our commit:
+    // simulate by pre-creating the commit file Versioned would want next
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap2 = "snap-rival"
+    df(42).write.parquet(s"$root/$snap2")
+    val out = fs.create(new HPath(root, f"_v${2L}%020d.commit"), false)
+    try out.write(snap2.getBytes("UTF-8")) finally out.close()
+    // our commit must land as version 3, not clobber version 2
+    assert(Versioned.commit(df(5), root) == 3L)
+    assert(Versioned.readAt(spark, root, 2L).as[Int].collect().toSeq == Seq(42))
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(5))
+  }
+
+  test("crash anatomy: orphan snapshots and empty commit claims are invisible") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1), root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer died after the data write, before the commit create
+    df(99).write.parquet(s"$root/snap-orphan")
+    // writer died between commit create and content write
+    fs.create(new HPath(root, f"_v${2L}%020d.commit"), false).close()
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(1))
+    // the burned version number is skipped by the next committer
+    assert(Versioned.commit(df(2), root) == 3L)
+  }
+
+  test("versionedSink: one snapshot per epoch, restart appends epochs, replay is a no-op") {
+    import graft.pipeline.Streaming
+    val root = Files.createTempDirectory("graft_vsink").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val table = s"$root/table"
+    val schema = df(0).schema
+
+    df(1, 2).write.mode("append").parquet(in)
+    Streaming.versionedSink(spark.readStream.schema(schema).parquet(in),
+      table, s"$root/ckpt").awaitTermination()
+    assert(Versioned.read(spark, table)
+      .as[Int].collect().toSeq.sorted == Seq(1, 2))
+    val h1 = Versioned.fullHistory(spark, table)
+    assert(h1.map(_._3) == Seq(Some("epoch=0")))
+
+    // restart on the same checkpoint: the new file is the next epoch
+    df(3).write.mode("append").parquet(in)
+    Streaming.versionedSink(spark.readStream.schema(schema).parquet(in),
+      table, s"$root/ckpt").awaitTermination()
+    assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(3))
+    assert(Versioned.fullHistory(spark, table).map(_._3) ==
+      Seq(Some("epoch=0"), Some("epoch=1")))
+
+    // crash-replay of an already-committed epoch must not commit again
+    assert(!Streaming.commitEpoch(df(3), table, epoch = 1L))
+    assert(Versioned.fullHistory(spark, table).size == 2)
+    // …while a genuinely new epoch does
+    assert(Streaming.commitEpoch(df(4), table, epoch = 2L))
+    assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("vacuum: retention floor enforced, orphans swept, retained versions intact") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1), root)
+    Versioned.commit(df(2), root)
+    Versioned.commit(df(3), root)
+    df(99).write.parquet(s"$root/snap-orphan")
+    val removed = Versioned.vacuum(spark, root, keepLast = 2)
+    assert(removed == 2, "v1 snapshot + orphan dir")
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(3))
+    assert(Versioned.readAt(spark, root, 2L).as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException] {
+      Versioned.readAt(spark, root, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.vacuum(spark, root, keepLast = 0)
+    }
+  }
+}
