@@ -77,6 +77,24 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Window") && l.contains("__bucket")))
   }
 
+  test("dedup_spans: hash-keyed window + doc rebuild, no pair enumeration") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // keep-first is a window + one doc-keyed agg — a self-join of the
+    // span postings (d² pairs per hot span) must never appear
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, s"plan:\n$p")
+  }
+
+  test("quality_score_lr and embed_quantize: model/codebook in the plan, zero data shuffle") {
+    // scan-speed scoring: the only exchange is the final presentation sort
+    for (name <- Seq("quality_score_lr", "embed_quantize")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle, plan:\n$p")
+    }
+  }
+
   private def hashExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(plan(name)).size
 
