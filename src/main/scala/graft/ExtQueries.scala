@@ -976,6 +976,23 @@ object ExtQueries {
         spanTokens = 8)
       .orderBy("doc_id")
 
+  /** Shingle-set containment pairs (threshold 0.8): subset-shaped
+    * duplication Jaccard structurally misses. Uncapped here so the
+    * oracle's full postings intersection is equivalent by construction
+    * (same stance as dedup_substring after the r6 ADVICE fix). */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8, maxDocFreq = None)
+      .orderBy("id_a", "id_b")
+
+  /** Temperature-flattened language mixture (α = ½): weights derived
+    * from the corpus's own counts, then the md5-ranked mix. */
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixByTemperature(docs(s, dir), "lang", "doc_id",
+        seed = "temp1")
+      .select("doc_id", "lang", "mix_rank")
+      .orderBy("doc_id")
+
   /** Linear quality-classifier inference: token_stats features × fixed
     * literal weights → sigmoid score; keep decided on the margin. */
   private def qualityScoreLr(s: SparkSession, dir: String): DataFrame =
@@ -1494,6 +1511,8 @@ object ExtQueries {
     "dedup_spans" -> ((s, dir) => dedupSpans(s, dir)),
     "quality_score_lr" -> ((s, dir) => qualityScoreLr(s, dir)),
     "embed_quantize" -> ((s, dir) => embedQuantize(s, dir)),
+    "dedup_containment" -> ((s, dir) => dedupContainment(s, dir)),
+    "temperature_mix" -> ((s, dir) => temperatureMix(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
 
@@ -2263,6 +2282,30 @@ object ExtQueries {
          |       coalesce(g.cleaned_text, '') AS cleaned_text
          |FROM documents d LEFT JOIN g USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             greatest(
+         |               len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh),
+         |               len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)) AS c
+         |      FROM d a, d b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(c, 6) AS containment
+         |FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "temperature_mix" ->
+      """WITH c AS (SELECT lang AS g, count(*) AS ng FROM documents GROUP BY 1),
+        |w AS (SELECT g, ng, sqrt(CAST(ng AS DOUBLE)) AS wt FROM c),
+        |d AS (SELECT doc_id, lang,
+        |             md5(CAST(doc_id AS VARCHAR) || ':temp1') AS key
+        |      FROM documents),
+        |t AS (SELECT g AS lang,
+        |             CAST(floor(min(CAST(ng AS DOUBLE) / wt) OVER () * wt) AS BIGINT) AS target
+        |      FROM w),
+        |r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS mix_rank
+        |      FROM d)
+        |SELECT r.doc_id, r.lang, mix_rank FROM r JOIN t USING (lang)
+        |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
     "quality_score_lr" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -483,6 +483,53 @@ object Dedup {
   }
 
   /**
+   * Shingle-set CONTAINMENT pairs — the asymmetric companion to
+   * `ngramJaccardPairs`: flag (a, b) when the smaller document's
+   * shingle set is mostly inside the other's
+   * (max(common/|A|, common/|B|) ≥ threshold). Jaccard misses
+   * subset-shaped duplication by construction — a tweet quoted inside a
+   * long article pair-scores |tweet|/|article| ≈ 0 — while containment
+   * scores it 1.0; this is the quote-expansion / page-plus-boilerplate
+   * detector of curation pipelines (the set-level cousin of
+   * `substringDupPairs`' contiguous-window criterion: windows catch
+   * verbatim spans, containment catches shuffled-but-same-vocabulary
+   * inclusion too).
+   *
+   * Same postings plan as the Jaccard join — one persisted shingle
+   * pass, doc-freq cap against hot-posting d² blow-up, candidate pairs
+   * only ever from the equi-join — so the 100 TB shape is unchanged;
+   * only the final per-pair arithmetic differs. Sizes are over the
+   * capped shingle universe, mirroring the Jaccard join's exactness
+   * contract.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    val postings0 = sets.select(col(idCol),
+      explode(col("__shingles")).as("__shingle"))
+    val capped = maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = postings0.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+        postings0.join(dfreq.where(col("__df") <= cap), "__shingle")
+      case None => postings0
+    }
+    val postings = capped.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val a = postings.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__shingle"))
+    val b = postings.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__shingle"))
+    a.join(b, "__shingle").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("containment", greatest(
+        col("__common").cast("double") / col("__na"),
+        col("__common").cast("double") / col("__nb")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /**
    * Exact-substring dup pairs: two documents are substring duplicates
    * iff they share at least one contiguous window of `windowK` tokens —
    * the shared-long-span criterion of training-data dedup (the n-gram

@@ -121,4 +121,32 @@ object Sampling {
       .drop("__w", "__key", "__bucket", "__offset", "__target")
       .withColumnRenamed("__rank", "mix_rank")
   }
+
+  /**
+   * Temperature-flattened mixture — `mixByWeight` with the weights
+   * DERIVED from the data: w_g = √n_g (exponent α = ½), the standard
+   * rebalancing of multilingual/multi-domain corpora (upsample the tail
+   * relative to its raw share so head domains stop drowning it; the
+   * exponent family of mBERT/XLM-style sampling, pinned here to the
+   * sqrt member because `sqrt` is correctly rounded on every IEEE
+   * engine — an arbitrary `pow(n, α)` is only ~1-ulp accurate and may
+   * disagree across engines exactly at a floor() boundary, which is a
+   * cross-engine-exactness bug, not a math bug).
+   *
+   * The group counts are a #groups-row driver fetch (metadata-sized,
+   * same contract as the DQ report); everything data-sized stays in
+   * `mixByWeight`'s bucketed two-pass rank. With w = √n the binding
+   * constraint min(n_g/w_g) = min(√n_g) means the SMALLEST group sets
+   * the scale: target_g = floor(min_h(√n_h)·√n_g) — every group keeps
+   * ~geometric-mean share between its raw size and equality.
+   */
+  def mixByTemperature(df: DataFrame, groupCol: String, idCol: String,
+      seed: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n")).collect()
+    require(counts.nonEmpty, "mixByTemperature needs a non-empty input")
+    val weights = counts.map(r =>
+      r.get(0).toString -> math.sqrt(r.getLong(1).toDouble)).toMap
+    mixByWeight(df, groupCol, idCol, weights, seed)
+  }
 }

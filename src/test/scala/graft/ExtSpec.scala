@@ -278,6 +278,39 @@ class ExtSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3, "rare doc must score below common doc")
   }
 
+  test("Dedup.containmentPairs: subset docs flag where Jaccard misses them") {
+    // d2's shingles are a strict subset of d1's (quote-inside-article):
+    // containment = 1.0 while jaccard = 3/12 = 0.25 (below any dup bar)
+    val article = (1 to 14).map(i => s"w$i").mkString(" ") // 12 shingles
+    val quote = "w5 w6 w7 w8 w9"                           // 3, all shared
+    val in = docs((1L, article), (2L, quote), (3L, "x y z q r"))
+    val got = Dedup.containmentPairs(in, "id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(in, "id", "text", threshold = 0.5)
+      .count()
+    assert(jac == 0, "the Jaccard join must NOT see the subset pair")
+  }
+
+  test("Sampling.mixByTemperature: sqrt-flattened targets, smallest group sets scale") {
+    import graft.ext.Sampling
+    // groups of 16 / 4 / 1 docs: w = 4/2/1, scale = min(n/w) = min(√n)=1
+    // → targets floor(1·4)=4, floor(1·2)=2, floor(1·1)=1
+    val rows = (1 to 16).map(i => (i.toLong, "big")) ++
+      (21 to 24).map(i => (i.toLong, "mid")) ++ Seq((31L, "tiny"))
+    val in = rows.toDF("id", "grp")
+    val got = Sampling.mixByTemperature(in, "grp", "id", seed = "t")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 4L, "mid" -> 2L, "tiny" -> 1L))
+    // flattening: raw shares 16:4:1 became 4:2:1 — tail upsampled
+    // determinism: same seed → same picked ids
+    val a = Sampling.mixByTemperature(in, "grp", "id", seed = "t")
+      .select("id").as[Long].collect().toSeq.sorted
+    val b = Sampling.mixByTemperature(in, "grp", "id", seed = "t")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(a == b)
+  }
+
   test("TextOps.qualityScoreLinear: hand-computed margin, sigmoid, zero-token doc") {
     val in = docs((1L, "the the the the"), (2L, "zz"), (3L, ""))
     val got = TextOps.qualityScoreLinear(in, "id", "text")
