@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
-import graft.ops.{Exchange, Ingest, Quality, Rolling}
+import graft.ops.{Exchange, Ingest, Quality, Rolling, Versioned}
 
 /**
  * The whole reference DAG as one composable daily run (reference
@@ -28,7 +28,12 @@ final case class PipelineConfig(
     productionPath: String,
     cumulativePath: String,
     whitelist: Seq[String] = Schemas.TickerWhitelist,
-    strictDq: Boolean = false)
+    strictDq: Boolean = false,
+    // when set, every run's DQ report commits as one `Versioned`
+    // snapshot tagged `ds=<date>` — an append-only, time-travelable
+    // audit history (a backfill re-run adds a NEW version rather than
+    // overwriting the original run's evidence)
+    dqReportPath: Option[String] = None)
 
 final case class DayResult(ds: LocalDate, staged: Long, dqReport: DataFrame)
 
@@ -54,6 +59,12 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     // advisory DQ (strict mode = documented deviation, SURVEY §2.13)
     val checks = Quality.stockChecks(ds, cfg.whitelist)
     val report = Quality.report(staged, checks)
+    // versioned audit trail: each run (including backfill re-runs)
+    // appends one atomic snapshot; time travel recovers any past
+    // run's evidence even after the day was re-promoted
+    cfg.dqReportPath.foreach { p =>
+      Versioned.commit(report.withColumn("ds", lit(d)), p, Some(s"ds=$ds"))
+    }
     if (cfg.strictDq) Quality.enforce(staged, checks)
 
     // promote: replace exactly partition date=ds (DELETE+INSERT pair →

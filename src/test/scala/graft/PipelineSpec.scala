@@ -129,6 +129,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.production.count() == tickers.size)
   }
 
+  test("versioned DQ-report audit: one snapshot per run, backfill appends, time travel") {
+    import graft.ops.Versioned
+    val root = Files.createTempDirectory("graft_pipe_dq").toString
+    val cfg = PipelineConfig(s"$root/prod", s"$root/cum",
+      dqReportPath = Some(s"$root/dq"))
+    val pipe = new Pipeline(spark, cfg)
+    val d1 = tradingDays(0)
+    val d2 = tradingDays(1)
+
+    pipe.runDay(d1, feed)
+    pipe.runDay(d2, feed)
+    pipe.runDay(d1, feed) // backfill re-run: new evidence, old retained
+    val h = Versioned.fullHistory(spark, s"$root/dq")
+    assert(h.map(_._3) ==
+      Seq(Some(s"ds=$d1"), Some(s"ds=$d2"), Some(s"ds=$d1")))
+
+    // latest = the backfill's report for d1; version 1 = the original
+    // run's report for the same day — both ≤6-row check frames
+    val latest = Versioned.read(spark, s"$root/dq")
+    assert(latest.select("ds").distinct().collect()
+      .map(_.getDate(0).toLocalDate).toSeq == Seq(d1))
+    val v1 = Versioned.readAt(spark, s"$root/dq", 1L)
+    assert(v1.count() == latest.count() &&
+      v1.columns.toSeq == latest.columns.toSeq)
+    assert(Versioned.readAt(spark, s"$root/dq", 2L)
+      .select("ds").distinct().collect()
+      .map(_.getDate(0).toLocalDate).toSeq == Seq(d2))
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
