@@ -985,6 +985,14 @@ object ExtQueries {
         shingleK = 3, threshold = 0.8, maxDocFreq = None)
       .orderBy("id_a", "id_b")
 
+  /** Winnowing-fingerprint overlap pairs (MOSS-style candidate
+    * funnel): ≥2 shared window-min hashes. Uncapped so the oracle's
+    * full intersection is equivalent by construction. */
+  private def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 3, window = 4, minShared = 2L, maxDocFreq = None)
+      .orderBy("id_a", "id_b")
+
   /** Temperature-flattened language mixture (α = ½): weights derived
     * from the corpus's own counts, then the md5-ranked mix. */
   private def temperatureMix(s: SparkSession, dir: String): DataFrame =
@@ -1512,6 +1520,7 @@ object ExtQueries {
     "quality_score_lr" -> ((s, dir) => qualityScoreLr(s, dir)),
     "embed_quantize" -> ((s, dir) => embedQuantize(s, dir)),
     "dedup_containment" -> ((s, dir) => dedupContainment(s, dir)),
+    "dedup_fingerprint" -> ((s, dir) => dedupFingerprint(s, dir)),
     "temperature_mix" -> ((s, dir) => temperatureMix(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
@@ -2292,6 +2301,21 @@ object ExtQueries {
          |      FROM d a, d b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(c, 6) AS containment
          |FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |             [substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)
+         |              for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS hs
+         |      FROM t),
+         |f AS (SELECT doc_id,
+         |             unnest(list_distinct([list_aggregate(hs[i:i+3], 'min')
+         |                     for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
+         |      FROM h),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM p
+         |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
     "temperature_mix" ->
       """WITH c AS (SELECT lang AS g, count(*) AS ng FROM documents GROUP BY 1),
         |w AS (SELECT g, ng, sqrt(CAST(ng AS DOUBLE)) AS wt FROM c),

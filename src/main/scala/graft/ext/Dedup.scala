@@ -483,6 +483,47 @@ object Dedup {
   }
 
   /**
+   * Winnowing-fingerprint overlap pairs — the MOSS-style plagiarism
+   * candidate generator (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+   * two documents pair when they share at least `minShared` winnowing
+   * fingerprints (window-min shingle hashes from the native
+   * `winnow_fingerprint` kernel). Winnowing guarantees any shared run
+   * of ≥ w+k−1 tokens contributes at least one shared fingerprint, at
+   * ~1/w the postings volume of full shingle postings — this is the
+   * cheap first pass whose survivors feed an exact verifier
+   * (`substringDupPairs` / Jaccard), the standard funnel when even the
+   * shingle postings are too heavy.
+   *
+   * Same postings equi-join shape as every candidate generator here:
+   * explode distinct fingerprints, self-join on the fingerprint,
+   * count shared per pair. `maxDocFreq` caps hot boilerplate
+   * fingerprints (d docs sharing one → d² candidates) exactly like the
+   * shingle joins; the registered gate runs uncapped so the oracle's
+   * full intersection is equivalent by construction.
+   */
+  def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, window: Int = 4, minShared: Long = 2L,
+      maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
+    graft.functions.TextExprs.register(df.sparkSession)
+    val posted0 = df.select(col(idCol),
+      explode(array_distinct(
+        expr(s"winnow_fingerprint(`$textCol`, $shingleK, $window)")))
+        .as("__fp"))
+    val posted = maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = posted0.groupBy("__fp").agg(count(lit(1)).as("__df"))
+        posted0.join(dfreq.where(col("__df") <= cap), "__fp")
+      case None => posted0
+    }
+    val a = posted.select(col(idCol).as("id_a"), col("__fp"))
+    val b = posted.select(col(idCol).as("id_b"), col("__fp"))
+    a.join(b, "__fp").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /**
    * Shingle-set CONTAINMENT pairs — the asymmetric companion to
    * `ngramJaccardPairs`: flag (a, b) when the smaller document's
    * shingle set is mostly inside the other's

@@ -278,6 +278,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3, "rare doc must score below common doc")
   }
 
+  test("Dedup.fingerprintPairs: shared span guarantees shared fingerprints, unrelated docs none") {
+    // winnowing guarantee: a shared run of ≥ w+k−1 = 6 tokens yields at
+    // least one shared fingerprint; a 14-token shared span comfortably
+    // clears minShared = 2
+    val shared = (1 to 14).map(i => s"s$i").mkString(" ")
+    val in = docs(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "p q r s t u v w x y z"))
+    val got = Dedup.fingerprintPairs(in, "id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 2L)
+    // the minShared gate holds
+    assert(Dedup.fingerprintPairs(in, "id", "text", minShared = 1000L)
+      .count() == 0)
+  }
+
   test("Dedup.containmentPairs: subset docs flag where Jaccard misses them") {
     // d2's shingles are a strict subset of d1's (quote-inside-article):
     // containment = 1.0 while jaccard = 3/12 = 0.25 (below any dup bar)
