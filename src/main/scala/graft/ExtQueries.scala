@@ -1007,6 +1007,17 @@ object ExtQueries {
     TextOps.qualityScoreLinear(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Quantized-shortlist rerank top-k (IVF-SQ pattern): int8-code
+    * scoring shortlists 20 per query, full precision reranks to 5. */
+  private def similarityQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.quantizedRerankTopK(e, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, shortlist = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 scalar quantization of the embeddings table with
     * exact mean-squared dequantization error. */
   private def embedQuantize(s: SparkSession, dir: String): DataFrame =
@@ -1521,6 +1532,7 @@ object ExtQueries {
     "embed_quantize" -> ((s, dir) => embedQuantize(s, dir)),
     "dedup_containment" -> ((s, dir) => dedupContainment(s, dir)),
     "dedup_fingerprint" -> ((s, dir) => dedupFingerprint(s, dir)),
+    "similarity_quantized" -> ((s, dir) => similarityQuantized(s, dir)),
     "temperature_mix" -> ((s, dir) => temperatureMix(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
   )
@@ -2301,6 +2313,35 @@ object ExtQueries {
          |      FROM d a, d b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(c, 6) AS containment
          |FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "similarity_quantized" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |             greatest(list_max(dv), -list_min(dv)) / 127.0 AS scale
+        |      FROM t),
+        |z AS (SELECT vec_id, dv, scale,
+        |             [CASE WHEN scale > 0
+        |                   THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
+        |                   ELSE 0.0 END for x in dv] AS qd
+        |      FROM s),
+        |c AS (SELECT vec_id AS neighbor_id, dv AS cv, scale AS cs, qd AS cq FROM z),
+        |q AS (SELECT vec_id AS query_id, dv AS qv, scale AS qs, qd AS qq
+        |      FROM z WHERE vec_id % 20 = 0),
+        |a AS (SELECT query_id, neighbor_id, cv, qv,
+        |             cs * qs * list_dot_product(cq, qq) AS approx
+        |      FROM c, q WHERE neighbor_id != query_id),
+        |sh AS (SELECT query_id, neighbor_id, cv, qv,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY approx DESC, neighbor_id) AS ar
+        |       FROM a),
+        |e AS (SELECT query_id, neighbor_id,
+        |             list_cosine_similarity(cv, qv) AS sim
+        |      FROM sh WHERE ar <= 20),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM e)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |h AS (SELECT doc_id,

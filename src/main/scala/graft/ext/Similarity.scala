@@ -254,6 +254,58 @@ object Similarity {
         round(col("__q.mse"), 9).as("mse"))
   }
 
+  /**
+   * Quantized-shortlist top-k (the IVF-SQ/rerank pattern): score ALL
+   * candidates with the int8 codes (¼ the memory bandwidth of floats —
+   * at scale the corpus stores (q_scale, qvec) via `quantizeInt8` and
+   * the shortlist pass never touches the float vectors), keep a
+   * `shortlist`-deep approximate top list per query, then rerank ONLY
+   * the shortlist at full precision. approx = scale_a·scale_b·⟨qa, qb⟩
+   * where the code dot is a sum of integer products (|q| ≤ 127, so
+   * every partial is exact in a double regardless of order) — the
+   * approximate ranking is therefore bit-reproducible on any engine,
+   * which is what makes the full two-stage pipeline oracle-replayable.
+   *
+   * Same plan skeleton as `bruteForceTopK`: corpus scan ×
+   * broadcast(queries), rank-limited windows (WindowGroupLimit keeps
+   * per-partition partial top-k ahead of both shuffles). Recall loss is
+   * bounded by quantization error; `shortlist` ≥ 2–4× k recovers the
+   * exact top-k whenever true scores are separated by more than the
+   * code resolution.
+   */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      levels: Int = 127): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    def side(df: DataFrame, idAs: String, vecAs: String, scaleAs: String,
+        codesAs: String, normAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          col(vecCol).cast("array<double>").as(vecAs))
+        .withColumn("__q", expr(s"vec_quantize(`$vecAs`, $levels)"))
+        .select(col(idAs), col(vecAs),
+          col("__q.q_scale").as(scaleAs),
+          expr("cast(__q.qvec as array<double>)").as(codesAs))
+        .withColumn(normAs, l2norm(col(vecAs)))
+    val c = side(corpus, "neighbor_id", "__cv", "__cs", "__cq", "__cn")
+    val q = side(queries, "query_id", "__qv", "__qs", "__qq", "__qn")
+    val approx = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__approx",
+        col("__cs") * col("__qs") * dot(col("__cq"), col("__qq")))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    approx.withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= shortlist)
+      .withColumn("sim",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   def withBandBuckets(df: DataFrame, vecColName: String,
       bucketsColName: String, nBits: Int, dim: Int, bands: Int): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)

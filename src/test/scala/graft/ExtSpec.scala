@@ -346,6 +346,24 @@ class ExtSpec extends AnyFunSuite {
       (3L, 0L, sig(-3.0), false))) // every ratio zeroes out
   }
 
+  test("Similarity.quantizedRerankTopK: shortlist rerank recovers brute-force top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = Similarity.quantizedRerankTopK(e, queries, "vec_id",
+        "embedding", k = 5, shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(reranked.size == exact.size)
+    val overlap = (exact & reranked).size.toDouble / exact.size
+    assert(overlap >= 0.9,
+      s"quantized rerank recall $overlap below 0.9 vs brute force")
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedRerankTopK(e, queries, "vec_id", "embedding",
+        k = 5, shortlist = 4)
+    }
+  }
+
   test("Similarity.quantizeInt8: codes, scale, error bound, zero vector, levels") {
     val in = Seq((1L, Seq(1.0f, -0.4f, 0.2f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
