@@ -1019,9 +1019,13 @@ object ExtQueries {
   }
 
   /** Symmetric int8 scalar quantization of the embeddings table with
-    * exact mean-squared dequantization error. */
+    * exact mean-squared dequantization error. The gate output flattens
+    * the int8 code array to a CSV string (`SparkEntry` packL pattern):
+    * the driver's pandas compare cannot hash array cells. In-engine
+    * callers get the real `ARRAY<INT>` from `Similarity.quantizeInt8`. */
   private def embedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
+      .withColumn("qvec", array_join(col("qvec").cast("array<string>"), ","))
       .orderBy("vec_id")
 
   /** Context-window chunking: 32-token chunks, 8-token overlap, over
@@ -2416,7 +2420,8 @@ object ExtQueries {
         |                           (a, v) -> a + v) / len(dv)
         |             ELSE 0.0 END AS mse_raw
         |      FROM q)
-        |SELECT vec_id, dim, round(scale, 6) AS q_scale, qvec,
+        |SELECT vec_id, dim, round(scale, 6) AS q_scale,
+        |       array_to_string(qvec, ',') AS qvec,
         |       round(mse_raw, 9) AS mse
         |FROM e ORDER BY vec_id""".stripMargin,
     "doc_chunks" ->

@@ -144,7 +144,11 @@ object Sampling {
       seed: String): DataFrame = {
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n")).collect()
-    require(counts.nonEmpty, "mixByTemperature needs a non-empty input")
+    require(counts.nonEmpty,
+      s"mixByTemperature needs a non-empty input with non-null '$groupCol' keys")
+    require(counts.forall(!_.isNullAt(0)),
+      s"mixByTemperature: null values in group column '$groupCol' — " +
+        "filter them out or bucket them under an explicit label first")
     val weights = counts.map(r =>
       r.get(0).toString -> math.sqrt(r.getLong(1).toDouble)).toMap
     mixByWeight(df, groupCol, idCol, weights, seed)

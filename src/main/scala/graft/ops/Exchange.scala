@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
  */
 object Exchange {
 
+  /** HDFS-semantics rename reports failure by returning false (no
+    * exception) — an unchecked call turns a failed "atomic" swap into a
+    * silent no-op that can still delete the old data afterwards. Every
+    * rename in the promote/swap paths goes through this. */
+  private def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst " +
+        "(filesystem returned false; table left unswapped)")
+
   /**
    * Overwrite exactly the partitions of `partitionCol` present in `df`
    * (the reference's per-ds DELETE + INSERT pair, SURVEY.md §2.2 D6).
@@ -102,8 +111,8 @@ object Exchange {
         val old = new HPath(target, "." + p.getPath.getName + ".old")
         if (fs.exists(old)) fs.delete(old, true)
         val existed = fs.exists(dest)
-        if (existed) fs.rename(dest, old)
-        fs.rename(p.getPath, dest)
+        if (existed) renameOrThrow(fs, dest, old)
+        renameOrThrow(fs, p.getPath, dest)
         if (existed) fs.delete(old, true)
       }
     } finally fs.delete(staging, true)
@@ -130,8 +139,8 @@ object Exchange {
     val old = hiddenOld(target)
     if (fs.exists(old)) fs.delete(old, true)
     val existed = fs.exists(target)
-    if (existed) fs.rename(target, old)
-    fs.rename(staging, target)
+    if (existed) renameOrThrow(fs, target, old)
+    renameOrThrow(fs, staging, target)
     if (existed) fs.delete(old, true)
   }
 
@@ -143,7 +152,7 @@ object Exchange {
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = hiddenOld(target)
-    if (!fs.exists(target) && fs.exists(old)) { fs.rename(old, target); true }
+    if (!fs.exists(target) && fs.exists(old)) { renameOrThrow(fs, old, target); true }
     else false
   }
 

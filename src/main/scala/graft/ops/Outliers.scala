@@ -64,7 +64,11 @@ object Outliers {
     // violating group.
     val nD = col("__n").cast("double")
     val mD = col("__m").cast("double")
-    val guardCoef = math.max(4, threshold.toLong * threshold)
+    // t·t in double form so the coefficient equals the documented
+    // max(4, t²) bound even if the threshold type ever widens to a
+    // fractional value (truncating t²=12.25 → 10.5-style underestimates
+    // would eat the ~11% headroom between the 9e37 guard and 1e38).
+    val guardCoef = math.max(4.0, threshold.toDouble * threshold)
     val stats = statsRaw.where(
       when(lit(guardCoef) * mD * mD * nD * nD * nD <= lit(9e37), lit(true))
         .otherwise(raise_error(concat(

@@ -160,17 +160,32 @@ object Versioned {
 
   /**
    * Retention: keep the newest `keepLast` committed versions, delete
-   * older snapshots AND their commit files, plus every orphan snapshot
-   * dir no commit references (crashed writers) and every empty commit
+   * older snapshots AND their commit files, plus orphan snapshot dirs
+   * no commit references (crashed writers) and every empty commit
    * file older than the retained window. Returns the number of
    * snapshot dirs deleted. Readers of retained versions are unaffected;
    * time travel below the retention floor now fails loudly.
+   *
+   * Orphans are age-gated (Iceberg's remove-orphan-files rule): an
+   * IN-FLIGHT commit's snapshot dir exists before its commit file does,
+   * so a vacuum racing a live writer would otherwise delete the live
+   * snapshot and leave the subsequent commit pointing at nothing.
+   * Only orphan dirs whose modification time is older than
+   * `orphanMinAgeMs` (default 1 h — far beyond any commit's
+   * write-to-commit window) are swept; snapshots referenced by a
+   * SUPERSEDED commit were fully committed and are reclaimed
+   * immediately regardless of age.
    */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Int = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+      orphanMinAgeMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val (fs, rootPath) = fsOf(spark, root)
     if (!fs.exists(rootPath)) return 0
     val h = history(spark, root)
+    // every committed snapshot dir, including ones about to be retired —
+    // captured BEFORE commit files are deleted so superseded dirs stay
+    // distinguishable from true orphans below
+    val committedDirs = h.map(_._2).toSet
     val keep = h.takeRight(keepLast)
     val keepDirs = keep.map(_._2).toSet
     val keepMin = keep.headOption.map(_._1).getOrElse(Long.MaxValue)
@@ -183,10 +198,16 @@ object Versioned {
         if (v < keepMin) fs.delete(s.getPath, false)
       }
     }
-    // drop unreferenced snapshot dirs (superseded or orphaned)
+    // drop unreferenced snapshot dirs: superseded immediately, orphans
+    // only past the age gate (could be a concurrent writer mid-commit)
+    val now = System.currentTimeMillis()
     val snaps = fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
     val doomed = snaps.filterNot(s => keepDirs.contains(s.getPath.getName))
+      .filter { s =>
+        committedDirs.contains(s.getPath.getName) ||
+          now - s.getModificationTime >= orphanMinAgeMs
+      }
     doomed.foreach(s => fs.delete(s.getPath, true))
     doomed.length
   }

@@ -26,6 +26,25 @@ class PlanSpec extends AnyFunSuite {
     assert(q.subsetOf(o), s"queries without oracles (rows-only gate): ${q.diff(o)}")
   }
 
+  test("driver contract: no registered query outputs array/map/struct columns") {
+    // The driver's pandas-based oracle compare sorts cells and cannot
+    // hash array values (r7: embed_quantize died on a raw ARRAY<INT>
+    // column before any comparison). Gate outputs must flatten nested
+    // shapes to scalars (array_join CSV — see SparkEntry packD/packL);
+    // the in-engine APIs keep real arrays.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
+      q(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"nested-typed gate outputs (driver compare would die): $offenders")
+  }
+
   test("top_parts_per_brand: rank-limit pushes below the shuffle (WindowGroupLimit)") {
     assert(plan("top_parts_per_brand").contains("WindowGroupLimit"))
   }

@@ -114,8 +114,14 @@ class VersionedSpec extends AnyFunSuite {
     Versioned.commit(df(2), root)
     Versioned.commit(df(3), root)
     df(99).write.parquet(s"$root/snap-orphan")
-    val removed = Versioned.vacuum(spark, root, keepLast = 2)
-    assert(removed == 2, "v1 snapshot + orphan dir")
+    // a FRESH orphan looks exactly like a concurrent writer's in-flight
+    // snapshot (dir exists, commit file not yet) — the age gate must
+    // protect it from a racing vacuum
+    val kept = Versioned.vacuum(spark, root, keepLast = 2)
+    assert(kept == 1, "v1 snapshot only; fresh orphan survives the age gate")
+    // past the age threshold the orphan is a crashed writer's leftover
+    val removed = Versioned.vacuum(spark, root, keepLast = 2, orphanMinAgeMs = 0L)
+    assert(removed == 1, "aged orphan dir")
     assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(3))
     assert(Versioned.readAt(spark, root, 2L).as[Int].collect().toSeq == Seq(2))
     intercept[IllegalArgumentException] {

@@ -29,8 +29,16 @@ def canon(rows):
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0: v = 0.0
-            if isinstance(v, list):
-                v = tuple(round(x, 6) if isinstance(x, float) else x for x in v)
+            if isinstance(v, (list, tuple, dict)):
+                # Driver-faithful: the driver's pandas sort dies on array
+                # cells (TypeError: unhashable numpy.ndarray) before any
+                # comparison. Tuple-izing here green-lit embed_quantize
+                # locally while the driver rejected it (r7). Flatten
+                # arrays to CSV in the registered query instead.
+                raise TypeError(
+                    "array/map/struct cell in gate output — the driver's "
+                    "pandas compare cannot hash it; flatten to a scalar "
+                    "(array_join CSV) in the registered query")
             cr.append(v)
         out.append(tuple(cr))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
@@ -50,8 +58,13 @@ def main(sf_dir, out_dir):
         got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
         got_cols = sorted(got_rel.columns)
         got_dtypes = {c: t.kind for c, t in got_rel.df().dtypes.items()}
-        got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
-                     for r in got_rel.fetchall()])
+        try:
+            got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
+                         for r in got_rel.fetchall()])
+        except TypeError as e:
+            n_fail += 1
+            print(f"[FAIL] {name}: {e}")
+            continue
         if name not in oracle:
             print(f"[rows-only] {name}: rows={len(got)} {'OK' if got else 'EMPTY!'}")
             continue
