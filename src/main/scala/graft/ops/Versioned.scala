@@ -50,23 +50,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Versioned {
 
-  private val CommitPrefix = "_v"
-  private val CommitSuffix = ".commit"
-  private val SnapPrefix = "snap-"
+  private[ops] val CommitPrefix = "_v"
+  private[ops] val CommitSuffix = ".commit"
+  private[ops] val SnapPrefix = "snap-"
 
-  private def fsOf(spark: SparkSession, root: String): (FileSystem, HPath) = {
+  private[ops] def fsOf(spark: SparkSession, root: String): (FileSystem, HPath) = {
     val p = new HPath(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** (version, snapshot dir name, optional tag) for every parseable
-    * commit, ascending. A commit file's first line names the snapshot
-    * dir; an optional second line carries the committer's tag (the
-    * streaming sink stamps its epoch there). Empty commit files (crash
-    * between create and write) are skipped. */
-  def fullHistory(spark: SparkSession,
-      root: String): Seq[(Long, String, Option[String])] = {
-    val (fs, rootPath) = fsOf(spark, root)
+  /** The optimistic-concurrency claim loop shared by every commit
+    * flavor: create `_v<version>.commit` with overwrite=false (atomic
+    * claim), bump and retry if another writer owns the number. Returns
+    * the claimed version. */
+  private[ops] def claimVersion(fs: FileSystem, rootPath: HPath,
+      content: String, from: Long): Long = {
+    var v = from
+    var committed = false
+    while (!committed) {
+      val target = new HPath(rootPath, f"$CommitPrefix$v%020d$CommitSuffix")
+      try {
+        val out = fs.create(target, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        committed = true
+      } catch {
+        case _: java.io.IOException if fs.exists(target) => v += 1
+      }
+    }
+    v
+  }
+
+  /** (version, raw commit-file content) for every non-empty commit,
+    * ascending — format-agnostic listing shared with the partitioned
+    * variant. */
+  private[ops] def rawHistory(fs: FileSystem,
+      rootPath: HPath): Seq[(Long, String)] = {
     if (!fs.exists(rootPath)) return Seq.empty
     fs.listStatus(rootPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(CommitPrefix)
@@ -78,12 +97,24 @@ object Versioned {
         val content =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        val lines = content.linesIterator.toSeq
-        val tag = lines.drop(1).headOption.filter(_.nonEmpty)
-        try Some((name.toLong, lines.head, tag))
+        try Some((name.toLong, content))
         catch { case _: NumberFormatException => None }
       }
       .sortBy(_._1)
+  }
+
+  /** (version, snapshot dir name, optional tag) for every parseable
+    * commit, ascending. A commit file's first line names the snapshot
+    * dir; an optional second line carries the committer's tag (the
+    * streaming sink stamps its epoch there). Empty commit files (crash
+    * between create and write) are skipped. */
+  def fullHistory(spark: SparkSession,
+      root: String): Seq[(Long, String, Option[String])] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    rawHistory(fs, rootPath).map { case (v, content) =>
+      val lines = content.linesIterator.toSeq
+      (v, lines.head, lines.drop(1).headOption.filter(_.nonEmpty))
+    }
   }
 
   /** (version, snapshot dir name) for every parseable commit, ascending. */
@@ -118,21 +149,8 @@ object Versioned {
     df.write.mode("overwrite")
       .parquet(new HPath(rootPath, snapName).toString)
     val content = snapName + tag.map("\n" + _).getOrElse("")
-    var v = currentVersion(spark, root).getOrElse(0L) + 1
-    var committed = false
-    while (!committed) {
-      val target = new HPath(rootPath, f"$CommitPrefix$v%020d$CommitSuffix")
-      try {
-        // overwrite = false → atomic claim; losers get FileAlreadyExists
-        val out = fs.create(target, false)
-        try out.write(content.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        committed = true
-      } catch {
-        case _: java.io.IOException if fs.exists(target) => v += 1
-      }
-    }
-    v
+    claimVersion(fs, rootPath, content,
+      currentVersion(spark, root).getOrElse(0L) + 1)
   }
 
   private def snapDir(spark: SparkSession, root: String,

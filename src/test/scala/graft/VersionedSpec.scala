@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.hadoop.fs.{Path => HPath}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Versioned
+import graft.ops.{Versioned, VersionedPartitioned}
 
 /**
  * The mini table format's commit protocol: atomic visibility, snapshot
@@ -130,5 +130,96 @@ class VersionedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Versioned.vacuum(spark, root, keepLast = 0)
     }
+  }
+
+  // --- VersionedPartitioned: the snapshot-isolated partitioned promote ---
+
+  private def pdf(rows: (String, Int)*) =
+    rows.toSeq.toDF("date", "v")
+
+  private def state(frame: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
+    // partition discovery types date=… dirs as DATE; stringify for asserts
+    frame.selectExpr("cast(date as string)", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+  test("partitioned promote: incoming partitions replaced, others inherited by reference") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    assert(VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root) == 1L)
+    // backfill day 2 only: day 1 must survive untouched (D6 idempotent
+    // exchange semantics), via the OLD snapshot dir (manifest reuse)
+    assert(VersionedPartitioned.promote(pdf("2024-01-02" -> 22), root) == 2L)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
+    // time travel still sees the original day 2
+    assert(state(VersionedPartitioned.readAt(spark, root, 1L)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    // re-run of the same backfill is idempotent (a new version, same rows)
+    assert(VersionedPartitioned.promote(pdf("2024-01-02" -> 22), root) == 3L)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
+  }
+
+  test("partitioned promote: a reader concurrent with a multi-partition backfill sees all-old or all-new, never a mix") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)
+    // a reader resolving BEFORE the backfill's commit-pointer flip is
+    // pinned to the old manifest — even after the promote completes
+    val pinned = VersionedPartitioned.read(spark, root)
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 11, "2024-01-02" -> 12), root)
+    assert(state(pinned) == Set("2024-01-01" -> 1, "2024-01-02" -> 2),
+      "pinned reader must see the entirely-old state")
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 11, "2024-01-02" -> 12),
+      "post-commit reader must see the entirely-new state")
+    // mid-promote (snapshot written, commit pointer NOT yet flipped):
+    // simulate the window by dropping an uncommitted snapshot tree —
+    // readers must not see it at all
+    pdf("2024-01-01" -> 99).write.partitionBy("date")
+      .parquet(s"$root/snap-inflight")
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 11, "2024-01-02" -> 12),
+      "an in-flight snapshot is invisible until its commit file exists")
+  }
+
+  test("partitioned promote: lost commit race re-merges against the winner's manifest") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), root)
+    // a rival claims version 2 with a manifest adding day 3 — simulate
+    // by writing its snapshot + commit file directly
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pdf("2024-01-03" -> 3).write.partitionBy("date")
+      .parquet(s"$root/snap-rival")
+    val prior = VersionedPartitioned.history(spark, root).last._2
+    val content = (s"graft-manifest v1\tdate" +:
+      (prior.entries + ("date=2024-01-03" -> "snap-rival")).toSeq.sorted
+        .map { case (p, s) => s"$p\t$s" }).mkString("\n")
+    val out = fs.create(new HPath(root, f"_v${2L}%020d.commit"), false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // our promote of day 2 must land as v3 AND keep the rival's day 3
+    assert(VersionedPartitioned.promote(pdf("2024-01-02" -> 2), root) == 3L)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3))
+  }
+
+  test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)
+    VersionedPartitioned.promote(pdf("2024-01-02" -> 22), root)
+    // keepLast=1 retains manifest v2, which references BOTH snapshot
+    // dirs (day 1 rides the v1 snapshot) — nothing may be deleted
+    assert(VersionedPartitioned.vacuum(spark, root, keepLast = 1) == 0)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
+    // compact rewrites the live state into one snapshot; the old two
+    // are then unreferenced by the retained manifest and reclaimed
+    VersionedPartitioned.compact(spark, root)
+    assert(VersionedPartitioned.vacuum(spark, root, keepLast = 1) == 2)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
   }
 }
