@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -176,15 +177,30 @@ object Streaming {
    * then on reads the stored index. Doc-column consumers are unaffected
    * (select their columns; pruning skips the index).
    *
-   * Replay-idempotent without any extra bookkeeping: if a micro-batch
-   * re-runs after a failure, every previously-admitted doc now
-   * near-dups ITSELF in the corpus (Jaccard 1.0) and is dropped, and
-   * every previously-rejected doc still has its original partner — the
-   * corpus is unchanged. State lives entirely in the corpus table;
-   * nothing accumulates in streaming state. Storing the index ON the
-   * corpus table preserves this: one append commits data + index
-   * together, where a sibling index table could diverge on a crash
-   * between two writes.
+   * Exactly-once admits, two independent layers:
+   *
+   *  1. EPOCH LEDGER (primary): every committed batch drops a marker in
+   *     `corpusPath/_epochs/` keyed by (checkpoint id, epoch) — the
+   *     same txnAppId/txnVersion idempotence contract Delta's
+   *     foreachBatch sinks document. A crash-replay of a committed
+   *     epoch is detected by the tag and skipped outright: no dedup
+   *     compute, no corpus scan, no reliance on content matching. The
+   *     key includes the checkpoint id because a FRESH checkpoint
+   *     restarts epoch numbering at 0 — a bare epoch key would wrongly
+   *     skip new data. The `_`-prefixed dir is invisible to parquet
+   *     scans of the corpus.
+   *  2. SELF-DEDUP (backstop, closes the append→marker crash window):
+   *     a replayed previously-admitted doc near-dups ITSELF in the
+   *     corpus (identical shingle set → Jaccard 1.0 ≥ any threshold)
+   *     and is dropped, and every previously-rejected doc still has
+   *     its original partner — so even a replay the ledger has no
+   *     marker for (crash after the append, before the marker create)
+   *     admits nothing twice.
+   *
+   * State lives entirely in the corpus table; nothing accumulates in
+   * streaming state. Storing the index ON the corpus table preserves
+   * this: one append commits data + index together, where a sibling
+   * index table could diverge on a crash between two writes.
    */
   def dedupIngest(spark: SparkSession, inputPath: String,
       docSchema: StructType, corpusPath: String, checkpointDir: String,
@@ -194,12 +210,24 @@ object Streaming {
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (!batch.isEmpty)
-          admitBatch(spark, batch, corpusPath, idCol, textCol, threshold)
+          admitBatch(spark, batch, corpusPath, idCol, textCol, threshold,
+            Some((checkpointDir, epoch)))
         ()
       }
       .start()
+  }
+
+  /** Marker path for a committed (checkpoint, epoch) admit — the
+    * checkpoint id is a content hash of its path so distinct streams
+    * into the same corpus cannot collide. */
+  private def epochMarker(corpusPath: String, checkpointDir: String,
+      epoch: Long): HPath = {
+    val app = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new HPath(corpusPath.stripSuffix("/") + "/_epochs", s"$app-$epoch.commit")
   }
 
   /**
@@ -245,10 +273,17 @@ object Streaming {
     else { Versioned.commit(batch, root, Some(tag)); true }
   }
 
-  private[pipeline] def admitBatch(spark: SparkSession, batch: DataFrame,
+  private[graft] def admitBatch(spark: SparkSession, batch: DataFrame,
       corpusPath: String, idCol: String, textCol: String,
-      threshold: Double): Unit = {
+      threshold: Double, txn: Option[(String, Long)] = None): Unit = {
     import graft.ext.Dedup
+    // exactly-once layer 1: a committed (checkpoint, epoch) admit is a
+    // no-op replay — detected by the ledger tag alone, before any work
+    val fs = new HPath(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = txn.map { case (ckpt, epoch) =>
+      epochMarker(corpusPath, ckpt, epoch) }
+    if (marker.exists(fs.exists)) return
     val indexCols = Seq(Dedup.IndexBucketsCol, Dedup.IndexShinglesCol)
     val existing =
       try Some(Exchange.table(spark, corpusPath))
@@ -288,6 +323,15 @@ object Streaming {
     // scan's file index was fixed at planning time — new files are
     // invisible to in-flight (and retried) corpus-scan tasks
     novel.write.mode("append").parquet(corpusPath)
+    // exactly-once layer 2: stamp the ledger AFTER the append commits.
+    // A crash in the append→marker window replays the batch without a
+    // marker — the self-dedup backstop (every admitted doc Jaccard-1.0
+    // matches itself) admits nothing twice (see dedupIngest doc).
+    marker.foreach { m =>
+      fs.mkdirs(m.getParent)
+      try { val out = fs.create(m, false); out.close() }
+      catch { case _: java.io.IOException if fs.exists(m) => () }
+    }
   }
 
   private[pipeline] def promoteBatch(spark: SparkSession, batch: DataFrame,

@@ -224,6 +224,39 @@ class StreamingSpec extends AnyFunSuite {
       col(Dedup.IndexShinglesCol).isNull).count() == 0)
   }
 
+  test("dedupIngest: kill-and-replay of a committed epoch is a no-op via the epoch ledger") {
+    val root = Files.createTempDirectory("graft_dedup_epoch").toString
+    val corpus = s"$root/corpus"
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val a = (1 to 30).map(i => s"etok$i").mkString(" ")
+    val b = (100 to 130).map(i => s"efresh$i").mkString(" ")
+
+    Streaming.admitBatch(spark, docsDf((1L, a)), corpus, "doc_id", "text",
+      0.5, txn = Some(("ckptA", 0L)))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+
+    // a crash-replay re-delivers epoch 0 of the same checkpoint. Feed
+    // DIFFERENT (novel) content under the committed (ckpt, epoch) key:
+    // if the guard were the self-dedup backstop, doc 2 would be
+    // admitted — only the ledger tag makes this a true no-op.
+    Streaming.admitBatch(spark, docsDf((2L, b)), corpus, "doc_id", "text",
+      0.5, txn = Some(("ckptA", 0L)))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L),
+      "replayed committed epoch must not admit anything")
+
+    // a FRESH checkpoint restarts epoch numbering at 0 — its epoch 0 is
+    // a different transaction and must admit normally
+    Streaming.admitBatch(spark, docsDf((2L, b)), corpus, "doc_id", "text",
+      0.5, txn = Some(("ckptB", 0L)))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+
+    // the ledger dir is _-prefixed: invisible to corpus parquet scans
+    assert(new java.io.File(s"$corpus/_epochs").isDirectory)
+  }
+
   test("dedupIngest migrates a pre-index corpus once, then admits against stored index") {
     import graft.ext.Dedup
     val root = Files.createTempDirectory("graft_dedup_migrate").toString
