@@ -344,6 +344,23 @@ object ExtQueries {
       .orderBy("lang", "shard")
   }
 
+  /** Shard packing with capacities denominated in MODEL tokens: the
+    * same two-pass distributed layout as packShardsDist, but budgeting
+    * on `TextOps.subwordCount` (the wordpiece piece count a trainer's
+    * token budget actually means) instead of whitespace words — the
+    * absolute-token-budget claim, driver-gated end to end against the
+    * same vocab the tokenize_subword oracle replays. */
+  private def packShardsSubword(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    graft.functions.Subword.register(s)
+    val d = docs(s, dir)
+      .withColumn("n_tokens", TextOps.subwordCount("text"))
+    val packed = Shards.packByBudget(d, Seq("lang"), "doc_id", "n_tokens",
+      capacity = 1024L, bucketExpr = floor(col("doc_id") / 64).cast("long"))
+    Shards.manifest(packed, Seq("lang"), "doc_id", "n_tokens")
+      .orderBy("lang", "shard")
+  }
+
   /** Distributed-prefix-sum variant of packShards (ext/Shards.scala):
     * identical shard layout — same oracle SQL — but the cumulative sum
     * runs as a two-pass parallel prefix (per-bucket totals → broadcast
@@ -1516,6 +1533,7 @@ object ExtQueries {
     "revenue_share" -> ((s, dir) => revenueShare(s, dir)),
     "pack_shards" -> ((s, dir) => packShards(s, dir)),
     "pack_shards_dist" -> ((s, dir) => packShardsDist(s, dir)),
+    "pack_shards_subword" -> ((s, dir) => packShardsSubword(s, dir)),
     "cluster_purity" -> ((s, dir) => clusterPurity(s, dir)),
     "modality_join" -> ((s, dir) => modalityJoin(s, dir)),
     "stats_agg" -> ((s, dir) => statsAgg(s, dir)),
@@ -1742,6 +1760,48 @@ object ExtQueries {
        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
+  /** Greedy longest-match wordpiece tokenization as DuckDB CTEs (vocab
+    * VALUES → per-word piece walk → per-doc counts `ag(doc_id, n_words,
+    * n_pieces, n_unk_words)`), shared by the tokenize_subword and
+    * pack_shards_subword oracles so both gates replay the SAME vocab.
+    * Callers prepend `WITH RECURSIVE ` (the walk is recursive). */
+  private val subwordCtesSql =
+    s"""vocab(piece) AS (VALUES
+       |  ${graft.functions.Subword.defaultVocab
+             .map(p => s"('$p')").mkString(", ")}),
+       |vs AS (SELECT piece,
+       |              CASE WHEN starts_with(piece, '##')
+       |                   THEN substr(piece, 3) ELSE piece END AS stem,
+       |              starts_with(piece, '##') AS cont
+       |       FROM vocab),
+       |vl AS (SELECT piece, stem, cont, len(stem) AS slen FROM vs),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |words AS (SELECT DISTINCT unnest(toks) AS w FROM t),
+       |wpos AS (SELECT w, unnest(range(0, len(w))) AS pos FROM words),
+       |best AS (SELECT w, pos, max_by(piece, slen) AS piece,
+       |                max(slen) AS slen
+       |         FROM wpos JOIN vl ON vl.cont = (wpos.pos > 0)
+       |              AND substr(wpos.w, wpos.pos + 1, vl.slen) = vl.stem
+       |         GROUP BY w, pos),
+       |walk AS (
+       |  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |         CASE WHEN b.piece IS NULL THEN len(s.w)
+       |              ELSE s.pos + b.slen END,
+       |         CASE WHEN b.piece IS NULL THEN ['${graft.functions.Subword.Unk}']
+       |              ELSE list_append(s.pieces, b.piece) END
+       |  FROM walk s LEFT JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos < len(s.w)),
+       |wt AS (SELECT w, pieces FROM walk WHERE pos >= len(w)),
+       |dp AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |ag AS (SELECT dp.doc_id, count(*) AS n_words,
+       |              CAST(sum(len(wt.pieces)) AS BIGINT) AS n_pieces,
+       |              CAST(sum(CASE WHEN wt.pieces =
+       |                  ['${graft.functions.Subword.Unk}']
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+       |       FROM dp JOIN wt ON dp.tok = wt.w GROUP BY dp.doc_id)""".stripMargin
 
   /** The LSH bucket pipeline (md5 hyperplanes → sign bits → band
     * buckets → exploded bucket keys) shared by the similarity_ann and
@@ -2945,46 +3005,29 @@ object ExtQueries {
     // hops pos -> pos + len(best) collecting pieces, a dead position
     // voids the word to [UNK]; distinct words tokenize once
     "tokenize_subword" ->
-      s"""WITH RECURSIVE vocab(piece) AS (VALUES
-         |  ${graft.functions.Subword.defaultVocab
-               .map(p => s"('$p')").mkString(", ")}),
-         |vs AS (SELECT piece,
-         |              CASE WHEN starts_with(piece, '##')
-         |                   THEN substr(piece, 3) ELSE piece END AS stem,
-         |              starts_with(piece, '##') AS cont
-         |       FROM vocab),
-         |vl AS (SELECT piece, stem, cont, len(stem) AS slen FROM vs),
-         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |words AS (SELECT DISTINCT unnest(toks) AS w FROM t),
-         |wpos AS (SELECT w, unnest(range(0, len(w))) AS pos FROM words),
-         |best AS (SELECT w, pos, max_by(piece, slen) AS piece,
-         |                max(slen) AS slen
-         |         FROM wpos JOIN vl ON vl.cont = (wpos.pos > 0)
-         |              AND substr(wpos.w, wpos.pos + 1, vl.slen) = vl.stem
-         |         GROUP BY w, pos),
-         |walk AS (
-         |  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
-         |  UNION ALL
-         |  SELECT s.w,
-         |         CASE WHEN b.piece IS NULL THEN len(s.w)
-         |              ELSE s.pos + b.slen END,
-         |         CASE WHEN b.piece IS NULL THEN ['${graft.functions.Subword.Unk}']
-         |              ELSE list_append(s.pieces, b.piece) END
-         |  FROM walk s LEFT JOIN best b ON b.w = s.w AND b.pos = s.pos
-         |  WHERE s.pos < len(s.w)),
-         |wt AS (SELECT w, pieces FROM walk WHERE pos >= len(w)),
-         |dp AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |ag AS (SELECT dp.doc_id, count(*) AS n_words,
-         |              CAST(sum(len(wt.pieces)) AS BIGINT) AS n_pieces,
-         |              CAST(sum(CASE WHEN wt.pieces =
-         |                  ['${graft.functions.Subword.Unk}']
-         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
-         |       FROM dp JOIN wt ON dp.tok = wt.w GROUP BY dp.doc_id)
+      s"""WITH RECURSIVE $subwordCtesSql
          |SELECT d.doc_id AS doc_id, coalesce(ag.n_words, 0) AS n_words,
          |       coalesce(ag.n_pieces, 0) AS n_pieces,
          |       coalesce(ag.n_unk_words, 0) AS n_unk_words
          |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same greedy-wordpiece CTE block as tokenize_subword (shared vocab
+    // VALUES), then packShardsSql's cumulative layout over the PIECE
+    // counts at capacity 1024 — the subword-budget packing variant
+    "pack_shards_subword" ->
+      s"""WITH RECURSIVE $subwordCtesSql,
+         |dc AS (SELECT d.doc_id, d.lang,
+         |              coalesce(ag.n_pieces, 0) AS n_tokens
+         |       FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM dc)
+         |SELECT lang, CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS shard,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     "vocab_stats" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
