@@ -139,18 +139,82 @@ object Versioned {
    * writer claims this one first (their snapshot, not ours, becomes
    * that version — both commits survive, serialized).
    */
-  def commit(df: DataFrame, root: String, tag: Option[String] = None): Long = {
+  def commit(df: DataFrame, root: String, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(tag.forall(t => t.nonEmpty && !t.contains('\n')),
       "commit tag must be non-empty and single-line")
     val spark = df.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     val snapName = SnapPrefix + UUID.randomUUID().toString
-    df.write.mode("overwrite")
-      .parquet(new HPath(rootPath, snapName).toString)
+    val snapPath = new HPath(rootPath, snapName)
+    df.write.mode("overwrite").parquet(snapPath.toString)
+    // Optional file-level min/max stats — the smallest step toward
+    // Iceberg's manifest pruning: one extra columnar pass over the
+    // fresh snapshot emits a per-file stats table into the snapshot's
+    // own (underscore-hidden) `_stats` dir, so stats and data commit
+    // together and time-travel reads prune against the right version.
+    if (statsCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, element_at, input_file_name, max, min, split}
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(snapPath.toString)
+        .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.parquet(new HPath(snapPath, StatsDir).toString)
+    }
     val content = snapName + tag.map("\n" + _).getOrElse("")
     claimVersion(fs, rootPath, content,
       currentVersion(spark, root).getOrElse(0L) + 1)
+  }
+
+  private val StatsDir = "_stats"
+
+  /** The per-file min/max stats table a `commit(statsCols = …)` wrote
+    * for `version` (latest if None): one row per data file with
+    * `__file, min_<c>, max_<c>` columns. None if that snapshot was
+    * committed without stats. */
+  def fileStats(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[DataFrame] = {
+    val snap = snapDir(spark, root, version)
+    val (fs, _) = fsOf(spark, root)
+    val p = new HPath(snap, StatsDir)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Data-file names of `version` whose [min, max] range on `colName`
+    * intersects [lo, hi] — a file is kept unless its stats PROVE it
+    * cannot match (all-null stats keep the file, conservatively). */
+  def prunedFiles(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val stats = fileStats(spark, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $StatsDir under $root — commit with statsCols to enable pruning"))
+    stats.where(
+        col(s"min_$colName").isNull || col(s"max_$colName").isNull ||
+          !(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))
+      .select("__file").collect().map(_.getString(0)).toSeq
+  }
+
+  /**
+   * Range-predicate read that skips every data file whose committed
+   * min/max stats prove it holds no row with `colName` in [lo, hi] —
+   * file-level pruning at the table-format layer, upstream of parquet
+   * row-group pruning. The surviving-file list is a metadata-sized
+   * driver fetch (exactly Iceberg's manifest-planning shape). The
+   * result still carries the matching files' NON-matching rows; callers
+   * apply their real predicate on top (which Spark then pushes into the
+   * parquet scan as usual).
+   */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val snap = snapDir(spark, root, version).toString
+    val keep = prunedFiles(spark, root, colName, lo, hi, version)
+    if (keep.isEmpty)
+      spark.read.parquet(snap).where(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(keep.map(f => s"$snap/$f"): _*)
   }
 
   private def snapDir(spark: SparkSession, root: String,

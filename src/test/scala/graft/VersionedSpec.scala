@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Versioned, VersionedPartitioned}
@@ -129,6 +130,32 @@ class VersionedSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Versioned.vacuum(spark, root, keepLast = 0)
+    }
+  }
+
+  test("file stats pruning: a range read skips files whose min/max can't match; full reads unchanged") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    // 3 range-clustered files: [1..100], [101..200], [201..300]
+    val data = (1 to 300).toDF("v").repartitionByRange(3, col("v"))
+    Versioned.commit(data, root, statsCols = Seq("v"))
+    assert(Versioned.fileStats(spark, root).get.count() == 3)
+    // [150, 160] lives in exactly one file — the other two are skipped
+    // at the FILE level (the scanned-file count, not just the rows)
+    val kept = Versioned.prunedFiles(spark, root, "v", 150, 160)
+    assert(kept.size == 1, s"expected 1 surviving file, got $kept")
+    val pruned = Versioned.readPruned(spark, root, "v", 150, 160)
+    assert(pruned.where(col("v").between(150, 160)).count() == 11)
+    // conservative contract: the surviving file's other rows ride along
+    assert(pruned.count() == 100)
+    // an out-of-range predicate skips EVERY file and yields empty
+    assert(Versioned.readPruned(spark, root, "v", 1000, 2000).count() == 0)
+    // plain read / readAt are unaffected by the stats sidecar
+    assert(Versioned.read(spark, root).count() == 300)
+    assert(Versioned.readAt(spark, root, 1L).count() == 300)
+    // a stats-less commit refuses pruning loudly
+    Versioned.commit(data, root)
+    intercept[IllegalArgumentException] {
+      Versioned.prunedFiles(spark, root, "v", 1, 2)
     }
   }
 
