@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
-import graft.ops.{Exchange, Ingest, Quality, Rolling, Versioned}
+import graft.ops.{Exchange, Ingest, Quality, Rolling, Versioned,
+  VersionedPartitioned}
 
 /**
  * The whole reference DAG as one composable daily run (reference
@@ -33,7 +34,16 @@ final case class PipelineConfig(
     // snapshot tagged `ds=<date>` — an append-only, time-travelable
     // audit history (a backfill re-run adds a NEW version rather than
     // overwriting the original run's evidence)
-    dqReportPath: Option[String] = None)
+    dqReportPath: Option[String] = None,
+    // when true, the production and cumulative FACT tables ride
+    // `VersionedPartitioned` manifest commits instead of
+    // `Exchange.promote`'s dynamic partition overwrite — the
+    // reference's `USING ICEBERG` reader guarantees (dag.py:141,146):
+    // a reader concurrent with a backfill sees entirely-old or
+    // entirely-new partitions, and every run stays time-travelable.
+    // Same per-date promote cost; plain mode remains the default for
+    // drop-in parquet-directory compatibility.
+    versionedFacts: Boolean = false)
 
 final case class DayResult(ds: LocalDate, staged: Long, dqReport: DataFrame)
 
@@ -70,12 +80,12 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     // promote: replace exactly partition date=ds (DELETE+INSERT pair →
     // one dynamic partition overwrite), conformed to the canonical
     // DECIMAL schema (the reference DDL, dags/dag.py:130-148)
-    Exchange.promote(Schemas.conform(staged, Schemas.stockBar),
+    promoteFact(Schemas.conform(staged, Schemas.stockBar),
       cfg.productionPath)
 
     // cumulate from production: trailing 8-calendar-day scan (partition
     // pruned to ≤8 date dirs), window, keep ds rows only
-    val prod = Exchange.table(spark, cfg.productionPath)
+    val prod = factTable(cfg.productionPath, Schemas.stockBar)
     val cum = Rolling.forDay(prod, ds, Seq("ticker"), "date",
         arrayCols = Seq("open", "high", "low", "close", "volume"),
         volumeCol = "volume", closeCol = "close")
@@ -84,7 +94,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         col("last_7_days_low"), col("last_7_days_close"),
         col("last_7_days_volume"),
         col("avg_7_day_volume"), col("volatility_7_day"))
-    Exchange.promote(
+    promoteFact(
       Schemas.conform(cum.withColumn("updated_at", current_timestamp()),
         Schemas.cumulative),
       cfg.cumulativePath)
@@ -94,6 +104,19 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     DayResult(ds, n, report)
   }
 
-  def production: DataFrame = Exchange.table(spark, cfg.productionPath)
-  def cumulative: DataFrame = Exchange.table(spark, cfg.cumulativePath)
+  private def promoteFact(df: DataFrame, path: String): Unit =
+    if (cfg.versionedFacts) { VersionedPartitioned.promote(df, path); () }
+    else Exchange.promote(df, path)
+
+  private def factTable(path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (cfg.versionedFacts)
+      // manifest reads surface the partition column last; restore the
+      // canonical field order so both modes present the same shape
+      VersionedPartitioned.read(spark, path)
+        .select(schema.fieldNames.map(col): _*)
+    else Exchange.table(spark, path)
+
+  def production: DataFrame = factTable(cfg.productionPath, Schemas.stockBar)
+  def cumulative: DataFrame = factTable(cfg.cumulativePath, Schemas.cumulative)
 }
