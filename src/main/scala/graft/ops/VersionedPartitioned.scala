@@ -193,6 +193,26 @@ object VersionedPartitioned {
     promote(read(spark, root), root, m.partitionCol, tag = None)
   }
 
+  /**
+   * Schema evolution: add `name` (with `default`, cast to the column's
+   * eventual type by the caller's expression) to every live partition
+   * and commit the evolved state as one fresh snapshot — the
+   * `Schemas.evolve` add-column-with-default grain, at table-format
+   * level. One whole-table rewrite with a single atomic pointer flip:
+   * readers resolve either the entirely-old or entirely-new schema,
+   * never a per-partition mix (the failure mode of evolving a plain
+   * partitioned dir in place). Older versions keep their original
+   * schema — time travel replays history as it was.
+   */
+  def evolveAddColumn(spark: SparkSession, root: String, name: String,
+      default: org.apache.spark.sql.Column): Long = {
+    val m = manifestAt(spark, root, None)
+    val live = read(spark, root)
+    require(!live.columns.contains(name),
+      s"column '$name' already exists under $root")
+    promote(live.withColumn(name, default), root, m.partitionCol)
+  }
+
   /** Retention with the same rules as `Versioned.vacuum`: keep the
     * newest `keepLast` manifests and every snapshot dir any of them
     * references; reclaim snapshots only superseded manifests used;

@@ -232,6 +232,28 @@ class VersionedSpec extends AnyFunSuite {
       Set("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3))
   }
 
+  test("partitioned evolve: column added with default across all partitions atomically; time travel keeps the old schema") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)
+    val v = VersionedPartitioned.evolveAddColumn(spark, root, "src",
+      org.apache.spark.sql.functions.lit("poly"))
+    assert(v == 2L)
+    val evolved = VersionedPartitioned.read(spark, root)
+    assert(evolved.columns.contains("src"))
+    assert(evolved.select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("poly"))
+    assert(state(evolved) == Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    // history as it was: version 1 has no src column
+    assert(!VersionedPartitioned.readAt(spark, root, 1L)
+      .columns.contains("src"))
+    // double-add fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveAddColumn(spark, root, "src",
+        org.apache.spark.sql.functions.lit("x"))
+    }
+  }
+
   test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
