@@ -979,6 +979,16 @@ object ExtQueries {
     TextOps.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DSIR-style importance weights targeting the English subcorpus:
+    * per doc, the mean per-token log-ratio between the en-docs unigram
+    * LM and the whole-corpus LM (Laplace-smoothed over the shared
+    * vocabulary), plus the resample decision. Docs with zero tokens are
+    * absent (no occurrences to score). */
+  private def importanceSample(s: SparkSession, dir: String): DataFrame =
+    TextOps.importanceWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Per-doc n-gram novelty: the share (bps, integer) of a doc's
     * distinct 3-shingles that no other document contains. */
   private def ngramNovelty(s: SparkSession, dir: String): DataFrame =
@@ -1556,7 +1566,8 @@ object ExtQueries {
     "dedup_fingerprint" -> ((s, dir) => dedupFingerprint(s, dir)),
     "similarity_quantized" -> ((s, dir) => similarityQuantized(s, dir)),
     "temperature_mix" -> ((s, dir) => temperatureMix(s, dir)),
-    "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir))
+    "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir)),
+    "importance_sample" -> ((s, dir) => importanceSample(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -2305,6 +2316,28 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
          |             / count(*), 4) AS avg_logprob
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "importance_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
+         |           FROM documents),
+         |occ AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM t),
+         |fa AS (SELECT tok, count(*) AS ca FROM occ GROUP BY 1),
+         |ft AS (SELECT tok, count(*) AS ct FROM occ WHERE tgt GROUP BY 1),
+         |sc AS (SELECT count(*) AS v, sum(ca) AS ta,
+         |              sum(coalesce(ct, 0)) AS tt
+         |       FROM fa LEFT JOIN ft USING (tok)),
+         |j AS (SELECT doc_id, tok,
+         |        ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+         |           / (CAST(tt AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+         |      - ln((CAST(ca AS DOUBLE) + 1.0)
+         |           / (CAST(ta AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
+         |      FROM occ JOIN fa USING (tok) LEFT JOIN ft USING (tok)
+         |      CROSS JOIN sc)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
+         |             / count(*), 4) AS logratio,
+         |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
+         |             / count(*), 4) > 0 AS keep
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_logprob_bigram" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

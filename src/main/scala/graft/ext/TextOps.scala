@@ -256,6 +256,66 @@ object TextOps {
   }
 
   /**
+   * Data-selection importance weights (the DSIR recipe — Xie et al.
+   * 2023, "Data Selection for Language Models via Importance
+   * Resampling" — at its n-gram core): score every document by the
+   * average per-token log-ratio between a TARGET-domain unigram LM and
+   * the general-corpus unigram LM, both estimated from the corpus
+   * itself. `isTarget` marks the rows whose distribution we want more
+   * of (a trusted source, a language, a quality tier); a positive
+   * `logratio` means the doc's tokens look more target-like than
+   * corpus-typical, and `keep` selects exactly those — importance
+   * resampling reduced to its deterministic top-of-distribution cut.
+   *
+   * Both LMs are Laplace-smoothed over the SHARED corpus vocabulary
+   * (`(c + α) / (total + α·V)`), so target-unseen tokens stay finite
+   * and the two log terms are computed in the identical structure the
+   * oracle replays. Determinism: the per-doc sum folds over a SORTED
+   * token/ratio list exactly like `unigramLogProb`; the smoothed
+   * probabilities are exact integer-valued doubles combined in the
+   * same +, /, ln order on both engines, and `keep` compares the
+   * ROUNDED ratio so both engines decide the boundary on the same
+   * value.
+   *
+   * Scale: token occurrences shuffle once into map-combined counts per
+   * LM (the target table is the same shuffle, pre-filtered); both
+   * frequency tables join back token-keyed (sort-merge — no vocabulary
+   * broadcast); the only broadcast is the 1-row scalar frame (V, two
+   * totals). Nothing is quadratic; per-doc state is its own token
+   * list.
+   */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"need alpha > 0 for finite smoothing, got $alpha")
+    graft.functions.TextExprs.register(df.sparkSession)
+    val occ = df.select(col(idCol), isTarget.as("__tgt"),
+      explode(expr(s"norm_tokens(`$textCol`)")).as("__tok"))
+    val freqAll = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__ca"))
+    val freqTgt = occ.where(col("__tgt"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__ct"))
+    val scalars = freqAll.join(freqTgt, Seq("__tok"), "left")
+      .agg(count(lit(1)).as("__v"), sum(col("__ca")).as("__ta"),
+        sum(coalesce(col("__ct"), lit(0L))).as("__tt"))
+    val lp = log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(alpha)) /
+        (col("__tt").cast("double") + lit(alpha) * col("__v").cast("double"))) -
+      log((col("__ca").cast("double") + lit(alpha)) /
+        (col("__ta").cast("double") + lit(alpha) * col("__v").cast("double")))
+    val scored = occ.join(freqAll, "__tok")
+      .join(freqTgt, Seq("__tok"), "left")
+      .join(broadcast(scalars))
+      .withColumn("__lp", lp)
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__tok"), col("__lp"))))
+          .as("__sorted"))
+      .withColumn("logratio", round(
+        expr("aggregate(transform(__sorted, s -> s.__lp), 0D, (a, v) -> a + v)")
+          / col("n_tokens"), 4))
+      .select(col(idCol), col("n_tokens"), col("logratio"),
+        (col("logratio") > 0.0).as("keep"))
+  }
+
+  /**
    * Linear quality-classifier inference — the model-scoring stage of a
    * curation pipeline (the fastText/logistic-regression quality filters
    * of C4/CCNet-style corpora), reduced to its Spark-shaped core:

@@ -162,14 +162,14 @@ object Versioned {
         .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .coalesce(1)
-        .write.parquet(new HPath(snapPath, StatsDir).toString)
+        .write.parquet(new HPath(snapPath, StatsDirName).toString)
     }
     val content = snapName + tag.map("\n" + _).getOrElse("")
     claimVersion(fs, rootPath, content,
       currentVersion(spark, root).getOrElse(0L) + 1)
   }
 
-  private val StatsDir = "_stats"
+  private[ops] val StatsDirName = "_stats"
 
   /** The per-file min/max stats table a `commit(statsCols = …)` wrote
     * for `version` (latest if None): one row per data file with
@@ -179,7 +179,7 @@ object Versioned {
       version: Option[Long] = None): Option[DataFrame] = {
     val snap = snapDir(spark, root, version)
     val (fs, _) = fsOf(spark, root)
-    val p = new HPath(snap, StatsDir)
+    val p = new HPath(snap, StatsDirName)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -191,7 +191,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     val stats = fileStats(spark, root, version).getOrElse(
       throw new IllegalArgumentException(
-        s"no $StatsDir under $root — commit with statsCols to enable pruning"))
+        s"no $StatsDirName under $root — commit with statsCols to enable pruning"))
     stats.where(
         col(s"min_$colName").isNull || col(s"max_$colName").isNull ||
           !(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))

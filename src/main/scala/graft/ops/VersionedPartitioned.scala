@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /**
  * Snapshot-isolated PARTITIONED promote — the unification of
@@ -104,7 +104,8 @@ object VersionedPartitioned {
    * task instead of the N-tasks × M-dates small-file explosion.
    */
   def promote(df: DataFrame, root: String, partitionCol: String = "date",
-      tag: Option[String] = None, cluster: Boolean = true): Long = {
+      tag: Option[String] = None, cluster: Boolean = true,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
@@ -113,6 +114,26 @@ object VersionedPartitioned {
     val out = if (cluster) df.repartition(col(partitionCol)) else df
     out.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(snapPath.toString)
+    // Per-file min/max stats alongside the snapshot (same contract as
+    // `Versioned.commit(statsCols = …)`): one columnar pass over the
+    // fresh files emits `partition-relative path → min/max per column`
+    // into the snapshot's own underscore-hidden `_stats` dir, so stats
+    // are immutable with their data and manifest-merge needs no extra
+    // bookkeeping — a partition inherited from an old snapshot brings
+    // that snapshot's stats with it. Only NEW files are ever scanned:
+    // stats cost is O(changed partitions), like the promote itself.
+    if (statsCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{element_at, max, min, split}
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.option("basePath", snapPath.toString)
+        .parquet(snapPath.toString)
+        .groupBy(element_at(split(input_file_name(), snapName + "/"), 2)
+          .as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.parquet(new HPath(snapPath, Versioned.StatsDirName).toString)
+    }
     // The partitions actually written, read back from the snapshot's
     // own directory names — no re-implementation of Spark's partition
     // path escaping, and an empty frame promotes to a no-op manifest.
@@ -182,6 +203,113 @@ object VersionedPartitioned {
           .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*)
     }
     frames.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Surviving data files for a range predicate `colName ∈ [lo, hi]`,
+   * as (snapshot dir, partition-relative file path) pairs — the
+   * manifest-planning step of a pruned read, exposed for scanned-file
+   * assertions. Per referenced snapshot: files of UNREFERENCED
+   * partitions (superseded by a later promote) are dropped first via
+   * the manifest, then each snapshot's own `_stats` table (written by
+   * `promote(statsCols = …)` together with the data) eliminates files
+   * whose min/max range provably cannot intersect [lo, hi]. A snapshot
+   * promoted without stats keeps all its referenced files,
+   * conservatively — mixed histories stay correct, older snapshots
+   * simply prune less.
+   */
+  def prunedFiles(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{lit, substring_index}
+    val m = manifestAt(spark, root, version)
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    m.entries.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (snap, parts) =>
+      val partDirs = parts.keys.toSeq
+      val snapPath = new HPath(rootPath, snap)
+      val statsPath = new HPath(snapPath, Versioned.StatsDirName)
+      if (!fs.exists(statsPath)) {
+        // no stats in this snapshot — every file of every referenced
+        // partition survives
+        partDirs.sorted.flatMap { p =>
+          fs.listStatus(new HPath(snapPath, p)).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+              && !s.getPath.getName.startsWith("."))
+            .map(s => snap -> s"$p/${s.getPath.getName}")
+        }
+      } else {
+        spark.read.parquet(statsPath.toString)
+          .where(substring_index(col("__file"), "/", 1)
+            .isin(partDirs: _*))
+          .where(col(s"min_$colName").isNull || col(s"max_$colName").isNull ||
+            !(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))
+          .select("__file").collect().map(r => snap -> r.getString(0)).toSeq
+            .sortBy(_._2)
+      }
+    }
+  }
+
+  /**
+   * Range-predicate read over the manifest that scans only the files
+   * `prunedFiles` keeps — partition-level pruning (the manifest drops
+   * superseded partition dirs for free) composed with Iceberg-style
+   * file skipping on committed min/max stats, upstream of parquet
+   * row-group pruning. The file list is a metadata-sized driver fetch.
+   * Like `Versioned.readPruned`, surviving files still carry their
+   * non-matching rows; callers apply the real predicate on top (Spark
+   * pushes it into the parquet scan as usual).
+   */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val keep = prunedFiles(spark, root, colName, lo, hi, version)
+    if (keep.isEmpty)
+      return readManifest(spark, root, manifestAt(spark, root, version))
+        .where(org.apache.spark.sql.functions.lit(false))
+    val rootPath = new HPath(root)
+    val frames = keep.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (snap, files) =>
+        val base = new HPath(rootPath, snap).toString
+        spark.read.option("basePath", base)
+          .parquet(files.map(f => s"$base/${f._2}"): _*)
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Row-level MERGE INTO the versioned table, committed at partition
+   * granularity — Iceberg-style copy-on-write upsert on the fact
+   * table: `source` rows update matching keys and insert new ones
+   * (`Merge.upsert` semantics), but only the partitions PRESENT IN
+   * SOURCE are re-read, merged, and rewritten as the new snapshot;
+   * every other partition is inherited by manifest reference. The
+   * merge key must include `partitionCol` — that is what guarantees a
+   * matched row cannot migrate partitions, which would strand its old
+   * copy in a partition this merge never rewrites (the classic
+   * partition-key-update hazard; Iceberg's copy-on-write MERGE rejects
+   * it the same way).
+   *
+   * Scale: the affected-partition list is a metadata-sized driver
+   * fetch (distinct partition values of the source batch); the merge
+   * itself is `Merge.upsert`'s single hash shuffle over ONLY those
+   * partitions' rows + the source. A 100-partition daily merge into a
+   * 100 TB table touches one day's data and flips one pointer.
+   */
+  def mergePromote(source: DataFrame, root: String, keys: Seq[String],
+      partitionCol: String = "date", tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    require(keys.contains(partitionCol),
+      s"merge keys $keys must include partition column '$partitionCol' — " +
+        "a key that can change partitions would strand its old row")
+    val spark = source.sparkSession
+    if (currentVersion(spark, root).isEmpty)
+      return promote(source, root, partitionCol, tag, statsCols = statsCols)
+    val parts = source.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (parts.isEmpty)
+      return promote(source, root, partitionCol, tag, statsCols = statsCols)
+    val live = read(spark, root)
+      .where(col(partitionCol).isin(parts: _*))
+    promote(Merge.upsert(live, source, keys), root, partitionCol, tag,
+      statsCols = statsCols)
   }
 
   /** Rewrite the whole live state as ONE fresh snapshot (all manifest

@@ -254,6 +254,80 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned stats pruning: manifest drops superseded partitions, file stats skip the rest; stats-less snapshots stay conservative") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    val day1 = (1 to 10).map(v => "2024-01-01" -> v)
+    val day2 = (101 to 110).map(v => "2024-01-02" -> v)
+    VersionedPartitioned.promote(pdf(day1 ++ day2: _*), root,
+      statsCols = Seq("v"))
+    // [1, 10] lives only in day 1's file — day 2's is skipped at the
+    // FILE level, before any data is read
+    val kept1 = VersionedPartitioned.prunedFiles(spark, root, "v", 1, 10)
+    assert(kept1.map(_._2).forall(_.startsWith("date=2024-01-01/")) &&
+      kept1.size == 1, s"expected day 1's single file, got $kept1")
+    assert(state(VersionedPartitioned.readPruned(spark, root, "v", 1, 10)) ==
+      day1.toSet)
+    // backfill day 2 (201..210): its OLD file leaves via the manifest
+    // (superseded partition), not via stats — [101, 110] matches nothing
+    VersionedPartitioned.promote(
+      pdf((201 to 210).map(v => "2024-01-02" -> v): _*), root,
+      statsCols = Seq("v"))
+    assert(VersionedPartitioned.prunedFiles(spark, root, "v", 101, 110)
+      .isEmpty, "superseded day-2 file must not resurface")
+    assert(VersionedPartitioned.readPruned(spark, root, "v", 101, 110)
+      .count() == 0)
+    val kept2 = VersionedPartitioned.prunedFiles(spark, root, "v", 201, 205)
+    assert(kept2.size == 1 && kept2.head._2.startsWith("date=2024-01-02/"))
+    // a stats-less promote prunes nothing of ITSELF but doesn't poison
+    // the rest: day 3's file always survives, day 2's still leaves
+    VersionedPartitioned.promote(
+      pdf((301 to 310).map(v => "2024-01-03" -> v): _*), root)
+    val kept3 = VersionedPartitioned.prunedFiles(spark, root, "v", 1, 10)
+    assert(kept3.exists(_._2.startsWith("date=2024-01-01/")))
+    assert(kept3.exists(_._2.startsWith("date=2024-01-03/")),
+      "stats-less snapshot keeps its files conservatively")
+    assert(!kept3.exists(_._2.startsWith("date=2024-01-02/")))
+    // conservative contract: callers re-apply the real predicate on top
+    assert(VersionedPartitioned.readPruned(spark, root, "v", 1, 10)
+      .where(col("v").between(1, 10)).count() == 10)
+    // full manifest reads are unaffected by the stats sidecars
+    assert(VersionedPartitioned.read(spark, root).count() == 30)
+  }
+
+  test("mergePromote: row-level MERGE rewrites only the touched partitions; untouched snapshots inherited by reference") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    def kv(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("date", "k", "v")
+        .withColumn("date", col("date").cast("date"))
+    // first merge into an empty table is just a promote
+    assert(VersionedPartitioned.mergePromote(
+      kv(("2024-01-01", "a", 1), ("2024-01-02", "b", 2)), root,
+      keys = Seq("date", "k")) == 1L)
+    val day1Snap = VersionedPartitioned.history(spark, root)
+      .last._2.entries("date=2024-01-01")
+    // day-2-only merge: update b, insert c — day 1 must not be rewritten
+    assert(VersionedPartitioned.mergePromote(
+      kv(("2024-01-02", "b", 22), ("2024-01-02", "c", 3)), root,
+      keys = Seq("date", "k")) == 2L)
+    val rows = VersionedPartitioned.read(spark, root)
+      .selectExpr("cast(date as string)", "k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("2024-01-01", "a", 1),
+      ("2024-01-02", "b", 22), ("2024-01-02", "c", 3)))
+    assert(VersionedPartitioned.history(spark, root)
+      .last._2.entries("date=2024-01-01") == day1Snap,
+      "day 1 must ride its ORIGINAL snapshot dir, not a rewrite")
+    // time travel sees the pre-merge day 2
+    assert(VersionedPartitioned.readAt(spark, root, 1L)
+      .where(col("k") === "b").selectExpr("v").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    // a merge key that can migrate partitions is rejected loudly
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.mergePromote(
+        kv(("2024-01-02", "b", 0)), root, keys = Seq("k"))
+    }
+  }
+
   test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
