@@ -275,6 +275,35 @@ object VersionedPartitioned {
   }
 
   /**
+   * Incremental scan: the partitions whose snapshot assignment changed
+   * after `fromVersion` (exclusive) up to `toVersion` (inclusive;
+   * latest if None) — new partitions and rewritten ones, read in their
+   * `toVersion` state. This is how a downstream job consumes a
+   * versioned fact table incrementally: a daily backfill of 3
+   * partitions makes the next run read exactly those 3, never the
+   * whole table (Iceberg's incremental-append scan at manifest grain).
+   * Partitions DELETED between the versions have nothing to read and
+   * are simply absent; a partition rewritten several times in the
+   * window appears once, in its final state. Returns an empty frame
+   * (with the table's schema) when nothing changed.
+   */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val mTo = manifestAt(spark, root, toVersion)
+    val mFrom: Map[String, String] =
+      if (fromVersion <= 0) Map.empty
+      else manifestAt(spark, root, Some(fromVersion)).entries
+    val changed = mTo.entries.filter { case (p, snap) =>
+      !mFrom.get(p).contains(snap)
+    }
+    if (changed.isEmpty)
+      readManifest(spark, root, mTo)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else
+      readManifest(spark, root, Manifest(mTo.partitionCol, changed, mTo.tag))
+  }
+
+  /**
    * Row-level MERGE INTO the versioned table, committed at partition
    * granularity — Iceberg-style copy-on-write upsert on the fact
    * table: `source` rows update matching keys and insert new ones

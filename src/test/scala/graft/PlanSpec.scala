@@ -165,6 +165,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
   }
 
+  test("importance_sample: shuffles carry tokens and counts, never document text") {
+    val p = plan("importance_sample")
+    // the corpus text is consumed by the tokenizer projection below the
+    // first exchange — every shuffle moves (token, count) or per-doc
+    // token lists, so LM estimation scales with vocabulary, not corpus
+    // bytes
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // the single BNLJ is the documented 1-row scalar broadcast (V, two
+    // totals) — the same shape as doc_logprob's total-count join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"plan:\n$p")
+  }
+
   test("vocab_stats: occurrence and vocabulary aggs are two map-combined shuffles") {
     // (lang, token) then (lang) — the shuffle carries distinct tokens,
     // never raw occurrences (partial_count combines map-side)

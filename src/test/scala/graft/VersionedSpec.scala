@@ -328,6 +328,29 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("readChanges: incremental scan reads exactly the partitions a version window touched") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)          // v1
+    VersionedPartitioned.promote(pdf("2024-01-02" -> 22), root) // v2
+    VersionedPartitioned.promote(pdf("2024-01-03" -> 3), root)  // v3
+    // from v0: everything (bootstrap)
+    assert(state(VersionedPartitioned.readChanges(spark, root, 0L)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+    // v1 → v2: only the rewritten day 2
+    assert(state(VersionedPartitioned.readChanges(spark, root, 1L, Some(2L)))
+      == Set("2024-01-02" -> 22))
+    // v2 → v3: only the new day 3
+    assert(state(VersionedPartitioned.readChanges(spark, root, 2L)) ==
+      Set("2024-01-03" -> 3))
+    // v1 → latest: day 2 (once, final state) + day 3; day 1 untouched
+    assert(state(VersionedPartitioned.readChanges(spark, root, 1L)) ==
+      Set("2024-01-02" -> 22, "2024-01-03" -> 3))
+    // nothing changed: empty frame, schema intact
+    val none = VersionedPartitioned.readChanges(spark, root, 3L)
+    assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
   test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
