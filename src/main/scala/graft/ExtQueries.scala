@@ -121,6 +121,17 @@ object ExtQueries {
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
       .orderBy("id")
 
+  /** Semantic near-dup clusters: connected components over the
+    * ANN-blocked embedding pair graph — `dedup_clusters`' shape in
+    * embedding space (the SemDeDup-style cluster step). Same
+    * deterministic LSH banding as `dedup_embedding_ann`, so the oracle
+    * replays pairs AND label propagation exactly. */
+  private def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Similarity.cosineNearDupsAnn(embs(s, dir), "vec_id", "embedding",
+          threshold = 0.45, dim = 64, nBits = 64, bands = 16))
+      .orderBy("id")
+
   /** Embedding-space near-dup pairs (semantic dedup): exact cosine over
     * the upper triangle, threshold tuned to the corpus sim range. */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +442,35 @@ object ExtQueries {
           .as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("n_name")
+  }
+
+  /** Shipping-priority report (TPC-H Q3's shape): segment-filtered
+    * customers broadcast onto date-filtered orders, one fact shuffle on
+    * the order key, revenue per open order. Both date filters and the
+    * segment filter push into the scans; every surviving group is
+    * emitted (no float top-N — the selection set must not hinge on a
+    * cross-engine sum ulp), ordered by key. Revenue sums in DECIMAL —
+    * price and discount are exact 2-decimal values, so the scale-4
+    * product and its sum are exact and order-independent (a double sum
+    * disagrees in the last ulp at the cent-rounding boundary). */
+  private def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    val customer = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) < lit(cutoff))
+    val lineitem = Tables.load(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) > lit(cutoff))
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum(price * (lit(1).cast("decimal(18,2)") - disc))
+        .cast("decimal(38,4)").as("revenue"))
+      .orderBy("o_orderkey")
   }
 
   /** Region rollup — exercises the last untouched testdata table: the
@@ -1567,7 +1607,9 @@ object ExtQueries {
     "similarity_quantized" -> ((s, dir) => similarityQuantized(s, dir)),
     "temperature_mix" -> ((s, dir) => temperatureMix(s, dir)),
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir)),
-    "importance_sample" -> ((s, dir) => importanceSample(s, dir))
+    "importance_sample" -> ((s, dir) => importanceSample(s, dir)),
+    "shipping_priority" -> ((s, dir) => shippingPriority(s, dir)),
+    "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -1633,25 +1675,31 @@ object ExtQueries {
     * exact-pair graph (rounds ≥ true diameter on this corpus — the Spark
     * side iterates to FIXPOINT, so equality additionally proves the
     * corpus components converged within `rounds`). */
-  private def componentsCtesFrom(rounds: Int, src: String): String = {
+  /** Undirected edges + seed labels from a pair CTE `p` filtered by
+    * `pred`, followed by `rounds` min-label propagation steps — the SQL
+    * replay of `Dedup.components`, reusable over any pair source. */
+  private def edgesAndSteps(pred: String, rounds: Int): String = {
     val edges =
-      """e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.5
-        |      UNION ALL
-        |      SELECT id_b, id_a FROM p WHERE j >= 0.5),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |l0 AS (SELECT id, id AS label FROM n)""".stripMargin
+      s"""e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE $pred
+         |      UNION ALL
+         |      SELECT id_b, id_a FROM p WHERE $pred),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
     val steps = (1 to rounds).map { i =>
-      s"""l$i AS (SELECT n.id,
+      s"""l$i AS (SELECT nodes.id,
          |  least(l.label, coalesce(m.minl, l.label)) AS label
-         |  FROM n JOIN l${i - 1} l ON n.id = l.id
+         |  FROM nodes JOIN l${i - 1} l ON nodes.id = l.id
          |  LEFT JOIN (SELECT e.dst AS id, min(l2.label) AS minl
          |             FROM e JOIN l${i - 1} l2 ON e.src = l2.id
-         |             GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+         |             GROUP BY e.dst) m ON m.id = nodes.id)""".stripMargin
     }
-    s"""${pairsCteFrom(src)},
-       |$edges,
+    s"""$edges,
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private def componentsCtesFrom(rounds: Int, src: String): String =
+    s"""${pairsCteFrom(src)},
+       |${edgesAndSteps("j >= 0.5", rounds)}""".stripMargin
 
   private def componentsCtes(rounds: Int): String =
     "WITH " + componentsCtesFrom(rounds, "documents")
@@ -1967,6 +2015,20 @@ object ExtQueries {
         |  JOIN n nb ON nb.vec_id = id_b)
         |SELECT id_a, id_b, round(c, 4) AS cos
         |FROM p WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_clusters" ->
+      s"""WITH $annCtesSql,
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cb a JOIN cb b ON a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |         list_dot_product(na.dv, nb.dv) / (na.nm * nb.nm) AS c
+        |  FROM cands
+        |  JOIN n na ON na.vec_id = id_a
+        |  JOIN n nb ON nb.vec_id = id_b),
+        |${edgesAndSteps("c >= 0.45", 4)}
+        |SELECT id, label AS component FROM l4 ORDER BY id""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 20 = 0),
@@ -2201,6 +2263,20 @@ object ExtQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2))
+        |                   - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
     "events_lead_lag" ->
       """SELECT event_id, user_id,
         |       round(value - lag(value) OVER w, 4) AS delta_prev,
