@@ -102,17 +102,34 @@ object VersionedPartitioned {
    * Like `Exchange.promote`, the frame is re-clustered on the
    * partition column so each partition dir gets one file per owning
    * task instead of the N-tasks × M-dates small-file explosion.
+   *
+   * `clusterBy` + `maxRecordsPerFile` make the `statsCols` sidecar
+   * selective WITHIN a partition: rows sort on the cluster columns
+   * before the write and the writer rolls a new file every
+   * `maxRecordsPerFile` rows, so a partition's files carry disjoint
+   * [min, max] ranges (Z-order-lite, one dimension) and `readPruned`
+   * skips most of a partition instead of none of it. Without them a
+   * partition is one file and stats can only skip whole partitions.
    */
   def promote(df: DataFrame, root: String, partitionCol: String = "date",
       tag: Option[String] = None, cluster: Boolean = true,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Long = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
-    val out = if (cluster) df.repartition(col(partitionCol)) else df
-    out.write.mode("overwrite").partitionBy(partitionCol)
+    val out =
+      if (clusterBy.nonEmpty)
+        df.repartition(col(partitionCol))
+          .sortWithinPartitions((partitionCol +: clusterBy).map(col): _*)
+      else if (cluster) df.repartition(col(partitionCol))
+      else df
+    val writer = out.write.mode("overwrite").partitionBy(partitionCol)
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
       .parquet(snapPath.toString)
     // Per-file min/max stats alongside the snapshot (same contract as
     // `Versioned.commit(statsCols = …)`): one columnar pass over the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.Schemas
-import graft.ops.{Exchange, Ingest, Rolling, Versioned}
+import graft.ops.{Exchange, Ingest, Rolling, Versioned, VersionedPartitioned}
 
 /**
  * Structured Streaming variant of the daily pipeline (SURVEY.md §2.11) —
@@ -271,6 +271,44 @@ object Streaming {
     val tag = s"epoch=$epoch"
     if (Versioned.committedTags(batch.sparkSession, root).contains(tag)) false
     else { Versioned.commit(batch, root, Some(tag)); true }
+  }
+
+  /**
+   * Exactly-once streaming promote into a `VersionedPartitioned` FACT
+   * table: each micro-batch replaces exactly the partitions it carries
+   * (manifest merge — untouched partitions inherited by reference) as
+   * one epoch-tagged atomic commit. The streaming counterpart of the
+   * reference's per-day DELETE+INSERT exchange, with `versionedSink`'s
+   * replay contract: foreachBatch's at-least-once redelivery of a
+   * committed epoch finds its tag in the manifest history and no-ops,
+   * so a crash between checkpoint write and commit cannot double-apply
+   * a partition rewrite. Per epoch the work is O(batch partitions) —
+   * a late-data trickle re-promotes one day, never the table.
+   */
+  def versionedPartitionedSink(stream: DataFrame, root: String,
+      checkpointDir: String, partitionCol: String = "date",
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty)
+          commitPartitionedEpoch(transform(batch), root, partitionCol, epoch)
+        ()
+      }
+      .start()
+
+  /** `commitEpoch` at partition grain: promote unless `epoch`'s tag is
+    * already in the manifest history; returns whether a commit happened. */
+  private[graft] def commitPartitionedEpoch(batch: DataFrame, root: String,
+      partitionCol: String, epoch: Long): Boolean = {
+    val tag = s"epoch=$epoch"
+    if (VersionedPartitioned.committedTags(batch.sparkSession, root)
+        .contains(tag)) false
+    else {
+      VersionedPartitioned.promote(batch, root, partitionCol, Some(tag))
+      true
+    }
   }
 
   private[graft] def admitBatch(spark: SparkSession, batch: DataFrame,

@@ -109,6 +109,51 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(4))
   }
 
+  test("versionedPartitionedSink: each epoch replaces only its own partitions, replay is a no-op") {
+    import graft.pipeline.Streaming
+    val root = Files.createTempDirectory("graft_vpsink").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val table = s"$root/table"
+    val schema = pdf("x" -> 0).schema
+
+    pdf("2024-01-01" -> 1, "2024-01-02" -> 2)
+      .write.mode("append").parquet(in)
+    Streaming.versionedPartitionedSink(
+      spark.readStream.schema(schema).parquet(in),
+      table, s"$root/ckpt").awaitTermination()
+    assert(state(VersionedPartitioned.read(spark, table)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    val day1Snap = VersionedPartitioned.history(spark, table)
+      .last._2.entries("date=2024-01-01")
+    assert(VersionedPartitioned.history(spark, table)
+      .flatMap(_._2.tag) == Seq("epoch=0"))
+
+    // restart: a late-data file for day 2 only — the next epoch
+    // replaces day 2 and INHERITS day 1's snapshot by reference
+    pdf("2024-01-02" -> 22).write.mode("append").parquet(in)
+    Streaming.versionedPartitionedSink(
+      spark.readStream.schema(schema).parquet(in),
+      table, s"$root/ckpt").awaitTermination()
+    assert(state(VersionedPartitioned.read(spark, table)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
+    assert(VersionedPartitioned.history(spark, table)
+      .last._2.entries("date=2024-01-01") == day1Snap,
+      "untouched partition must ride its original snapshot")
+
+    // crash-replay of a committed epoch must not commit again
+    assert(!Streaming.commitPartitionedEpoch(
+      pdf("2024-01-02" -> 99), table, "date", epoch = 1L))
+    assert(VersionedPartitioned.history(spark, table).size == 2)
+    assert(state(VersionedPartitioned.read(spark, table)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22))
+    // …while a genuinely new epoch does
+    assert(Streaming.commitPartitionedEpoch(
+      pdf("2024-01-03" -> 3), table, "date", epoch = 2L))
+    assert(state(VersionedPartitioned.read(spark, table)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+  }
+
   test("vacuum: retention floor enforced, orphans swept, retained versions intact") {
     val root = Files.createTempDirectory("graft_ver").toString
     Versioned.commit(df(1), root)
@@ -292,6 +337,23 @@ class VersionedSpec extends AnyFunSuite {
       .where(col("v").between(1, 10)).count() == 10)
     // full manifest reads are unaffected by the stats sidecars
     assert(VersionedPartitioned.read(spark, root).count() == 30)
+  }
+
+  test("clustered promote: range-sorted rolled files make stats skip most of a partition") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    val rows = (1 to 100).map(v => "2024-01-01" -> v)
+    VersionedPartitioned.promote(pdf(scala.util.Random.shuffle(rows): _*),
+      root, statsCols = Seq("v"), clusterBy = Seq("v"),
+      maxRecordsPerFile = 25L)
+    // the writer rolled the sorted partition into 4 range-disjoint files
+    val all = VersionedPartitioned.prunedFiles(spark, root, "v", 1, 100)
+    assert(all.size == 4, s"expected 4 rolled files, got $all")
+    // a narrow range now survives ONE file of the partition, not all 4
+    val kept = VersionedPartitioned.prunedFiles(spark, root, "v", 10, 15)
+    assert(kept.size == 1, s"expected 1 surviving file, got $kept")
+    val got = VersionedPartitioned.readPruned(spark, root, "v", 10, 15)
+      .where(col("v").between(10, 15))
+    assert(got.count() == 6)
   }
 
   test("mergePromote: row-level MERGE rewrites only the touched partitions; untouched snapshots inherited by reference") {
