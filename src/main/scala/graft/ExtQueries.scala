@@ -1203,6 +1203,93 @@ object ExtQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The month-partitioned orders slice the versioned-table-format gate
+    * queries below promote: (month, key, exact-decimal price). The
+    * DECIMAL price makes every downstream sum engine-exact. */
+  private def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+
+  /** Per-month row count + exact price total of a versioned read — the
+    * shared output shape of the three table-format gate queries. The
+    * partition column is re-cast to string because parquet partition-dir
+    * type inference on read must not leak into the gate schema. */
+  private def monthTotals(df: DataFrame): DataFrame =
+    df.groupBy(col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("month")
+
+  /**
+   * Incremental scan over the snapshot-isolated partitioned format
+   * (ops/VersionedPartitioned.readChanges, the Iceberg-style
+   * incremental-append consumption the reference's `USING ICEBERG`
+   * tables get from Databricks, `dags/dag.py:141,146`): promote all of
+   * 1995, then a backfill that rewrites two months and adds one new —
+   * the downstream incremental read sees EXACTLY the three changed
+   * partitions in final state, never the whole table.
+   */
+  private def versionedChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vchanges_").resolve("t").toString
+    val v1 = graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-12")), root, "month")
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").isin("1995-02", "1995-03", "1996-01")),
+      root, "month")
+    monthTotals(graft.ops.VersionedPartitioned.readChanges(s, root, v1))
+  }
+
+  /**
+   * Copy-on-write MERGE at partition granularity
+   * (ops/VersionedPartitioned.mergePromote): a corrections batch that
+   * uplifts even keys of 1995-02 (exact decimal 1.1×) and inserts a
+   * whole new month (1995-04) merges into a three-month table. Only the
+   * touched months are rewritten — the others ride the manifest — and
+   * the final read must equal a full upsert's outcome.
+   */
+  private def versionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vmerge_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val source = base
+      .where(col("month") === "1995-02" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+          .cast("decimal(18,2)"))
+      .unionByName(base.where(col("month") === "1995-04"))
+    graft.ops.VersionedPartitioned.mergePromote(source, root,
+      keys = Seq("month", "o_orderkey"), partitionCol = "month")
+    monthTotals(graft.ops.VersionedPartitioned.read(s, root))
+  }
+
+  /**
+   * Stats-pruned range read (ops/VersionedPartitioned.promote with
+   * statsCols + clusterBy + maxRecordsPerFile, then readPruned): file
+   * skipping on committed [min,max] key stats must change I/O only,
+   * never results — the gate replays the same range filter in plain
+   * SQL. VersionedSpec asserts separately that files ARE skipped; this
+   * row pins that what survives the skip is the right answer.
+   */
+  private def versionedPruned(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-06"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vpruned_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month",
+      statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+      maxRecordsPerFile = 500L)
+    monthTotals(
+      graft.ops.VersionedPartitioned
+        .readPruned(s, root, "o_orderkey", 10000L, 30000L)
+        .where(col("o_orderkey").between(10000L, 30000L)))
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1567,6 +1654,9 @@ object ExtQueries {
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
+    "versioned_changes" -> ((s, dir) => versionedChanges(s, dir)),
+    "versioned_merge" -> ((s, dir) => versionedMerge(s, dir)),
+    "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -2714,6 +2804,47 @@ object ExtQueries {
         |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The three versioned_* gates replay the table-format outcome in
+    // plain SQL over the raw parquet: changed-partition set for the
+    // incremental scan, full-upsert state for the partition-grain
+    // merge, plain range filter for the stats-pruned read.
+    "versioned_changes" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        IN ('1995-02', '1995-03', '1996-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_merge" ->
+      """WITH b AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |         o_orderkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT month, o_orderkey,
+        |         CASE WHEN month = '1995-02' AND o_orderkey % 2 = 0
+        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
+        |                        AS DECIMAL(18,2))
+        |              ELSE p END AS p
+        |  FROM b WHERE month BETWEEN '1995-01' AND '1995-03'
+        |  UNION ALL
+        |  SELECT month, o_orderkey, p FROM b WHERE month = '1995-04')
+        |SELECT month, count(*) AS n_rows,
+        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_pruned" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-06'
+        |  AND o_orderkey BETWEEN 10000 AND 30000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,
