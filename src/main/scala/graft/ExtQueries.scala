@@ -1290,6 +1290,51 @@ object ExtQueries {
         .where(col("o_orderkey").between(10000L, 30000L)))
   }
 
+  /**
+   * Time travel with snapshot isolation
+   * (ops/VersionedPartitioned.readAt): after a later promote rewrites
+   * 1995-02 with uplifted prices, a read pinned at the FIRST version
+   * must still see the original rows — the rewrite may not leak
+   * backwards. The oracle is simply the original three months.
+   */
+  private def versionedTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtt_").resolve("t").toString
+    val v1 = graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+            .cast("decimal(18,2)")),
+      root, "month")
+    monthTotals(graft.ops.VersionedPartitioned.readAt(s, root, v1))
+  }
+
+  /**
+   * Schema evolution on the versioned table
+   * (ops/VersionedPartitioned.evolveAddColumn): add a derived
+   * price-band column to every live partition in one atomic commit,
+   * then aggregate on it — the oracle derives the same band directly,
+   * so the gate pins that evolution rewrote every row exactly once
+   * with the declared default expression.
+   */
+  private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-02"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vevolve_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month")
+    graft.ops.VersionedPartitioned.evolveAddColumn(s, root, "price_band",
+      when(col("o_totalprice") >= 150000, lit("H")).otherwise(lit("L")))
+    graft.ops.VersionedPartitioned.read(s, root)
+      .groupBy(col("month").cast("string").as("month"), col("price_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("month", "price_band")
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1657,6 +1702,8 @@ object ExtQueries {
     "versioned_changes" -> ((s, dir) => versionedChanges(s, dir)),
     "versioned_merge" -> ((s, dir) => versionedMerge(s, dir)),
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
+    "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
+    "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -2845,6 +2892,28 @@ object ExtQueries {
         |        BETWEEN '1995-01' AND '1995-06'
         |  AND o_orderkey BETWEEN 10000 AND 30000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Time travel: the pinned v1 read ignores the later 1995-02
+    // rewrite, so the oracle is the UNMODIFIED three months.
+    "versioned_timetravel" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_evolve" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
+        |            THEN 'H' ELSE 'L' END AS price_band,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,
