@@ -1335,6 +1335,31 @@ object ExtQueries {
       .orderBy("month", "price_band")
   }
 
+  /**
+   * METADATA-ONLY schema evolution
+   * (ops/VersionedPartitioned.evolveAddColumnMetaOnly): the same
+   * price-band evolution as `versioned_evolve`, but no data file is
+   * rewritten — the commit records the default SQL expression and the
+   * reader fills the column per row at scan time. Same oracle as the
+   * rewrite path: the two mechanisms must be observationally
+   * equivalent; only their write cost differs (pointer flip vs table
+   * rewrite).
+   */
+  private def versionedEvolveMeta(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-02"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vevolvem_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month")
+    graft.ops.VersionedPartitioned.evolveAddColumnMetaOnly(s, root,
+      "price_band", "CASE WHEN o_totalprice >= 150000 THEN 'H' ELSE 'L' END")
+    graft.ops.VersionedPartitioned.read(s, root)
+      .groupBy(col("month").cast("string").as("month"), col("price_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("month", "price_band")
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1704,6 +1729,7 @@ object ExtQueries {
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
+    "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -2904,6 +2930,19 @@ object ExtQueries {
         |        BETWEEN '1995-01' AND '1995-03'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "versioned_evolve" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
+        |            THEN 'H' ELSE 'L' END AS price_band,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same oracle as versioned_evolve by design: rewrite evolution and
+    // metadata-only evolution must be observationally equivalent.
+    "versioned_evolve_meta" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
         |            THEN 'H' ELSE 'L' END AS price_band,

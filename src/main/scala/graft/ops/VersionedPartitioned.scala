@@ -45,10 +45,17 @@ object VersionedPartitioned {
 
   private val Marker = "graft-manifest v1"
   private val TagPrefix = "tag:"
+  private val ColPrefix = "addcol:"
 
-  /** partition-dir-name (e.g. "date=2024-01-01") → snapshot dir name. */
+  /** partition-dir-name (e.g. "date=2024-01-01") → snapshot dir name.
+    * `addedCols` records metadata-only evolved columns as (name,
+    * default SQL expression): readers fill them on the fly for any
+    * snapshot file written before the evolution. A partition dir name
+    * always contains '=', so the `addcol:` prefix cannot collide with
+    * an entry row. */
   final case class Manifest(partitionCol: String,
-      entries: Map[String, String], tag: Option[String])
+      entries: Map[String, String], tag: Option[String],
+      addedCols: Seq[(String, String)] = Nil)
 
   private def render(m: Manifest): String = {
     require(!m.partitionCol.exists(c => c == '\n' || c == '\t'),
@@ -57,8 +64,15 @@ object VersionedPartitioned {
       "tag must be non-empty and single-line"))
     val header = s"$Marker\t${m.partitionCol}"
     val tagLine = m.tag.map(TagPrefix + _).toSeq
+    val colLines = m.addedCols.map { case (n, d) =>
+      require(n.nonEmpty && !n.exists(c => c == '\n' || c == '\t'),
+        "added-column name must be non-empty without tab/newline")
+      require(d.nonEmpty && !d.contains('\n'),
+        "added-column default must be a non-empty single-line SQL expression")
+      s"$ColPrefix$n\t$d"
+    }
     val rows = m.entries.toSeq.sorted.map { case (p, s) => s"$p\t$s" }
-    (header +: tagLine ++: rows).mkString("\n")
+    (header +: tagLine ++: colLines ++: rows).mkString("\n")
   }
 
   private def parse(content: String): Manifest = {
@@ -67,15 +81,23 @@ object VersionedPartitioned {
     require(head.startsWith(Marker + "\t"),
       s"not a $Marker commit (is this a plain Versioned root?): $head")
     val partitionCol = head.stripPrefix(Marker + "\t")
-    val tag = lines.drop(1).headOption.filter(_.startsWith(TagPrefix))
+    val body = lines.drop(1)
+    val tag = body.headOption.filter(_.startsWith(TagPrefix))
       .map(_.stripPrefix(TagPrefix))
-    val rows = lines.drop(1).dropWhile(_.startsWith(TagPrefix))
+    val afterTag = body.dropWhile(_.startsWith(TagPrefix))
+    val addedCols = afterTag.takeWhile(_.startsWith(ColPrefix)).map { l =>
+      val s = l.stripPrefix(ColPrefix)
+      val i = s.indexOf('\t')
+      require(i > 0, s"bad added-column row: $l")
+      s.substring(0, i) -> s.substring(i + 1)
+    }
+    val rows = afterTag.dropWhile(_.startsWith(ColPrefix))
     val entries = rows.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       require(i > 0, s"bad manifest row: $l")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    Manifest(partitionCol, entries, tag)
+    Manifest(partitionCol, entries, tag, addedCols)
   }
 
   /** (version, manifest) for every parseable commit, ascending. */
@@ -168,9 +190,12 @@ object VersionedPartitioned {
           s"table is partitioned by ${m.partitionCol}, not $partitionCol")
       }
       val base = h.lastOption.map(_._2.entries).getOrElse(Map.empty)
+      // metadata-evolved columns survive every later promote: a frame
+      // that carries one physically simply overrides its default
+      val prevCols = h.lastOption.map(_._2.addedCols).getOrElse(Nil)
       val v = h.lastOption.map(_._1).getOrElse(0L) + 1
       val content =
-        render(Manifest(partitionCol, base ++ written, tag))
+        render(Manifest(partitionCol, base ++ written, tag, prevCols))
       val target = new HPath(rootPath,
         f"${Versioned.CommitPrefix}$v%020d${Versioned.CommitSuffix}")
       try {
@@ -208,6 +233,17 @@ object VersionedPartitioned {
     }
   }
 
+  /** Fill metadata-evolved columns a snapshot's files predate: each
+    * (name, default) applies only when the frame lacks the column
+    * physically. Applied per snapshot frame BEFORE the union, because
+    * snapshots written before and after an evolution differ in
+    * physical schema. */
+  private def applyAddedCols(df: DataFrame, m: Manifest): DataFrame =
+    m.addedCols.foldLeft(df) { case (d, (n, default)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(default))
+    }
+
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
     require(m.entries.nonEmpty,
@@ -216,8 +252,9 @@ object VersionedPartitioned {
     val frames = m.entries.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (snap, parts) =>
         val base = new HPath(rootPath, snap).toString
-        spark.read.option("basePath", base)
-          .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*)
+        applyAddedCols(
+          spark.read.option("basePath", base)
+            .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*), m)
     }
     frames.reduce(_.unionByName(_))
   }
@@ -277,16 +314,18 @@ object VersionedPartitioned {
    */
   def readPruned(spark: SparkSession, root: String, colName: String,
       lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val m = manifestAt(spark, root, version)
     val keep = prunedFiles(spark, root, colName, lo, hi, version)
     if (keep.isEmpty)
-      return readManifest(spark, root, manifestAt(spark, root, version))
+      return readManifest(spark, root, m)
         .where(org.apache.spark.sql.functions.lit(false))
     val rootPath = new HPath(root)
     val frames = keep.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (snap, files) =>
         val base = new HPath(rootPath, snap).toString
-        spark.read.option("basePath", base)
-          .parquet(files.map(f => s"$base/${f._2}"): _*)
+        applyAddedCols(
+          spark.read.option("basePath", base)
+            .parquet(files.map(f => s"$base/${f._2}"): _*), m)
     }
     frames.reduce(_.unionByName(_))
   }
@@ -317,7 +356,8 @@ object VersionedPartitioned {
       readManifest(spark, root, mTo)
         .where(org.apache.spark.sql.functions.lit(false))
     else
-      readManifest(spark, root, Manifest(mTo.partitionCol, changed, mTo.tag))
+      readManifest(spark, root,
+        Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols))
   }
 
   /**
@@ -368,15 +408,21 @@ object VersionedPartitioned {
   }
 
   /**
-   * Schema evolution: add `name` (with `default`, cast to the column's
-   * eventual type by the caller's expression) to every live partition
-   * and commit the evolved state as one fresh snapshot — the
-   * `Schemas.evolve` add-column-with-default grain, at table-format
+   * Schema evolution BY REWRITE: add `name` (with `default`, cast to
+   * the column's eventual type by the caller's expression) to every
+   * live partition and commit the evolved state as one fresh snapshot —
+   * the `Schemas.evolve` add-column-with-default grain, at table-format
    * level. One whole-table rewrite with a single atomic pointer flip:
    * readers resolve either the entirely-old or entirely-new schema,
    * never a per-partition mix (the failure mode of evolving a plain
    * partitioned dir in place). Older versions keep their original
    * schema — time travel replays history as it was.
+   *
+   * Use this form only when the column must exist PHYSICALLY (to
+   * cluster on it, collect stats on it, or hand the files to an
+   * engine that won't resolve manifest metadata). For the common case
+   * prefer `evolveAddColumnMetaOnly` — at 100 TB an add-column must
+   * not rewrite 100 TB.
    */
   def evolveAddColumn(spark: SparkSession, root: String, name: String,
       default: org.apache.spark.sql.Column): Long = {
@@ -385,6 +431,51 @@ object VersionedPartitioned {
     require(!live.columns.contains(name),
       s"column '$name' already exists under $root")
     promote(live.withColumn(name, default), root, m.partitionCol)
+  }
+
+  /**
+   * Metadata-only schema evolution — Iceberg's actual add-column
+   * semantics: NO data file is touched. The commit records
+   * (name, default SQL expression) in the manifest and every reader
+   * (`read`/`readAt`/`readChanges`/`readPruned`) fills the column on
+   * the fly for snapshot files that predate it; a later promote whose
+   * frame carries the column physically overrides the default for its
+   * rows. Evolving a 100 TB table is a pointer flip, not a rewrite.
+   * Time travel to a pre-evolution version has no such column, exactly
+   * like the rewrite path. The default expression may reference other
+   * columns (it is applied per row at read time).
+   *
+   * Same optimistic claim loop as `promote`: a lost race re-reads the
+   * winner's manifest so concurrently-promoted partitions are never
+   * dropped from the evolved commit.
+   */
+  def evolveAddColumnMetaOnly(spark: SparkSession, root: String,
+      name: String, defaultSql: String): Long = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    var committed = -1L
+    while (committed < 0) {
+      val h = history(spark, root)
+      require(h.nonEmpty, s"no committed version under $root")
+      val (pv, m) = h.last
+      require(!m.addedCols.exists(_._1 == name),
+        s"column '$name' already evolved under $root")
+      require(!readManifest(spark, root, m).columns.contains(name),
+        s"column '$name' already exists under $root")
+      val content = render(
+        Manifest(m.partitionCol, m.entries, None,
+          m.addedCols :+ (name -> defaultSql)))
+      val target = new HPath(rootPath,
+        f"${Versioned.CommitPrefix}${pv + 1}%020d${Versioned.CommitSuffix}")
+      try {
+        val os = fs.create(target, false)
+        try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        committed = pv + 1
+      } catch {
+        case _: java.io.IOException if fs.exists(target) => // re-merge
+      }
+    }
+    committed
   }
 
   /** Retention with the same rules as `Versioned.vacuum`: keep the

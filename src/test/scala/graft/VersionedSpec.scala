@@ -299,6 +299,52 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned metadata-only evolve: zero data rewritten, readers fill the default, later promotes override physically") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapDirs() = fs.listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName).toSet
+    val before = snapDirs()
+    val v = VersionedPartitioned.evolveAddColumnMetaOnly(
+      spark, root, "src", "'poly'")
+    assert(v == 2L)
+    // metadata-only: not one new snapshot dir, not one rewritten file
+    assert(snapDirs() == before)
+    val evolved = VersionedPartitioned.read(spark, root)
+    assert(evolved.select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("poly"))
+    assert(state(evolved) == Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    // pre-evolution version: no such column
+    assert(!VersionedPartitioned.readAt(spark, root, 1L)
+      .columns.contains("src"))
+    // a later promote carrying the column PHYSICALLY overrides the
+    // default for its rows; old partitions keep answering with it
+    VersionedPartitioned.promote(
+      Seq(("2024-01-03", 3, "real")).toDF("date", "v", "src"), root)
+    val after = VersionedPartitioned.read(spark, root)
+      .selectExpr("cast(date as string) as date", "src").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(after == Set("2024-01-01" -> "poly", "2024-01-02" -> "poly",
+      "2024-01-03" -> "real"))
+    // the default expression may reference other columns: row-dependent
+    // fills work because it is applied per row at read time
+    VersionedPartitioned.evolveAddColumnMetaOnly(spark, root, "v2", "v * 10")
+    assert(VersionedPartitioned.read(spark, root)
+      .selectExpr("v", "v2").collect()
+      .forall(r => r.getInt(1) == r.getInt(0) * 10))
+    // double-add fails loudly, against both mechanisms
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveAddColumnMetaOnly(spark, root, "src", "'x'")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveAddColumnMetaOnly(spark, root, "v", "'x'")
+    }
+  }
+
   test("partitioned stats pruning: manifest drops superseded partitions, file stats skip the rest; stats-less snapshots stay conservative") {
     val root = Files.createTempDirectory("graft_vp").toString
     val day1 = (1 to 10).map(v => "2024-01-01" -> v)
