@@ -1360,6 +1360,26 @@ object ExtQueries {
       .orderBy("month", "price_band")
   }
 
+  /**
+   * DELETE on the partitioned table format, both paths in one run:
+   * copy-on-write `deleteWhere` strips every 10th key from 1995-02
+   * (1995-01 rides the manifest untouched), then metadata-only
+   * `dropPartitions` removes all of 1995-03 without touching a file.
+   * The oracle replays both as plain SQL filters.
+   */
+  private def versionedDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-03"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vdelete_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month")
+    graft.ops.VersionedPartitioned.deleteWhere(s, root,
+      col("month") === "1995-02" && col("o_orderkey") % 10 === 0)
+    graft.ops.VersionedPartitioned.dropPartitions(s, root,
+      Seq("month=1995-03"))
+    monthTotals(graft.ops.VersionedPartitioned.read(s, root))
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1730,6 +1750,7 @@ object ExtQueries {
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
+    "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -2953,6 +2974,17 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_delete" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-02'
+        |  AND NOT (strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
+        |           AND o_orderkey % 10 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -360,6 +360,130 @@ object VersionedPartitioned {
         Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols))
   }
 
+  /** Optimistic claim loop shared by the manifest-editing commits:
+    * `make` derives (next version, rendered content) from the latest
+    * history; a lost race (create-exclusive fails because the version
+    * file exists) re-reads history and re-derives, so the winner's
+    * edits are never dropped. */
+  private def claimLoop(spark: SparkSession, root: String)(
+      make: Seq[(Long, Manifest)] => (Long, String)): Long = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    var committed = -1L
+    while (committed < 0) {
+      val h = history(spark, root)
+      val (v, content) = make(h)
+      val target = new HPath(rootPath,
+        f"${Versioned.CommitPrefix}$v%020d${Versioned.CommitSuffix}")
+      try {
+        val os = fs.create(target, false)
+        try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        committed = v
+      } catch {
+        case _: java.io.IOException if fs.exists(target) => // re-derive
+      }
+    }
+    committed
+  }
+
+  /** The live partition dir names exactly as the manifest lists them
+    * (e.g. "date=2024-01-01"), sorted — the addressing surface for
+    * `dropPartitions`. A metadata-sized driver fetch. */
+  def partitions(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[String] =
+    manifestAt(spark, root, version).entries.keys.toSeq.sorted
+
+  /**
+   * Metadata-only partition removal — Iceberg's DROP PARTITION /
+   * partition-predicate DELETE fast path: the commit simply omits the
+   * named entries; ZERO data I/O, old versions still time-travel to
+   * the dropped data, and `vacuum` reclaims the bytes once no retained
+   * manifest references them. `dirNames` must use the manifest's own
+   * dir-name form (see `partitions`) — no re-implementation of
+   * partition-path escaping. Dropping wins over a concurrent rewrite
+   * of the same partition (the re-merged commit still omits it), the
+   * same last-writer-wins rule as two promotes racing on one
+   * partition.
+   */
+  def dropPartitions(spark: SparkSession, root: String,
+      dirNames: Seq[String], tag: Option[String] = None): Long = {
+    require(dirNames.nonEmpty, "no partitions named")
+    val first = manifestAt(spark, root, None)
+    val missing = dirNames.filterNot(first.entries.contains)
+    require(missing.isEmpty,
+      s"not live partitions under $root: ${missing.mkString(", ")} " +
+        s"(have ${first.entries.keys.toSeq.sorted.mkString(", ")})")
+    claimLoop(spark, root) { h =>
+      val (pv, m) = h.last
+      (pv + 1,
+        render(Manifest(m.partitionCol, m.entries -- dirNames, tag,
+          m.addedCols)))
+    }
+  }
+
+  /**
+   * Copy-on-write DELETE: remove every row matching `predicate`,
+   * rewriting ONLY the partitions that contain matches — all other
+   * partitions ride the manifest untouched, and a partition left
+   * empty by the delete falls out of the manifest entirely (its dir
+   * simply isn't written, so the commit omits it). Matched partitions
+   * are located by the rows' own file paths (`input_file_name`), so
+   * partition-path escaping is never re-implemented. A no-match
+   * delete commits nothing and returns the current version.
+   *
+   * Concurrency: conflict-checked, not last-writer-wins — the
+   * survivors were computed against this delete's snapshot, so if a
+   * racing commit reassigns one of the affected partitions before our
+   * claim lands, committing would silently discard that writer's rows.
+   * The claim loop detects the reassignment and aborts with an error
+   * telling the caller to re-run the delete against the new state
+   * (Iceberg's validate-no-conflicting-files rule).
+   *
+   * Scale: one scan of the affected partitions only (the predicate
+   * scan prunes via the manifest read path) + one re-clustered write
+   * of their survivors. Stats sidecars are not carried over — re-run
+   * `promote(statsCols = …)` on the rewritten partitions if pruning
+   * matters there; stats-less snapshots degrade conservatively.
+   */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not, regexp_extract}
+    val m0 = manifestAt(spark, root, None)
+    val pcol = m0.partitionCol
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val live = readManifest(spark, root, m0)
+    val dirPat = "/(" + java.util.regex.Pattern.quote(pcol) + "=[^/]+)/"
+    val fileDir = regexp_extract(input_file_name(), dirPat, 1)
+    val affected = live.where(predicate).select(fileDir.as("__d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return currentVersion(spark, root).get
+    val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
+    val snapPath = new HPath(rootPath, snapName)
+    // SQL DELETE semantics: only predicate = TRUE rows go; a NULL
+    // predicate keeps its row (bare `!predicate` would drop it too)
+    live.where(fileDir.isin(affected.toSeq: _*))
+      .where(not(coalesce(predicate, lit(false))))
+      .repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol)
+      .parquet(snapPath.toString)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+      .map(_.getPath.getName -> snapName).toMap
+    claimLoop(spark, root) { h =>
+      val (pv, m) = h.last
+      val moved = affected.filter(d => m.entries.get(d) != m0.entries.get(d))
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          s"concurrent commit rewrote ${moved.toSeq.sorted.mkString(", ")} " +
+            s"under $root while this delete ran — re-run deleteWhere " +
+            "against the new state")
+      (pv + 1,
+        render(Manifest(pcol, m.entries -- affected ++ written, tag,
+          m.addedCols)))
+    }
+  }
+
   /**
    * Row-level MERGE INTO the versioned table, committed at partition
    * granularity — Iceberg-style copy-on-write upsert on the fact

@@ -345,6 +345,70 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned deleteWhere: only matching partitions rewritten, emptied partitions leave the manifest, NULL predicate keeps its row, no-match is a no-op") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    // day1: v 1..4 — partial delete; day2: v 101,102 — fully deleted;
+    // day3: v 201 — untouched, must keep its ORIGINAL snapshot dir
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-01" -> 2, "2024-01-01" -> 3,
+        "2024-01-01" -> 4, "2024-01-02" -> 101, "2024-01-02" -> 102,
+        "2024-01-03" -> 201), root)
+    val day3SnapBefore = VersionedPartitioned.history(spark, root)
+      .last._2.entries("date=2024-01-03")
+    val v = VersionedPartitioned.deleteWhere(spark, root,
+      col("v") % 2 === 0 || col("v") > 100 && col("v") < 200)
+    assert(v == 2L)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-01" -> 3, "2024-01-03" -> 201))
+    // day2 emptied out → absent from the manifest entirely
+    assert(!VersionedPartitioned.partitions(spark, root)
+      .contains("date=2024-01-02"))
+    // day3 had no matches → inherited by reference, not rewritten
+    assert(VersionedPartitioned.history(spark, root)
+      .last._2.entries("date=2024-01-03") == day3SnapBefore)
+    // time travel still sees everything pre-delete
+    assert(state(VersionedPartitioned.readAt(spark, root, 1L)).size == 7)
+    // NULL predicate rows survive (SQL DELETE semantics)
+    val root2 = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(Seq(("2024-01-01", Some(2)),
+        ("2024-01-01", None), ("2024-01-01", Some(5)))
+      .toDF("date", "v"), root2)
+    VersionedPartitioned.deleteWhere(spark, root2, col("v") % 2 === 0)
+    assert(VersionedPartitioned.read(spark, root2)
+      .selectExpr("coalesce(v, -1)").collect()
+      .map(_.getInt(0)).toSet == Set(-1, 5))
+    // no-match delete commits nothing
+    val before = VersionedPartitioned.currentVersion(spark, root2).get
+    assert(VersionedPartitioned.deleteWhere(spark, root2,
+      col("v") === 9999) == before)
+    assert(VersionedPartitioned.currentVersion(spark, root2)
+      .contains(before))
+  }
+
+  test("partitioned dropPartitions: metadata-only removal, time travel intact, unknown partition raises") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3), root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapDirs() = fs.listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName).toSet
+    val before = snapDirs()
+    val v = VersionedPartitioned.dropPartitions(spark, root,
+      Seq("date=2024-01-02"))
+    assert(v == 2L)
+    // zero data I/O: the snapshot dirs on disk are exactly as they were
+    assert(snapDirs() == before)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-03" -> 3))
+    assert(state(VersionedPartitioned.readAt(spark, root, 1L)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3))
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.dropPartitions(spark, root, Seq("date=2099-01-01"))
+    }
+  }
+
   test("partitioned stats pruning: manifest drops superseded partitions, file stats skip the rest; stats-less snapshots stay conservative") {
     val root = Files.createTempDirectory("graft_vp").toString
     val day1 = (1 to 10).map(v => "2024-01-01" -> v)
