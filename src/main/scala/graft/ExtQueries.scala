@@ -1380,6 +1380,34 @@ object ExtQueries {
     monthTotals(graft.ops.VersionedPartitioned.read(s, root))
   }
 
+  /**
+   * Exactly-once incremental propagation between two versioned tables
+   * (ops/VersionedPartitioned.propagateChanges): hop 1 bootstraps the
+   * destination with 1995-01/02; upstream then rewrites 1995-02 with
+   * uplifted prices and adds 1995-03; hop 2 moves exactly those two
+   * partitions. The destination's final state — original 01, uplifted
+   * 02, new 03 — is what the oracle replays.
+   */
+  private def versionedPropagate(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_vprop_").resolve("src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_vprop_").resolve("dst").toString
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    graft.ops.VersionedPartitioned.propagateChanges(s, src, dst)
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+            .cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    graft.ops.VersionedPartitioned.propagateChanges(s, src, dst)
+    monthTotals(graft.ops.VersionedPartitioned.read(s, dst))
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1751,6 +1779,7 @@ object ExtQueries {
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
+    "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -2985,6 +3014,25 @@ object ExtQueries {
         |  AND NOT (strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
         |           AND o_orderkey % 10 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Final dest state after two propagation hops: original 1995-01,
+    // uplifted 1995-02 (the rewrite that rode hop 2), new 1995-03.
+    "versioned_propagate" ->
+      """WITH b AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT month, p FROM b WHERE month = '1995-01'
+        |  UNION ALL
+        |  SELECT month,
+        |         CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
+        |              AS DECIMAL(18,2)) AS p
+        |  FROM b WHERE month = '1995-02'
+        |  UNION ALL
+        |  SELECT month, p FROM b WHERE month = '1995-03')
+        |SELECT month, count(*) AS n_rows,
+        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -522,6 +522,43 @@ object VersionedPartitioned {
       statsCols = statsCols)
   }
 
+  private val SrcVersionTag = "src-version:"
+
+  /**
+   * Exactly-once incremental propagation between two versioned tables —
+   * the downstream half of `readChanges`: read the source partitions
+   * that changed since the last propagated source version and promote
+   * them into `destRoot` in ONE commit tagged with that source version.
+   * The destination's own commit tags ARE the cursor (the Delta
+   * txnAppId/txnVersion idea): there is no side file to desync, so a
+   * crash anywhere re-runs cleanly — before the dest commit nothing
+   * happened, after it the tag is visible and the re-run no-ops.
+   * Returns the (fromVersion, toVersion] source window propagated, or
+   * None when the destination is already current.
+   *
+   * Scale: the whole hop costs O(changed partitions) — manifest diff
+   * at planning, then one re-clustered write of only those partitions.
+   * A 3-partition backfill upstream moves 3 partitions downstream,
+   * never the table. Append/rewrite-shaped changes propagate;
+   * partitions DROPPED upstream are not deleted downstream (incremental
+   * APPEND scan semantics, like Iceberg's) — pair with an explicit
+   * `dropPartitions` on the destination for retention.
+   */
+  def propagateChanges(spark: SparkSession, sourceRoot: String,
+      destRoot: String): Option[(Long, Long)] = {
+    val srcManifest = manifestAt(spark, sourceRoot, None)
+    val to = currentVersion(spark, sourceRoot).get
+    val from = committedTags(spark, destRoot)
+      .filter(_.startsWith(SrcVersionTag))
+      .map(_.stripPrefix(SrcVersionTag).toLong)
+      .reduceOption(_ max _).getOrElse(0L)
+    if (to <= from) return None
+    val changed = readChanges(spark, sourceRoot, from, Some(to))
+    promote(changed, destRoot, srcManifest.partitionCol,
+      tag = Some(s"$SrcVersionTag$to"))
+    Some((from, to))
+  }
+
   /** Rewrite the whole live state as ONE fresh snapshot (all manifest
     * entries point at it) — bounds the snapshot-dir sprawl an
     * append-only promote history accumulates, after which `vacuum`

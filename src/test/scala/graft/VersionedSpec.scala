@@ -409,6 +409,35 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("propagateChanges: exactly-once table-to-table hop, cursor rides the dest commit tags, re-run no-ops, only changed partitions move") {
+    val src = Files.createTempDirectory("graft_vp").toString
+    val dst = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), src)
+    // first hop: bootstrap-from-0 moves everything
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst)
+      .contains((0L, 1L)))
+    assert(state(VersionedPartitioned.read(spark, dst)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    // nothing new upstream → the hop is a no-op (this is also the
+    // crash-replay case: the cursor IS the committed tag, so a re-run
+    // after a crash-after-commit sees it and does nothing)
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst).isEmpty)
+    assert(VersionedPartitioned.currentVersion(spark, dst).contains(1L))
+    // upstream rewrites day 2 and adds day 3; day 1 must ride the
+    // dest's ORIGINAL snapshot through the second hop
+    VersionedPartitioned.promote(
+      pdf("2024-01-02" -> 22, "2024-01-03" -> 3), src)
+    val day1Before = VersionedPartitioned.history(spark, dst)
+      .last._2.entries("date=2024-01-01")
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst)
+      .contains((1L, 2L)))
+    assert(state(VersionedPartitioned.read(spark, dst)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+    assert(VersionedPartitioned.history(spark, dst)
+      .last._2.entries("date=2024-01-01") == day1Before)
+  }
+
   test("partitioned stats pruning: manifest drops superseded partitions, file stats skip the rest; stats-less snapshots stay conservative") {
     val root = Files.createTempDirectory("graft_vp").toString
     val day1 = (1 to 10).map(v => "2024-01-01" -> v)
