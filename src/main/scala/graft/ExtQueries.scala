@@ -1408,6 +1408,39 @@ object ExtQueries {
     monthTotals(graft.ops.VersionedPartitioned.read(s, dst))
   }
 
+  /**
+   * Row-level change data feed on the partitioned table format
+   * (ops/VersionedPartitioned.readRowChanges — Delta `table_changes` /
+   * Iceberg CDC computed at partition grain): v1 holds 1995-01..03; a
+   * backfill rewrites 1995-02 (every 10th key dropped, every 3rd key's
+   * price uplifted 10%) and adds 1995-04. The feed over (v1, v2] must
+   * classify exactly the 02 deletes/updates and the 04 inserts —
+   * months 01 and 03 are untouched, so their partitions are never even
+   * read and contribute no rows. The oracle replays the classification
+   * with set SQL on the same rewrite arithmetic.
+   */
+  private def versionedCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vcdc_").resolve("t").toString
+    val v1 = graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+              .cast("decimal(18,2)"))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    graft.ops.VersionedPartitioned
+      .readRowChanges(s, root, Seq("month", "o_orderkey"), v1)
+      .groupBy(col("month").cast("string").as("month"), col("change_type"))
+      .agg(count(lit(1)).as("n_changes"))
+      .orderBy("month", "change_type")
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1780,6 +1813,7 @@ object ExtQueries {
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
+    "versioned_cdc" -> ((s, dir) => versionedCdc(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -3033,6 +3067,36 @@ object ExtQueries {
         |SELECT month, count(*) AS n_rows,
         |       CAST(sum(p) AS DOUBLE) AS total_price
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC feed over the backfill window: 1995-02's dropped keys are
+    // deletes, its genuinely-repriced keys are updates (unchanged keys
+    // vanish), 1995-04 is all inserts; untouched 01/03 contribute
+    // nothing because their partitions never enter the diff.
+    "versioned_cdc" ->
+      """WITH b AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |         o_orderkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |new02 AS (
+        |  SELECT month, o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
+        |                        AS DECIMAL(18,2))
+        |              ELSE p END AS p
+        |  FROM b WHERE month = '1995-02' AND o_orderkey % 10 <> 0),
+        |changes AS (
+        |  SELECT month, 'delete' AS change_type
+        |  FROM b WHERE month = '1995-02' AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT n.month, 'update' AS change_type
+        |  FROM new02 n JOIN b o
+        |    ON o.month = '1995-02' AND o.o_orderkey = n.o_orderkey
+        |  WHERE n.p <> o.p
+        |  UNION ALL
+        |  SELECT month, 'insert' AS change_type
+        |  FROM b WHERE month = '1995-04')
+        |SELECT month, change_type, count(*) AS n_changes
+        |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -360,6 +360,54 @@ object VersionedPartitioned {
         Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols))
   }
 
+  /**
+   * Row-level change data feed between two versions — Delta's
+   * `table_changes` / Iceberg's CDC view, computed on demand at
+   * partition grain rather than logged at write time: the manifest
+   * diff names the partitions whose snapshot assignment changed
+   * (added, rewritten, or dropped), BOTH versions of only those
+   * partitions are read, and `Diff.snapshotDiff` classifies every key
+   * as insert / delete / update (unchanged keys inside a rewritten
+   * partition are dropped). Output = `keys` + `change_type`; a
+   * full-row feed is one change-sized join back to `readAt`.
+   *
+   * Scale: cost is O(changed partitions), never O(table) — a daily
+   * backfill touching 3 of 10⁴ partitions reads 3 partitions twice
+   * and runs one change-partition-sized full-outer join
+   * (`Diff.snapshotDiff`'s single-struct `<=>` compare); untouched
+   * partitions are never listed, read, or shuffled. No write-side
+   * change log means promotes stay O(changed partitions) too — the
+   * trade is CDC read cost proportional to the rewritten partitions'
+   * row count, the right side of the trade when rewrites are
+   * partition-shaped (the reference's daily DELETE+INSERT exchange,
+   * `dags/dag.py:292-311`).
+   *
+   * Both sides are read through the `toVersion` manifest's added-column
+   * view, so a metadata-only `evolveAddColumnMetaOnly` between the two
+   * versions presents the latest schema on both sides (Delta CDF's
+   * latest-schema convention) instead of a column-mismatch failure.
+   */
+  def readRowChanges(spark: SparkSession, root: String, keys: Seq[String],
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val mTo = manifestAt(spark, root, toVersion)
+    val fromEntries: Map[String, String] =
+      if (fromVersion <= 0) Map.empty
+      else manifestAt(spark, root, Some(fromVersion)).entries
+    val changed = (fromEntries.keySet ++ mTo.entries.keySet)
+      .filter(p => fromEntries.get(p) != mTo.entries.get(p))
+    def side(entries: Map[String, String]): Option[DataFrame] = {
+      val kept = entries.filter { case (p, _) => changed(p) }
+      if (kept.isEmpty) None
+      else Some(readManifest(spark, root,
+        Manifest(mTo.partitionCol, kept, None, mTo.addedCols)))
+    }
+    val (oldSide, newSide) = (side(fromEntries), side(mTo.entries))
+    val anchor = newSide.orElse(oldSide).getOrElse(
+      readManifest(spark, root, mTo)) // nothing changed: schema-only read
+    val empty = anchor.where(org.apache.spark.sql.functions.lit(false))
+    Diff.snapshotDiff(oldSide.getOrElse(empty), newSide.getOrElse(empty), keys)
+  }
+
   /** Optimistic claim loop shared by the manifest-editing commits:
     * `make` derives (next version, rendered content) from the latest
     * history; a lost race (create-exclusive fails because the version

@@ -438,6 +438,40 @@ class VersionedSpec extends AnyFunSuite {
       .last._2.entries("date=2024-01-01") == day1Before)
   }
 
+  test("readRowChanges: row-level CDC over only the changed partitions — bootstrap all-insert, rewrite classifies insert/update/delete, untouched partition absent, current window empty") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    val kdf = Seq(("2024-01-01", 1, 10), ("2024-01-01", 2, 20),
+      ("2024-01-02", 3, 30), ("2024-01-02", 4, 40)).toDF("date", "k", "v")
+    val v1 = VersionedPartitioned.promote(kdf, root)
+    def cdc(from: Long) = VersionedPartitioned
+      .readRowChanges(spark, root, Seq("date", "k"), from)
+      .selectExpr("cast(date as string)", "k", "change_type").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // bootstrap-from-0: every key is an insert
+    assert(cdc(0L) == Set(("2024-01-01", 1, "insert"),
+      ("2024-01-01", 2, "insert"), ("2024-01-02", 3, "insert"),
+      ("2024-01-02", 4, "insert")))
+    // rewrite day 2: k=3 changes value, k=4 disappears, k=5 appears;
+    // day 1 untouched — its rows must NOT appear (its partition is
+    // never even read: the manifest diff excludes it)
+    VersionedPartitioned.promote(
+      Seq(("2024-01-02", 3, 99), ("2024-01-02", 5, 50)).toDF("date", "k", "v"),
+      root)
+    assert(cdc(v1) == Set(("2024-01-02", 3, "update"),
+      ("2024-01-02", 4, "delete"), ("2024-01-02", 5, "insert")))
+    // a dropped partition is all-delete
+    val v2 = VersionedPartitioned.currentVersion(spark, root).get
+    VersionedPartitioned.dropPartitions(spark, root, Seq("date=2024-01-01"))
+    assert(cdc(v2) == Set(("2024-01-01", 1, "delete"),
+      ("2024-01-01", 2, "delete")))
+    // an unchanged window is empty, with the change-feed schema
+    val cur = VersionedPartitioned.currentVersion(spark, root).get
+    val none = VersionedPartitioned
+      .readRowChanges(spark, root, Seq("date", "k"), cur)
+    assert(none.columns.toSeq == Seq("date", "k", "change_type"))
+    assert(none.count() == 0)
+  }
+
   test("partitioned stats pruning: manifest drops superseded partitions, file stats skip the rest; stats-less snapshots stay conservative") {
     val root = Files.createTempDirectory("graft_vp").toString
     val day1 = (1 to 10).map(v => "2024-01-01" -> v)
