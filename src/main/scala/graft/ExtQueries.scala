@@ -1441,6 +1441,31 @@ object ExtQueries {
       .orderBy("month", "change_type")
   }
 
+  /**
+   * Metadata-only partition statistics (ops/VersionedPartitioned
+   * .partitionStats — Iceberg's `partitions` metadata table): promote
+   * 1995-01..03 with o_totalprice stats, then rewrite 1995-02 so 01/03
+   * inherit the first snapshot's sidecars. Per-month count/min/max are
+   * answered from the `_stats` sidecars with zero data I/O; the oracle
+   * recomputes them from the raw rows.
+   */
+  private def versionedStats(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vstats_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month",
+      statsCols = Seq("o_totalprice"))
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0),
+      root, "month", statsCols = Seq("o_totalprice"))
+    graft.ops.VersionedPartitioned.partitionStats(s, root, "o_totalprice")
+      .select(col("month").cast("string").as("month"), col("n_rows"),
+        col("min_o_totalprice").cast("double").as("min_price"),
+        col("max_o_totalprice").cast("double").as("max_price"))
+      .orderBy("month")
+  }
+
   /** Calendar resample + forward-fill (ops/Resample.scala): daily close
     * per (user, type) densified onto each key's full date range, gaps
     * forward-filled from the last observed bar. */
@@ -1814,6 +1839,7 @@ object ExtQueries {
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
     "versioned_cdc" -> ((s, dir) => versionedCdc(s, dir)),
+    "versioned_stats" -> ((s, dir) => versionedStats(s, dir)),
     "resample_ffill" -> ((s, dir) => resampleFfill(s, dir)),
     "resample_interp" -> ((s, dir) => resampleInterp(s, dir)),
     "rolling_range" -> ((s, dir) => rollingRange(s, dir)),
@@ -3097,6 +3123,24 @@ object ExtQueries {
         |  FROM b WHERE month = '1995-04')
         |SELECT month, change_type, count(*) AS n_changes
         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Per-month stats of the post-rewrite table state: 01/03 original,
+    // 02 with every 10th key dropped — the engine answers from stats
+    // sidecars, the oracle from the rows themselves.
+    "versioned_stats" ->
+      """WITH b AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |         o_orderkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT month, p FROM b WHERE month IN ('1995-01', '1995-03')
+        |  UNION ALL
+        |  SELECT month, p FROM b
+        |  WHERE month = '1995-02' AND o_orderkey % 10 <> 0)
+        |SELECT month, count(*) AS n_rows,
+        |       CAST(min(p) AS DOUBLE) AS min_price,
+        |       CAST(max(p) AS DOUBLE) AS max_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,

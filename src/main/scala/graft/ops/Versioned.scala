@@ -155,8 +155,8 @@ object Versioned {
     // own (underscore-hidden) `_stats` dir, so stats and data commit
     // together and time-travel reads prune against the right version.
     if (statsCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{col, element_at, input_file_name, max, min, split}
-      val aggs = statsCols.flatMap(c =>
+      import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, max, min, split}
+      val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       spark.read.parquet(snapPath.toString)
         .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
@@ -171,10 +171,11 @@ object Versioned {
 
   private[ops] val StatsDirName = "_stats"
 
-  /** The per-file min/max stats table a `commit(statsCols = …)` wrote
-    * for `version` (latest if None): one row per data file with
-    * `__file, min_<c>, max_<c>` columns. None if that snapshot was
-    * committed without stats. */
+  /** The per-file stats table a `commit(statsCols = …)` wrote for
+    * `version` (latest if None): one row per data file with
+    * `__file, __rows, min_<c>, max_<c>` columns (`__rows` absent in
+    * sidecars written before row counts existed). None if that
+    * snapshot was committed without stats. */
   def fileStats(spark: SparkSession, root: String,
       version: Option[Long] = None): Option[DataFrame] = {
     val snap = snapDir(spark, root, version)

@@ -162,8 +162,8 @@ object VersionedPartitioned {
     // that snapshot's stats with it. Only NEW files are ever scanned:
     // stats cost is O(changed partitions), like the promote itself.
     if (statsCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{element_at, max, min, split}
-      val aggs = statsCols.flatMap(c =>
+      import org.apache.spark.sql.functions.{count, element_at, lit, max, min, split}
+      val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       spark.read.option("basePath", snapPath.toString)
         .parquet(snapPath.toString)
@@ -328,6 +328,72 @@ object VersionedPartitioned {
             .parquet(files.map(f => s"$base/${f._2}"): _*), m)
     }
     frames.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Iceberg's `partitions` metadata table: per-partition row count and
+   * min/max of `colName`, answered from the per-snapshot `_stats`
+   * sidecars alone — for a table whose referenced snapshots all carry
+   * row-count stats, ZERO data I/O: planning reads one metadata-sized
+   * sidecar per referenced snapshot, so `count(*)`-per-partition on a
+   * 100 TB table costs what listing its manifest costs. A referenced
+   * snapshot committed without stats (or with pre-row-count stats)
+   * degrades gracefully: ONLY that snapshot's referenced partitions
+   * are read from data, never the table — mixed histories stay exact,
+   * older snapshots just pay more. Superseded files are excluded by
+   * the same manifest filter as every read, and an inherited partition
+   * answers from the sidecar of the snapshot that wrote it.
+   *
+   * Output: (`<partitionCol>` in partition-path string form, `n_rows`,
+   * `min_<colName>`, `max_<colName>`). min/max ignore NULLs (the
+   * standard SQL aggregate contract the sidecar was built with).
+   */
+  def partitionStats(spark: SparkSession, root: String, colName: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, substring_index, sum}
+    val m = manifestAt(spark, root, version)
+    require(m.entries.nonEmpty,
+      s"manifest under $root has no live partitions (schema unknowable)")
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val dirExpr = substring_index(col("__file"), "/", 1)
+    val frames = m.entries.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (snap, parts) =>
+        val partDirs = parts.keys.toSeq
+        val snapPath = new HPath(rootPath, snap)
+        val statsPath = new HPath(snapPath, Versioned.StatsDirName)
+        val sidecar =
+          (if (fs.exists(statsPath))
+             Some(spark.read.parquet(statsPath.toString)) else None)
+            .filter(st => Seq("__rows", s"min_$colName", s"max_$colName")
+              .forall(st.columns.contains))
+        sidecar match {
+          case Some(st) =>
+            // metadata path: value = dir name minus "<partitionCol>="
+            st.where(dirExpr.isin(partDirs: _*))
+              .groupBy(dirExpr.substr(lit(m.partitionCol.length + 2),
+                lit(Int.MaxValue)).as(m.partitionCol))
+              .agg(sum(col("__rows")).as("n_rows"),
+                min(col(s"min_$colName")).as(s"min_$colName"),
+                max(col(s"max_$colName")).as(s"max_$colName"))
+          case None =>
+            // conservative path: scan ONLY this snapshot's referenced
+            // partitions (stats-less or pre-row-count sidecar)
+            val base = snapPath.toString
+            applyAddedCols(spark.read.option("basePath", base)
+              .parquet(partDirs.sorted.map(p => s"$base/$p"): _*), m)
+              .groupBy(col(m.partitionCol).cast("string").as(m.partitionCol))
+              .agg(count(lit(1)).as("n_rows"),
+                min(col(colName)).as(s"min_$colName"),
+                max(col(colName)).as(s"max_$colName"))
+        }
+    }
+    // each partition lives in exactly one snapshot group; the final
+    // fold is metadata-sized and only normalizes the union
+    frames.reduce(_.unionByName(_))
+      .groupBy(col(m.partitionCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col(s"min_$colName")).as(s"min_$colName"),
+        max(col(s"max_$colName")).as(s"max_$colName"))
   }
 
   /**

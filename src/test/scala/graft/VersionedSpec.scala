@@ -438,6 +438,41 @@ class VersionedSpec extends AnyFunSuite {
       .last._2.entries("date=2024-01-01") == day1Before)
   }
 
+  test("partitionStats: per-partition count/min/max from stats sidecars alone — answers survive data-file loss; stats-less snapshots degrade to a scoped scan") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1), ("2024-01-01", 5), ("2024-01-02", 7))
+        .toDF("date", "v"), root, statsCols = Seq("v"))
+    // rewrite day 2; day 1 inherits the first snapshot's sidecar
+    VersionedPartitioned.promote(
+      Seq(("2024-01-02", 9), ("2024-01-02", 2)).toDF("date", "v"),
+      root, statsCols = Seq("v"))
+    def stats() = VersionedPartitioned.partitionStats(spark, root, "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(stats() == Set(("2024-01-01", 2L, 1, 5),
+      ("2024-01-02", 2L, 2, 9)))
+    // metadata-only proof: delete every DATA file (keep the sidecars);
+    // the stats answer must not change because nothing reads data
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new HPath(root)).filter(_.isDirectory).foreach { snap =>
+      fs.listStatus(snap.getPath)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("date="))
+        .foreach(d => fs.delete(d.getPath, true))
+    }
+    assert(stats() == Set(("2024-01-01", 2L, 1, 5),
+      ("2024-01-02", 2L, 2, 9)))
+    // a stats-less promote still answers — via a scan scoped to ITS
+    // referenced partitions only (the sidecar-backed days have no data
+    // files left, so any wider scan would throw)
+    VersionedPartitioned.promote(Seq(("2024-01-03", 4)).toDF("date", "v"),
+      root)
+    assert(stats() == Set(("2024-01-01", 2L, 1, 5),
+      ("2024-01-02", 2L, 2, 9), ("2024-01-03", 1L, 4, 4)))
+  }
+
   test("readRowChanges: row-level CDC over only the changed partitions — bootstrap all-insert, rewrite classifies insert/update/delete, untouched partition absent, current window empty") {
     val root = Files.createTempDirectory("graft_vp").toString
     val kdf = Seq(("2024-01-01", 1, 10), ("2024-01-01", 2, 20),
