@@ -239,4 +239,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("readRowChanges: only changed-partition files enter the scan; one join, no cross product") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.VersionedPartitioned
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcplan").toString
+    val v1 = VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1, 10), ("2024-01-02", 2, 20)).toDF("date", "k", "v"),
+      root)
+    VersionedPartitioned.promote(
+      Seq(("2024-01-02", 2, 99)).toDF("date", "k", "v"), root)
+    val feed = VersionedPartitioned
+      .readRowChanges(spark, root, Seq("date", "k"), v1)
+    // the untouched partition's files are not merely filtered out — they
+    // never enter the plan at all (the manifest diff scopes the scans)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("date=2024-01-02")),
+      s"scanned:\n${feed.inputFiles.mkString("\n")}")
+    val p = feed.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }
