@@ -452,7 +452,11 @@ object ExtQueries {
     * cross-engine sum ulp), ordered by key. Revenue sums in DECIMAL —
     * price and discount are exact 2-decimal values, so the scale-4
     * product and its sum are exact and order-independent (a double sum
-    * disagrees in the last ulp at the cent-rounding boundary). */
+    * disagrees in the last ulp at the cent-rounding boundary). The
+    * EMITTED column is the exact sum rounded to cents and cast to
+    * DOUBLE: a DECIMAL output column renders engine-specifically
+    * (Decimal objects vs float64 in the gate's pandas path), so
+    * decimals stay internal — same contract as join_skew_salted. */
   private def shippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = "1998-06-01"
     val customer = Tables.load(s, dir, "customer")
@@ -468,8 +472,8 @@ object ExtQueries {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
         col("o_orderpriority"))
-      .agg(sum(price * (lit(1).cast("decimal(18,2)") - disc))
-        .cast("decimal(38,4)").as("revenue"))
+      .agg(round(sum(price * (lit(1).cast("decimal(18,2)") - disc)), 2)
+        .cast("double").as("revenue"))
       .orderBy("o_orderkey")
   }
 
@@ -2539,10 +2543,10 @@ object ExtQueries {
     "shipping_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         |       o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * (CAST(1 AS DECIMAL(18,2))
-        |                   - CAST(l_discount AS DECIMAL(18,2))))
-        |            AS DECIMAL(38,4)) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (CAST(1 AS DECIMAL(18,2))
+        |                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2684,7 +2688,7 @@ object ExtQueries {
          |      CROSS JOIN sc)
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
-         |             / count(*), 4) AS logratio,
+         |             / count(*), 4) + 0.0 AS logratio,
          |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
          |             / count(*), 4) > 0 AS keep
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,

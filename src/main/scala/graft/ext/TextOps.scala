@@ -310,7 +310,9 @@ object TextOps {
           .as("__sorted"))
       .withColumn("logratio", round(
         expr("aggregate(transform(__sorted, s -> s.__lp), 0D, (a, v) -> a + v)")
-          / col("n_tokens"), 4))
+          / col("n_tokens"), 4) + lit(0.0)) // + 0.0: IEEE -0.0 → +0.0, so a
+      // tiny-negative ratio that rounds to zero renders identically in
+      // every engine (the oracle applies the same normalization)
       .select(col(idCol), col("n_tokens"), col("logratio"),
         (col("logratio") > 0.0).as("keep"))
   }

@@ -26,23 +26,28 @@ class PlanSpec extends AnyFunSuite {
     assert(q.subsetOf(o), s"queries without oracles (rows-only gate): ${q.diff(o)}")
   }
 
-  test("driver contract: no registered query outputs array/map/struct columns") {
+  test("driver contract: no registered query outputs array/map/struct/decimal columns") {
     // The driver's pandas-based oracle compare sorts cells and cannot
     // hash array values (r7: embed_quantize died on a raw ARRAY<INT>
     // column before any comparison). Gate outputs must flatten nested
     // shapes to scalars (array_join CSV — see SparkEntry packD/packL);
-    // the in-engine APIs keep real arrays.
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    // the in-engine APIs keep real arrays. DECIMAL output columns are
+    // equally fatal (r8: shipping_priority): the driver renders the
+    // Spark side as decimal.Decimal objects and the DuckDB oracle side
+    // as float64 — same value, different rendered cell, hash mismatch.
+    // Keep decimal arithmetic internal; emit round(...).cast("double").
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
       q(spark, sf).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
                   f.dataType.isInstanceOf[MapType] ||
-                  f.dataType.isInstanceOf[StructType] =>
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType.isInstanceOf[DecimalType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
       }
     }
     assert(offenders.isEmpty,
-      s"nested-typed gate outputs (driver compare would die): $offenders")
+      s"nested/decimal-typed gate outputs (driver compare would die): $offenders")
   }
 
   test("top_parts_per_brand: rank-limit pushes below the shuffle (WindowGroupLimit)") {
