@@ -81,11 +81,21 @@ object Versioned {
     v
   }
 
-  /** (version, raw commit-file content) for every non-empty commit,
-    * ascending — format-agnostic listing shared with the partitioned
-    * variant. */
-  private[ops] def rawHistory(fs: FileSystem,
-      rootPath: HPath): Seq[(Long, String)] = {
+  /** Test hook: commit files actually OPENED and read (directory
+    * listings are not counted) — lets VersionedSpec assert that a
+    * single read/promote resolves O(1) commit files on a long-history
+    * table instead of parsing every manifest ever committed. */
+  private[graft] val commitFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (version, path) of every non-empty commit file, ascending, from
+    * ONE directory listing — no file contents are read. The zero-padded
+    * names make the numeric sort equal the commit order, and
+    * `getLen > 0` screens out crashed claims (create-then-die) without
+    * opening them, so "what versions exist" costs a listing, not
+    * O(#versions) file reads. */
+  private[ops] def listCommits(fs: FileSystem,
+      rootPath: HPath): Seq[(Long, HPath)] = {
     if (!fs.exists(rootPath)) return Seq.empty
     fs.listStatus(rootPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(CommitPrefix)
@@ -93,15 +103,55 @@ object Versioned {
       .flatMap { s =>
         val name = s.getPath.getName
           .stripPrefix(CommitPrefix).stripSuffix(CommitSuffix)
-        val in = fs.open(s.getPath)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        try Some((name.toLong, content))
+        try Some((name.toLong, s.getPath))
         catch { case _: NumberFormatException => None }
       }
       .sortBy(_._1)
   }
+
+  private[ops] def readCommit(fs: FileSystem, p: HPath): String = {
+    commitFileReads.incrementAndGet()
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Latest committed (version, content) with exactly ONE commit-file
+    * read — the resolution every read/promote takes. Resolving the
+    * latest state by parsing the FULL history is the manifest-read
+    * amplification that turns a year of daily commits into ~365 file
+    * reads per table resolution; the listing-then-one-read split here
+    * is Iceberg's latest-pointer idea with the sorted listing playing
+    * the pointer. */
+  private[ops] def latestRaw(fs: FileSystem,
+      rootPath: HPath): Option[(Long, String)] =
+    listCommits(fs, rootPath).lastOption.map { case (v, p) =>
+      (v, readCommit(fs, p)) }
+
+  /** (version, content) of exactly `version` — one commit-file read;
+    * throws with the available versions when absent (vacuumed below the
+    * retention floor, or never committed). */
+  private[ops] def rawAt(fs: FileSystem, rootPath: HPath,
+      version: Long): (Long, String) = {
+    val cs = listCommits(fs, rootPath)
+    cs.find(_._1 == version) match {
+      case Some((v, p)) => (v, readCommit(fs, p))
+      case None => throw new IllegalArgumentException(
+        s"version $version not found under $rootPath " +
+          s"(have ${cs.map(_._1).mkString(",")})")
+    }
+  }
+
+  /** (version, raw commit-file content) for every non-empty commit,
+    * ascending — format-agnostic full-history read shared with the
+    * partitioned variant. Callers that only need the LATEST commit (or
+    * one exact version) must use `latestRaw`/`rawAt` instead: this is
+    * O(#versions) file reads and is reserved for the genuinely
+    * whole-history operations (tag sets, vacuum's referenced-dir
+    * census). */
+  private[ops] def rawHistory(fs: FileSystem,
+      rootPath: HPath): Seq[(Long, String)] =
+    listCommits(fs, rootPath).map { case (v, p) => (v, readCommit(fs, p)) }
 
   /** (version, snapshot dir name, optional tag) for every parseable
     * commit, ascending. A commit file's first line names the snapshot
@@ -127,9 +177,12 @@ object Versioned {
   def committedTags(spark: SparkSession, root: String): Set[String] =
     fullHistory(spark, root).flatMap(_._3).toSet
 
-  /** Highest committed version, if any commit exists. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    history(spark, root).lastOption.map(_._1)
+  /** Highest committed version, if any commit exists — a pure listing,
+    * zero commit-file reads. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    listCommits(fs, rootPath).lastOption.map(_._1)
+  }
 
   /**
    * Commit `df` as the table's next version and return the version
@@ -220,15 +273,14 @@ object Versioned {
 
   private def snapDir(spark: SparkSession, root: String,
       version: Option[Long]): HPath = {
-    val h = history(spark, root)
-    require(h.nonEmpty, s"no committed version under $root")
-    val dir = version match {
-      case None => h.last._2
-      case Some(n) => h.find(_._1 == n).map(_._2).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $n not found under $root (have ${h.map(_._1).mkString(",")})"))
+    // one commit-file read per resolution, regardless of history length
+    val (fs, rootPath) = fsOf(spark, root)
+    val content = version match {
+      case None => latestRaw(fs, rootPath).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"no committed version under $root"))
+      case Some(n) => rawAt(fs, rootPath, n)._2
     }
-    new HPath(new HPath(root), dir)
+    new HPath(rootPath, content.linesIterator.next())
   }
 
   /** Read the latest committed snapshot. The returned frame is pinned to
