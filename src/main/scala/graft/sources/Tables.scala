@@ -2,18 +2,26 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Testdata table loaders.
  *
- * The driver-generated parquet stores timestamps as INT64
- * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
- * (PARQUET_TYPE_ILLEGAL). We read them via the
- * `spark.sql.legacy.parquet.nanosAsLong` escape hatch (nanos surface as
- * LongType) and immediately normalize to microsecond TimestampType —
- * the same truncation DuckDB 1.x applies when it reads nano parquet, so
- * both engines see identical timestamps.
+ * The driver-generated parquet has stored its timestamp columns under
+ * two different physical encodings across regenerations, and the loader
+ * normalizes BOTH to session-zoned microsecond TimestampType so every
+ * downstream consumer (`unix_millis`, date casts, window ranges) sees
+ * one canonical type:
+ *
+ *  - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects this
+ *    outright (PARQUET_TYPE_ILLEGAL), so we read via the
+ *    `spark.sql.legacy.parquet.nanosAsLong` escape hatch (nanos surface
+ *    as LongType) and truncate to micros — the same truncation DuckDB
+ *    applies, so both engines see identical values.
+ *  - timestamp[us] with no timezone: Spark 4 infers TIMESTAMP_NTZ.
+ *    The graft session timezone is pinned to UTC (Graft.session), so a
+ *    cast to TimestampType is value-preserving and matches DuckDB's
+ *    naive-timestamp read of the same file.
  */
 object Tables {
 
@@ -35,6 +43,8 @@ object Tables {
       d.schema.find(_.name == c) match {
         case Some(f) if f.dataType == LongType =>
           d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case Some(f) if f.dataType == TimestampNTZType =>
+          d.withColumn(c, col(c).cast(TimestampType))
         case _ => d
       }
     }
