@@ -89,11 +89,12 @@ object Versioned {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** (version, path) of every non-empty commit file, ascending, from
-    * ONE directory listing — no file contents are read. The zero-padded
-    * names make the numeric sort equal the commit order, and
-    * `getLen > 0` screens out crashed claims (create-then-die) without
-    * opening them, so "what versions exist" costs a listing, not
-    * O(#versions) file reads. */
+    * ONE directory listing — no file contents are read. Ordering comes
+    * from the PARSED version number (the zero-padded names only matter
+    * to raw lexicographic listings elsewhere), and `getLen > 0` screens
+    * out crashed claims (create-then-die) without opening them, so
+    * "what versions exist" costs a listing, not O(#versions) file
+    * reads. */
   private[ops] def listCommits(fs: FileSystem,
       rootPath: HPath): Seq[(Long, HPath)] = {
     if (!fs.exists(rootPath)) return Seq.empty
@@ -124,18 +125,35 @@ object Versioned {
     * is Iceberg's latest-pointer idea with the sorted listing playing
     * the pointer. */
   private[ops] def latestRaw(fs: FileSystem,
-      rootPath: HPath): Option[(Long, String)] =
-    listCommits(fs, rootPath).lastOption.map { case (v, p) =>
-      (v, readCommit(fs, p)) }
+      rootPath: HPath): Option[(Long, String)] = {
+    // TOCTOU guard: a concurrent vacuum can delete a listed commit file
+    // before it is opened. The latest commit is never below any vacuum's
+    // retention floor at listing time, but a commit landing between the
+    // two vacuum phases can shift "latest" — one relist resolves it.
+    def attempt(): Option[(Long, String)] =
+      listCommits(fs, rootPath).lastOption.map { case (v, p) =>
+        (v, readCommit(fs, p)) }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+  }
 
   /** (version, content) of exactly `version` — one commit-file read;
     * throws with the available versions when absent (vacuumed below the
-    * retention floor, or never committed). */
+    * retention floor, or never committed). A commit vacuumed BETWEEN
+    * the listing and the open surfaces as the same "not found" error,
+    * not a raw FileNotFoundException. */
   private[ops] def rawAt(fs: FileSystem, rootPath: HPath,
       version: Long): (Long, String) = {
     val cs = listCommits(fs, rootPath)
     cs.find(_._1 == version) match {
-      case Some((v, p)) => (v, readCommit(fs, p))
+      case Some((v, p)) =>
+        try (v, readCommit(fs, p))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"version $version not found under $rootPath " +
+                "(vacuumed concurrently with this read)")
+        }
       case None => throw new IllegalArgumentException(
         s"version $version not found under $rootPath " +
           s"(have ${cs.map(_._1).mkString(",")})")

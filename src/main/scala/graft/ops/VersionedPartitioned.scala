@@ -43,6 +43,26 @@ import org.apache.spark.sql.functions.{col, input_file_name}
  */
 object VersionedPartitioned {
 
+  /** Decode Spark/Hive partition-path escaping (`%xx` hex sequences,
+    * e.g. `2024%3A01` → `2024:01`) — the inverse of the escaping the
+    * parquet writer applies to partition dir names. Kept local so the
+    * sidecar-backed and fallback-scan paths of `partitionStats` emit
+    * the same RAW value form without depending on Catalyst internals. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private val Marker = "graft-manifest v1"
   private val TagPrefix = "tag:"
   private val ColPrefix = "addcol:"
@@ -100,17 +120,36 @@ object VersionedPartitioned {
     Manifest(partitionCol, entries, tag, addedCols)
   }
 
-  /** (version, manifest) for every parseable commit, ascending. */
+  /** (version, manifest) for every parseable commit, ascending.
+    * O(#versions) commit-file reads — reserved for the genuinely
+    * whole-history operations (vacuum's referenced-dir census, tag
+    * sets, history inspection). Latest-state and exact-version callers
+    * resolve through `latestManifest`/`manifestAt` (one read). */
   def history(spark: SparkSession, root: String): Seq[(Long, Manifest)] = {
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     Versioned.rawHistory(fs, rootPath).map { case (v, c) => (v, parse(c)) }
   }
 
-  def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    history(spark, root).lastOption.map(_._1)
+  /** Latest (version, manifest) with exactly one commit-file read — the
+    * resolution every read/promote/merge/CDC call takes, regardless of
+    * how many commits the table has accumulated. */
+  private def latestManifest(spark: SparkSession,
+      root: String): Option[(Long, Manifest)] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    Versioned.latestRaw(fs, rootPath).map { case (v, c) => (v, parse(c)) }
+  }
 
-  /** Every tag any commit carries (exactly-once replay detection, same
-    * contract as `Versioned.committedTags`). */
+  /** Highest committed version — a pure directory listing, zero
+    * commit-file reads (delegates to the shared commit protocol). */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    Versioned.currentVersion(spark, root)
+
+  /** Every tag any retained commit carries (exactly-once replay
+    * detection, same contract as `Versioned.committedTags`). Genuinely
+    * needs the full history — a tag can live on ANY retained commit —
+    * so this is O(#versions) small-file reads; callers on hot paths
+    * (the streaming epoch guard, the propagate cursor) run once per
+    * micro-batch/hop against vacuum-bounded histories, not per row. */
   def committedTags(spark: SparkSession, root: String): Set[String] =
     history(spark, root).flatMap(_._2.tag).toSet
 
@@ -162,13 +201,19 @@ object VersionedPartitioned {
     // that snapshot's stats with it. Only NEW files are ever scanned:
     // stats cost is O(changed partitions), like the promote itself.
     if (statsCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{count, element_at, lit, max, min, split}
+      import org.apache.spark.sql.functions.{count, element_at, lit, max, min, regexp_replace, split, url_decode}
       val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      // `__file` is stored in ON-DISK form: input_file_name() returns a
+      // URI (':' Hive-escaped on disk as %3A arrives doubly encoded as
+      // %253A, spaces as %20), so one percent-decode recovers the disk
+      // name — with '+' pre-escaped because url_decode would otherwise
+      // read a literal '+' (legal on disk) as an encoded space
+      val diskForm = url_decode(regexp_replace(
+        element_at(split(input_file_name(), snapName + "/"), 2), "\\+", "%2B"))
       spark.read.option("basePath", snapPath.toString)
         .parquet(snapPath.toString)
-        .groupBy(element_at(split(input_file_name(), snapName + "/"), 2)
-          .as("__file"))
+        .groupBy(diskForm.as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .coalesce(1)
         .write.parquet(new HPath(snapPath, Versioned.StatsDirName).toString)
@@ -182,18 +227,20 @@ object VersionedPartitioned {
       .map(_.getPath.getName -> snapName).toMap
     // Claim loop with per-attempt re-merge: a lost claim means the
     // merge base advanced — re-read it or drop the winner's partitions.
+    // The merge base is the LATEST manifest only (one commit-file read
+    // per attempt), never the full history.
     var committed = -1L
     while (committed < 0) {
-      val h = history(spark, root)
-      h.lastOption.foreach { case (_, m) =>
+      val latest = latestManifest(spark, root)
+      latest.foreach { case (_, m) =>
         require(m.partitionCol == partitionCol,
           s"table is partitioned by ${m.partitionCol}, not $partitionCol")
       }
-      val base = h.lastOption.map(_._2.entries).getOrElse(Map.empty)
+      val base = latest.map(_._2.entries).getOrElse(Map.empty)
       // metadata-evolved columns survive every later promote: a frame
       // that carries one physically simply overrides its default
-      val prevCols = h.lastOption.map(_._2.addedCols).getOrElse(Nil)
-      val v = h.lastOption.map(_._1).getOrElse(0L) + 1
+      val prevCols = latest.map(_._2.addedCols).getOrElse(Nil)
+      val v = latest.map(_._1).getOrElse(0L) + 1
       val content =
         render(Manifest(partitionCol, base ++ written, tag, prevCols))
       val target = new HPath(rootPath,
@@ -223,13 +270,13 @@ object VersionedPartitioned {
 
   private def manifestAt(spark: SparkSession, root: String,
       version: Option[Long]): Manifest = {
-    val h = history(spark, root)
-    require(h.nonEmpty, s"no committed version under $root")
+    // one commit-file read per resolution, regardless of history length
     version match {
-      case None => h.last._2
-      case Some(n) => h.find(_._1 == n).map(_._2).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $n not found under $root (have ${h.map(_._1).mkString(",")})"))
+      case None => latestManifest(spark, root).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"no committed version under $root"))
+      case Some(n) =>
+        val (fs, rootPath) = Versioned.fsOf(spark, root)
+        parse(Versioned.rawAt(fs, rootPath, n)._2)
     }
   }
 
@@ -368,10 +415,16 @@ object VersionedPartitioned {
               .forall(st.columns.contains))
         sidecar match {
           case Some(st) =>
-            // metadata path: value = dir name minus "<partitionCol>="
+            // metadata path: dir name → UNESCAPED partition value, via
+            // a literal map (metadata-sized), so values Spark
+            // URL-escapes in dir names (e.g. ':') come out identical
+            // to the fallback path's raw column cast
+            val valueOf = org.apache.spark.sql.functions.typedLit(
+              partDirs.map(p => p -> unescapePathName(
+                p.stripPrefix(m.partitionCol + "="))).toMap)
             st.where(dirExpr.isin(partDirs: _*))
-              .groupBy(dirExpr.substr(lit(m.partitionCol.length + 2),
-                lit(Int.MaxValue)).as(m.partitionCol))
+              .groupBy(org.apache.spark.sql.functions
+                .element_at(valueOf, dirExpr).as(m.partitionCol))
               .agg(sum(col("__rows")).as("n_rows"),
                 min(col(s"min_$colName")).as(s"min_$colName"),
                 max(col(s"max_$colName")).as(s"max_$colName"))
@@ -456,6 +509,10 @@ object VersionedPartitioned {
   def readRowChanges(spark: SparkSession, root: String, keys: Seq[String],
       fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val mTo = manifestAt(spark, root, toVersion)
+    require(keys.contains(mTo.partitionCol),
+      s"CDC keys $keys must include partition column '${mTo.partitionCol}' — " +
+        "a key that can change partitions would classify the move as a " +
+        "phantom delete in one partition and insert in another")
     val fromEntries: Map[String, String] =
       if (fromVersion <= 0) Map.empty
       else manifestAt(spark, root, Some(fromVersion)).entries
@@ -475,17 +532,18 @@ object VersionedPartitioned {
   }
 
   /** Optimistic claim loop shared by the manifest-editing commits:
-    * `make` derives (next version, rendered content) from the latest
-    * history; a lost race (create-exclusive fails because the version
-    * file exists) re-reads history and re-derives, so the winner's
-    * edits are never dropped. */
+    * `make` derives (next version, rendered content) from the LATEST
+    * (version, manifest) — one commit-file read per attempt; a lost
+    * race (create-exclusive fails because the version file exists)
+    * re-reads the latest and re-derives, so the winner's edits are
+    * never dropped. */
   private def claimLoop(spark: SparkSession, root: String)(
-      make: Seq[(Long, Manifest)] => (Long, String)): Long = {
+      make: Option[(Long, Manifest)] => (Long, String)): Long = {
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     var committed = -1L
     while (committed < 0) {
-      val h = history(spark, root)
-      val (v, content) = make(h)
+      val latest = latestManifest(spark, root)
+      val (v, content) = make(latest)
       val target = new HPath(rootPath,
         f"${Versioned.CommitPrefix}$v%020d${Versioned.CommitSuffix}")
       try {
@@ -527,8 +585,8 @@ object VersionedPartitioned {
     require(missing.isEmpty,
       s"not live partitions under $root: ${missing.mkString(", ")} " +
         s"(have ${first.entries.keys.toSeq.sorted.mkString(", ")})")
-    claimLoop(spark, root) { h =>
-      val (pv, m) = h.last
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- dirNames, tag,
           m.addedCols)))
@@ -584,8 +642,8 @@ object VersionedPartitioned {
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
       .map(_.getPath.getName -> snapName).toMap
-    claimLoop(spark, root) { h =>
-      val (pv, m) = h.last
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
       val moved = affected.filter(d => m.entries.get(d) != m0.entries.get(d))
       if (moved.nonEmpty)
         throw new IllegalStateException(
@@ -682,6 +740,39 @@ object VersionedPartitioned {
     promote(read(spark, root), root, m.partitionCol, tag = None)
   }
 
+  /** Distinct snapshot dirs the latest manifest references — the
+    * union fan-in every `read` pays (one parquet scan per referenced
+    * snapshot). A metadata-sized answer from one commit-file read. */
+  def referencedSnapshots(spark: SparkSession, root: String): Int =
+    manifestAt(spark, root, None).entries.values.toSet.size
+
+  /**
+   * Manifest fan-in policy: compact when the live manifest references
+   * more than `maxSnapshots` distinct snapshot dirs. `readManifest`
+   * builds one scan per referenced snapshot, so a year of daily
+   * single-partition promotes would otherwise accumulate a ~365-way
+   * union plan; calling this after (or periodically between) promotes
+   * bounds the plan width at `maxSnapshots` while leaving the common
+   * fast path — a promote that did NOT widen the manifest — at one
+   * commit-file read and zero data I/O. Returns the compaction's
+   * version when it ran.
+   *
+   * Trade at 100 TB: compaction rewrites the whole live state, so pick
+   * `maxSnapshots` to amortize it (e.g. 32: a full rewrite every 32
+   * promotes costs ~3% of the promote traffic in steady state while
+   * capping every read's plan at a 32-way union). Partition-targeted
+   * rewrite-only-the-sprawled-partitions compaction is the finer
+   * Iceberg `rewrite_data_files` grain; whole-state compaction is the
+   * right smallest version for manifest-grain sprawl.
+   */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxSnapshots: Int = 32): Option[Long] = {
+    require(maxSnapshots >= 1, s"need maxSnapshots >= 1, got $maxSnapshots")
+    if (referencedSnapshots(spark, root) > maxSnapshots)
+      Some(compact(spark, root))
+    else None
+  }
+
   /**
    * Schema evolution BY REWRITE: add `name` (with `default`, cast to
    * the column's eventual type by the caller's expression) to every
@@ -725,39 +816,34 @@ object VersionedPartitioned {
    * dropped from the evolved commit.
    */
   def evolveAddColumnMetaOnly(spark: SparkSession, root: String,
-      name: String, defaultSql: String): Long = {
-    val (fs, rootPath) = Versioned.fsOf(spark, root)
-    var committed = -1L
-    while (committed < 0) {
-      val h = history(spark, root)
-      require(h.nonEmpty, s"no committed version under $root")
-      val (pv, m) = h.last
+      name: String, defaultSql: String): Long =
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root"))
       require(!m.addedCols.exists(_._1 == name),
         s"column '$name' already evolved under $root")
       require(!readManifest(spark, root, m).columns.contains(name),
         s"column '$name' already exists under $root")
-      val content = render(
+      (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.addedCols :+ (name -> defaultSql)))
-      val target = new HPath(rootPath,
-        f"${Versioned.CommitPrefix}${pv + 1}%020d${Versioned.CommitSuffix}")
-      try {
-        val os = fs.create(target, false)
-        try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally os.close()
-        committed = pv + 1
-      } catch {
-        case _: java.io.IOException if fs.exists(target) => // re-merge
-      }
+          m.addedCols :+ (name -> defaultSql))))
     }
-    committed
-  }
 
   /** Retention with the same rules as `Versioned.vacuum`: keep the
     * newest `keepLast` manifests and every snapshot dir any of them
     * references; reclaim snapshots only superseded manifests used;
     * age-gate true orphans (a concurrent promote's snapshot exists
-    * before its commit does). Returns snapshot dirs deleted. */
+    * before its commit does). Returns snapshot dirs deleted.
+    *
+    * Cursor protection: `propagateChanges`' exactly-once cursor IS the
+    * destination's highest `src-version:` commit tag. If the only
+    * commit carrying it falls below the retention floor, the next hop
+    * would silently regress to 0 and re-propagate the full table — so
+    * before dropping commits, the highest about-to-be-dropped
+    * `src-version:` tag (when no retained commit carries an equal or
+    * higher one) is re-tagged onto a fresh metadata-only commit (same
+    * manifest as the latest, zero data I/O), which the retention
+    * window then keeps. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       orphanMinAgeMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
@@ -768,6 +854,23 @@ object VersionedPartitioned {
     val keep = h.takeRight(keepLast)
     val keepDirs = keep.flatMap(_._2.entries.values).toSet
     val keepMin = keep.headOption.map(_._1).getOrElse(Long.MaxValue)
+    // carry the propagate cursor forward if every commit holding its
+    // maximum is about to be dropped
+    def srcVersions(ms: Seq[(Long, Manifest)]): Seq[Long] =
+      ms.flatMap(_._2.tag).filter(_.startsWith(SrcVersionTag))
+        .map(_.stripPrefix(SrcVersionTag).toLong)
+    val droppedMax = srcVersions(h.filter(_._1 < keepMin))
+      .reduceOption(_ max _)
+    val keptMax = srcVersions(keep).reduceOption(_ max _)
+    droppedMax.filter(d => keptMax.forall(_ < d)).foreach { cursor =>
+      claimLoop(spark, root) { latest =>
+        val (pv, m) = latest.get
+        (pv + 1, render(Manifest(m.partitionCol, m.entries,
+          Some(s"$SrcVersionTag$cursor"), m.addedCols)))
+      }
+      // the carry-forward commit is above keepMin, so the deletions
+      // below leave it (and therefore the cursor) intact
+    }
     fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile && n.startsWith(Versioned.CommitPrefix)

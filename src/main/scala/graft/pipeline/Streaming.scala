@@ -219,16 +219,22 @@ object Streaming {
       .start()
   }
 
-  /** Marker path for a committed (checkpoint, epoch) admit — the
-    * checkpoint id is a content hash of its path so distinct streams
-    * into the same corpus cannot collide. */
-  private def epochMarker(corpusPath: String, checkpointDir: String,
-      epoch: Long): HPath = {
-    val app = java.security.MessageDigest.getInstance("MD5")
+  /** Stable id of a stream = content hash of its checkpoint path.
+    * Epoch numbers are only unique WITHIN one checkpoint (a fresh
+    * checkpoint dir restarts at 0), so every epoch-keyed idempotence
+    * guard must scope on this id — a bare epoch number would make a
+    * second stream (or a re-created checkpoint) collide with an
+    * already-committed epoch and silently drop its batch. */
+  private[graft] def checkpointId(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    new HPath(corpusPath.stripSuffix("/") + "/_epochs", s"$app-$epoch.commit")
-  }
+
+  /** Marker path for a committed (checkpoint, epoch) admit. */
+  private def epochMarker(corpusPath: String, checkpointDir: String,
+      epoch: Long): HPath =
+    new HPath(corpusPath.stripSuffix("/") + "/_epochs",
+      s"${checkpointId(checkpointDir)}-$epoch.commit")
 
   /**
    * Exactly-once VISIBLE streaming sink over the `Versioned` table
@@ -259,16 +265,21 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (!batch.isEmpty) commitEpoch(transform(batch), root, epoch)
+        if (!batch.isEmpty)
+          commitEpoch(transform(batch), root, checkpointDir, epoch)
         ()
       }
       .start()
 
-  /** Commit `batch` as epoch `epoch` unless that epoch already
-    * committed; returns whether a commit happened (false = replay). */
+  /** Commit `batch` as epoch `epoch` OF `checkpointDir`'s stream unless
+    * that (checkpoint, epoch) already committed; returns whether a
+    * commit happened (false = replay). The tag carries the checkpoint
+    * id because epoch numbers restart at 0 under a fresh checkpoint
+    * dir — an unscoped `epoch=0` tag would match a PREVIOUS stream's
+    * commit and silently drop the new stream's first batch. */
   private[graft] def commitEpoch(batch: DataFrame, root: String,
-      epoch: Long): Boolean = {
-    val tag = s"epoch=$epoch"
+      checkpointDir: String, epoch: Long): Boolean = {
+    val tag = s"epoch=${checkpointId(checkpointDir)}-$epoch"
     if (Versioned.committedTags(batch.sparkSession, root).contains(tag)) false
     else { Versioned.commit(batch, root, Some(tag)); true }
   }
@@ -293,16 +304,19 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (!batch.isEmpty)
-          commitPartitionedEpoch(transform(batch), root, partitionCol, epoch)
+          commitPartitionedEpoch(transform(batch), root, partitionCol,
+            checkpointDir, epoch)
         ()
       }
       .start()
 
-  /** `commitEpoch` at partition grain: promote unless `epoch`'s tag is
-    * already in the manifest history; returns whether a commit happened. */
+  /** `commitEpoch` at partition grain: promote unless the
+    * (checkpoint, epoch) tag is already in the manifest history;
+    * returns whether a commit happened. Checkpoint-scoped for the same
+    * reason as `commitEpoch` — a fresh checkpoint restarts epochs at 0. */
   private[graft] def commitPartitionedEpoch(batch: DataFrame, root: String,
-      partitionCol: String, epoch: Long): Boolean = {
-    val tag = s"epoch=$epoch"
+      partitionCol: String, checkpointDir: String, epoch: Long): Boolean = {
+    val tag = s"epoch=${checkpointId(checkpointDir)}-$epoch"
     if (VersionedPartitioned.committedTags(batch.sparkSession, root)
         .contains(tag)) false
     else {

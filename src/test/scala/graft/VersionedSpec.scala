@@ -85,28 +85,36 @@ class VersionedSpec extends AnyFunSuite {
     val table = s"$root/table"
     val schema = df(0).schema
 
+    val ckpt = s"$root/ckpt"
+    val cid = Streaming.checkpointId(ckpt)
     df(1, 2).write.mode("append").parquet(in)
     Streaming.versionedSink(spark.readStream.schema(schema).parquet(in),
-      table, s"$root/ckpt").awaitTermination()
+      table, ckpt).awaitTermination()
     assert(Versioned.read(spark, table)
       .as[Int].collect().toSeq.sorted == Seq(1, 2))
     val h1 = Versioned.fullHistory(spark, table)
-    assert(h1.map(_._3) == Seq(Some("epoch=0")))
+    assert(h1.map(_._3) == Seq(Some(s"epoch=$cid-0")))
 
     // restart on the same checkpoint: the new file is the next epoch
     df(3).write.mode("append").parquet(in)
     Streaming.versionedSink(spark.readStream.schema(schema).parquet(in),
-      table, s"$root/ckpt").awaitTermination()
+      table, ckpt).awaitTermination()
     assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(3))
     assert(Versioned.fullHistory(spark, table).map(_._3) ==
-      Seq(Some("epoch=0"), Some("epoch=1")))
+      Seq(Some(s"epoch=$cid-0"), Some(s"epoch=$cid-1")))
 
     // crash-replay of an already-committed epoch must not commit again
-    assert(!Streaming.commitEpoch(df(3), table, epoch = 1L))
+    assert(!Streaming.commitEpoch(df(3), table, ckpt, epoch = 1L))
     assert(Versioned.fullHistory(spark, table).size == 2)
     // …while a genuinely new epoch does
-    assert(Streaming.commitEpoch(df(4), table, epoch = 2L))
+    assert(Streaming.commitEpoch(df(4), table, ckpt, epoch = 2L))
     assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(4))
+    // a FRESH checkpoint dir restarts epochs at 0 — its epoch 0 must
+    // NOT be mistaken for the old stream's epoch 0 and dropped
+    assert(Streaming.commitEpoch(df(5), table, s"$root/ckpt2", epoch = 0L))
+    assert(Versioned.read(spark, table).as[Int].collect().toSeq == Seq(5))
+    // …and the new stream's own replay still no-ops
+    assert(!Streaming.commitEpoch(df(5), table, s"$root/ckpt2", epoch = 0L))
   }
 
   test("versionedPartitionedSink: each epoch replaces only its own partitions, replay is a no-op") {
@@ -117,24 +125,26 @@ class VersionedSpec extends AnyFunSuite {
     val table = s"$root/table"
     val schema = pdf("x" -> 0).schema
 
+    val ckpt = s"$root/ckpt"
+    val cid = Streaming.checkpointId(ckpt)
     pdf("2024-01-01" -> 1, "2024-01-02" -> 2)
       .write.mode("append").parquet(in)
     Streaming.versionedPartitionedSink(
       spark.readStream.schema(schema).parquet(in),
-      table, s"$root/ckpt").awaitTermination()
+      table, ckpt).awaitTermination()
     assert(state(VersionedPartitioned.read(spark, table)) ==
       Set("2024-01-01" -> 1, "2024-01-02" -> 2))
     val day1Snap = VersionedPartitioned.history(spark, table)
       .last._2.entries("date=2024-01-01")
     assert(VersionedPartitioned.history(spark, table)
-      .flatMap(_._2.tag) == Seq("epoch=0"))
+      .flatMap(_._2.tag) == Seq(s"epoch=$cid-0"))
 
     // restart: a late-data file for day 2 only — the next epoch
     // replaces day 2 and INHERITS day 1's snapshot by reference
     pdf("2024-01-02" -> 22).write.mode("append").parquet(in)
     Streaming.versionedPartitionedSink(
       spark.readStream.schema(schema).parquet(in),
-      table, s"$root/ckpt").awaitTermination()
+      table, ckpt).awaitTermination()
     assert(state(VersionedPartitioned.read(spark, table)) ==
       Set("2024-01-01" -> 1, "2024-01-02" -> 22))
     assert(VersionedPartitioned.history(spark, table)
@@ -143,15 +153,22 @@ class VersionedSpec extends AnyFunSuite {
 
     // crash-replay of a committed epoch must not commit again
     assert(!Streaming.commitPartitionedEpoch(
-      pdf("2024-01-02" -> 99), table, "date", epoch = 1L))
+      pdf("2024-01-02" -> 99), table, "date", ckpt, epoch = 1L))
     assert(VersionedPartitioned.history(spark, table).size == 2)
     assert(state(VersionedPartitioned.read(spark, table)) ==
       Set("2024-01-01" -> 1, "2024-01-02" -> 22))
     // …while a genuinely new epoch does
     assert(Streaming.commitPartitionedEpoch(
-      pdf("2024-01-03" -> 3), table, "date", epoch = 2L))
+      pdf("2024-01-03" -> 3), table, "date", ckpt, epoch = 2L))
     assert(state(VersionedPartitioned.read(spark, table)) ==
       Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+    // a fresh checkpoint's epoch 0 is NOT the old stream's epoch 0
+    assert(Streaming.commitPartitionedEpoch(
+      pdf("2024-01-04" -> 4), table, "date", s"$root/ckpt2", epoch = 0L))
+    assert(!Streaming.commitPartitionedEpoch(
+      pdf("2024-01-04" -> 44), table, "date", s"$root/ckpt2", epoch = 0L))
+    assert(state(VersionedPartitioned.read(spark, table))
+      .contains("2024-01-04" -> 4))
   }
 
   test("vacuum: retention floor enforced, orphans swept, retained versions intact") {
@@ -619,6 +636,102 @@ class VersionedSpec extends AnyFunSuite {
     // nothing changed: empty frame, schema intact
     val none = VersionedPartitioned.readChanges(spark, root, 3L)
     assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
+  test("O(1) commit resolution: read/readAt/currentVersion open a bounded number of commit files on a long history") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    (1 to 20).foreach(i => Versioned.commit(df(i), root))
+    def delta(body: => Unit): Long = {
+      val before = Versioned.commitFileReads.get()
+      body
+      Versioned.commitFileReads.get() - before
+    }
+    // latest-state read: one listing + ONE commit-file read
+    assert(delta(Versioned.read(spark, root).count()) == 1)
+    // time travel: one commit-file read
+    assert(delta(Versioned.readAt(spark, root, 7L).count()) == 1)
+    // version probe: pure listing, ZERO reads
+    assert(delta(Versioned.currentVersion(spark, root)) == 0)
+
+    // partitioned variant: 20 single-partition promotes, then assert
+    // the hot paths don't re-read the whole commit history
+    val proot = Files.createTempDirectory("graft_vp").toString
+    (1 to 20).foreach(i =>
+      VersionedPartitioned.promote(pdf(f"2024-01-$i%02d" -> i), proot))
+    assert(delta(VersionedPartitioned.read(spark, proot).count()) <= 2,
+      "partitioned read must resolve via the latest manifest only")
+    assert(delta(VersionedPartitioned.readAt(spark, proot, 5L).count()) <= 2)
+    assert(delta(VersionedPartitioned.currentVersion(spark, proot)) == 0)
+    assert(delta(VersionedPartitioned.promote(
+      pdf("2024-02-01" -> 99), proot)) <= 2,
+      "promote's claim loop must merge against the latest manifest only")
+    assert(delta(VersionedPartitioned.readRowChanges(
+      spark, proot, Seq("date", "v"), 20L).count()) <= 3)
+  }
+
+  test("readRowChanges: keys omitting the partition column are rejected (cross-partition key migration hazard)") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1, 10)).toDF("date", "k", "v"), root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedPartitioned.readRowChanges(spark, root, Seq("k"), 0L)
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("partitionStats: sidecar and fallback paths emit identical partition values when Spark URL-escapes the dir name") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    // ':' is escaped to %3A in partition dir names
+    VersionedPartitioned.promote(
+      Seq(("2024:01", 1), ("2024:01", 5)).toDF("date", "v"), root,
+      statsCols = Seq("v"))
+    // stats-less promote of a second escaped value → fallback scan path
+    VersionedPartitioned.promote(
+      Seq(("2024:02", 7)).toDF("date", "v"), root)
+    val got = VersionedPartitioned.partitionStats(spark, root, "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(("2024:01", 2L, 1, 5), ("2024:02", 1L, 7, 7)),
+      s"sidecar path must unescape dir names to the raw value form; got $got")
+  }
+
+  test("vacuum cursor protection: dropping the last src-version commit re-tags it; the next hop stays incremental") {
+    val src = Files.createTempDirectory("graft_vp").toString
+    val dst = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), src)
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst)
+      .contains((0L, 1L)))
+    // bury the cursor-bearing commit under untagged promotes, then
+    // vacuum it below the retention floor
+    VersionedPartitioned.promote(pdf("2024-01-03" -> 3), dst)
+    VersionedPartitioned.promote(pdf("2024-01-04" -> 4), dst)
+    VersionedPartitioned.vacuum(spark, dst, keepLast = 2)
+    // the cursor survived as a carried-forward tag on a fresh commit
+    assert(VersionedPartitioned.committedTags(spark, dst)
+      .contains("src-version:1"))
+    // nothing new upstream → the next hop must still no-op (a lost
+    // cursor would re-propagate the WHOLE table here)
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst).isEmpty)
+    // a genuinely new upstream change still flows, incrementally
+    VersionedPartitioned.promote(pdf("2024-01-05" -> 5), src)
+    assert(VersionedPartitioned.propagateChanges(spark, src, dst)
+      .contains((1L, 2L)))
+    assert(state(VersionedPartitioned.read(spark, dst))
+      .contains("2024-01-05" -> 5))
+  }
+
+  test("compactIfNeeded: a long run of single-partition promotes keeps the manifest fan-in bounded") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    (1 to 50).foreach { i =>
+      VersionedPartitioned.promote(pdf(f"2024-${(i - 1) / 28 + 1}%02d-${(i - 1) % 28 + 1}%02d" -> i), root)
+      VersionedPartitioned.compactIfNeeded(spark, root, maxSnapshots = 8)
+    }
+    // without the policy this would be a 50-way union plan
+    assert(VersionedPartitioned.referencedSnapshots(spark, root) <= 9,
+      "fan-in must stay bounded by the compaction policy")
+    assert(VersionedPartitioned.read(spark, root).count() == 50)
   }
 
   test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
