@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * Exact dedup: one surviving row per distinct `textCol`, keeping the
    * smallest `idCol` as the canonical representative (deterministic,
@@ -612,18 +614,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Rounds the last `components` call needed to converge (including
+    * the final no-change round) — the adjudication hook for the
+    * iterative-components cost: rounds × |labels| is the loop's total
+    * materialized I/O. */
+  private[graft] val lastComponentsRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /**
    * Connected components over an undirected pair list (the transitive
    * closure step that turns near-dup PAIRS into dedup CLUSTERS): min-
-   * label propagation iterated to fixpoint. Returns (id, component) with
-   * component = the smallest id in the component — the canonical
-   * representative.
+   * label propagation WITH pointer jumping, iterated to fixpoint.
+   * Returns (id, component) with component = the smallest id in the
+   * component — the canonical representative.
    *
-   * Scale notes: each round is one join + one aggregation shuffled on
-   * node id; rounds needed = graph diameter (near-dup clusters are
-   * shallow — duplicates of a common source — so a handful). Lineage is
-   * cut every round with localCheckpoint so plans stay O(1) deep; the
-   * driver holds only the changed-count per round, never the labels.
+   * Each round folds two label moves into one materialization:
+   * neighbor-min hooking (component := min over adjacent labels — plain
+   * propagation) AND a pointer jump (component := component's own
+   * label). The jump composes the label function with itself, so the
+   * min label's reach roughly DOUBLES per round instead of growing by
+   * one hop: chain-shaped duplicate graphs (v1→v2→…→vN of a drifting
+   * page) converge in O(log diameter) rounds where plain propagation
+   * needs O(diameter) — and each avoided round avoids an eager
+   * materialization of the whole label frame, which is exactly the
+   * data-dependent cost that made components the bench's scale-killer
+   * on deep graphs. Shallow star-shaped graphs still finish in 2-3
+   * rounds; the jump join is a no-op for them.
+   *
+   * Scale notes: each round is two equi-joins + one aggregation
+   * shuffled on node id (the jump join keys on the component label —
+   * skewed for giant clusters, which AQE's skew-join splitting
+   * handles). Lineage is cut every round with localCheckpoint so plans
+   * stay O(1) deep; the driver holds only the changed-flag per round,
+   * never the labels.
    */
   def components(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
@@ -638,12 +661,20 @@ object Dedup {
     while (changed && round < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("__nmin"))
+      // pointer jump source: the same materialized frame, re-keyed
+      val jmp = labels.select(col("id").as("__jid"),
+        col("component").as("__jcomp"))
       // carry the previous label through the checkpoint so convergence
       // detection is a filter over the materialized frame — joining back
       // against the old labels would cost one more shuffle per round
-      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+      val next = labels
+        .join(neighborMin, col("id") === col("dst"), "left")
+        .join(jmp, col("component") === col("__jid"), "left")
         .select(col("id"), col("component").as("__old"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
+          least(
+            least(col("component"),
+              coalesce(col("__nmin"), col("component"))),
+            coalesce(col("__jcomp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
       // existence check (early-exit take(1)), not a full count — the
@@ -653,6 +684,8 @@ object Dedup {
       round += 1
     }
     require(!changed, s"components did not converge in $maxRounds rounds")
+    lastComponentsRounds.set(round)
+    log.info(s"components converged in $round rounds")
     labels
   }
 

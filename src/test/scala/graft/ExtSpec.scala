@@ -512,6 +512,17 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 20L, 99L)) // reps + untouched singleton
   }
 
+  test("Dedup.components: pointer jumping converges a deep chain in O(log d) rounds") {
+    // a 200-link chain has diameter 200 — plain min-label propagation
+    // would need 200 rounds (and hit the maxRounds guard); the pointer
+    // jump doubles the label's reach per round, so ~log2(200)+slack
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert((1L to 200L).forall(comp(_) == 1L))
+    val rounds = Dedup.lastComponentsRounds.get()
+    assert(rounds <= 12, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
   test("Dedup.dedupByPairsBest keeps the preferred member, not the min id") {
     val corpus = Seq((1L, "dup short", 9L), (5L, "dup long", 50L),
       (3L, "solo", 4L)).toDF("id", "text", "len")
