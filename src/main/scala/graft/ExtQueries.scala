@@ -1295,6 +1295,29 @@ object ExtQueries {
   }
 
   /**
+   * Fan-in-bounded promote run
+   * (ops/VersionedPartitioned.compactIfNeeded): twelve single-month
+   * promotes, each followed by the partition-targeted compaction policy
+   * at maxSnapshots=3 — repeated targeted consolidation must be
+   * content-preserving, so the read equals the plain per-month
+   * aggregate. VersionedSpec separately pins the bounded fan-in and the
+   * amortized (never whole-table) rewrite cost; this row pins that what
+   * the policy keeps is the right data.
+   */
+  private def versionedCompacted(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vcompact_").resolve("t").toString
+    (1 to 12).map(m => f"1995-$m%02d").foreach { m =>
+      graft.ops.VersionedPartitioned.promote(
+        base.where(col("month") === m), root, "month")
+      graft.ops.VersionedPartitioned.compactIfNeeded(s, root,
+        maxSnapshots = 3)
+    }
+    monthTotals(graft.ops.VersionedPartitioned.read(s, root))
+  }
+
+  /**
    * Time travel with snapshot isolation
    * (ops/VersionedPartitioned.readAt): after a later promote rewrites
    * 1995-02 with uplifted prices, a read pinned at the FIRST version
@@ -1838,6 +1861,7 @@ object ExtQueries {
     "versioned_merge" -> ((s, dir) => versionedMerge(s, dir)),
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
+    "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
@@ -3031,6 +3055,17 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-06'
         |  AND o_orderkey BETWEEN 10000 AND 30000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compaction is content-preserving: 12 single-month promotes under
+    // the fan-in policy read back as the plain per-month aggregate.
+    "versioned_compacted" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-12'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Time travel: the pinned v1 read ignores the later 1995-02
     // rewrite, so the oracle is the UNMODIFIED three months.

@@ -191,9 +191,29 @@ object Versioned {
 
   /** Every tag any retained commit carries — the streaming sink's
     * replay-detection set (an epoch that appears here already committed
-    * and must not commit again). O(#versions) small-file reads. */
+    * and must not commit again). O(#versions) small-file reads; hot
+    * paths with MONOTONE tags use `latestTagWithPrefix` instead. */
   def committedTags(spark: SparkSession, root: String): Set[String] =
     fullHistory(spark, root).flatMap(_._3).toSet
+
+  /** The newest commit tag starting with `prefix` (with the prefix
+    * stripped), scanning commit files NEWEST-FIRST and stopping at the
+    * first match — for monotone tag families (streaming epochs, the
+    * propagate cursor), where the newest match IS the maximum, this
+    * costs O(commits since the last match) instead of the O(#versions)
+    * full-history read `committedTags` pays: a steady-state stream or
+    * hop reads one or two commit files regardless of table age. Only a
+    * table that has NEVER carried a matching tag scans its whole
+    * (vacuum-bounded) history to prove absence. */
+  def latestTagWithPrefix(spark: SparkSession, root: String,
+      prefix: String): Option[String] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    listCommits(fs, rootPath).reverseIterator
+      .map { case (_, p) => readCommit(fs, p) }
+      .flatMap(_.linesIterator.drop(1).take(1))
+      .collectFirst { case t if t.startsWith(prefix) =>
+        t.stripPrefix(prefix) }
+  }
 
   /** Highest committed version, if any commit exists — a pure listing,
     * zero commit-file reads. */

@@ -153,6 +153,20 @@ object VersionedPartitioned {
   def committedTags(spark: SparkSession, root: String): Set[String] =
     history(spark, root).flatMap(_._2.tag).toSet
 
+  /** `Versioned.latestTagWithPrefix` for manifest-format commits: the
+    * newest commit tag starting with `prefix` (stripped), scanning
+    * newest-first and stopping at the first match — the O(1)
+    * steady-state resolution for monotone tag families (streaming
+    * epochs, the propagate cursor). */
+  def latestTagWithPrefix(spark: SparkSession, root: String,
+      prefix: String): Option[String] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    Versioned.listCommits(fs, rootPath).reverseIterator
+      .flatMap { case (_, p) => parse(Versioned.readCommit(fs, p)).tag }
+      .collectFirst { case t if t.startsWith(prefix) =>
+        t.stripPrefix(prefix) }
+  }
+
   /**
    * Replace exactly the partitions of `partitionCol` present in `df`
    * (the reference's per-ds DELETE+INSERT exchange, SURVEY §2.2 D6)
@@ -720,10 +734,12 @@ object VersionedPartitioned {
       destRoot: String): Option[(Long, Long)] = {
     val srcManifest = manifestAt(spark, sourceRoot, None)
     val to = currentVersion(spark, sourceRoot).get
-    val from = committedTags(spark, destRoot)
-      .filter(_.startsWith(SrcVersionTag))
-      .map(_.stripPrefix(SrcVersionTag).toLong)
-      .reduceOption(_ max _).getOrElse(0L)
+    // the cursor is monotone (each hop tags a higher source version;
+    // vacuum's carry-forward preserves the max), so the NEWEST matching
+    // tag is the maximum — a newest-first early-stop scan, not a full
+    // history read
+    val from = latestTagWithPrefix(spark, destRoot, SrcVersionTag)
+      .map(_.toLong).getOrElse(0L)
     if (to <= from) return None
     val changed = readChanges(spark, sourceRoot, from, Some(to))
     promote(changed, destRoot, srcManifest.partitionCol,
@@ -747,30 +763,71 @@ object VersionedPartitioned {
     manifestAt(spark, root, None).entries.values.toSet.size
 
   /**
-   * Manifest fan-in policy: compact when the live manifest references
-   * more than `maxSnapshots` distinct snapshot dirs. `readManifest`
-   * builds one scan per referenced snapshot, so a year of daily
-   * single-partition promotes would otherwise accumulate a ~365-way
-   * union plan; calling this after (or periodically between) promotes
-   * bounds the plan width at `maxSnapshots` while leaving the common
-   * fast path — a promote that did NOT widen the manifest — at one
-   * commit-file read and zero data I/O. Returns the compaction's
-   * version when it ran.
+   * Manifest fan-in policy, PARTITION-TARGETED (Iceberg's
+   * `rewrite_data_files` grain): when the live manifest references more
+   * than `maxSnapshots` distinct snapshot dirs, consolidate — into ONE
+   * fresh snapshot — only the partitions living in the SMALLEST
+   * snapshot groups, keeping the largest `maxSnapshots - 1` groups
+   * untouched. `readManifest` builds one scan per referenced snapshot,
+   * so a year of daily single-partition promotes would otherwise
+   * accumulate a ~365-way union plan; calling this after (or
+   * periodically between) promotes bounds the plan width at
+   * `maxSnapshots` while leaving the common fast path — a promote that
+   * did NOT widen the manifest — at one commit-file read and zero data
+   * I/O. Returns the compaction's version when it ran.
    *
-   * Trade at 100 TB: compaction rewrites the whole live state, so pick
-   * `maxSnapshots` to amortize it (e.g. 32: a full rewrite every 32
-   * promotes costs ~3% of the promote traffic in steady state while
-   * capping every read's plan at a 32-way union). Partition-targeted
-   * rewrite-only-the-sprawled-partitions compaction is the finer
-   * Iceberg `rewrite_data_files` grain; whole-state compaction is the
-   * right smallest version for manifest-grain sprawl.
+   * Cost at 100 TB: each trigger rewrites only the smallest groups,
+   * never the whole table (`compact` is the whole-state rewrite; this
+   * never calls it). Groups merge upward LSM-style — a partition is
+   * re-consolidated only when its group has become one of the smallest
+   * again, so total rewrite traffic is amortized O(log n) copies per
+   * partition over n promotes, vs O(n / maxSnapshots) whole-table
+   * copies under a naive full-compact-every-N policy.
+   *
+   * Concurrency: conflict-checked like `deleteWhere` — the
+   * consolidated rows were read at this call's manifest, so if a
+   * racing commit reassigns one of the rewritten partitions before the
+   * claim lands, committing would clobber that writer's rows with
+   * stale data; the claim loop detects the reassignment and aborts
+   * with an error telling the caller to re-run.
    */
   def compactIfNeeded(spark: SparkSession, root: String,
       maxSnapshots: Int = 32): Option[Long] = {
     require(maxSnapshots >= 1, s"need maxSnapshots >= 1, got $maxSnapshots")
-    if (referencedSnapshots(spark, root) > maxSnapshots)
-      Some(compact(spark, root))
-    else None
+    val m0 = manifestAt(spark, root, None)
+    val groups = m0.entries.groupBy(_._2)
+    if (groups.size <= maxSnapshots) return None
+    // deterministic pick: keep the largest groups (ties by dir name) —
+    // they hold the table's bulk; everything else consolidates
+    val keep = groups.toSeq
+      .sortBy { case (snap, parts) => (-parts.size, snap) }
+      .take(maxSnapshots - 1).map(_._1).toSet
+    val rewrite = m0.entries.filterNot { case (_, snap) => keep(snap) }
+    val frame = readManifest(spark, root,
+      Manifest(m0.partitionCol, rewrite, None, m0.addedCols))
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
+    val snapPath = new HPath(rootPath, snapName)
+    frame.repartition(col(m0.partitionCol))
+      .write.mode("overwrite").partitionBy(m0.partitionCol)
+      .parquet(snapPath.toString)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(m0.partitionCol + "="))
+      .map(_.getPath.getName -> snapName).toMap
+    Some(claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
+      val moved = rewrite.keys.filter(p =>
+        m.entries.get(p) != m0.entries.get(p))
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          s"concurrent commit rewrote ${moved.toSeq.sorted.mkString(", ")} " +
+            s"under $root while compaction ran — re-run compactIfNeeded " +
+            "against the new state")
+      (pv + 1,
+        render(Manifest(m.partitionCol, m.entries -- rewrite.keys ++ written,
+          None, m.addedCols)))
+    })
   }
 
   /**

@@ -279,9 +279,14 @@ object Streaming {
     * commit and silently drop the new stream's first batch. */
   private[graft] def commitEpoch(batch: DataFrame, root: String,
       checkpointDir: String, epoch: Long): Boolean = {
-    val tag = s"epoch=${checkpointId(checkpointDir)}-$epoch"
-    if (Versioned.committedTags(batch.sparkSession, root).contains(tag)) false
-    else { Versioned.commit(batch, root, Some(tag)); true }
+    // epochs of one checkpoint commit in strictly increasing order, so
+    // the newest tag of this stream decides replay in O(1) steady-state
+    // commit-file reads (full scan only on a stream's very first epoch)
+    val prefix = s"epoch=${checkpointId(checkpointDir)}-"
+    val latest = Versioned.latestTagWithPrefix(batch.sparkSession, root,
+      prefix).map(_.toLong)
+    if (latest.exists(_ >= epoch)) false
+    else { Versioned.commit(batch, root, Some(s"$prefix$epoch")); true }
   }
 
   /**
@@ -316,11 +321,13 @@ object Streaming {
     * reason as `commitEpoch` — a fresh checkpoint restarts epochs at 0. */
   private[graft] def commitPartitionedEpoch(batch: DataFrame, root: String,
       partitionCol: String, checkpointDir: String, epoch: Long): Boolean = {
-    val tag = s"epoch=${checkpointId(checkpointDir)}-$epoch"
-    if (VersionedPartitioned.committedTags(batch.sparkSession, root)
-        .contains(tag)) false
+    val prefix = s"epoch=${checkpointId(checkpointDir)}-"
+    val latest = VersionedPartitioned.latestTagWithPrefix(
+      batch.sparkSession, root, prefix).map(_.toLong)
+    if (latest.exists(_ >= epoch)) false
     else {
-      VersionedPartitioned.promote(batch, root, partitionCol, Some(tag))
+      VersionedPartitioned.promote(batch, root, partitionCol,
+        Some(s"$prefix$epoch"))
       true
     }
   }

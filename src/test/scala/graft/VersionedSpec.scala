@@ -669,6 +669,39 @@ class VersionedSpec extends AnyFunSuite {
       spark, proot, Seq("date", "v"), 20L).count()) <= 3)
   }
 
+  test("latestTagWithPrefix: newest match wins, and a steady-state lookup reads one commit file") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(0), root, Some("cursor:41"))
+    (1 to 10).foreach(i => Versioned.commit(df(i), root)) // untagged noise
+    assert(Versioned.latestTagWithPrefix(spark, root, "cursor:")
+      .contains("41"))
+    // a newer tag supersedes the old one…
+    Versioned.commit(df(99), root, Some("cursor:50"))
+    def delta(body: => Unit): Long = {
+      val before = Versioned.commitFileReads.get()
+      body
+      Versioned.commitFileReads.get() - before
+    }
+    // …and because it is the NEWEST commit, the scan stops at ONE read
+    // (the O(#versions) committedTags scan would read all 12)
+    assert(delta(assert(Versioned.latestTagWithPrefix(spark, root, "cursor:")
+      .contains("50"))) == 1)
+    assert(Versioned.latestTagWithPrefix(spark, root, "nope:").isEmpty)
+
+    // partitioned variant, same contract
+    val proot = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), proot,
+      tag = Some("cursor:7"))
+    (1 to 5).foreach(i =>
+      VersionedPartitioned.promote(pdf("2024-01-02" -> i), proot))
+    assert(VersionedPartitioned.latestTagWithPrefix(spark, proot, "cursor:")
+      .contains("7"))
+    VersionedPartitioned.promote(pdf("2024-01-03" -> 3), proot,
+      tag = Some("cursor:9"))
+    assert(delta(assert(VersionedPartitioned
+      .latestTagWithPrefix(spark, proot, "cursor:").contains("9"))) == 1)
+  }
+
   test("readRowChanges: keys omitting the partition column are rejected (cross-partition key migration hazard)") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
@@ -722,16 +755,31 @@ class VersionedSpec extends AnyFunSuite {
       .contains("2024-01-05" -> 5))
   }
 
-  test("compactIfNeeded: a long run of single-partition promotes keeps the manifest fan-in bounded") {
+  test("compactIfNeeded: a long run of single-partition promotes keeps the manifest fan-in bounded without whole-table rewrites") {
     val root = Files.createTempDirectory("graft_vp").toString
+    var rewrittenParts = 0
     (1 to 50).foreach { i =>
       VersionedPartitioned.promote(pdf(f"2024-${(i - 1) / 28 + 1}%02d-${(i - 1) % 28 + 1}%02d" -> i), root)
-      VersionedPartitioned.compactIfNeeded(spark, root, maxSnapshots = 8)
+      val before = VersionedPartitioned.history(spark, root).last._2.entries
+      if (VersionedPartitioned.compactIfNeeded(spark, root,
+          maxSnapshots = 8).isDefined) {
+        val after = VersionedPartitioned.history(spark, root).last._2.entries
+        rewrittenParts += after.count { case (p, s) => before.get(p) != Some(s) }
+      }
     }
     // without the policy this would be a 50-way union plan
-    assert(VersionedPartitioned.referencedSnapshots(spark, root) <= 9,
+    assert(VersionedPartitioned.referencedSnapshots(spark, root) <= 8,
       "fan-in must stay bounded by the compaction policy")
     assert(VersionedPartitioned.read(spark, root).count() == 50)
+    // partition-targeted proof: a whole-state policy would rewrite the
+    // full (growing) table at every trigger — ~1000+ partition
+    // rewrites over this run; the targeted policy consolidates only
+    // the smallest snapshot groups (LSM-style tiering, amortized
+    // O(log n) rewrites per partition)
+    assert(rewrittenParts < 200,
+      s"expected targeted consolidation, rewrote $rewrittenParts partitions")
+    // time travel below the compactions still replays history as it was
+    assert(state(VersionedPartitioned.readAt(spark, root, 1L)).size == 1)
   }
 
   test("partitioned vacuum + compact: referenced snapshots survive, sprawl reclaimed") {
