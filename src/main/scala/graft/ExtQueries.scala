@@ -929,6 +929,51 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** The daily OHLCV bars the finance-flavored queries share: one hash
+    * aggregate over the tick stream per (user, type, day). */
+  private def dailyBarsOf(s: SparkSession, dir: String): DataFrame =
+    Ingest.dailyBars(spread(Tables.load(s, dir, "events")),
+      Seq("user_id", "event_type"), tsCol = "ts", valueCol = "value",
+      idCol = "event_id")
+
+  /** Weekly OHLCV resample (ops/Ingest.resampleBars): daily bars
+    * re-aggregated to ISO weeks — open/close ride min_by/max_by on the
+    * contributing date, so no window pass and ONE extra (tiny,
+    * bar-count-sized) shuffle beyond the daily aggregation. */
+  private def barsWeekly(s: SparkSession, dir: String): DataFrame =
+    Ingest.resampleBars(dailyBarsOf(s, dir), Seq("user_id", "event_type"),
+        "date", date_trunc("week", col("date")).cast("date"), "week")
+      .orderBy("user_id", "event_type", "week")
+
+  /** 14-day RSI (SMA form) per key over the daily closes. Gains/losses
+    * accumulate in exact DECIMAL (cast once from the close), so the
+    * trailing-window sums are associative and engine-identical — only
+    * the final 100·g/(g+l) division is IEEE, on identical operands.
+    * One shuffle: the delta lag and both trailing sums share the key
+    * window. NULL until 14 deltas exist (15th bar) and on flat windows. */
+  private def rsiClose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val t = w.rowsBetween(-13, 0)
+    dailyBarsOf(s, dir)
+      .withColumn("__c", col("close").cast("decimal(18,6)"))
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(w))
+      .withColumn("__gsum",
+        sum(when(col("__d") > 0, col("__d"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).over(t))
+      .withColumn("__lsum",
+        sum(when(col("__d") < 0, -col("__d"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).over(t))
+      .withColumn("__nd", count(col("__d")).over(t))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        round(when(col("__nd") === 14 && (col("__gsum") + col("__lsum")) =!= 0,
+          lit(100.0) * col("__gsum").cast("double")
+            / (col("__gsum") + col("__lsum")).cast("double")), 4)
+          .as("rsi_14"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -1853,6 +1898,8 @@ object ExtQueries {
     "dominant_source" -> ((s, dir) => dominantSource(s, dir)),
     "event_bursts" -> ((s, dir) => eventBursts(s, dir)),
     "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
+    "bars_weekly" -> ((s, dir) => barsWeekly(s, dir)),
+    "rsi_close" -> ((s, dir) => rsiClose(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -2645,6 +2692,44 @@ object ExtQueries {
         |       round((close / nullif(prev_close, 0) - 1) * 10000, 4) AS ret_bps,
         |       round((close / nullif(peak, 0) - 1) * 10000, 4) AS drawdown_bps
         |FROM m ORDER BY user_id, event_type, date""".stripMargin,
+    "bars_weekly" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_min(value, event_id) AS open, max(value) AS high,
+        |         min(value) AS low, arg_max(value, event_id) AS close,
+        |         count(*) AS volume
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type,
+        |       CAST(date_trunc('week', date) AS DATE) AS week,
+        |       arg_min(open, date) AS open, max(high) AS high,
+        |       min(low) AS low, arg_max(close, date) AS close,
+        |       CAST(sum(volume) AS BIGINT) AS volume
+        |FROM bars GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, week""".stripMargin,
+    "rsi_close" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |d AS (SELECT user_id, event_type, date, close,
+        |             CAST(close AS DECIMAL(18,6))
+        |               - lag(CAST(close AS DECIMAL(18,6))) OVER w AS delta
+        |      FROM bars
+        |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date)),
+        |r AS (SELECT user_id, event_type, date, close,
+        |             sum(CASE WHEN delta > 0 THEN delta
+        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) OVER t AS gsum,
+        |             sum(CASE WHEN delta < 0 THEN -delta
+        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) OVER t AS lsum,
+        |             count(delta) OVER t AS nd
+        |      FROM d
+        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
+        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close,
+        |       round(CASE WHEN nd = 14 AND gsum + lsum <> 0
+        |                  THEN 100.0 * CAST(gsum AS DOUBLE)
+        |                       / CAST(gsum + lsum AS DOUBLE) END, 4) AS rsi_14
+        |FROM r ORDER BY user_id, event_type, date""".stripMargin,
     "event_bursts" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |                      count(*) AS n_events

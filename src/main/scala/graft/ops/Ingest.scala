@@ -67,6 +67,32 @@ object Ingest {
   }
 
   /**
+   * Re-aggregate finer-grain OHLCV bars into a coarser calendar bucket
+   * (daily → weekly/monthly): open/close = the open/close of the
+   * earliest/latest contributing bar by `dateCol`, high/low = extrema,
+   * volume = sum — the bar-algebra composition a consumer of the
+   * reference's cumulative daily table runs to chart coarser frames
+   * (reference context: the daily bar store at `dags/dag.py:141-151`).
+   * `bucket` is any deterministic date expression (e.g.
+   * `date_trunc("week", col("date"))`); the output keeps it under
+   * `bucketName`.
+   *
+   * Scale: ONE hash aggregate shuffled on (keys..., bucket) with
+   * map-side partial agg — input is bar-count-sized (already ≪ ticks),
+   * state per group is O(1), and no window pass is needed because
+   * min_by/max_by carry the open/close picks through the combine.
+   */
+  def resampleBars(bars: DataFrame, keys: Seq[String], dateCol: String,
+      bucket: Column, bucketName: String = "bucket"): DataFrame =
+    bars.groupBy((keys.map(col) :+ bucket.as(bucketName)): _*)
+      .agg(
+        min_by(col("open"), col(dateCol)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col(dateCol)).as("close"),
+        sum(col("volume")).as("volume"))
+
+  /**
    * Stamp ingestion time (reference `CURRENT_TIMESTAMP` at
    * `dags/dag.py:103`). Kept separate so verified outputs can skip it —
    * it is nondeterministic by design.

@@ -89,6 +89,29 @@ class OpsSpec extends AnyFunSuite {
       b.getDouble(2) == 10.0 && b.getDouble(3) == 20.0 && b.getLong(4) == 3L)
   }
 
+  test("Ingest.resampleBars: weekly open/close from the earliest/latest daily bar, extrema and volume aggregate") {
+    // 2024-01-01 is a Monday: days 1-3 are one ISO week, day 8 the next
+    val daily = Seq(
+      ("2024-01-01", 10.0, 15.0, 9.0, 12.0, 3L),
+      ("2024-01-02", 12.5, 20.0, 11.0, 18.0, 2L),
+      ("2024-01-03", 18.5, 19.0, 8.0, 9.5, 4L),
+      ("2024-01-08", 9.0, 9.0, 9.0, 9.0, 1L)
+    ).toDF("d", "open", "high", "low", "close", "volume")
+      .withColumn("date", to_date($"d"))
+      .withColumn("user_id", lit(7L)).withColumn("event_type", lit("c"))
+    val w = Ingest.resampleBars(daily, Seq("user_id", "event_type"),
+        "date", date_trunc("week", $"date").cast("date"), "week")
+      .orderBy("week")
+      .select("week", "open", "high", "low", "close", "volume").collect()
+    assert(w.length == 2)
+    assert(w(0).getDate(0).toString == "2024-01-01" &&
+      w(0).getDouble(1) == 10.0 && w(0).getDouble(2) == 20.0 &&
+      w(0).getDouble(3) == 8.0 && w(0).getDouble(4) == 9.5 &&
+      w(0).getLong(5) == 9L)
+    assert(w(1).getDate(0).toString == "2024-01-08" &&
+      w(1).getDouble(1) == 9.0 && w(1).getLong(5) == 1L)
+  }
+
   test("Ingest.firstPerDay keeps exactly one row per key-day") {
     val ev = Seq(
       (2L, "2024-01-01 10:00:00", 7L, "c", 1.0),
