@@ -131,6 +131,19 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges("sessionize") == 1)
   }
 
+  test("bars_weekly: two map-combined hash aggregates (tick→daily, daily→weekly), no window pass") {
+    val p = plan("bars_weekly")
+    assert(hashExchanges("bars_weekly") == 2)
+    assert(!p.contains("Window"), s"weekly resample must not need a window:\n$p")
+  }
+
+  test("rsi_close: daily agg + ONE key window shuffle shared by the lag and both trailing sums") {
+    // exchange 1: tick→daily bars on (key, date); exchange 2: the
+    // (key)-partitioned window — delta lag, gain sum, loss sum and the
+    // delta count all ride it together
+    assert(hashExchanges("rsi_close") == 2)
+  }
+
   test("asof_ref: two hash shuffles — refs derivation, then the union-sort-fill merge") {
     assert(hashExchanges("asof_ref") == 2)
   }
