@@ -206,6 +206,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("components with pointer jumping equals a union-find oracle on random graphs") {
+    // the pointer-jump optimization must not change WHAT converges, only
+    // how fast: on arbitrary random graphs (star, chain, dense, sparse
+    // mixes all arise across seeds) the labeling must equal a driver-side
+    // union-find ground truth computed on the same edges
+    for (seed <- 20L to 24L) {
+      val edges = Gen.listOfN(120, for {
+        a <- Gen.choose(1L, 60L)
+        b <- Gen.choose(1L, 60L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))(
+        Gen.Parameters.default, Seed(seed)).get.distinct
+      val got = graft.ext.Dedup.components(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // union-find ground truth with min-id representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"seed $seed: labeling diverged from union-find")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
