@@ -182,6 +182,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Graded contamination (ext/TextOps.contaminationScore): every
+    * non-eval doc scored by the bps share of its distinct 5-shingles
+    * present anywhere in the held-out slice — the degree metric behind
+    * keep/trim/drop policies, where `decontaminate` is the boolean. */
+  private def contaminationScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.contaminationScore(d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified downsampling: keep 25 % of English, all of
     * every other language (the rebalancing step of corpus curation),
     * summarized per language. Membership is a pure md5(doc_id) predicate
@@ -1852,6 +1863,7 @@ object ExtQueries {
     "dedup_incremental" -> ((s, dir) => dedupIncremental(s, dir)),
     "dedup_incremental_indexed" -> ((s, dir) => dedupIncrementalIndexed(s, dir)),
     "decontaminate" -> ((s, dir) => decontaminateQ(s, dir)),
+    "contamination_score" -> ((s, dir) => contaminationScoreQ(s, dir)),
     "sample_stratified" -> ((s, dir) => sampleStratified(s, dir)),
     "domain_mix" -> ((s, dir) => domainMix(s, dir)),
     "repetition_stats" -> ((s, dir) => repetitionStats(s, dir)),
@@ -2269,6 +2281,16 @@ object ExtQueries {
          |SELECT c.doc_id, count(DISTINCT c.s) AS n_overlap_shingles,
          |       count(DISTINCT e.eval_id) AS n_eval_docs
          |FROM c JOIN e ON c.s = e.s
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "contamination_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM t),
+         |e AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 7 = 0),
+         |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 7 != 0)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |       count(e.s) AS n_overlap,
+         |       count(e.s) * 10000 // count(*) AS contamination_bps
+         |FROM c LEFT JOIN e ON c.s = e.s
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -216,6 +216,38 @@ object TextOps {
   }
 
   /**
+   * Graded decontamination (the GPT-3 Appendix-C "dirtiness" shape):
+   * for EVERY corpus doc, the fraction of its distinct k-shingles that
+   * also occur anywhere in the eval set — `decontaminate` gives only
+   * the contaminated front line; curation policies that keep / trim /
+   * drop by degree need the full score. Reported in exact integer bps
+   * (overlap·10000 DIV total), so the keep threshold can never flip on
+   * cross-engine float division.
+   *
+   * Scale: the eval shingle set broadcasts (eval sets are KB-to-MB vs
+   * a 100 TB corpus); the corpus shuffles (id, shingle) pairs once for
+   * the per-doc aggregate — document text never shuffles, exactly the
+   * `decontaminate` plan with a left join in place of the inner.
+   */
+  def contaminationScore(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 5): DataFrame = {
+    graft.functions.TextExprs.register(corpus.sparkSession)
+    // token_shingles is set-shaped per doc; the eval union still needs a
+    // cross-doc distinct before the broadcast
+    val c = corpus.select(col(idCol),
+      explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
+    val e = evalSet
+      .select(explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
+      .distinct().withColumn("__hit", lit(1L))
+    c.join(broadcast(e), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contamination_bps",
+        expr("n_overlap * 10000 DIV n_shingles"))
+  }
+
+  /**
    * Unigram LM quality score — the mean log-probability of a document's
    * tokens under the corpus's own unigram distribution, the cheap
    * perplexity proxy of corpus-quality filters (gibberish, boilerplate

@@ -207,6 +207,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got.forall { case (_, nSh, nEval) => nSh >= 6 && nEval == 1 })
   }
 
+  test("TextOps.contaminationScore: exact-bps overlap share for every doc, clean docs score 0") {
+    val evalSet = docs((100L, "a b c d e"))            // one 5-shingle
+    val corpus = docs(
+      (1L, "a b c d e f"),                             // 2 shingles, 1 hits → 5000 bps
+      (2L, "p q r s t u v"))                           // 3 shingles, 0 hit → 0 bps
+    val got = TextOps.contaminationScore(corpus, evalSet, "id", "text",
+        shingleK = 5)
+      .orderBy("id")
+      .select("id", "n_shingles", "n_overlap", "contamination_bps")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 5000L), (2L, 3L, 0L, 0L)))
+  }
+
   test("Sampling.stratifiedByHash: per-group rates, determinism, append stability") {
     import graft.ext.Sampling
     val df = (0 until 2000)
