@@ -349,6 +349,37 @@ object Versioned {
    * SUPERSEDED commit were fully committed and are reclaimed
    * immediately regardless of age.
    */
+  /** Number of retained commits a time-based retention policy should
+    * keep: every commit whose commit-file modification time (= commit
+    * time) is within `olderThanMs` of now, floored at `retainLast` —
+    * Iceberg's `expire_snapshots(older_than, retain_last)` arithmetic,
+    * shared by both formats' `vacuumOlderThan`. One directory listing,
+    * zero commit-file reads. */
+  private[ops] def keepCountByAge(fs: FileSystem, rootPath: HPath,
+      olderThanMs: Long, retainLast: Int): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val recent =
+      if (!fs.exists(rootPath)) 0
+      else fs.listStatus(rootPath).count(s =>
+        s.isFile && s.getPath.getName.startsWith(CommitPrefix) &&
+          s.getPath.getName.endsWith(CommitSuffix) && s.getLen > 0 &&
+          s.getModificationTime >= cutoff)
+    math.max(retainLast, recent)
+  }
+
+  /** Age-based retention (Iceberg `expire_snapshots` shape): keep every
+    * commit younger than `olderThanMs` and at least `retainLast`
+    * regardless of age, then delegate to the count-based `vacuum` for
+    * the actual sweep (same orphan age gate, same retention-floor
+    * semantics). Returns snapshot dirs deleted. */
+  def vacuumOlderThan(spark: SparkSession, root: String, olderThanMs: Long,
+      retainLast: Int = 1, orphanMinAgeMs: Long = 3600000L): Int = {
+    require(olderThanMs >= 0, s"need olderThanMs >= 0, got $olderThanMs")
+    val (fs, rootPath) = fsOf(spark, root)
+    vacuum(spark, root,
+      keepCountByAge(fs, rootPath, olderThanMs, retainLast), orphanMinAgeMs)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       orphanMinAgeMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")

@@ -901,6 +901,20 @@ object VersionedPartitioned {
     * higher one) is re-tagged onto a fresh metadata-only commit (same
     * manifest as the latest, zero data I/O), which the retention
     * window then keeps. */
+  /** Age-based retention for the partitioned format — same
+    * `expire_snapshots(older_than, retain_last)` arithmetic as
+    * `Versioned.vacuumOlderThan`, delegating to this format's own
+    * `vacuum` (so the propagate-cursor carry-forward and manifest-aware
+    * snapshot census apply). */
+  def vacuumOlderThan(spark: SparkSession, root: String, olderThanMs: Long,
+      retainLast: Int = 1, orphanMinAgeMs: Long = 3600000L): Int = {
+    require(olderThanMs >= 0, s"need olderThanMs >= 0, got $olderThanMs")
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    vacuum(spark, root,
+      Versioned.keepCountByAge(fs, rootPath, olderThanMs, retainLast),
+      orphanMinAgeMs)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       orphanMinAgeMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")

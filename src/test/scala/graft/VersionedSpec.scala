@@ -669,6 +669,49 @@ class VersionedSpec extends AnyFunSuite {
       spark, proot, Seq("date", "v"), 20L).count()) <= 3)
   }
 
+  test("vacuumOlderThan: age-based retention keeps young commits and the retainLast floor") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1), root)
+    Versioned.commit(df(2), root)
+    Versioned.commit(df(3), root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // backdate v1 and v2 beyond the retention window
+    val old = System.currentTimeMillis() - 10 * 3600 * 1000L
+    Seq(1L, 2L).foreach { v =>
+      fs.setTimes(new HPath(root, f"_v$v%020d.commit"), old, -1)
+    }
+    // 1h window: only v3 is young → v1, v2 expire
+    assert(Versioned.vacuumOlderThan(spark, root, 3600 * 1000L,
+      orphanMinAgeMs = 0L) == 2)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(3))
+    intercept[IllegalArgumentException] { Versioned.readAt(spark, root, 1L) }
+    // everything old + retainLast floor: the newest commit always survives
+    val root2 = Files.createTempDirectory("graft_ver").toString
+    Versioned.commit(df(1), root2)
+    Versioned.commit(df(2), root2)
+    fs.listStatus(new HPath(root2))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".commit"))
+      .foreach(s => fs.setTimes(s.getPath, old, -1))
+    assert(Versioned.vacuumOlderThan(spark, root2, 3600 * 1000L,
+      orphanMinAgeMs = 0L) == 1)
+    assert(Versioned.read(spark, root2).as[Int].collect().toSeq == Seq(2))
+
+    // partitioned variant: same arithmetic through its manifest vacuum —
+    // an inherited partition's old snapshot must survive because the
+    // RETAINED manifest references it
+    val proot = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), proot)
+    VersionedPartitioned.promote(pdf("2024-01-02" -> 22), proot)
+    fs.setTimes(new HPath(proot, f"_v${1L}%020d.commit"), old, -1)
+    VersionedPartitioned.vacuumOlderThan(spark, proot, 3600 * 1000L,
+      orphanMinAgeMs = 0L)
+    assert(state(VersionedPartitioned.read(spark, proot)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22),
+      "day 1 rides the v1 snapshot the retained manifest references")
+  }
+
   test("latestTagWithPrefix: newest match wins, and a steady-state lookup reads one commit file") {
     val root = Files.createTempDirectory("graft_ver").toString
     Versioned.commit(df(0), root, Some("cursor:41"))
