@@ -75,6 +75,28 @@ object Dedup {
    * min-aggregates with map-side partial aggregation — the only shuffle
    * carries numHashes longs per document.
    */
+  /**
+   * Pick (bands, rows) for a MinHash-LSH run so the S-curve's
+   * half-recall point (1/bands)^(1/rows) lands closest to the target
+   * Jaccard `threshold` — the standard parameter-tuning rule (Leskovec
+   * et al., Mining of Massive Datasets §3.4.3; reference analogue: none
+   * — extension surface). Only exact factorizations bands·rows =
+   * numPerms are considered, so the chosen pair drops no permutation.
+   * Use it to size `minhashSignatures`/`lshCandidatePairs` instead of
+   * hand-picking: a threshold far below the curve's knee floods the
+   * verifier with false candidates (the d² blow-up at scale), far
+   * above it silently loses recall.
+   */
+  def bandsForThreshold(numPerms: Int, threshold: Double): (Int, Int) = {
+    require(numPerms >= 1, s"need numPerms >= 1, got $numPerms")
+    require(threshold > 0 && threshold < 1,
+      s"need 0 < threshold < 1, got $threshold")
+    (1 to numPerms).filter(numPerms % _ == 0)
+      .map(r => (numPerms / r, r))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
     graft.functions.TextExprs.register(df.sparkSession)

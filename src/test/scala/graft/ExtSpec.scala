@@ -525,6 +525,19 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 20L, 99L)) // reps + untouched singleton
   }
 
+  test("Dedup.bandsForThreshold: S-curve knee lands nearest the target, exact factorizations only") {
+    // 128 perms: r=4 → (1/32)^(1/4) ≈ 0.420 (closest to 0.5),
+    // r=8 → (1/16)^(1/8) ≈ 0.707 (closest to 0.7)
+    assert(Dedup.bandsForThreshold(128, 0.5) == (32, 4))
+    assert(Dedup.bandsForThreshold(128, 0.7) == (16, 8))
+    // every returned pair multiplies back to numPerms
+    for (n <- Seq(16, 64, 100, 128); t <- Seq(0.2, 0.5, 0.8)) {
+      val (b, r) = Dedup.bandsForThreshold(n, t)
+      assert(b * r == n, s"($b, $r) drops permutations of $n")
+    }
+    intercept[IllegalArgumentException] { Dedup.bandsForThreshold(128, 1.0) }
+  }
+
   test("Dedup.components: pointer jumping converges a deep chain in O(log d) rounds") {
     // a 200-link chain has diameter 200 — plain min-label propagation
     // would need 200 rounds (and hit the maxRounds guard); the pointer
