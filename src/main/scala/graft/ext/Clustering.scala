@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
  * keeps it partial); the update is posexplode → (cluster, dim) partial
  * aggregation — shuffle rows are (cluster, dim, decimal) triples, k·dim
  * of them per partition after map-side combine, never vectors. Per
- * iteration: one scan, two narrow shuffles. No driver-side data moves.
+ * iteration: one scan, two narrow shuffles — ONE Spark job, because the
+ * updated centroids are collected into a driver-local relation between
+ * rounds. That collect moves exactly the rows the next round's
+ * broadcast would ship to every executor anyway (k centroids — bounded
+ * by the broadcast-join threshold, never corpus data), and it is what
+ * breaks the iteration lineage: without it each round's broadcast
+ * re-executes every previous round's assign+update chain from the raw
+ * scan, an O(iters²) recompute that dominated the bench.
  */
 object Clustering {
 
@@ -44,14 +51,28 @@ object Clustering {
     graft.functions.VectorExprs.register(df.sparkSession)
     val pts = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    var cents = pts.where(col("__id") % centroidStride === 0)
-      .select(col("__id").as("__cent_id"), col("__v").as("__cv"))
+    // localize() from round 0: the seed scan runs once instead of being
+    // re-executed by every subsequent round's broadcast
+    var cents = localize(pts.where(col("__id") % centroidStride === 0)
+      .select(col("__id").as("__cent_id"), col("__v").as("__cv")))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       assigned = assign(pts, cents)
-      if (i < iters) cents = update(assigned)
+      if (i < iters) cents = localize(update(assigned))
     }
     assigned.select(col("__id").as(idCol), col("__cent_id").as("cluster"))
+  }
+
+  /** Collect a (small) centroid frame to the driver and rebuild it as a
+    * LocalRelation: cuts the per-round lineage (no O(iters²) recompute)
+    * and makes the next round's broadcast driver-side (no extra job).
+    * Values round-trip exactly — collect preserves doubles bit-for-bit,
+    * so assignments are unchanged vs the distributed frame. The rows
+    * moved are the centroids the broadcast ships cluster-wide anyway. */
+  private def localize(cents: DataFrame): DataFrame = {
+    val rows = cents.collect()
+    cents.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cents.schema)
   }
 
   /** Nearest-centroid assignment: (id, v, cent_id). */

@@ -667,17 +667,30 @@ object Dedup {
    * shuffled on node id (the jump join keys on the component label —
    * skewed for giant clusters, which AQE's skew-join splitting
    * handles). Lineage is cut every round with localCheckpoint so plans
-   * stay O(1) deep; the driver holds only the changed-flag per round,
-   * never the labels.
+   * stay O(1) deep; the driver holds only the changed-count per round,
+   * never the labels. Each round is ONE Spark job: the checkpoint is
+   * LAZY and the moved-label count is the action that materializes it,
+   * so convergence detection rides the same pass that writes the
+   * checkpoint blocks (an eager checkpoint + separate isEmpty probe —
+   * the previous shape — paid a second full scheduling round-trip per
+   * iteration, which dominated wall-clock on deep graphs; at cluster
+   * scale every extra job per round is a full barrier).
    */
   def components(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.unionAll(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    // symmetrize with ONE pass over `pairs` (explode of both directions),
+    // not a unionAll of two references — the pair frame is typically an
+    // unpersisted LSH-verify join, and two references would execute it
+    // twice inside the edges materialization
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .localCheckpoint(false)
+    // lazy like `edges`: round 1's convergence count materializes the
+    // whole chain (pairs → edges → labels) in its single job
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+      .withColumn("component", col("id")).localCheckpoint(false)
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -698,10 +711,13 @@ object Dedup {
               coalesce(col("__nmin"), col("component"))),
             coalesce(col("__jcomp"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
-      // existence check (early-exit take(1)), not a full count — the
-      // driver only needs "any label moved?", never how many
-      changed = !next.where(col("component") =!= col("__old")).isEmpty
+        .localCheckpoint(false)
+      // one job per round: the lazy checkpoint above is materialized BY
+      // this count (the filter sits on top of the checkpointed RDD, so
+      // computing it writes the checkpoint blocks as a side effect) —
+      // folding the convergence probe into the materialization instead
+      // of running an eager checkpoint job followed by an isEmpty job
+      changed = next.where(col("component") =!= col("__old")).count() > 0
       labels = next.select(col("id"), col("component"))
       round += 1
     }
