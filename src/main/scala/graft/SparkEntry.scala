@@ -61,6 +61,67 @@ object SparkEntry {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /**
+   * The SQL front door exercised end-to-end: the reference's cumulate
+   * query (reference `dags/dag.py:385-437` — daily_prices CTE →
+   * rolling_windows CTE → windowed ARRAY_AGG/AVG/STDDEV select) executed
+   * as ONE raw `spark.sql` string against the registered temp views
+   * (`sources/Views.scala`), generalized to all dates exactly like
+   * `rolling_7day` and sharing its oracle, so a hash mismatch between
+   * the SQL and DataFrame front doors fails the gate. The only textual
+   * deltas from the reference string: the bar derivation inlined as the
+   * first CTE (the reference reads its pre-built production table),
+   * CURRENT_TIMESTAMP dropped and arrays packed per the determinism
+   * rules (SURVEY §5.2), and the per-`ds` WHERE generalized.
+   */
+  private def sqlCumulative(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Views.register(spark, dir)
+    spark.sql(
+      """WITH daily_prices AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         min_by(value, event_id) AS open,
+        |         max(value) AS high,
+        |         min(value) AS low,
+        |         max_by(value, event_id) AS close,
+        |         count(*) AS volume
+        |  FROM events
+        |  GROUP BY user_id, event_type, CAST(ts AS DATE)
+        |),
+        |rolling_windows AS (
+        |  SELECT
+        |    user_id, event_type, date,
+        |    ARRAY_AGG(open)   OVER w AS last_7_days_open,
+        |    ARRAY_AGG(high)   OVER w AS last_7_days_high,
+        |    ARRAY_AGG(low)    OVER w AS last_7_days_low,
+        |    ARRAY_AGG(close)  OVER w AS last_7_days_close,
+        |    ARRAY_AGG(volume) OVER w AS last_7_days_volume,
+        |    AVG(volume)       OVER w AS avg_7_day_volume,
+        |    STDDEV(close)     OVER w AS volatility_7_day
+        |  FROM daily_prices
+        |  WINDOW w AS (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        |  )
+        |)
+        |SELECT
+        |  user_id, event_type, date,
+        |  array_join(transform(last_7_days_open,
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS STRING)), ',') AS last_7_days_open,
+        |  array_join(transform(last_7_days_high,
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS STRING)), ',') AS last_7_days_high,
+        |  array_join(transform(last_7_days_low,
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS STRING)), ',') AS last_7_days_low,
+        |  array_join(transform(last_7_days_close,
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS STRING)), ',') AS last_7_days_close,
+        |  array_join(transform(last_7_days_volume,
+        |    x -> CAST(x AS STRING)), ',') AS last_7_days_volume,
+        |  round(avg_7_day_volume, 4) AS avg_7_day_volume,
+        |  round(COALESCE(volatility_7_day, 0), 4) AS volatility_7_day
+        |FROM rolling_windows
+        |ORDER BY user_id, event_type, date""".stripMargin)
+  }
+
   /** Source normalization S1+O2: first event per (key, day). */
   private def ingestNormalize(spark: SparkSession, dir: String): DataFrame =
     Ingest.firstPerDay(read(spark, dir, "events"),
@@ -127,6 +188,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exchange_idempotent" -> ((s, dir) => exchangeIdempotent(s, dir)),
     "rolling_7day" -> ((s, dir) => rolling7Day(s, dir)),
+    "sql_cumulative" -> ((s, dir) => sqlCumulative(s, dir)),
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
     "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
     "dq_nulls" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(1))),
@@ -137,7 +199,14 @@ object SparkEntry {
     "dq_all" -> ((s, dir) => dqAll(s, dir))
   ) ++ ExtQueries.queries
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase ++ dqOracles ++ ExtQueries.oracleSql
+    // the SQL front door must hash-match the DataFrame front door:
+    // sql_cumulative is verified against rolling_7day's exact oracle
+    base + ("sql_cumulative" -> base("rolling_7day"))
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "rolling_7day" ->
       """WITH bars AS (
         |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
@@ -187,7 +256,7 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
-  ) ++ dqOracles ++ ExtQueries.oracleSql
+  )
 
   // DuckDB oracle for one violation-count check in the reference shape.
   private def dqOracle(name: String, table: String, violation: String): String =

@@ -365,4 +365,24 @@ class OpsSpec extends AnyFunSuite {
       Quality.enforce(dirty, Quality.stockChecks(ds, Schemas.TickerWhitelist))
     }
   }
+
+  test("Views.register exposes every table to raw spark.sql, pruned like the DataFrame path") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Views.register(spark, dir)
+    // every table answers a SQL count and matches its DataFrame load
+    graft.sources.Tables.tableNames.foreach { t =>
+      val sqlN = spark.sql(s"SELECT count(*) FROM $t").head.getLong(0)
+      assert(sqlN == graft.sources.Tables.load(spark, dir, t).count(), t)
+    }
+    // reference-named alias (dag.py addresses production_stock_data)
+    graft.sources.Views.registerAs(spark, dir, "events", "production_stock_data")
+    assert(spark.sql("SELECT count(*) FROM production_stock_data").head.getLong(0) > 0)
+    // the view is metadata-only: a filtered 2-column SQL query still
+    // reaches the parquet scan with pushdown + pruning
+    val plan = spark.sql(
+      "SELECT user_id, value FROM events WHERE user_id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"), plan)
+    assert(plan.contains("ReadSchema: struct<user_id:bigint,value:double>"), plan)
+  }
 }
