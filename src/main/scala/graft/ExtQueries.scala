@@ -1396,6 +1396,34 @@ object ExtQueries {
   }
 
   /**
+   * Timestamp time travel (Iceberg `FOR TIMESTAMP AS OF`,
+   * ops/VersionedPartitioned.readAsOf; reference `README.md:76` names
+   * the capability): the same pinned-history shape as
+   * `versioned_timetravel`, but v1 is resolved from a wall-clock
+   * captured BETWEEN the two promotes (commit-file mtime resolution)
+   * instead of by version number. Shares `versioned_timetravel`'s
+   * oracle, so the two resolution paths must hash-agree.
+   */
+  private def versionedTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtts_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val ts = System.currentTimeMillis()
+    // commit-file mtimes are millisecond-granular on this filesystem:
+    // hold the second promote strictly after the captured instant
+    Thread.sleep(25)
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+            .cast("decimal(18,2)")),
+      root, "month")
+    monthTotals(graft.ops.VersionedPartitioned.readAsOf(s, root, ts))
+  }
+
+  /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
    * price-band column to every live partition in one atomic commit,
@@ -1920,6 +1948,7 @@ object ExtQueries {
     "versioned_merge" -> ((s, dir) => versionedMerge(s, dir)),
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
+    "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
@@ -2245,7 +2274,14 @@ object ExtQueries {
       |  FROM bits),
       |cb AS (SELECT vec_id, unnest(bk) AS bucket FROM buckets)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // timestamp-resolved time travel must agree with version-resolved:
+    // both read the same pinned v1, so they share one oracle
+    base + ("versioned_timetravel_ts" -> base("versioned_timetravel"))
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -2286,12 +2322,19 @@ object ExtQueries {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |d AS (SELECT doc_id, ${shinglesSqlK(5)} AS sh FROM t),
          |e AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 7 = 0),
-         |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 7 != 0)
-         |SELECT c.doc_id, count(*) AS n_shingles,
-         |       count(e.s) AS n_overlap,
-         |       count(e.s) * 10000 // count(*) AS contamination_bps
-         |FROM c LEFT JOIN e ON c.s = e.s
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+         |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 7 != 0),
+         |agg AS (SELECT c.doc_id, count(*) AS n_shingles,
+         |               count(e.s) AS n_overlap
+         |        FROM c LEFT JOIN e ON c.s = e.s
+         |        GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(agg.n_shingles, 0) AS n_shingles,
+         |       coalesce(agg.n_overlap, 0) AS n_overlap,
+         |       coalesce(agg.n_overlap * 10000 // agg.n_shingles, 0)
+         |         AS contamination_bps
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |WHERE d.doc_id % 7 != 0
+         |ORDER BY d.doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |d AS (SELECT doc_id, len(toks) AS n_tokens,

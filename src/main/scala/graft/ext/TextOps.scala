@@ -228,23 +228,39 @@ object TextOps {
    * a 100 TB corpus); the corpus shuffles (id, shingle) pairs once for
    * the per-doc aggregate — document text never shuffles, exactly the
    * `decontaminate` plan with a left join in place of the inner.
+   *
+   * "EVERY corpus doc" is total: docs shorter than `shingleK` tokens
+   * carry one whole-doc shingle (the kernel's sub-k contract), and
+   * docs with NO shingles at all (NULL text) come back as exact-zero
+   * rows (n_shingles = 0, contamination_bps = 0) via the id left-join
+   * below — without it the explode would silently drop them and a
+   * keep/trim/drop policy keyed on this output would treat them as
+   * missing rather than clean.
    */
   def contaminationScore(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 5): DataFrame = {
     graft.functions.TextExprs.register(corpus.sparkSession)
     // token_shingles is set-shaped per doc; the eval union still needs a
     // cross-doc distinct before the broadcast
+    val ids = corpus.select(col(idCol))
     val c = corpus.select(col(idCol),
       explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
     val e = evalSet
       .select(explode(expr(s"token_shingles(`$textCol`, $shingleK)")).as("__s"))
       .distinct().withColumn("__hit", lit(1L))
-    c.join(broadcast(e), Seq("__s"), "left")
+    val agg = c.join(broadcast(e), Seq("__s"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+    ids.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      // ANSI DIV raises on a zero divisor — the shingle-less rows take
+      // the explicit zero branch (0 overlap of 0 shingles = 0 bps)
       .withColumn("contamination_bps",
-        expr("n_overlap * 10000 DIV n_shingles"))
+        when(col("n_shingles") === 0L, lit(0L))
+          .otherwise(expr("n_overlap * 10000 DIV n_shingles")))
   }
 
   /**

@@ -209,7 +209,15 @@ object Versioned {
       prefix: String): Option[String] = {
     val (fs, rootPath) = fsOf(spark, root)
     listCommits(fs, rootPath).reverseIterator
-      .map { case (_, p) => readCommit(fs, p) }
+      .flatMap { case (_, p) =>
+        // concurrent-vacuum guard (same as latestRaw's): a commit file
+        // deleted between the listing and the open is skipped — safe,
+        // because vacuum only deletes below the retention floor and the
+        // epoch carry-forward keeps each stream's newest tag on a
+        // retained commit
+        try Some(readCommit(fs, p))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .flatMap(_.linesIterator.drop(1).take(1))
       .collectFirst { case t if t.startsWith(prefix) =>
         t.stripPrefix(prefix) }
@@ -331,6 +339,51 @@ object Versioned {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(snapDir(spark, root, Some(version)).toString)
 
+  /** (version, commit-time ms) for every non-empty commit, ascending by
+    * version, from ONE directory listing — commit time is the commit
+    * file's modification time, stamped by the create-exclusive claim
+    * that made the version visible (the analogue of Iceberg's snapshot
+    * `committed_at`). Zero commit-file reads. */
+  private[ops] def commitTimes(fs: FileSystem,
+      rootPath: HPath): Seq[(Long, Long)] = {
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(CommitPrefix)
+        && s.getPath.getName.endsWith(CommitSuffix) && s.getLen > 0)
+      .flatMap { s =>
+        val name = s.getPath.getName
+          .stripPrefix(CommitPrefix).stripSuffix(CommitSuffix)
+        try Some((name.toLong, s.getModificationTime))
+        catch { case _: NumberFormatException => None }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Iceberg `FOR TIMESTAMP AS OF` resolution (reference `README.md:76`
+    * — the reference's table format supports timestamp time travel):
+    * the HIGHEST version whose commit time is <= `tsMs`. Resolved on
+    * version order, not mtime order, so a backdated commit (clock skew
+    * between writers, a restored table root) can never hide a
+    * later-NUMBERED commit that was also visible by `tsMs` — version
+    * order is the serialization order the claim loop enforces, and it
+    * wins whenever the two disagree. One listing, zero commit reads;
+    * the actual snapshot resolution then costs the usual single read. */
+  def versionAsOf(spark: SparkSession, root: String, tsMs: Long): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val ct = commitTimes(fs, rootPath)
+    val eligible = ct.filter(_._2 <= tsMs)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"no commit at or before ts=$tsMs under $root" +
+        ct.headOption.map { case (v, t) =>
+          s" (earliest commit v$v at $t)" }.getOrElse(" (no commits)"))
+    eligible.map(_._1).max
+  }
+
+  /** Timestamp time travel: read the snapshot that was current as of
+    * wall-clock `tsMs` (`SELECT … FOR TIMESTAMP AS OF`). */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readAt(spark, root, versionAsOf(spark, root, tsMs))
+
   /**
    * Retention: keep the newest `keepLast` committed versions, delete
    * older snapshots AND their commit files, plus orphan snapshot dirs
@@ -358,12 +411,17 @@ object Versioned {
   private[ops] def keepCountByAge(fs: FileSystem, rootPath: HPath,
       olderThanMs: Long, retainLast: Int): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val recent =
-      if (!fs.exists(rootPath)) 0
-      else fs.listStatus(rootPath).count(s =>
-        s.isFile && s.getPath.getName.startsWith(CommitPrefix) &&
-          s.getPath.getName.endsWith(CommitSuffix) && s.getLen > 0 &&
-          s.getModificationTime >= cutoff)
+    val ct = commitTimes(fs, rootPath)
+    // the keep set is the version-ordered SUFFIX from the OLDEST
+    // recent-mtime commit upward — not a bare count of recent mtimes.
+    // The version-ordered vacuum keeps the last N by version, so when
+    // mtime order diverges from version order (clock skew between
+    // writers, a copied/restored table root), a bare count could let a
+    // within-window commit fall outside the kept suffix; anchoring on
+    // the minimum recent version keeps every commit that is within the
+    // age window, at worst retaining extra backdated ones.
+    val keepFrom = ct.filter(_._2 >= cutoff).map(_._1).minOption
+    val recent = keepFrom.map(mv => ct.count(_._1 >= mv)).getOrElse(0)
     math.max(retainLast, recent)
   }
 
@@ -380,12 +438,49 @@ object Versioned {
       keepCountByAge(fs, rootPath, olderThanMs, retainLast), orphanMinAgeMs)
   }
 
+  /** Streaming epoch tag prefix (`epoch=<checkpoint-id>-<n>`) — written
+    * by the streaming sinks' `commitEpoch`, parsed here so vacuum can
+    * preserve each stream's replay guard across retention. */
+  private[graft] val EpochTagPrefix = "epoch="
+
+  /** checkpoint-id → max epoch across every `epoch=` tag in `tags`
+    * (epoch is the digits after the LAST '-'; checkpoint ids may
+    * themselves contain dashes). */
+  private def maxEpochByStream(tags: Seq[String]): Map[String, Long] =
+    tags.filter(_.startsWith(EpochTagPrefix))
+      .flatMap { t =>
+        val body = t.stripPrefix(EpochTagPrefix)
+        val i = body.lastIndexOf('-')
+        if (i <= 0) None
+        else try Some((body.substring(0, i), body.substring(i + 1).toLong))
+        catch { case _: NumberFormatException => None }
+      }
+      .groupMapReduce(_._1)(_._2)(_ max _)
+
+  /** The epoch tags a vacuum must re-commit before deleting below the
+    * floor: for each checkpoint stream, its newest epoch tag — but only
+    * when every commit carrying a tag that new is about to be dropped.
+    * Without this, interleaved writers can push a stream's newest
+    * epoch-tagged commit out of the keepLast window, and a crash-replay
+    * of that epoch would wrongly commit a second time (the exactly-once
+    * guard `commitEpoch` resolves via `latestTagWithPrefix`). Mirrors
+    * the src-version cursor carry-forward in the partitioned vacuum. */
+  private[ops] def epochCarryTags(droppedTags: Seq[String],
+      keptTags: Seq[String]): Seq[String] = {
+    val kept = maxEpochByStream(keptTags)
+    maxEpochByStream(droppedTags).toSeq
+      .collect { case (cid, n) if kept.get(cid).forall(_ < n) =>
+        s"$EpochTagPrefix$cid-$n" }
+      .sorted
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       orphanMinAgeMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val (fs, rootPath) = fsOf(spark, root)
     if (!fs.exists(rootPath)) return 0
-    val h = history(spark, root)
+    val hFull = fullHistory(spark, root)
+    val h = hFull.map { case (v, d, _) => (v, d) }
     // every committed snapshot dir, including ones about to be retired —
     // captured BEFORE commit files are deleted so superseded dirs stay
     // distinguishable from true orphans below
@@ -393,6 +488,21 @@ object Versioned {
     val keep = h.takeRight(keepLast)
     val keepDirs = keep.map(_._2).toSet
     val keepMin = keep.headOption.map(_._1).getOrElse(Long.MaxValue)
+    // carry each stream's newest epoch tag above the floor before any
+    // deletion: a fresh metadata-only commit re-tags it onto the latest
+    // snapshot dir (already in keepDirs, zero data I/O), keeping the
+    // exactly-once replay guard intact when interleaved writers pushed
+    // the tagged commit below the retention floor
+    val carry = epochCarryTags(
+      hFull.filter(_._1 < keepMin).flatMap(_._3),
+      hFull.filter(_._1 >= keepMin).flatMap(_._3))
+    if (carry.nonEmpty) {
+      val latestDir = h.last._2
+      carry.foreach { t =>
+        claimVersion(fs, rootPath, latestDir + "\n" + t,
+          currentVersion(spark, root).getOrElse(0L) + 1)
+      }
+    }
     // drop superseded commit files (and empty claims below the floor)
     fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName

@@ -162,7 +162,14 @@ object VersionedPartitioned {
       prefix: String): Option[String] = {
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     Versioned.listCommits(fs, rootPath).reverseIterator
-      .flatMap { case (_, p) => parse(Versioned.readCommit(fs, p)).tag }
+      .flatMap { case (_, p) =>
+        // concurrent-vacuum guard (same as latestRaw's): skip a commit
+        // file deleted between the listing and the open — safe, because
+        // vacuum carries the newest epoch tag and src-version cursor
+        // onto retained commits before deleting anything
+        try parse(Versioned.readCommit(fs, p)).tag
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .collectFirst { case t if t.startsWith(prefix) =>
         t.stripPrefix(prefix) }
   }
@@ -281,6 +288,18 @@ object VersionedPartitioned {
   /** Time travel: read the table exactly as of `version`. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     readManifest(spark, root, manifestAt(spark, root, Some(version)))
+
+  /** Iceberg `FOR TIMESTAMP AS OF` for the partitioned format: resolve
+    * the version current as of wall-clock `tsMs` via commit-file mtime
+    * (the commit protocol — and therefore the timestamp resolution — is
+    * shared with `Versioned`; see `Versioned.versionAsOf` for the
+    * version-order-wins rule under clock skew). */
+  def versionAsOf(spark: SparkSession, root: String, tsMs: Long): Long =
+    Versioned.versionAsOf(spark, root, tsMs)
+
+  /** Timestamp time travel: read the table as it was at `tsMs`. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readAt(spark, root, versionAsOf(spark, root, tsMs))
 
   private def manifestAt(spark: SparkSession, root: String,
       version: Option[Long]): Manifest = {
@@ -942,6 +961,20 @@ object VersionedPartitioned {
       // the carry-forward commit is above keepMin, so the deletions
       // below leave it (and therefore the cursor) intact
     }
+    // same carry-forward for each stream's newest `epoch=` tag: the
+    // exactly-once replay guard (`commitEpoch` via latestTagWithPrefix)
+    // must survive interleaved writers pushing the tagged commit below
+    // the floor — each stale stream gets one metadata-only re-tag commit
+    Versioned.epochCarryTags(
+        h.filter(_._1 < keepMin).flatMap(_._2.tag),
+        keep.flatMap(_._2.tag))
+      .foreach { t =>
+        claimLoop(spark, root) { latest =>
+          val (pv, m) = latest.get
+          (pv + 1, render(Manifest(m.partitionCol, m.entries,
+            Some(t), m.addedCols)))
+        }
+      }
     fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile && n.startsWith(Versioned.CommitPrefix)

@@ -251,8 +251,11 @@ object Streaming {
    * txnAppId/txnVersion idempotence contract Delta's foreachBatch sinks
    * document, carried here by the commit file itself so no side channel
    * can desync from the data. Retention note: Structured Streaming only
-   * ever replays the most recent uncommitted epoch, so any
-   * `Versioned.vacuum(keepLast >= 1)` retention keeps the guard intact.
+   * ever replays the most recent uncommitted epoch, and any
+   * `Versioned.vacuum(keepLast >= 1)` retention keeps the guard intact
+   * even with interleaved non-stream writers — vacuum re-tags each
+   * stream's newest epoch onto a retained commit before deleting
+   * anything (`Versioned.epochCarryTags`).
    *
    * Each epoch's snapshot REPLACES the table state (complete-refresh
    * semantics — the right grain for the dimension/index/manifest tables

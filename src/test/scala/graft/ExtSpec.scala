@@ -220,6 +220,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L, 5000L), (2L, 3L, 0L, 0L)))
   }
 
+  test("TextOps.contaminationScore: shingle-less docs come back as exact-zero rows, short docs shingle whole") {
+    val evalSet = docs((100L, "a b c d e"))
+    // a sub-k doc carries ONE whole-doc shingle (kernel contract); only
+    // a NULL text yields no shingles at all — it must not vanish
+    val corpus = Seq((1L, Some("a b c d e f")), (2L, Some("too short")),
+      (3L, None: Option[String])).toDF("id", "text")
+    val got = TextOps.contaminationScore(corpus, evalSet, "id", "text",
+        shingleK = 5)
+      .orderBy("id")
+      .select("id", "n_shingles", "n_overlap", "contamination_bps")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 5000L), (2L, 1L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
   test("Sampling.stratifiedByHash: per-group rates, determinism, append stability") {
     import graft.ext.Sampling
     val df = (0 until 2000)

@@ -171,6 +171,63 @@ class VersionedSpec extends AnyFunSuite {
       .contains("2024-01-04" -> 4))
   }
 
+  test("readAsOf: timestamp resolves between commits, before-history raises, both formats agree") {
+    val root = Files.createTempDirectory("graft_ver").toString
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(25) // commit mtimes are ms-granular; keep instants distinct
+    Versioned.commit(df(1), root)
+    Thread.sleep(25)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    Versioned.commit(df(2), root)
+    Thread.sleep(25)
+    val t2 = System.currentTimeMillis()
+    // before any commit: loud failure, like readAt on a missing version
+    intercept[IllegalArgumentException] { Versioned.versionAsOf(spark, root, t0) }
+    // between v1 and v2 → v1; after v2 → v2 (Iceberg AS OF semantics)
+    assert(Versioned.versionAsOf(spark, root, t1) == 1L)
+    assert(Versioned.readAsOf(spark, root, t1).as[Int].collect().toSeq == Seq(1))
+    assert(Versioned.versionAsOf(spark, root, t2) == 2L)
+    assert(Versioned.readAsOf(spark, root, t2).as[Int].collect().toSeq == Seq(2))
+
+    // partitioned format: same resolution through the shared protocol
+    val proot = Files.createTempDirectory("graft_verp").toString
+    val p1 = Seq((1, "a"), (2, "b")).toDF("v", "date")
+    VersionedPartitioned.promote(p1, proot, "date")
+    Thread.sleep(25)
+    val pt = System.currentTimeMillis()
+    Thread.sleep(25)
+    VersionedPartitioned.promote(Seq((9, "a")).toDF("v", "date"), proot, "date")
+    assert(VersionedPartitioned.readAsOf(spark, proot, pt)
+      .select("v").as[Int].collect().toSeq.sorted == Seq(1, 2))
+    assert(VersionedPartitioned.readAsOf(spark, proot, System.currentTimeMillis())
+      .select("v").as[Int].collect().toSeq.sorted == Seq(2, 9))
+  }
+
+  test("vacuum epoch carry-forward: interleaved writers can't evict a stream's replay guard") {
+    import graft.pipeline.Streaming
+    // stream commits epoch 0 then 1; interleaved plain writers then push
+    // both epoch-tagged commits below a keepLast=2 retention floor
+    val root = Files.createTempDirectory("graft_ver").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    assert(Streaming.commitEpoch(df(10), root, ckpt, 0L))
+    assert(Streaming.commitEpoch(df(11), root, ckpt, 1L))
+    Versioned.commit(df(1), root)
+    Versioned.commit(df(2), root)
+    Versioned.commit(df(3), root)
+    Versioned.vacuum(spark, root, keepLast = 2)
+    // the newest epoch tag must survive on a retained commit…
+    val prefix = s"epoch=${Streaming.checkpointId(ckpt)}-"
+    assert(Versioned.latestTagWithPrefix(spark, root, prefix).map(_.toLong)
+      .contains(1L), "newest epoch tag carried above the retention floor")
+    // …so a crash-replay of epoch 1 is still a no-op, and table state is
+    // the interleaved writers' latest, not the replayed batch
+    assert(!Streaming.commitEpoch(df(11), root, ckpt, 1L))
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(3))
+    // a genuinely new epoch still commits
+    assert(Streaming.commitEpoch(df(12), root, ckpt, 2L))
+  }
+
   test("vacuum: retention floor enforced, orphans swept, retained versions intact") {
     val root = Files.createTempDirectory("graft_ver").toString
     Versioned.commit(df(1), root)
