@@ -122,6 +122,62 @@ object SparkEntry {
         |ORDER BY user_id, event_type, date""".stripMargin)
   }
 
+  /**
+   * Canonical-DECIMAL pipeline gate (SURVEY §2.13 + §2.2 D2/D4): the full
+   * `Pipeline.runDay` chain — normalize → stage → DQ → promote on the
+   * canonical DECIMAL(10,2) production DDL → cumulate via the trailing
+   * 8-day `Rolling.forDay` onto the DECIMAL(15,2)/(10,4) cumulative DDL
+   * (reference `dags/dag.py:130-148,336-354`) — run for the first 10
+   * event days in order, exactly as the reference's @daily schedule
+   * would. Verified output is the cumulative table read back: DECIMAL
+   * arrays packed as ×100 integer CSV (exact — DECIMAL(10,2)·100 is an
+   * integer), scalars cast back to DOUBLE. The oracle replays the same
+   * DECIMAL casts in DuckDB, so a drift anywhere in the cast-on-promote
+   * conform path (`Schemas.conform`) or the trailing-window semantics
+   * fails the hash.
+   */
+  private def pipelineDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val events = read(spark, dir, "events")
+      .withColumn("ticker",
+        concat_ws("#", col("user_id").cast("string"), col("event_type")))
+    // tick stream → the reference's raw daily-bar feed shape
+    // (dags/dag.py:80-109): one OHLCV bar per (ticker, day) plus the
+    // deterministic vwap/event_ts/transactions companions the Polygon
+    // payload carries (dags/dag.py:90-102)
+    val bars = Ingest.dailyBars(events, Seq("ticker"),
+        tsCol = "ts", valueCol = "value", idCol = "event_id")
+      .withColumn("vwap", (col("open") + col("high") + col("low") + col("close")) / 4)
+      .withColumn("event_ts", unix_millis(col("date").cast("timestamp")))
+      .withColumn("transactions", col("volume").cast("int"))
+      .cache()
+    // first 10 calendar days of the feed — driver sees only ≤10 date
+    // values (bounded metadata, same as Streaming's per-batch dates)
+    val d0 = bars.agg(min(col("date"))).head.getDate(0)
+    val days = bars.select(col("date"))
+      .where(col("date") < date_add(lit(d0), 10)).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_decimal_")
+    val pipe = new graft.pipeline.Pipeline(spark, graft.pipeline.PipelineConfig(
+      productionPath = root.resolve("production").toString,
+      cumulativePath = root.resolve("cumulative").toString))
+    days.foreach(d => pipe.runDay(d, _ => bars))
+    bars.unpersist()
+    // DECIMAL(10,2) × 100 is integral — the pack is exact on both engines
+    def packDec(c: Column): Column =
+      array_join(transform(c, x => (x * 100).cast("long").cast("string")), ",")
+    pipe.cumulative.select(
+        col("ticker"), col("date"),
+        packDec(col("last_7_days_open")).as("last_7_days_open"),
+        packDec(col("last_7_days_high")).as("last_7_days_high"),
+        packDec(col("last_7_days_low")).as("last_7_days_low"),
+        packDec(col("last_7_days_close")).as("last_7_days_close"),
+        array_join(col("last_7_days_volume").cast("array<string>"), ",")
+          .as("last_7_days_volume"),
+        col("avg_7_day_volume").cast("double").as("avg_7_day_volume"),
+        col("volatility_7_day").cast("double").as("volatility_7_day"))
+      .orderBy("ticker", "date")
+  }
+
   /** Source normalization S1+O2: first event per (key, day). */
   private def ingestNormalize(spark: SparkSession, dir: String): DataFrame =
     Ingest.firstPerDay(read(spark, dir, "events"),
@@ -190,6 +246,7 @@ object SparkEntry {
     "rolling_7day" -> ((s, dir) => rolling7Day(s, dir)),
     "sql_cumulative" -> ((s, dir) => sqlCumulative(s, dir)),
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
+    "pipeline_decimal" -> ((s, dir) => pipelineDecimal(s, dir)),
     "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
     "dq_nulls" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(1))),
     "dq_range_violation" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(2))),
@@ -250,6 +307,51 @@ object SparkEntry {
         |)
         |WHERE rn = 1
         |ORDER BY user_id, event_type, date""".stripMargin,
+    // The cumulative table the DECIMAL pipeline must produce, replayed
+    // in DuckDB with the same cast points: bar doubles → DECIMAL(10,2)
+    // on promote-conform, avg/stddev doubles → DECIMAL(15,2)/(10,4) on
+    // cumulate-conform. forDay's trailing 8-calendar-day scan + ROWS 6
+    // PRECEDING over production (= run days ≤ anchor, since days run in
+    // order) is stated as a range self-join keeping the newest ≤7
+    // contributing days per anchor.
+    "pipeline_decimal" ->
+      """WITH bars AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '#' || event_type AS ticker,
+        |         CAST(ts AS DATE) AS date,
+        |         CAST(arg_min(value, event_id) AS DECIMAL(10,2)) AS open,
+        |         CAST(max(value) AS DECIMAL(10,2)) AS high,
+        |         CAST(min(value) AS DECIMAL(10,2)) AS low,
+        |         CAST(arg_max(value, event_id) AS DECIMAL(10,2)) AS close,
+        |         count(*) AS volume
+        |  FROM events
+        |  GROUP BY 1, 2
+        |),
+        |run_bars AS (
+        |  SELECT * FROM bars
+        |  WHERE date < (SELECT min(date) FROM bars) + 10
+        |),
+        |contrib AS (
+        |  SELECT a.ticker, a.date AS date, b.date AS src_date,
+        |         b.open, b.high, b.low, b.close, b.volume,
+        |         row_number() OVER (PARTITION BY a.ticker, a.date
+        |                            ORDER BY b.date DESC) AS rn
+        |  FROM run_bars a
+        |  JOIN run_bars b
+        |    ON a.ticker = b.ticker
+        |   AND b.date >= a.date - 7 AND b.date <= a.date
+        |)
+        |SELECT ticker, date,
+        |       array_to_string(list(CAST(open * 100 AS BIGINT) ORDER BY src_date), ',') AS last_7_days_open,
+        |       array_to_string(list(CAST(high * 100 AS BIGINT) ORDER BY src_date), ',') AS last_7_days_high,
+        |       array_to_string(list(CAST(low * 100 AS BIGINT) ORDER BY src_date), ',') AS last_7_days_low,
+        |       array_to_string(list(CAST(close * 100 AS BIGINT) ORDER BY src_date), ',') AS last_7_days_close,
+        |       array_to_string(list(volume ORDER BY src_date), ',') AS last_7_days_volume,
+        |       CAST(CAST(avg(volume) AS DECIMAL(15,2)) AS DOUBLE) AS avg_7_day_volume,
+        |       CAST(CAST(coalesce(stddev_samp(close), 0) AS DECIMAL(10,4)) AS DOUBLE) AS volatility_7_day
+        |FROM contrib
+        |WHERE rn <= 7
+        |GROUP BY ticker, date
+        |ORDER BY ticker, date""".stripMargin,
     "exchange_idempotent" ->
       """SELECT CAST(o_orderdate AS DATE) AS date, count(*) AS n_rows
         |FROM orders

@@ -42,7 +42,13 @@ object Streaming {
    */
   def run(spark: SparkSession, inputPath: String, feedSchema: StructType,
       cfg: PipelineConfig, checkpointDir: String,
-      watermark: String = "2 days"): StreamingQuery = {
+      watermark: String = "2 days",
+      // AvailableNow = the reference's run-to-completion daily batch;
+      // pass Trigger.ProcessingTime(...) for an always-on ingest that
+      // keeps polling `inputPath` — same plan, same exactly-once
+      // checkpointing, only the cadence changes (callers then stop()
+      // rather than awaitTermination()).
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream.schema(feedSchema).parquet(inputPath)
     // dropDuplicatesWithinWatermark bounds dedup state by the watermark
     // horizon (a plain dropDuplicates subset without the event-time
@@ -58,7 +64,7 @@ object Streaming {
       .drop("__event_time")
 
     deduped.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) promoteBatch(spark, batch, cfg)

@@ -347,6 +347,43 @@ class StreamingSpec extends AnyFunSuite {
         200.0 + 0 + extra.getDayOfMonth)
   }
 
+  test("ProcessingTime trigger: always-on ingest equals batch runDay; new files picked up mid-run") {
+    val root = Files.createTempDirectory("graft_stream_pt").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+
+    val first = days.take(2)
+    first.foreach(ds => feed(ds).write.mode("append").parquet(in))
+
+    // always-on cadence: the query stays alive after draining, polling
+    // for new files — the §2.11 config AvailableNow cannot exercise
+    val streamCfg = PipelineConfig(s"$root/sprod", s"$root/scum")
+    val q = Streaming.run(spark, in, feed(first.head).schema, streamCfg,
+      s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+
+    val batchCfg = PipelineConfig(s"$root/bprod", s"$root/bcum")
+    val pipe = new Pipeline(spark, batchCfg)
+    first.foreach(ds => pipe.runDay(ds, feed))
+    assert(sortedRows(spark.read.parquet(streamCfg.productionPath)) ==
+      sortedRows(spark.read.parquet(batchCfg.productionPath)))
+
+    // drop a new day in WHILE the query is still running — the live
+    // query must ingest it without a restart (the ProcessingTime
+    // contract), and the tables must still equal the batch path's
+    val extra = days(2)
+    feed(extra).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    pipe.runDay(extra, feed)
+    assert(sortedRows(spark.read.parquet(streamCfg.productionPath)) ==
+      sortedRows(spark.read.parquet(batchCfg.productionPath)))
+    assert(sortedRows(spark.read.parquet(streamCfg.cumulativePath)) ==
+      sortedRows(spark.read.parquet(batchCfg.cumulativePath)))
+  }
+
   test("stateless curation ops run unchanged under readStream (streaming-ready)") {
     // chunking, quality stats and PII scrub are pure projections, so the
     // SAME operator code must work on a streaming DataFrame with no
