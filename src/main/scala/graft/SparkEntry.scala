@@ -136,7 +136,19 @@ object SparkEntry {
    * conform path (`Schemas.conform`) or the trailing-window semantics
    * fails the hash.
    */
-  private def pipelineDecimal(spark: SparkSession, dir: String): DataFrame = {
+  private def pipelineDecimal(spark: SparkSession, dir: String): DataFrame =
+    pipelineDecimalOn(spark, dir, versionedFacts = false)
+
+  /** The same end-to-end gate with the fact tables on
+    * `VersionedPartitioned` manifest commits (`versionedFacts = true` —
+    * the reference's `USING ICEBERG` reader guarantees): shares
+    * `pipeline_decimal`'s oracle, so both storage modes must produce
+    * the byte-identical cumulative table. */
+  private def pipelineVersioned(spark: SparkSession, dir: String): DataFrame =
+    pipelineDecimalOn(spark, dir, versionedFacts = true)
+
+  private def pipelineDecimalOn(spark: SparkSession, dir: String,
+      versionedFacts: Boolean): DataFrame = {
     val events = read(spark, dir, "events")
       .withColumn("ticker",
         concat_ws("#", col("user_id").cast("string"), col("event_type")))
@@ -159,7 +171,8 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft_pipe_decimal_")
     val pipe = new graft.pipeline.Pipeline(spark, graft.pipeline.PipelineConfig(
       productionPath = root.resolve("production").toString,
-      cumulativePath = root.resolve("cumulative").toString))
+      cumulativePath = root.resolve("cumulative").toString,
+      versionedFacts = versionedFacts))
     days.foreach(d => pipe.runDay(d, _ => bars))
     bars.unpersist()
     // DECIMAL(10,2) × 100 is integral — the pack is exact on both engines
@@ -218,6 +231,20 @@ object SparkEntry {
       .orderBy("check_name")
 
   /**
+   * The reference's DQ checks the way the reference actually runs them —
+   * raw SQL strings against named tables (reference `dags/dag.py:202-277`
+   * executes each check with `cursor.execute(query)`): the SAME ANSI SQL
+   * text the DuckDB oracle runs (`dqAllSqlText`, all-standard SQL) goes
+   * through `spark.sql` over the registered views. One statement, two
+   * engines, hash-matched output — any Spark/DuckDB semantic drift in
+   * FILTER clauses, NOT IN, date casts or CASE fails the gate.
+   */
+  private def sqlDqAll(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Views.register(spark, dir)
+    spark.sql(dqAllSqlText)
+  }
+
+  /**
    * Idempotent exchange (SURVEY §2.2 D6 / §2.1 S4): promote the same
    * date-partitioned slice TWICE via dynamic partition overwrite (the
    * reference's DELETE+INSERT re-run, `dags/dag.py:292-311`), read the
@@ -247,20 +274,24 @@ object SparkEntry {
     "sql_cumulative" -> ((s, dir) => sqlCumulative(s, dir)),
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
     "pipeline_decimal" -> ((s, dir) => pipelineDecimal(s, dir)),
+    "pipeline_versioned" -> ((s, dir) => pipelineVersioned(s, dir)),
     "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
     "dq_nulls" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(1))),
     "dq_range_violation" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(2))),
     "dq_nonpositive" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(3))),
     "dq_date_mismatch" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(0))),
     "dq_whitelist" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(1))),
-    "dq_all" -> ((s, dir) => dqAll(s, dir))
+    "dq_all" -> ((s, dir) => dqAll(s, dir)),
+    "sql_dq_all" -> ((s, dir) => sqlDqAll(s, dir))
   ) ++ ExtQueries.queries
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase ++ dqOracles ++ ExtQueries.oracleSql
     // the SQL front door must hash-match the DataFrame front door:
-    // sql_cumulative is verified against rolling_7day's exact oracle
-    base + ("sql_cumulative" -> base("rolling_7day"))
+    // sql_cumulative is verified against rolling_7day's exact oracle;
+    // likewise the manifest-format pipeline must match the plain one
+    base + ("sql_cumulative" -> base("rolling_7day")) +
+      ("pipeline_versioned" -> base("pipeline_decimal"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -387,6 +418,13 @@ object SparkEntry {
       |            THEN 'PASS' ELSE 'FAIL' END AS status
       |FROM lineitem""".stripMargin
 
+  /** The full DQ report as ONE all-standard-SQL statement — runnable
+    * verbatim by both Spark (`sql_dq_all` front door) and DuckDB (the
+    * `dq_all`/`sql_dq_all` oracle). */
+  private lazy val dqAllSqlText: String =
+    (distinctPresenceSql +: dqViolationSql.keys.toSeq.map(oneViolation))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+
   private def dqOracles: Map[String, String] = {
     val singles = Map(
       "dq_distinct_presence" -> distinctPresenceSql,
@@ -395,9 +433,7 @@ object SparkEntry {
       "dq_nonpositive" -> oneViolation("nonpositive_quantity"),
       "dq_date_mismatch" -> oneViolation("date_mismatch"),
       "dq_whitelist" -> oneViolation("ticker_whitelist"))
-    val all = (distinctPresenceSql +: dqViolationSql.keys.toSeq.map(oneViolation))
-      .mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
-    singles + ("dq_all" -> all)
+    singles + ("dq_all" -> dqAllSqlText) + ("sql_dq_all" -> dqAllSqlText)
   }
 
   private def oneViolation(name: String): String = {
