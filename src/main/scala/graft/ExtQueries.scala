@@ -1431,6 +1431,36 @@ object ExtQueries {
    * so the gate pins that evolution rewrote every row exactly once
    * with the declared default expression.
    */
+  /**
+   * PARTITION-SPEC EVOLUTION gate
+   * (ops/VersionedPartitioned.repartitionTable): a two-month orders
+   * slice promoted under `month` partitioning, then atomically evolved
+   * to `o_orderstatus` partitioning (one whole-table rewrite + one
+   * manifest swap), read back through the NEW spec and aggregated —
+   * the oracle is plain SQL over the source rows, so any row lost,
+   * duplicated or mis-bucketed by the rewrite fails the hash. The
+   * post-evolution read also exercises stats pruning metadata written
+   * under the new layout.
+   */
+  private def versionedRepartition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .where(col("month").between("1995-01", "1995-02"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vrepart_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month")
+    graft.ops.VersionedPartitioned.repartitionTable(s, root, "o_orderstatus",
+      statsCols = Seq("o_totalprice"))
+    graft.ops.VersionedPartitioned.read(s, root)
+      .groupBy(col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("o_orderstatus", "month")
+  }
+
   private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
       .where(col("month").between("1995-01", "1995-02"))
@@ -1951,6 +1981,7 @@ object ExtQueries {
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
+    "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -3232,6 +3263,18 @@ object ExtQueries {
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
         |            THEN 'H' ELSE 'L' END AS price_band,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Partition-spec evolution must be a pure relayout: the aggregate
+    // over the evolved table equals the same aggregate over the source.
+    "versioned_repartition" ->
+      """SELECT o_orderstatus,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       count(*) AS n_rows,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS total_price

@@ -193,13 +193,24 @@ object VersionedPartitioned {
    * skips most of a partition instead of none of it. Without them a
    * partition is one file and stats can only skip whole partitions.
    */
-  def promote(df: DataFrame, root: String, partitionCol: String = "date",
-      tag: Option[String] = None, cluster: Boolean = true,
-      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Long = {
+  /** Write `df` into a fresh immutable `snap-<uuid>` tree under
+    * `rootPath`, partitioned by `partitionCol`, with optional per-file
+    * min/max stats — the snapshot-materialization step shared by
+    * `promote` and `repartitionTable`. Returns the snapshot dir name.
+    *
+    * Stats contract (same as `Versioned.commit(statsCols = …)`): one
+    * columnar pass over the fresh files emits `partition-relative path
+    * → min/max per column` into the snapshot's own underscore-hidden
+    * `_stats` dir, so stats are immutable with their data and
+    * manifest-merge needs no extra bookkeeping — a partition inherited
+    * from an old snapshot brings that snapshot's stats with it. Only
+    * NEW files are ever scanned: stats cost is O(changed partitions),
+    * like the promote itself. */
+  private def writeSnapshot(df: DataFrame, rootPath: HPath,
+      partitionCol: String, statsCols: Seq[String],
+      cluster: Boolean = true, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): String = {
     val spark = df.sparkSession
-    val (fs, rootPath) = Versioned.fsOf(spark, root)
-    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
     val out =
@@ -213,14 +224,6 @@ object VersionedPartitioned {
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)
       .parquet(snapPath.toString)
-    // Per-file min/max stats alongside the snapshot (same contract as
-    // `Versioned.commit(statsCols = …)`): one columnar pass over the
-    // fresh files emits `partition-relative path → min/max per column`
-    // into the snapshot's own underscore-hidden `_stats` dir, so stats
-    // are immutable with their data and manifest-merge needs no extra
-    // bookkeeping — a partition inherited from an old snapshot brings
-    // that snapshot's stats with it. Only NEW files are ever scanned:
-    // stats cost is O(changed partitions), like the promote itself.
     if (statsCols.nonEmpty) {
       import org.apache.spark.sql.functions.{count, element_at, lit, max, min, regexp_replace, split, url_decode}
       val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
@@ -239,6 +242,19 @@ object VersionedPartitioned {
         .coalesce(1)
         .write.parquet(new HPath(snapPath, Versioned.StatsDirName).toString)
     }
+    snapName
+  }
+
+  def promote(df: DataFrame, root: String, partitionCol: String = "date",
+      tag: Option[String] = None, cluster: Boolean = true,
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, statsCols,
+      cluster, clusterBy, maxRecordsPerFile)
+    val snapPath = new HPath(rootPath, snapName)
     // The partitions actually written, read back from the snapshot's
     // own directory names — no re-implementation of Spark's partition
     // path escaping, and an empty frame promotes to a no-op manifest.
@@ -904,6 +920,69 @@ object VersionedPartitioned {
         Manifest(m.partitionCol, m.entries, None,
           m.addedCols :+ (name -> defaultSql))))
     }
+
+  /**
+   * PARTITION-SPEC EVOLUTION — Iceberg's `REPLACE PARTITION FIELD`
+   * realized as one atomic whole-table rewrite (reference motivates
+   * partition evolution with its Iceberg table format,
+   * `README.md:29`): the current table is re-clustered and rewritten
+   * into a fresh snapshot partitioned by `newPartitionCol`, and ONE
+   * commit swaps the manifest wholesale (new partition column, new
+   * entries). Readers resolve a manifest once, so a concurrent reader
+   * sees the table entirely under the old spec or entirely under the
+   * new — never a mix; time travel to any pre-evolution version still
+   * reads the old layout, and later `promote`s must use the new
+   * column (the spec require rejects the old one).
+   *
+   * Concurrency: conflict-CHECKED, not last-writer-wins — the rewrite
+   * is computed from the version current at entry, so if any commit
+   * lands while the rewrite is in flight, committing would silently
+   * drop that writer's partitions. The claim aborts with an error
+   * telling the caller to re-run against the new state (the same
+   * validate-no-conflicts rule as `deleteWhere`).
+   *
+   * Scale: one full-table scan + one re-clustered write — the
+   * intrinsic cost of changing physical layout (Iceberg's metadata-only
+   * spec evolution leaves OLD files in the old layout and only new
+   * writes use the new spec; this engine's manifest maps partition dir
+   * → snapshot, so a single-spec manifest with a rewrite keeps every
+   * read path — pruning, stats, drops — working unchanged on day one).
+   * Stats sidecars are re-derived for the new layout when `statsCols`
+   * is given, same contract as `promote`.
+   */
+  def repartitionTable(spark: SparkSession, root: String,
+      newPartitionCol: String, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      // optimistic CAS base: rewrite the table AS OF this version and
+      // refuse to commit if anything landed since (defaults to the
+      // version current at entry). Lets a caller pin the base across
+      // its own read-plan-act sequence.
+      expectedVersion: Option[Long] = None): Long = {
+    val v0 = expectedVersion.getOrElse(currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root")))
+    val m0 = manifestAt(spark, root, Some(v0))
+    require(m0.partitionCol != newPartitionCol,
+      s"table already partitioned by $newPartitionCol")
+    val cur = readManifest(spark, root, m0)
+    require(cur.columns.contains(newPartitionCol),
+      s"no column $newPartitionCol to partition by " +
+        s"(have ${cur.columns.mkString(", ")})")
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val snapName = writeSnapshot(cur, rootPath, newPartitionCol, statsCols)
+    val written = fs.listStatus(new HPath(rootPath, snapName))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(newPartitionCol + "="))
+      .map(_.getPath.getName -> snapName).toMap
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
+      if (pv != v0)
+        throw new IllegalStateException(
+          s"concurrent commit v$pv under $root during spec evolution " +
+            s"(rewrote v$v0) — re-run repartitionTable against the new state")
+      (pv + 1, render(Manifest(newPartitionCol, written, tag, m.addedCols)))
+    }
+  }
 
   /** Retention with the same rules as `Versioned.vacuum`: keep the
     * newest `keepLast` manifests and every snapshot dir any of them

@@ -512,6 +512,59 @@ class VersionedSpec extends AnyFunSuite {
       .last._2.entries("date=2024-01-01") == day1Before)
   }
 
+  test("repartitionTable: atomic partition-spec evolution — same rows, new layout; old versions travel to the old spec; old-spec promotes rejected") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    val rows = Seq(("2024-01-01", "us", 1), ("2024-01-01", "eu", 2),
+      ("2024-01-02", "us", 3))
+    VersionedPartitioned.promote(rows.toDF("date", "region", "v"), root)
+    val pinned = VersionedPartitioned.read(spark, root) // pre-evolution reader
+
+    val v2 = VersionedPartitioned.repartitionTable(spark, root, "region",
+      statsCols = Seq("v"))
+    assert(v2 == 2L)
+    def rset(f: org.apache.spark.sql.DataFrame) =
+      f.selectExpr("cast(date as string)", "cast(region as string)", "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // same rows, new addressing surface (region=… partition dirs)
+    assert(rset(VersionedPartitioned.read(spark, root)) == rows.toSet)
+    assert(VersionedPartitioned.partitions(spark, root) ==
+      Seq("region=eu", "region=us"))
+    // a reader resolved pre-evolution is pinned to the old layout; time
+    // travel still reads the old spec's manifest
+    assert(rset(pinned) == rows.toSet)
+    assert(VersionedPartitioned.partitions(spark, root, Some(1L)) ==
+      Seq("date=2024-01-01", "date=2024-01-02"))
+    // the new spec governs writes: old-column promote rejected, new ok
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.promote(
+        Seq(("2024-01-03", "us", 9)).toDF("date", "region", "v"), root)
+    }
+    VersionedPartitioned.promote(
+      Seq(("2024-01-03", "ap", 9)).toDF("date", "region", "v"), root,
+      partitionCol = "region")
+    assert(rset(VersionedPartitioned.read(spark, root)) ==
+      rows.toSet + (("2024-01-03", "ap", 9)))
+    // stats rode the rewrite: file pruning works on the new layout
+    assert(VersionedPartitioned.prunedFiles(spark, root, "v", 1, 2).nonEmpty)
+
+    // conflict check (deterministic via the CAS base): the evolution is
+    // computed AS OF expectedVersion; a commit that landed after it
+    // must abort the claim rather than silently drop that writer's
+    // partitions — the mid-rewrite race staged synchronously
+    val root2 = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(rows.toDF("date", "region", "v"), root2)
+    VersionedPartitioned.promote( // the "concurrent" commit (v2)
+      Seq(("2024-01-09", "eu", 7)).toDF("date", "region", "v"), root2)
+    val ex = intercept[IllegalStateException] {
+      VersionedPartitioned.repartitionTable(spark, root2, "region",
+        expectedVersion = Some(1L))
+    }
+    assert(ex.getMessage.contains("re-run repartitionTable"))
+    // and the failed evolution left the table untouched
+    assert(VersionedPartitioned.currentVersion(spark, root2).contains(2L))
+    assert(VersionedPartitioned.partitions(spark, root2).forall(_.startsWith("date=")))
+  }
+
   test("partitionStats: per-partition count/min/max from stats sidecars alone — answers survive data-file loss; stats-less snapshots degrade to a scoped scan") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
