@@ -882,6 +882,19 @@ object ExtQueries {
         "l_orderkey", "l_partkey", minSupport = 3L)
       .orderBy("item_a", "item_b")
 
+  /** Fixed-point PageRank (ops/Graph.pageRank) over the symmetrized
+    * part co-purchase graph (`Cooccur.pairs`, support ≥ 2): node
+    * importance in integer 1e-12 units — zero floating point, so the
+    * 3-round recurrence replays BIT-exactly in the oracle. */
+  private def pagerankParts(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Cooccur.pairs(Tables.load(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("id")
+  }
+
   /** Dyadic EWMA (half-life one bar) over the daily close series — the
     * recency-weighted smoothing companion of rolling_7day, stated with
     * power-of-two weights and a fixed fold order so the doubles are
@@ -1956,6 +1969,7 @@ object ExtQueries {
     "zorder_layout" -> ((s, dir) => zorderLayout(s, dir)),
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
+    "pagerank_parts" -> ((s, dir) => pagerankParts(s, dir)),
     "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
     "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
     "rolling_wau" -> ((s, dir) => rollingWau(s, dir)),
@@ -2129,6 +2143,38 @@ object ExtQueries {
        |SELECT id, label AS component FROM l$rounds ORDER BY id""".stripMargin
 
   /** Corpus minus every non-representative (label != id) member. */
+  /** DuckDB replay of Graph.pageRank over the co-purchase graph: the
+    * identical fixed-point integer recurrence unrolled `iters` rounds
+    * (`//` = the same truncating division as Spark's DIV on the
+    * nonnegative ranks; every intermediate re-cast to BIGINT). */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
+        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
+        |pp AS (SELECT a.p AS src, b2.p AS dst
+        |       FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT src, dst FROM pp
+        |          UNION ALL SELECT dst AS src, src AS dst FROM pp),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+         |        FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |        JOIN deg d ON e.src = d.src
+         |        GROUP BY e.dst),
+         |r$k AS (SELECT n.id,
+         |               CAST(150000000000 + (85 * coalesce(c.s, 0)) // 100
+         |                    AS BIGINT) AS pr
+         |        FROM nodes n LEFT JOIN c$k c ON n.id = c.dst)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT id, pr AS rank_fp FROM r$iters ORDER BY id"
+  }
+
   private def dedupCorpusSql(rounds: Int): String =
     s"""${componentsCtes(rounds)}
        |SELECT d.doc_id FROM documents d
@@ -3153,6 +3199,7 @@ object ExtQueries {
         |ORDER BY event_id""".stripMargin,
     // maxBasketSize=1000 encoded in the oracle (HAVING <= cap) so the
     // oversized-basket exclusion is equivalent by construction
+    "pagerank_parts" -> pagerankSql(3),
     "basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),

@@ -366,6 +366,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Graph.pageRank: fixed-point ranks match the hand recurrence; sinks keep teleport; mass sane") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val S = Graph.Scale
+    // star: 1→2, 1→3, 2→1, 3→1  (symmetric star, center 1)
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(star, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand recurrence, same integer ops: center gets S/1 from each leaf,
+    // leaves get (S div 2) from the center
+    assert(r(1L) == 15 * S / 100 + 85 * (S + S) / 100)
+    assert(r(2L) == 15 * S / 100 + 85 * (S / 2) / 100)
+    assert(r(2L) == r(3L))
+
+    // pure sink: 1→2 only — node 2 contributes nothing but must stay
+    // alive at teleport + damped in-mass; node 1 (no in-links) falls to
+    // exactly the teleport term in round 1 and stays there
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val r2 = Graph.pageRank(chain, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val teleport = 15 * S / 100
+    assert(r2(1L) == teleport)
+    assert(r2(2L) == teleport + 85 * teleport / 100)
+
+    // determinism: two runs bit-identical (the whole point of the
+    // fixed-point formulation)
+    val a = Graph.pageRank(star, "src", "dst", iters = 3).collect().toSeq
+    val b = Graph.pageRank(star, "src", "dst", iters = 3).collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+
   test("Views.register exposes every table to raw spark.sql, pruned like the DataFrame path") {
     val dir = "/root/testdata/sf0.001"
     graft.sources.Views.register(spark, dir)
