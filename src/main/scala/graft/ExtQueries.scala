@@ -882,6 +882,17 @@ object ExtQueries {
         "l_orderkey", "l_partkey", minSupport = 3L)
       .orderBy("item_a", "item_b")
 
+  /** Per-node triangle counts (ops/Graph.triangles, degree-ordered
+    * orientation) over the part co-purchase graph at support ≥ 3 — the
+    * local-clustering companion of pagerank_parts. The oracle
+    * enumerates triangles the direct way (a<b<c over canonical pairs):
+    * orientation changes the join cost, never the counts. */
+  private def triangleCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangles(
+        graft.ops.Cooccur.pairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 3L))
+      .orderBy("id")
+
   /** Fixed-point PageRank (ops/Graph.pageRank) over the symmetrized
     * part co-purchase graph (`Cooccur.pairs`, support ≥ 2): node
     * importance in integer 1e-12 units — zero floating point, so the
@@ -1970,6 +1981,7 @@ object ExtQueries {
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
     "pagerank_parts" -> ((s, dir) => pagerankParts(s, dir)),
+    "triangle_counts" -> ((s, dir) => triangleCounts(s, dir)),
     "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
     "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
     "rolling_wau" -> ((s, dir) => rollingWau(s, dir)),
@@ -3200,6 +3212,26 @@ object ExtQueries {
     // maxBasketSize=1000 encoded in the oracle (HAVING <= cap) so the
     // oversized-basket exclusion is equivalent by construction
     "pagerank_parts" -> pagerankSql(3),
+    "triangle_counts" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
+        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
+        |pp AS (SELECT a.p AS pa, b2.p AS pb
+        |       FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tri AS (SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+        |        FROM pp p1
+        |        JOIN pp p2 ON p1.pb = p2.pa
+        |        JOIN pp p3 ON p3.pa = p1.pa AND p3.pb = p2.pb),
+        |nodes AS (SELECT DISTINCT pa AS id FROM pp
+        |          UNION SELECT DISTINCT pb FROM pp),
+        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+        |          SELECT x AS id FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri) GROUP BY id)
+        |SELECT n.id, coalesce(c.t, 0) AS n_triangles
+        |FROM nodes n LEFT JOIN cnt c USING (id)
+        |ORDER BY id""".stripMargin,
     "basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),

@@ -77,4 +77,65 @@ object Graph {
     }
     ranks.select(col("__id").as("id"), col("__pr").as("rank_fp"))
   }
+
+  /**
+   * Per-node triangle counts over an UNDIRECTED graph given as distinct
+   * canonical pairs (`aCol` < `bCol` — the `Cooccur.pairs` shape): the
+   * local clustering signal (a node's triangle count over its degree
+   * pairs is its clustering coefficient), and the classic
+   * skew-sensitive graph benchmark.
+   *
+   * Algorithm: DEGREE-ORDERED orientation (Latapy / "compact-forward";
+   * public formulation also in Suri & Vassilvitskii, WWW'11 — the
+   * MapReduce triangle-counting paper): each undirected edge {u,v} is
+   * directed from the (degree, id)-smaller endpoint to the larger, then
+   * triangles are wedges u→v, u→w (v < w by the same order) closed by
+   * v→w. Every triangle has exactly one smallest vertex under the total
+   * order, so it is enumerated exactly once — and because edges point
+   * from low degree to high, every node's oriented out-degree is
+   * O(√m) on any graph: the wedge self-join (the quadratic step) is
+   * bounded by Σ outdeg² = O(m^1.5) instead of the Σ deg² blow-up a
+   * naive id-ordering suffers when a hub lands at a small id. That
+   * orientation IS the 100 TB design choice; the join itself is two
+   * hash equi-joins on node ids (no cross product), and only (id, id)
+   * pairs ever shuffle.
+   *
+   * Returns (id, n_triangles) for every node of the graph (0 for
+   * triangle-free nodes). Deterministic integers — oracle-exact.
+   */
+  def triangles(pairs: DataFrame, aCol: String = "item_a",
+      bCol: String = "item_b"): DataFrame = {
+    val und = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val deg = und.select(col("__a").as("__n"))
+      .unionAll(und.select(col("__b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+    // orient by (degree, id): keep each edge once, low endpoint first
+    val dA = deg.select(col("__n").as("__a"), col("__d").as("__da"))
+    val dB = deg.select(col("__n").as("__b"), col("__d").as("__db"))
+    val oriented = und.join(dA, "__a").join(dB, "__b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("__a") < col("__b")),
+          struct(col("__a").as("src"), col("__b").as("dst")))
+          .otherwise(struct(col("__b").as("src"), col("__a").as("dst")))
+          .as("__e"))
+      .select(col("__e.src").as("__src"), col("__e.dst").as("__dst"))
+    // wedges from each source's oriented neighbor list (the two
+    // endpoints id-normalized v < w), closed against the CANONICAL
+    // undirected pair list — the input is already (a < b) canonical, so
+    // the close is one hash equi-join on (v, w), never an OR-condition
+    // nested loop
+    val e1 = oriented.select(col("__src"), col("__dst").as("__v"))
+    val e2 = oriented.select(col("__src"), col("__dst").as("__w"))
+    val wedges = e1.join(e2, "__src").where(col("__v") < col("__w"))
+    val closing = und.select(col("__a").as("__v"), col("__b").as("__w"))
+    val tri = wedges.join(closing, Seq("__v", "__w"))
+      .select(col("__src"), col("__v"), col("__w"))
+    val nodes = deg.select(col("__n").as("id"))
+    val perNode = tri
+      .select(explode(array(col("__src"), col("__v"), col("__w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("__t"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -397,6 +397,26 @@ class OpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
 
+  test("Graph.triangles: per-node counts on known graphs; plan is hash joins only") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // K4: every node is in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("item_a", "item_b")
+    val t4 = Graph.triangles(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle + pendant: pendant node has 0 but still appears
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("item_a", "item_b")
+    val m = Graph.triangles(tp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // scale pin: the wedge close is equi-join only — no nested loop
+    val plan = Graph.triangles(k4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("Views.register exposes every table to raw spark.sql, pruned like the DataFrame path") {
     val dir = "/root/testdata/sf0.001"
     graft.sources.Views.register(spark, dir)
