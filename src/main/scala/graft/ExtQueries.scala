@@ -1485,6 +1485,45 @@ object ExtQueries {
       .orderBy("o_orderstatus", "month")
   }
 
+  /**
+   * Incremental materialized-aggregate maintenance
+   * (ops/IncrementalAgg + VersionedPartitioned.changedSides): a monthly
+   * orders aggregate is materialized at v1, then v2 rewrites one month
+   * (prices doubled) and adds another — and the aggregate is MAINTAINED
+   * from only the touched partitions' two sides, never rescanned. The
+   * oracle recomputes the post-change table from scratch in DuckDB, so
+   * any drift between delta maintenance and recompute (the whole
+   * correctness claim of view maintenance) fails the hash. Sums ride
+   * DECIMAL end to end — exact add/subtract, no float re-association.
+   */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incragg_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    // materialize the aggregate at v1 (read() pins the v1 manifest)
+    val state = IncrementalAgg.aggregate(VersionedPartitioned.read(s, root),
+      Seq("month"), Seq("o_totalprice"))
+    // v2: rewrite 1995-02 (repriced ×2) + add 1995-04
+    VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    val (oldSide, newSide) = VersionedPartitioned.changedSides(s, root, 1L)
+    IncrementalAgg.maintain(state, oldSide, newSide,
+        Seq("month"), Seq("o_totalprice"))
+      .select(col("month").cast("string").as("month"), col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("total_price"))
+      .orderBy("month")
+  }
+
   private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
       .where(col("month").between("1995-01", "1995-02"))
@@ -2008,6 +2047,7 @@ object ExtQueries {
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
+    "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -3349,6 +3389,20 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Delta maintenance must equal recompute: the oracle aggregates the
+    // post-change table built from scratch.
+    "incremental_agg" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders),
+        |fin AS (
+        |  SELECT month, p FROM m WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT month, CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
+        |  WHERE month = '1995-02'
+        |)
+        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // Partition-spec evolution must be a pure relayout: the aggregate
     // over the evolved table equals the same aggregate over the source.
     "versioned_repartition" ->

@@ -562,6 +562,22 @@ object VersionedPartitioned {
       s"CDC keys $keys must include partition column '${mTo.partitionCol}' — " +
         "a key that can change partitions would classify the move as a " +
         "phantom delete in one partition and insert in another")
+    val (oldSide, newSide) = changedSides(spark, root, fromVersion, toVersion)
+    Diff.snapshotDiff(oldSide, newSide, keys)
+  }
+
+  /**
+   * The rows of exactly the partitions a version window touched, BEFORE
+   * and AFTER — the partition-grained change feed `readRowChanges`
+   * classifies row-by-row and `IncrementalAgg.maintain` consumes as
+   * whole sides (delta view maintenance needs the rows, not the
+   * classification). Untouched partitions appear on neither side; a
+   * side with no touched partitions is an empty frame with the table
+   * schema. Scan cost is O(touched partitions), never the table.
+   */
+  def changedSides(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): (DataFrame, DataFrame) = {
+    val mTo = manifestAt(spark, root, toVersion)
     val fromEntries: Map[String, String] =
       if (fromVersion <= 0) Map.empty
       else manifestAt(spark, root, Some(fromVersion)).entries
@@ -577,7 +593,7 @@ object VersionedPartitioned {
     val anchor = newSide.orElse(oldSide).getOrElse(
       readManifest(spark, root, mTo)) // nothing changed: schema-only read
     val empty = anchor.where(org.apache.spark.sql.functions.lit(false))
-    Diff.snapshotDiff(oldSide.getOrElse(empty), newSide.getOrElse(empty), keys)
+    (oldSide.getOrElse(empty), newSide.getOrElse(empty))
   }
 
   /** Optimistic claim loop shared by the manifest-editing commits:

@@ -565,6 +565,42 @@ class VersionedSpec extends AnyFunSuite {
     assert(VersionedPartitioned.partitions(spark, root2).forall(_.startsWith("date=")))
   }
 
+  test("IncrementalAgg.maintain equals recompute across rewrite, insert, and partition drop") {
+    import graft.ops.IncrementalAgg
+    val root = Files.createTempDirectory("graft_vp").toString
+    def t3(rows: (String, Int, java.math.BigDecimal)*) =
+      rows.toSeq.toDF("date", "k", "amt")
+        .withColumn("amt", col("amt").cast("decimal(18,2)"))
+    def d(s: String) = new java.math.BigDecimal(s)
+    VersionedPartitioned.promote(t3(
+      ("2024-01-01", 1, d("10.00")), ("2024-01-01", 2, d("5.50")),
+      ("2024-01-02", 1, d("7.25")), ("2024-01-03", 3, d("1.00"))), root)
+    val state = IncrementalAgg.aggregate(
+      VersionedPartitioned.read(spark, root), Seq("date"), Seq("amt"))
+
+    // v2: rewrite day 1 (one row gone, one repriced), add day 4
+    VersionedPartitioned.promote(t3(
+      ("2024-01-01", 1, d("20.00")), ("2024-01-04", 9, d("3.33"))), root)
+    // v3: drop day 3 entirely (metadata-only)
+    VersionedPartitioned.dropPartitions(spark, root, Seq("date=2024-01-03"))
+
+    val (o, n) = VersionedPartitioned.changedSides(spark, root, 1L)
+    val maintained = IncrementalAgg.maintain(state, o, n,
+      Seq("date"), Seq("amt"))
+    val recomputed = IncrementalAgg.aggregate(
+      VersionedPartitioned.read(spark, root), Seq("date"), Seq("amt"))
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.selectExpr("cast(date as string)", "n_rows",
+        "cast(sum_amt as decimal(28,2))").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(canon(maintained) == canon(recomputed))
+    // the dropped day's group is GONE, not zeroed
+    assert(!canon(maintained).exists(_._1 == "2024-01-03"))
+    // untouched day 2 still present with original values
+    assert(canon(maintained).exists(t =>
+      t._1 == "2024-01-02" && t._2 == 1L))
+  }
+
   test("partitionStats: per-partition count/min/max from stats sidecars alone — answers survive data-file loss; stats-less snapshots degrade to a scoped scan") {
     val root = Files.createTempDirectory("graft_vp").toString
     VersionedPartitioned.promote(
