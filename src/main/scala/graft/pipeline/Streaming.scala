@@ -280,6 +280,48 @@ object Streaming {
       }
       .start()
 
+  /**
+   * STREAMING MATERIALIZED VIEW: maintain a COUNT/SUM aggregate table
+   * over an append-only stream by the delta rule
+   * (`IncrementalAgg.maintain` — state + aggregate(batch) per group)
+   * instead of re-aggregating history, with `versionedSink`'s
+   * exactly-once epoch contract: each maintained state commits as one
+   * atomic epoch-tagged `Versioned` snapshot, and an at-least-once
+   * foreachBatch replay of a committed epoch no-ops, so a crash can
+   * never double-count a batch into the view.
+   *
+   * This is the streaming-aggregation shape WITHOUT watermark state:
+   * Spark's native streaming `groupBy.agg` holds every group in the
+   * state store (or needs a watermark to evict); here the state IS the
+   * output table — bounded by group cardinality, readable by any batch
+   * consumer mid-stream, time-travelable per epoch, and the per-batch
+   * work is O(batch + |groups|), never O(history). Sums should be
+   * DECIMAL columns (exact delta arithmetic — the maintain-equals-
+   * recompute guarantee does not survive double re-association).
+   */
+  def aggViewSink(stream: DataFrame, root: String, checkpointDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val state =
+            if (Versioned.currentVersion(s, root).isDefined)
+              Versioned.read(s, root)
+            else // bootstrap: empty state with the aggregate schema
+              graft.ops.IncrementalAgg.aggregate(batch.limit(0),
+                groupCols, sumCols)
+          val next = graft.ops.IncrementalAgg.maintain(state,
+            batch.limit(0), batch, groupCols, sumCols)
+          commitEpoch(next, root, checkpointDir, epoch)
+        }
+        ()
+      }
+      .start()
+
   /** Commit `batch` as epoch `epoch` OF `checkpointDir`'s stream unless
     * that (checkpoint, epoch) already committed; returns whether a
     * commit happened (false = replay). The tag carries the checkpoint

@@ -347,6 +347,45 @@ class StreamingSpec extends AnyFunSuite {
         200.0 + 0 + extra.getDayOfMonth)
   }
 
+  test("aggViewSink: streaming materialized view equals batch aggregate; restart maintains; replay no-ops") {
+    import graft.ops.{IncrementalAgg, Versioned}
+    val root = Files.createTempDirectory("graft_aggview").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val view = s"$root/view"
+    def rows(rs: (String, String)*) = rs.toSeq.toDF("k", "amt")
+      .withColumn("amt", col("amt").cast("decimal(18,2)"))
+    val schema = rows(("x", "0")).schema
+    def run(): Unit =
+      Streaming.aggViewSink(
+        spark.readStream.schema(schema).parquet(in), view, s"$root/ckpt",
+        Seq("k"), Seq("amt")).awaitTermination()
+
+    rows(("a", "10.00"), ("a", "2.50"), ("b", "1.00"))
+      .write.mode("append").parquet(in)
+    run()
+    def viewState = Versioned.read(spark, view)
+      .selectExpr("k", "n_rows", "cast(sum_amt as string) AS s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(viewState == Set(("a", 2L, "12.50"), ("b", 1L, "1.00")))
+
+    // restart with new files: the view is MAINTAINED (delta applied to
+    // the committed state), and equals the batch aggregate of all input
+    rows(("a", "0.25"), ("c", "7.00")).write.mode("append").parquet(in)
+    run()
+    val expect = IncrementalAgg.aggregate(
+        spark.read.schema(schema).parquet(in), Seq("k"), Seq("amt"))
+      .selectExpr("k", "n_rows", "cast(sum_amt as string) AS s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(viewState == expect)
+    assert(viewState.exists(t => t._1 == "a" && t._2 == 3L))
+
+    // replay with no new input: no epoch commits, version unchanged
+    val v = Versioned.currentVersion(spark, view)
+    run()
+    assert(Versioned.currentVersion(spark, view) == v)
+  }
+
   test("ProcessingTime trigger: always-on ingest equals batch runDay; new files picked up mid-run") {
     val root = Files.createTempDirectory("graft_stream_pt").toString
     val in = s"$root/in"
