@@ -191,6 +191,35 @@ object SparkEntry {
       .orderBy("ticker", "date")
   }
 
+  /**
+   * The extension FUNCTION surface through the SQL front door: the
+   * native codegen text kernels (`functions/TextExprs` — registered
+   * into the session's FunctionRegistry, not Scala UDFs) called from a
+   * raw `spark.sql` string over the `documents` view, computing exactly
+   * `repetition_stats`' output and sharing its oracle — proving a SQL
+   * user gets the same first-class functions (and the same codegen'd
+   * plans) as the DataFrame API.
+   */
+  private def sqlRepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Views.register(spark, dir)
+    graft.functions.TextExprs.register(spark)
+    spark.sql(
+      """SELECT doc_id, n_tokens,
+        |       (n2 - d2) * 10000 DIV n2 AS rep2_bps,
+        |       (n3 - d3) * 10000 DIV n3 AS rep3_bps
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(token_stats(text).n_tokens AS BIGINT) AS n_tokens,
+        |         GREATEST(CAST(token_stats(text).n_tokens AS BIGINT) - 1,
+        |                  CAST(1 AS BIGINT)) AS n2,
+        |         GREATEST(CAST(token_stats(text).n_tokens AS BIGINT) - 2,
+        |                  CAST(1 AS BIGINT)) AS n3,
+        |         CAST(size(token_shingles(text, 2)) AS BIGINT) AS d2,
+        |         CAST(size(token_shingles(text, 3)) AS BIGINT) AS d3
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Source normalization S1+O2: first event per (key, day). */
   private def ingestNormalize(spark: SparkSession, dir: String): DataFrame =
     Ingest.firstPerDay(read(spark, dir, "events"),
@@ -224,6 +253,27 @@ object SparkEntry {
   private def dqSingle(spark: SparkSession, dir: String, table: String,
       check: DqCheck): DataFrame =
     Quality.report(read(spark, dir, table), Seq(check))
+
+  /** Row-level quarantine split (Quality.annotate/split): business
+    * rules tag each violating lineitem row with its reasons; the gate
+    * output is the per-reason row count plus the clean-row count —
+    * together they pin both the tagging and the split cardinalities
+    * (a row violating two rules counts once per reason and zero times
+    * clean). */
+  private def dqQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "high_discount" -> (col("l_discount") > 0.05),
+      "tiny_quantity" -> (col("l_quantity") <= 2),
+      "high_tax" -> (col("l_tax") > 0.06))
+    val ann = Quality.annotate(read(spark, dir, "lineitem"), rules)
+    val byReason = ann
+      .select(explode(col("dq_reasons")).as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_rows"))
+    val clean = ann.where(size(col("dq_reasons")) === 0)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("__clean").as("reason"), col("n_rows"))
+    byReason.unionByName(clean).orderBy("reason")
+  }
 
   private def dqAll(spark: SparkSession, dir: String): DataFrame =
     Quality.report(read(spark, dir, "lineitem"), lineitemChecks)
@@ -272,6 +322,7 @@ object SparkEntry {
     "exchange_idempotent" -> ((s, dir) => exchangeIdempotent(s, dir)),
     "rolling_7day" -> ((s, dir) => rolling7Day(s, dir)),
     "sql_cumulative" -> ((s, dir) => sqlCumulative(s, dir)),
+    "sql_repetition_stats" -> ((s, dir) => sqlRepetitionStats(s, dir)),
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
     "pipeline_decimal" -> ((s, dir) => pipelineDecimal(s, dir)),
     "pipeline_versioned" -> ((s, dir) => pipelineVersioned(s, dir)),
@@ -282,7 +333,8 @@ object SparkEntry {
     "dq_date_mismatch" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(0))),
     "dq_whitelist" -> ((s, dir) => dqSingle(s, dir, "orders", ordersChecks(1))),
     "dq_all" -> ((s, dir) => dqAll(s, dir)),
-    "sql_dq_all" -> ((s, dir) => sqlDqAll(s, dir))
+    "sql_dq_all" -> ((s, dir) => sqlDqAll(s, dir)),
+    "dq_quarantine" -> ((s, dir) => dqQuarantine(s, dir))
   ) ++ ExtQueries.queries
 
   def oracleSql: Map[String, String] = {
@@ -291,7 +343,9 @@ object SparkEntry {
     // sql_cumulative is verified against rolling_7day's exact oracle;
     // likewise the manifest-format pipeline must match the plain one
     base + ("sql_cumulative" -> base("rolling_7day")) +
-      ("pipeline_versioned" -> base("pipeline_decimal"))
+      ("pipeline_versioned" -> base("pipeline_decimal")) +
+      // native-function SQL front door ≡ the DataFrame twin's oracle
+      ("sql_repetition_stats" -> base("repetition_stats"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -433,7 +487,26 @@ object SparkEntry {
       "dq_nonpositive" -> oneViolation("nonpositive_quantity"),
       "dq_date_mismatch" -> oneViolation("date_mismatch"),
       "dq_whitelist" -> oneViolation("ticker_whitelist"))
-    singles + ("dq_all" -> dqAllSqlText) + ("sql_dq_all" -> dqAllSqlText)
+    singles + ("dq_all" -> dqAllSqlText) + ("sql_dq_all" -> dqAllSqlText) +
+      ("dq_quarantine" ->
+        """SELECT 'high_discount' AS reason,
+          |       count(*) FILTER (WHERE l_discount > 0.05) AS n_rows
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'tiny_quantity' AS reason,
+          |       count(*) FILTER (WHERE l_quantity <= 2) AS n_rows
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'high_tax' AS reason,
+          |       count(*) FILTER (WHERE l_tax > 0.06) AS n_rows
+          |FROM lineitem
+          |UNION ALL
+          |SELECT '__clean' AS reason,
+          |       count(*) FILTER (WHERE NOT (l_discount > 0.05)
+          |                          AND NOT (l_quantity <= 2)
+          |                          AND NOT (l_tax > 0.06)) AS n_rows
+          |FROM lineitem
+          |ORDER BY reason""".stripMargin)
   }
 
   private def oneViolation(name: String): String = {

@@ -34,6 +34,35 @@ object Quality {
     DqCheck(name, count_if(violation), 0L)
 
   /**
+   * ROW-LEVEL quarantine annotation — the split-path companion to the
+   * aggregate `report`: tag every row with the names of the row-level
+   * rules it violates (`reasonsCol` string array, empty = clean), so a
+   * pipeline can promote the clean rows and route violators to a
+   * quarantine table WITH their reasons instead of failing the whole
+   * run (`enforce`) or merely counting (`report`). One codegen'd
+   * projection — zero shuffle, zero extra scans; the reason array is
+   * built per row from the same predicates `report` would count.
+   */
+  def annotate(df: DataFrame, rules: Seq[(String, Column)],
+      reasonsCol: String = "dq_reasons"): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val tagged = array(rules.map { case (n, p) =>
+      when(p, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    df.withColumn(reasonsCol, filter(tagged, x => x.isNotNull))
+  }
+
+  /** `annotate` split into (clean rows without the reasons column,
+    * violating rows with it) — promote the first, quarantine the
+    * second. */
+  def split(df: DataFrame, rules: Seq[(String, Column)],
+      reasonsCol: String = "dq_reasons"): (DataFrame, DataFrame) = {
+    val ann = annotate(df, rules, reasonsCol)
+    (ann.where(size(col(reasonsCol)) === 0).drop(reasonsCol),
+      ann.where(size(col(reasonsCol)) > 0))
+  }
+
+  /**
    * Run all checks over `df` in a single aggregation pass and return the
    * reference-shaped report.
    */
