@@ -172,7 +172,8 @@ object SparkEntry {
     val pipe = new graft.pipeline.Pipeline(spark, graft.pipeline.PipelineConfig(
       productionPath = root.resolve("production").toString,
       cumulativePath = root.resolve("cumulative").toString,
-      versionedFacts = versionedFacts))
+      versionedFacts = versionedFacts,
+      eagerCount = false)) // the gate reads tables, never DayResult.staged
     days.foreach(d => pipe.runDay(d, _ => bars))
     bars.unpersist()
     // DECIMAL(10,2) × 100 is integral — the pack is exact on both engines

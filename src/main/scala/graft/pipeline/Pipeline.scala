@@ -43,7 +43,12 @@ final case class PipelineConfig(
     // entirely-new partitions, and every run stays time-travelable.
     // Same per-date promote cost; plain mode remains the default for
     // drop-in parquet-directory compatibility.
-    versionedFacts: Boolean = false)
+    versionedFacts: Boolean = false,
+    // when false, DayResult.staged is -1 and the per-day staged.count()
+    // job is skipped — one fewer Spark job per day for callers that
+    // don't consume the count (a backfill loop over years of days pays
+    // one scheduling barrier per day for a number nobody reads)
+    eagerCount: Boolean = true)
 
 final case class DayResult(ds: LocalDate, staged: Long, dqReport: DataFrame)
 
@@ -99,7 +104,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         Schemas.cumulative),
       cfg.cumulativePath)
 
-    val n = staged.count()
+    val n = if (cfg.eagerCount) staged.count() else -1L
     staged.unpersist()
     DayResult(ds, n, report)
   }
