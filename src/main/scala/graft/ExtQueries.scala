@@ -575,14 +575,15 @@ object ExtQueries {
    * most recent day-opening event (first event per (user, day)) at or
    * before it — the "tick joined to latest reference bar" shape.
    */
-  private def asofRef(s: SparkSession, dir: String): DataFrame = {
+  private def asofRef(s: SparkSession, dir: String,
+      direction: String = "backward"): DataFrame = {
     val events = Tables.load(s, dir, "events")
     val refs = Ingest.firstPerDay(events, Seq("user_id"), "ts",
         orderCols = Seq("ts", "event_id"))
       .select(col("user_id"), col("ts"),
         col("event_id").as("rid"), col("value").as("rvalue"))
     AsOf.join(events, refs, Seq("user_id"), "ts", "ts",
-        rightPayload = Seq("rid", "rvalue"))
+        rightPayload = Seq("rid", "rvalue"), direction = direction)
       .select(col("event_id"), col("user_id"),
         col("ref_rid"), round(col("ref_rvalue"), 4).as("ref_rvalue"))
       .orderBy("event_id")
@@ -2001,6 +2002,8 @@ object ExtQueries {
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
     "asof_ref" -> ((s, dir) => asofRef(s, dir)),
+    "asof_forward" -> ((s, dir) => asofRef(s, dir, "forward")),
+    "asof_nearest" -> ((s, dir) => asofRef(s, dir, "nearest")),
     "range_bands" -> ((s, dir) => rangeBands(s, dir)),
     "quantiles_lineitem" -> ((s, dir) => quantiles(s, dir)),
     "json_props" -> ((s, dir) => jsonProps(s, dir)),
@@ -2694,6 +2697,51 @@ object ExtQueries {
         |FROM events l
         |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // forward as-of: DuckDB's ASOF infers direction from the inequality
+    "asof_forward" ->
+      """WITH refs AS (
+        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events)
+        |  WHERE rn = 1)
+        |SELECT l.event_id, l.user_id,
+        |       r.rid AS ref_rid, round(r.rvalue, 4) AS ref_rvalue
+        |FROM events l
+        |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // nearest = the closer of the backward and forward matches, ties to
+    // backward (pandas merge_asof tie rule) — two ASOF joins + a pick
+    "asof_nearest" ->
+      """WITH refs AS (
+        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events)
+        |  WHERE rn = 1),
+        |b AS (SELECT l.event_id, l.user_id, l.ts,
+        |             r.ts AS bts, r.rid AS brid, r.rvalue AS brvalue
+        |      FROM events l
+        |      ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id,
+        |             r.ts AS fts, r.rid AS frid, r.rvalue AS frvalue
+        |      FROM events l
+        |      ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.event_id, b.user_id,
+        |       CASE WHEN b.bts IS NULL THEN f.frid
+        |            WHEN f.fts IS NULL THEN b.brid
+        |            WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
+        |                 <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.brid
+        |            ELSE f.frid END AS ref_rid,
+        |       round(CASE WHEN b.bts IS NULL THEN f.frvalue
+        |                  WHEN f.fts IS NULL THEN b.brvalue
+        |                  WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
+        |                       <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.brvalue
+        |                  ELSE f.frvalue END, 4) AS ref_rvalue
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin,
     "pack_shards" -> packShardsSql,
     "pack_shards_dist" -> packShardsSql,
     "dominant_source" ->

@@ -25,8 +25,18 @@ object AsOf {
 
   /**
    * Left as-of join. `rightPayload` columns are emitted with a `ref_`
-   * prefix; rows with no earlier right row (or none within
+   * prefix; rows with no matching right row (or none within
    * `toleranceMs`) carry nulls.
+   *
+   * `direction` (the pandas `merge_asof` surface):
+   *  - `"backward"` (default): most recent right row with ts ≤ left ts;
+   *  - `"forward"`: earliest right row with ts ≥ left ts;
+   *  - `"nearest"`: whichever of the two is closer in time, ties to
+   *    backward (pandas' tie rule). Both candidate fills ride the SAME
+   *    key shuffle — nearest costs one extra per-partition sort, never
+   *    a second exchange.
+   * Equal timestamps match in every direction (inclusive, DuckDB ASOF
+   * semantics).
    *
    * Determinism contract: `rightTs` must be unique per key (the usual
    * as-of shape — one reference row per key-instant). With duplicate
@@ -35,7 +45,10 @@ object AsOf {
    */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPayload: Seq[String],
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val l = left
       .withColumn("__ats", col(leftTs))
       .withColumn("__side", lit(1))
@@ -48,15 +61,44 @@ object AsOf {
           rightPayload.map(c => col(c).as(s"ref_$c"))): _*).as("__ref"): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__ref", last(col("__ref"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    // carry-forward over ascending time = backward match; over
+    // descending time = forward match. The right row sorts before the
+    // left at equal timestamps in BOTH orders (side 0 first), so ties
+    // are inclusive each way.
+    def fill(asc: Boolean): org.apache.spark.sql.Column = {
+      val ord = if (asc) col("__ats").asc else col("__ats").desc
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(ord, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__ref"), ignoreNulls = true).over(w)
+    }
+    val matched = (direction match {
+      case "backward" => unioned.withColumn("__ref", fill(asc = true))
+      case "forward" => unioned.withColumn("__ref", fill(asc = false))
+      case "nearest" =>
+        unioned
+          .withColumn("__b", fill(asc = true))
+          .withColumn("__f", fill(asc = false))
+          .withColumn("__gb",
+            unix_millis(col("__ats")) - unix_millis(col("__b.__ref_ts")))
+          .withColumn("__gf",
+            unix_millis(col("__f.__ref_ts")) - unix_millis(col("__ats")))
+          .withColumn("__ref",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(col("__gb") <= col("__gf"), col("__b")) // ties → backward
+              .otherwise(col("__f")))
+          .drop("__b", "__f", "__gb", "__gf")
+    }).where(col("__side") === 1)
+    val gap = direction match {
+      case "forward" =>
+        unix_millis(col("__ref.__ref_ts")) - unix_millis(col("__ats"))
+      case _ =>
+        // nearest: the chosen side's absolute gap
+        abs(unix_millis(col("__ats")) - unix_millis(col("__ref.__ref_ts")))
+    }
     val stale = toleranceMs match {
-      case Some(tol) => col("__ref").isNull ||
-        unix_millis(col("__ats")) - unix_millis(col("__ref.__ref_ts")) > tol
+      case Some(tol) => col("__ref").isNull || gap > tol
       case None => col("__ref").isNull
     }
     val out = rightPayload.foldLeft(matched) { (df, c) =>
