@@ -235,6 +235,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsOf directions equal the brute-force nearest-row oracle on random series") {
+    // forward/nearest must match a driver-side scan of the right side:
+    // backward = max ts ≤ t, forward = min ts ≥ t, nearest = smaller
+    // gap with ties to backward — for ANY random left/right timestamps,
+    // including exact ties and out-of-range extremes
+    for (seed <- 30L to 33L) {
+      val g = for {
+        k <- Gen.oneOf("A", "B")
+        t <- Gen.choose(0L, 5000L)
+      } yield (k, t)
+      val leftRaw = Gen.listOfN(80, g)(Gen.Parameters.default, Seed(seed)).get
+      val rightRaw = Gen.listOfN(25, g)(Gen.Parameters.default, Seed(seed + 100))
+        .get.groupBy(r => r._1 -> r._2).map(_._2.head).toSeq // unique (k, ts)
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val left = leftRaw.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("lid", "k", "ts")
+      val right = rightRaw.zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, ts(t)) }
+        .toDF("rid", "k", "ts")
+      val byKey = rightRaw.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+      def oracle(dir: String): Map[Long, Option[Long]] =
+        leftRaw.zipWithIndex.map { case ((k, t), i) =>
+          val cands = byKey.getOrElse(k, Seq.empty)
+          val back = cands.filter(_._1 <= t)
+            .sortBy(c => (-c._1, c._2)).headOption
+          val fwd = cands.filter(_._1 >= t)
+            .sortBy(c => (c._1, c._2)).headOption
+          val pick = dir match {
+            case "backward" => back
+            case "forward" => fwd
+            case "nearest" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._1 <= f._1 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          i.toLong -> pick.map(_._2)
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = graft.ops.AsOf.join(left, right, Seq("k"), "ts", "ts",
+            rightPayload = Seq("rid"), direction = dir)
+          .select("lid", "ref_rid").as[(Long, Option[Long])]
+          .collect().toMap
+        assert(got == oracle(dir), s"seed $seed direction $dir")
+      }
+    }
+  }
+
+  test("IncrementalAgg.maintain equals recompute on random change windows") {
+    // for ANY random base table and ANY random touched-partition
+    // rewrite (rows added, removed, repriced, partitions emptied), the
+    // delta-maintained aggregate must equal aggregating the final table
+    for (seed <- 40L to 43L) {
+      val row = for {
+        p <- Gen.choose(1, 5) // partition
+        g <- Gen.oneOf("x", "y", "z") // group
+        v <- Gen.choose(-500, 500)
+      } yield (s"p$p", g, new java.math.BigDecimal(s"$v.25"))
+      def df(rows: Seq[(String, String, java.math.BigDecimal)]) =
+        rows.toDF("part", "g", "amt")
+          .withColumn("amt", col("amt").cast("decimal(18,2)"))
+      val base = Gen.listOfN(60, row)(Gen.Parameters.default, Seed(seed)).get
+      val repl = Gen.listOfN(30, row)(Gen.Parameters.default, Seed(seed + 7)).get
+      val touched = repl.map(_._1).toSet + "p1" // p1 may empty out
+      val finalRows = base.filterNot(r => touched(r._1)) ++ repl
+      val state = graft.ops.IncrementalAgg.aggregate(df(base), Seq("g"), Seq("amt"))
+      val maintained = graft.ops.IncrementalAgg.maintain(state,
+        df(base.filter(r => touched(r._1))), df(repl), Seq("g"), Seq("amt"))
+      val recomputed = graft.ops.IncrementalAgg.aggregate(df(finalRows),
+        Seq("g"), Seq("amt"))
+      def canon(f: DataFrame) = f
+        .selectExpr("g", "n_rows", "cast(sum_amt as decimal(38,2))")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      assert(canon(maintained) == canon(recomputed), s"seed $seed")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
