@@ -305,6 +305,32 @@ object VersionedPartitioned {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     readManifest(spark, root, manifestAt(spark, root, Some(version)))
 
+  /**
+   * MANIFEST-level partition pruning: read only the live partitions
+   * whose (unescaped) partition VALUE satisfies `keep`. Catalyst prunes
+   * partition dirs inside each snapshot scan from a pushed filter, but
+   * the union is still built one branch per referenced snapshot — on a
+   * year-deep history a trailing-window read would carry hundreds of
+   * no-op branches just to list them. Filtering the manifest FIRST
+   * builds the union from only the surviving entries, so snapshots
+   * contributing no in-range partition never enter the plan at all
+   * (driver-side set filter over the entry map — zero I/O). ISO date
+   * values compare correctly as strings, so range keeps are plain
+   * string bounds. An empty survivor set returns an empty frame with
+   * the table schema.
+   */
+  def readPartitionsWhere(spark: SparkSession, root: String,
+      keep: String => Boolean, version: Option[Long] = None): DataFrame = {
+    val m = manifestAt(spark, root, version)
+    val kept = m.entries.filter { case (dir, _) =>
+      keep(unescapePathName(dir.substring(dir.indexOf('=') + 1)))
+    }
+    if (kept.isEmpty)
+      readManifest(spark, root, m)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else readManifest(spark, root, m.copy(entries = kept))
+  }
+
   /** Iceberg `FOR TIMESTAMP AS OF` for the partitioned format: resolve
     * the version current as of wall-clock `tsMs` via commit-file mtime
     * (the commit protocol — and therefore the timestamp resolution — is

@@ -89,8 +89,12 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       cfg.productionPath)
 
     // cumulate from production: trailing 8-calendar-day scan (partition
-    // pruned to ≤8 date dirs), window, keep ds rows only
-    val prod = factTable(cfg.productionPath, Schemas.stockBar)
+    // pruned to ≤8 date dirs; in versioned mode the MANIFEST is pruned
+    // first, so only snapshots holding an in-range day enter the union
+    // — on a year-deep history the daily run plans ≤8 branches, not
+    // one per historical snapshot)
+    val prod = factRange(cfg.productionPath, Schemas.stockBar,
+      ds.minusDays(7), ds)
     val cum = Rolling.forDay(prod, ds, Seq("ticker"), "date",
         arrayCols = Seq("open", "high", "low", "close", "volume"),
         volumeCol = "volume", closeCol = "close")
@@ -119,6 +123,18 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       // manifest reads surface the partition column last; restore the
       // canonical field order so both modes present the same shape
       VersionedPartitioned.read(spark, path)
+        .select(schema.fieldNames.map(col): _*)
+    else Exchange.table(spark, path)
+
+  /** The fact table restricted to a date range: plain mode relies on
+    * Catalyst dir pruning from the downstream filter; versioned mode
+    * prunes the manifest itself (ISO date strings compare correctly). */
+  private def factRange(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      from: LocalDate, to: LocalDate): DataFrame =
+    if (cfg.versionedFacts)
+      VersionedPartitioned.readPartitionsWhere(spark, path,
+          v => v >= from.toString && v <= to.toString)
         .select(schema.fieldNames.map(col): _*)
     else Exchange.table(spark, path)
 

@@ -565,6 +565,27 @@ class VersionedSpec extends AnyFunSuite {
     assert(VersionedPartitioned.partitions(spark, root2).forall(_.startsWith("date=")))
   }
 
+  test("readPartitionsWhere: manifest pruned before planning — only in-range snapshots scanned") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    // 6 single-day promotes → 6 snapshots, one partition each
+    val days = (1 to 6).map(d => f"2024-01-$d%02d")
+    days.foreach(d => VersionedPartitioned.promote(pdf(d -> d.takeRight(2).toInt), root))
+    val pruned = VersionedPartitioned.readPartitionsWhere(spark, root,
+      v => v >= "2024-01-03" && v <= "2024-01-05")
+    assert(state(pruned) == Set("2024-01-03" -> 3, "2024-01-04" -> 4,
+      "2024-01-05" -> 5))
+    // the PLAN touches only the 3 surviving snapshots' files — the other
+    // 3 snapshot dirs never enter the union
+    val files = pruned.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("date=2024-01-03") || f.contains("date=2024-01-04") ||
+        f.contains("date=2024-01-05")), files.mkString("\n"))
+    // empty survivor set: schema-correct empty frame
+    val none = VersionedPartitioned.readPartitionsWhere(spark, root,
+      _ > "2025-01-01")
+    assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
   test("IncrementalAgg.maintain equals recompute across rewrite, insert, and partition drop") {
     import graft.ops.IncrementalAgg
     val root = Files.createTempDirectory("graft_vp").toString
