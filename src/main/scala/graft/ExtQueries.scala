@@ -907,6 +907,22 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** The weighted variant: rank mass splits over out-edges by
+    * co-purchase COUNT (n_baskets), still fixed-point-exact — a part
+    * co-bought 10× with a hub passes 10× the mass of an incidental
+    * pairing. */
+  private def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Cooccur.pairs(Tables.load(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+    val edges = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("n_baskets"))
+      .unionAll(pairs.select(col("item_b").as("src"),
+        col("item_a").as("dst"), col("n_baskets")))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
+        weightCol = Some("n_baskets"))
+      .orderBy("id")
+  }
+
   /** Dyadic EWMA (half-life one bar) over the daily close series — the
     * recency-weighted smoothing companion of rolling_7day, stated with
     * power-of-two weights and a fixed fold order so the doubles are
@@ -2023,6 +2039,7 @@ object ExtQueries {
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "basket_pairs" -> ((s, dir) => basketPairs(s, dir)),
     "pagerank_parts" -> ((s, dir) => pagerankParts(s, dir)),
+    "pagerank_weighted" -> ((s, dir) => pagerankWeighted(s, dir)),
     "triangle_counts" -> ((s, dir) => triangleCounts(s, dir)),
     "events_outliers" -> ((s, dir) => eventsOutliers(s, dir)),
     "ewma_close" -> ((s, dir) => ewmaClose(s, dir)),
@@ -2201,23 +2218,25 @@ object ExtQueries {
   /** DuckDB replay of Graph.pageRank over the co-purchase graph: the
     * identical fixed-point integer recurrence unrolled `iters` rounds
     * (`//` = the same truncating division as Spark's DIV on the
-    * nonnegative ranks; every intermediate re-cast to BIGINT). */
-  private def pagerankSql(iters: Int): String = {
+    * nonnegative ranks; every intermediate re-cast to BIGINT).
+    * `weighted` splits mass by co-purchase count exactly like
+    * `weightCol = n_baskets`. */
+  private def pagerankSql(iters: Int, weighted: Boolean = false): String = {
     val base =
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
-        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
-        |pp AS (SELECT a.p AS src, b2.p AS dst
-        |       FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |edges AS (SELECT src, dst FROM pp
-        |          UNION ALL SELECT dst AS src, src AS dst FROM pp),
-        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges
-        |          UNION SELECT DISTINCT dst FROM edges),
-        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
+         |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
+         |pp AS (SELECT a.p AS src, b2.p AS dst, CAST(count(*) AS BIGINT) AS w
+         |       FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT src, dst, ${if (weighted) "w" else "CAST(1 AS BIGINT) AS w"} FROM pp
+         |          UNION ALL SELECT dst AS src, src AS dst, ${if (weighted) "w" else "CAST(1 AS BIGINT) AS w"} FROM pp),
+         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+      s"""c$k AS (SELECT e.dst, CAST(sum((r.pr * e.w) // d.wsum) AS BIGINT) AS s
          |        FROM edges e JOIN r${k - 1} r ON e.src = r.id
          |        JOIN deg d ON e.src = d.src
          |        GROUP BY e.dst),
@@ -3300,6 +3319,7 @@ object ExtQueries {
     // maxBasketSize=1000 encoded in the oracle (HAVING <= cap) so the
     // oversized-basket exclusion is equivalent by construction
     "pagerank_parts" -> pagerankSql(3),
+    "pagerank_weighted" -> pagerankSql(3, weighted = true),
     "triangle_counts" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),

@@ -53,11 +53,21 @@ object Graph {
    * fixed-point units (divide by `Scale` for the conventional value).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      // optional INTEGER edge-weight column: a node's rank splits over
+      // its out-edges proportionally to weight — (r·w) div W(u) per
+      // edge instead of r div out(u). Integer weights keep the whole
+      // recurrence fixed-point-exact; overflow-safe while
+      // max(w) · N · Scale < 2^63 (e.g. w ≤ 10^4 up to N ≈ 10^5 — at
+      // larger products, pre-scale weights down).
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__outdeg"))
-    // out-degree attached ONCE; the loop never re-joins it
+    val wCol = weightCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      wCol.as("__w"))
+    val deg = e.groupBy("__src").agg(sum(col("__w")).as("__wsum"))
+    // out-weight attached ONCE; the loop never re-joins it
     val withDeg = e.join(deg, "__src")
     val nodes = e.select(col("__src").as("__id"))
       .union(e.select(col("__dst").as("__id"))).distinct()
@@ -65,7 +75,7 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks, col("__src") === col("__id"))
-        .select(col("__dst"), expr("__pr DIV __outdeg").as("__c"))
+        .select(col("__dst"), expr("(__pr * __w) DIV __wsum").as("__c"))
         .groupBy(col("__dst"))
         .agg(sum(col("__c")).as("__s"))
       // left join keeps in-link-less nodes alive at the teleport term
