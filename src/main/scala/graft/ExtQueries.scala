@@ -1003,6 +1003,37 @@ object ExtQueries {
     * the final 100·g/(g+l) division is IEEE, on identical operands.
     * One shuffle: the delta lag and both trailing sums share the key
     * window. NULL until 14 deltas exist (15th bar) and on flat windows. */
+  /** Bollinger bands (20-bar, ±2σ) on the daily close — the classic
+    * price-channel companion of rsi_close, stated so EVERY arithmetic
+    * step is engine-identical: closes become integer 1e-6 units
+    * (decimal cast, exact), the 20-row window carries integer Σc and
+    * Σc² (decimal sums — order-free), the sample variance is the
+    * integer identity (n·Σc² − (Σc)²) exact in decimal, and only then
+    * does ONE fixed-order double division + IEEE sqrt produce the
+    * bands — bit-identical across engines before the display round.
+    * Bands are NULL until the window holds its full 20 bars. */
+  private def bollingerBands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+      .rowsBetween(-19, 0)
+    val nn = col("__n") * (col("__n") - 1)
+    val meanD = col("__s").cast("double") / col("__n") / 1e6
+    val sdD = sqrt((col("__n") * col("__s2") - col("__s") * col("__s"))
+      .cast("double") / nn.cast("double")) / 1e6
+    dailyBarsOf(s, dir)
+      .withColumn("__c",
+        (col("close").cast("decimal(18,6)") * 1000000).cast("decimal(13,0)"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__s2", sum((col("__c") * col("__c")).cast("decimal(30,0)")).over(w))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        round(when(col("__n") === 20, meanD), 4).as("bb_mid"),
+        round(when(col("__n") === 20, meanD + lit(2) * sdD), 4).as("bb_upper"),
+        round(when(col("__n") === 20, meanD - lit(2) * sdD), 4).as("bb_lower"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   private def rsiClose(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq("user_id", "event_type")
@@ -2055,6 +2086,7 @@ object ExtQueries {
     "price_metrics" -> ((s, dir) => priceMetrics(s, dir)),
     "bars_weekly" -> ((s, dir) => barsWeekly(s, dir)),
     "rsi_close" -> ((s, dir) => rsiClose(s, dir)),
+    "bollinger_bands" -> ((s, dir) => bollingerBands(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -2967,6 +2999,40 @@ object ExtQueries {
         |       CAST(sum(volume) AS BIGINT) AS volume
         |FROM bars GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, week""".stripMargin,
+    // integer-exact Bollinger: same unit scaling, same decimal sums,
+    // same single double division + sqrt — bit-identical pre-round
+    "bollinger_bands" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT user_id, event_type, date, close,
+        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
+        |                  AS DECIMAL(13,0)) AS cu
+        |      FROM bars),
+        |s AS (SELECT user_id, event_type, date, close,
+        |             count(*) OVER t AS n,
+        |             sum(cu) OVER t AS sc,
+        |             sum(CAST(cu * cu AS DECIMAL(30,0))) OVER t AS sc2
+        |      FROM c
+        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
+        |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close,
+        |       round(CASE WHEN n = 20
+        |                  THEN CAST(sc AS DOUBLE) / n / 1e6 END, 4) AS bb_mid,
+        |       round(CASE WHEN n = 20
+        |                  THEN CAST(sc AS DOUBLE) / n / 1e6
+        |                       + 2 * (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sc2 AS HUGEINT)
+        |                                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
+        |                                   / CAST(n * (n - 1) AS DOUBLE)) / 1e6)
+        |                  END, 4) AS bb_upper,
+        |       round(CASE WHEN n = 20
+        |                  THEN CAST(sc AS DOUBLE) / n / 1e6
+        |                       - 2 * (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sc2 AS HUGEINT)
+        |                                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
+        |                                   / CAST(n * (n - 1) AS DOUBLE)) / 1e6)
+        |                  END, 4) AS bb_lower
+        |FROM s ORDER BY user_id, event_type, date""".stripMargin,
     "rsi_close" ->
       """WITH bars AS (
         |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
