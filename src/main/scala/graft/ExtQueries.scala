@@ -1034,6 +1034,44 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** On-balance volume + 14-bar average true range — two more classic
+    * indicators on the daily bars, both engine-exact: OBV is a pure
+    * integer cumulative sum (sign of the exact decimal close delta ×
+    * volume — order-free), and ATR carries exact decimal true ranges
+    * through the window sum with one fixed-order double division at
+    * the end (the bollinger_bands technique). ATR is the SMA-of-TR
+    * variant (not Wilder's recursive smoothing), emitted only on a
+    * full 14-bar window. */
+  private def obvAtr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val t14 = w.rowsBetween(-13, 0)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBarsOf(s, dir)
+      .withColumn("__c", col("close").cast("decimal(18,6)"))
+      .withColumn("__h", col("high").cast("decimal(18,6)"))
+      .withColumn("__l", col("low").cast("decimal(18,6)"))
+      .withColumn("__pc", lag(col("__c"), 1).over(w))
+      .withColumn("__sgn",
+        when(col("__pc").isNull, lit(0L))
+          .when(col("__c") > col("__pc"), lit(1L))
+          .when(col("__c") < col("__pc"), lit(-1L))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum(col("__sgn") * col("volume")).over(cum))
+      .withColumn("__tr",
+        when(col("__pc").isNull, col("__h") - col("__l"))
+          .otherwise(greatest(col("__h") - col("__l"),
+            abs(col("__h") - col("__pc")), abs(col("__l") - col("__pc")))))
+      .withColumn("__n", count(col("__tr")).over(t14))
+      .withColumn("__trs", sum(col("__tr")).over(t14))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        col("obv"),
+        round(when(col("__n") === 14,
+          col("__trs").cast("double") / col("__n")), 4).as("atr_14"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   private def rsiClose(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq("user_id", "event_type")
@@ -2087,6 +2125,7 @@ object ExtQueries {
     "bars_weekly" -> ((s, dir) => barsWeekly(s, dir)),
     "rsi_close" -> ((s, dir) => rsiClose(s, dir)),
     "bollinger_bands" -> ((s, dir) => bollingerBands(s, dir)),
+    "indicators_obv_atr" -> ((s, dir) => obvAtr(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -2999,6 +3038,44 @@ object ExtQueries {
         |       CAST(sum(volume) AS BIGINT) AS volume
         |FROM bars GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, week""".stripMargin,
+    // OBV is pure integer arithmetic; ATR replays the exact-decimal
+    // window sum + one fixed-order double division
+    "indicators_obv_atr" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         max(value) AS high, min(value) AS low,
+        |         arg_max(value, event_id) AS close,
+        |         count(*) AS volume
+        |  FROM events GROUP BY 1, 2, 3),
+        |d AS (SELECT user_id, event_type, date, close, volume,
+        |             CAST(close AS DECIMAL(18,6)) AS c,
+        |             CAST(high AS DECIMAL(18,6)) AS h,
+        |             CAST(low AS DECIMAL(18,6)) AS l,
+        |             lag(CAST(close AS DECIMAL(18,6))) OVER w AS pc
+        |      FROM bars
+        |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date)),
+        |e AS (SELECT *,
+        |             CASE WHEN pc IS NULL THEN CAST(0 AS BIGINT)
+        |                  WHEN c > pc THEN CAST(1 AS BIGINT)
+        |                  WHEN c < pc THEN CAST(-1 AS BIGINT)
+        |                  ELSE CAST(0 AS BIGINT) END AS sgn,
+        |             CASE WHEN pc IS NULL THEN h - l
+        |                  ELSE greatest(h - l, abs(h - pc), abs(l - pc))
+        |                  END AS tr
+        |      FROM d),
+        |f AS (SELECT user_id, event_type, date, close,
+        |             CAST(sum(sgn * volume) OVER cum AS BIGINT) AS obv,
+        |             count(tr) OVER t AS n,
+        |             sum(tr) OVER t AS trs
+        |      FROM e
+        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             t AS (PARTITION BY user_id, event_type ORDER BY date
+        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close, obv,
+        |       round(CASE WHEN n = 14
+        |                  THEN CAST(trs AS DOUBLE) / n END, 4) AS atr_14
+        |FROM f ORDER BY user_id, event_type, date""".stripMargin,
     // integer-exact Bollinger: same unit scaling, same decimal sums,
     // same single double division + sqrt — bit-identical pre-round
     "bollinger_bands" ->
