@@ -429,6 +429,34 @@ object ExtQueries {
         Multimodal.binarize(docs(s, dir), "doc_id", "text"), "doc_id")
       .orderBy("doc_id")
 
+  /**
+   * REAL image decode through the multimodal plumbing
+   * (Multimodal.PgmCodec — pure-byte netpbm P5 parsing, no image
+   * library): each embedding renders to an 8×8 grayscale PGM
+   * (pixel = clamp(round((x+1)·127))), the BYTES are then parsed back
+   * by the codec inside a partition iterator, and per-image stats come
+   * from the DECODED pixels. The oracle computes the same stats from
+   * the source values directly — a header misread, offset bug or
+   * byte-sign slip in the parser changes the stats and fails the hash.
+   * All stats integer-exact (sum/min/max of pixel ints, mean in bps).
+   */
+  private def imagePgmStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val px = emb.map(x =>
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt).toArray
+        val bytes = Multimodal.PgmCodec.encode(8, 8, 255, px)
+        val (w, h, mv, dec) = Multimodal.PgmCodec.decode(bytes)
+        (id, w, h, mv, dec.map(_.toLong).sum, dec.min, dec.max)
+      })
+      .toDF("vec_id", "width", "height", "maxval", "px_sum", "px_min", "px_max")
+      .withColumn("mean_bps", expr("px_sum * 10000 DIV 64"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- joins —
 
   /**
@@ -2083,6 +2111,7 @@ object ExtQueries {
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
+    "image_pgm_stats" -> ((s, dir) => imagePgmStats(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -2702,6 +2731,23 @@ object ExtQueries {
         |       octet_length(encode(text)) AS byte_len,
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // expected stats straight from the source values — the engine side
+    // must reproduce them THROUGH encode→parse of the actual PGM bytes
+    "image_pgm_stats" ->
+      """WITH px AS (
+        |  SELECT vec_id,
+        |         greatest(0, least(255,
+        |           CAST(round((CAST(x AS DOUBLE) + 1) * 127) AS INT))) AS p
+        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+        |        FROM embeddings))
+        |SELECT vec_id,
+        |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       CAST(255 AS INT) AS maxval,
+        |       CAST(sum(p) AS BIGINT) AS px_sum,
+        |       CAST(min(p) AS INT) AS px_min,
+        |       CAST(max(p) AS INT) AS px_max,
+        |       CAST(sum(p) AS BIGINT) * 10000 // 64 AS mean_bps
+        |FROM px GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, value,

@@ -78,6 +78,58 @@ object Multimodal {
   }
 
   /**
+   * REAL codec for netpbm PGM (P5) grayscale images — pure byte
+   * parsing per the public netpbm spec (magic, whitespace/#-comment
+   * tolerant ASCII header: width height maxval, then one raw byte per
+   * pixel for maxval ≤ 255). No image library involved, so unlike
+   * `StubCodec` this decode path is fully real in this environment:
+   * a header misread or pixel offset bug changes the extracted stats
+   * and fails the oracle gate (`image_pgm_stats`).
+   */
+  object PgmCodec {
+    def encode(width: Int, height: Int, maxVal: Int,
+        px: Array[Int]): Array[Byte] = {
+      require(width * height == px.length, "pixel count mismatch")
+      require(maxVal >= 1 && maxVal <= 255, "1-byte PGM only")
+      val header = s"P5\n$width $height\n$maxVal\n".getBytes("US-ASCII")
+      header ++ px.map(_.toByte)
+    }
+
+    /** (width, height, maxVal, pixels 0..maxVal). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      var i = 0
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          if (bytes(i) == '#') { // comment runs to end of line
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else if (Character.isWhitespace(bytes(i).toChar)) i += 1
+          else go = false
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val s = i
+        while (i < bytes.length &&
+          !Character.isWhitespace(bytes(i).toChar)) i += 1
+        new String(bytes, s, i - s, "US-ASCII")
+      }
+      require(token() == "P5", "not a raw (P5) PGM")
+      val w = token().toInt
+      val h = token().toInt
+      val mv = token().toInt
+      require(w > 0 && h > 0 && mv >= 1 && mv <= 255,
+        s"unsupported PGM geometry ${w}x$h maxval $mv")
+      i += 1 // exactly ONE whitespace byte separates maxval from raster
+      require(bytes.length - i >= w * h, "truncated raster")
+      val px = new Array[Int](w * h)
+      var k = 0
+      while (k < px.length) { px(k) = bytes(i + k) & 0xff; k += 1 }
+      (w, h, mv, px)
+    }
+  }
+
+  /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec
    * wants (shared decoder state per partition, zero per-row setup).

@@ -941,6 +941,28 @@ class ExtSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ multimodal —
 
+  test("Multimodal.PgmCodec: real byte round trip, comment-tolerant header, corruption rejected") {
+    import Multimodal.PgmCodec
+    val px = (0 until 12).map(i => (i * 21) % 256).toArray
+    val bytes = PgmCodec.encode(4, 3, 255, px)
+    val (w, h, mv, dec) = PgmCodec.decode(bytes)
+    assert((w, h, mv) == (4, 3, 255) && dec.sameElements(px))
+    // values > 127 survive the byte sign round trip
+    val hot = Array.fill(4)(250)
+    assert(PgmCodec.decode(PgmCodec.encode(2, 2, 255, hot))._4.sameElements(hot))
+    // netpbm comment lines in the header are skipped
+    val commented = ("P5\n# a comment\n2 2\n# another\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    assert(PgmCodec.decode(commented)._4.sameElements(Array(1, 2, 3, 4)))
+    // wrong magic and truncated raster are errors, not garbage stats
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode("P6\n1 1\n255\nx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode(bytes.dropRight(2))
+    }
+  }
+
   test("Multimodal: stub decode is deterministic with correct batch shape") {
     import Multimodal._
     val rows = Seq(
