@@ -440,6 +440,36 @@ object ExtQueries {
    * byte-sign slip in the parser changes the stats and fails the hash.
    * All stats integer-exact (sum/min/max of pixel ints, mean in bps).
    */
+  /**
+   * REAL audio decode through the multimodal plumbing
+   * (Multimodal.WavCodec — pure-byte RIFF/WAVE PCM16 parsing): each
+   * user's event values become a PCM16 waveform (scaled in Spark SQL
+   * with the proven cross-engine `round(x·k)` pattern), the WAV BYTES
+   * are encoded then parsed back by the codec, and the stats
+   * (sample count, rate, peak, integer energy) come from the DECODED
+   * samples — chunk-walk, offset or endianness bugs fail the oracle.
+   * Stats are order-independent, so group iteration order is moot.
+   */
+  private def audioWavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("greatest(-32767L, least(32767L, cast(round(value * 10) as bigint)))")
+          .as("sv"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val samples = it.map(_._2.toShort).toArray
+        val bytes = Multimodal.WavCodec.encode(16000, samples)
+        val (rate, dec) = Multimodal.WavCodec.decode(bytes)
+        val peak = if (dec.isEmpty) 0L else dec.map(v => math.abs(v.toLong)).max
+        val energy = dec.map(v => v.toLong * v).sum
+        (uid, dec.length.toLong, rate, peak, energy)
+      }
+      .toDF("user_id", "n_samples", "sample_rate", "peak", "energy")
+      .orderBy("user_id")
+  }
+
   private def imagePgmStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     embs(s, dir)
@@ -2112,6 +2142,7 @@ object ExtQueries {
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
     "image_pgm_stats" -> ((s, dir) => imagePgmStats(s, dir)),
+    "audio_wav_stats" -> ((s, dir) => audioWavStats(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -2731,6 +2762,20 @@ object ExtQueries {
         |       octet_length(encode(text)) AS byte_len,
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // expected stats straight from the source values — the engine side
+    // must reproduce them THROUGH encode→parse of the actual WAV bytes
+    "audio_wav_stats" ->
+      """WITH sv AS (
+        |  SELECT user_id,
+        |         greatest(-32767, least(32767,
+        |           CAST(round(value * 10) AS BIGINT))) AS s
+        |  FROM events)
+        |SELECT user_id,
+        |       count(*) AS n_samples,
+        |       CAST(16000 AS INT) AS sample_rate,
+        |       CAST(max(abs(s)) AS BIGINT) AS peak,
+        |       CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM sv GROUP BY user_id ORDER BY user_id""".stripMargin,
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH encode→parse of the actual PGM bytes
     "image_pgm_stats" ->

@@ -130,6 +130,74 @@ object Multimodal {
   }
 
   /**
+   * REAL codec for canonical PCM16 mono WAV — pure byte parsing of the
+   * public RIFF/WAVE layout (RIFF header, `fmt ` chunk: PCM format 1,
+   * 1 channel, 16-bit little-endian samples in the `data` chunk). Like
+   * `PgmCodec`, no audio library is involved: the audio decode path of
+   * the multimodal surface is real, and the `audio_wav_stats` oracle
+   * fails on any header-offset, chunk-walk or endianness bug.
+   */
+  object WavCodec {
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+
+    /** (sampleRate, samples). Walks chunks, so extra chunks between
+      * `fmt ` and `data` (LIST/INFO etc.) are tolerated per the spec. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(n: Int): String = {
+        val a = new Array[Byte](n); b.get(a); new String(a, "US-ASCII")
+      }
+      require(ascii(4) == "RIFF", "not a RIFF file")
+      b.getInt() // riff size
+      require(ascii(4) == "WAVE", "not a WAVE file")
+      var rate = -1
+      while (b.remaining() >= 8) {
+        val id = ascii(4)
+        val len = b.getInt()
+        id match {
+          case "fmt " =>
+            val fmt = b.getShort(); val ch = b.getShort()
+            rate = b.getInt(); b.getInt(); b.getShort()
+            val bits = b.getShort()
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"only PCM16 mono supported (fmt=$fmt ch=$ch bits=$bits)")
+            b.position(b.position() + (len - 16)) // fmt extensions
+          case "data" =>
+            require(rate > 0, "data chunk before fmt chunk")
+            require(b.remaining() >= len, "truncated data chunk")
+            val samples = new Array[Short](len / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
+            return (rate, samples)
+          case _ => // skip unknown chunk (word-aligned)
+            b.position(b.position() + len + (len & 1))
+        }
+      }
+      throw new IllegalArgumentException("no data chunk")
+    }
+  }
+
+  /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec
    * wants (shared decoder state per partition, zero per-row setup).

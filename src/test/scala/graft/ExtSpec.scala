@@ -963,6 +963,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal.WavCodec: PCM16 round trip, chunk walking, corruption rejected") {
+    import Multimodal.WavCodec
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = WavCodec.encode(16000, samples)
+    assert(bytes.length == 44 + samples.length * 2)
+    val (rate, dec) = WavCodec.decode(bytes)
+    assert(rate == 16000 && dec.sameElements(samples))
+    // an unknown chunk between fmt and data is walked over per spec
+    val withList = bytes.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++ bytes.drop(36)
+    assert(WavCodec.decode(withList)._2.sameElements(samples))
+    // stereo/float/truncated inputs are errors, not silent garbage
+    intercept[IllegalArgumentException] {
+      val stereo = bytes.clone(); stereo(22) = 2; WavCodec.decode(stereo)
+    }
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(bytes.dropRight(3))
+    }
+  }
+
   test("Multimodal: stub decode is deterministic with correct batch shape") {
     import Multimodal._
     val rows = Seq(
