@@ -487,6 +487,29 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** Decode → REAL nearest-neighbor resize (8×8 → 4×4) → stats over
+    * the RESIZED pixels: the oracle replays the resize as a positional
+    * pick (row-major positions with even row and column index), so a
+    * stride or index-order bug in `PgmCodec.nearestResize` fails the
+    * hash — resize is an actual pixel transform here, not a metadata
+    * plan. */
+  private def imagePgmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val px = emb.map(x =>
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt).toArray
+        val (w, h, _, dec) =
+          Multimodal.PgmCodec.decode(Multimodal.PgmCodec.encode(8, 8, 255, px))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 4, 4)
+        (id, small.length, small.map(_.toLong).sum, small.min, small.max)
+      })
+      .toDF("vec_id", "n_px", "px_sum", "px_min", "px_max")
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- joins —
 
   /**
@@ -2143,6 +2166,7 @@ object ExtQueries {
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),
     "image_pgm_stats" -> ((s, dir) => imagePgmStats(s, dir)),
     "audio_wav_stats" -> ((s, dir) => audioWavStats(s, dir)),
+    "image_pgm_resize" -> ((s, dir) => imagePgmResize(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -2776,6 +2800,24 @@ object ExtQueries {
         |       CAST(max(abs(s)) AS BIGINT) AS peak,
         |       CAST(sum(s * s) AS BIGINT) AS energy
         |FROM sv GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the 8×8→4×4 nearest resize = the row-major positions with even
+    // row and column index (1-based: r·8+c+1 for r,c ∈ {0,2,4,6})
+    "image_pgm_resize" ->
+      """WITH src AS (
+        |  SELECT vec_id,
+        |         [greatest(0, least(255, CAST(round((x + 1) * 127) AS INT)))
+        |          for x in CAST(embedding AS DOUBLE[])] AS px
+        |  FROM embeddings),
+        |small AS (
+        |  SELECT vec_id,
+        |         [px[i] for i in [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]] AS sp
+        |  FROM src)
+        |SELECT vec_id,
+        |       CAST(len(sp) AS INT) AS n_px,
+        |       CAST(list_aggregate(sp, 'sum') AS BIGINT) AS px_sum,
+        |       CAST(list_aggregate(sp, 'min') AS INT) AS px_min,
+        |       CAST(list_aggregate(sp, 'max') AS INT) AS px_max
+        |FROM small ORDER BY vec_id""".stripMargin,
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH encode→parse of the actual PGM bytes
     "image_pgm_stats" ->

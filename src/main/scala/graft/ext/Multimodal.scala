@@ -95,6 +95,28 @@ object Multimodal {
       header ++ px.map(_.toByte)
     }
 
+    /** REAL nearest-neighbor resample on decoded pixels (row-major):
+      * out(i,j) = in(⌊i·h/oh⌋, ⌊j·w/ow⌋) — pure integer index math, so
+      * the resize is replayable by any engine as a positional pick.
+      * Upgrades `resizePlan` from metadata-only to an actual pixel
+      * transform for PGM inputs. */
+    def nearestResize(width: Int, height: Int, px: Array[Int],
+        outW: Int, outH: Int): Array[Int] = {
+      require(outW > 0 && outH > 0 && width * height == px.length)
+      val out = new Array[Int](outW * outH)
+      var i = 0
+      while (i < outH) {
+        val si = i * height / outH
+        var j = 0
+        while (j < outW) {
+          out(i * outW + j) = px(si * width + (j * width / outW))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+
     /** (width, height, maxVal, pixels 0..maxVal). */
     def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
       var i = 0
