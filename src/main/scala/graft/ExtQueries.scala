@@ -1176,6 +1176,242 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** Stochastic oscillator %K-14 + Williams %R-14 on the daily bars.
+    * Channel extremes are exact-decimal window min/max, so both ratios
+    * are a single IEEE division over identical operands:
+    * %K = 100·(c−l14)/(h14−l14), %R = −100·(h14−c)/(h14−l14). NULL
+    * until the window holds 14 bars and on a flat channel (h14 = l14).
+    * One shuffle — both extremes ride the same key window. */
+  private def stochasticK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val t = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+      .rowsBetween(-13, 0)
+    val den = (col("__h14") - col("__l14")).cast("double")
+    val full = col("__n") === 14 && col("__h14") =!= col("__l14")
+    // raw doubles, no display round: every operand reaches the division
+    // in the same order on both engines, so the doubles are bit-identical
+    // — a final round() would only reintroduce the engines' divergent
+    // half-boundary semantics (Spark rounds the shortest decimal repr,
+    // DuckDB the binary value)
+    dailyBarsOf(s, dir)
+      .withColumn("__c", col("close").cast("decimal(18,6)"))
+      .withColumn("__h14", max(col("high").cast("decimal(18,6)")).over(t))
+      .withColumn("__l14", min(col("low").cast("decimal(18,6)")).over(t))
+      .withColumn("__n", count(lit(1)).over(t))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        when(full, lit(100.0)
+          * ((col("__c") - col("__l14")).cast("double") / den))
+          .as("stoch_k"),
+        when(full, lit(-100.0)
+          * ((col("__h14") - col("__c")).cast("double") / den))
+          .as("williams_r"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** 20-bar rolling VWAP: Σ(close·volume)/Σvolume per key. The
+    * numerator accumulates exact decimal close×integer volume products
+    * (order-free), the denominator is an integer sum, and the only IEEE
+    * step is the final division — engine-identical before the display
+    * round. Emitted from the first bar (a partial window is still an
+    * exact weighted mean, unlike the σ-style indicators). */
+  private def vwapRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val t = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+      .rowsBetween(-19, 0)
+    // integer 1e-6 price units (the bollinger_bands scaling) so the
+    // numerator sum is an integer-valued decimal — its double conversion
+    // is exact on both engines — and the result is the raw double of a
+    // fixed-order division chain (no display round; see stochasticK)
+    dailyBarsOf(s, dir)
+      .withColumn("__cu",
+        (col("close").cast("decimal(18,6)") * 1000000).cast("decimal(13,0)"))
+      .withColumn("__pv", (col("__cu") * col("volume")).cast("decimal(30,0)"))
+      .withColumn("__pvs", sum(col("__pv")).over(t))
+      .withColumn("__vs", sum(col("volume")).over(t))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        (col("__pvs").cast("double") / col("__vs").cast("double") / 1e6)
+          .as("vwap_20"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** Per-key risk profile of the daily close CHANGES, integer-exact
+    * end to end: closes become 1e-6 integer units (the bollinger_bands
+    * scaling), deltas/sums/sum-of-squares stay decimal (order-free),
+    * the sample variance is the integer identity (n·Σd² − (Σd)²), and
+    * only the final mean/vol/downside/ratio divisions are IEEE on
+    * identical operands. `downside_chg` is the population RMS of the
+    * negative deltas (√(Σd²_neg/n)); `drift_ratio` is mean/vol, NULL
+    * on fewer than 10 deltas or a flat series. Aggregating on the
+    * window's key makes the whole query one shuffle. */
+  private def riskMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val nn = (col("__n") * (col("__n") - 1)).cast("double")
+    val varD = (col("__n") * col("__s2") - col("__s") * col("__s"))
+      .cast("double") / nn
+    val meanD = col("__s").cast("double") / col("__n") / 1e6
+    val volD = sqrt(varD) / 1e6
+    val downD = sqrt(col("__sneg").cast("double")
+      / col("__n").cast("double")) / 1e6
+    dailyBarsOf(s, dir)
+      .withColumn("__cu",
+        (col("close").cast("decimal(18,6)") * 1000000).cast("decimal(13,0)"))
+      .withColumn("__d", col("__cu") - lag(col("__cu"), 1).over(w))
+      .where(col("__d").isNotNull)
+      .withColumn("__d2", (col("__d") * col("__d")).cast("decimal(30,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__d")).cast("decimal(25,0)").as("__s"),
+        sum(col("__d2")).cast("decimal(30,0)").as("__s2"),
+        sum(when(col("__d") < 0, col("__d2"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(30,0)")))
+          .cast("decimal(30,0)").as("__sneg"))
+      // raw doubles (no display round): every operand sequence is
+      // fixed-order and engine-identical — see stochasticK
+      .select(col("user_id"), col("event_type"), col("__n").as("n_changes"),
+        meanD.as("mean_chg"),
+        when(col("__n") >= 10, volD).as("vol_chg"),
+        when(col("__n") >= 10, downD).as("downside_chg"),
+        when(col("__n") >= 10 && varD =!= 0.0, meanD / volD)
+          .as("drift_ratio"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Cross-series Pearson correlation of daily close changes: for each
+    * user, every event-type pair (a < b) joined on date, correlated
+    * over the days where BOTH deltas exist. All five sums (n, Σx, Σy,
+    * Σx², Σy², Σxy) accumulate exact 1e-6-unit decimals, the numerator
+    * and both variance legs are the integer identities, and one final
+    * double expression produces the coefficient. Pairs with < 10
+    * common days or a flat leg are dropped. Two shuffles: the per-key
+    * delta window, then the (user, date) equi-join + pair aggregation
+    * — never a cross product (the pair space is generated by the join,
+    * a < b keeps each pair once). */
+  private def returnsCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val deltas = dailyBarsOf(s, dir)
+      .withColumn("__cu",
+        (col("close").cast("decimal(18,6)") * 1000000).cast("decimal(13,0)"))
+      .withColumn("__d", (col("__cu") - lag(col("__cu"), 1).over(w))
+        .cast("decimal(14,0)"))
+      .where(col("__d").isNotNull)
+      .select(col("user_id"), col("event_type"), col("date"), col("__d"))
+    val a = deltas.toDF("user_id", "et_a", "date", "__x")
+    val b = deltas.toDF("user_id", "et_b", "date", "__y")
+    val nD = col("__np").cast("double")
+    val cov = (col("__np") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (col("__np") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("__np") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    a.join(b, Seq("user_id", "date"))
+      .where(col("et_a") < col("et_b"))
+      .groupBy(col("user_id"), col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("__np"),
+        sum(col("__x")).cast("decimal(25,0)").as("__sx"),
+        sum(col("__y")).cast("decimal(25,0)").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(30,0)"))
+          .cast("decimal(30,0)").as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(30,0)"))
+          .cast("decimal(30,0)").as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(30,0)"))
+          .cast("decimal(30,0)").as("__sxy"))
+      .where(col("__np") >= 10 && vx =!= 0.0 && vy =!= 0.0)
+      .select(col("user_id"), col("et_a"), col("et_b"),
+        col("__np").as("n_days"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("chg_corr"))
+      .orderBy("user_id", "et_a", "et_b")
+  }
+
+  /** Per-series beta against the cross-sectional market composite: the
+    * market is the exact-decimal SUM of all keys' daily close changes
+    * (index-inclusive — each series is part of its own market, stated
+    * rather than subtracted so the composite stays one global frame),
+    * joined back by date. β = cov(x,m)/var(m) via the integer
+    * identities over exact 1e-6-unit sums; one final double division.
+    * The market frame is ~#days rows → broadcast, so the whole query
+    * is the per-key delta window plus one broadcast join + one key
+    * aggregation — no extra shuffle at any scale. */
+  private def betaMarket(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    val deltas = dailyBarsOf(s, dir)
+      .withColumn("__cu",
+        (col("close").cast("decimal(18,6)") * 1000000).cast("decimal(13,0)"))
+      .withColumn("__d", (col("__cu") - lag(col("__cu"), 1).over(w))
+        .cast("decimal(14,0)"))
+      .where(col("__d").isNotNull)
+      .select(col("user_id"), col("event_type"), col("date"), col("__d"))
+    val market = deltas.groupBy(col("date"))
+      .agg(sum(col("__d")).cast("decimal(25,0)").as("__m"))
+    val cov = (col("__np") * col("__sxm") - col("__sx") * col("__sm"))
+      .cast("double")
+    val varM = (col("__np") * col("__smm") - col("__sm") * col("__sm"))
+      .cast("double")
+    deltas.join(broadcast(market), Seq("date"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__np"),
+        sum(col("__d")).cast("decimal(25,0)").as("__sx"),
+        sum(col("__m")).cast("decimal(30,0)").as("__sm"),
+        sum((col("__d") * col("__m")).cast("decimal(30,0)"))
+          .cast("decimal(38,0)").as("__sxm"),
+        sum((col("__m") * col("__m")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__smm"))
+      .where(col("__np") >= 10 && varM =!= 0.0)
+      .select(col("user_id"), col("event_type"), col("__np").as("n_days"),
+        (cov / varM).as("beta"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** ISO-weekday volume seasonality per event type: pure integer
+    * tick-count sums per (event_type, isodow) with the day-count and
+    * week-share emitted as raw doubles of fixed-order divisions (the
+    * share denominator is the exact integer total over the type's 7
+    * weekday rows — a tiny window, no extra shuffle beyond the two
+    * aggregations). */
+  private def volumeSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tw = Window.partitionBy("event_type")
+    dailyBarsOf(s, dir)
+      .withColumn("__dow", (expr("weekday(date)") + 1).cast("int"))
+      .groupBy(col("event_type"), col("__dow").as("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("volume")).as("total_vol"))
+      .withColumn("__wk_vol", sum(col("total_vol")).over(tw))
+      .select(col("event_type"), col("isodow"), col("n_days"),
+        col("total_vol"),
+        (col("total_vol").cast("double") / col("n_days").cast("double"))
+          .as("avg_vol"),
+        (col("total_vol").cast("double") / col("__wk_vol").cast("double"))
+          .as("vol_share"))
+      .orderBy("event_type", "isodow")
+  }
+
+  /** Calendar-gap scan over each key's bar series: emit every hole
+    * where consecutive bars are more than one day apart, with the gap
+    * length in whole days (integer date arithmetic — trivially
+    * engine-exact). One shuffle (the key window). */
+  private def tradingGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+    dailyBarsOf(s, dir)
+      .withColumn("__prev", lag(col("date"), 1).over(w))
+      .withColumn("gap_days",
+        (datediff(col("date"), col("__prev")) - 1).cast("long"))
+      .where(col("gap_days") > 0)
+      .select(col("user_id"), col("event_type"),
+        col("__prev").as("gap_start"), col("date").as("gap_end"),
+        col("gap_days"))
+      .orderBy("user_id", "event_type", "gap_start")
+  }
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -2210,6 +2446,13 @@ object ExtQueries {
     "rsi_close" -> ((s, dir) => rsiClose(s, dir)),
     "bollinger_bands" -> ((s, dir) => bollingerBands(s, dir)),
     "indicators_obv_atr" -> ((s, dir) => obvAtr(s, dir)),
+    "stochastic_k" -> ((s, dir) => stochasticK(s, dir)),
+    "vwap_rolling" -> ((s, dir) => vwapRolling(s, dir)),
+    "risk_metrics" -> ((s, dir) => riskMetrics(s, dir)),
+    "returns_correlation" -> ((s, dir) => returnsCorrelation(s, dir)),
+    "trading_gaps" -> ((s, dir) => tradingGaps(s, dir)),
+    "beta_market" -> ((s, dir) => betaMarket(s, dir)),
+    "volume_seasonality" -> ((s, dir) => volumeSeasonality(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -3267,6 +3510,210 @@ object ExtQueries {
         |                  THEN 100.0 * CAST(gsum AS DOUBLE)
         |                       / CAST(gsum + lsum AS DOUBLE) END, 4) AS rsi_14
         |FROM r ORDER BY user_id, event_type, date""".stripMargin,
+    // exact-decimal channel extremes; one IEEE division per ratio with
+    // explicit parens so both engines associate identically
+    "stochastic_k" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         max(value) AS high, min(value) AS low,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT user_id, event_type, date, close,
+        |             CAST(close AS DECIMAL(18,6)) AS cu,
+        |             max(CAST(high AS DECIMAL(18,6))) OVER t AS h14,
+        |             min(CAST(low AS DECIMAL(18,6))) OVER t AS l14,
+        |             count(*) OVER t AS n
+        |      FROM bars
+        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
+        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close,
+        |       CASE WHEN n = 14 AND h14 <> l14
+        |            THEN 100.0 * (CAST(cu - l14 AS DOUBLE)
+        |                          / CAST(h14 - l14 AS DOUBLE))
+        |       END AS stoch_k,
+        |       CASE WHEN n = 14 AND h14 <> l14
+        |            THEN -100.0 * (CAST(h14 - cu AS DOUBLE)
+        |                           / CAST(h14 - l14 AS DOUBLE))
+        |       END AS williams_r
+        |FROM c ORDER BY user_id, event_type, date""".stripMargin,
+    // decimal price×volume numerator, integer denominator, one final
+    // division — partial windows are exact weighted means, no NULL gate
+    "vwap_rolling" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close, count(*) AS volume
+        |  FROM events GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id, event_type, date, close,
+        |             sum(CAST(CAST(CAST(close AS DECIMAL(18,6)) * 1000000
+        |                           AS DECIMAL(13,0)) * volume
+        |                      AS DECIMAL(30,0))) OVER t AS pvs,
+        |             sum(volume) OVER t AS vs
+        |      FROM bars
+        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
+        |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close,
+        |       CAST(pvs AS DOUBLE) / CAST(vs AS DOUBLE) / 1e6 AS vwap_20
+        |FROM v ORDER BY user_id, event_type, date""".stripMargin,
+    // 1e-6 integer units throughout; sample variance via the HUGEINT
+    // identity, downside is the population RMS of the negative deltas
+    "risk_metrics" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT user_id, event_type, date,
+        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
+        |                  AS DECIMAL(13,0)) AS cu
+        |      FROM bars),
+        |d AS (SELECT user_id, event_type,
+        |             cu - lag(cu) OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY date) AS dd
+        |      FROM c),
+        |e AS (SELECT user_id, event_type, dd,
+        |             CAST(dd * dd AS DECIMAL(30,0)) AS dd2
+        |      FROM d WHERE dd IS NOT NULL),
+        |g AS (SELECT user_id, event_type,
+        |             count(*) AS n,
+        |             CAST(sum(dd) AS DECIMAL(25,0)) AS s,
+        |             CAST(sum(dd2) AS DECIMAL(30,0)) AS s2,
+        |             CAST(sum(CASE WHEN dd < 0 THEN dd2
+        |                           ELSE CAST(0 AS DECIMAL(30,0)) END)
+        |                  AS DECIMAL(30,0)) AS sneg
+        |      FROM e GROUP BY 1, 2),
+        |f AS (SELECT user_id, event_type, n, s, sneg,
+        |             CAST(s AS DOUBLE) / n / 1e6 AS mean_d,
+        |             CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+        |                  AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_d
+        |      FROM g)
+        |SELECT user_id, event_type, n AS n_changes,
+        |       mean_d AS mean_chg,
+        |       CASE WHEN n >= 10 THEN sqrt(var_d) / 1e6 END AS vol_chg,
+        |       CASE WHEN n >= 10
+        |            THEN sqrt(CAST(sneg AS DOUBLE)
+        |                      / CAST(n AS DOUBLE)) / 1e6 END
+        |         AS downside_chg,
+        |       CASE WHEN n >= 10 AND var_d <> 0
+        |            THEN mean_d / (sqrt(var_d) / 1e6) END AS drift_ratio
+        |FROM f ORDER BY user_id, event_type""".stripMargin,
+    // five exact-decimal sums per pair; the coefficient is one final
+    // double expression over the HUGEINT identities
+    "returns_correlation" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT user_id, event_type, date,
+        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
+        |                  AS DECIMAL(13,0)) AS cu
+        |      FROM bars),
+        |d AS (SELECT user_id, event_type, date,
+        |             CAST(cu - lag(cu) OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY date)
+        |                  AS DECIMAL(14,0)) AS dd
+        |      FROM c),
+        |e AS (SELECT * FROM d WHERE dd IS NOT NULL),
+        |p AS (SELECT a.user_id, a.event_type AS et_a, b.event_type AS et_b,
+        |             count(*) AS np,
+        |             CAST(sum(a.dd) AS DECIMAL(25,0)) AS sx,
+        |             CAST(sum(b.dd) AS DECIMAL(25,0)) AS sy,
+        |             CAST(sum(CAST(a.dd * a.dd AS DECIMAL(30,0)))
+        |                  AS DECIMAL(30,0)) AS sxx,
+        |             CAST(sum(CAST(b.dd * b.dd AS DECIMAL(30,0)))
+        |                  AS DECIMAL(30,0)) AS syy,
+        |             CAST(sum(CAST(a.dd * b.dd AS DECIMAL(30,0)))
+        |                  AS DECIMAL(30,0)) AS sxy
+        |      FROM e a JOIN e b
+        |        ON a.user_id = b.user_id AND a.date = b.date
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2, 3),
+        |q AS (SELECT user_id, et_a, et_b, np,
+        |             CAST(CAST(np AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |                  - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+        |                  AS DOUBLE) AS cov,
+        |             CAST(CAST(np AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |                  AS DOUBLE) AS vx,
+        |             CAST(CAST(np AS HUGEINT) * CAST(syy AS HUGEINT)
+        |                  - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+        |                  AS DOUBLE) AS vy
+        |      FROM p)
+        |SELECT user_id, et_a, et_b, np AS n_days,
+        |       round(cov / (sqrt(vx) * sqrt(vy)), 6) AS chg_corr
+        |FROM q WHERE np >= 10 AND vx <> 0 AND vy <> 0
+        |ORDER BY user_id, et_a, et_b""".stripMargin,
+    // market composite = exact decimal sum of all keys' deltas per date;
+    // β via the HUGEINT identities, one final double division
+    "beta_market" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT user_id, event_type, date,
+        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
+        |                  AS DECIMAL(13,0)) AS cu
+        |      FROM bars),
+        |d AS (SELECT user_id, event_type, date,
+        |             CAST(cu - lag(cu) OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY date)
+        |                  AS DECIMAL(14,0)) AS dd
+        |      FROM c),
+        |e AS (SELECT * FROM d WHERE dd IS NOT NULL),
+        |m AS (SELECT date, CAST(sum(dd) AS DECIMAL(25,0)) AS mm
+        |      FROM e GROUP BY 1),
+        |p AS (SELECT e.user_id, e.event_type,
+        |             count(*) AS np,
+        |             CAST(sum(e.dd) AS DECIMAL(25,0)) AS sx,
+        |             CAST(sum(m.mm) AS DECIMAL(30,0)) AS sm,
+        |             CAST(sum(CAST(e.dd * m.mm AS DECIMAL(30,0)))
+        |                  AS DECIMAL(38,0)) AS sxm,
+        |             CAST(sum(CAST(m.mm * m.mm AS DECIMAL(38,0)))
+        |                  AS DECIMAL(38,0)) AS smm
+        |      FROM e JOIN m ON e.date = m.date
+        |      GROUP BY 1, 2),
+        |q AS (SELECT user_id, event_type, np,
+        |             CAST(CAST(np AS HUGEINT) * CAST(sxm AS HUGEINT)
+        |                  - CAST(sx AS HUGEINT) * CAST(sm AS HUGEINT)
+        |                  AS DOUBLE) AS cov,
+        |             CAST(CAST(np AS HUGEINT) * CAST(smm AS HUGEINT)
+        |                  - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+        |                  AS DOUBLE) AS varm
+        |      FROM p)
+        |SELECT user_id, event_type, np AS n_days, cov / varm AS beta
+        |FROM q WHERE np >= 10 AND varm <> 0
+        |ORDER BY user_id, event_type""".stripMargin,
+    // integer tick sums per ISO weekday; raw-double fixed-order shares
+    "volume_seasonality" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         count(*) AS volume
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, CAST(isodow(date) AS INT) AS isodow,
+        |             count(*) AS n_days,
+        |             CAST(sum(volume) AS BIGINT) AS total_vol
+        |      FROM bars GROUP BY 1, 2),
+        |w AS (SELECT *, sum(total_vol) OVER (PARTITION BY event_type)
+        |               AS wk_vol
+        |      FROM g)
+        |SELECT event_type, isodow, n_days, total_vol,
+        |       CAST(total_vol AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_vol,
+        |       CAST(total_vol AS DOUBLE) / CAST(wk_vol AS DOUBLE) AS vol_share
+        |FROM w ORDER BY event_type, isodow""".stripMargin,
+    // pure integer date arithmetic
+    "trading_gaps" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT user_id, event_type, date,
+        |             lag(date) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY date) AS prev_date
+        |      FROM bars)
+        |SELECT user_id, event_type, prev_date AS gap_start,
+        |       date AS gap_end,
+        |       CAST(date_diff('day', prev_date, date) - 1 AS BIGINT)
+        |         AS gap_days
+        |FROM g WHERE date_diff('day', prev_date, date) > 1
+        |ORDER BY user_id, event_type, gap_start""".stripMargin,
     "event_bursts" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |                      count(*) AS n_events
