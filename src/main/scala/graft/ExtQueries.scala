@@ -1823,6 +1823,35 @@ object ExtQueries {
   }
 
   /**
+   * Write-audit-publish gate (ops/Versioned.commitToBranch/publish —
+   * the Iceberg WAP workflow the reference's staging→production
+   * promote approximates with table copies, `dags/dag.py:119-160`):
+   * main starts at Jan–Feb; the corrected Jan–Mar set is staged on an
+   * `audit` branch (invisible to main), audited (non-empty + no NULL
+   * keys), and published as a metadata-only fast-forward. A second
+   * branch staging garbage is audit-rejected via `dropBranch` and must
+   * leave the published state untouched. The final main read feeds the
+   * shared month-totals shape, so the oracle is the direct Jan–Mar
+   * aggregation — publish semantics, not a weaker rows-only check.
+   */
+  private def wapPublish(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Versioned
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wap_").resolve("t").toString
+    Versioned.commit(base.where(col("month").between("1995-01", "1995-02")), root)
+    val staged = base.where(col("month").between("1995-01", "1995-03"))
+    Versioned.commitToBranch(staged, root, "audit")
+    val auditRead = Versioned.readBranch(s, root, "audit")
+    val bad = auditRead.where(col("o_orderkey").isNull).limit(1).count()
+    require(bad == 0 && !auditRead.isEmpty, "audit failed; not publishing")
+    Versioned.publish(s, root, "audit")
+    Versioned.commitToBranch(staged.limit(3), root, "bad")
+    Versioned.dropBranch(s, root, "bad")
+    monthTotals(Versioned.read(s, root))
+  }
+
+  /**
    * Timestamp time travel (Iceberg `FOR TIMESTAMP AS OF`,
    * ops/VersionedPartitioned.readAsOf; reference `README.md:76` names
    * the capability): the same pinned-history shape as
@@ -2461,6 +2490,7 @@ object ExtQueries {
     "versioned_merge" -> ((s, dir) => versionedMerge(s, dir)),
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
+    "wap_publish" -> ((s, dir) => wapPublish(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
@@ -4160,6 +4190,17 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Time travel: the pinned v1 read ignores the later 1995-02
     // rewrite, so the oracle is the UNMODIFIED three months.
+    // same direct Jan–Mar aggregation as versioned_timetravel: the WAP
+    // publish must land main on exactly the staged branch state
+    "wap_publish" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "versioned_timetravel" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       count(*) AS n_rows,

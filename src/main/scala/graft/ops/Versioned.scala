@@ -244,15 +244,25 @@ object Versioned {
       "commit tag must be non-empty and single-line")
     val spark = df.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
+    val snapName = writeSnapshot(df, fs, rootPath, statsCols)
+    val content = snapName + tag.map("\n" + _).getOrElse("")
+    claimVersion(fs, rootPath, content,
+      currentVersion(spark, root).getOrElse(0L) + 1)
+  }
+
+  /** Materialize one immutable snapshot dir (data + optional per-file
+    * min/max stats) without making it visible — the shared write half
+    * of `commit` and `commitToBranch`. The stats table lands inside the
+    * snapshot's own (underscore-hidden) `_stats` dir, so stats and data
+    * always publish together and time-travel reads prune against the
+    * right version (the smallest step toward Iceberg manifest pruning). */
+  private def writeSnapshot(df: DataFrame, fs: FileSystem,
+      rootPath: HPath, statsCols: Seq[String]): String = {
+    val spark = df.sparkSession
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     val snapName = SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
     df.write.mode("overwrite").parquet(snapPath.toString)
-    // Optional file-level min/max stats — the smallest step toward
-    // Iceberg's manifest pruning: one extra columnar pass over the
-    // fresh snapshot emits a per-file stats table into the snapshot's
-    // own (underscore-hidden) `_stats` dir, so stats and data commit
-    // together and time-travel reads prune against the right version.
     if (statsCols.nonEmpty) {
       import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, max, min, split}
       val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
@@ -263,9 +273,7 @@ object Versioned {
         .coalesce(1)
         .write.parquet(new HPath(snapPath, StatsDirName).toString)
     }
-    val content = snapName + tag.map("\n" + _).getOrElse("")
-    claimVersion(fs, rootPath, content,
-      currentVersion(spark, root).getOrElse(0L) + 1)
+    snapName
   }
 
   private[ops] val StatsDirName = "_stats"
@@ -338,6 +346,136 @@ object Versioned {
   /** Time travel: read an exact retained version. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(snapDir(spark, root, Some(version)).toString)
+
+  // ---- branches: write-audit-publish (Iceberg WAP) ----------------------
+  //
+  // A branch is an independent pointer chain over the SAME snapshot
+  // namespace: `_branch-<name>-v<N>.commit` files whose content format is
+  // identical to main's (`snap-<uuid>` + optional tag line). Main readers
+  // never resolve branch files, so branch commits are invisible until
+  // `publish` fast-forwards main with a metadata-only commit that
+  // references the branch head's existing snapshot dir — zero data I/O,
+  // exactly Iceberg's write-audit-publish cherry-pick. Publish appends to
+  // whatever main is at publish time (last-writer-wins, the same rule as
+  // every other commit here); audit failures just `dropBranch`, leaving
+  // main untouched and the staged snapshot to `vacuum`'s orphan sweep.
+  // `vacuum` retains every branch-referenced snapshot dir regardless of
+  // main's retention window, so an unpublished branch can outlive any
+  // number of main commits.
+
+  private[ops] val BranchPrefix = "_branch-"
+  private[ops] val BranchMid = "-v"
+
+  private def branchFilePrefix(branch: String): String = {
+    require(branch.matches("[A-Za-z0-9_.]+"),
+      s"branch name must match [A-Za-z0-9_.]+ (no dashes): $branch")
+    s"$BranchPrefix$branch$BranchMid"
+  }
+
+  /** (version, content) of the branch's newest non-empty pointer file,
+    * from one listing + one read; None if the branch has no commits. */
+  private[ops] def branchHeadRaw(fs: FileSystem, rootPath: HPath,
+      branch: String): Option[(Long, String)] = {
+    if (!fs.exists(rootPath)) return None
+    val pre = branchFilePrefix(branch)
+    val vs = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getLen > 0)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(pre) && n.endsWith(CommitSuffix))
+      .flatMap { n =>
+        try Some(n.stripPrefix(pre).stripSuffix(CommitSuffix).toLong)
+        catch { case _: NumberFormatException => None }
+      }
+    vs.sorted.reverse.iterator.flatMap { v =>
+      try Some((v, readCommit(fs,
+        new HPath(rootPath, f"$pre$v%020d$CommitSuffix"))))
+      catch { case _: java.io.FileNotFoundException => None }
+    }.nextOption()
+  }
+
+  /** Stage a snapshot on `branch` without touching main — the "write"
+    * of write-audit-publish. Same optimistic claim protocol as `commit`,
+    * scoped to the branch's own version counter. */
+  def commitToBranch(df: DataFrame, root: String, branch: String,
+      tag: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
+    require(tag.forall(t => t.nonEmpty && !t.contains('\n')),
+      "commit tag must be non-empty and single-line")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    val pre = branchFilePrefix(branch)
+    val snapName = writeSnapshot(df, fs, rootPath, statsCols)
+    val content = snapName + tag.map("\n" + _).getOrElse("")
+    var v = branchHeadRaw(fs, rootPath, branch).map(_._1).getOrElse(0L) + 1
+    var committed = false
+    while (!committed) {
+      val target = new HPath(rootPath, f"$pre$v%020d$CommitSuffix")
+      try {
+        val out = fs.create(target, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        committed = true
+      } catch {
+        case _: java.io.IOException if fs.exists(target) => v += 1
+      }
+    }
+    v
+  }
+
+  /** Read the branch head's snapshot — the "audit" read. Snapshot
+    * isolation holds exactly as for `read`. */
+  def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val content = branchHeadRaw(fs, rootPath, branch).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"no commits on branch $branch under $root"))
+    spark.read.parquet(
+      new HPath(rootPath, content.linesIterator.next()).toString)
+  }
+
+  /** Fast-forward main to the branch head — the "publish". Metadata
+    * only: the new main commit carries the branch head's content
+    * verbatim (same snapshot dir, same tag), so no data moves. Returns
+    * the new main version; drops the branch pointers afterwards unless
+    * `drop = false`. */
+  def publish(spark: SparkSession, root: String, branch: String,
+      drop: Boolean = true): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val content = branchHeadRaw(fs, rootPath, branch).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"no commits on branch $branch under $root"))
+    val v = claimVersion(fs, rootPath, content,
+      currentVersion(spark, root).getOrElse(0L) + 1)
+    if (drop) dropBranch(spark, root, branch)
+    v
+  }
+
+  /** Delete the branch's pointer files (the audit-reject path). The
+    * staged snapshots become unreferenced and fall to `vacuum`'s
+    * age-gated orphan sweep — main is never touched. Returns the number
+    * of pointer files removed. */
+  def dropBranch(spark: SparkSession, root: String, branch: String): Int = {
+    val (fs, rootPath) = fsOf(spark, root)
+    if (!fs.exists(rootPath)) return 0
+    val pre = branchFilePrefix(branch)
+    val files = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(pre)
+        && s.getPath.getName.endsWith(CommitSuffix))
+    files.foreach(s => fs.delete(s.getPath, false))
+    files.length
+  }
+
+  /** Every snapshot dir referenced by ANY branch pointer file (one
+    * listing + one read per pointer) — `vacuum`'s branch keep-set. */
+  private[ops] def branchDirs(fs: FileSystem, rootPath: HPath): Set[String] = {
+    if (!fs.exists(rootPath)) return Set.empty
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getLen > 0
+        && s.getPath.getName.startsWith(BranchPrefix)
+        && s.getPath.getName.endsWith(CommitSuffix))
+      .flatMap { s =>
+        try Some(readCommit(fs, s.getPath).linesIterator.next())
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      .toSet
+  }
 
   /** (version, commit-time ms) for every non-empty commit, ascending by
     * version, from ONE directory listing — commit time is the commit
@@ -513,11 +651,16 @@ object Versioned {
       }
     }
     // drop unreferenced snapshot dirs: superseded immediately, orphans
-    // only past the age gate (could be a concurrent writer mid-commit)
+    // only past the age gate (could be a concurrent writer mid-commit).
+    // Branch-referenced dirs are NEVER dropped — an unpublished
+    // write-audit-publish branch must survive any number of main
+    // commits until it is published or dropped.
+    val branchKeep = branchDirs(fs, rootPath)
     val now = System.currentTimeMillis()
     val snaps = fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
-    val doomed = snaps.filterNot(s => keepDirs.contains(s.getPath.getName))
+    val doomed = snaps.filterNot(s => keepDirs.contains(s.getPath.getName)
+        || branchKeep.contains(s.getPath.getName))
       .filter { s =>
         committedDirs.contains(s.getPath.getName) ||
           now - s.getModificationTime >= orphanMinAgeMs

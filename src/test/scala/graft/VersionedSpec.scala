@@ -1009,4 +1009,67 @@ class VersionedSpec extends AnyFunSuite {
     assert(state(VersionedPartitioned.read(spark, root)) ==
       Set("2024-01-01" -> 1, "2024-01-02" -> 22))
   }
+
+  private def snapDirs(root: String): Set[String] = {
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new HPath(root)).toSet
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName)
+  }
+
+  test("WAP: branch commits are invisible to main; publish is a metadata-only fast-forward") {
+    val root = Files.createTempDirectory("graft_wap").toString
+    Versioned.commit(df(1, 2), root)
+    Versioned.commitToBranch(df(10), root, "audit")
+    assert(Versioned.commitToBranch(df(10, 11), root, "audit") == 2L)
+    // main readers never see branch state
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq.sorted == Seq(1, 2))
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    // the audit read sees the branch HEAD
+    assert(Versioned.readBranch(spark, root, "audit")
+      .as[Int].collect().toSeq.sorted == Seq(10, 11))
+    val before = snapDirs(root)
+    assert(Versioned.publish(spark, root, "audit") == 2L)
+    // metadata-only: publish created no new snapshot dir
+    assert(snapDirs(root) == before)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq.sorted == Seq(10, 11))
+    // old main state is still time-travelable; branch pointers are gone
+    assert(Versioned.readAt(spark, root, 1L)
+      .as[Int].collect().toSeq.sorted == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      Versioned.readBranch(spark, root, "audit")
+    }
+  }
+
+  test("WAP audit-reject: dropBranch leaves main untouched and vacuum reclaims the staged snapshot") {
+    val root = Files.createTempDirectory("graft_wap").toString
+    Versioned.commit(df(1), root)
+    Versioned.commitToBranch(df(99), root, "audit")
+    // while the branch lives, even an aggressive vacuum keeps its snapshot
+    assert(Versioned.vacuum(spark, root, keepLast = 1, orphanMinAgeMs = 0) == 0)
+    assert(Versioned.readBranch(spark, root, "audit")
+      .as[Int].collect().toSeq == Seq(99))
+    assert(Versioned.dropBranch(spark, root, "audit") == 1)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(1))
+    // now unreferenced: the orphan sweep reclaims exactly the staged dir
+    assert(Versioned.vacuum(spark, root, keepLast = 1, orphanMinAgeMs = 0) == 1)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("WAP: branches are independent and publish appends to current main") {
+    val root = Files.createTempDirectory("graft_wap").toString
+    Versioned.commit(df(1), root)
+    Versioned.commitToBranch(df(10), root, "a")
+    Versioned.commitToBranch(df(20), root, "b")
+    // main advances between stage and publish: publish fast-forwards on top
+    Versioned.commit(df(2), root)
+    assert(Versioned.publish(spark, root, "a") == 3L)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(10))
+    // branch b is unaffected by a's publish
+    assert(Versioned.readBranch(spark, root, "b")
+      .as[Int].collect().toSeq == Seq(20))
+    assert(Versioned.publish(spark, root, "b") == 4L)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(20))
+  }
 }
