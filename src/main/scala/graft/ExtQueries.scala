@@ -1852,6 +1852,37 @@ object ExtQueries {
   }
 
   /**
+   * Partitioned write-audit-publish gate
+   * (ops/VersionedPartitioned.promoteToBranch/publish — WAP over the
+   * fact-table format, where a branch stages PARTITION MERGES against
+   * main's manifest): main holds Jan–Mar; the audit branch overwrites
+   * February (+10% repricing) and appends April across two branch
+   * promotes — the second must merge onto the branch head, not main —
+   * then publishes metadata-only. Jan/Mar must still be served by
+   * main's original snapshot (inherited by reference through the fork).
+   */
+  private def wapPublishPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedPartitioned
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wapp_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    VersionedPartitioned.promoteToBranch(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+            .cast("decimal(18,2)")),
+      root, "audit", "month")
+    VersionedPartitioned.promoteToBranch(
+      base.where(col("month") === "1995-04"), root, "audit", "month")
+    require(!VersionedPartitioned.readBranch(s, root, "audit").isEmpty,
+      "audit failed; not publishing")
+    VersionedPartitioned.publish(s, root, "audit")
+    monthTotals(VersionedPartitioned.read(s, root))
+  }
+
+  /**
    * Timestamp time travel (Iceberg `FOR TIMESTAMP AS OF`,
    * ops/VersionedPartitioned.readAsOf; reference `README.md:76` names
    * the capability): the same pinned-history shape as
@@ -2491,6 +2522,7 @@ object ExtQueries {
     "versioned_pruned" -> ((s, dir) => versionedPruned(s, dir)),
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
     "wap_publish" -> ((s, dir) => wapPublish(s, dir)),
+    "wap_publish_partitioned" -> ((s, dir) => wapPublishPartitioned(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
@@ -4201,6 +4233,23 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-03'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Feb repriced on the branch, April appended, Jan/Mar inherited —
+    // the published state aggregated directly
+    "wap_publish_partitioned" ->
+      """WITH b AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT month,
+        |         CASE WHEN month = '1995-02'
+        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
+        |                        AS DECIMAL(18,2))
+        |              ELSE p END AS p
+        |  FROM b WHERE month BETWEEN '1995-01' AND '1995-04')
+        |SELECT month, count(*) AS n_rows,
+        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "versioned_timetravel" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       count(*) AS n_rows,

@@ -366,7 +366,7 @@ object Versioned {
   private[ops] val BranchPrefix = "_branch-"
   private[ops] val BranchMid = "-v"
 
-  private def branchFilePrefix(branch: String): String = {
+  private[ops] def branchFilePrefix(branch: String): String = {
     require(branch.matches("[A-Za-z0-9_.]+"),
       s"branch name must match [A-Za-z0-9_.]+ (no dashes): $branch")
     s"$BranchPrefix$branch$BranchMid"

@@ -343,6 +343,116 @@ object VersionedPartitioned {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     readAt(spark, root, versionAsOf(spark, root, tsMs))
 
+  // ---- branches: write-audit-publish (Iceberg WAP) ----------------------
+  //
+  // Same pointer-chain model as `Versioned`'s branches (see the design
+  // note there), with manifests as the pointer content: a branch forks
+  // from main's current manifest at its first promote, accumulates
+  // partition merges of its own, and `publish` fast-forwards main to
+  // the branch manifest verbatim — metadata only, every referenced
+  // snapshot dir already exists. Main promotes that land between fork
+  // and publish are superseded by the publish (last-writer-wins, the
+  // same rule every promote race resolves to); audits that need
+  // stronger isolation should publish promptly or re-fork. At 100 TB
+  // the branch costs exactly one promote's snapshot writes — the
+  // publish itself moves no data.
+
+  /** Stage a partition-merge promote on `branch` without touching main.
+    * The merge base is the branch head if the branch exists, else
+    * main's current manifest (the fork point). */
+  def promoteToBranch(df: DataFrame, root: String, branch: String,
+      partitionCol: String = "date", tag: Option[String] = None,
+      cluster: Boolean = true, statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val pre = Versioned.branchFilePrefix(branch)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, statsCols,
+      cluster)
+    val snapPath = new HPath(rootPath, snapName)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath.getName -> snapName).toMap
+    var committed = -1L
+    while (committed < 0) {
+      val head = Versioned.branchHeadRaw(fs, rootPath, branch)
+      val baseM = head.map(h => parse(h._2))
+        .orElse(latestManifest(spark, root).map(_._2))
+      baseM.foreach { m =>
+        require(m.partitionCol == partitionCol,
+          s"table is partitioned by ${m.partitionCol}, not $partitionCol")
+      }
+      val base = baseM.map(_.entries).getOrElse(Map.empty)
+      val prevCols = baseM.map(_.addedCols).getOrElse(Nil)
+      val v = head.map(_._1).getOrElse(0L) + 1
+      val content =
+        render(Manifest(partitionCol, base ++ written, tag, prevCols))
+      val target = new HPath(rootPath, f"$pre$v%020d${Versioned.CommitSuffix}")
+      try {
+        val os = fs.create(target, false)
+        try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        committed = v
+      } catch {
+        case _: java.io.IOException if fs.exists(target) => // re-merge
+      }
+    }
+    committed
+  }
+
+  /** Audit read of the branch head's manifest (snapshot-isolated like
+    * every other read here). */
+  def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val content = Versioned.branchHeadRaw(fs, rootPath, branch)
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        s"no commits on branch $branch under $root"))
+    readManifest(spark, root, parse(content))
+  }
+
+  /** Fast-forward main to the branch head manifest — metadata only.
+    * Returns the new main version; drops the branch unless `drop = false`. */
+  def publish(spark: SparkSession, root: String, branch: String,
+      drop: Boolean = true): Long = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val content = Versioned.branchHeadRaw(fs, rootPath, branch)
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        s"no commits on branch $branch under $root"))
+    val v = claimLoop(spark, root) { latest =>
+      (latest.map(_._1).getOrElse(0L) + 1, content)
+    }
+    if (drop) dropBranch(spark, root, branch)
+    v
+  }
+
+  /** The audit-reject path (shared pointer-file layout with
+    * `Versioned.dropBranch`). Staged snapshots fall to `vacuum`. */
+  def dropBranch(spark: SparkSession, root: String, branch: String): Int =
+    Versioned.dropBranch(spark, root, branch)
+
+  /** Every snapshot dir referenced by ANY branch pointer manifest —
+    * the partitioned vacuum's branch keep-set (all branch versions,
+    * not just heads: an in-flight audit may still hold an older
+    * branch read). */
+  private def branchReferencedDirs(fs: FileSystem,
+      rootPath: HPath): Set[String] = {
+    if (!fs.exists(rootPath)) return Set.empty
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getLen > 0
+        && s.getPath.getName.startsWith(Versioned.BranchPrefix)
+        && s.getPath.getName.endsWith(Versioned.CommitSuffix))
+      .flatMap { s =>
+        try Some(parse(Versioned.readCommit(fs, s.getPath)))
+        catch {
+          case _: java.io.FileNotFoundException => None
+          case _: IllegalArgumentException => None
+        }
+      }
+      .flatMap(_.entries.values)
+      .toSet
+  }
+
   private def manifestAt(spark: SparkSession, root: String,
       version: Option[Long]): Manifest = {
     // one commit-file read per resolution, regardless of history length
@@ -1106,11 +1216,15 @@ object VersionedPartitioned {
         if (v < keepMin) fs.delete(s.getPath, false)
       }
     }
+    // branch-referenced snapshots are NEVER dropped: an unpublished
+    // write-audit-publish branch must survive any main retention
+    val branchKeep = branchReferencedDirs(fs, rootPath)
     val now = System.currentTimeMillis()
     val snaps = fs.listStatus(rootPath)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(Versioned.SnapPrefix))
-    val doomed = snaps.filterNot(s => keepDirs.contains(s.getPath.getName))
+    val doomed = snaps.filterNot(s => keepDirs.contains(s.getPath.getName)
+        || branchKeep.contains(s.getPath.getName))
       .filter { s =>
         committedDirs.contains(s.getPath.getName) ||
           now - s.getModificationTime >= orphanMinAgeMs

@@ -1057,6 +1057,44 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root).as[Int].collect().toSeq == Seq(1))
   }
 
+  test("partitioned WAP: branch forks from main, merges partitions, publishes metadata-only") {
+    val root = Files.createTempDirectory("graft_wapp").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-02" -> 2), root)
+    // fork: the branch's first promote merges onto main's manifest
+    VersionedPartitioned.promoteToBranch(pdf("2024-01-02" -> 22), root, "audit")
+    // second branch promote merges onto the BRANCH head, not main
+    assert(VersionedPartitioned.promoteToBranch(
+      pdf("2024-01-03" -> 3), root, "audit") == 2L)
+    // main is untouched while the branch accumulates
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 2))
+    assert(state(VersionedPartitioned.readBranch(spark, root, "audit")) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+    val before = snapDirs(root)
+    assert(VersionedPartitioned.publish(spark, root, "audit") == 2L)
+    assert(snapDirs(root) == before) // metadata-only
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 22, "2024-01-03" -> 3))
+    // day 1 is still served by the ORIGINAL main snapshot (by reference)
+    assert(VersionedPartitioned.referencedSnapshots(spark, root) == 3)
+  }
+
+  test("partitioned WAP: vacuum keeps branch snapshots; audit-reject reclaims them") {
+    val root = Files.createTempDirectory("graft_wapp").toString
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), root)
+    VersionedPartitioned.promoteToBranch(pdf("2024-01-01" -> 99), root, "audit")
+    assert(VersionedPartitioned.vacuum(spark, root,
+      keepLast = 1, orphanMinAgeMs = 0) == 0)
+    assert(state(VersionedPartitioned.readBranch(spark, root, "audit")) ==
+      Set("2024-01-01" -> 99))
+    assert(VersionedPartitioned.dropBranch(spark, root, "audit") == 1)
+    assert(VersionedPartitioned.vacuum(spark, root,
+      keepLast = 1, orphanMinAgeMs = 0) == 1)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1))
+  }
+
   test("WAP: branches are independent and publish appends to current main") {
     val root = Files.createTempDirectory("graft_wap").toString
     Versioned.commit(df(1), root)
