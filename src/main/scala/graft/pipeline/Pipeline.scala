@@ -44,6 +44,15 @@ final case class PipelineConfig(
     // Same per-date promote cost; plain mode remains the default for
     // drop-in parquet-directory compatibility.
     versionedFacts: Boolean = false,
+    // when true (requires versionedFacts), each day's fact promote runs
+    // write-audit-publish: the partition merge is staged on a branch,
+    // the WRITTEN state is re-read and audited (partition non-empty, no
+    // NULL ticker — post-write verification, catching what a pre-write
+    // DQ pass cannot), and only a passing audit publishes the
+    // metadata-only fast-forward. A failing audit drops the branch and
+    // aborts the day with main untouched — a concurrent reader can
+    // never observe an unaudited write.
+    wapFacts: Boolean = false,
     // when false, DayResult.staged is -1 and the per-day staged.count()
     // job is skipped — one fewer Spark job per day for callers that
     // don't consume the count (a backfill loop over years of days pays
@@ -86,7 +95,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     // one dynamic partition overwrite), conformed to the canonical
     // DECIMAL schema (the reference DDL, dags/dag.py:130-148)
     promoteFact(Schemas.conform(staged, Schemas.stockBar),
-      cfg.productionPath)
+      cfg.productionPath, ds)
 
     // cumulate from production: trailing 8-calendar-day scan (partition
     // pruned to ≤8 date dirs; in versioned mode the MANIFEST is pruned
@@ -106,16 +115,40 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     promoteFact(
       Schemas.conform(cum.withColumn("updated_at", current_timestamp()),
         Schemas.cumulative),
-      cfg.cumulativePath)
+      cfg.cumulativePath, ds)
 
     val n = if (cfg.eagerCount) staged.count() else -1L
     staged.unpersist()
     DayResult(ds, n, report)
   }
 
-  private def promoteFact(df: DataFrame, path: String): Unit =
-    if (cfg.versionedFacts) { VersionedPartitioned.promote(df, path); () }
-    else Exchange.promote(df, path)
+  private def promoteFact(df: DataFrame, path: String, ds: LocalDate): Unit =
+    if (cfg.wapFacts) {
+      require(cfg.versionedFacts, "wapFacts requires versionedFacts")
+      val branch = s"wap_$ds".replace("-", "_")
+      VersionedPartitioned.promoteToBranch(df, path, branch)
+      // audit what was WRITTEN, not what was about to be written: the
+      // branch read resolves the staged manifest, pruned to the day.
+      // Fail on a lost write (input had rows, written partition empty)
+      // or a NULL key; an empty day (market holiday) skips the audit
+      // and publishes the no-op fast-forward, matching plain-promote
+      // behavior.
+      if (!df.isEmpty) {
+        val audited = VersionedPartitioned.readBranch(spark, path, branch)
+          .where(col("date") === lit(java.sql.Date.valueOf(ds)))
+        val bad = audited.limit(1).count() == 0 ||
+          audited.where(col("ticker").isNull).limit(1).count() > 0
+        if (bad) {
+          VersionedPartitioned.dropBranch(spark, path, branch)
+          throw new IllegalStateException(
+            s"WAP audit failed for $path date=$ds; branch dropped, main untouched")
+        }
+      }
+      VersionedPartitioned.publish(spark, path, branch)
+      ()
+    } else if (cfg.versionedFacts) {
+      VersionedPartitioned.promote(df, path); ()
+    } else Exchange.promote(df, path)
 
   private def factTable(path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

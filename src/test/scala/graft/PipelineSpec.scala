@@ -125,6 +125,43 @@ class PipelineSpec extends AnyFunSuite {
       "post-backfill reader sees the (idempotent) new state")
   }
 
+  test("wapFacts mode: same results as plain mode, versions advance per day, no branch pointers left behind") {
+    val root = Files.createTempDirectory("graft_pipe_wap").toString
+    val days = tradingDays.take(3)
+    val plain = new Pipeline(spark,
+      PipelineConfig(s"$root/p_prod", s"$root/p_cum"))
+    val wap = new Pipeline(spark,
+      PipelineConfig(s"$root/w_prod", s"$root/w_cum",
+        versionedFacts = true, wapFacts = true))
+    days.foreach { ds => plain.runDay(ds, feed); wap.runDay(ds, feed) }
+    def rows(f: DataFrame, ts: String) = {
+      val cols = f.drop(ts).columns.sorted
+      f.drop(ts).select(cols.map(col): _*)
+        .orderBy("ticker", "date").collect().toSeq
+    }
+    assert(rows(wap.production, "insertion_timestamp") ==
+      rows(plain.production, "insertion_timestamp"))
+    assert(rows(wap.cumulative, "updated_at") ==
+      rows(plain.cumulative, "updated_at"))
+    // each day published exactly one main version per fact table
+    assert(graft.ops.VersionedPartitioned
+      .currentVersion(spark, s"$root/w_prod").contains(3L))
+    // WAP hygiene: every audit branch was dropped at publish
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("w_prod", "w_cum").foreach { t =>
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$t"))
+        .exists(_.getPath.getName.startsWith("_branch-")),
+        s"$t must hold no branch pointers after publish")
+    }
+    // wapFacts without versionedFacts is rejected up front
+    val badCfg = new Pipeline(spark,
+      PipelineConfig(s"$root/x_prod", s"$root/x_cum", wapFacts = true))
+    intercept[IllegalArgumentException] {
+      badCfg.runDay(days.head, feed)
+    }
+  }
+
   test("Schemas.evolve: add-column default, whole-table backfill, fail-fast extras") {
     import graft.model.Schemas
     import graft.ops.Exchange
