@@ -1852,6 +1852,33 @@ object ExtQueries {
   }
 
   /**
+   * Rollback gate (ops/VersionedPartitioned.rollbackTo — Iceberg
+   * `rollback_to_snapshot`): promote Jan–Mar, land a bad Feb repricing,
+   * roll back metadata-only, and read main — which must serve the
+   * ORIGINAL state while the bad version stays time-travelable (both
+   * asserted here, only the final state hashed). Shares
+   * versioned_timetravel's oracle shape by construction.
+   */
+  private def versionedRollback(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedPartitioned
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vrb_").resolve("t").toString
+    val v1 = VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val v2 = VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(18,2)")),
+      root, "month")
+    VersionedPartitioned.rollbackTo(s, root, v1)
+    require(VersionedPartitioned.readAt(s, root, v2)
+      .where(col("month") === "1995-02").limit(1).count() == 1,
+      "bad version must stay inspectable after rollback")
+    monthTotals(VersionedPartitioned.read(s, root))
+  }
+
+  /**
    * Partitioned write-audit-publish gate
    * (ops/VersionedPartitioned.promoteToBranch/publish — WAP over the
    * fact-table format, where a branch stages PARTITION MERGES against
@@ -2523,6 +2550,7 @@ object ExtQueries {
     "versioned_timetravel" -> ((s, dir) => versionedTimeTravel(s, dir)),
     "wap_publish" -> ((s, dir) => wapPublish(s, dir)),
     "wap_publish_partitioned" -> ((s, dir) => wapPublishPartitioned(s, dir)),
+    "versioned_rollback" -> ((s, dir) => versionedRollback(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
@@ -4250,6 +4278,16 @@ object ExtQueries {
         |SELECT month, count(*) AS n_rows,
         |       CAST(sum(p) AS DOUBLE) AS total_price
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // post-rollback main serves the original Jan–Mar state
+    "versioned_rollback" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "versioned_timetravel" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       count(*) AS n_rows,

@@ -347,6 +347,19 @@ object Versioned {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(snapDir(spark, root, Some(version)).toString)
 
+  /** Metadata-only rollback (Iceberg `rollback_to_snapshot`): commit a
+    * NEW version whose content is version `to`'s, verbatim — history
+    * stays append-only (the bad versions remain inspectable and the
+    * rollback itself is time-travelable), readers flip atomically, and
+    * no data moves. `to` must still be retained. Returns the new
+    * version. */
+  def rollbackTo(spark: SparkSession, root: String, to: Long): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val content = rawAt(fs, rootPath, to)._2
+    claimVersion(fs, rootPath, content,
+      currentVersion(spark, root).getOrElse(0L) + 1)
+  }
+
   // ---- branches: write-audit-publish (Iceberg WAP) ----------------------
   //
   // A branch is an independent pointer chain over the SAME snapshot

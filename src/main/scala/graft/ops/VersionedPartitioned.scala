@@ -343,6 +343,14 @@ object VersionedPartitioned {
   def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     readAt(spark, root, versionAsOf(spark, root, tsMs))
 
+  /** Metadata-only rollback (Iceberg `rollback_to_snapshot`): the
+    * commit protocol is shared with `Versioned`, and rollback copies
+    * raw content, so the same append-a-past-version mechanism applies
+    * verbatim to manifest commits. History stays append-only; `to`'s
+    * referenced snapshots are still retained by the new head. */
+  def rollbackTo(spark: SparkSession, root: String, to: Long): Long =
+    Versioned.rollbackTo(spark, root, to)
+
   // ---- branches: write-audit-publish (Iceberg WAP) ----------------------
   //
   // Same pointer-chain model as `Versioned`'s branches (see the design

@@ -1095,6 +1095,28 @@ class VersionedSpec extends AnyFunSuite {
       Set("2024-01-01" -> 1))
   }
 
+  test("rollbackTo: metadata-only revert, history append-only, works on both formats") {
+    val root = Files.createTempDirectory("graft_rb").toString
+    Versioned.commit(df(1, 2), root)
+    Versioned.commit(df(9), root) // the bad deploy
+    val before = snapDirs(root)
+    assert(Versioned.rollbackTo(spark, root, 1L) == 3L)
+    assert(snapDirs(root) == before) // no data moved
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq.sorted == Seq(1, 2))
+    // the bad version stays inspectable; the rollback is itself history
+    assert(Versioned.readAt(spark, root, 2L).as[Int].collect().toSeq == Seq(9))
+    // a keepLast=1 vacuum keeps the rolled-back head's snapshot alive
+    Versioned.vacuum(spark, root, keepLast = 1, orphanMinAgeMs = 0)
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq.sorted == Seq(1, 2))
+
+    val proot = Files.createTempDirectory("graft_rbp").toString
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), proot)
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 99), proot)
+    assert(VersionedPartitioned.rollbackTo(spark, proot, 1L) == 3L)
+    assert(state(VersionedPartitioned.read(spark, proot)) ==
+      Set("2024-01-01" -> 1))
+  }
+
   test("WAP: branches are independent and publish appends to current main") {
     val root = Files.createTempDirectory("graft_wap").toString
     Versioned.commit(df(1), root)
