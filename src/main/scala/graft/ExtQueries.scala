@@ -1412,6 +1412,44 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "gap_start")
   }
 
+  /** MACD on the dyadic windowed EWMA (ops/Rolling.ewmaHalfLife — the
+    * distributed, oracle-portable smoothing form documented there):
+    * fast(6) − slow(12) over the daily closes, both smoothings riding
+    * the SAME key window partition (one shuffle), the difference a raw
+    * double of two identical left-fold results (see stochasticK for
+    * why no display round). */
+  private def macdDyadic(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val bars = dailyBarsOf(s, dir)
+    val fast = graft.ops.Rolling.ewmaHalfLife(bars, keys, "date", "close",
+      window = 6, outCol = "__fast")
+    val both = graft.ops.Rolling.ewmaHalfLife(fast, keys, "date", "close",
+      window = 12, outCol = "__slow")
+    both.select(col("user_id"), col("event_type"), col("date"), col("close"),
+        (col("__fast") - col("__slow")).as("macd"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
+  /** Time-under-water: for every bar, whole days since the key's
+    * running peak was set (0 on a new high). The peak date is the
+    * running max of dates where the close equals the running peak —
+    * double equality on the exact row that set it, then pure integer
+    * date arithmetic. Shares the one key-window shuffle. */
+  private def underwaterDays(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("user_id", "event_type")
+    val cum = Window.partitionBy(keys.map(col): _*).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBarsOf(s, dir)
+      .withColumn("__peak", max(col("close")).over(cum))
+      .withColumn("__peak_date",
+        max(when(col("close") === col("__peak"), col("date"))).over(cum))
+      .select(col("user_id"), col("event_type"), col("date"), col("close"),
+        datediff(col("date"), col("__peak_date")).cast("long")
+          .as("underwater_days"))
+      .orderBy("user_id", "event_type", "date")
+  }
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -2540,6 +2578,8 @@ object ExtQueries {
     "trading_gaps" -> ((s, dir) => tradingGaps(s, dir)),
     "beta_market" -> ((s, dir) => betaMarket(s, dir)),
     "volume_seasonality" -> ((s, dir) => volumeSeasonality(s, dir)),
+    "macd_dyadic" -> ((s, dir) => macdDyadic(s, dir)),
+    "underwater_days" -> ((s, dir) => underwaterDays(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -3732,6 +3772,52 @@ object ExtQueries {
         |       round(cov / (sqrt(vx) * sqrt(vy)), 6) AS chg_corr
         |FROM q WHERE np >= 10 AND vx <> 0 AND vy <> 0
         |ORDER BY user_id, et_a, et_b""".stripMargin,
+    // the two dyadic left-folds replayed with DuckDB list comprehensions
+    // (the ewma_close technique); macd is their raw-double difference
+    "macd_dyadic" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |wf AS (
+        |  SELECT user_id, event_type, date, close,
+        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
+        |                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cf,
+        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
+        |                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS cs
+        |  FROM bars)
+        |SELECT user_id, event_type, date, close,
+        |       list_reduce([cf[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
+        |                    for i in range(1, len(cf) + 1)],
+        |                   (a, v) -> a + v)
+        |         / CAST((1::BIGINT << len(cf)) - 1 AS DOUBLE)
+        |       - list_reduce([cs[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
+        |                      for i in range(1, len(cs) + 1)],
+        |                     (a, v) -> a + v)
+        |         / CAST((1::BIGINT << len(cs)) - 1 AS DOUBLE) AS macd
+        |FROM wf ORDER BY user_id, event_type, date""".stripMargin,
+    // running-peak date by double equality on the row that set it,
+    // then pure integer date arithmetic
+    "underwater_days" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, event_type, date, close,
+        |             max(close) OVER cum AS peak
+        |      FROM bars
+        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT user_id, event_type, date, close,
+        |             max(CASE WHEN close = peak THEN date END) OVER cum
+        |               AS peak_date
+        |      FROM p
+        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_type, date, close,
+        |       CAST(date_diff('day', peak_date, date) AS BIGINT)
+        |         AS underwater_days
+        |FROM q ORDER BY user_id, event_type, date""".stripMargin,
     // market composite = exact decimal sum of all keys' deltas per date;
     // β via the HUGEINT identities, one final double division
     "beta_market" ->

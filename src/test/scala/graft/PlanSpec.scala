@@ -281,4 +281,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("indicator family: daily agg + ONE shared key-window shuffle (the rsi_close shape)") {
+    // stacked window functions (both channel extremes, peak +
+    // peak-date, both EWMA folds, the lag + the groupBy in
+    // risk_metrics) must all ride the single (key) partitioning — a
+    // third exchange means someone broke the sharing
+    Seq("stochastic_k", "vwap_rolling", "risk_metrics",
+        "underwater_days", "macd_dyadic").foreach { q =>
+      assert(hashExchanges(q) == 2, s"$q: expected 2 hash exchanges")
+    }
+  }
+
+  test("returns_correlation and beta_market: pair spaces via equi-join, market side broadcast") {
+    val rc = plan("returns_correlation")
+    assert(!rc.contains("CartesianProduct") &&
+      !rc.contains("BroadcastNestedLoopJoin"), s"plan:\n$rc")
+    val bm = plan("beta_market")
+    assert(!bm.contains("CartesianProduct") &&
+      !bm.contains("BroadcastNestedLoopJoin"), s"plan:\n$bm")
+    // the calendar-sized market composite must broadcast at any scale
+    assert(bm.contains("BroadcastHashJoin"), s"plan:\n$bm")
+  }
 }
