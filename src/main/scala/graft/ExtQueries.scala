@@ -1450,6 +1450,47 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** The rank-function window surface in one gate: rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4) and lead/lag over each type's
+    * daily activity, ordered on a UNIQUE key (count, then day — ties
+    * broken deterministically, the PlanSpec ordering rule). All ranks
+    * derive from integers; percent_rank/cume_dist are the standard
+    * rational forms both engines evaluate identically. One shuffle. */
+  private def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events"), col("day"))
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead(col("day"), 1).over(w).as("next_day"),
+        lag(col("n_events"), 1).over(w).as("prev_n"))
+      .orderBy("event_type", "n_events", "day")
+  }
+
+  /** ROLLUP aggregation (the multi-level report shape Spark and DuckDB
+    * both evaluate as grouping sets): tick volume by (event_type,
+    * ISO weekday) with weekday subtotals and the grand total, each
+    * level tagged by grouping_id. Pure integer sums — engine-exact;
+    * one map-combined aggregate (grouping sets replicate partials, not
+    * input rows). */
+  private def volumeRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .withColumn("isodow",
+        (expr("weekday(cast(ts as date))") + 1).cast("int"))
+      .rollup(col("event_type"), col("isodow"))
+      .agg(count(lit(1)).as("n_events"), grouping_id().as("gid"))
+      .select(col("event_type"), col("isodow"), col("n_events"),
+        col("gid").cast("long").as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("isodow"))
+  }
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -2580,6 +2621,8 @@ object ExtQueries {
     "volume_seasonality" -> ((s, dir) => volumeSeasonality(s, dir)),
     "macd_dyadic" -> ((s, dir) => macdDyadic(s, dir)),
     "underwater_days" -> ((s, dir) => underwaterDays(s, dir)),
+    "window_ranks" -> ((s, dir) => windowRanks(s, dir)),
+    "volume_rollup" -> ((s, dir) => volumeRollup(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -3772,6 +3815,33 @@ object ExtQueries {
         |       round(cov / (sqrt(vx) * sqrt(vy)), 6) AS chg_corr
         |FROM q WHERE np >= 10 AND vx <> 0 AND vy <> 0
         |ORDER BY user_id, et_a, et_b""".stripMargin,
+    // integer-derived ranks; percent_rank/cume_dist are the standard
+    // rational forms on identical operands
+    "window_ranks" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist,
+        |       ntile(4) OVER w AS quartile,
+        |       lead(day, 1) OVER w AS next_day,
+        |       lag(n_events, 1) OVER w AS prev_n
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, day)
+        |ORDER BY event_type, n_events, day""".stripMargin,
+    // pure integer sums per grouping set; gid tags the level
+    "volume_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(isodow(CAST(ts AS DATE)) AS INT) AS isodow
+        |  FROM events)
+        |SELECT event_type, isodow, count(*) AS n_events,
+        |       CAST(GROUPING(event_type, isodow) AS BIGINT) AS gid
+        |FROM e GROUP BY ROLLUP (event_type, isodow)
+        |ORDER BY gid, event_type, isodow""".stripMargin,
     // the two dyadic left-folds replayed with DuckDB list comprehensions
     // (the ewma_close technique); macd is their raw-double difference
     "macd_dyadic" ->
