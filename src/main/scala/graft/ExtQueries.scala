@@ -1491,6 +1491,37 @@ object ExtQueries {
       .orderBy(col("gid"), col("event_type"), col("isodow"))
   }
 
+  /** PIVOT surface: ISO weekday × event-type activity matrix via
+    * Spark's pivot with an EXPLICIT value list (the open-ended form
+    * runs a driver-side distinct — a scan of the key space nobody
+    * should pay at 100 TB; with values given the plan is one
+    * map-combined aggregate). Pure integer counts; the oracle replays
+    * as conditional aggregation. */
+  private def pivotVolume(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.load(s, dir, "events")
+      .withColumn("isodow",
+        (expr("weekday(cast(ts as date))") + 1).cast("int"))
+      .groupBy(col("isodow"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("isodow")
+  }
+
+  /** UNPIVOT surface (long-form melt of the OHLC matrix): each daily
+    * bar becomes four (field, price) rows — the shape feature stores
+    * and plotting pipelines ingest. Spark's unpivot is a zero-shuffle
+    * row expansion; the oracle replays as a UNION ALL of the four
+    * projections. */
+  private def barsUnpivot(s: SparkSession, dir: String): DataFrame =
+    dailyBarsOf(s, dir)
+      .unpivot(
+        Array(col("user_id"), col("event_type"), col("date")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "price")
+      .orderBy("user_id", "event_type", "date", "field")
+
   /** Burst detection: each (event_type, day)'s count against its
     * trailing-7-observed-day baseline, as an exact integer ratio in bps
     * (n·w·10000 DIV Σprev — no float division, so the spike flag can
@@ -2623,6 +2654,8 @@ object ExtQueries {
     "underwater_days" -> ((s, dir) => underwaterDays(s, dir)),
     "window_ranks" -> ((s, dir) => windowRanks(s, dir)),
     "volume_rollup" -> ((s, dir) => volumeRollup(s, dir)),
+    "pivot_volume" -> ((s, dir) => pivotVolume(s, dir)),
+    "bars_unpivot" -> ((s, dir) => barsUnpivot(s, dir)),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -3815,6 +3848,32 @@ object ExtQueries {
         |       round(cov / (sqrt(vx) * sqrt(vy)), 6) AS chg_corr
         |FROM q WHERE np >= 10 AND vx <> 0 AND vy <> 0
         |ORDER BY user_id, et_a, et_b""".stripMargin,
+    // conditional aggregation replays the explicit-values pivot
+    "pivot_volume" ->
+      """SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS isodow,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // UNION ALL of the four projections replays the melt
+    "bars_unpivot" ->
+      """WITH bars AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        |         arg_min(value, event_id) AS open, max(value) AS high,
+        |         min(value) AS low, arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, date, field, price FROM (
+        |  SELECT user_id, event_type, date, 'open' AS field, open AS price
+        |  FROM bars
+        |  UNION ALL
+        |  SELECT user_id, event_type, date, 'high', high FROM bars
+        |  UNION ALL
+        |  SELECT user_id, event_type, date, 'low', low FROM bars
+        |  UNION ALL
+        |  SELECT user_id, event_type, date, 'close', close FROM bars)
+        |ORDER BY user_id, event_type, date, field""".stripMargin,
     // integer-derived ranks; percent_rank/cume_dist are the standard
     // rational forms on identical operands
     "window_ranks" ->
