@@ -1450,6 +1450,29 @@ object ExtQueries {
       .orderBy("user_id", "event_type", "date")
   }
 
+  /** ONE SQL text, two engines: this string is executed verbatim by
+    * `spark.sql` (over the `Views` registry) AND by the DuckDB oracle —
+    * the strictest SQL-portability proof the gate can express (the
+    * other sql_* gates adapt dialect; this one shares the bytes). It
+    * deliberately exercises the ANSI surface both engines parse
+    * identically: CTE, named WINDOW clause, the five rank functions,
+    * lead/lag. */
+  private[graft] val windowRanksSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n_events,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       percent_rank() OVER w AS prnk,
+      |       cume_dist() OVER w AS cdist,
+      |       ntile(4) OVER w AS quartile,
+      |       lead(day, 1) OVER w AS next_day,
+      |       lag(n_events, 1) OVER w AS prev_n
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, day)
+      |ORDER BY event_type, n_events, day""".stripMargin
+
   /** The rank-function window surface in one gate: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4) and lead/lag over each type's
     * daily activity, ordered on a UNIQUE key (count, then day — ties
@@ -2656,6 +2679,9 @@ object ExtQueries {
     "volume_rollup" -> ((s, dir) => volumeRollup(s, dir)),
     "pivot_volume" -> ((s, dir) => pivotVolume(s, dir)),
     "bars_unpivot" -> ((s, dir) => barsUnpivot(s, dir)),
+    "sql_window_ranks" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir); s.sql(windowRanksSql)
+    }),
     "cluster_sizes" -> ((s, dir) => clusterSizes(s, dir)),
     "strings_norm" -> ((s, dir) => stringsNorm(s, dir)),
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
@@ -3875,22 +3901,11 @@ object ExtQueries {
         |  SELECT user_id, event_type, date, 'close', close FROM bars)
         |ORDER BY user_id, event_type, date, field""".stripMargin,
     // integer-derived ranks; percent_rank/cume_dist are the standard
-    // rational forms on identical operands
-    "window_ranks" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, day, n_events,
-        |       rank() OVER w AS rnk,
-        |       dense_rank() OVER w AS drnk,
-        |       percent_rank() OVER w AS prnk,
-        |       cume_dist() OVER w AS cdist,
-        |       ntile(4) OVER w AS quartile,
-        |       lead(day, 1) OVER w AS next_day,
-        |       lag(n_events, 1) OVER w AS prev_n
-        |FROM daily
-        |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, day)
-        |ORDER BY event_type, n_events, day""".stripMargin,
+    // rational forms on identical operands. The DataFrame gate and the
+    // shared-text SQL gate both verify against the SAME string that
+    // sql_window_ranks executes on Spark — one text, two engines.
+    "window_ranks" -> windowRanksSql,
+    "sql_window_ranks" -> windowRanksSql,
     // pure integer sums per grouping set; gid tags the level
     "volume_rollup" ->
       """WITH e AS (
