@@ -11,5 +11,6 @@ python3 tools/compare.py /root/testdata/sf0.01 "$out"
 if [[ "${1:-}" == "--bench" ]]; then
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench"
+  python3 tools/regress.py   # contention-adjusted per-query diff vs baseline
 fi
 echo "ALL GREEN"

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Per-query bench regression check, contention-adjusted.
+
+Usage: python3 tools/regress.py [bench_queries.json] [baseline_queries.json]
+       (defaults: target/bench_queries.json vs BASELINE_queries.json)
+
+Compares the run's `queries_median` map against the committed baseline,
+scaling the allowance by the ratio of `calib_sec` values (the fixed
+synthetic workload Bench times first): a run on a 2x-contended box gets
+a 2x-wider budget before anything is flagged, so real code regressions
+separate from neighbor noise without human adjudication.
+
+A query is flagged when  run_median > max(floor, baseline * 2 * calib_ratio)
+with floor = 0.5 s (sub-half-second timings are scheduling jitter at
+local[32], not signal). New queries (absent from the baseline) and
+removed ones are listed informationally, never flagged.
+
+Exit code 1 iff any query is flagged.
+"""
+import json
+import sys
+
+run_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench_queries.json"
+base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_queries.json"
+
+run = json.load(open(run_path))
+base = json.load(open(base_path))
+
+run_q = run["queries_median"]
+base_q = base["queries_median"]
+calib_ratio = max(run.get("calib_sec", 0.2) / max(base.get("calib_sec", 0.2),
+                                                  1e-9), 1.0)
+FLOOR, FACTOR = 0.5, 2.0
+
+flagged, improved = [], []
+for name, sec in sorted(run_q.items()):
+    b = base_q.get(name)
+    if b is None:
+        continue
+    budget = max(FLOOR, b * FACTOR * calib_ratio)
+    if sec > budget:
+        flagged.append((name, sec, b, budget))
+    elif b > FLOOR and sec < b / FACTOR:
+        improved.append((name, sec, b))
+
+new = sorted(set(run_q) - set(base_q))
+gone = sorted(set(base_q) - set(run_q))
+
+print(f"calib: run {run.get('calib_sec')} vs baseline {base.get('calib_sec')}"
+      f" -> allowance x{FACTOR * calib_ratio:.2f} (floor {FLOOR}s)")
+if new:
+    print(f"new (unbaselined): {', '.join(new)}")
+if gone:
+    print(f"removed since baseline: {', '.join(gone)}")
+for name, sec, b, budget in flagged:
+    print(f"[REGRESSED] {name}: {sec:.2f}s vs baseline {b:.2f}s"
+          f" (budget {budget:.2f}s)")
+for name, sec, b in improved:
+    print(f"[improved] {name}: {b:.2f}s -> {sec:.2f}s")
+print(f"== {len(flagged)} regressed, {len(improved)} improved,"
+      f" {len(run_q) - len(new)} compared ==")
+sys.exit(1 if flagged else 0)
