@@ -1095,6 +1095,30 @@ class VersionedSpec extends AnyFunSuite {
       Set("2024-01-01" -> 1))
   }
 
+  test("WAP: two writers racing the same branch both land (optimistic claim, head wins)") {
+    val root = Files.createTempDirectory("graft_wapc").toString
+    Versioned.commit(df(0), root)
+    // race: both threads resolve the same next branch version and claim
+    // concurrently; the create-exclusive loser must retry, not clobber
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val writes = Future.sequence(Seq(10, 20).map(v =>
+        Future(Versioned.commitToBranch(df(v), root, "audit"))))
+      val versions = Await.result(writes, 120.seconds)
+      assert(versions.toSet == Set(1L, 2L), s"got $versions")
+    } finally pool.shutdown()
+    // the branch head is whichever claim landed second; publish works
+    val head = Versioned.readBranch(spark, root, "audit")
+      .as[Int].collect().toSeq
+    assert(head == Seq(10) || head == Seq(20))
+    Versioned.publish(spark, root, "audit")
+    assert(Versioned.read(spark, root).as[Int].collect().toSeq == head)
+  }
+
   test("rollbackTo: metadata-only revert, history append-only, works on both formats") {
     val root = Files.createTempDirectory("graft_rb").toString
     Versioned.commit(df(1, 2), root)
