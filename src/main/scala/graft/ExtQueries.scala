@@ -2208,6 +2208,31 @@ object ExtQueries {
   }
 
   /**
+   * Merge-on-read delete gate (ops/VersionedPartitioned.deleteKeysMor —
+   * Iceberg v2 equality deletes): promote Jan–Mar, delete February's
+   * %10 keys via a keys-only sidecar (NO partition rewrite — asserted
+   * on the referenced-snapshot count), and read through the anti-join
+   * path. Shares versioned_delete's predicate so the two delete
+   * mechanisms (copy-on-write there, merge-on-read here) are verified
+   * against equivalent oracles; here 1995-03 stays live.
+   */
+  private def versionedDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedPartitioned
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-03"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vmor_").resolve("t").toString
+    VersionedPartitioned.promote(base, root, "month")
+    val before = VersionedPartitioned.referencedSnapshots(s, root)
+    VersionedPartitioned.deleteKeysMor(s, root,
+      base.where(col("month") === "1995-02" && col("o_orderkey") % 10 === 0)
+        .select("month", "o_orderkey"))
+    require(VersionedPartitioned.referencedSnapshots(s, root) == before,
+      "MOR delete must not write a snapshot")
+    monthTotals(VersionedPartitioned.read(s, root))
+  }
+
+  /**
    * Exactly-once incremental propagation between two versioned tables
    * (ops/VersionedPartitioned.propagateChanges): hop 1 bootstraps the
    * destination with 1995-01/02; upstream then rewrites 1995-02 with
@@ -2693,6 +2718,7 @@ object ExtQueries {
     "wap_publish" -> ((s, dir) => wapPublish(s, dir)),
     "wap_publish_partitioned" -> ((s, dir) => wapPublishPartitioned(s, dir)),
     "versioned_rollback" -> ((s, dir) => versionedRollback(s, dir)),
+    "versioned_delete_mor" -> ((s, dir) => versionedDeleteMor(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
@@ -4577,6 +4603,19 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same delete predicate as versioned_delete, served merge-on-read;
+    // March stays live (no dropPartitions in this gate)
+    "versioned_delete_mor" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |  AND NOT (strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
+        |           AND o_orderkey % 10 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "versioned_delete" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         |       count(*) AS n_rows,

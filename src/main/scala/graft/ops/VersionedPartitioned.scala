@@ -66,16 +66,24 @@ object VersionedPartitioned {
   private val Marker = "graft-manifest v1"
   private val TagPrefix = "tag:"
   private val ColPrefix = "addcol:"
+  private val DelPrefix = "del:"
+  private[ops] val DelDirPrefix = "del-"
 
   /** partition-dir-name (e.g. "date=2024-01-01") → snapshot dir name.
     * `addedCols` records metadata-only evolved columns as (name,
     * default SQL expression): readers fill them on the fly for any
-    * snapshot file written before the evolution. A partition dir name
-    * always contains '=', so the `addcol:` prefix cannot collide with
-    * an entry row. */
+    * snapshot file written before the evolution. `deletes` records
+    * merge-on-read delete sidecars per partition dir (ordered delete
+    * dir names, Iceberg-v2 equality-delete shape): readers anti-join
+    * the partition's rows against each sidecar's key file; any rewrite
+    * of a partition drops its delete refs (the deletes are already
+    * applied in what was read and rewritten). Partition dir names
+    * always contain '=', so the `addcol:`/`del:` prefixes cannot
+    * collide with an entry row. */
   final case class Manifest(partitionCol: String,
       entries: Map[String, String], tag: Option[String],
-      addedCols: Seq[(String, String)] = Nil)
+      addedCols: Seq[(String, String)] = Nil,
+      deletes: Map[String, Seq[String]] = Map.empty)
 
   private def render(m: Manifest): String = {
     require(!m.partitionCol.exists(c => c == '\n' || c == '\t'),
@@ -91,8 +99,15 @@ object VersionedPartitioned {
         "added-column default must be a non-empty single-line SQL expression")
       s"$ColPrefix$n\t$d"
     }
+    val delLines = m.deletes.toSeq.sortBy(_._1).flatMap { case (p, ds) =>
+      ds.map { d =>
+        require(d.startsWith(DelDirPrefix) && !d.exists(c => c == '\n' || c == '\t'),
+          s"delete dir must be a $DelDirPrefix name: $d")
+        s"$DelPrefix$p\t$d"
+      }
+    }
     val rows = m.entries.toSeq.sorted.map { case (p, s) => s"$p\t$s" }
-    (header +: tagLine ++: colLines ++: rows).mkString("\n")
+    (header +: tagLine ++: colLines ++: delLines ++: rows).mkString("\n")
   }
 
   private def parse(content: String): Manifest = {
@@ -111,13 +126,20 @@ object VersionedPartitioned {
       require(i > 0, s"bad added-column row: $l")
       s.substring(0, i) -> s.substring(i + 1)
     }
-    val rows = afterTag.dropWhile(_.startsWith(ColPrefix))
+    val afterCols = afterTag.dropWhile(_.startsWith(ColPrefix))
+    val deletes = afterCols.takeWhile(_.startsWith(DelPrefix)).map { l =>
+      val s = l.stripPrefix(DelPrefix)
+      val i = s.indexOf('\t')
+      require(i > 0, s"bad delete row: $l")
+      s.substring(0, i) -> s.substring(i + 1)
+    }.groupMap(_._1)(_._2)
+    val rows = afterCols.dropWhile(_.startsWith(DelPrefix))
     val entries = rows.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       require(i > 0, s"bad manifest row: $l")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    Manifest(partitionCol, entries, tag, addedCols)
+    Manifest(partitionCol, entries, tag, addedCols, deletes)
   }
 
   /** (version, manifest) for every parseable commit, ascending.
@@ -275,11 +297,14 @@ object VersionedPartitioned {
       }
       val base = latest.map(_._2.entries).getOrElse(Map.empty)
       // metadata-evolved columns survive every later promote: a frame
-      // that carries one physically simply overrides its default
+      // that carries one physically simply overrides its default;
+      // delete sidecars survive on UNTOUCHED partitions and drop on
+      // overwritten ones (the rewrite replaces the rows they applied to)
       val prevCols = latest.map(_._2.addedCols).getOrElse(Nil)
+      val prevDel = latest.map(_._2.deletes).getOrElse(Map.empty) -- written.keys
       val v = latest.map(_._1).getOrElse(0L) + 1
       val content =
-        render(Manifest(partitionCol, base ++ written, tag, prevCols))
+        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel))
       val target = new HPath(rootPath,
         f"${Versioned.CommitPrefix}$v%020d${Versioned.CommitSuffix}")
       try {
@@ -393,9 +418,10 @@ object VersionedPartitioned {
       }
       val base = baseM.map(_.entries).getOrElse(Map.empty)
       val prevCols = baseM.map(_.addedCols).getOrElse(Nil)
+      val prevDel = baseM.map(_.deletes).getOrElse(Map.empty) -- written.keys
       val v = head.map(_._1).getOrElse(0L) + 1
       val content =
-        render(Manifest(partitionCol, base ++ written, tag, prevCols))
+        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel))
       val target = new HPath(rootPath, f"$pre$v%020d${Versioned.CommitSuffix}")
       try {
         val os = fs.create(target, false)
@@ -439,14 +465,14 @@ object VersionedPartitioned {
   def dropBranch(spark: SparkSession, root: String, branch: String): Int =
     Versioned.dropBranch(spark, root, branch)
 
-  /** Every snapshot dir referenced by ANY branch pointer manifest —
-    * the partitioned vacuum's branch keep-set (all branch versions,
-    * not just heads: an in-flight audit may still hold an older
-    * branch read). */
+  /** (snapshot dirs, delete sidecars) referenced by ANY branch pointer
+    * manifest — the partitioned vacuum's branch keep-sets (all branch
+    * versions, not just heads: an in-flight audit may still hold an
+    * older branch read). */
   private def branchReferencedDirs(fs: FileSystem,
-      rootPath: HPath): Set[String] = {
-    if (!fs.exists(rootPath)) return Set.empty
-    fs.listStatus(rootPath).toSeq
+      rootPath: HPath): (Set[String], Set[String]) = {
+    if (!fs.exists(rootPath)) return (Set.empty, Set.empty)
+    val ms = fs.listStatus(rootPath).toSeq
       .filter(s => s.isFile && s.getLen > 0
         && s.getPath.getName.startsWith(Versioned.BranchPrefix)
         && s.getPath.getName.endsWith(Versioned.CommitSuffix))
@@ -457,8 +483,8 @@ object VersionedPartitioned {
           case _: IllegalArgumentException => None
         }
       }
-      .flatMap(_.entries.values)
-      .toSet
+    (ms.flatMap(_.entries.values).toSet,
+      ms.flatMap(_.deletes.values.flatten).toSet)
   }
 
   private def manifestAt(spark: SparkSession, root: String,
@@ -496,7 +522,31 @@ object VersionedPartitioned {
           spark.read.option("basePath", base)
             .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*), m)
     }
-    frames.reduce(_.unionByName(_))
+    val out = frames.reduce(_.unionByName(_))
+    // merge-on-read deletes: anti-join against the referenced key
+    // sidecars, each scoped to the partitions that still reference it
+    // (an overwritten partition dropped its refs, so its NEW rows must
+    // not anti-join old keys even when the sidecar survives for other
+    // partitions). Sidecar schema = partitionCol + key columns — the
+    // join keys, read from the file, not the manifest. Sub-views
+    // (pruned/incremental reads) pass a restricted entry map; scoping
+    // deletes to it keeps them consistent automatically.
+    val scoped = m.deletes.view.filterKeys(m.entries.contains).toMap
+    if (scoped.isEmpty) out
+    else {
+      import org.apache.spark.sql.functions.col
+      def valueOf(dir: String) =
+        unescapePathName(dir.substring(dir.indexOf('=') + 1))
+      val byDel = scoped.toSeq
+        .flatMap { case (p, ds) => ds.map(_ -> valueOf(p)) }
+        .groupMap(_._1)(_._2)
+      val keys = byDel.toSeq.sortBy(_._1).map { case (d, parts) =>
+        spark.read.parquet(new HPath(rootPath, d).toString)
+          .where(col(m.partitionCol).cast("string")
+            .isin(parts.distinct: _*))
+      }.reduce(_.unionByName(_)).dropDuplicates()
+      out.join(keys, keys.columns.toSeq, "left_anti")
+    }
   }
 
   /**
@@ -669,7 +719,8 @@ object VersionedPartitioned {
         .where(org.apache.spark.sql.functions.lit(false))
     else
       readManifest(spark, root,
-        Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols))
+        Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols,
+          mTo.deletes))
   }
 
   /**
@@ -731,7 +782,8 @@ object VersionedPartitioned {
       val kept = entries.filter { case (p, _) => changed(p) }
       if (kept.isEmpty) None
       else Some(readManifest(spark, root,
-        Manifest(mTo.partitionCol, kept, None, mTo.addedCols)))
+        Manifest(mTo.partitionCol, kept, None, mTo.addedCols,
+        mTo.deletes)))
     }
     val (oldSide, newSide) = (side(fromEntries), side(mTo.entries))
     val anchor = newSide.orElse(oldSide).getOrElse(
@@ -798,7 +850,7 @@ object VersionedPartitioned {
       val (pv, m) = latest.get
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- dirNames, tag,
-          m.addedCols)))
+          m.addedCols, m.deletes -- dirNames)))
     }
   }
 
@@ -861,7 +913,52 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(pcol, m.entries -- affected ++ written, tag,
-          m.addedCols)))
+          m.addedCols, m.deletes -- affected -- written.keys)))
+    }
+  }
+
+  /**
+   * MERGE-ON-READ row deletes (Iceberg v2 equality deletes): instead of
+   * `deleteWhere`'s copy-on-write partition rewrite, write only the
+   * deleted KEYS as a sidecar parquet and reference it from the
+   * manifest per affected partition — an O(deleted keys) commit
+   * regardless of partition size. Readers anti-join each partition's
+   * rows against its referenced sidecars (`readManifest`); any later
+   * rewrite of a partition (promote / deleteWhere / compaction) drops
+   * its sidecar refs, so the read-time tax amortizes away and
+   * `compact` fully materializes the deletes.
+   *
+   * `keys`' SCHEMA defines the delete identity: it must contain the
+   * partition column (sidecars are partition-scoped) plus the key
+   * columns, nothing else. Rows whose partition is not live are
+   * ignored. At 100 TB this is the delete path for small targeted
+   * deletes (GDPR keys, bad-record ids) where rewriting a multi-GB
+   * partition per delete would dominate the write budget;
+   * `deleteWhere` remains the bulk path.
+   */
+  def deleteKeysMor(spark: SparkSession, root: String, keys: DataFrame,
+      tag: Option[String] = None): Long = {
+    val m0 = manifestAt(spark, root, None)
+    val pcol = m0.partitionCol
+    require(keys.columns.contains(pcol),
+      s"delete keys must carry the partition column '$pcol' " +
+        s"(got ${keys.columns.mkString(", ")})")
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val delName = DelDirPrefix + UUID.randomUUID().toString
+    val dk = keys.dropDuplicates()
+    dk.coalesce(1).write.parquet(new HPath(rootPath, delName).toString)
+    // metadata-sized driver fetch: the distinct partition VALUES the
+    // keys touch (same contract as the partition listings elsewhere)
+    val touched = dk.select(col(pcol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
+      def valueOf(dir: String) =
+        unescapePathName(dir.substring(dir.indexOf('=') + 1))
+      val affected = m.entries.keys.filter(d => touched.contains(valueOf(d)))
+      val newDel = m.deletes ++ affected.map(d =>
+        d -> (m.deletes.getOrElse(d, Nil) :+ delName))
+      (pv + 1, render(m.copy(tag = tag, deletes = newDel)))
     }
   }
 
@@ -999,7 +1096,8 @@ object VersionedPartitioned {
       .take(maxSnapshots - 1).map(_._1).toSet
     val rewrite = m0.entries.filterNot { case (_, snap) => keep(snap) }
     val frame = readManifest(spark, root,
-      Manifest(m0.partitionCol, rewrite, None, m0.addedCols))
+      Manifest(m0.partitionCol, rewrite, None, m0.addedCols,
+      m0.deletes))
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
@@ -1021,7 +1119,7 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- rewrite.keys ++ written,
-          None, m.addedCols)))
+          None, m.addedCols, m.deletes -- rewrite.keys -- written.keys)))
     })
   }
 
@@ -1078,7 +1176,7 @@ object VersionedPartitioned {
         s"column '$name' already exists under $root")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.addedCols :+ (name -> defaultSql))))
+          m.addedCols :+ (name -> defaultSql), m.deletes)))
     }
 
   /**
@@ -1195,7 +1293,7 @@ object VersionedPartitioned {
       claimLoop(spark, root) { latest =>
         val (pv, m) = latest.get
         (pv + 1, render(Manifest(m.partitionCol, m.entries,
-          Some(s"$SrcVersionTag$cursor"), m.addedCols)))
+          Some(s"$SrcVersionTag$cursor"), m.addedCols, m.deletes)))
       }
       // the carry-forward commit is above keepMin, so the deletions
       // below leave it (and therefore the cursor) intact
@@ -1211,7 +1309,7 @@ object VersionedPartitioned {
         claimLoop(spark, root) { latest =>
           val (pv, m) = latest.get
           (pv + 1, render(Manifest(m.partitionCol, m.entries,
-            Some(t), m.addedCols)))
+            Some(t), m.addedCols, m.deletes)))
         }
       }
     fs.listStatus(rootPath).foreach { s =>
@@ -1226,7 +1324,7 @@ object VersionedPartitioned {
     }
     // branch-referenced snapshots are NEVER dropped: an unpublished
     // write-audit-publish branch must survive any main retention
-    val branchKeep = branchReferencedDirs(fs, rootPath)
+    val (branchKeep, branchDelKeep) = branchReferencedDirs(fs, rootPath)
     val now = System.currentTimeMillis()
     val snaps = fs.listStatus(rootPath)
       .filter(s => s.isDirectory &&
@@ -1238,6 +1336,21 @@ object VersionedPartitioned {
           now - s.getModificationTime >= orphanMinAgeMs
       }
     doomed.foreach(s => fs.delete(s.getPath, true))
-    doomed.length
+    // merge-on-read delete sidecars: same retention rules as snapshots
+    // (kept while any retained or branch manifest references them;
+    // superseded ones reclaimed immediately, orphans age-gated)
+    val committedDel = h.flatMap(_._2.deletes.values.flatten).toSet
+    val keepDel = keep.flatMap(_._2.deletes.values.flatten).toSet
+    val dels = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(DelDirPrefix))
+    val doomedDel = dels.filterNot(s => keepDel.contains(s.getPath.getName)
+        || branchDelKeep.contains(s.getPath.getName))
+      .filter { s =>
+        committedDel.contains(s.getPath.getName) ||
+          now - s.getModificationTime >= orphanMinAgeMs
+      }
+    doomedDel.foreach(s => fs.delete(s.getPath, true))
+    doomed.length + doomedDel.length
   }
 }

@@ -1119,6 +1119,59 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root).as[Int].collect().toSeq == head)
   }
 
+  private def kdf(rows: (String, Int)*) =
+    rows.toSeq.toDF("date", "v")
+
+  test("deleteKeysMor: keys-only sidecar, read-time anti-join, rewrite drops the refs") {
+    val root = Files.createTempDirectory("graft_mor").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-01" -> 2, "2024-01-02" -> 3), root)
+    // delete (day1, v=1) by key — no partition rewrite
+    val snapsBefore = VersionedPartitioned.referencedSnapshots(spark, root)
+    VersionedPartitioned.deleteKeysMor(spark, root, kdf("2024-01-01" -> 1))
+    assert(VersionedPartitioned.referencedSnapshots(spark, root)
+      == snapsBefore, "MOR delete must not write a snapshot")
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 2, "2024-01-02" -> 3))
+    // time travel BEFORE the delete still sees the row
+    assert(state(VersionedPartitioned.readAt(spark, root, 1L)) ==
+      Set("2024-01-01" -> 1, "2024-01-01" -> 2, "2024-01-02" -> 3))
+    // a second sidecar stacks
+    VersionedPartitioned.deleteKeysMor(spark, root, kdf("2024-01-02" -> 3))
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 2))
+    // overwriting day1 drops its refs: the re-promoted row with the
+    // SAME key as the deleted one is visible again (fresh rows are not
+    // subject to pre-rewrite deletes)
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), root)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 1))
+  }
+
+  test("deleteKeysMor: compact materializes deletes and vacuum reclaims the sidecars") {
+    val root = Files.createTempDirectory("graft_mor").toString
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-01" -> 2), root)
+    VersionedPartitioned.deleteKeysMor(spark, root, kdf("2024-01-01" -> 1))
+    // while the live manifest references the sidecar, vacuum keeps it
+    assert(VersionedPartitioned.vacuum(spark, root,
+      keepLast = 1, orphanMinAgeMs = 0) == 0)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 2))
+    VersionedPartitioned.compact(spark, root)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 2))
+    // post-compact the sidecar and the old snapshot are reclaimable
+    assert(VersionedPartitioned.vacuum(spark, root,
+      keepLast = 1, orphanMinAgeMs = 0) == 2)
+    assert(state(VersionedPartitioned.read(spark, root)) ==
+      Set("2024-01-01" -> 2))
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new HPath(root))
+      .exists(_.getPath.getName.startsWith("del-")))
+  }
+
   test("rollbackTo: metadata-only revert, history append-only, works on both formats") {
     val root = Files.createTempDirectory("graft_rb").toString
     Versioned.commit(df(1, 2), root)
