@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Dedup, Multimodal, Sampling, Shards, Similarity, TextOps}
+import graft.ext.{Bpe, Clustering, Dedup, Multimodal, Sampling, Shards, Similarity, TextOps}
 import graft.ops.{AsOf, Funnel, Ingest, Merge, Profile, RangeJoin, Resample, Retention, Sessions}
 import graft.sources.Tables
 
@@ -1633,6 +1633,54 @@ object ExtQueries {
     TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3 —
+    * head/middle/tail tiers by LM score, per language): rank every doc
+    * by its unigram log-prob proxy WITHIN its language, cut into 3
+    * ntile buckets (1 = head / best), and report per-tier document and
+    * token totals plus the exact tier score boundaries. Aggregates are
+    * order-free (count / long sum / min / max over the 1e-4-rounded
+    * score), so the gate is bit-exact; ntile ties are impossible (the
+    * ordering ends on the unique doc_id). Scale: one token-count
+    * shuffle (unigramLogProb) + one per-language window — the window
+    * key is the language, low-cardinality by nature, so at 100 TB the
+    * rank step uses the range-partitioned sort the ntile spec demands
+    * and nothing wider. */
+  private def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val lp = TextOps.unigramLogProb(d, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    lp.withColumn("bucket", ntile(3).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        min(col("avg_logprob")).as("min_lp"),
+        max(col("avg_logprob")).as("max_lp"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Distributed BPE training: the 20-rule merge table learned from
+    * the corpus (rank, lhs, rhs, merged). One corpus pass builds the
+    * word dict; each merge round is one Spark job over it. The oracle
+    * replays ALL 20 rounds (pair count → argmax → 4-pass replace) as
+    * one unrolled SQL chain — full-algorithm verification, not a spot
+    * check. */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val (m, _) = Bpe.train(docs(s, dir), "text", numMerges = 20)
+    Bpe.mergesDf(s, m).orderBy("rank")
+  }
+
+  /** Post-merge BPE vocabulary: every surviving symbol with its
+    * corpus frequency after the 20 learned merges — the second
+    * artifact a tokenizer ships (vocab list), replayed by the same
+    * unrolled oracle chain as bpe_train. */
+  private def bpeVocabQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, dict) = Bpe.train(docs(s, dir), "text", numMerges = 20)
+    Bpe.vocab(dict).orderBy("token")
+  }
+
   /** Interpolated bigram LM score (0.75·bigram + 0.25·unigram floor) —
     * the order-1 perplexity proxy; first token scores unigram-only. */
   private def docLogprobBigram(s: SparkSession, dir: String): DataFrame =
@@ -2771,10 +2819,78 @@ object ExtQueries {
     "vocab_stats" -> ((s, dir) => vocabStatsQ(s, dir)),
     "importance_sample" -> ((s, dir) => importanceSample(s, dir)),
     "shipping_priority" -> ((s, dir) => shippingPriority(s, dir)),
-    "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir))
+    "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir)),
+    "perplexity_buckets" -> ((s, dir) => perplexityBuckets(s, dir)),
+    "bpe_train" -> ((s, dir) => bpeTrainQ(s, dir)),
+    "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
+
+  /**
+   * The unrolled BPE training chain shared by the bpe_train and
+   * bpe_vocab oracles: CTEs w0 (spaced word dict), then per round r —
+   * p{r} adjacent-pair explode, b{r} argmax pair (count desc, pair
+   * ascending binary — DuckDB and Spark both compare UTF-8 bytes), and
+   * w{r} the 4-pass literal-replace merge application (Bpe.applyMerge
+   * verbatim: " a b " → " ab ", re-scanned to fixpoint). Every
+   * constant (word regex, length cap 32, pass count 4) mirrors
+   * `Bpe`'s; the whole learning algorithm is replayed, so a drift in
+   * ANY round's pair statistics or tie-break flips the hash.
+   */
+  private def bpeChainSql(numMerges: Int): String = {
+    // AS MATERIALIZED on every w{r}: each round's dict is referenced
+    // TWICE (next round's pair explode AND next round's replace), so
+    // default CTE inlining would re-derive it at both sites — 2^rounds
+    // scans of `documents` by round 20. Materializing pins the chain
+    // to one evaluation per round, the same shape as the Spark side's
+    // per-round localCheckpoint.
+    // plain (non-interpolated) triple quote: the regex's \s and the
+    // replacement's \1 must reach the SQL literally
+    val head =
+      """WITH wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(text,
+         |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w FROM documents)
+         |  WHERE length(w) <= 32 GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp,
+         |         freq FROM wf)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"w${r - 1}"
+      val rep4 = (1 to 4).foldLeft("sp")((acc, _) =>
+        s"replace($acc, ' '||a||' '||b||' ', ' '||a||b||' ')")
+      s"""p$r AS (SELECT unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b,
+         |            freq
+         |     FROM (SELECT string_split(trim(sp), ' ') AS s, freq FROM $prev)
+         |     WHERE len(s) >= 2),
+         |b$r AS (SELECT a, b FROM (SELECT a, b, sum(freq) AS cnt FROM p$r
+         |                          GROUP BY a, b)
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT freq, $rep4 AS sp FROM $prev CROSS JOIN b$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private val bpeMerges = 20
+
+  private lazy val bpeTrainSql = {
+    val union = (1 to bpeMerges).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, a||b AS merged FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""${bpeChainSql(bpeMerges)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
+
+  private lazy val bpeVocabSql =
+    s"""${bpeChainSql(bpeMerges)}
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS freq
+       |FROM (SELECT unnest(string_split(trim(sp), ' ')) AS token, freq
+       |      FROM w$bpeMerges)
+       |GROUP BY token ORDER BY token""".stripMargin
 
   /** Tokenization identical to TextNorm.tokens. */
   private val toksSql =
@@ -4109,6 +4225,30 @@ object ExtQueries {
          |       round(list_reduce(list(lp ORDER BY tok), (a, v) -> a + v)
          |             / count(*), 4) AS avg_logprob
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |f AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM f),
+         |j AS (SELECT doc_id, tok,
+         |             ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+         |      FROM occ JOIN f USING (tok) CROSS JOIN tot),
+         |lp AS (SELECT doc_id, count(*) AS n_tokens,
+         |              round(list_reduce(list(lp ORDER BY tok),
+         |                                (a, v) -> a + v)
+         |                    / count(*), 4) AS avg_logprob
+         |       FROM j GROUP BY doc_id),
+         |z AS (SELECT lang, n_tokens, avg_logprob,
+         |             CAST(ntile(3) OVER (PARTITION BY lang
+         |               ORDER BY avg_logprob DESC, doc_id) AS INTEGER)
+         |               AS bucket
+         |      FROM lp JOIN documents USING (doc_id))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |       min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+         |FROM z GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_vocab" -> bpeVocabSql,
     "importance_sample" ->
       s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
          |           FROM documents),

@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.,
+ * ACL 2016 — the subword vocabulary learner behind GPT-2/LLaMA-style
+ * tokenizers; reference analogue: none — LLM-pipeline extension
+ * surface). Learns `numMerges` merge rules from a corpus by repeatedly
+ * (1) counting adjacent-symbol pairs across the word-frequency dict,
+ * weighted by word frequency, and (2) merging the most frequent pair
+ * everywhere it occurs.
+ *
+ * Architecture, 100 TB first:
+ *  - ONE pass over the corpus builds the (word, freq) dictionary — the
+ *    only shuffle whose width scales with the data, and it carries
+ *    WORDS (bounded vocabulary, map-side combined), never document
+ *    bodies. This is how production tokenizer training distributes:
+ *    the corpus-size-dependent work is word counting; the merge loop
+ *    runs on the dictionary, whose size is corpus-vocabulary-bounded
+ *    (tens of millions of rows at web scale — still a DataFrame, never
+ *    a driver structure).
+ *  - Each merge round is ONE Spark job: the round's replace projection
+ *    is a LAZY localCheckpoint materialized by the same pair-count
+ *    action that selects the round's best pair (the components/kmeans
+ *    loop-cut pattern — an eager checkpoint plus a separate count
+ *    would double the per-round barriers). The driver receives exactly
+ *    one (pair, count) row per round.
+ *  - Pair counts shuffle (symbol-pair, long) keys — symbol strings are
+ *    short (≤ `maxWordLen`) and the pair space is vocabulary-bounded.
+ *
+ * Merge-application semantics (shared verbatim by the DuckDB oracle):
+ * the word is kept as a space-delimited symbol string (" h e l l o ")
+ * and a merge (a, b) applies literal non-overlapping left-to-right
+ * `replace(" a b ", " ab ")` iterated `ReplacePasses` times. A single
+ * replace pass misses an occurrence whose leading delimiter was
+ * consumed as the previous match's trailing delimiter; re-scanning
+ * from the start converges to a fixpoint in ≤ 2 passes (pass 1 leaves
+ * bare runs of length ≤ 2, which pass 2 clears; 4 passes are run for
+ * margin). The fixpoint equals classic greedy leftmost-nonoverlapping
+ * BPE merging everywhere EXCEPT interior same-symbol runs of length
+ * ≥ 5 (e.g. "aaaaa" under merge (a,a): greedy yields [aa, aa, a],
+ * replace-fixpoint [aa, a, aa] — same merge count, different
+ * positions; BpeSpec pins both behaviors and proves the two semantics
+ * coincide on the test corpus). Both engines run the identical rule,
+ * so training is bit-reproducible and fully SQL-replayable — the same
+ * verification standard as the ANN pipelines.
+ */
+object Bpe {
+
+  /** Word pre-tokenization: letter runs, digit runs, single other
+    * non-space chars — TextOps.BpeishPattern. */
+  val WordPattern: String = TextOps.BpeishPattern
+
+  /** Words longer than this are excluded from training (standard
+    * guard: pathological tokens — base64 blobs, DNA strings — would
+    * dominate pair counts and blow the symbol-length bound). */
+  val MaxWordLen = 32
+
+  /** Replace passes per merge application; fixpoint is reached in ≤ 2
+    * (see scaladoc), 4 leaves margin. Shared with the oracle. */
+  val ReplacePasses = 4
+
+  /** Distributed (word, freq) dictionary: the single corpus-wide pass.
+    * Map-side combined count keyed on the word — the shuffle carries
+    * the vocabulary, not the corpus. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(col(textCol), lit(WordPattern), lit(0))).as("w"))
+      .where(length(col("w")) <= MaxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** " h e l l o " — every symbol delimited on BOTH sides so a merge
+    * pattern " a b " can only match exact symbol boundaries. */
+  private def spaced(w: Column): Column =
+    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+
+  /** One merge application: literal replace iterated to fixpoint. */
+  private[graft] def applyMerge(sp: Column, a: String, b: String): Column = {
+    val pat = lit(s" $a $b ")
+    val rep = lit(s" $a$b ")
+    (1 to ReplacePasses).foldLeft(sp)((c, _) => replace(c, pat, rep))
+  }
+
+  /** Adjacent-symbol pair counts over a (freq, sp) dict frame. */
+  private def pairCounts(dict: DataFrame): DataFrame =
+    dict.select(col("freq"), split(trim(col("sp")), " ").as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("freq"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /**
+   * Train `numMerges` merge rules; returns (ordered merges, final dict
+   * frame with columns freq/sp in post-merge spaced form). Ties on the
+   * pair count break (a, b) ascending binary — deterministic across
+   * engines (both compare UTF-8 bytes). Stops early if the dictionary
+   * runs out of adjacent pairs.
+   */
+  def train(df: DataFrame, textCol: String,
+      numMerges: Int): (Seq[(String, String)], DataFrame) = {
+    // lazy checkpoint: round 1's pair-count job materializes the whole
+    // corpus pass (wordFreq shuffle) together with its own aggregation
+    var dict = wordFreq(df, textCol)
+      .select(col("freq"), spaced(col("w")).as("sp"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(String, String)]
+    var n = 0
+    var exhausted = false
+    while (n < numMerges && !exhausted) {
+      // TakeOrderedAndProject — one job, one row to the driver
+      val top = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        // lazy again: the NEXT round's pair count (or the caller's
+        // first action on the returned dict) materializes this round's
+        // replace — 1 job per round, lineage cut every round
+        dict = dict.withColumn("sp", applyMerge(col("sp"), a, b))
+          .localCheckpoint(false)
+        n += 1
+      }
+    }
+    (merges.result(), dict)
+  }
+
+  /** The learned merge table: (rank, lhs, rhs, merged), rank 1-based in
+    * learning order — the artifact a tokenizer ships. */
+  def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+      .toDF("rank", "lhs", "rhs", "merged")
+  }
+
+  /** Post-merge token vocabulary with corpus frequencies: every symbol
+    * surviving in the final dict, weighted by word frequency. */
+  def vocab(dict: DataFrame): DataFrame =
+    dict.select(col("freq"),
+        explode(split(trim(col("sp")), " ")).as("token"))
+      .groupBy("token").agg(sum(col("freq")).as("freq"))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Bpe
+
+/**
+ * Distributed BPE training vs an INDEPENDENT single-threaded reference:
+ * the reference below implements classic greedy leftmost-nonoverlapping
+ * merge application over symbol lists (the Sennrich et al. 2016
+ * formulation) with the same (count desc, pair asc) tie-break — a
+ * different algorithmic shape from the engine's delimiter-replace form,
+ * so agreement pins the whole learning loop (pair statistics, argmax,
+ * application) rather than replaying one implementation twice. The two
+ * merge semantics coincide except interior same-symbol runs ≥ 5, which
+ * the divergence-pin test documents explicitly.
+ */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------- single-threaded greedy BPE reference —
+
+  private def refWordFreq(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(t => Bpe.WordPattern.r.findAllIn(t))
+      .filter(_.length <= Bpe.MaxWordLen)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  /** Classic greedy merge: scan left to right, merge non-overlapping
+    * occurrences of (a, b), continue AFTER each merged token. */
+  private def greedyMerge(sym: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(wf: Map[String, Long],
+      numMerges: Int): (Seq[(String, String)], Map[String, Long]) = {
+    var dict: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, f) <- dict; i <- 0 until sym.length - 1)
+        counts((sym(i), sym(i + 1))) =
+          counts.getOrElse((sym(i), sym(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        dict = dict.groupMapReduce { case (sym, _) =>
+          greedyMerge(sym, a, b) }(_._2)(_ + _)
+      }
+    }
+    val vocab = dict.toSeq.flatMap { case (sym, f) => sym.map(_ -> f) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    (merges.result(), vocab)
+  }
+
+  private def corpus(): Seq[String] =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String].collect().toSeq
+
+  // ------------------------------------------------------- the pins —
+
+  test("train: distributed merges equal the greedy reference on the corpus") {
+    val texts = corpus()
+    val df = texts.toDF("text")
+    val (got, dict) = Bpe.train(df, "text", numMerges = 25)
+    val (want, wantVocab) = refTrain(refWordFreq(texts), 25)
+    assert(got == want)
+    val gotVocab = Bpe.vocab(dict).as[(String, Long)].collect().toMap
+    assert(gotVocab == wantVocab)
+  }
+
+  test("wordFreq matches the reference dict and caps word length") {
+    val df = Seq("aa bb aa", "x".repeat(Bpe.MaxWordLen + 1) + " bb")
+      .toDF("text")
+    val got = Bpe.wordFreq(df, "text").as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "bb" -> 2L))
+  }
+
+  test("merge application: replace-fixpoint equals greedy on runs <= 4") {
+    // 'aabb'*: pairs (a,a) on runs 2-4 — shared-delimiter skips must
+    // be recovered by the re-scan passes
+    val df = Seq(" a a ", " a a a ", " a a a a ").toDF("sp")
+    val got = df.select(trim(Bpe.applyMerge(col("sp"), "a", "a")).as("m"))
+      .as[String].collect().toSeq
+    assert(got == Seq("aa", "aa a", "aa aa"))
+  }
+
+  test("divergence pin: same-symbol run of 5 differs from greedy by position only") {
+    // documented variant boundary (Bpe scaladoc): greedy yields
+    // [aa, aa, a]; replace-fixpoint [aa, a, aa] — same merge count
+    val df = Seq(" a a a a a ").toDF("sp")
+    val got = df.select(trim(Bpe.applyMerge(col("sp"), "a", "a")).as("m"))
+      .as[String].collect().head
+    assert(got == "aa a aa")
+    assert(greedyMerge(Vector.fill(5)("a"), "a", "a") ==
+      Vector("aa", "aa", "a"))
+  }
+
+  test("train stops early when the dict runs out of pairs") {
+    val df = Seq("ab ab ab").toDF("text")
+    val (m, dict) = Bpe.train(df, "text", numMerges = 10)
+    assert(m == Seq(("a", "b")))
+    assert(Bpe.vocab(dict).as[(String, Long)].collect().toMap ==
+      Map("ab" -> 3L))
+  }
+}
