@@ -1681,6 +1681,16 @@ object ExtQueries {
     Bpe.vocab(dict).orderBy("token")
   }
 
+  /** BPE application: per-document word/subword counts under the
+    * 20-rule trained dict — one word-keyed join, cost independent of
+    * the merge count. The oracle extends the unrolled training chain
+    * with the same join. */
+  private def bpeSegmentQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, dict) = Bpe.train(d, "text", numMerges = 20)
+    Bpe.segment(d, "doc_id", "text", dict).orderBy("doc_id")
+  }
+
   /** Interpolated bigram LM score (0.75·bigram + 0.25·unigram floor) —
     * the order-1 perplexity proxy; first token scores unigram-only. */
   private def docLogprobBigram(s: SparkSession, dir: String): DataFrame =
@@ -2822,7 +2832,8 @@ object ExtQueries {
     "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir)),
     "perplexity_buckets" -> ((s, dir) => perplexityBuckets(s, dir)),
     "bpe_train" -> ((s, dir) => bpeTrainQ(s, dir)),
-    "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir))
+    "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir)),
+    "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -2838,6 +2849,10 @@ object ExtQueries {
    * `Bpe`'s; the whole learning algorithm is replayed, so a drift in
    * ANY round's pair statistics or tie-break flips the hash.
    */
+  /** Bpe.WordPattern as a SQL literal body (plain triple quote: the \s
+    * must reach the SQL literally). */
+  private val bpeWordRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
   private def bpeChainSql(numMerges: Int): String = {
     // AS MATERIALIZED on every w{r}: each round's dict is referenced
     // TWICE (next round's pair explode AND next round's replace), so
@@ -2854,7 +2869,7 @@ object ExtQueries {
          |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w FROM documents)
          |  WHERE length(w) <= 32 GROUP BY w),
          |w0 AS MATERIALIZED (
-         |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp,
+         |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp,
          |         freq FROM wf)""".stripMargin
     val rounds = (1 to numMerges).map { r =>
       val prev = s"w${r - 1}"
@@ -2868,7 +2883,7 @@ object ExtQueries {
          |                          GROUP BY a, b)
          |        ORDER BY cnt DESC, a, b LIMIT 1),
          |w$r AS MATERIALIZED (
-         |  SELECT freq, $rep4 AS sp FROM $prev CROSS JOIN b$r)""".stripMargin
+         |  SELECT w, freq, $rep4 AS sp FROM $prev CROSS JOIN b$r)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
@@ -2891,6 +2906,17 @@ object ExtQueries {
        |FROM (SELECT unnest(string_split(trim(sp), ' ')) AS token, freq
        |      FROM w$bpeMerges)
        |GROUP BY token ORDER BY token""".stripMargin
+
+  private lazy val bpeSegmentSql =
+    s"""${bpeChainSql(bpeMerges)},
+       |occ AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |          '$bpeWordRe')) AS w FROM documents),
+       |seg AS (SELECT w, len(string_split(trim(sp), ' ')) AS n_sub
+       |        FROM w$bpeMerges)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(coalesce(n_sub, 1)) AS BIGINT) AS n_subwords
+       |FROM occ LEFT JOIN seg USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Tokenization identical to TextNorm.tokens. */
   private val toksSql =
@@ -4249,6 +4275,7 @@ object ExtQueries {
          |FROM z GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "bpe_train" -> bpeTrainSql,
     "bpe_vocab" -> bpeVocabSql,
+    "bpe_segment" -> bpeSegmentSql,
     "importance_sample" ->
       s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
          |           FROM documents),

@@ -104,9 +104,11 @@ object Bpe {
   def train(df: DataFrame, textCol: String,
       numMerges: Int): (Seq[(String, String)], DataFrame) = {
     // lazy checkpoint: round 1's pair-count job materializes the whole
-    // corpus pass (wordFreq shuffle) together with its own aggregation
+    // corpus pass (wordFreq shuffle) together with its own aggregation.
+    // `w` rides along untouched so the final dict doubles as the
+    // word → segmentation lookup `segment` joins against.
     var dict = wordFreq(df, textCol)
-      .select(col("freq"), spaced(col("w")).as("sp"))
+      .select(col("w"), col("freq"), spaced(col("w")).as("sp"))
       .localCheckpoint(false)
     val merges = Seq.newBuilder[(String, String)]
     var n = 0
@@ -145,4 +147,27 @@ object Bpe {
     dict.select(col("freq"),
         explode(split(trim(col("sp")), " ")).as("token"))
       .groupBy("token").agg(sum(col("freq")).as("freq"))
+
+  /**
+   * Subword-segment a corpus with a TRAINED dict: per-document word
+   * and subword counts. Application is ONE word-keyed join against the
+   * dict's final segmentation — cost independent of the merge count
+   * (the naive alternative, replaying every merge over every document,
+   * multiplies the corpus pass by the vocabulary size). Words outside
+   * the dict (longer than `MaxWordLen`) count as one opaque token.
+   * Scale: the corpus explodes to (doc, word) once and joins word-
+   * keyed (sort-merge; broadcast when the dict is small enough) — the
+   * shuffle carries words, never document bodies.
+   */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame): DataFrame = {
+    val occ = df.select(col(idCol), explode(
+      regexp_extract_all(col(textCol), lit(WordPattern), lit(0))).as("w"))
+    val seg = dict.select(col("w"),
+      size(split(trim(col("sp")), " ")).cast("long").as("__n_sub"))
+    occ.join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__n_sub"), lit(1L))).as("n_subwords"))
+  }
 }

@@ -107,6 +107,28 @@ class BpeSpec extends AnyFunSuite {
       Vector("aa", "aa", "a"))
   }
 
+  test("segment: per-doc subword counts match the reference segmentation") {
+    val texts = corpus()
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (_, dict) = Bpe.train(df, "text", numMerges = 25)
+    val got = Bpe.segment(df, "doc_id", "text", dict)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => id -> ((w, s)) }.toMap
+    // reference: re-train greedily, segment each doc's words by lookup
+    val (merges, _) = refTrain(refWordFreq(texts), 25)
+    val segLookup = scala.collection.mutable.Map.empty[String, Long]
+    def segLen(w: String): Long = segLookup.getOrElseUpdate(w,
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (sym, (a, b)) => greedyMerge(sym, a, b)
+      }.length.toLong)
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = Bpe.WordPattern.r.findAllIn(t).toSeq
+      i.toLong -> ((ws.size.toLong, ws.map(segLen).sum))
+    }.toMap
+    assert(got == want)
+  }
+
   test("train stops early when the dict runs out of pairs") {
     val df = Seq("ab ab ab").toDF("text")
     val (m, dict) = Bpe.train(df, "text", numMerges = 10)
