@@ -1681,6 +1681,19 @@ object ExtQueries {
     Bpe.vocab(dict).orderBy("token")
   }
 
+  /** Leakage-safe split over the MinHash near-dup graph: every doc's
+    * (group_key, split), near-dup clusters co-assigned by
+    * construction. The oracle replays exact-Jaccard pairs + label
+    * propagation (the dedup_clusters machinery) and re-derives the
+    * decile rule. */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.leakageSafeSplit(d, "doc_id",
+        Dedup.minhashNearDups(d, "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
+      .orderBy("doc_id")
+  }
+
   /** BPE application: per-document word/subword counts under the
     * 20-rule trained dict — one word-keyed join, cost independent of
     * the merge count. The oracle extends the unrolled training chain
@@ -2833,7 +2846,8 @@ object ExtQueries {
     "perplexity_buckets" -> ((s, dir) => perplexityBuckets(s, dir)),
     "bpe_train" -> ((s, dir) => bpeTrainQ(s, dir)),
     "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir)),
-    "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir))
+    "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir)),
+    "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -3322,6 +3336,15 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, mix_rank FROM r JOIN t USING (source)
         |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
+    "split_leakage_safe" ->
+      s"""${componentsCtes(4)}
+         |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_key,
+         |       CASE WHEN coalesce(l.label, d.doc_id) % 10 < 8 THEN 'train'
+         |            WHEN coalesce(l.label, d.doc_id) % 10 = 8
+         |              THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN l4 l ON l.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_corpus" -> dedupCorpusSql(4),
     "dedup_corpus_best" -> dedupCorpusBestSql(4),
     // k-means replay: distances use the LITERAL expression

@@ -153,4 +153,41 @@ object Sampling {
       r.get(0).toString -> math.sqrt(r.getLong(1).toDouble)).toMap
     mixByWeight(df, groupCol, idCol, weights, seed)
   }
+
+  /**
+   * Leakage-safe train/validation/test split: assign every document to
+   * a split by its NEAR-DUP CLUSTER, not its own id. A split keyed on
+   * the document id alone puts near-duplicates of a training doc into
+   * the eval set — the contamination pathway that inflates benchmark
+   * scores through paraphrases and mirrors, and the reason production
+   * splits group by duplicate cluster (cf. the dedup-before-split
+   * practice of Lee et al., ACL 2022 §6.2). `pairs` is any near-dup
+   * pair list (id_a, id_b) — MinHash, SimHash, embedding-ANN; unpaired
+   * docs are their own singleton group.
+   *
+   * Assignment is a pure function of the cluster label (the min doc id
+   * of the cluster): label % 10 < `trainDeciles` → train, the next
+   * decile → validation, the rest → test. Deterministic, append-
+   * stable for singletons, and every cluster member shares the label —
+   * co-assignment holds by construction, not by luck.
+   *
+   * Scale: connected components over the (tiny) pair graph + one id-
+   * keyed join back to the corpus; document bodies never shuffle.
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainDeciles: Int = 8): DataFrame = {
+    require(trainDeciles >= 1 && trainDeciles <= 8,
+      s"trainDeciles $trainDeciles outside [1, 8] — validation and test " +
+        "each need at least one decile")
+    val comps = Dedup.components(pairs)
+      .select(col("id").as(idCol), col("component"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(col("group_key") % 10 < trainDeciles, lit("train"))
+          .when(col("group_key") % 10 === trainDeciles, lit("validation"))
+          .otherwise(lit("test")))
+      .select(col(idCol), col("group_key"), col("split"))
+  }
 }

@@ -136,4 +136,22 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.vocab(dict).as[(String, Long)].collect().toMap ==
       Map("ab" -> 3L))
   }
+
+  test("leakageSafeSplit co-assigns near-dup clusters and splits singletons by id") {
+    import graft.ext.Sampling
+    // cluster {3, 18, 27}: label 3 → 3 % 10 = 3 → train, ALL members
+    // co-assigned regardless of their own ids (18 alone would be
+    // validation-decile 8, 27 test-decile 7→train anyway — 18 is the
+    // member that would leak under id-keyed splitting)
+    val ids = Seq(3L, 18L, 27L, 8L, 9L, 10L)
+    val df = ids.toDF("doc_id")
+    val pairs = Seq((3L, 18L), (18L, 27L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(df, "doc_id", pairs)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      3L -> ((3L, "train")), 18L -> ((3L, "train")), 27L -> ((3L, "train")),
+      8L -> ((8L, "validation")), 9L -> ((9L, "test")),
+      10L -> ((10L, "train"))))
+  }
 }
