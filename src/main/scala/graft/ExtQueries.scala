@@ -1981,6 +1981,43 @@ object ExtQueries {
         .where(col("o_orderkey").between(10000L, 30000L)))
   }
 
+  /** Hidden partitioning, day transform (ops/HiddenPartition): events
+    * promoted under days(ts) — the user never supplies a partition
+    * key — then a two-week SOURCE-column range read that prunes at the
+    * manifest to the in-range day partitions (HiddenPartitionSpec pins
+    * the file-level pruning; this row pins that what pruning keeps is
+    * the right data). Aggregates are exact longs. */
+  private def versionedHiddenDays(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vhday_").resolve("t").toString
+    graft.ops.HiddenPartition.promote(ev, root, graft.ops.DaysOf("ts"))
+    graft.ops.HiddenPartition.readRange(s, root,
+        lit("2024-01-08 00:00:00").cast("timestamp"),
+        lit("2024-01-21 23:59:59.999999").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Hidden partitioning, bucket transform: events promoted under
+    * bucket(16, user_id), then a point lookup on the SOURCE column
+    * that prunes to the single hash bucket plus the residual equality
+    * (hash collisions share the bucket). */
+  private def versionedHiddenBucket(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vhbucket_").resolve("t").toString
+    graft.ops.HiddenPartition.promote(ev, root,
+      graft.ops.BucketOf(16, "user_id"))
+    graft.ops.HiddenPartition.readEquals(s, root, lit(42L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
   /**
    * Fan-in-bounded promote run
    * (ops/VersionedPartitioned.compactIfNeeded): twelve single-month
@@ -2847,7 +2884,9 @@ object ExtQueries {
     "bpe_train" -> ((s, dir) => bpeTrainQ(s, dir)),
     "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir)),
     "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir)),
-    "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir))
+    "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir)),
+    "versioned_hidden_days" -> ((s, dir) => versionedHiddenDays(s, dir)),
+    "versioned_hidden_bucket" -> ((s, dir) => versionedHiddenBucket(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -3336,6 +3375,18 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, mix_rank FROM r JOIN t USING (source)
         |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> componentsSql(4),
+    "versioned_hidden_days" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |          AND TIMESTAMP '2024-01-21 23:59:59.999999'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_hidden_bucket" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "split_leakage_safe" ->
       s"""${componentsCtes(4)}
          |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_key,

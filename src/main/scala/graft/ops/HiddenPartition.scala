@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-style HIDDEN partitioning for the manifest table format
+ * (reference: Iceberg is the reference pipeline's table format —
+ * `/root/reference/README.md:76`; its partition-transform model is
+ * `days(ts)` / `bucket(n, col)` / `truncate(w, col)` specs the reader
+ * never has to know about). The user writes and queries the SOURCE
+ * column; the engine derives a physical partition column from the
+ * transform, partitions the snapshot by it, and maps source-column
+ * predicates onto partition-value predicates for pruning. Mistyped
+ * manual partition keys ("one partition per timestamp" — the classic
+ * identity-partition-on-a-timestamp accident) are impossible by
+ * construction.
+ *
+ * The transform spec round-trips through the PHYSICAL COLUMN NAME
+ * (`hp__days__ts`, `hp__bucket16__user_id`, …), so the manifest format
+ * is untouched — every existing capability (time travel, branches,
+ * WAP, rollback, vacuum, stats pruning) applies to hidden-partitioned
+ * tables verbatim because a hidden-partitioned table IS a plain
+ * partitioned table with a derived key.
+ *
+ * Scale: pruning happens at the MANIFEST level (driver-side set filter
+ * over partition dirs — `VersionedPartitioned.readPartitionsWhere`),
+ * so a day-range read of a year-deep 100 TB table plans only the
+ * in-range partitions; the residual source-column predicate still
+ * pushes into the parquet scan for row-level filtering inside boundary
+ * partitions.
+ */
+sealed trait PartitionTransform {
+  def sourceCol: String
+
+  /** Deterministic physical partition column name; `PartitionTransform
+    * .parse` recovers the spec from it. Must not start with '_' or '.'
+    * (Spark's file index hides such directories). */
+  def physCol: String
+
+  /** The transform applied to an arbitrary expression — the DATA path
+    * (`expr`) and the driver-side literal mapping (`HiddenPartition
+    * .partitionValueOf`) share this one definition, so they cannot
+    * drift. */
+  def exprOf(c: Column): Column
+
+  final def expr: Column = exprOf(col(sourceCol))
+
+  /** True iff the transform preserves order in partition-value STRING
+    * space (ISO dates, string prefixes) — the precondition for range
+    * pruning. Bucket supports equality pruning only. */
+  def monotone: Boolean
+}
+
+/** Day granularity over a timestamp/date column; partition values are
+  * ISO `yyyy-MM-dd` strings (order-comparable as strings). */
+final case class DaysOf(sourceCol: String) extends PartitionTransform {
+  val physCol = s"hp__days__$sourceCol"
+  def exprOf(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  val monotone = true
+}
+
+/** Month granularity (`yyyy-MM`). */
+final case class MonthsOf(sourceCol: String) extends PartitionTransform {
+  val physCol = s"hp__months__$sourceCol"
+  def exprOf(c: Column): Column = date_format(c, "yyyy-MM")
+  val monotone = true
+}
+
+/** Hash bucketing: `pmod(xxhash64(col), n)` — the point-lookup layout
+  * for high-cardinality keys. */
+final case class BucketOf(n: Int, sourceCol: String)
+    extends PartitionTransform {
+  require(n > 0, s"bucket count $n must be positive")
+  val physCol = s"hp__bucket${n}__$sourceCol"
+  def exprOf(c: Column): Column = pmod(xxhash64(c), lit(n.toLong)).cast("int")
+  val monotone = false
+}
+
+/** String prefix truncation to `w` chars. */
+final case class TruncateOf(w: Int, sourceCol: String)
+    extends PartitionTransform {
+  require(w > 0, s"truncate width $w must be positive")
+  val physCol = s"hp__trunc${w}__$sourceCol"
+  def exprOf(c: Column): Column = substring(c, 1, w)
+  val monotone = true
+}
+
+object PartitionTransform {
+  private val Days = "hp__days__(.+)".r
+  private val Months = "hp__months__(.+)".r
+  private val Bucket = "hp__bucket([0-9]+)__(.+)".r
+  private val Trunc = "hp__trunc([0-9]+)__(.+)".r
+
+  def parse(physCol: String): PartitionTransform = physCol match {
+    case Days(c) => DaysOf(c)
+    case Months(c) => MonthsOf(c)
+    case Bucket(n, c) => BucketOf(n.toInt, c)
+    case Trunc(w, c) => TruncateOf(w.toInt, c)
+    case other => throw new IllegalArgumentException(
+      s"'$other' is not a hidden-partition column — the table was " +
+        "written with an explicit partition column, read it via " +
+        "VersionedPartitioned directly")
+  }
+}
+
+object HiddenPartition {
+
+  /** Promote under a transform: derives the physical key and delegates
+    * — everything downstream (snapshot isolation, idempotent exchange,
+    * stats sidecars) is the plain promote path. */
+  def promote(df: DataFrame, root: String, t: PartitionTransform,
+      tag: Option[String] = None, statsCols: Seq[String] = Nil): Long =
+    VersionedPartitioned.promote(df.withColumn(t.physCol, t.expr), root,
+      t.physCol, tag, statsCols = statsCols)
+
+  /** Recover the table's transform from its manifest partition column. */
+  def transformOf(spark: SparkSession, root: String): PartitionTransform =
+    PartitionTransform.parse(
+      VersionedPartitioned.partitionColumn(spark, root))
+
+  /** Read with the physical key dropped — the "hidden" in hidden
+    * partitioning: consumers see exactly the columns they wrote. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val t = transformOf(spark, root)
+    VersionedPartitioned.read(spark, root).drop(t.physCol)
+  }
+
+  /** Map a source-column literal to its partition value, by evaluating
+    * THE SAME expression the write path used (a 1-row local project —
+    * metadata-priced, and immune to Scala/SQL semantic drift, e.g.
+    * session-timezone handling in date_format or xxhash64 seeding). */
+  private def partitionValueOf(spark: SparkSession, t: PartitionTransform,
+      v: Column): String =
+    spark.range(1).select(t.exprOf(v).cast("string")).head.getString(0)
+
+  /** Range read on the SOURCE column (inclusive bounds): manifest-level
+    * pruning to the transformed bound range + the residual row filter
+    * for boundary partitions. Requires a monotone transform. */
+  def readRange(spark: SparkSession, root: String, lo: Column,
+      hi: Column): DataFrame = {
+    val t = transformOf(spark, root)
+    require(t.monotone,
+      s"${t.physCol}: range pruning needs an order-preserving transform " +
+        "(days/months/truncate) — bucket tables support readEquals only")
+    val loP = partitionValueOf(spark, t, lo)
+    val hiP = partitionValueOf(spark, t, hi)
+    VersionedPartitioned.readPartitionsWhere(spark, root,
+        v => v >= loP && v <= hiP)
+      .where(col(t.sourceCol).between(lo, hi))
+      .drop(t.physCol)
+  }
+
+  /** Point lookup on the SOURCE column: prunes to the single partition
+    * the transform maps the value to (any transform, including
+    * bucket), plus the residual equality for hash collisions /
+    * coarser-than-value granularities. */
+  def readEquals(spark: SparkSession, root: String, v: Column): DataFrame = {
+    val t = transformOf(spark, root)
+    val p = partitionValueOf(spark, t, v)
+    VersionedPartitioned.readPartitionsWhere(spark, root, _ == p)
+      .where(col(t.sourceCol) === v)
+      .drop(t.physCol)
+  }
+}

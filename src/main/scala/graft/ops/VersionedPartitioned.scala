@@ -161,6 +161,13 @@ object VersionedPartitioned {
     Versioned.latestRaw(fs, rootPath).map { case (v, c) => (v, parse(c)) }
   }
 
+  /** The table's manifest partition column (`HiddenPartition` recovers
+    * its transform spec from this name). */
+  def partitionColumn(spark: SparkSession, root: String): String =
+    latestManifest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no commits under $root"))
+      ._2.partitionCol
+
   /** Highest committed version — a pure directory listing, zero
     * commit-file reads (delegates to the shared commit protocol). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BucketOf, DaysOf, HiddenPartition, MonthsOf,
+  PartitionTransform, TruncateOf, VersionedPartitioned}
+
+/** Hidden partitioning over the manifest format: transform round-trip,
+  * FILE-LEVEL pruning (inputFiles, not just result equality), source-
+  * column transparency, and the bucket/monotone capability split. */
+class HiddenPartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def sampleDf() =
+    (1 to 200).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${i % 20 + 1}%02d 10:00:${i % 60}%02d"),
+        s"user${i % 7}")
+    }.toDF("id", "ts", "name")
+
+  private def partDirs(files: Array[String], prefix: String): Seq[String] =
+    files.toSeq.flatMap(_.split("/").find(_.startsWith(prefix))).distinct.sorted
+
+  test("days: range read prunes to the in-range day partitions") {
+    val root = freshRoot("graft_hp_days_")
+    HiddenPartition.promote(sampleDf(), root, DaysOf("ts"))
+    val lo = lit("2024-03-05 00:00:00").cast("timestamp")
+    val hi = lit("2024-03-08 23:59:59").cast("timestamp")
+    val pruned = HiddenPartition.readRange(spark, root, lo, hi)
+    val full = HiddenPartition.read(spark, root)
+    // hidden: consumers see exactly the written columns
+    assert(pruned.columns.toSeq == Seq("id", "ts", "name"))
+    assert(full.columns.toSeq == Seq("id", "ts", "name"))
+    // correctness: pruned read == full read + plain source filter
+    val want = full.where(col("ts").between(lo, hi))
+      .as[(Long, java.sql.Timestamp, String)].collect().sortBy(_._1)
+    val got = pruned.as[(Long, java.sql.Timestamp, String)]
+      .collect().sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // pruning is physical: only 4 of the 20 day dirs are planned
+    assert(partDirs(full.inputFiles, "hp__days__ts=").size == 20)
+    assert(partDirs(pruned.inputFiles, "hp__days__ts=") ==
+      Seq("hp__days__ts=2024-03-05", "hp__days__ts=2024-03-06",
+        "hp__days__ts=2024-03-07", "hp__days__ts=2024-03-08"))
+  }
+
+  test("bucket: point lookup plans exactly one hash partition") {
+    val root = freshRoot("graft_hp_bucket_")
+    HiddenPartition.promote(sampleDf(), root, BucketOf(8, "id"))
+    val pruned = HiddenPartition.readEquals(spark, root, lit(42L))
+    assert(partDirs(pruned.inputFiles, "hp__bucket8__id=").size == 1)
+    assert(pruned.as[(Long, java.sql.Timestamp, String)].collect()
+      .map(_._1).toSeq == Seq(42L))
+    // a monotone-only capability is rejected on hash layouts
+    val e = intercept[IllegalArgumentException](
+      HiddenPartition.readRange(spark, root, lit(1L), lit(5L)))
+    assert(e.getMessage.contains("bucket"))
+  }
+
+  test("truncate: prefix lookup prunes and keeps only exact matches") {
+    val root = freshRoot("graft_hp_trunc_")
+    HiddenPartition.promote(sampleDf(), root, TruncateOf(5, "name"))
+    // all names share the "user" prefix but split on the 5th char
+    val got = HiddenPartition.readEquals(spark, root, lit("user3"))
+    assert(partDirs(got.inputFiles, "hp__trunc5__name=") ==
+      Seq("hp__trunc5__name=user3"))
+    assert(got.select("name").distinct().as[String].collect().toSeq ==
+      Seq("user3"))
+  }
+
+  test("transform spec round-trips through the physical column name") {
+    for (t <- Seq(DaysOf("ts"), MonthsOf("event_time"), BucketOf(16, "user_id"),
+        TruncateOf(3, "code")))
+      assert(PartitionTransform.parse(t.physCol) == t)
+    intercept[IllegalArgumentException](PartitionTransform.parse("date"))
+  }
+
+  test("hidden tables keep the plain-format capabilities (time travel)") {
+    val root = freshRoot("graft_hp_tt_")
+    val df = sampleDf()
+    HiddenPartition.promote(df, root, DaysOf("ts"))
+    val v1 = VersionedPartitioned.currentVersion(spark, root).get
+    // rewrite one day's rows with shifted ids; old version unaffected
+    HiddenPartition.promote(
+      df.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-03-05")
+        .withColumn("id", col("id") + 1000L), root, DaysOf("ts"))
+    val t = HiddenPartition.transformOf(spark, root)
+    assert(t == DaysOf("ts"))
+    val now = HiddenPartition.read(spark, root)
+    assert(now.where(col("id") > 1000L).count() > 0)
+    assert(VersionedPartitioned.readAt(spark, root, v1)
+      .where(col("id") > 1000L).count() == 0)
+  }
+}
