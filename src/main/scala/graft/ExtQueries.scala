@@ -1981,6 +1981,65 @@ object ExtQueries {
         .where(col("o_orderkey").between(10000L, 30000L)))
   }
 
+  /** TPC-H Q17's correlated-scalar shape (avg-quantity threshold per
+    * part), decorrelated the Catalyst way: per-part sums join back and
+    * the membership test is EXACT decimal arithmetic —
+    * `qty·5·n < sum` instead of `qty < 0.2·sum/n`, so no double
+    * division can flip a boundary row differently per engine. Scale:
+    * one map-combined per-part aggregate + two partkey-keyed joins
+    * (broadcast for the brand dim); no window, no correlated re-scan. */
+  private def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sumq"), count(lit(1)).as("nq"))
+    li.join(broadcast(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(stats, "l_partkey")
+      .where(col("qty") * 5 * col("nq") < col("sumq"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("price")), 2).cast("double").as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q21's exists / not-exists self-join shape: suppliers whose
+    * line shipped late (> 60 days after the order date) on a
+    * multi-supplier order where EVERY OTHER supplier shipped on time —
+    * sole blame. Decorrelated to one semi-join (some other supplier
+    * exists) plus one anti-join (no other LATE supplier), both
+    * orderkey-keyed. Scale: the late candidate set is filtered BEFORE
+    * the self-joins, and both probes shuffle on the order key —
+    * bounded fanout (lines per order), no correlated re-scan per row. */
+  private def suppliersKeptWaiting(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val l1 = lo.where(col("late"))
+    val others = lo.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = lo.where(col("late"))
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(others,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
   /** Hidden partitioning, day transform (ops/HiddenPartition): events
     * promoted under days(ts) — the user never supplies a partition
     * key — then a two-week SOURCE-column range read that prunes at the
@@ -2886,7 +2945,9 @@ object ExtQueries {
     "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir)),
     "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir)),
     "versioned_hidden_days" -> ((s, dir) => versionedHiddenDays(s, dir)),
-    "versioned_hidden_bucket" -> ((s, dir) => versionedHiddenBucket(s, dir))
+    "versioned_hidden_bucket" -> ((s, dir) => versionedHiddenBucket(s, dir)),
+    "small_quantity_revenue" -> ((s, dir) => smallQuantityRevenue(s, dir)),
+    "suppliers_kept_waiting" -> ((s, dir) => suppliersKeptWaiting(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -3387,6 +3448,33 @@ object ExtQueries {
         |       CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE user_id = 42
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "small_quantity_revenue" ->
+      """WITH st AS (SELECT l_partkey,
+        |                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS sumq,
+        |                   count(*) AS nq
+        |            FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+        |            AS DOUBLE) AS small_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN st USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sumq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "suppliers_kept_waiting" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
     "split_leakage_safe" ->
       s"""${componentsCtes(4)}
          |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_key,
