@@ -366,6 +366,19 @@ object Streaming {
       }
       .start()
 
+  /** `versionedPartitionedSink` under a HIDDEN partition transform
+    * (ops/HiddenPartition): the stream carries only source columns and
+    * each micro-batch derives the physical key on the way in, so
+    * streaming ingestion lands day-bucketed (or hash-bucketed) without
+    * the producer ever naming a partition key. Same exactly-once epoch
+    * contract; `HiddenPartition.readRange`/`readEquals` prune the
+    * result like any hidden table. */
+  def hiddenPartitionedSink(stream: DataFrame, root: String,
+      checkpointDir: String, t: graft.ops.PartitionTransform,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    versionedPartitionedSink(stream, root, checkpointDir, t.physCol,
+      b => transform(b).withColumn(t.physCol, t.expr))
+
   /** `commitEpoch` at partition grain: promote unless the
     * (checkpoint, epoch) tag is already in the manifest history;
     * returns whether a commit happened. Checkpoint-scoped for the same

@@ -80,6 +80,32 @@ class HiddenPartitionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PartitionTransform.parse("date"))
   }
 
+  test("streaming sink lands hidden-partitioned and prunes like batch") {
+    val root = freshRoot("graft_hp_stream_")
+    val in = s"$root/in"
+    val df = sampleDf()
+    df.write.parquet(in)
+    val q = graft.pipeline.Streaming.hiddenPartitionedSink(
+      spark.readStream.schema(df.schema).parquet(in),
+      s"$root/t", s"$root/ckpt", DaysOf("ts"))
+    q.awaitTermination()
+    val table = HiddenPartition.read(spark, s"$root/t")
+    assert(table.columns.toSeq == Seq("id", "ts", "name"))
+    assert(table.count() == df.count())
+    val pruned = HiddenPartition.readRange(spark, s"$root/t",
+      lit("2024-03-05 00:00:00").cast("timestamp"),
+      lit("2024-03-05 23:59:59").cast("timestamp"))
+    assert(partDirs(pruned.inputFiles, "hp__days__ts=") ==
+      Seq("hp__days__ts=2024-03-05"))
+    // replay guard: restarting the finished stream re-commits nothing
+    val v1 = VersionedPartitioned.currentVersion(spark, s"$root/t").get
+    val q2 = graft.pipeline.Streaming.hiddenPartitionedSink(
+      spark.readStream.schema(df.schema).parquet(in),
+      s"$root/t", s"$root/ckpt", DaysOf("ts"))
+    q2.awaitTermination()
+    assert(VersionedPartitioned.currentVersion(spark, s"$root/t").get == v1)
+  }
+
   test("hidden tables keep the plain-format capabilities (time travel)") {
     val root = freshRoot("graft_hp_tt_")
     val df = sampleDf()
