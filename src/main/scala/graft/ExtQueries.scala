@@ -1473,6 +1473,40 @@ object ExtQueries {
       |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, day)
       |ORDER BY event_type, n_events, day""".stripMargin
 
+  /** Shared-bytes gate #2 (same contract as `windowRanksSql`):
+    * arbitrary GROUPING SETS — beyond the ROLLUP/CUBE special cases —
+    * with grouping() null-vs-subtotal markers and an exact decimal
+    * aggregate. NULLS FIRST is explicit because the engines' default
+    * null order differs (Spark ascending = nulls first, DuckDB =
+    * nulls last); everything else is ANSI both parse identically. */
+  private[graft] val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS n_rows,
+      |       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+      |            AS DOUBLE) AS qty_sum,
+      |       grouping(l_returnflag) AS g_rf,
+      |       grouping(l_linestatus) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls,
+      |         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Shared-bytes gate #3: a TIME-BASED sliding window frame — RANGE
+    * BETWEEN INTERVAL 1 DAY PRECEDING over the raw event timestamps,
+    * no resample grid. The frame is defined by ORDER-value distance,
+    * so peers and boundaries are value-determined (partitioning cannot
+    * change a result), and the aggregates are exact integers. */
+  private[graft] val intervalRangeSql: String =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_prev_day,
+      |       CAST(sum(event_id) OVER w AS BIGINT) AS id_sum_day
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+      |                   AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** The rank-function window surface in one gate: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4) and lead/lag over each type's
     * daily activity, ordered on a UNIQUE key (count, then day — ties
@@ -2947,7 +2981,13 @@ object ExtQueries {
     "versioned_hidden_days" -> ((s, dir) => versionedHiddenDays(s, dir)),
     "versioned_hidden_bucket" -> ((s, dir) => versionedHiddenBucket(s, dir)),
     "small_quantity_revenue" -> ((s, dir) => smallQuantityRevenue(s, dir)),
-    "suppliers_kept_waiting" -> ((s, dir) => suppliersKeptWaiting(s, dir))
+    "suppliers_kept_waiting" -> ((s, dir) => suppliersKeptWaiting(s, dir)),
+    "sql_grouping_sets" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir); s.sql(groupingSetsSql)
+    }),
+    "sql_interval_range" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir); s.sql(intervalRangeSql)
+    })
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -4236,6 +4276,8 @@ object ExtQueries {
     // sql_window_ranks executes on Spark — one text, two engines.
     "window_ranks" -> windowRanksSql,
     "sql_window_ranks" -> windowRanksSql,
+    "sql_grouping_sets" -> groupingSetsSql,
+    "sql_interval_range" -> intervalRangeSql,
     // pure integer sums per grouping set; gid tags the level
     "volume_rollup" ->
       """WITH e AS (
