@@ -383,6 +383,27 @@ object ExtQueries {
       .orderBy("lang", "shard")
   }
 
+  /** Shard packing budgeted in TRAINED-BPE tokens: the end-to-end
+    * composition a pre-training data pipeline actually runs — learn
+    * the tokenizer from the corpus (Bpe.train), re-tokenize by the
+    * word-keyed dict join (Bpe.segment), pack shards against the
+    * resulting counts. The oracle chains the full unrolled training
+    * replay into the packing layout, so tokenizer drift anywhere
+    * flips the shard manifest hash. */
+  private def packShardsBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, dict) = Bpe.train(d, "text", numMerges = 20)
+    val dd = d.select(col("doc_id"), col("lang"))
+      .join(Bpe.segment(d, "doc_id", "text", dict)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+    val packed = Shards.packByBudget(dd, Seq("lang"), "doc_id", "n_tokens",
+      capacity = 1024L, bucketExpr = floor(col("doc_id") / 64).cast("long"))
+    Shards.manifest(packed, Seq("lang"), "doc_id", "n_tokens")
+      .orderBy("lang", "shard")
+  }
+
   /** Distributed-prefix-sum variant of packShards (ext/Shards.scala):
     * identical shard layout — same oracle SQL — but the cumulative sum
     * runs as a two-pass parallel prefix (per-bucket totals → broadcast
@@ -2987,7 +3008,8 @@ object ExtQueries {
     }),
     "sql_interval_range" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(intervalRangeSql)
-    })
+    }),
+    "pack_shards_bpe" -> ((s, dir) => packShardsBpe(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -4480,6 +4502,27 @@ object ExtQueries {
     "bpe_train" -> bpeTrainSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_segment" -> bpeSegmentSql,
+    "pack_shards_bpe" ->
+      s"""${bpeChainSql(bpeMerges)},
+         |occ AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |          '$bpeWordRe')) AS w FROM documents),
+         |seg AS (SELECT w, len(string_split(trim(sp), ' ')) AS n_sub
+         |        FROM w$bpeMerges),
+         |ns AS (SELECT doc_id, CAST(sum(coalesce(n_sub, 1)) AS BIGINT)
+         |              AS n_tokens
+         |       FROM occ LEFT JOIN seg USING (w) GROUP BY doc_id),
+         |dc AS (SELECT d.doc_id, d.lang, coalesce(ns.n_tokens, 0) AS n_tokens
+         |       FROM documents d LEFT JOIN ns USING (doc_id)),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS cum
+         |      FROM dc)
+         |SELECT lang, CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "importance_sample" ->
       s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
          |           FROM documents),
