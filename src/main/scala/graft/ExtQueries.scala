@@ -1528,6 +1528,27 @@ object ExtQueries {
       |                   AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Shared-bytes gate #4: correlated EXISTS / NOT EXISTS subqueries —
+    * the TPC-H Q21 text run VERBATIM by `spark.sql` AND DuckDB.
+    * Catalyst must decorrelate both subqueries into semi/anti joins
+    * (PlanSpec pins that no per-row re-scan survives); the DataFrame
+    * twin `suppliers_kept_waiting` builds the decorrelated plan by
+    * hand, and both share this oracle text. */
+  private[graft] val suppliersWaitingSql: String =
+    """WITH lo AS (SELECT l_orderkey, l_suppkey,
+      |                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM lo l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
   /** The rank-function window surface in one gate: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4) and lead/lag over each type's
     * daily activity, ordered on a UNIQUE key (count, then day — ties
@@ -3009,7 +3030,10 @@ object ExtQueries {
     "sql_interval_range" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(intervalRangeSql)
     }),
-    "pack_shards_bpe" -> ((s, dir) => packShardsBpe(s, dir))
+    "pack_shards_bpe" -> ((s, dir) => packShardsBpe(s, dir)),
+    "sql_correlated_exists" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir); s.sql(suppliersWaitingSql)
+    })
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -3523,20 +3547,8 @@ object ExtQueries {
         |JOIN st USING (l_partkey)
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sumq
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    "suppliers_kept_waiting" ->
-      """WITH lo AS (SELECT l_orderkey, l_suppkey,
-        |                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
-        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT s_name, count(*) AS numwait
-        |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE l1.late
-        |  AND EXISTS (SELECT 1 FROM lo l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lo l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "suppliers_kept_waiting" -> suppliersWaitingSql,
+    "sql_correlated_exists" -> suppliersWaitingSql,
     "split_leakage_safe" ->
       s"""${componentsCtes(4)}
          |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_key,

@@ -303,4 +303,32 @@ class PlanSpec extends AnyFunSuite {
     // the calendar-sized market composite must broadcast at any scale
     assert(bm.contains("BroadcastHashJoin"), s"plan:\n$bm")
   }
+
+  test("Bpe.wordFreq: the corpus pass is map-side combined (partial count)") {
+    // the only data-scale shuffle in BPE training must carry combined
+    // (word, count) partials, never raw word occurrences
+    val p = graft.ext.Bpe
+      .wordFreq(spark.read.parquet(s"$sf/documents.parquet"), "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"plan:\n$p")
+  }
+
+  test("small_quantity_revenue: brand dim broadcasts; no cross product") {
+    val p = plan("small_quantity_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("Q21 shape: hand-built AND Catalyst-decorrelated plans are semi+anti, no re-scan") {
+    // sql_correlated_exists feeds Catalyst raw EXISTS / NOT EXISTS
+    // subqueries — the optimizer must decorrelate both into the same
+    // semi/anti joins the DataFrame twin builds by hand
+    Seq("suppliers_kept_waiting", "sql_correlated_exists").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q plan:\n$p")
+      assert(p.contains("LeftAnti"), s"$q plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+    }
+  }
 }
