@@ -2116,6 +2116,32 @@ object ExtQueries {
       .limit(25)
   }
 
+  /** OPTIMIZE … ZORDER BY gate (ops/VersionedPartitioned
+    * .optimizeZOrder): promote six months unclustered, z-order-rewrite
+    * on (orderkey, custkey) buckets, then answer a custkey-range
+    * question through the stats-pruned read. OpsSpec pins that the
+    * rewrite makes file skipping selective on BOTH dimensions; this
+    * row pins that the rewrite + pruned read return the right rows. */
+  private def versionedZorderOptimized(s: SparkSession, dir: String): DataFrame = {
+    // monthlyOrders + the custkey dimension the z-order rewrite targets
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .where(col("month").between("1995-01", "1995-06"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vzopt_").resolve("t").toString
+    graft.ops.VersionedPartitioned.promote(base, root, "month")
+    graft.ops.VersionedPartitioned.optimizeZOrder(s, root,
+      Seq(pmod(col("o_orderkey"), lit(64L)), pmod(col("o_custkey"), lit(64L))),
+      bits = 6, statsCols = Seq("o_orderkey", "o_custkey"),
+      maxRecordsPerFile = 500L)
+    monthTotals(
+      graft.ops.VersionedPartitioned
+        .readPruned(s, root, "o_custkey", 100L, 700L)
+        .where(col("o_custkey").between(100L, 700L)))
+  }
+
   /** Hidden partitioning, day transform (ops/HiddenPartition): events
     * promoted under days(ts) — the user never supplies a partition
     * key — then a two-week SOURCE-column range read that prunes at the
@@ -3033,7 +3059,8 @@ object ExtQueries {
     "pack_shards_bpe" -> ((s, dir) => packShardsBpe(s, dir)),
     "sql_correlated_exists" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(suppliersWaitingSql)
-    })
+    }),
+    "versioned_zorder_optimized" -> ((s, dir) => versionedZorderOptimized(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -4918,6 +4945,16 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         |        BETWEEN '1995-01' AND '1995-06'
         |  AND o_orderkey BETWEEN 10000 AND 30000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_zorder_optimized" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-06'
+        |  AND o_custkey BETWEEN 100 AND 700
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction is content-preserving: 12 single-month promotes under
     // the fan-in policy read back as the plain per-month aggregate.

@@ -1055,6 +1055,40 @@ object VersionedPartitioned {
     promote(read(spark, root), root, m.partitionCol, tag = None)
   }
 
+  /**
+   * OPTIMIZE … ZORDER BY (Delta's table-maintenance signature op;
+   * Iceberg analogue: `rewrite_data_files` with the z-order sort
+   * strategy): rewrite the live state as ONE fresh snapshot whose
+   * files within each partition are contiguous slices of the Z-order
+   * curve over `zExprs`, with min/max stats on `statsCols` — after
+   * which `readPruned` is selective on EVERY z-dimension, not just a
+   * single sort's leading column (a lexicographic sort gives its
+   * trailing columns near-full min/max ranges in every file).
+   * `zExprs` must already be range-mapped into [0, 2^bits)
+   * (`ZOrder.zkey`'s contract — floor-bucket or dictionary-code raw
+   * columns first).
+   *
+   * Scale: one full-table rewrite — that IS the op, same cost class
+   * as `compact` — executed as per-partition repartition +
+   * in-partition z-key sort + size-rolled files; no global sort
+   * reducer. Run at the cadence Delta users run OPTIMIZE: after bulk
+   * ingest, before read-heavy service. Merge-on-read delete refs are
+   * materialized by the rewrite (`read` applies them; the promote
+   * clears them for rewritten partitions).
+   */
+  def optimizeZOrder(spark: SparkSession, root: String,
+      zExprs: Seq[org.apache.spark.sql.Column], bits: Int,
+      statsCols: Seq[String], maxRecordsPerFile: Long = 1L << 20): Long = {
+    val pc = partitionColumn(spark, root)
+    val sorted = read(spark, root)
+      .withColumn("__zopt", ZOrder.zkey(zExprs, bits))
+      .repartition(col(pc))
+      .sortWithinPartitions(col(pc), col("__zopt"))
+      .drop("__zopt")
+    promote(sorted, root, pc, cluster = false, statsCols = statsCols,
+      maxRecordsPerFile = maxRecordsPerFile)
+  }
+
   /** Distinct snapshot dirs the latest manifest references — the
     * union fan-in every `read` pays (one parquet scan per referenced
     * snapshot). A metadata-sized answer from one commit-file read. */

@@ -192,6 +192,32 @@ class OpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("zkey"))
   }
 
+  test("optimizeZOrder: file skipping becomes selective on every z-dimension") {
+    import graft.ops.{VersionedPartitioned => VP}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zopt_").resolve("t").toString
+    // 64x64 grid written x-major: every 256-row file spans y fully, so
+    // y-range stats pruning skips NOTHING before the rewrite
+    val df = (0 until 4096).map(i => (i.toLong, (i / 64).toLong, (i % 64).toLong))
+      .toDF("id", "x", "y").withColumn("p", lit("all"))
+    VP.promote(df, root, "p", cluster = false,
+      statsCols = Seq("x", "y"), maxRecordsPerFile = 256L)
+    val total = VP.prunedFiles(spark, root, "y", 0L, 63L).size
+    assert(VP.prunedFiles(spark, root, "y", 10L, 13L).size == total)
+    VP.optimizeZOrder(spark, root, Seq(col("x"), col("y")), bits = 6,
+      statsCols = Seq("x", "y"), maxRecordsPerFile = 256L)
+    val after = VP.prunedFiles(spark, root, "y", 0L, 63L).size
+    val afterY = VP.prunedFiles(spark, root, "y", 10L, 13L).size
+    val afterX = VP.prunedFiles(spark, root, "x", 10L, 13L).size
+    // z-contiguous files are quadrant blocks: a 4-wide band intersects
+    // one 16-row block stripe = 1/4 of the files, on EITHER dimension
+    assert(afterY < after / 2, s"y pruning kept $afterY of $after files")
+    assert(afterX < after / 2, s"x pruning kept $afterX of $after files")
+    // the rewrite is content-preserving
+    assert(VP.read(spark, root).select("id").as[Long].collect().sorted
+      .toSeq == (0L until 4096L))
+  }
+
   test("Fuzzy.selfJoin: blocked pairs match brute force within the block") {
     import graft.ops.Fuzzy
     val names = Seq("red widget", "rad widget", "red gadget", "blue bolt",
