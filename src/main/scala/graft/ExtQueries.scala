@@ -1549,6 +1549,22 @@ object ExtQueries {
       |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
 
+  /** Shared-bytes gate #5: ordered-set aggregates — percentile_cont
+    * (linear interpolation) and percentile_disc WITHIN GROUP, the
+    * ANSI ordered-set syntax both engines accept verbatim. The
+    * interpolation arithmetic agrees bit-for-bit on this data
+    * (position arithmetic on exact doubles); 1e-4 rounding guards the
+    * general case. */
+  private[graft] val percentileContSql: String =
+    """SELECT l_returnflag,
+      |       round(percentile_cont(0.5)
+      |             WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+      |       round(percentile_cont(0.9)
+      |             WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+      |       round(percentile_disc(0.5)
+      |             WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** The rank-function window surface in one gate: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4) and lead/lag over each type's
     * daily activity, ordered on a UNIQUE key (count, then day — ties
@@ -3060,7 +3076,10 @@ object ExtQueries {
     "sql_correlated_exists" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(suppliersWaitingSql)
     }),
-    "versioned_zorder_optimized" -> ((s, dir) => versionedZorderOptimized(s, dir))
+    "versioned_zorder_optimized" -> ((s, dir) => versionedZorderOptimized(s, dir)),
+    "sql_percentile_cont" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir); s.sql(percentileContSql)
+    })
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -4339,6 +4358,7 @@ object ExtQueries {
     "sql_window_ranks" -> windowRanksSql,
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_interval_range" -> intervalRangeSql,
+    "sql_percentile_cont" -> percentileContSql,
     // pure integer sums per grouping set; gid tags the level
     "volume_rollup" ->
       """WITH e AS (
