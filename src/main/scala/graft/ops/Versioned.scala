@@ -189,6 +189,21 @@ object Versioned {
   def history(spark: SparkSession, root: String): Seq[(Long, String)] =
     fullHistory(spark, root).map { case (v, d, _) => (v, d) }
 
+  /** Iceberg's `history` metadata table: the commit log as a DataFrame
+    * — (version, tag, committed_at millis from commit-file mtime).
+    * Metadata-only (O(#versions) small-file reads); `committed_at` is
+    * wall-clock and excluded from deterministic gates. */
+  def historyDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (fs, rootPath) = fsOf(spark, root)
+    val mtimes = listCommits(fs, rootPath)
+      .map { case (v, p) => v -> fs.getFileStatus(p).getModificationTime }
+      .toMap
+    fullHistory(spark, root).map { case (v, _, tag) =>
+      (v, tag, mtimes.getOrElse(v, 0L))
+    }.toDF("version", "tag", "committed_at")
+  }
+
   /** Every tag any retained commit carries — the streaming sink's
     * replay-detection set (an epoch that appears here already committed
     * and must not commit again). O(#versions) small-file reads; hot

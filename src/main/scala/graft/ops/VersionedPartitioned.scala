@@ -161,6 +161,24 @@ object VersionedPartitioned {
     Versioned.latestRaw(fs, rootPath).map { case (v, c) => (v, parse(c)) }
   }
 
+  /** Iceberg's `history` metadata table for the manifest format: the
+    * commit log as a DataFrame — (version, tag, n_partitions,
+    * n_snapshots, committed_at millis from commit-file mtime). A
+    * metadata query: O(#versions) small-file reads, zero data I/O;
+    * `committed_at` is wall-clock and excluded from deterministic
+    * gates (the same contract as `versionAsOf`). */
+  def historyDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val mtimes = Versioned.listCommits(fs, rootPath)
+      .map { case (v, p) => v -> fs.getFileStatus(p).getModificationTime }
+      .toMap
+    history(spark, root).map { case (v, m) =>
+      (v, m.tag, m.entries.size, m.entries.values.toSet.size,
+        mtimes.getOrElse(v, 0L))
+    }.toDF("version", "tag", "n_partitions", "n_snapshots", "committed_at")
+  }
+
   /** The table's manifest partition column (`HiddenPartition` recovers
     * its transform spec from this name). */
   def partitionColumn(spark: SparkSession, root: String): String =

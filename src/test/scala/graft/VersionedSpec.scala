@@ -1194,6 +1194,30 @@ class VersionedSpec extends AnyFunSuite {
       Set("2024-01-01" -> 1))
   }
 
+  test("historyDf: the commit log reads back as a metadata table") {
+    val root = Files.createTempDirectory("graft_hist").toString
+    Versioned.commit(df(1), root)
+    Versioned.commit(df(2), root, Some("epoch=ck-0"))
+    Versioned.commit(df(3), root)
+    val h = Versioned.historyDf(spark, root)
+      .select("version", "tag")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(h == Seq((1L, None), (2L, Some("epoch=ck-0")), (3L, None)))
+    assert(Versioned.historyDf(spark, root)
+      .where($"committed_at" <= 0L).count() == 0)
+
+    // partitioned format: partition/snapshot counts ride along
+    val proot = Files.createTempDirectory("graft_hist_p").toString
+    def pdf(d: String, v: Int) =
+      Seq((d, v)).toDF("date", "v")
+    VersionedPartitioned.promote(pdf("2024-01-01", 1), proot, "date")
+    VersionedPartitioned.promote(pdf("2024-01-02", 2), proot, "date")
+    val ph = VersionedPartitioned.historyDf(spark, proot)
+      .select("version", "n_partitions", "n_snapshots")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(ph == Seq((1L, 1, 1), (2L, 2, 2)))
+  }
+
   test("WAP: branches are independent and publish appends to current main") {
     val root = Files.createTempDirectory("graft_wap").toString
     Versioned.commit(df(1), root)
