@@ -16,20 +16,18 @@ import graft.ext.Bpe
  * merge semantics coincide except interior same-symbol runs ≥ 5, which
  * the divergence-pin test documents explicitly.
  */
-class BpeSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
-  import spark.implicits._
+/** Single-threaded greedy BPE reference — shared with PropertySpec's
+  * random-corpus equivalence test. */
+object BpeSpec {
 
-  // ------------------------- single-threaded greedy BPE reference —
-
-  private def refWordFreq(texts: Seq[String]): Map[String, Long] =
+  def refWordFreq(texts: Seq[String]): Map[String, Long] =
     texts.flatMap(t => Bpe.WordPattern.r.findAllIn(t))
       .filter(_.length <= Bpe.MaxWordLen)
       .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
 
   /** Classic greedy merge: scan left to right, merge non-overlapping
     * occurrences of (a, b), continue AFTER each merged token. */
-  private def greedyMerge(sym: Vector[String], a: String,
+  def greedyMerge(sym: Vector[String], a: String,
       b: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -41,7 +39,7 @@ class BpeSpec extends AnyFunSuite {
     out.result()
   }
 
-  private def refTrain(wf: Map[String, Long],
+  def refTrain(wf: Map[String, Long],
       numMerges: Int): (Seq[(String, String)], Map[String, Long]) = {
     var dict: Map[Vector[String], Long] =
       wf.map { case (w, f) => w.map(_.toString).toVector -> f }
@@ -63,6 +61,12 @@ class BpeSpec extends AnyFunSuite {
       .groupMapReduce(_._1)(_._2)(_ + _)
     (merges.result(), vocab)
   }
+}
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import BpeSpec.{greedyMerge, refTrain, refWordFreq}
 
   private def corpus(): Seq[String] =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

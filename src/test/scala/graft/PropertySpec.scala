@@ -315,6 +315,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Bpe.train equals the greedy single-threaded trainer on random corpora") {
+    import graft.ext.Bpe
+    // words over a 3-letter alphabet force heavy pair-count ties (the
+    // tie-break rule carries the weight) but are filtered to same-char
+    // runs <= 4 — the documented domain where replace-fixpoint merge
+    // application and classic greedy merging coincide exactly
+    val wordGen = Gen.listOfN(60,
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    def noLongRun(w: String): Boolean =
+      !"(.)\\1{4,}".r.findFirstIn(w).isDefined
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val words = wordGen(Gen.Parameters.default, Seed(seed)).get
+        .filter(noLongRun)
+      val texts = words.grouped(6).map(_.mkString(" ")).toSeq
+      val (got, dict) = Bpe.train(texts.toDF("text"), "text", numMerges = 8)
+      val (want, wantVocab) = BpeSpec.refTrain(
+        BpeSpec.refWordFreq(texts), 8)
+      assert(got == want, s"seed $seed merges diverged")
+      assert(Bpe.vocab(dict).as[(String, Long)].collect().toMap == wantVocab,
+        s"seed $seed vocab diverged")
+    }
+  }
+
   test("firstPerDay is a proper first-row-per-group reduction on random feeds") {
     for (seed <- 10L to 12L) {
       // duplicated feed: every bar appears 1-3 times with distinct event ids
