@@ -2132,6 +2132,28 @@ object ExtQueries {
       .limit(25)
   }
 
+  /** Multi-member hidden partitioning: events under
+    * (days(ts), bucket(8, user_id)), then a time-range × user point
+    * question through the member-wise pruned read — the pruning
+    * composes multiplicatively (in-range days × one bucket;
+    * HiddenPartitionSpec pins the planned-dir counts). */
+  private def versionedHiddenMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{MemberEquals, MemberRange, MultiOf}
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vhmulti_").resolve("t").toString
+    graft.ops.HiddenPartition.promote(ev, root,
+      MultiOf(Seq(graft.ops.DaysOf("ts"), graft.ops.BucketOf(8, "user_id"))))
+    graft.ops.HiddenPartition.readMultiWhere(s, root, Seq(
+        MemberRange(lit("2024-01-08 00:00:00").cast("timestamp"),
+          lit("2024-01-21 23:59:59.999999").cast("timestamp")),
+        MemberEquals(lit(42L))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
   /** OPTIMIZE … ZORDER BY gate (ops/VersionedPartitioned
     * .optimizeZOrder): promote six months unclustered, z-order-rewrite
     * on (orderkey, custkey) buckets, then answer a custkey-range
@@ -3079,7 +3101,8 @@ object ExtQueries {
     "versioned_zorder_optimized" -> ((s, dir) => versionedZorderOptimized(s, dir)),
     "sql_percentile_cont" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(percentileContSql)
-    })
+    }),
+    "versioned_hidden_multi" -> ((s, dir) => versionedHiddenMulti(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -3579,6 +3602,14 @@ object ExtQueries {
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_hidden_multi" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |          AND TIMESTAMP '2024-01-21 23:59:59.999999'
+        |  AND user_id = 42
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "small_quantity_revenue" ->
       """WITH st AS (SELECT l_partkey,

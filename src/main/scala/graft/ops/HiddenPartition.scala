@@ -44,7 +44,9 @@ sealed trait PartitionTransform {
     * drift. */
   def exprOf(c: Column): Column
 
-  final def expr: Column = exprOf(col(sourceCol))
+  /** The physical partition-value expression (MultiOf overrides — it
+    * spans several source columns). */
+  def expr: Column = exprOf(col(sourceCol))
 
   /** True iff the transform preserves order in partition-value STRING
     * space (ISO dates, string prefixes) — the precondition for range
@@ -86,13 +88,50 @@ final case class TruncateOf(w: Int, sourceCol: String)
   val monotone = true
 }
 
+/**
+ * MULTI-FIELD hidden partition spec (Iceberg specs hold several
+ * transform fields — `days(ts), bucket(16, user)` — so a table can
+ * prune on time AND key): the physical partition value is the
+ * members' values joined with `MultiOf.Sep`. Range pruning applies
+ * member-wise through `HiddenPartition.readMultiWhere`; member values
+ * are guarded against containing the separator (raise, not corrupt —
+ * only TruncateOf over pathological strings can hit it).
+ */
+final case class MultiOf(members: Seq[PartitionTransform])
+    extends PartitionTransform {
+  require(members.size >= 2, "MultiOf needs at least two members")
+  require(members.forall(!_.isInstanceOf[MultiOf]), "MultiOf cannot nest")
+  val sourceCol: String = members.map(_.sourceCol).mkString(",")
+  val physCol: String = "hp__multi__" +
+    members.map(_.physCol.stripPrefix("hp__")).mkString("__AND__")
+  def exprOf(c: Column): Column =
+    throw new UnsupportedOperationException(
+      "MultiOf spans several source columns — use .expr")
+  override def expr: Column =
+    concat_ws(MultiOf.Sep, members.map { m =>
+      val v = m.expr.cast("string")
+      when(v.contains(MultiOf.Sep), raise_error(concat(
+          lit(s"hidden-partition member ${m.physCol}: value contains " +
+            s"the '${MultiOf.Sep}' separator: "), v)))
+        .otherwise(v)
+    }: _*)
+  val monotone = false // range-prune member-wise via readMultiWhere
+}
+
+object MultiOf {
+  val Sep = "|"
+}
+
 object PartitionTransform {
   private val Days = "hp__days__(.+)".r
   private val Months = "hp__months__(.+)".r
   private val Bucket = "hp__bucket([0-9]+)__(.+)".r
   private val Trunc = "hp__trunc([0-9]+)__(.+)".r
+  private val Multi = "hp__multi__(.+)".r
 
   def parse(physCol: String): PartitionTransform = physCol match {
+    case Multi(body) =>
+      MultiOf(body.split("__AND__").toSeq.map(m => parse("hp__" + m)))
     case Days(c) => DaysOf(c)
     case Months(c) => MonthsOf(c)
     case Bucket(n, c) => BucketOf(n.toInt, c)
@@ -103,6 +142,15 @@ object PartitionTransform {
         "VersionedPartitioned directly")
   }
 }
+
+/** One member's constraint in a `HiddenPartition.readMultiWhere` call. */
+sealed trait MemberPred
+/** No constraint on this member. */
+case object AnyValue extends MemberPred
+/** Inclusive source-column range (member transform must be monotone). */
+final case class MemberRange(lo: Column, hi: Column) extends MemberPred
+/** Source-column equality (any member transform, incl. bucket). */
+final case class MemberEquals(v: Column) extends MemberPred
 
 object HiddenPartition {
 
@@ -140,6 +188,8 @@ object HiddenPartition {
   def readRange(spark: SparkSession, root: String, lo: Column,
       hi: Column): DataFrame = {
     val t = transformOf(spark, root)
+    require(!t.isInstanceOf[MultiOf],
+      s"${t.physCol}: multi-member tables read via readMultiWhere")
     require(t.monotone,
       s"${t.physCol}: range pruning needs an order-preserving transform " +
         "(days/months/truncate) — bucket tables support readEquals only")
@@ -157,9 +207,56 @@ object HiddenPartition {
     * coarser-than-value granularities. */
   def readEquals(spark: SparkSession, root: String, v: Column): DataFrame = {
     val t = transformOf(spark, root)
+    require(!t.isInstanceOf[MultiOf],
+      s"${t.physCol}: multi-member tables read via readMultiWhere")
     val p = partitionValueOf(spark, t, v)
     VersionedPartitioned.readPartitionsWhere(spark, root, _ == p)
       .where(col(t.sourceCol) === v)
       .drop(t.physCol)
+  }
+
+  /** Member-wise pruned read on a `MultiOf` table: one `MemberPred`
+    * per spec member, positionally. Each constrained member prunes
+    * independently on its slice of the partition value (time range ×
+    * key bucket composes multiplicatively), and the matching residual
+    * source-column predicates apply on top. Ranges require the member
+    * transform to be monotone; equality works on any member. */
+  def readMultiWhere(spark: SparkSession, root: String,
+      preds: Seq[MemberPred]): DataFrame = {
+    val t = transformOf(spark, root) match {
+      case m: MultiOf => m
+      case other => throw new IllegalArgumentException(
+        s"${other.physCol} is a single-transform table — use " +
+          "readRange/readEquals")
+    }
+    require(preds.size == t.members.size,
+      s"expected ${t.members.size} member predicates, got ${preds.size}")
+    // per-member partition-value constraints, resolved driver-side
+    val checks: Seq[String => Boolean] =
+      t.members.zip(preds).map {
+        case (_, AnyValue) => (_: String) => true
+        case (m, MemberRange(lo, hi)) =>
+          require(m.monotone,
+            s"${m.physCol}: range pruning needs a monotone member")
+          val (lp, hp) = (partitionValueOf(spark, m, lo),
+            partitionValueOf(spark, m, hi))
+          (v: String) => v >= lp && v <= hp
+        case (m, MemberEquals(eq)) =>
+          val p = partitionValueOf(spark, m, eq)
+          (v: String) => v == p
+      }
+    val pruned = VersionedPartitioned.readPartitionsWhere(spark, root,
+      value => {
+        val parts = value.split(java.util.regex.Pattern.quote(MultiOf.Sep), -1)
+        parts.length == checks.size &&
+          checks.zip(parts).forall { case (c, v) => c(v) }
+      })
+    // residual row-level predicates on the source columns
+    val residual = t.members.zip(preds).flatMap {
+      case (_, AnyValue) => None
+      case (m, MemberRange(lo, hi)) => Some(col(m.sourceCol).between(lo, hi))
+      case (m, MemberEquals(eq)) => Some(col(m.sourceCol) === eq)
+    }
+    residual.foldLeft(pruned)(_ where _).drop(t.physCol)
   }
 }

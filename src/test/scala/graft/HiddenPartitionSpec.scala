@@ -80,6 +80,37 @@ class HiddenPartitionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PartitionTransform.parse("date"))
   }
 
+  test("multi-member spec: time range and key bucket prune multiplicatively") {
+    import graft.ops.{AnyValue, MemberEquals, MemberRange, MultiOf}
+    val root = freshRoot("graft_hp_multi_")
+    val t = MultiOf(Seq(DaysOf("ts"), BucketOf(4, "name")))
+    HiddenPartition.promote(sampleDf(), root, t)
+    assert(HiddenPartition.transformOf(spark, root) == t)
+    val lo = lit("2024-03-05 00:00:00").cast("timestamp")
+    val hi = lit("2024-03-06 23:59:59").cast("timestamp")
+    val got = HiddenPartition.readMultiWhere(spark, root,
+      Seq(MemberRange(lo, hi), MemberEquals(lit("user3"))))
+    assert(got.columns.toSeq == Seq("id", "ts", "name"))
+    val want = HiddenPartition.read(spark, root)
+      .where(col("ts").between(lo, hi) && col("name") === "user3")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty &&
+      got.select("id").as[Long].collect().sorted.toSeq == want)
+    // pruning is multiplicative: 2 in-range days x 1 bucket value
+    val pfx = t.physCol + "="
+    val dirs = partDirs(got.inputFiles, pfx)
+    assert(dirs.size <= 2, s"planned dirs: $dirs")
+    assert(dirs.forall(d => d.startsWith(pfx + "2024-03-05") ||
+      d.startsWith(pfx + "2024-03-06")), s"planned dirs: $dirs")
+    // an unconstrained member keeps its dimension whole
+    val byDayOnly = HiddenPartition.readMultiWhere(spark, root,
+      Seq(MemberRange(lo, hi), AnyValue))
+    assert(partDirs(byDayOnly.inputFiles, pfx).size > dirs.size)
+    // arity is checked
+    intercept[IllegalArgumentException](
+      HiddenPartition.readMultiWhere(spark, root, Seq(AnyValue)))
+  }
+
   test("streaming sink lands hidden-partitioned and prunes like batch") {
     val root = freshRoot("graft_hp_stream_")
     val in = s"$root/in"
