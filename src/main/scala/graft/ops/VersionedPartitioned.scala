@@ -1096,9 +1096,22 @@ object VersionedPartitioned {
    */
   def optimizeZOrder(spark: SparkSession, root: String,
       zExprs: Seq[org.apache.spark.sql.Column], bits: Int,
-      statsCols: Seq[String], maxRecordsPerFile: Long = 1L << 20): Long = {
+      statsCols: Seq[String], maxRecordsPerFile: Long = 1L << 20): Long =
+    optimizeZOrderWhere(spark, root, zExprs, bits, statsCols,
+      _ => true, maxRecordsPerFile)
+
+  /** `optimizeZOrder` at PARTITION grain (Delta's `OPTIMIZE … WHERE`):
+    * rewrite only the partitions whose value satisfies `keep` — the
+    * incremental maintenance cadence (optimize yesterday's ingest,
+    * never the decade of history behind it). The promote replaces
+    * exactly the carried partitions; everything else is inherited by
+    * reference, so cost is O(kept partitions). */
+  def optimizeZOrderWhere(spark: SparkSession, root: String,
+      zExprs: Seq[org.apache.spark.sql.Column], bits: Int,
+      statsCols: Seq[String], keep: String => Boolean,
+      maxRecordsPerFile: Long = 1L << 20): Long = {
     val pc = partitionColumn(spark, root)
-    val sorted = read(spark, root)
+    val sorted = readPartitionsWhere(spark, root, keep)
       .withColumn("__zopt", ZOrder.zkey(zExprs, bits))
       .repartition(col(pc))
       .sortWithinPartitions(col(pc), col("__zopt"))

@@ -218,6 +218,27 @@ class OpsSpec extends AnyFunSuite {
       .toSeq == (0L until 4096L))
   }
 
+  test("optimizeZOrderWhere rewrites only the kept partitions") {
+    import graft.ops.{VersionedPartitioned => VP}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zoptw_").resolve("t").toString
+    val df = (0 until 512).map(i =>
+        (i.toLong, (i % 16).toLong, (i / 16).toLong, if (i < 256) "a" else "b"))
+      .toDF("id", "x", "y", "p")
+    VP.promote(df, root, "p", statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 64L)
+    val v1 = VP.currentVersion(spark, root).get
+    val m1 = VP.history(spark, root).maxBy(_._1)._2.entries
+    VP.optimizeZOrderWhere(spark, root, Seq(col("x"), col("y")), bits = 5,
+      statsCols = Seq("x", "y"), keep = _ == "a", maxRecordsPerFile = 64L)
+    val m2 = VP.history(spark, root).maxBy(_._1)._2.entries
+    // partition b's snapshot assignment is untouched; a's moved
+    assert(m2("p=b") == m1("p=b") && m2("p=a") != m1("p=a"))
+    // content preserved, old version still readable
+    assert(VP.read(spark, root).count() == 512L)
+    assert(VP.readAt(spark, root, v1).count() == 512L)
+  }
+
   test("Fuzzy.selfJoin: blocked pairs match brute force within the block") {
     import graft.ops.Fuzzy
     val names = Seq("red widget", "rad widget", "red gadget", "blue bolt",
