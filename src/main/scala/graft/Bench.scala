@@ -76,7 +76,12 @@ object Bench {
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     // calibration runs AFTER warm-up (so it measures the box, not JIT)
-    // and BEFORE the queries (so it can't absorb their cache residue)
+    // and BEFORE the queries (so it can't absorb their cache residue);
+    // a SECOND probe after the query loop brackets the run — contention
+    // that arrives mid-run (observed: start-calib 0.200 with queries
+    // uniformly 1.4× inflated, end-of-window calib 0.266) is invisible
+    // to a single start-of-run sample, and the max of the two is the
+    // honest allowance scale.
     val calibSec = calibrate(spark)
     case class R(name: String, secs: Seq[Double], buildSec: Double, ok: Boolean) {
       def sec: Double = secs.head
@@ -122,6 +127,7 @@ object Bench {
     // would otherwise put ~1.5 KB of names into the "short" line and
     // re-trigger tail truncation exactly when the signal matters most.
     // The complete list lives in target/bench_queries.json.
+    val calibEndSec = calibrate(spark)
     val allFailed = results.filterNot(_.ok).map(_.name)
     val failedCount = allFailed.size
     val failed = allFailed.take(5).map("\"" + _ + "\"")
@@ -130,7 +136,7 @@ object Bench {
     val total = results.map(_.sec).sum
     val totalMedian = results.map(_.median).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedFull,"sf":"$sfDir","repeats":$repeats,"total_median":${fmt(totalMedian)},"calib_sec":${fmt(calibSec)},"queries":${obj(_.sec)},"queries_median":${obj(_.median)},"build_sec":${obj(_.buildSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedFull,"sf":"$sfDir","repeats":$repeats,"total_median":${fmt(totalMedian)},"calib_sec":${fmt(calibSec)},"calib_end_sec":${fmt(calibEndSec)},"queries":${obj(_.sec)},"queries_median":${obj(_.median)},"build_sec":${obj(_.buildSec)}}"""
     // Do NOT echo `full` to stderr: sbt interleaves stderr into the same
     // captured stream, and a ~2 KB line truncated inside the driver's
     // bounded tail can shadow the short stdout JSON below. The per-query
@@ -147,7 +153,7 @@ object Bench {
     // total_median rides the short stdout line too: the first-pass total
     // is the number box contention corrupts (r5/r6 both needed judge
     // adjudication); the 3-repeat median total is self-adjudicating.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"failed_count":$failedCount,"total_median":${fmt(totalMedian)},"calib_sec":${fmt(calibSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"failed_count":$failedCount,"total_median":${fmt(totalMedian)},"calib_sec":${fmt(calibSec)},"calib_end_sec":${fmt(calibEndSec)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -28,8 +28,12 @@ base = json.load(open(base_path))
 
 run_q = run["queries_median"]
 base_q = base["queries_median"]
-calib_ratio = max(run.get("calib_sec", 0.2) / max(base.get("calib_sec", 0.2),
-                                                  1e-9), 1.0)
+# the run is bracketed by two probes (calib_sec before the query loop,
+# calib_end_sec after): contention arriving MID-RUN is invisible to the
+# start probe alone, so the allowance scales by the worse of the two
+run_calib = max(run.get("calib_sec", 0.2),
+                run.get("calib_end_sec", run.get("calib_sec", 0.2)))
+calib_ratio = max(run_calib / max(base.get("calib_sec", 0.2), 1e-9), 1.0)
 FLOOR, FACTOR = 0.5, 2.0
 
 flagged, improved = [], []
@@ -46,7 +50,8 @@ for name, sec in sorted(run_q.items()):
 new = sorted(set(run_q) - set(base_q))
 gone = sorted(set(base_q) - set(run_q))
 
-print(f"calib: run {run.get('calib_sec')} vs baseline {base.get('calib_sec')}"
+print(f"calib: run {run.get('calib_sec')}/{run.get('calib_end_sec')} "
+      f"(start/end) vs baseline {base.get('calib_sec')}"
       f" -> allowance x{FACTOR * calib_ratio:.2f} (floor {FLOOR}s)")
 if new:
     print(f"new (unbaselined): {', '.join(new)}")
