@@ -1764,6 +1764,15 @@ object ExtQueries {
     Bpe.mergesDf(s, m).orderBy("rank")
   }
 
+  /** The classic END-OF-WORD-MARKER formulation (Sennrich §3.2): the
+    * marker is its own symbol, so merges learn suffix tokens
+    * ("ing</w>") distinct from word-internal pairs — the published
+    * algorithm verbatim, same unrolled-oracle verification. */
+  private def bpeTrainEowQ(s: SparkSession, dir: String): DataFrame = {
+    val (m, _) = Bpe.train(docs(s, dir), "text", numMerges = 20, eow = true)
+    Bpe.mergesDf(s, m).orderBy("rank")
+  }
+
   /** Post-merge BPE vocabulary: every surviving symbol with its
     * corpus frequency after the 20 learned merges — the second
     * artifact a tokenizer ships (vocab list), replayed by the same
@@ -3081,6 +3090,7 @@ object ExtQueries {
     "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir)),
     "perplexity_buckets" -> ((s, dir) => perplexityBuckets(s, dir)),
     "bpe_train" -> ((s, dir) => bpeTrainQ(s, dir)),
+    "bpe_train_eow" -> ((s, dir) => bpeTrainEowQ(s, dir)),
     "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir)),
     "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir)),
     "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir)),
@@ -3122,7 +3132,10 @@ object ExtQueries {
     * must reach the SQL literally). */
   private val bpeWordRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
-  private def bpeChainSql(numMerges: Int): String = {
+  private def bpeChainSql(numMerges: Int): String =
+    bpeChainSql(numMerges, eow = false)
+
+  private def bpeChainSql(numMerges: Int, eow: Boolean): String = {
     // AS MATERIALIZED on every w{r}: each round's dict is referenced
     // TWICE (next round's pair explode AND next round's replace), so
     // default CTE inlining would re-derive it at both sites — 2^rounds
@@ -3138,8 +3151,9 @@ object ExtQueries {
          |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w FROM documents)
          |  WHERE length(w) <= 32 GROUP BY w),
          |w0 AS MATERIALIZED (
-         |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sp,
+         |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g')EOWSLOT AS sp,
          |         freq FROM wf)""".stripMargin
+        .replace("EOWSLOT", if (eow) " || '</w> '" else "")
     val rounds = (1 to numMerges).map { r =>
       val prev = s"w${r - 1}"
       val rep4 = (1 to 4).foldLeft("sp")((acc, _) =>
@@ -3175,6 +3189,16 @@ object ExtQueries {
        |FROM (SELECT unnest(string_split(trim(sp), ' ')) AS token, freq
        |      FROM w$bpeMerges)
        |GROUP BY token ORDER BY token""".stripMargin
+
+  private lazy val bpeTrainEowSql = {
+    val union = (1 to bpeMerges).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, a||b AS merged FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""${bpeChainSql(bpeMerges, eow = true)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
 
   private lazy val bpeSegmentSql =
     s"""${bpeChainSql(bpeMerges)},
@@ -4590,6 +4614,7 @@ object ExtQueries {
          |       min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
          |FROM z GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "bpe_train_eow" -> bpeTrainEowSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_segment" -> bpeSegmentSql,
     "pack_shards_bpe" ->

@@ -71,10 +71,20 @@ object Bpe {
       .where(length(col("w")) <= MaxWordLen)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** The end-of-word marker of the classic formulation (Sennrich et
+    * al. 2016 §3.2): appended as its own symbol so merges can learn
+    * suffix tokens ("ing</w>") distinct from word-internal ones. The
+    * word pre-tokenizer can never emit it as a data symbol ('<', '/',
+    * 'w', '>' tokenize to four separate words), so no collision. */
+  val EowMarker = "</w>"
+
   /** " h e l l o " — every symbol delimited on BOTH sides so a merge
-    * pattern " a b " can only match exact symbol boundaries. */
-  private def spaced(w: Column): Column =
-    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    * pattern " a b " can only match exact symbol boundaries; with
+    * `eow`, " h e l l o </w> ". */
+  private def spaced(w: Column, eow: Boolean): Column = {
+    val chars = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    if (eow) concat(chars, lit(EowMarker + " ")) else chars
+  }
 
   /** One merge application: literal replace iterated to fixpoint. */
   private[graft] def applyMerge(sp: Column, a: String, b: String): Column = {
@@ -101,14 +111,14 @@ object Bpe {
    * engines (both compare UTF-8 bytes). Stops early if the dictionary
    * runs out of adjacent pairs.
    */
-  def train(df: DataFrame, textCol: String,
-      numMerges: Int): (Seq[(String, String)], DataFrame) = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      eow: Boolean = false): (Seq[(String, String)], DataFrame) = {
     // lazy checkpoint: round 1's pair-count job materializes the whole
     // corpus pass (wordFreq shuffle) together with its own aggregation.
     // `w` rides along untouched so the final dict doubles as the
     // word → segmentation lookup `segment` joins against.
     var dict = wordFreq(df, textCol)
-      .select(col("w"), col("freq"), spaced(col("w")).as("sp"))
+      .select(col("w"), col("freq"), spaced(col("w"), eow).as("sp"))
       .localCheckpoint(false)
     val merges = Seq.newBuilder[(String, String)]
     var n = 0

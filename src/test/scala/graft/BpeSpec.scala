@@ -39,10 +39,13 @@ object BpeSpec {
     out.result()
   }
 
-  def refTrain(wf: Map[String, Long],
-      numMerges: Int): (Seq[(String, String)], Map[String, Long]) = {
+  def refTrain(wf: Map[String, Long], numMerges: Int,
+      eow: Boolean = false): (Seq[(String, String)], Map[String, Long]) = {
     var dict: Map[Vector[String], Long] =
-      wf.map { case (w, f) => w.map(_.toString).toVector -> f }
+      wf.map { case (w, f) =>
+        val sym = w.map(_.toString).toVector
+        (if (eow) sym :+ graft.ext.Bpe.EowMarker else sym) -> f
+      }
     val merges = Seq.newBuilder[(String, String)]
     for (_ <- 1 to numMerges) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -82,6 +85,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
     val gotVocab = Bpe.vocab(dict).as[(String, Long)].collect().toMap
     assert(gotVocab == wantVocab)
+  }
+
+  test("eow variant: marker merges equal the greedy reference with the marker") {
+    val texts = corpus()
+    val (got, dict) = Bpe.train(texts.toDF("text"), "text",
+      numMerges = 25, eow = true)
+    val (want, wantVocab) = refTrain(refWordFreq(texts), 25, eow = true)
+    assert(got == want)
+    assert(Bpe.vocab(dict).as[(String, Long)].collect().toMap == wantVocab)
+    // the marker participates: some learned merge must touch it (the
+    // corpus has high-frequency short words whose suffix+marker pair
+    // outranks word-internal pairs)
+    assert(got.exists { case (a, b) =>
+      a.contains(Bpe.EowMarker) || b.contains(Bpe.EowMarker) })
   }
 
   test("wordFreq matches the reference dict and caps word length") {
