@@ -1782,6 +1782,15 @@ object ExtQueries {
     Bpe.vocab(dict).orderBy("token")
   }
 
+  /** The tokenizer's real output: each document's full subword
+    * sequence under the trained dict, in word order — oracle replays
+    * the training chain plus an order-preserving string_agg. */
+  private def bpeTokensQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, dict) = Bpe.train(d, "text", numMerges = 20)
+    Bpe.segmentTokens(d, "doc_id", "text", dict).orderBy("doc_id")
+  }
+
   /** Leakage-safe split over the MinHash near-dup graph: every doc's
     * (group_key, split), near-dup clusters co-assigned by
     * construction. The oracle replays exact-Jaccard pairs + label
@@ -3093,6 +3102,7 @@ object ExtQueries {
     "bpe_train_eow" -> ((s, dir) => bpeTrainEowQ(s, dir)),
     "bpe_vocab" -> ((s, dir) => bpeVocabQ(s, dir)),
     "bpe_segment" -> ((s, dir) => bpeSegmentQ(s, dir)),
+    "bpe_tokens" -> ((s, dir) => bpeTokensQ(s, dir)),
     "split_leakage_safe" -> ((s, dir) => splitLeakageSafe(s, dir)),
     "versioned_hidden_days" -> ((s, dir) => versionedHiddenDays(s, dir)),
     "versioned_hidden_bucket" -> ((s, dir) => versionedHiddenBucket(s, dir)),
@@ -4617,6 +4627,18 @@ object ExtQueries {
     "bpe_train_eow" -> bpeTrainEowSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_segment" -> bpeSegmentSql,
+    "bpe_tokens" ->
+      s"""${bpeChainSql(bpeMerges)},
+         |occ AS (SELECT doc_id,
+         |               unnest(regexp_extract_all(text, '$bpeWordRe')) AS w,
+         |               unnest(generate_series(1,
+         |                 len(regexp_extract_all(text, '$bpeWordRe')))) AS pos
+         |        FROM documents),
+         |seg AS (SELECT w, trim(sp) AS s FROM w$bpeMerges)
+         |SELECT doc_id, count(*) AS n_words,
+         |       string_agg(coalesce(s, w), ' ' ORDER BY pos) AS tokens
+         |FROM occ LEFT JOIN seg USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pack_shards_bpe" ->
       s"""${bpeChainSql(bpeMerges)},
          |occ AS (SELECT doc_id, unnest(regexp_extract_all(text,

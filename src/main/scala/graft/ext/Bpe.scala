@@ -180,4 +180,30 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("__n_sub"), lit(1L))).as("n_subwords"))
   }
+
+  /**
+   * The full tokenized SEQUENCE per document (space-joined subwords in
+   * word order) — what a training-data writer actually emits. Same
+   * one-join application shape as `segment`; document order is
+   * restored by sorting each doc's (word position, segmentation)
+   * pairs inside the aggregate, so per-doc state is the document's own
+   * token list and nothing global sorts. Out-of-dict words pass
+   * through as one opaque token.
+   */
+  def segmentTokens(df: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame): DataFrame = {
+    val occ = df.select(col(idCol), posexplode(
+        regexp_extract_all(col(textCol), lit(WordPattern), lit(0)))
+      .as(Seq("__pos", "w")))
+    val seg = dict.select(col("w"), trim(col("sp")).as("__seg"))
+    occ.join(seg, Seq("w"), "left")
+      .withColumn("__seg", coalesce(col("__seg"), col("w")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos").as("p"),
+              col("__seg").as("s")))),
+            x => x.getField("s")), " ").as("tokens"))
+  }
 }

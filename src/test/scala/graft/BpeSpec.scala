@@ -150,6 +150,22 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("segmentTokens: concatenating a doc's subwords reconstructs its words") {
+    val texts = corpus()
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (_, dict) = Bpe.train(df, "text", numMerges = 25)
+    val got = Bpe.segmentTokens(df, "doc_id", "text", dict)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == texts.size)
+    for ((id, nWords, tokens) <- got) {
+      val words = Bpe.WordPattern.r.findAllIn(texts(id.toInt)).toSeq
+      assert(nWords == words.size)
+      // tokenization is lossless modulo the word boundary
+      assert(tokens.replace(" ", "") == words.mkString)
+    }
+  }
+
   test("train stops early when the dict runs out of pairs") {
     val df = Seq("ab ab ab").toDF("text")
     val (m, dict) = Bpe.train(df, "text", numMerges = 10)
