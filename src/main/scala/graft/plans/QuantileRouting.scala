@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile, PercentileDisc}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.DoubleType
  * DOUBLE-typed percentiles — exactly the cases where
  * `approx_percentile` has the same result type and argument semantics,
  * so the rewrite can never change the plan's schema.
+ *
+ * Coverage: `percentile(...)` AND both ANSI ordered-set forms.
+ * `percentile_cont WITHIN GROUP` lowers to the same exact `Percentile`
+ * aggregate before the optimizer runs, so the first case already
+ * routes it; `percentile_disc` keeps its own aggregate and gets its
+ * own case — the sketch returns an actual element at approximately the
+ * requested rank, which is percentile_disc's semantics up to sketch
+ * rank error.
  */
 case class QuantileRouting(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -46,6 +54,10 @@ case class QuantileRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(p: Percentile, _, false, None, _)
           if p.frequencyExpression == Literal(1L) && !p.reverse &&
             p.child.dataType == DoubleType =>
+        ae.copy(aggregateFunction = new ApproximatePercentile(
+          p.child, p.percentageExpression, Literal(accuracy.toInt)))
+      case ae @ AggregateExpression(p: PercentileDisc, _, false, None, _)
+          if !p.reverse && p.child.dataType == DoubleType =>
         ae.copy(aggregateFunction = new ApproximatePercentile(
           p.child, p.percentageExpression, Literal(accuracy.toInt)))
     }

@@ -253,6 +253,24 @@ class MergeResampleSpec extends AnyFunSuite {
       assert(math.abs(approxVal - 501.0) <= 1.0, s"approx p50 $approxVal")
     } finally s2.conf.unset("spark.graft.quantiles.approx")
 
+    // both ANSI ordered-set forms route too: percentile_cont lowers to
+    // the exact Percentile aggregate before the optimizer (first case
+    // catches it); percentile_disc keeps its own aggregate and has its
+    // own case
+    data.createOrReplaceTempView("qr_data")
+    s2.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val p = s2.sql(
+        """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS c,
+          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS d
+          |FROM qr_data""".stripMargin)
+      val plan = p.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx") &&
+        !plan.contains("percentile_disc"), s"plan:\n$plan")
+      val (c, d) = p.as[(Double, Double)].head()
+      assert(math.abs(c - 501.0) <= 1.0 && math.abs(d - 501.0) <= 1.0)
+    } finally s2.conf.unset("spark.graft.quantiles.approx")
+
     // Graft.session (the library/pipeline entrypoint) defaults the
     // routing ON — a naive pipeline caller gets the bounded-state
     // sketch, and only sessions built elsewhere (Verify/Bench oracle
