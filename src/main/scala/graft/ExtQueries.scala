@@ -508,6 +508,36 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** REAL color-image decode (Multimodal.BmpCodec — pure-byte 24-bit
+    * BMP): each embedding's first 48 dims become a 4×4 RGB image, the
+    * BMP bytes are encoded then parsed back, and the stats come from
+    * the DECODED pixels with an integer luma. The position-weighted
+    * checksum (`pos_luma`) is the load-bearing column: BMP stores rows
+    * bottom-up in BGR with 4-byte row padding, and a flip, padding or
+    * channel-order bug relocates pixels — invisible to plain sums,
+    * fatal to the weighted one. */
+  private def imageBmpStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val rgb = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val (w, h, dec) =
+          Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(4, 4, rgb))
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
   /** Decode → REAL nearest-neighbor resize (8×8 → 4×4) → stats over
     * the RESIZED pixels: the oracle replays the resize as a positional
     * pick (row-major positions with even row and column index), so a
@@ -2973,6 +3003,7 @@ object ExtQueries {
     "image_pgm_stats" -> ((s, dir) => imagePgmStats(s, dir)),
     "audio_wav_stats" -> ((s, dir) => audioWavStats(s, dir)),
     "image_pgm_resize" -> ((s, dir) => imagePgmResize(s, dir)),
+    "image_bmp_stats" -> ((s, dir) => imageBmpStats(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -3810,6 +3841,29 @@ object ExtQueries {
         |FROM small ORDER BY vec_id""".stripMargin,
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH encode→parse of the actual PGM bytes
+    "image_bmp_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id, pos,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
+        |SELECT vec_id,
+        |       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(pos * luma) AS BIGINT) AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "image_pgm_stats" ->
       """WITH px AS (
         |  SELECT vec_id,

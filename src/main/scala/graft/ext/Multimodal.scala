@@ -220,6 +220,88 @@ object Multimodal {
   }
 
   /**
+   * REAL codec for uncompressed 24-bit BMP (BITMAPFILEHEADER +
+   * BITMAPINFOHEADER, BI_RGB) — pure byte parsing of the public
+   * Windows bitmap layout. BMP's parser-hostile quirks are all here
+   * and all exercised: rows are stored BOTTOM-UP (negative height =
+   * top-down, also handled), each row pads to a 4-byte boundary, and
+   * channels are BGR order. Pixels are row-major top-down 0xRRGGBB
+   * ints on the API side; the `image_bmp_stats` oracle's
+   * position-weighted checksum fails on any flip, padding or
+   * channel-order bug (plain sums would not — they are
+   * position-blind).
+   */
+  object BmpCodec {
+    def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height,
+        s"need width*height pixels, got ${rgb.length} for ${width}x$height")
+      val pad = (4 - (width * 3) % 4) % 4
+      val imgSize = (width * 3 + pad) * height
+      val out = java.nio.ByteBuffer.allocate(54 + imgSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+        .putInt(0).putInt(54)                       // reserved, pixel offset
+        .putInt(40).putInt(width).putInt(height)    // info header, bottom-up
+        .putShort(1).putShort(24)                   // planes, bpp
+        .putInt(0).putInt(imgSize)                  // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+      var y = height - 1
+      while (y >= 0) {                              // bottom-up rows
+        var x = 0
+        while (x < width) {
+          val p = rgb(y * width + x)
+          out.put((p & 0xff).toByte)                // B
+            .put(((p >> 8) & 0xff).toByte)          // G
+            .put(((p >> 16) & 0xff).toByte)         // R
+          x += 1
+        }
+        var k = 0
+        while (k < pad) { out.put(0.toByte); k += 1 }
+        y -= 1
+      }
+      out.array()
+    }
+
+    /** (width, height, row-major top-down 0xRRGGBB pixels). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(b.get() == 'B'.toByte && b.get() == 'M'.toByte,
+        "not a BMP file")
+      b.getInt(); b.getInt()                        // file size, reserved
+      val pixelOff = b.getInt()
+      val hdrSize = b.getInt()
+      require(hdrSize >= 40, s"unsupported header size $hdrSize")
+      val width = b.getInt()
+      val rawHeight = b.getInt()
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      b.getShort()                                  // planes
+      val bpp = b.getShort()
+      val compression = b.getInt()
+      require(bpp == 24 && compression == 0,
+        s"only uncompressed 24-bit supported (bpp=$bpp comp=$compression)")
+      val pad = (4 - (width * 3) % 4) % 4
+      val px = new Array[Int](width * height)
+      var row = 0
+      while (row < height) {
+        val y = if (topDown) row else height - 1 - row // storage → image row
+        b.position(pixelOff + row * (width * 3 + pad))
+        var x = 0
+        while (x < width) {
+          val blue = b.get() & 0xff
+          val green = b.get() & 0xff
+          val red = b.get() & 0xff
+          px(y * width + x) = (red << 16) | (green << 8) | blue
+          x += 1
+        }
+        row += 1
+      }
+      (width, height, px)
+    }
+  }
+
+  /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec
    * wants (shared decoder state per partition, zero per-row setup).

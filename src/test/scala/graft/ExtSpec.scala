@@ -941,6 +941,27 @@ class ExtSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ multimodal —
 
+  test("Multimodal.BmpCodec: round trip with row padding, top-down variant, junk rejected") {
+    import Multimodal.BmpCodec
+    // width 3 forces 3 pad bytes per row; the asymmetric pattern makes
+    // any flip / channel-order / padding slip visible
+    val rgb = Array(0xFF0000, 0x00FF00, 0x0000FF,
+      0x102030, 0x405060, 0x708090)
+    val bytes = BmpCodec.encode(3, 2, rgb)
+    val (w, h, dec) = BmpCodec.decode(bytes)
+    assert((w, h) == ((3, 2)) && dec.toSeq == rgb.toSeq)
+    // patching the height to -2 flags the SAME stored rows as top-down,
+    // so the decoded image must come back vertically flipped
+    val b2 = bytes.clone()
+    java.nio.ByteBuffer.wrap(b2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -2)
+    val (_, h2, dec2) = BmpCodec.decode(b2)
+    assert(h2 == 2 &&
+      dec2.toSeq == (rgb.slice(3, 6) ++ rgb.slice(0, 3)).toSeq)
+    intercept[Exception](BmpCodec.decode("not a bitmap".getBytes("UTF-8")))
+    intercept[Exception](BmpCodec.encode(2, 2, Array(1, 2, 3)))
+  }
+
   test("Multimodal.PgmCodec: real byte round trip, comment-tolerant header, corruption rejected") {
     import Multimodal.PgmCodec
     val px = (0 until 12).map(i => (i * 21) % 256).toArray
