@@ -538,6 +538,35 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** Color decode → nearest resize (4×4 → 2×2 on the PACKED pixels —
+    * nearest-neighbor picks positions, so the grayscale kernel works
+    * on RGB unchanged) → position-weighted luma over the RESIZED
+    * image. The oracle replays the resize as the positional pick
+    * (source indices 0,2,8,10 → output positions 0..3), so an
+    * index-order bug in the resize OR any decode-layout bug fails the
+    * hash. */
+  private def imageBmpResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val rgb = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val (w, h, dec) =
+          Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(4, 4, rgb))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 2, 2)
+        val lumas = small.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, small.length, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "n_px", "luma_sum", "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id")
+  }
+
   /** Decode → REAL nearest-neighbor resize (8×8 → 4×4) → stats over
     * the RESIZED pixels: the oracle replays the resize as a positional
     * pick (row-major positions with even row and column index), so a
@@ -3004,6 +3033,7 @@ object ExtQueries {
     "audio_wav_stats" -> ((s, dir) => audioWavStats(s, dir)),
     "image_pgm_resize" -> ((s, dir) => imagePgmResize(s, dir)),
     "image_bmp_stats" -> ((s, dir) => imageBmpStats(s, dir)),
+    "image_bmp_resize" -> ((s, dir) => imageBmpResize(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -3863,6 +3893,31 @@ object ExtQueries {
         |       CAST(min(luma) AS BIGINT) AS luma_min,
         |       CAST(max(luma) AS BIGINT) AS luma_max,
         |       CAST(sum(pos * luma) AS BIGINT) AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_bmp_resize" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id,
+        |             CASE pos WHEN 0 THEN 0 WHEN 2 THEN 1
+        |                      WHEN 8 THEN 2 WHEN 10 THEN 3 END AS pos2,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma
+        |      FROM c WHERE pos IN (0, 2, 8, 10))
+        |SELECT vec_id, CAST(4 AS INT) AS n_px,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
         |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "image_pgm_stats" ->
       """WITH px AS (
