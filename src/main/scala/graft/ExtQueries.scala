@@ -114,10 +114,12 @@ object ExtQueries {
   }
 
   /** Near-dup clusters: MinHash pairs → connected components → canonical
-    * (min-id) representative per cluster. */
+    * (min-id) representative per cluster. Components consumers use the
+    * EDGES variant (hot buckets → verified min-id star, never d²);
+    * identical to the pairs path on this corpus (no above-cap bucket). */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.components(
-        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        Dedup.minhashNearDupEdges(docs(s, dir), "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
       .orderBy("id")
 
@@ -144,7 +146,7 @@ object ExtQueries {
   private def dedupCorpusBest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dedupByPairsBest(d,
-        Dedup.minhashNearDups(d, "doc_id", "text",
+        Dedup.minhashNearDupEdges(d, "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
         "doc_id", col("n_chars"))
       .select("doc_id").orderBy("doc_id")
@@ -281,7 +283,7 @@ object ExtQueries {
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dedupByPairs(d,
-        Dedup.minhashNearDups(d, "doc_id", "text",
+        Dedup.minhashNearDupEdges(d, "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
         "doc_id")
       .select("doc_id").orderBy("doc_id")
@@ -1724,7 +1726,7 @@ object ExtQueries {
     * (singletons excluded; they are corpus − clustered docs). */
   private def clusterSizes(s: SparkSession, dir: String): DataFrame =
     Dedup.components(
-        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        Dedup.minhashNearDupEdges(docs(s, dir), "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
       .groupBy("component").agg(count(lit(1)).as("__sz"))
       .groupBy(col("__sz").as("cluster_size"))
@@ -1858,7 +1860,7 @@ object ExtQueries {
   private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Sampling.leakageSafeSplit(d, "doc_id",
-        Dedup.minhashNearDups(d, "doc_id", "text",
+        Dedup.minhashNearDupEdges(d, "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5))
       .orderBy("doc_id")
   }
@@ -2987,7 +2989,7 @@ object ExtQueries {
       .select(col("doc_id"), col("scrubbed").as("text"), col("lang"),
         col("source"), col("n_chars"))
     val surv = Dedup.dedupByPairsBest(scrub,
-      Dedup.minhashNearDups(scrub, "doc_id", "text",
+      Dedup.minhashNearDupEdges(scrub, "doc_id", "text",
         numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5),
       "doc_id", col("n_chars"))
     val mixed = Sampling.mixByWeight(surv, "source", "doc_id",

@@ -122,21 +122,98 @@ object Dedup {
       .select(col(idCol), col("__sig"))
   }
 
+  /** Default hot-bucket cap for LSH candidate generation: a band bucket
+    * holding more than this many documents is not pair-expanded (d docs
+    * → d² pairs — one 10⁶-doc boilerplate bucket would put 10¹² rows in
+    * a single join task). Buckets this hot are mass-duplicated
+    * boilerplate; route them to `exactByHash` pre-collapse (below) or
+    * the star expansion (`lshCandidateEdges`), and audit what a capped
+    * run skipped with `droppedLshBuckets`. 1000 bounds any single
+    * bucket's expansion at ~5·10⁵ pairs — safely inside one task. */
+  val DefaultMaxLshBucket = 1000L
+
   /**
    * LSH banding: split the signature into `bands` bands of
    * numHashes/bands rows each; docs sharing any band hash become
    * candidate pairs. One explode (×bands), one shuffle on the band
    * bucket, local pair expansion via self-join, distinct pairs out.
-   * Bucket skew at scale is bounded by band hash width; degenerate
-   * buckets (all-identical docs) are the pairs we want anyway.
+   *
+   * Hot-bucket guard: a bucket of d docs expands to d² pairs in ONE
+   * join task (same key), so buckets above `maxBucketSize` are EXCLUDED
+   * from pair generation — enumerate what a cap dropped with
+   * `droppedLshBuckets`, and use `lshCandidateEdges` when the consumer
+   * is components/clustering (a min-id star preserves the bucket's
+   * connectivity at O(d)). Pass `maxBucketSize = None` for the uncapped
+   * quadratic plan.
+   *
+   * Standard pre-pass at scale: collapse EXACT duplicates first
+   * (`exactByHash` — 16-byte keys, linear) so byte-identical boilerplate
+   * — the dominant source of degenerate buckets — never reaches the
+   * sketch join; LSH then only carries the near-miss mass.
    */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = bandBuckets(sigs, idCol, bands)
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Option[Long] = Some(DefaultMaxLshBucket)): DataFrame = {
+    val banded = sizedBandBuckets(sigs, idCol, bands)
+    val small = maxBucketSize match {
+      case Some(cap) => banded.where(col("__bsz") <= cap)
+      case None => banded
+    }
+    pairExpand(small, idCol).distinct()
+  }
+
+  /**
+   * LSH candidate EDGES — the components-family variant of
+   * `lshCandidatePairs`: sub-cap buckets pair-expand exactly as the
+   * pairs API does, but an above-cap bucket contributes a min-id STAR
+   * (bucket-min doc → every other member, O(d) rows) instead of being
+   * dropped or d²-expanded. A star spans the bucket, so connected
+   * components / cluster consumers resolve the same clusters as the
+   * full expansion whenever verification keeps the star edges — without
+   * ever materializing a hot bucket's quadratic pair set. On corpora
+   * with no above-cap bucket this is IDENTICAL to `lshCandidatePairs`.
+   */
+  def lshCandidateEdges(sigs: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Long = DefaultMaxLshBucket): DataFrame = {
+    val banded = sizedBandBuckets(sigs, idCol, bands)
+    val pairs = pairExpand(banded.where(col("__bsz") <= maxBucketSize), idCol)
+    val stars = banded.where(col("__bsz") > maxBucketSize)
+      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    pairs.unionByName(stars).distinct()
+  }
+
+  /** Audit companion to `lshCandidatePairs`' cap: the (band, bucket,
+    * bucket_size) rows a given `maxBucketSize` excludes from pair
+    * expansion — log or persist this next to any capped run (the
+    * `droppedShingles` pattern of the postings joins). */
+  def droppedLshBuckets(sigs: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Long = DefaultMaxLshBucket): DataFrame =
+    bandBuckets(sigs, idCol, bands)
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucketSize)
+
+  /** Band buckets annotated with per-bucket size and min id — one
+    * window pass on the (band, bucket) key, the same shuffle the
+    * candidate join needs anyway, so the guard costs no extra
+    * exchange. */
+  private def sizedBandBuckets(sigs: DataFrame, idCol: String,
+      bands: Int): DataFrame = {
+    val w = Window.partitionBy(col("__band"), col("__bucket"))
+    bandBuckets(sigs, idCol, bands)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
+  }
+
+  /** Within-bucket pair expansion (id_a < id_b) of a banded frame —
+    * shared by the pairs and edges APIs. NOT distinct'd; callers dedup
+    * after any union. */
+  private def pairExpand(banded: DataFrame, idCol: String): DataFrame = {
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
     a.join(b, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
   }
 
   /** The per-row band-bucket array of a `__sig` column: element b is
@@ -162,10 +239,21 @@ object Dedup {
    * pairs with jaccard ≥ threshold. Verification joins the (small)
    * candidate set back to shingle arrays on id — sort-merge on id at
    * scale, never a cross join.
+   *
+   * Pair ENUMERATION semantics: buckets above `maxBucketSize` are
+   * excluded from candidate generation (audit with `droppedLshBuckets`)
+   * — a hot bucket's d² pair list identifies nothing a cluster label
+   * wouldn't. Consumers that only need the CLUSTERS (components /
+   * dedupByPairs / splits) should call `minhashNearDupEdges`, which
+   * keeps hot buckets connected through a verified min-id star at O(d).
+   * At 100 TB, run `exactByHash` FIRST: byte-identical boilerplate —
+   * the dominant hot-bucket source — then never reaches the sketch
+   * join, and LSH carries only the near-miss mass.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = Some(DefaultMaxLshBucket)): DataFrame = {
     // shingling (interpreted HOF transform) is the expensive narrow step
     // and three consumers need it (signatures, LSH both join sides,
     // verification) — persist ONE shingle pass instead of recomputing it
@@ -173,7 +261,27 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, shingleK)
     val sigs = sigsFromShingles(sets, idCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(sigs, idCol, bands)
+    val cands = lshCandidatePairs(sigs, idCol, bands, maxBucketSize)
+    verifyJaccard(cands, sets, idCol, threshold)
+  }
+
+  /**
+   * `minhashNearDups` for components-family consumers: identical
+   * signature/banding/verification, but candidate generation goes
+   * through `lshCandidateEdges` — hot buckets contribute a verified
+   * min-id star (O(d)) instead of being dropped by the pair cap, so
+   * cluster connectivity survives boilerplate-heavy corpora without the
+   * d² blow-up. On corpora with no above-cap bucket the output is
+   * IDENTICAL to `minhashNearDups`.
+   */
+  def minhashNearDupEdges(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Long = DefaultMaxLshBucket): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    val sigs = sigsFromShingles(sets, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidateEdges(sigs, idCol, bands, maxBucketSize)
     verifyJaccard(cands, sets, idCol, threshold)
   }
 

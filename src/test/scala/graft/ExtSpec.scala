@@ -79,6 +79,55 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash blocking recall $recall too low")
   }
 
+  test("LSH hot-bucket guard: capped pairs drop + audit, edges star at O(d)") {
+    // 1000 byte-identical docs — every band bucket holds all 1000 ids,
+    // the boilerplate-corpus shape whose naive expansion is d² = 499500
+    // pairs in ONE join task. Two extra docs are an ordinary sub-cap
+    // near-dup pair that must keep working alongside the hot bucket.
+    val boiler = "the same boilerplate footer text repeated on every page"
+    val hot = docs(((1 to 1000).map(i => (i.toLong, boiler)) ++ Seq(
+      (2001L, "rare alpha beta gamma delta epsilon zeta eta theta"),
+      (2002L, "rare alpha beta gamma delta epsilon zeta eta iota"))): _*)
+    val sigs = Dedup.minhashSignatures(hot, "id", "text", numHashes = 8)
+      .persist()
+    // pairs API with the cap: the hot bucket is EXCLUDED, the sub-cap
+    // pair survives, and the audit enumerates exactly the hot buckets
+    val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 4,
+        maxBucketSize = Some(100L))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2001L, 2002L)))
+    val dropped = Dedup.droppedLshBuckets(sigs, "id", bands = 4,
+        maxBucketSize = 100L)
+      .select("bucket_size").as[Long].collect().toSeq
+    assert(dropped.length == 4 && dropped.forall(_ == 1000L),
+      s"expected the 4 hot band buckets, got $dropped")
+    // edges API: the hot bucket becomes a min-id STAR — exactly d−1
+    // candidate rows (O(d), NOT O(d²)) — plus the ordinary pair
+    val edges = Dedup.lshCandidateEdges(sigs, "id", bands = 4,
+      maxBucketSize = 100L)
+    val got = edges.as[(Long, Long)].collect()
+    assert(got.length == 1000, s"O(d) expansion expected, got ${got.length}")
+    assert(got.filter(_._1 == 1L).length == 999)
+    assert(got.toSet.contains((2001L, 2002L)))
+    // components over the star resolve the same single cluster the full
+    // d² expansion would
+    val comp = Dedup.components(edges).as[(Long, Long)].collect()
+      .filter(_._1 <= 1000L)
+    assert(comp.length == 1000 && comp.forall(_._2 == 1L))
+    sigs.unpersist()
+  }
+
+  test("minhashNearDupEdges ≡ minhashNearDups when no bucket is hot") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      p.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    assert(rows(Dedup.minhashNearDupEdges(d, "doc_id", "text",
+        numHashes = 128, bands = 32)) ==
+      rows(Dedup.minhashNearDups(d, "doc_id", "text",
+        numHashes = 128, bands = 32)))
+  }
+
   test("ngramJaccardPairs: doc-freq cap bounds hot postings, keeps clean output") {
     // every doc shares one ubiquitous prefix shingle; true dups still
     // share rare shingles, so a cap must not change the pair output
