@@ -110,16 +110,31 @@ final case class MultiOf(members: Seq[PartitionTransform])
   override def expr: Column =
     concat_ws(MultiOf.Sep, members.map { m =>
       val v = m.expr.cast("string")
-      when(v.contains(MultiOf.Sep), raise_error(concat(
-          lit(s"hidden-partition member ${m.physCol}: value contains " +
-            s"the '${MultiOf.Sep}' separator: "), v)))
-        .otherwise(v)
+      // A null member value MUST be encoded explicitly: concat_ws
+      // silently drops nulls, which would shift every later member one
+      // slot left and make readMultiWhere's parts.length invariant
+      // silently exclude the row. The sentinel is reserved — a data
+      // value equal to it raises, like the separator guard.
+      coalesce(
+        when(v.contains(MultiOf.Sep), raise_error(concat(
+            lit(s"hidden-partition member ${m.physCol}: value contains " +
+              s"the '${MultiOf.Sep}' separator: "), v)))
+          .when(v === MultiOf.NullValue, raise_error(
+            lit(s"hidden-partition member ${m.physCol}: value collides " +
+              s"with the reserved null sentinel '${MultiOf.NullValue}'")))
+          .otherwise(v),
+        lit(MultiOf.NullValue))
     }: _*)
   val monotone = false // range-prune member-wise via readMultiWhere
 }
 
 object MultiOf {
   val Sep = "|"
+
+  /** Reserved encoding of a NULL member value inside the composite
+    * partition value — every written value has exactly `members.size`
+    * '|'-separated parts by construction. */
+  val NullValue = "__null__"
 }
 
 object PartitionTransform {
@@ -177,10 +192,18 @@ object HiddenPartition {
   /** Map a source-column literal to its partition value, by evaluating
     * THE SAME expression the write path used (a 1-row local project —
     * metadata-priced, and immune to Scala/SQL semantic drift, e.g.
-    * session-timezone handling in date_format or xxhash64 seeding). */
+    * session-timezone handling in date_format or xxhash64 seeding).
+    * The literal is first CAST to the table's stored source-column type:
+    * xxhash64 is type-sensitive (int vs long, date vs timestamp hash
+    * differently), so an uncast literal of the wrong width would prune
+    * a bucket table to the WRONG partition and silently return zero
+    * rows instead of erroring. */
   private def partitionValueOf(spark: SparkSession, t: PartitionTransform,
-      v: Column): String =
-    spark.range(1).select(t.exprOf(v).cast("string")).head.getString(0)
+      v: Column, schema: org.apache.spark.sql.types.StructType): String = {
+    val dt = schema(t.sourceCol).dataType
+    spark.range(1).select(t.exprOf(v.cast(dt)).cast("string"))
+      .head.getString(0)
+  }
 
   /** Range read on the SOURCE column (inclusive bounds): manifest-level
     * pruning to the transformed bound range + the residual row filter
@@ -193,8 +216,9 @@ object HiddenPartition {
     require(t.monotone,
       s"${t.physCol}: range pruning needs an order-preserving transform " +
         "(days/months/truncate) — bucket tables support readEquals only")
-    val loP = partitionValueOf(spark, t, lo)
-    val hiP = partitionValueOf(spark, t, hi)
+    val schema = VersionedPartitioned.read(spark, root).schema
+    val loP = partitionValueOf(spark, t, lo, schema)
+    val hiP = partitionValueOf(spark, t, hi, schema)
     VersionedPartitioned.readPartitionsWhere(spark, root,
         v => v >= loP && v <= hiP)
       .where(col(t.sourceCol).between(lo, hi))
@@ -209,7 +233,8 @@ object HiddenPartition {
     val t = transformOf(spark, root)
     require(!t.isInstanceOf[MultiOf],
       s"${t.physCol}: multi-member tables read via readMultiWhere")
-    val p = partitionValueOf(spark, t, v)
+    val p = partitionValueOf(spark, t, v,
+      VersionedPartitioned.read(spark, root).schema)
     VersionedPartitioned.readPartitionsWhere(spark, root, _ == p)
       .where(col(t.sourceCol) === v)
       .drop(t.physCol)
@@ -231,18 +256,22 @@ object HiddenPartition {
     }
     require(preds.size == t.members.size,
       s"expected ${t.members.size} member predicates, got ${preds.size}")
-    // per-member partition-value constraints, resolved driver-side
+    val schema = VersionedPartitioned.read(spark, root).schema
+    // per-member partition-value constraints, resolved driver-side.
+    // Null member values are stored as the MultiOf.NullValue sentinel,
+    // so every value splits into exactly members.size parts and an
+    // unconstrained (AnyValue) member never excludes null-source rows.
     val checks: Seq[String => Boolean] =
       t.members.zip(preds).map {
         case (_, AnyValue) => (_: String) => true
         case (m, MemberRange(lo, hi)) =>
           require(m.monotone,
             s"${m.physCol}: range pruning needs a monotone member")
-          val (lp, hp) = (partitionValueOf(spark, m, lo),
-            partitionValueOf(spark, m, hi))
-          (v: String) => v >= lp && v <= hp
+          val (lp, hp) = (partitionValueOf(spark, m, lo, schema),
+            partitionValueOf(spark, m, hi, schema))
+          (v: String) => v != MultiOf.NullValue && v >= lp && v <= hp
         case (m, MemberEquals(eq)) =>
-          val p = partitionValueOf(spark, m, eq)
+          val p = partitionValueOf(spark, m, eq, schema)
           (v: String) => v == p
       }
     val pruned = VersionedPartitioned.readPartitionsWhere(spark, root,

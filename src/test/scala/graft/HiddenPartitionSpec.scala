@@ -111,6 +111,48 @@ class HiddenPartitionSpec extends AnyFunSuite {
       HiddenPartition.readMultiWhere(spark, root, Seq(AnyValue)))
   }
 
+  test("multi-member spec: null member values keep their rows readable") {
+    import graft.ops.{AnyValue, MemberEquals, MemberRange, MultiOf}
+    val root = freshRoot("graft_hp_multinull_")
+    val t = MultiOf(Seq(DaysOf("ts"), BucketOf(4, "name")))
+    // 3 rows with a NULL bucket-member value: concat_ws would silently
+    // drop the null part, shifting the composite value to 1 part and
+    // readMultiWhere's arity check would then silently exclude the rows
+    val withNulls = sampleDf().withColumn("name",
+      when(col("id") <= 3, lit(null).cast("string")).otherwise(col("name")))
+    HiddenPartition.promote(withNulls, root, t)
+    val lo = lit("2024-03-01 00:00:00").cast("timestamp")
+    val hi = lit("2024-03-20 23:59:59").cast("timestamp")
+    // unconstrained member: null-name rows MUST come back
+    val all = HiddenPartition.readMultiWhere(spark, root,
+      Seq(MemberRange(lo, hi), AnyValue))
+    assert(all.where(col("name").isNull).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(all.count() == 200)
+    // constrained member: equality never matches the null rows
+    val eq = HiddenPartition.readMultiWhere(spark, root,
+      Seq(AnyValue, MemberEquals(lit("user3"))))
+    assert(eq.where(col("name").isNull).isEmpty)
+    // the sentinel is reserved: a data value colliding with it raises
+    val bad = sampleDf().withColumn("name",
+      when(col("id") === 1, lit("__null__")).otherwise(col("name")))
+    val e = intercept[Exception](
+      bad.select(MultiOf(Seq(DaysOf("ts"), TruncateOf(10, "name"))).expr)
+        .collect())
+    assert(e.getMessage.contains("reserved null sentinel") ||
+      Option(e.getCause).exists(_.getMessage.contains("reserved null sentinel")))
+  }
+
+  test("bucket lookup literal is cast to the stored source-column type") {
+    val root = freshRoot("graft_hp_buckcast_")
+    HiddenPartition.promote(sampleDf(), root, BucketOf(8, "id"))
+    // id is stored LONG; an INT literal hashes differently under
+    // xxhash64 — without the schema cast this pruned to the wrong
+    // bucket and returned zero rows
+    assert(HiddenPartition.readEquals(spark, root, lit(42))
+      .select("id").as[Long].collect().toSeq == Seq(42L))
+  }
+
   test("streaming sink lands hidden-partitioned and prunes like batch") {
     val root = freshRoot("graft_hp_stream_")
     val in = s"$root/in"
