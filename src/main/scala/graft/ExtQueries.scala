@@ -3239,7 +3239,9 @@ object ExtQueries {
          |                          GROUP BY a, b)
          |        ORDER BY cnt DESC, a, b LIMIT 1),
          |w$r AS MATERIALIZED (
-         |  SELECT w, freq, $rep4 AS sp FROM $prev CROSS JOIN b$r)""".stripMargin
+         |  SELECT w, freq,
+         |         CASE WHEN a IS NULL THEN sp ELSE $rep4 END AS sp
+         |  FROM $prev LEFT JOIN b$r ON TRUE)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }

@@ -104,15 +104,48 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** Spark-job rounds the last `train` call used (each round = one
+    * pair-count job) — the scheduling-floor adjudication hook for
+    * batched training: merges ÷ rounds is the realized batching
+    * factor. */
+  private[graft] val lastTrainRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /**
    * Train `numMerges` merge rules; returns (ordered merges, final dict
    * frame with columns freq/sp in post-merge spaced form). Ties on the
    * pair count break (a, b) ascending binary — deterministic across
    * engines (both compare UTF-8 bytes). Stops early if the dictionary
    * runs out of adjacent pairs.
+   *
+   * `batchSize` bounds how many merges one round may learn: the round
+   * collects a deep top-K pair list and selects, in count order, up to
+   * `batchSize` pairwise NON-INTERACTING pairs — no symbol of a later
+   * selection equals a symbol (or the merged token) of an earlier one
+   * — applying them in one replace chain; interacting pairs are
+   * skipped and reconsidered at the next round's fresh counts.
+   * Applying merge (a, b) cannot change the count of any pair disjoint
+   * from {a, b, ab}, so when the round's top pairs are pairwise
+   * non-interacting the batched selection is EXACTLY what sequential
+   * greedy recounting would pick (BpeSpec pins this). Outside that
+   * domain the learned LIST can differ from m = 1 in order — a skipped
+   * interacting pair trains after a lower-count disjoint one, and a
+   * merge's newly created pairs (x, ab) only enter at the next round —
+   * standard batched-BPE behavior; the result is still a valid,
+   * deterministic merge list. batchSize = 1 (the default, and what
+   * every oracle-gated query runs) is exactly classic sequential BPE.
+   *
+   * Why it matters at scale: each round is ONE driver-paced Spark job
+   * regardless of data size, so a production 32k-merge vocabulary at
+   * m = 1 is 32k sequential job barriers — hours of scheduling floor
+   * on an empty cluster. Batching cuts the barrier count toward
+   * vocab/batchSize (measured, BpeSpec: 256 merges on a Zipf corpus in
+   * 32 rounds at batchSize = 8 — the full 8× round cut).
    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      eow: Boolean = false): (Seq[(String, String)], DataFrame) = {
+      eow: Boolean = false,
+      batchSize: Int = 1): (Seq[(String, String)], DataFrame) = {
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
     // lazy checkpoint: round 1's pair-count job materializes the whole
     // corpus pass (wordFreq shuffle) together with its own aggregation.
     // `w` rides along untouched so the final dict doubles as the
@@ -122,23 +155,41 @@ object Bpe {
       .localCheckpoint(false)
     val merges = Seq.newBuilder[(String, String)]
     var n = 0
+    var rounds = 0
     var exhausted = false
     while (n < numMerges && !exhausted) {
-      // TakeOrderedAndProject — one job, one row to the driver
+      val want = math.min(batchSize, numMerges - n)
+      // TakeOrderedAndProject — one job; the deep list (4× the batch)
+      // gives the skip-scan room to fill the batch past interacting
+      // pairs while staying driver-bounded
+      val depth = if (want == 1) 1 else math.max(want * 4, 64)
       val top = pairCounts(dict)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(depth).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        // top-`want` pairwise non-interacting pairs in count order:
+        // skip any pair sharing a symbol (or the merged token) with an
+        // earlier selection — it reappears at the next round's counts
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        top.iterator.takeWhile(_ => picked.size < want).foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (picked.isEmpty || (!used(a) && !used(b) && !used(a + b)))
+            { picked += ((a, b)); used ++= Seq(a, b, a + b) }
+        }
+        merges ++= picked
         // lazy again: the NEXT round's pair count (or the caller's
         // first action on the returned dict) materializes this round's
-        // replace — 1 job per round, lineage cut every round
-        dict = dict.withColumn("sp", applyMerge(col("sp"), a, b))
+        // replace chain — 1 job per round, lineage cut every round
+        dict = dict.withColumn("sp",
+            picked.foldLeft(col("sp")) { case (c, (a, b)) =>
+              applyMerge(c, a, b) })
           .localCheckpoint(false)
-        n += 1
+        n += picked.size
       }
+      rounds += 1
     }
+    lastTrainRounds.set(rounds)
     (merges.result(), dict)
   }
 

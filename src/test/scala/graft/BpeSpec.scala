@@ -174,6 +174,59 @@ class BpeSpec extends AnyFunSuite {
       Map("ab" -> 3L))
   }
 
+  test("batched training: non-interacting prefix == sequential, one round") {
+    // six words over pairwise-DISJOINT alphabets with strictly
+    // decreasing frequencies: the top-6 pairs share no symbol, so one
+    // batched round must learn exactly what six sequential rounds do
+    val words = Seq("ab" -> 70, "cd" -> 60, "ef" -> 50,
+      "gh" -> 40, "ij" -> 30, "kl" -> 20)
+    val df = words.map { case (w, n) => (w + " ") * n }.toDF("text")
+    val (seq6, seqDict) = Bpe.train(df, "text", numMerges = 6)
+    assert(Bpe.lastTrainRounds.get == 6)
+    val seqVocab = Bpe.vocab(seqDict).as[(String, Long)].collect().toMap
+    val (bat6, batDict) = Bpe.train(df, "text", numMerges = 6, batchSize = 8)
+    assert(bat6 == seq6)
+    assert(Bpe.lastTrainRounds.get == 1,
+      s"expected 1 batched round, got ${Bpe.lastTrainRounds.get}")
+    assert(Bpe.vocab(batDict).as[(String, Long)].collect().toMap == seqVocab)
+  }
+
+  test("batched training: interacting pairs are skipped — still sequential here") {
+    // (a,b) and (b,c) share 'b': the skip-scan applies only the first
+    // this round, so batched output is merge-for-merge the sequential one
+    val df = Seq(("ab " * 50) + ("bc " * 30)).toDF("text")
+    val (seqM, _) = Bpe.train(df, "text", numMerges = 2)
+    val (batM, _) = Bpe.train(df, "text", numMerges = 2, batchSize = 4)
+    assert(batM == seqM && seqM == Seq(("a", "b"), ("b", "c")))
+    assert(Bpe.lastTrainRounds.get == 2)
+    // merged-token interaction: symbol "ab" already exists as a word,
+    // so a candidate containing it must not ride in a batch with (a,b)
+    val df2 = Seq(("ab c " * 40) + ("a b " * 30)).toDF("text")
+    val (s2, _) = Bpe.train(df2, "text", numMerges = 2)
+    val (b2, _) = Bpe.train(df2, "text", numMerges = 2, batchSize = 4)
+    assert(b2 == s2)
+  }
+
+  test("batched training: 256 merges cut rounds several-fold at batchSize=8") {
+    // the sf0.001 corpus vocabulary exhausts at 89 merges, so the
+    // 256-merge scaling figure runs on a deterministic synthetic
+    // corpus: 600 Zipf-weighted words over a 26-letter alphabet
+    val rnd = new scala.util.Random(0xb9e)
+    val words = (1 to 600).map { i =>
+      val len = 5 + rnd.nextInt(6)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w + " ") * (1 + 2000 / i)
+    }
+    val df = words.toDF("text")
+    val (m, _) = Bpe.train(df, "text", numMerges = 256, batchSize = 8)
+    val rounds = Bpe.lastTrainRounds.get
+    assert(m.size == 256, s"corpus exhausted at ${m.size} merges")
+    assert(rounds <= 64,
+      s"expected ~256/8 rounds at batchSize=8, got $rounds")
+    info(s"256 merges in $rounds rounds at batchSize=8 " +
+      f"(${256.0 / rounds}%.1f merges/round)")
+  }
+
   test("leakageSafeSplit co-assigns near-dup clusters and splits singletons by id") {
     import graft.ext.Sampling
     // cluster {3, 18, 27}: label 3 → 3 % 10 = 3 → train, ALL members
