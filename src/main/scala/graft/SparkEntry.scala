@@ -193,6 +193,163 @@ object SparkEntry {
   }
 
   /**
+   * The LIFECYCLE SQL front door end-to-end (SURVEY §2.1 S6 + §2.2):
+   * the same 10-day DECIMAL pipeline as `pipeline_decimal`, but every
+   * step is the REFERENCE'S RAW STATEMENT TEXT routed through
+   * `SqlLifecycle.execute` — CREATE SCHEMA (`dags/dag.py:119`), the
+   * production/cumulative CREATE TABLE ... USING ICEBERG PARTITIONED
+   * BY DDL (`dags/dag.py:130-148,336-354`), per-day CREATE OR REPLACE
+   * staging (`dags/dag.py:158-175`), INSERT INTO staging, the
+   * DELETE-day + INSERT INTO ... SELECT * promote pair
+   * (`dags/dag.py:292-311`), DROP TABLE staging (`dags/dag.py:322-325`),
+   * and the cumulate INSERT with its CTE/window text
+   * (`dags/dag.py:385-437`). Shares `pipeline_decimal`'s oracle: a
+   * user pasting the reference's statements must get the byte-
+   * identical cumulative table the Scala pipeline produces. Only
+   * documented §2.14 resolutions deviate from the reference bytes
+   * (canonical `event_ts BIGINT` in the DDL; staging INSERT lists the
+   * DDL's real columns).
+   */
+  private def sqlPipelineDay(spark: SparkSession, dir: String): DataFrame = {
+    val events = read(spark, dir, "events")
+      .withColumn("ticker",
+        concat_ws("#", col("user_id").cast("string"), col("event_type")))
+    val bars = Ingest.dailyBars(events, Seq("ticker"),
+        tsCol = "ts", valueCol = "value", idCol = "event_id")
+      .withColumn("vwap", (col("open") + col("high") + col("low") + col("close")) / 4)
+      .withColumn("event_ts", unix_millis(col("date").cast("timestamp")))
+      .withColumn("transactions", col("volume").cast("int"))
+      .cache()
+    val d0 = bars.agg(min(col("date"))).head.getDate(0)
+    val days = bars.select(col("date"))
+      .where(col("date") < date_add(lit(d0), 10)).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    bars.createOrReplaceTempView("raw_bars")
+    val root = java.nio.file.Files.createTempDirectory("graft_sql_pipe_")
+    val life = new graft.ops.SqlLifecycle(spark, root.toString)
+    val barCols = """
+      ticker STRING,
+      date DATE,
+      open DECIMAL(10, 2),
+      high DECIMAL(10, 2),
+      low DECIMAL(10, 2),
+      close DECIMAL(10, 2),
+      volume BIGINT,
+      vwap DECIMAL(10, 2),
+      event_ts BIGINT,
+      transactions INTEGER,
+      insertion_timestamp TIMESTAMP"""
+    life.execute("CREATE SCHEMA IF NOT EXISTS jakebuto")
+    life.execute(s"""
+      -- Create production Iceberg table with date in name
+      CREATE TABLE IF NOT EXISTS jakebuto.daily_stock_prices
+      ($barCols)
+      USING ICEBERG
+      PARTITIONED BY (date)
+      COMMENT 'Production table for MAANG stock prices'""")
+    life.execute("""
+      -- Create cumulative table for 7-day rolling metrics
+      CREATE TABLE IF NOT EXISTS jakebuto.daily_stock_prices_cumulative
+      (
+        ticker STRING,
+        date DATE,
+        last_7_days_open ARRAY<DECIMAL(10, 2)>,
+        last_7_days_high ARRAY<DECIMAL(10, 2)>,
+        last_7_days_low ARRAY<DECIMAL(10, 2)>,
+        last_7_days_close ARRAY<DECIMAL(10, 2)>,
+        last_7_days_volume ARRAY<BIGINT>,
+        avg_7_day_volume DECIMAL(15, 2),
+        volatility_7_day DECIMAL(10, 4),
+        updated_at TIMESTAMP
+      )
+      USING ICEBERG
+      PARTITIONED BY (date)
+      COMMENT '7-day rolling window metrics for MAANG stocks'""")
+    days.foreach { ds =>
+      val stg = s"jakebuto.daily_stock_prices_stg_${ds.toString.replace("-", "")}"
+      life.execute(s"""
+        -- Create staging Iceberg table with date in name
+        CREATE OR REPLACE TABLE $stg
+        ($barCols)
+        USING ICEBERG
+        COMMENT 'Staging table for $ds - will be dropped after load'""")
+      life.execute(s"""
+        INSERT INTO $stg
+        (ticker, date, open, high, low, close, volume, vwap,
+        event_ts, transactions, insertion_timestamp)
+        SELECT ticker, date, open, high, low, close, volume, vwap,
+               event_ts, transactions, CURRENT_TIMESTAMP
+        FROM raw_bars WHERE date = DATE '$ds'""")
+      life.execute(s"""
+        -- Delete existing data for this date (idempotence)
+        DELETE FROM jakebuto.daily_stock_prices
+        WHERE date = DATE '$ds'""")
+      life.execute(s"""
+        INSERT INTO jakebuto.daily_stock_prices
+        SELECT * FROM $stg
+        WHERE date = DATE('$ds')""")
+      life.execute(s"""
+        -- Clean up staging table after successful load
+        DROP TABLE IF EXISTS $stg""")
+      life.execute(s"""
+        -- Delete existing data for this date (idempotence)
+        DELETE FROM jakebuto.daily_stock_prices_cumulative
+        WHERE date = DATE '$ds'""")
+      life.execute(s"""
+        -- Calculate 7-day rolling arrays from production table
+        INSERT INTO jakebuto.daily_stock_prices_cumulative
+        WITH daily_prices AS (
+            -- Get last 7 days of data (including today)
+            SELECT
+                ticker, date, open, high, low, close, volume
+            FROM jakebuto.daily_stock_prices
+            WHERE date >= DATE '$ds' - INTERVAL 7 DAYS
+            AND date <= DATE '$ds'
+        ),
+        rolling_windows AS (
+            SELECT
+                ticker, date,
+                ARRAY_AGG(open) OVER w as last_7_days_open,
+                ARRAY_AGG(high) OVER w as last_7_days_high,
+                ARRAY_AGG(low) OVER w as last_7_days_low,
+                ARRAY_AGG(close) OVER w as last_7_days_close,
+                ARRAY_AGG(volume) OVER w as last_7_days_volume,
+                AVG(volume) OVER w as avg_7_day_volume,
+                STDDEV(close) OVER w as volatility_7_day
+            FROM daily_prices
+            WINDOW w AS (
+                PARTITION BY ticker
+                ORDER BY date
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT
+            ticker, date,
+            last_7_days_open, last_7_days_high, last_7_days_low,
+            last_7_days_close, last_7_days_volume,
+            avg_7_day_volume,
+            COALESCE(volatility_7_day, 0) as volatility_7_day,
+            CURRENT_TIMESTAMP
+        FROM rolling_windows
+        WHERE date = DATE '$ds'  -- Only insert today's calculated metrics""")
+    }
+    bars.unpersist()
+    def packDec(c: Column): Column =
+      array_join(transform(c, x => (x * 100).cast("long").cast("string")), ",")
+    life.table("jakebuto.daily_stock_prices_cumulative").select(
+        col("ticker"), col("date"),
+        packDec(col("last_7_days_open")).as("last_7_days_open"),
+        packDec(col("last_7_days_high")).as("last_7_days_high"),
+        packDec(col("last_7_days_low")).as("last_7_days_low"),
+        packDec(col("last_7_days_close")).as("last_7_days_close"),
+        array_join(col("last_7_days_volume").cast("array<string>"), ",")
+          .as("last_7_days_volume"),
+        col("avg_7_day_volume").cast("double").as("avg_7_day_volume"),
+        col("volatility_7_day").cast("double").as("volatility_7_day"))
+      .orderBy("ticker", "date")
+  }
+
+  /**
    * The extension FUNCTION surface through the SQL front door: the
    * native codegen text kernels (`functions/TextExprs` — registered
    * into the session's FunctionRegistry, not Scala UDFs) called from a
@@ -327,6 +484,7 @@ object SparkEntry {
     "ingest_normalize" -> ((s, dir) => ingestNormalize(s, dir)),
     "pipeline_decimal" -> ((s, dir) => pipelineDecimal(s, dir)),
     "pipeline_versioned" -> ((s, dir) => pipelineVersioned(s, dir)),
+    "sql_pipeline_day" -> ((s, dir) => sqlPipelineDay(s, dir)),
     "dq_distinct_presence" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(0))),
     "dq_nulls" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(1))),
     "dq_range_violation" -> ((s, dir) => dqSingle(s, dir, "lineitem", lineitemChecks(2))),
@@ -345,6 +503,9 @@ object SparkEntry {
     // likewise the manifest-format pipeline must match the plain one
     base + ("sql_cumulative" -> base("rolling_7day")) +
       ("pipeline_versioned" -> base("pipeline_decimal")) +
+      // the lifecycle-statement front door must reproduce the Scala
+      // pipeline's cumulative table byte-for-byte
+      ("sql_pipeline_day" -> base("pipeline_decimal")) +
       // native-function SQL front door ≡ the DataFrame twin's oracle
       ("sql_repetition_stats" -> base("repetition_stats"))
   }

@@ -233,6 +233,64 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getDate(0).toLocalDate).toSeq == Seq(d2))
   }
 
+  test("SqlLifecycle: reference statement texts drive the table lifecycle") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqllife_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA IF NOT EXISTS jakebuto")
+    life.execute("""
+      CREATE TABLE IF NOT EXISTS jakebuto.prices
+      (ticker STRING, date DATE, close DECIMAL(10, 2))
+      USING ICEBERG PARTITIONED BY (date)
+      COMMENT 'Production table'""")
+    // IF NOT EXISTS: second create is a no-op, not an error
+    life.execute("""CREATE TABLE IF NOT EXISTS jakebuto.prices
+      (ticker STRING, date DATE, close DECIMAL(10, 2))
+      USING ICEBERG PARTITIONED BY (date)""")
+    // row INSERT ... VALUES (the reference's staging load shape),
+    // implicit double → DECIMAL cast-on-INSERT
+    life.execute("""INSERT INTO jakebuto.prices (ticker, date, close)
+      VALUES ('AAPL', DATE '2024-01-01', 101.5),
+             ('AMZN', DATE '2024-01-01', 99.25),
+             ('AAPL', DATE '2024-01-02', 102.75)""")
+    assert(life.table("jakebuto.prices").count() == 3)
+    // phantom column (reference bug §2.14/1) fails fast, never silent
+    val e = intercept[IllegalArgumentException](
+      life.execute("""INSERT INTO jakebuto.prices (ticker, date, close, timestamp)
+        VALUES ('NFLX', DATE '2024-01-01', 1.0, 5)"""))
+    assert(e.getMessage.contains("phantom"))
+    // DELETE day + INSERT SELECT: the reference's idempotent promote
+    // pair — re-running it cannot duplicate the partition
+    life.execute("""CREATE OR REPLACE TABLE jakebuto.prices_stg
+      (ticker STRING, date DATE, close DECIMAL(10, 2)) USING ICEBERG""")
+    life.execute("""INSERT INTO jakebuto.prices_stg
+      VALUES ('AAPL', DATE '2024-01-01', 200.0), ('META', DATE '2024-01-01', 300.0)""")
+    for (_ <- 1 to 2) {
+      life.execute("DELETE FROM jakebuto.prices WHERE date = DATE '2024-01-01'")
+      life.execute("""INSERT INTO jakebuto.prices
+        SELECT * FROM jakebuto.prices_stg WHERE date = DATE('2024-01-01')""")
+    }
+    val got = life.query(
+      """SELECT ticker, CAST(close AS DOUBLE) AS close FROM jakebuto.prices
+        |WHERE date = DATE '2024-01-01' ORDER BY ticker""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("AAPL", 200.0), ("META", 300.0)))
+    // untouched partition survives the day-targeted delete
+    assert(life.query(
+      "SELECT count(*) FROM jakebuto.prices WHERE date = DATE '2024-01-02'")
+      .head.getLong(0) == 1L)
+    // DROP removes table and catalog entry
+    life.execute("DROP TABLE IF EXISTS jakebuto.prices_stg")
+    assert(life.tables() == Seq("jakebuto.prices"))
+    intercept[IllegalArgumentException](life.table("jakebuto.prices_stg"))
+    // unpartitioned tables reject partition-targeted DELETE with advice
+    life.execute("""CREATE OR REPLACE TABLE jakebuto.unpart
+      (k STRING, date DATE) USING ICEBERG""")
+    val e2 = intercept[IllegalArgumentException](
+      life.execute("DELETE FROM jakebuto.unpart WHERE date = DATE '2024-01-01'"))
+    assert(e2.getMessage.contains("unpartitioned"))
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
