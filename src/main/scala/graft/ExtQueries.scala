@@ -2457,6 +2457,52 @@ object ExtQueries {
   }
 
   /**
+   * Time-travel SQL SUGAR gate (Iceberg's `VERSION AS OF` /
+   * `TIMESTAMP AS OF` SELECT syntax, reference `README.md:76`): the
+   * pinned-history shape of `versioned_timetravel_ts`, but the table
+   * lives in the `SqlLifecycle` catalog, history is made by raw
+   * lifecycle statements (INSERT jan–mar → v1; DELETE + INSERT
+   * repriced feb → v2, v3), and the pinned read is a raw SELECT with
+   * `TIMESTAMP AS OF '<instant between v1 and v2>'` through the query
+   * door — which must recover the ORIGINAL jan–mar state and so share
+   * `versioned_timetravel`'s oracle. `VERSION AS OF 1` is required
+   * row-identical inline (both resolve through `readAt`).
+   */
+  private def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqltt_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA IF NOT EXISTS ns")
+    life.execute("""
+      CREATE TABLE IF NOT EXISTS ns.orders_monthly
+      (month STRING, o_orderkey BIGINT, o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    base.createOrReplaceTempView("raw_monthly_orders")
+    life.execute("""
+      INSERT INTO ns.orders_monthly
+      SELECT month, o_orderkey, o_totalprice FROM raw_monthly_orders
+      WHERE month BETWEEN '1995-01' AND '1995-03'""")
+    val ts = System.currentTimeMillis()
+    Thread.sleep(25) // commit mtimes are ms-granular; see versionedTimeTravelTs
+    life.execute("DELETE FROM ns.orders_monthly WHERE month = '1995-02'")
+    life.execute("""
+      INSERT INTO ns.orders_monthly
+      SELECT month, o_orderkey,
+             CAST(round(o_totalprice * CAST(1.1 AS DECIMAL(3,1)), 2)
+                  AS DECIMAL(18,2))
+      FROM raw_monthly_orders WHERE month = '1995-02'""")
+    val iso = java.time.Instant.ofEpochMilli(ts).toString
+    val byTs = life.query(
+      s"SELECT * FROM ns.orders_monthly TIMESTAMP AS OF '$iso'")
+    val byV = life.query(
+      "SELECT * FROM ns.orders_monthly VERSION AS OF 1")
+    require(byTs.count() == byV.count(),
+      "TIMESTAMP AS OF and VERSION AS OF must pin the same snapshot")
+    monthTotals(byTs)
+  }
+
+  /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
    * price-band column to every live partition in one atomic commit,
@@ -3108,6 +3154,7 @@ object ExtQueries {
     "versioned_rollback" -> ((s, dir) => versionedRollback(s, dir)),
     "versioned_delete_mor" -> ((s, dir) => versionedDeleteMor(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
+    "sql_timetravel" -> ((s, dir) => sqlTimeTravel(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
@@ -3595,7 +3642,10 @@ object ExtQueries {
     val base = oracleSqlBase
     // timestamp-resolved time travel must agree with version-resolved:
     // both read the same pinned v1, so they share one oracle
-    base + ("versioned_timetravel_ts" -> base("versioned_timetravel"))
+    base + ("versioned_timetravel_ts" -> base("versioned_timetravel")) +
+      // the SQL sugar (`VERSION AS OF` / `TIMESTAMP AS OF`) resolves
+      // through the same readAt machinery — one oracle for all doors
+      ("sql_timetravel" -> base("versioned_timetravel"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -69,7 +69,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           Option(partBy).map(_.trim.toLowerCase),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null)
         None
-      case DeleteDateRe(name, colName, d) =>
+      case DeletePartRe(name, colName, d) =>
         deletePartition(name.toLowerCase, colName.toLowerCase, d); None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
@@ -80,10 +80,49 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   /** The query door: `spark.sql` over the cataloged tables (each
-    * registered as a temp view under its view-safe name). */
+    * registered as a temp view under its view-safe name), with
+    * Iceberg's time-travel SQL sugar resolved first: `t VERSION AS OF
+    * n` and `t TIMESTAMP AS OF '<ts>'` on a cataloged partitioned
+    * table register a pinned-history view over the existing
+    * `readAt`/`readAsOf` machinery (manifest resolution is O(1) in
+    * table depth either way; `README.md:76` of the reference names the
+    * capability). Timestamps accept `yyyy-MM-dd HH:mm:ss[.SSS]` or
+    * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
     registerViews()
-    spark.sql(rewriteNames(sel))
+    val withTravel = resolveAsOf(sel)
+    spark.sql(rewriteNames(withTravel))
+  }
+
+  private def resolveAsOf(sel: String): String = {
+    def pinned(tableName: String, suffix: String,
+        read: (String, TableMeta) => DataFrame): Option[String] = {
+      val t = tableName.toLowerCase
+      metaOf(t).filter(_.partitionCol.isDefined).map { meta =>
+        val vn = viewName(t) + suffix
+        read(tableDir(t).toString, meta)
+          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+          .createOrReplaceTempView(vn)
+        vn
+      }
+    }
+    val s1 = VersionAsOfRe.replaceAllIn(sel, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        pinned(m.group(1), "__v" + m.group(2), (p, _) =>
+          VersionedPartitioned.readAt(spark, p, m.group(2).toLong))
+          .getOrElse(m.matched)))
+    TimestampAsOfRe.replaceAllIn(s1, m => {
+      val raw = m.group(2)
+      val ms =
+        try java.time.Instant.parse(raw).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli }
+      scala.util.matching.Regex.quoteReplacement(
+        pinned(m.group(1), "__ts" + ms, (p, _) =>
+          VersionedPartitioned.readAsOf(spark, p, ms))
+          .getOrElse(m.matched))
+    })
   }
 
   /** Current contents of a cataloged table. */
@@ -221,8 +260,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       "route through the SQL front door")
     val path = tableDir(name).toString
     if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
-      VersionedPartitioned.deleteWhere(spark, path,
-        col(s"`$p`") === lit(java.sql.Date.valueOf(d)))
+      // literal typed by the partition column's declared type (DATE in
+      // the reference texts; string for e.g. month-keyed tables)
+      val v = meta.schema(meta.schema.fieldNames
+          .find(_.equalsIgnoreCase(p)).get).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          lit(java.sql.Date.valueOf(d))
+        case dt => lit(d).cast(dt)
+      }
+      VersionedPartitioned.deleteWhere(spark, path, col(s"`$p`") === v)
       ()
     }
   }
@@ -335,9 +381,13 @@ object SqlLifecycle {
       """([\w.]+)\s*\((.*)\)\s*USING\s+\w+""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+COMMENT\s+'[^']*')?\s*;?\s*$""").r
-  private val DeleteDateRe =
+  private val DeletePartRe =
     ("""(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+([\w]+)\s*=\s*""" +
-      """DATE\s*'([0-9-]+)'\s*;?\s*$""").r
+      """(?:DATE\s*)?'([^']+)'\s*;?\s*$""").r
+  private val VersionAsOfRe =
+    """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAsOfRe =
+    """(?i)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
   private val DropTableRe =
