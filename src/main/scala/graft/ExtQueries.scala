@@ -2579,6 +2579,50 @@ object ExtQueries {
       .orderBy("month")
   }
 
+  /**
+   * COUNT DISTINCT under delta maintenance
+   * (ops/IncrementalAgg.sketchState/maintainSketches/distinctCounts):
+   * distinct counts are not subtractable, so the maintained view keeps
+   * one mergeable HLL sketch per (partition × group) cell and a change
+   * window replaces only the touched partitions' cells — the same
+   * promote/rewrite shape as `incremental_agg`, with per-status
+   * distinct priorities and distinct months as the maintained
+   * measures. Cardinalities here (≤5 priorities, ≤4 months) keep the
+   * Datasketches HLL in exact coupon mode, so the ESTIMATES equal
+   * exact COUNT DISTINCT and the oracle recomputes them from scratch
+   * in DuckDB — the estimate-vs-recompute drift AND the maintenance
+   * rule are both hash-gated (large-cardinality accuracy stays
+   * spec-territory, precedent `Profile.numericApprox`).
+   */
+  private def incrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incrdist_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val cols = Seq("month", "o_orderstatus", "o_orderpriority")
+    val state = IncrementalAgg.sketchState(
+      VersionedPartitioned.read(s, root).select(cols.map(col): _*),
+      "month", Seq("o_orderstatus"), Seq("o_orderpriority", "month"))
+    // v2: rewrite 1995-02 (every priority collapsed to 1-URGENT) + add
+    // 1995-04 — the distinct sets genuinely shrink and grow
+    VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    val (oldSide, newSide) = VersionedPartitioned.changedSides(s, root, 1L)
+    val maintained = IncrementalAgg.maintainSketches(state,
+      oldSide.select(cols.map(col): _*), newSide.select(cols.map(col): _*),
+      "month", Seq("o_orderstatus"), Seq("o_orderpriority", "month"))
+    IncrementalAgg.distinctCounts(maintained, Seq("o_orderstatus"),
+        Seq("o_orderpriority", "month"))
+      .orderBy("o_orderstatus")
+  }
+
   private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
       .where(col("month").between("1995-01", "1995-02"))
@@ -3159,6 +3203,7 @@ object ExtQueries {
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
     "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
+    "incremental_distinct" -> ((s, dir) => incrementalDistinct(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -5301,6 +5346,25 @@ object ExtQueries {
         |  WHERE month = '1995-02'
         |)
         |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HLL estimates at coupon-mode cardinality are exact, so the
+    // maintained sketch view is recomputed as plain COUNT DISTINCT
+    // over the post-change composition.
+    "incremental_distinct" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  o_orderstatus, o_orderpriority
+        |           FROM orders),
+        |fin AS (
+        |  SELECT month, o_orderstatus, o_orderpriority FROM m
+        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT month, o_orderstatus, '1-URGENT' AS o_orderpriority FROM m
+        |  WHERE month = '1995-02'
+        |)
+        |SELECT o_orderstatus,
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |         AS approx_distinct_o_orderpriority,
+        |       CAST(count(DISTINCT month) AS BIGINT) AS approx_distinct_month
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // Partition-spec evolution must be a pure relayout: the aggregate
     // over the evolved table equals the same aggregate over the source.

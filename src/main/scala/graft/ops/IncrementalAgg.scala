@@ -70,4 +70,69 @@ object IncrementalAgg {
       // recompute would not emit it either
       .where(col("n_rows") > 0)
   }
+
+  // --------------------------------------- COUNT DISTINCT via sketches —
+  //
+  // COUNT DISTINCT is not subtractable — `state − old + new` has no
+  // inverse for set cardinality, so the delta rule above cannot carry
+  // it. The standard MV answer is PARTITION-GRAINED partial sketches:
+  // keep one mergeable HLL sketch per (partition, group) cell
+  // (Datasketches HLL via Spark's `hll_sketch_agg`), and maintain under
+  // partition replacement by dropping the touched partitions' cells and
+  // re-sketching only the NEW rows (O(day), never O(table)); the
+  // per-group estimate re-unions the surviving cells — an
+  // aggregate-sized pass (`hll_union_agg`), never a data scan. The
+  // estimate is exact while a group's true cardinality is far below
+  // 2^lgK (the sketch stays in exact coupon mode) and ±~1.6%/√(2^lgK)
+  // beyond — AggSpec pins merge-of-partials ≡ whole-input and
+  // exactness vs countDistinct at gate cardinalities; estimates are
+  // deliberately not oracle-gated (precedent: Profile.numericApprox).
+
+  /** Default Datasketches lgConfigK: 2^12 registers ≈ 1.6 kB dense,
+    * <1% relative error — the Spark default. */
+  val DefaultLgK = 12
+
+  /** Partition-grained sketch state: one row per (partitionCol ×
+    * groupCols) cell carrying an `hll_<c>` binary sketch per distinct
+    * column. One map-combined hash aggregation; the shuffle carries
+    * sketches (≤ ~1.6 kB each at lgK 12), never row values. */
+  def sketchState(df: DataFrame, partitionCol: String,
+      groupCols: Seq[String], distinctCols: Seq[String],
+      lgK: Int = DefaultLgK): DataFrame = {
+    require(distinctCols.nonEmpty, "at least one distinct column")
+    val aggs = distinctCols.map(c =>
+      hll_sketch_agg(col(c), lit(lgK)).as(s"hll_$c"))
+    df.groupBy((partitionCol +: groupCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collapse partition-grained sketch state to per-group approximate
+    * distinct counts (`approx_distinct_<c>`): union the cells' sketches
+    * per group, then estimate. Aggregate-sized input — this is the
+    * read path of the maintained COUNT DISTINCT view. */
+  def distinctCounts(state: DataFrame, groupCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame = {
+    val aggs = distinctCols.map(c =>
+      hll_sketch_estimate(hll_union_agg(col(s"hll_$c")))
+        .as(s"approx_distinct_$c"))
+    state.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Maintain partition-grained sketch state under one partition-
+   * replacement change window: cells of the touched partitions (either
+   * side) are dropped and the NEW rows re-sketched — equal to
+   * `sketchState` over the post-change table, cell for cell. Only
+   * `newChanged` is scanned at row grain; the state join is
+   * aggregate-sized (anti-join on the partition key).
+   */
+  def maintainSketches(state: DataFrame, oldChanged: DataFrame,
+      newChanged: DataFrame, partitionCol: String, groupCols: Seq[String],
+      distinctCols: Seq[String], lgK: Int = DefaultLgK): DataFrame = {
+    val touched = oldChanged.select(col(partitionCol))
+      .unionByName(newChanged.select(col(partitionCol))).distinct()
+    state.join(touched, Seq(partitionCol), "left_anti")
+      .unionByName(
+        sketchState(newChanged, partitionCol, groupCols, distinctCols, lgK))
+  }
 }

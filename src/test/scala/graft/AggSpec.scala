@@ -160,6 +160,59 @@ class AggSpec extends AnyFunSuite {
         s"$c approx distinct ${a.getLong(3)} vs exact $eDist")
     }
   }
+
+  test("IncrementalAgg sketches: merge-of-partials == whole-input, exact at gate cardinality") {
+    import graft.ops.IncrementalAgg
+    // 3 partitions × 2 groups, per-group distinct user counts small
+    // enough that the HLL stays in exact coupon mode
+    val rows = (1L to 600L).map { i =>
+      (s"p${i % 3}", s"g${i % 2}", s"user${i % 97}", i)
+    }
+    val df = rows.toDF("part", "grp", "user", "id").repartition(7)
+    val state = IncrementalAgg.sketchState(df, "part", Seq("grp"), Seq("user"))
+    // merge-of-partials ≡ whole-input: the per-group union of the 3
+    // partition cells estimates exactly what one whole-input sketch does
+    val merged = IncrementalAgg.distinctCounts(state, Seq("grp"), Seq("user"))
+      .as[(String, Long)].collect().toMap
+    val whole = df.groupBy("grp")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user"), lit(12)))
+        .as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == whole)
+    // exactness vs countDistinct at this cardinality
+    val exact = df.groupBy("grp")
+      .agg(countDistinct(col("user")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == exact)
+  }
+
+  test("IncrementalAgg.maintainSketches equals re-sketch after partition replacement") {
+    import graft.ops.IncrementalAgg
+    val base = (1L to 600L).map { i =>
+      (s"p${i % 3}", s"g${i % 2}", s"user${i % 97}")
+    }.toDF("part", "grp", "user")
+    val state = IncrementalAgg.sketchState(base, "part", Seq("grp"), Seq("user"))
+    // replace partition p1 with a smaller, different user universe and
+    // drop p2 entirely (old side present, no new rows)
+    val oldChanged = base.where(col("part").isin("p1", "p2"))
+    val newChanged = (1L to 50L).map(i => ("p1", s"g${i % 2}", s"fresh${i % 13}"))
+      .toDF("part", "grp", "user")
+    val maintained = IncrementalAgg.maintainSketches(state, oldChanged,
+      newChanged, "part", Seq("grp"), Seq("user"))
+    val after = base.where(col("part") === "p0").unionByName(newChanged)
+    val want = IncrementalAgg.distinctCounts(
+      IncrementalAgg.sketchState(after, "part", Seq("grp"), Seq("user")),
+      Seq("grp"), Seq("user")).as[(String, Long)].collect().toMap
+    val got = IncrementalAgg.distinctCounts(maintained, Seq("grp"), Seq("user"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // and both equal the exact recompute at this cardinality
+    val exact = after.groupBy("grp").agg(countDistinct(col("user")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+    // maintained state stays partition-grained: p2's cells are gone
+    assert(maintained.where(col("part") === "p2").isEmpty)
+  }
 }
 
 /** Tiny shared loader for specs that want real testdata shapes. */
