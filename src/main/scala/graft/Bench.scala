@@ -127,6 +127,16 @@ object Bench {
     // would otherwise put ~1.5 KB of names into the "short" line and
     // re-trigger tail truncation exactly when the signal matters most.
     // The complete list lives in target/bench_queries.json.
+    // Settle before the end probe: it fires right after the query loop,
+    // so run-induced state (GC pressure from the workload's own garbage,
+    // page-cache churn) — not just external contention — would inflate
+    // it, and regress.py's allowance only ever WIDENS with the worse
+    // probe. A GC + short pause drains the run's own residue so the end
+    // probe measures the box, keeping the probe sensitive to the thing
+    // it exists for (neighbor contention).
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
     val calibEndSec = calibrate(spark)
     val allFailed = results.filterNot(_.ok).map(_.name)
     val failedCount = allFailed.size

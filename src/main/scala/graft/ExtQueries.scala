@@ -592,6 +592,71 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** REAL compressed-image decode (Multimodal.QoiCodec — pure-byte QOI,
+    * the first stateful/compressed container): each embedding's first
+    * 48 dims become 16 RGB pixels, each DOUBLED horizontally into an
+    * 8×4 image so the encoded stream must contain RUN chunks (every
+    * duplicate) alongside INDEX/DIFF/LUMA/RGB — then the bytes are
+    * decoded back and stats come from the DECODED pixels. QOI decode is
+    * stateful (running color index + previous pixel), so a single
+    * mis-stepped chunk shifts every later pixel: the position-weighted
+    * `pos_luma` fails on any chunk-walk, run-length or index-slot bug.
+    * The oracle replays the doubling positionally (source pos p at
+    * r=p÷4,c=p%4 lands at output 8r+2c and 8r+2c+1 → weight 16r+4c+1). */
+  private def imageQoiStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(32)(q => base((q / 8) * 4 + (q % 8) / 2))
+        val bytes = Multimodal.QoiCodec.encode(8, 4, rgb)
+        val (w, h, dec) = Multimodal.QoiCodec.decode(bytes)
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
+  /** QOI decode → nearest resize (8×4 → 4×2 picks source positions
+    * (2i,2j), i.e. base pixels 0..3 and 8..11) → RE-ENCODE the resized
+    * image as QOI → decode AGAIN → stats. Two full compressed round
+    * trips per image: the second encode sees a different pixel stream
+    * (no doubled runs), so both the run-heavy and the run-light encoder
+    * paths are under the same hash gate. */
+  private def imageQoiResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(32)(q => base((q / 8) * 4 + (q % 8) / 2))
+        val (w, h, dec) =
+          Multimodal.QoiCodec.decode(Multimodal.QoiCodec.encode(8, 4, rgb))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 4, 2)
+        val (_, _, dec2) =
+          Multimodal.QoiCodec.decode(Multimodal.QoiCodec.encode(4, 2, small))
+        val lumas = dec2.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, dec2.length, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "n_px", "luma_sum", "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- joins —
 
   /**
@@ -3126,6 +3191,8 @@ object ExtQueries {
     "image_pgm_resize" -> ((s, dir) => imagePgmResize(s, dir)),
     "image_bmp_stats" -> ((s, dir) => imageBmpStats(s, dir)),
     "image_bmp_resize" -> ((s, dir) => imageBmpResize(s, dir)),
+    "image_qoi_stats" -> ((s, dir) => imageQoiStats(s, dir)),
+    "image_qoi_resize" -> ((s, dir) => imageQoiResize(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -4013,6 +4080,59 @@ object ExtQueries {
         |             (299*r + 587*g + 114*b) // 1000 AS luma
         |      FROM c WHERE pos IN (0, 2, 8, 10))
         |SELECT vec_id, CAST(4 AS INT) AS n_px,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // expected stats straight from the source values — the engine side
+    // must reproduce them THROUGH the stateful QOI chunk stream (encode
+    // → decode); the doubled pixel at source pos p (row p//4, col p%4)
+    // lands at output positions 8r+2c and 8r+2c+1 → weight 16r+4c+1
+    "image_qoi_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id, pos,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
+        |SELECT vec_id,
+        |       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       CAST(2 * sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(luma * (16*(pos//4) + 4*(pos%4) + 1)) AS BIGINT)
+        |         AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // 8×4 → 4×2 nearest picks source (2i,2j) = base pixels 0-3 and 8-11
+    // at output positions 0-7 (pos2 = pos - 4*(pos//8))
+    "image_qoi_resize" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id, pos - 4*(pos//8) AS pos2,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma
+        |      FROM c WHERE pos IN (0,1,2,3,8,9,10,11))
+        |SELECT vec_id, CAST(8 AS INT) AS n_px,
         |       CAST(sum(luma) AS BIGINT) AS luma_sum,
         |       CAST(min(luma) AS BIGINT) AS luma_min,
         |       CAST(max(luma) AS BIGINT) AS luma_max,

@@ -302,6 +302,138 @@ object Multimodal {
   }
 
   /**
+   * REAL codec for QOI ("Quite OK Image", qoiformat.org) — the fourth
+   * pure-JVM container, and the first genuinely COMPRESSED one: unlike
+   * PGM/WAV/BMP (fixed-layout rasters), QOI round-trips through a
+   * stateful chunk stream (running 64-slot color index, 2-bit DIFF,
+   * LUMA, run-length ops), so the decoder must carry mutable state
+   * byte-to-byte — an off-by-one in ANY chunk shifts every later pixel
+   * and fails the position-weighted oracle checksum. RGB (3-channel)
+   * subset; alpha fixed at 255 per the spec's RGB mode.
+   *
+   * Layout (public spec): 14-byte header (magic "qoif", width u32 BE,
+   * height u32 BE, channels, colorspace), chunk stream, 8-byte end
+   * marker (seven 0x00 then 0x01). Chunks: QOI_OP_RGB 0xFE+r,g,b;
+   * QOI_OP_INDEX 0b00xxxxxx (slot = (3r+5g+7b+11a) % 64);
+   * QOI_OP_DIFF 0b01drdgdb (2-bit channel deltas, bias 2);
+   * QOI_OP_LUMA 0b10 + 6-bit dg (bias 32) + byte (dr-dg|db-dg, bias 8);
+   * QOI_OP_RUN 0b11run (1..62, bias -1). Previous pixel seeds to
+   * (0,0,0,255); the index array to zeros.
+   */
+  object QoiCodec {
+    private def hash(r: Int, g: Int, b: Int): Int =
+      (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+
+    /** Encode row-major top-down 0xRRGGBB pixels as RGB-mode QOI,
+      * using every op the spec offers (RUN > INDEX > DIFF > LUMA > RGB,
+      * the reference encoder's preference order). */
+    def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height,
+        s"need width*height pixels, got ${rgb.length} for ${width}x$height")
+      val out = new java.io.ByteArrayOutputStream(14 + rgb.length + 8)
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      be32(width); be32(height)
+      out.write(3); out.write(0)                    // RGB, sRGB+linear alpha
+      val index = new Array[Int](64)                // packed rgb, 0 = empty≡black
+      var pr = 0; var pg = 0; var pb = 0            // previous pixel (0,0,0)
+      var run = 0
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        if (r == pr && g == pg && b == pb) {
+          run += 1
+          if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+          val slot = hash(r, g, b)
+          val packed = (r << 16) | (g << 8) | b
+          if (index(slot) == packed) out.write(slot) // QOI_OP_INDEX
+          else {
+            index(slot) = packed
+            val dr = r - pr; val dg = g - pg; val db = b - pb
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+                db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else {
+              val drg = dr - dg; val dbg = db - dg
+              if (dg >= -32 && dg <= 31 && drg >= -8 && drg <= 7 &&
+                  dbg >= -8 && dbg <= 7) {
+                out.write(0x80 | (dg + 32))
+                out.write(((drg + 8) << 4) | (dbg + 8))
+              } else { out.write(0xfe); out.write(r); out.write(g); out.write(b) }
+            }
+          }
+          pr = r; pg = g; pb = b
+        }
+        i += 1
+      }
+      if (run > 0) out.write(0xc0 | (run - 1))
+      (0 until 7).foreach(_ => out.write(0)); out.write(1) // end marker
+      out.toByteArray
+    }
+
+    /** (width, height, row-major top-down 0xRRGGBB pixels). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length >= 22, "truncated QOI file")
+      require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+        bytes(3) == 'f', "not a QOI file")
+      def be32(o: Int): Int = ((bytes(o) & 0xff) << 24) |
+        ((bytes(o + 1) & 0xff) << 16) | ((bytes(o + 2) & 0xff) << 8) |
+        (bytes(o + 3) & 0xff)
+      val width = be32(4); val height = be32(8)
+      val channels = bytes(12) & 0xff
+      require(width > 0 && height > 0 && (channels == 3 || channels == 4),
+        s"bad geometry ${width}x$height channels=$channels")
+      require(channels == 3, "RGB-mode subset (alpha unsupported)")
+      val n = width * height
+      val px = new Array[Int](n)
+      val index = new Array[Int](64)
+      var pr = 0; var pg = 0; var pb = 0
+      var i = 14
+      var k = 0
+      while (k < n) {
+        require(i < bytes.length - 8, "chunk stream ran past end marker")
+        val b0 = bytes(i) & 0xff; i += 1
+        if (b0 == 0xfe) {                            // QOI_OP_RGB
+          pr = bytes(i) & 0xff; pg = bytes(i + 1) & 0xff
+          pb = bytes(i + 2) & 0xff; i += 3
+        } else if (b0 == 0xff) {
+          throw new IllegalArgumentException("RGBA chunk in RGB stream")
+        } else (b0 >> 6) match {
+          case 0 =>                                  // QOI_OP_INDEX
+            val v = index(b0)
+            pr = (v >> 16) & 0xff; pg = (v >> 8) & 0xff; pb = v & 0xff
+          case 1 =>                                  // QOI_OP_DIFF
+            pr = (pr + ((b0 >> 4) & 3) - 2) & 0xff
+            pg = (pg + ((b0 >> 2) & 3) - 2) & 0xff
+            pb = (pb + (b0 & 3) - 2) & 0xff
+          case 2 =>                                  // QOI_OP_LUMA
+            val dg = (b0 & 0x3f) - 32
+            val b1 = bytes(i) & 0xff; i += 1
+            pg = (pg + dg) & 0xff
+            pr = (pr + dg + ((b1 >> 4) & 0xf) - 8) & 0xff
+            pb = (pb + dg + (b1 & 0xf) - 8) & 0xff
+          case _ =>                                  // QOI_OP_RUN
+            var run = (b0 & 0x3f)                    // bias -1: emits run+1
+            while (run > 0 && k < n - 1) {
+              px(k) = (pr << 16) | (pg << 8) | pb; k += 1; run -= 1
+            }
+            require(run == 0, "run overflows pixel count")
+        }
+        index(hash(pr, pg, pb)) = (pr << 16) | (pg << 8) | pb
+        px(k) = (pr << 16) | (pg << 8) | pb
+        k += 1
+      }
+      require(bytes.length - i >= 8 && bytes(bytes.length - 1) == 1,
+        "missing end marker")
+      (width, height, px)
+    }
+  }
+
+  /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec
    * wants (shared decoder state per partition, zero per-row setup).

@@ -1011,6 +1011,39 @@ class ExtSpec extends AnyFunSuite {
     intercept[Exception](BmpCodec.encode(2, 2, Array(1, 2, 3)))
   }
 
+  test("Multimodal.QoiCodec: every chunk op round-trips; streams compress; junk rejected") {
+    import Multimodal.QoiCodec
+    // a pixel stream engineered to hit every op: RUN (repeats), INDEX
+    // (red recurs after other colors), DIFF (+1 steps), LUMA (+16 on all
+    // channels), RGB (large jumps)
+    val rgb = Array(
+      0xFF0000, 0xFF0000, 0xFF0000,             // run of the first pixel
+      0x00FF00,                                 // RGB jump
+      0x01FF01,                                 // DIFF (+1, 0, +1)
+      0x11FF11 + 0x001000,                      // LUMA-range step
+      0xFF0000,                                 // INDEX (red seen before)
+      0x000000, 0x000000)                       // black = zero-init slot
+    val bytes = QoiCodec.encode(3, 3, rgb)
+    val (w, h, dec) = QoiCodec.decode(bytes)
+    assert((w, h) == ((3, 3)) && dec.toSeq == rgb.toSeq)
+    // compression is real: a 64-px constant image is header + 2 run
+    // chunks + end marker, far below the 3-byte/px raw size
+    val flat = Array.fill(64)(0x123456)
+    val fb = QoiCodec.encode(8, 8, flat)
+    assert(fb.length < 14 + 64 * 3 + 8 && fb.length <= 14 + 4 + 2 + 8)
+    assert(QoiCodec.decode(fb)._3.toSeq == flat.toSeq)
+    // a >62-px run must split into two run chunks per the spec cap
+    val long = Array.fill(100)(0xABCDEF)
+    assert(QoiCodec.decode(QoiCodec.encode(10, 10, long))._3.toSeq == long.toSeq)
+    // random-ish content (no two equal neighbors) still round-trips
+    val noisy = Array.tabulate(48)(i => ((i * 2654435761L) & 0xFFFFFF).toInt)
+    assert(QoiCodec.decode(QoiCodec.encode(6, 8, noisy))._3.toSeq == noisy.toSeq)
+    intercept[Exception](QoiCodec.decode("not a qoi file at all".getBytes("UTF-8")))
+    intercept[Exception](QoiCodec.encode(2, 2, Array(1)))
+    // truncating the chunk stream is an error, not garbage pixels
+    intercept[Exception](QoiCodec.decode(bytes.dropRight(12)))
+  }
+
   test("Multimodal.PgmCodec: real byte round trip, comment-tolerant header, corruption rejected") {
     import Multimodal.PgmCodec
     val px = (0 until 12).map(i => (i * 21) % 256).toArray

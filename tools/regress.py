@@ -53,6 +53,15 @@ gone = sorted(set(base_q) - set(run_q))
 print(f"calib: run {run.get('calib_sec')}/{run.get('calib_end_sec')} "
       f"(start/end) vs baseline {base.get('calib_sec')}"
       f" -> allowance x{FACTOR * calib_ratio:.2f} (floor {FLOOR}s)")
+# An end probe FAR above the start probe widens the allowance for the
+# whole run — legitimate when contention arrived mid-run, but Bench's
+# pre-probe settle (GC + pause) should keep run-induced residue out of
+# it, so a big gap deserves eyes, not silent trust in the wider budget.
+end_c = run.get("calib_end_sec")
+if end_c is not None and end_c > 1.5 * run.get("calib_sec", 0.2):
+    print(f"[ADJUDICATE] end probe {end_c} is >1.5x the start probe "
+          f"{run.get('calib_sec')} — allowance widened to match; verify "
+          f"mid-run contention (or re-run) rather than trusting the gate")
 if new:
     print(f"new (unbaselined): {', '.join(new)}")
 if gone:
