@@ -2567,6 +2567,135 @@ object ExtQueries {
     monthTotals(byTs)
   }
 
+  /** Shared fixture of the row-level-verb SQL gates: a fresh lifecycle
+    * catalog holding `sales.facts` (month-partitioned), loaded with the
+    * `o_orderkey % 4 < 2` slice of three 1995 months via raw statement
+    * texts. Prices ride DECIMAL(18,2) from the INSERT on, so every
+    * later arithmetic is exact in both engines. */
+  private def rowVerbFixture(s: SparkSession,
+      dir: String): graft.ops.SqlLifecycle = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_src")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlrowverb_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA sales")
+    life.execute("""
+      CREATE TABLE sales.facts
+      (o_orderkey BIGINT, o_custkey BIGINT, month STRING,
+       total DECIMAL(18, 2), src STRING)
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("""
+      INSERT INTO sales.facts
+      SELECT o_orderkey, o_custkey,
+             date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+             CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+             'base' AS src
+      FROM orders_src
+      WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+              BETWEEN '1995-01' AND '1995-03'
+        AND o_orderkey % 4 < 2""")
+    life
+  }
+
+  /** The gates' shared output shape (DECIMAL re-cast to DOUBLE for a
+    * representation-stable hash, like the other versioned gates). */
+  private def rowVerbOut(life: graft.ops.SqlLifecycle): DataFrame =
+    life.table("sales.facts")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("month").cast("string").as("month"),
+        col("total").cast("double").as("total"), col("src"))
+      .orderBy("o_orderkey")
+
+  /**
+   * MERGE INTO statement-text gate, full-row form
+   * (ops/SqlLifecycle.mergeInto → Merge.upsert +
+   * VersionedPartitioned.overwritePartitions): the flagship Iceberg
+   * upsert verb a reference user would reach for first. The source
+   * overlaps the target on `o_orderkey % 4 = 1` (updated in place,
+   * doubled price, relabeled) and brings `% 4 = 2` as inserts; the
+   * merge key is NOT the partition column, so the write-back resolves
+   * the matched rows' partitions with the semi-join probe and rewrites
+   * only the affected month partitions. The oracle restates the merge
+   * outcome as a direct CASE over the same slice.
+   */
+  private def sqlMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      MERGE INTO sales.facts AS t
+      USING (SELECT o_orderkey, o_custkey,
+                    date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+                    CAST(o_totalprice AS DECIMAL(18, 2)) * 2 AS total,
+                    'merged' AS src
+             FROM orders_src
+             WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+                     BETWEEN '1995-01' AND '1995-03'
+               AND o_orderkey % 4 IN (1, 2)) AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * MERGE INTO statement-text gate, column-level + prune form
+   * (Merge.merge under the front door): `UPDATE SET total = s.total`
+   * must leave every non-listed column at its target value (src stays
+   * 'base' on matched rows — the discriminating bit vs full-row), and
+   * `WHEN NOT MATCHED BY SOURCE THEN DELETE` prunes the `% 4 = 0`
+   * slice — table-wide semantics, so this exercises the whole-table
+   * overwrite path including same-commit removal of partitions whose
+   * rows all vanished.
+   */
+  private def sqlMergePrune(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      MERGE INTO sales.facts AS t
+      USING (SELECT o_orderkey, o_custkey,
+                    date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+                    CAST(o_totalprice AS DECIMAL(18, 2)) * 2 AS total,
+                    'merged' AS src
+             FROM orders_src
+             WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+                     BETWEEN '1995-01' AND '1995-03'
+               AND o_orderkey % 4 IN (1, 2)) AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET total = s.total
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * UPDATE statement-text gate (ops/SqlLifecycle.update): expressions
+   * over the OLD row (`total * 3` reads the pre-update value), a
+   * second literal assignment in the same statement, and a predicate
+   * on a non-partition column — the write-back rewrites only the
+   * partitions holding matching rows. Oracle: the same CASE, exact
+   * DECIMAL arithmetic.
+   */
+  private def sqlUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      UPDATE sales.facts
+      SET total = total * 3, src = 'boosted'
+      WHERE o_custkey % 10 = 3""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * General-predicate DELETE statement-text gate
+   * (ops/SqlLifecycle.deleteRows → VersionedPartitioned.deleteWhere):
+   * a conjunction over two non-partition columns — beyond the
+   * reference's partition-equality delete shape — with copy-on-write
+   * of only the partitions holding matching rows.
+   */
+  private def sqlDeleteRows(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute(
+      "DELETE FROM sales.facts WHERE total > 150000 AND o_custkey % 2 = 0")
+    rowVerbOut(life)
+  }
+
   /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
@@ -3271,6 +3400,10 @@ object ExtQueries {
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
     "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "incremental_distinct" -> ((s, dir) => incrementalDistinct(s, dir)),
+    "sql_merge_upsert" -> ((s, dir) => sqlMergeUpsert(s, dir)),
+    "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
+    "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
+    "sql_delete_rows" -> ((s, dir) => sqlDeleteRows(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -5467,6 +5600,65 @@ object ExtQueries {
         |)
         |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The row-level-verb gates share one fixture (the %4<2 slice of
+    // three months, DECIMAL(18,2) prices) and restate each verb's
+    // outcome as a direct CASE over the same slice — the engine runs
+    // the statement text, the oracle runs the semantics.
+    "sql_merge_upsert" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03')
+        |SELECT o_orderkey, o_custkey, month,
+        |       CAST(CASE WHEN o_orderkey % 4 IN (1, 2) THEN p * 2 ELSE p END
+        |            AS DOUBLE) AS total,
+        |       CASE WHEN o_orderkey % 4 IN (1, 2) THEN 'merged' ELSE 'base' END
+        |         AS src
+        |FROM m
+        |WHERE o_orderkey % 4 < 2 OR o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_merge_prune" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03')
+        |SELECT o_orderkey, o_custkey, month,
+        |       CAST(p * 2 AS DOUBLE) AS total,
+        |       CASE WHEN o_orderkey % 4 = 1 THEN 'base' ELSE 'merged' END AS src
+        |FROM m
+        |WHERE o_orderkey % 4 IN (1, 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_update_where" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT o_orderkey, o_custkey, month,
+        |       CAST(CASE WHEN o_custkey % 10 = 3 THEN p * 3 ELSE p END
+        |            AS DOUBLE) AS total,
+        |       CASE WHEN o_custkey % 10 = 3 THEN 'boosted' ELSE 'base' END
+        |         AS src
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "sql_delete_rows" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
+        |       'base' AS src
+        |FROM m
+        |WHERE NOT (p > 150000 AND o_custkey % 2 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     // HLL estimates at coupon-mode cardinality are exact, so the
     // maintained sketch view is recomputed as plain COUNT DISTINCT
     // over the post-change composition.

@@ -38,9 +38,15 @@ import org.apache.spark.sql.types.StructType
  *    O(day), never O(table).
  *  - DELETE FROM t WHERE col = DATE '...' → partition-targeted
  *    `VersionedPartitioned.deleteWhere` (copy-on-write of the affected
- *    partition only). Arbitrary predicates are deliberately out of
- *    scope here — `deleteWhere`/`deleteRowsMergeOnRead` take any
- *    Column predicate via the Scala API.
+ *    partition only) when col IS the partition column; any other
+ *    predicate routes through the general row-level delete (still
+ *    `deleteWhere` — only partitions holding matching rows rewrite).
+ *  - UPDATE t SET c = expr, … WHERE pred → copy-on-write row update
+ *    scoped to the matching partitions (plus any partition an updated
+ *    row moves into when an assignment changes the partition column).
+ *  - MERGE INTO t USING s ON keys WHEN … → `Merge.upsert`/`Merge.merge`
+ *    with partition-scoped write-back via `overwritePartitions` (see
+ *    `mergeInto` for the supported clause shapes).
  *  - DROP TABLE → removes data and catalog entry.
  *  - anything else → `spark.sql` passthrough with every cataloged
  *    table registered as a temp view (qualified names rewritten to
@@ -69,8 +75,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           Option(partBy).map(_.trim.toLowerCase),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null)
         None
-      case DeletePartRe(name, colName, d) =>
+      case DeletePartRe(name, colName, d)
+          if metaOf(name.toLowerCase)
+            .exists(_.partitionCol.contains(colName.toLowerCase)) =>
         deletePartition(name.toLowerCase, colName.toLowerCase, d); None
+      case DeleteRowsRe(name, pred) =>
+        deleteRows(name.toLowerCase, pred); None
+      case UpdateRe(name, setBlock, pred) =>
+        update(name.toLowerCase, setBlock, Option(pred)); None
+      case MergeStmtRe() =>
+        mergeInto(s); None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
@@ -273,6 +287,245 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** General row-level DELETE — any predicate `expr()` parses.
+    * Partitioned tables route to `VersionedPartitioned.deleteWhere`
+    * (copy-on-write of ONLY the partitions holding matching rows, a
+    * fully-emptied partition dropped in the same commit); staging
+    * tables filter-and-swap. SQL DELETE's three-valued rule (a NULL
+    * predicate keeps its row) is enforced by both paths. */
+  private def deleteRows(name: String, predText: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"DELETE FROM $name: no such table"))
+    val pred = expr(predText)
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          VersionedPartitioned.deleteWhere(spark, path, pred)
+          ()
+        }
+      case None =>
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(cur.where(not(coalesce(pred, lit(false)))), dataDir)
+    }
+  }
+
+  /** UPDATE t SET c = <expr>, … [WHERE <pred>] — copy-on-write row
+    * update. Every SET right-hand side is a Spark SQL expression over
+    * the OLD row (standard UPDATE semantics: all assignments read the
+    * pre-update values), cast to the column's declared type. Write-back
+    * is partition-scoped: only partitions holding matching rows — plus
+    * any partition an updated row MOVES INTO when an assignment changes
+    * the partition column — are rewritten (`overwritePartitions`, which
+    * also drops a partition whose rows all migrated away); the rest of
+    * the table is inherited by manifest reference. */
+  private def update(name: String, setBlock: String,
+      predText: Option[String]): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"UPDATE $name: no such table"))
+    val assigns: Seq[(String, org.apache.spark.sql.Column)] =
+      splitTop(setBlock).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"UPDATE $name: cannot parse assignment '$a'")
+        val cn = a.take(i).trim
+        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(cn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"UPDATE $name SET $cn: no such column"))
+        field.name -> expr(a.drop(i + 1).trim).cast(field.dataType)
+      }
+    // NULL predicate keeps the row UNCHANGED (WHERE semantics)
+    val pred = coalesce(predText.map(expr).getOrElse(lit(true)), lit(false))
+    def applyTo(df: DataFrame): DataFrame =
+      df.select(meta.schema.fieldNames.map { c =>
+        assigns.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, v)) => when(pred, v).otherwise(col(s"`$c`")).as(c)
+          case None => col(s"`$c`").as(c)
+        }
+      }: _*)
+    meta.partitionCol match {
+      case Some(p) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isEmpty) return
+        val live = VersionedPartitioned.read(spark, path)
+          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+        def partsOf(df: DataFrame): Set[String] =
+          df.select(col(s"`$p`").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+        val oldParts = partsOf(live.where(pred))
+        if (oldParts.isEmpty) return
+        // an assignment to the partition column can move rows into
+        // partitions the predicate never touched — widen the rewrite
+        // set to every landing partition
+        val newParts =
+          if (assigns.exists(_._1.equalsIgnoreCase(p)))
+            partsOf(applyTo(live.where(pred)))
+          else Set.empty[String]
+        val affected = oldParts ++ newParts
+        val cur = VersionedPartitioned.readPartitionsWhere(spark, path,
+            affected.contains)
+          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+        VersionedPartitioned.overwritePartitions(applyTo(cur), path,
+          affected.contains)
+        ()
+      case None =>
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        Exchange.swapTable(applyTo(readUnpartitioned(meta, dataDir)), dataDir)
+    }
+  }
+
+  /** MERGE INTO — the Iceberg/Delta upsert verb as statement text,
+    * routed onto `Merge`. Supported clause shapes (others raise,
+    * pointing at the Scala API):
+    *   WHEN MATCHED THEN UPDATE SET *            — full-row update
+    *   WHEN MATCHED THEN UPDATE SET c = s.c, …   — column-level update
+    *   WHEN NOT MATCHED THEN INSERT *            — required insert arm
+    *   WHEN NOT MATCHED BY SOURCE THEN DELETE    — optional prune arm
+    * ON must be a conjunction of `t.k = s.k` equalities naming the
+    * same column on both sides; USING takes a (subquery) or a table
+    * name; aliases are required. The source must be full-row (it
+    * conforms to the target schema by name or position, like INSERT).
+    *
+    * Write-back is partition-scoped unless the statement carries the
+    * BY SOURCE delete arm (whose semantics are table-wide by
+    * definition): affected = the source rows' partitions ∪ the
+    * partitions of matched target rows — and when the partition
+    * column is itself a merge key the second set is a subset of the
+    * first, so the matched-partition probe is skipped entirely (the
+    * `mergePromote` fast-path argument). `overwritePartitions` then
+    * rewrites exactly that set in one commit, dropping any partition
+    * whose rows all migrated away. */
+  private def mergeInto(sqlText: String): Unit = {
+    val text = sqlText.trim.stripSuffix(";")
+    val head = MergeHeadRe.findPrefixMatchOf(text).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot parse MERGE INTO: expected MERGE INTO <schema.table> " +
+          "[AS] <alias> USING …"))
+    val target = head.group(1).toLowerCase
+    val tAlias = head.group(2)
+    val meta = metaOf(target).getOrElse(
+      throw new IllegalArgumentException(s"MERGE INTO $target: no such table"))
+    val rest = text.substring(head.end).trim
+    val (srcText, srcIsQuery, afterSrc) =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        (rest.substring(1, close).trim, true, rest.substring(close + 1))
+      } else {
+        val sp = rest.indexWhere(_.isWhitespace)
+        require(sp > 0, "cannot parse MERGE INTO: USING needs a source")
+        (rest.take(sp), false, rest.drop(sp))
+      }
+    val (sAlias, onText, clausesText) = afterSrc.trim match {
+      case MergeTailRe(a, o, c) => (a, o, c)
+      case _ => throw new IllegalArgumentException(
+        "cannot parse MERGE INTO: expected USING <source> [AS] <alias> " +
+          "ON <cond> WHEN …")
+    }
+    // ON: conjunction of t.k = s.k equalities, same column both sides
+    val keys = onText.split("(?i)\\s+AND\\s+").toSeq.map {
+      case OnEqRe(a1, c1, a2, c2) =>
+        val (tc, sc) =
+          if (a1.equalsIgnoreCase(tAlias) && a2.equalsIgnoreCase(sAlias))
+            (c1, c2)
+          else if (a1.equalsIgnoreCase(sAlias) && a2.equalsIgnoreCase(tAlias))
+            (c2, c1)
+          else throw new IllegalArgumentException(
+            s"ON '$c1 = $c2': aliases must be $tAlias/$sAlias")
+        require(tc.equalsIgnoreCase(sc),
+          s"ON $tAlias.$tc = $sAlias.$sc: the front door routes equi-key " +
+            "merges naming the same column on both sides")
+        meta.schema.fields.find(_.name.equalsIgnoreCase(tc)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE INTO $target ON $tc: no such column")).name
+      case c => throw new IllegalArgumentException(
+        s"cannot parse ON conjunct '$c' — expected t.col = s.col")
+    }
+    val updateSet = UpdateSetClauseRe.findFirstMatchIn(clausesText)
+      .map(_.group(1).trim)
+    val insertAll = InsertAllClauseRe.findFirstIn(clausesText).isDefined
+    val deleteBySource =
+      DeleteBySourceClauseRe.findFirstIn(clausesText).isDefined
+    // `SET c = s.c` assignments: target column names, source value of
+    // the SAME column (value-level expressions → Merge Scala API)
+    def parseAssigns(block: String): Seq[String] = splitTop(block).map {
+      case MergeAssignRe(ta, tc, sa, sc) =>
+        require(ta == null || ta.equalsIgnoreCase(tAlias),
+          s"SET $ta.$tc: left side must be the target ($tAlias)")
+        require(sa.equalsIgnoreCase(sAlias),
+          s"SET $tc = $sa.$sc: right side must be the source ($sAlias)")
+        require(tc.equalsIgnoreCase(sc),
+          s"SET $tc = $sAlias.$sc: the front door routes same-column " +
+            "assignments; value expressions go through Merge.merge")
+        meta.schema.fields.find(_.name.equalsIgnoreCase(tc)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE INTO $target SET $tc: no such column")).name
+      case a => throw new IllegalArgumentException(
+        s"cannot parse SET assignment '$a' — expected col = $sAlias.col")
+    }
+    val src0 =
+      if (srcIsQuery) query(srcText)
+      else if (metaOf(srcText.toLowerCase).isDefined) table(srcText)
+      else query(s"SELECT * FROM $srcText")
+    val src = conform(src0, meta.schema, target)
+    def doMerge(cur: DataFrame): DataFrame =
+      (updateSet, insertAll, deleteBySource) match {
+        case (Some("*"), true, false) => Merge.upsert(cur, src, keys)
+        case (Some("*"), true, true) =>
+          Merge.merge(cur, src, keys, Nil, Some(lit(true)))
+        case (Some(block), true, del) =>
+          Merge.merge(cur, src, keys, parseAssigns(block),
+            if (del) Some(lit(true)) else None)
+        case (None, true, false) =>
+          cur.unionByName(
+            src.join(cur.select(keys.map(c => col(s"`$c`")): _*).distinct(),
+              keys, "left_anti"))
+        case _ => throw new IllegalArgumentException(
+          "the MERGE front door supports WHEN MATCHED THEN UPDATE SET " +
+            "*/assignments, WHEN NOT MATCHED THEN INSERT * (required), " +
+            "and WHEN NOT MATCHED BY SOURCE THEN DELETE — other clause " +
+            "combinations route through the Merge Scala API")
+      }
+    meta.partitionCol match {
+      case None =>
+        val dataDir = tableDir(target).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(conform(doMerge(cur), meta.schema, target), dataDir)
+      case Some(p) =>
+        val path = tableDir(target).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isEmpty) {
+          // empty target: nothing matches — the result is the insert arm
+          if (insertAll && src.take(1).nonEmpty) {
+            VersionedPartitioned.promote(src, path, p)
+          }
+          return
+        }
+        def partsOf(df: DataFrame): Set[String] =
+          df.select(col(s"`$p`").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+        if (deleteBySource) {
+          val cur = readTable(target, meta)
+          VersionedPartitioned.overwritePartitions(
+            conform(doMerge(cur), meta.schema, target), path, _ => true)
+        } else {
+          val srcParts = partsOf(src)
+          val matchedParts =
+            if (keys.exists(_.equalsIgnoreCase(p))) Set.empty[String]
+            else partsOf(readTable(target, meta)
+              .join(src.select(keys.map(c => col(s"`$c`")): _*).distinct(),
+                keys, "left_semi"))
+          val affected = srcParts ++ matchedParts
+          if (affected.isEmpty) return
+          val cur = VersionedPartitioned.readPartitionsWhere(spark, path,
+              affected.contains)
+            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+          VersionedPartitioned.overwritePartitions(
+            conform(doMerge(cur), meta.schema, target), path,
+            affected.contains)
+        }
+        ()
+    }
+  }
+
   private def dropTable(name: String): Unit = {
     val dir = tableDir(name)
     if (java.nio.file.Files.exists(dir)) {
@@ -384,6 +637,62 @@ object SqlLifecycle {
   private val DeletePartRe =
     ("""(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+([\w]+)\s*=\s*""" +
       """(?:DATE\s*)?'([^']+)'\s*;?\s*$""").r
+  // general row-level DELETE: any predicate Spark's expr() can parse
+  private val DeleteRowsRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val UpdateRe =
+    ("""(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  // dispatcher (full-statement) and parser head for MERGE INTO
+  private val MergeStmtRe = """(?is)^\s*MERGE\s+INTO\s+.*$""".r
+  private val MergeHeadRe =
+    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
+  private val MergeTailRe =
+    """(?is)^(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*)$""".r
+  private val OnEqRe = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+  private val UpdateSetClauseRe =
+    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s|$)""".r
+  private val InsertAllClauseRe =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*""".r
+  private val DeleteBySourceClauseRe =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE""".r
+  private val MergeAssignRe =
+    """(?i)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  /** Split on top-level commas (outside parens and '…' strings) — the
+    * assignment-list splitter for UPDATE SET / MERGE SET blocks. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; val sb = new StringBuilder
+    for (ch <- s) ch match {
+      case '\'' => inStr = !inStr; sb += ch
+      case '(' if !inStr => depth += 1; sb += ch
+      case ')' if !inStr => depth -= 1; sb += ch
+      case ',' if !inStr && depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the ')' matching the '(' at `open` (string-literal
+    * aware) — isolates the USING (subquery) block of a MERGE. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in USING (…)")
+  }
   private val VersionAsOfRe =
     """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TimestampAsOfRe =

@@ -988,6 +988,65 @@ object VersionedPartitioned {
   }
 
   /**
+   * Atomically replace EXACTLY the live partitions whose (unescaped)
+   * value satisfies `affected` with the content of `replacement` — the
+   * general write-back primitive behind row-level MERGE/UPDATE when
+   * the merge key does NOT pin rows to their partition
+   * (`mergePromote`'s fast path requires partitionCol ∈ keys; here
+   * rows may legally migrate partitions or disappear). Differences
+   * from `promote`: an affected partition that `replacement` carries
+   * no rows for is REMOVED from the manifest in the same commit (its
+   * rows moved or were deleted) — `promote` would leave the stale
+   * copy live, and a promote + dropPartitions pair would expose the
+   * in-between state to readers. Partitions OUTSIDE the affected set
+   * are inherited by reference; a `replacement` row landing in a live
+   * partition outside the set would silently clobber that partition's
+   * other rows, so that is rejected before commit (brand-new
+   * partition values are fine — inserts create them).
+   *
+   * Concurrency: `deleteWhere`'s optimistic rule — the commit aborts
+   * if any affected partition was rewritten since this method
+   * resolved the manifest (the caller recomputes against the new
+   * state and re-runs). Scale: one re-clustered write of the affected
+   * partitions' replacement rows + one commit — O(affected), never
+   * O(table).
+   */
+  def overwritePartitions(replacement: DataFrame, root: String,
+      affected: String => Boolean, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = replacement.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val m0 = manifestAt(spark, root, None)
+    val pcol = m0.partitionCol
+    def valueOf(dir: String) =
+      unescapePathName(dir.substring(dir.indexOf('=') + 1))
+    val affectedDirs = m0.entries.keySet.filter(d => affected(valueOf(d)))
+    val snapName = writeSnapshot(replacement, rootPath, pcol, statsCols)
+    val snapPath = new HPath(rootPath, snapName)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+      .map(_.getPath.getName -> snapName).toMap
+    val clobbered = written.keySet
+      .filter(d => m0.entries.contains(d) && !affectedDirs.contains(d))
+    require(clobbered.isEmpty,
+      "replacement writes into live partitions outside the affected set: " +
+        s"${clobbered.toSeq.sorted.mkString(", ")} — widen the affected " +
+        "predicate to cover every partition the rewrite lands in")
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
+      val moved = affectedDirs.filter(d => m.entries.get(d) != m0.entries.get(d))
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          s"concurrent commit rewrote ${moved.toSeq.sorted.mkString(", ")} " +
+            s"under $root while this overwrite ran — recompute against " +
+            "the new state and re-run")
+      (pv + 1,
+        render(Manifest(pcol, m.entries -- affectedDirs ++ written, tag,
+          m.addedCols, m.deletes -- affectedDirs -- written.keys)))
+    }
+  }
+
+  /**
    * Row-level MERGE INTO the versioned table, committed at partition
    * granularity — Iceberg-style copy-on-write upsert on the fact
    * table: `source` rows update matching keys and insert new ones

@@ -283,12 +283,80 @@ class PipelineSpec extends AnyFunSuite {
     life.execute("DROP TABLE IF EXISTS jakebuto.prices_stg")
     assert(life.tables() == Seq("jakebuto.prices"))
     intercept[IllegalArgumentException](life.table("jakebuto.prices_stg"))
-    // unpartitioned tables reject partition-targeted DELETE with advice
+    // unpartitioned tables take the general row-delete path (the
+    // partition-targeted fast path only claims the partition column)
     life.execute("""CREATE OR REPLACE TABLE jakebuto.unpart
       (k STRING, date DATE) USING ICEBERG""")
-    val e2 = intercept[IllegalArgumentException](
-      life.execute("DELETE FROM jakebuto.unpart WHERE date = DATE '2024-01-01'"))
-    assert(e2.getMessage.contains("unpartitioned"))
+    life.execute("""INSERT INTO jakebuto.unpart
+      VALUES ('a', DATE '2024-01-01'), ('b', DATE '2024-01-02')""")
+    life.execute("DELETE FROM jakebuto.unpart WHERE date = DATE '2024-01-01'")
+    assert(life.table("jakebuto.unpart").collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+  }
+
+  test("SqlLifecycle row-level verbs: MERGE INTO, UPDATE, DELETE predicate") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlrow_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t
+      (k STRING, date DATE, v DECIMAL(10, 2)) USING ICEBERG
+      PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.t VALUES
+      ('a', DATE '2024-01-01', 1.0), ('b', DATE '2024-01-01', 2.0),
+      ('c', DATE '2024-01-02', 3.0)""")
+    def rows() = life.table("s.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDecimal(2).doubleValue)).toSeq
+
+    // full-row MERGE: b updated in place, d inserted into a NEW
+    // partition, a/c untouched (their partitions outside the merge)
+    life.execute("""
+      MERGE INTO s.t AS t
+      USING (SELECT 'b' AS k, DATE '2024-01-01' AS date, 20.0 AS v
+             UNION ALL
+             SELECT 'd', DATE '2024-01-03', 4.0) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows() == Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-01", 20.0),
+      ("c", "2024-01-02", 3.0), ("d", "2024-01-03", 4.0)))
+
+    // column-level MERGE + BY SOURCE DELETE: only v updates (k/date
+    // kept), rows absent from the source are pruned
+    life.execute("""
+      MERGE INTO s.t AS t
+      USING (SELECT 'a' AS k, DATE '2024-01-01' AS date, 10.0 AS v
+             UNION ALL SELECT 'c', DATE '2024-01-02', 30.0
+             UNION ALL SELECT 'e', DATE '2024-01-02', 5.0) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows() == Seq(("a", "2024-01-01", 10.0), ("c", "2024-01-02", 30.0),
+      ("e", "2024-01-02", 5.0)))
+    // b and d gone → the 01-03 partition emptied and left the manifest
+    // in the same commit (no stale partition survives)
+    assert(graft.ops.VersionedPartitioned
+      .partitions(spark, s"$root/s/t").forall(!_.endsWith("2024-01-03")))
+
+    // UPDATE with expression over the OLD row + WHERE
+    life.execute("UPDATE s.t SET v = v * 2 WHERE k <> 'c'")
+    assert(rows() == Seq(("a", "2024-01-01", 20.0), ("c", "2024-01-02", 30.0),
+      ("e", "2024-01-02", 10.0)))
+
+    // UPDATE that moves a row across partitions: the emptied source
+    // partition is dropped, the landing partition (already live)
+    // keeps its other rows
+    life.execute("UPDATE s.t SET date = DATE '2024-01-02' WHERE k = 'a'")
+    assert(rows() == Seq(("a", "2024-01-02", 20.0), ("c", "2024-01-02", 30.0),
+      ("e", "2024-01-02", 10.0)))
+    assert(graft.ops.VersionedPartitioned
+      .partitions(spark, s"$root/s/t") == Seq("date=2024-01-02"))
+
+    // general-predicate DELETE (not the partition column)
+    life.execute("DELETE FROM s.t WHERE v > 15.0")
+    assert(rows() == Seq(("e", "2024-01-02", 10.0)))
   }
 
   test("strict DQ mode fails the run on a violation") {
