@@ -2817,6 +2817,45 @@ object ExtQueries {
       .orderBy("o_orderstatus")
   }
 
+  /**
+   * PERCENTILES under delta maintenance
+   * (ops/IncrementalAgg.quantileState/maintainQuantiles/quantileValues):
+   * the maintained view keeps a DDSketch-style log-bucket histogram
+   * per (partition × group) cell — plain (cell, bucket, n) count rows,
+   * merged by addition — and the same promote/rewrite change window as
+   * `incremental_agg` (1995-02 repriced ×2, 1995-04 added). Unlike the
+   * HLL gate, the WHOLE read path is portable: the oracle replays the
+   * bucket math, cumulative walk and rank selection in SQL from
+   * scratch, so maintenance AND the sketch construction itself are
+   * hash-gated on the integer bucket index (the float midpoint
+   * estimate is a fixed function of it; its α-error bound is
+   * AggSpec-pinned).
+   */
+  private def incrementalQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incrq_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val state = IncrementalAgg.quantileState(
+      VersionedPartitioned.read(s, root), "month", Seq("o_orderstatus"), "v")
+    VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("v", col("v") * 2)
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    val (oldSide, newSide) = VersionedPartitioned.changedSides(s, root, 1L)
+    val maintained = IncrementalAgg.maintainQuantiles(state, oldSide, newSide,
+      "month", Seq("o_orderstatus"), "v")
+    IncrementalAgg.quantileValues(maintained, Seq("o_orderstatus"),
+        Seq(0.25, 0.5, 0.95))
+      .select(col("o_orderstatus"), col("q"), col("bucket"))
+      .orderBy("o_orderstatus", "q")
+  }
+
   private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
       .where(col("month").between("1995-01", "1995-02"))
@@ -3400,6 +3439,7 @@ object ExtQueries {
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
     "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "incremental_distinct" -> ((s, dir) => incrementalDistinct(s, dir)),
+    "incremental_quantile" -> ((s, dir) => incrementalQuantile(s, dir)),
     "sql_merge_upsert" -> ((s, dir) => sqlMergeUpsert(s, dir)),
     "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
@@ -5678,6 +5718,42 @@ object ExtQueries {
         |         AS approx_distinct_o_orderpriority,
         |       CAST(count(DISTINCT month) AS BIGINT) AS approx_distinct_month
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The maintained log-bucket quantile view replayed from scratch:
+    // bucket = ceil(ln(v)/ln γ) with ln γ embedded as the JVM-computed
+    // literal (Double.toString round-trips bit-exactly through DuckDB's
+    // parser, so both engines divide by the same double; ln(v) is the
+    // one remaining cross-engine libm call — boundary-flip risk ~2⁻⁵²
+    // relative per value). Rank walk and bucket selection are integer-
+    // exact.
+    "incremental_quantile" -> {
+      val lnGamma = math.log((1 + 0.01) / (1 - 0.01))
+      s"""WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v
+        |           FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus, v FROM m
+        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT o_orderstatus, v * 2 AS v FROM m WHERE month = '1995-02'
+        |),
+        |b AS (SELECT o_orderstatus,
+        |             CAST(ceil(ln(v) / $lnGamma) AS INT) AS bucket,
+        |             count(*) AS n
+        |      FROM fin GROUP BY 1, 2),
+        |c AS (SELECT o_orderstatus, bucket, n,
+        |             sum(n) OVER (PARTITION BY o_orderstatus
+        |                          ORDER BY bucket) AS cum,
+        |             sum(n) OVER (PARTITION BY o_orderstatus) AS total
+        |      FROM b),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.25), (0.5), (0.95)) AS t(q)),
+        |sel AS (SELECT c.o_orderstatus, qs.q, min(c.bucket) AS bucket
+        |        FROM c CROSS JOIN qs
+        |        WHERE c.cum >= floor(qs.q * (c.total - 1)) + 1
+        |        GROUP BY 1, 2)
+        |SELECT o_orderstatus, q, bucket FROM sel
+        |ORDER BY 1, 2""".stripMargin
+    },
     // Partition-spec evolution must be a pure relayout: the aggregate
     // over the evolved table equals the same aggregate over the source.
     "versioned_repartition" ->

@@ -213,6 +213,61 @@ class AggSpec extends AnyFunSuite {
     // maintained state stays partition-grained: p2's cells are gone
     assert(maintained.where(col("part") === "p2").isEmpty)
   }
+
+  test("IncrementalAgg quantiles: α-bounded vs exact, merge ≡ whole-input, zero/negative contract") {
+    import graft.ops.IncrementalAgg
+    val alpha = 0.01
+    // 3 partitions × 2 groups over a 4-decade value range, plus zeros
+    val rows = (1L to 3000L).map { i =>
+      val v = if (i % 100 == 0) 0d else math.exp((i % 907).toDouble / 100)
+      (s"p${i % 3}", s"g${i % 2}", v)
+    }
+    val df = rows.toDF("part", "grp", "v").repartition(7)
+    val state = IncrementalAgg.quantileState(df, "part", Seq("grp"), "v", alpha)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    // merge-of-partials ≡ whole-input: bucket rows merge by addition,
+    // so reading the 3-partition state equals re-sketching in one cell
+    val merged = IncrementalAgg.quantileValues(state, Seq("grp"), qs, alpha)
+      .select("grp", "q", "bucket", "est")
+      .as[(String, Double, Int, Double)].collect().toSet
+    val whole = IncrementalAgg.quantileValues(
+        IncrementalAgg.quantileState(
+          df.withColumn("part", lit("all")), "part", Seq("grp"), "v", alpha),
+        Seq("grp"), qs, alpha)
+      .select("grp", "q", "bucket", "est")
+      .as[(String, Double, Int, Double)].collect().toSet
+    assert(merged == whole)
+    // α relative-error bound vs the EXACT ORDER STATISTIC at the
+    // sketch's own rank rule ⌊q·(N−1)⌋+1 — the DDSketch guarantee is
+    // against the rank-matched element, not the interpolated
+    // percentile (which sits between elements and can add up to a
+    // bucket-width of extra distance on sparse data)
+    val byGroup = rows.groupBy(_._2)
+      .map { case (g, rs) => g -> rs.map(_._3).sorted.toIndexedSeq }
+    for ((grp, q, _, est) <- merged) {
+      val sortedVs = byGroup(grp)
+      val ex = sortedVs(math.floor(q * (sortedVs.size - 1)).toInt)
+      if (ex == 0d) assert(est == 0d, s"$grp q=$q: zero percentile")
+      else assert(math.abs(est - ex) <= alpha * ex * 1.0001,
+        s"$grp q=$q: est $est vs exact $ex exceeds α=$alpha")
+    }
+    // maintenance ≡ re-sketch after a partition replacement
+    val oldChanged = df.where(col("part") === "p1")
+    val newChanged = oldChanged.withColumn("v", col("v") * 3)
+    val maintained = IncrementalAgg.maintainQuantiles(state, oldChanged,
+      newChanged, "part", Seq("grp"), "v", alpha)
+    val after = df.where(col("part") =!= "p1").unionByName(newChanged)
+    val want = IncrementalAgg.quantileState(after, "part", Seq("grp"), "v", alpha)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(maintained.as[(String, String, Int, Long)].collect().toSet == want)
+    // negative values are rejected, not silently mis-bucketed
+    val e = intercept[Exception] {
+      Seq(("p0", "g0", -1d)).toDF("part", "grp", "v")
+        .transform(IncrementalAgg.quantileState(_, "part", Seq("grp"), "v"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
 
 /** Tiny shared loader for specs that want real testdata shapes. */
