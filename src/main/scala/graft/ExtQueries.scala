@@ -2697,6 +2697,92 @@ object ExtQueries {
   }
 
   /**
+   * ALTER TABLE … ADD COLUMN statement-text gate
+   * (ops/SqlLifecycle.alterAddColumn → evolveAddColumnMetaOnly): a
+   * row-dependent DEFAULT expression lands as ONE metadata commit —
+   * no partition rewritten — and the evolved column must answer an
+   * aggregate correctly through the query door. The oracle derives
+   * the same band directly from the data, so a wrong or
+   * partially-applied default fails the hash.
+   */
+  private def sqlAlterAdd(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      ALTER TABLE sales.facts ADD COLUMN band STRING
+      DEFAULT (CASE WHEN total >= 150000 THEN 'H' ELSE 'L' END)""")
+    life.query("""
+      SELECT band, month, count(*) AS n_rows,
+             CAST(sum(total) AS DOUBLE) AS sum_total
+      FROM sales.facts GROUP BY band, month ORDER BY band, month""")
+  }
+
+  /**
+   * INSERT OVERWRITE statement-text gate
+   * (ops/SqlLifecycle.insertOverwrite → promote): dynamic partition
+   * overwrite — the February partition is replaced WHOLESALE by a
+   * differently-filtered, repriced slice (rows the old partition had
+   * and the new result lacks must disappear), while January and March
+   * are inherited untouched. The idempotent single-statement
+   * alternative to the reference's DELETE-day + INSERT pair.
+   */
+  private def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      INSERT OVERWRITE sales.facts
+      SELECT o_orderkey, o_custkey,
+             date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+             CAST(o_totalprice AS DECIMAL(18, 2)) * 2 AS total,
+             'ow' AS src
+      FROM orders_src
+      WHERE date_format(to_date(o_orderdate), 'yyyy-MM') = '1995-02'
+        AND o_orderkey % 2 = 0""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * TRUNCATE + reload statement-text gate
+   * (ops/SqlLifecycle.truncateTable → dropPartitions): truncation is
+   * one metadata-only commit (zero data I/O), after which the catalog
+   * still serves the declared schema and a fresh INSERT repopulates —
+   * the reload-table pattern. Output is the reloaded February slice;
+   * stale January/March rows surviving the truncate would fail the
+   * hash.
+   */
+  private def sqlTruncateReload(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("TRUNCATE TABLE sales.facts")
+    life.execute("""
+      INSERT INTO sales.facts
+      SELECT o_orderkey, o_custkey,
+             date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+             CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+             'reload' AS src
+      FROM orders_src
+      WHERE date_format(to_date(o_orderdate), 'yyyy-MM') = '1995-02'
+        AND o_orderkey % 4 < 2""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * OPTIMIZE … ZORDER BY + VACUUM statement-text gate
+   * (ops/SqlLifecycle.optimizeTable → optimizeZOrderWhere, vacuum):
+   * a partition-targeted z-order rewrite (the router derives the
+   * range mapping from one min/max pass) followed by history
+   * reclamation must be PURE RELAYOUT — row-identical content, so the
+   * oracle is simply the untouched base slice. Dropped or duplicated
+   * rows from the rewrite, or a vacuum eating a live snapshot, fail
+   * the hash.
+   */
+  private def sqlOptimizeVacuum(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute(
+      "OPTIMIZE sales.facts WHERE month = '1995-02' ZORDER BY (o_orderkey, o_custkey)")
+    life.execute("OPTIMIZE sales.facts ZORDER BY (o_custkey, total)")
+    life.execute("VACUUM sales.facts RETAIN 1 VERSIONS")
+    rowVerbOut(life)
+  }
+
+  /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
    * price-band column to every live partition in one atomic commit,
@@ -3444,6 +3530,10 @@ object ExtQueries {
     "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
     "sql_delete_rows" -> ((s, dir) => sqlDeleteRows(s, dir)),
+    "sql_alter_add" -> ((s, dir) => sqlAlterAdd(s, dir)),
+    "sql_insert_overwrite" -> ((s, dir) => sqlInsertOverwrite(s, dir)),
+    "sql_truncate_reload" -> ((s, dir) => sqlTruncateReload(s, dir)),
+    "sql_optimize_vacuum" -> ((s, dir) => sqlOptimizeVacuum(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -5698,6 +5788,56 @@ object ExtQueries {
         |       'base' AS src
         |FROM m
         |WHERE NOT (p > 150000 AND o_custkey % 2 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_alter_add" ->
+      """WITH m AS (SELECT o_orderkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT CASE WHEN p >= 150000 THEN 'H' ELSE 'L' END AS band, month,
+        |       count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // February replaced wholesale by the overwrite slice (note: keyed
+    // %2, NOT the fixture's %4<2 — vanished rows must stay vanished),
+    // January/March inherited.
+    "sql_insert_overwrite" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03')
+        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
+        |       'base' AS src
+        |FROM m WHERE month <> '1995-02' AND o_orderkey % 4 < 2
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, month, CAST(p * 2 AS DOUBLE) AS total,
+        |       'ow' AS src
+        |FROM m WHERE month = '1995-02' AND o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_truncate_reload" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |       'reload' AS src
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
+        |  AND o_orderkey % 4 < 2
+        |ORDER BY o_orderkey""".stripMargin,
+    // OPTIMIZE + VACUUM are pure relayout/reclamation: content must be
+    // row-identical to the untouched fixture slice.
+    "sql_optimize_vacuum" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |       'base' AS src
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |  AND o_orderkey % 4 < 2
         |ORDER BY o_orderkey""".stripMargin,
     // HLL estimates at coupon-mode cardinality are exact, so the
     // maintained sketch view is recomputed as plain COUNT DISTINCT

@@ -85,6 +85,24 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         update(name.toLowerCase, setBlock, Option(pred)); None
       case MergeStmtRe() =>
         mergeInto(s); None
+      case AlterAddColRe(name, colName, colType, default) =>
+        alterAddColumn(name.toLowerCase, colName, colType.trim,
+          Option(default)); None
+      case TruncateRe(name) =>
+        truncateTable(name.toLowerCase); None
+      case InsertOverwriteRe(name, body) =>
+        insertOverwrite(name.toLowerCase, body); None
+      case OptimizeRe(name, whereCol, whereVal, zCols, bits) =>
+        optimizeTable(name.toLowerCase, Option(whereCol).map(_.toLowerCase),
+          Option(whereVal), splitTop(zCols).map(_.trim),
+          Option(bits).map(_.toInt).getOrElse(8)); None
+      case VacuumRe(name, retain) =>
+        val n = Option(retain).map(_.toInt).getOrElse(1)
+        val path = tableDir(name.toLowerCase).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined)
+          VersionedPartitioned.vacuum(spark, path, keepLast = n,
+            orphanMinAgeMs = 0L)
+        None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
@@ -249,7 +267,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         .collect().map(_.getString(0)).toSet
       if (parts.isEmpty) return
       val cur =
-        if (VersionedPartitioned.currentVersion(spark, path).isDefined)
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined &&
+            VersionedPartitioned.partitions(spark, path).nonEmpty)
           VersionedPartitioned.readPartitionsWhere(spark, path, parts.contains)
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         else emptyDf(meta.schema)
@@ -526,6 +545,129 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** ALTER TABLE … ADD COLUMN name TYPE [DEFAULT <expr>] — Iceberg's
+    * metadata-only add-column: on a committed partitioned table this
+    * is ONE manifest commit (`evolveAddColumnMetaOnly`; no data file
+    * is touched, readers fill the default per row for pre-evolution
+    * files, later INSERTs carry the column physically), plus the
+    * catalog schema gains the field so conform/INSERT resolve it. The
+    * default expression may reference other columns; absent, it is
+    * NULL of the declared type. Unpartitioned staging tables rewrite
+    * in place (they are small and transient by contract). */
+  private def alterAddColumn(name: String, colName: String,
+      colType: String, default: Option[String]): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"ALTER TABLE $name ADD COLUMN $colName: column already exists")
+    val field = StructType.fromDDL(s"$colName $colType").fields.head
+    val defaultSql = default
+      .map(d => s"CAST((${d.trim.stripPrefix("(").stripSuffix(")")}) AS $colType)")
+      .getOrElse(s"CAST(NULL AS $colType)")
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          VersionedPartitioned.evolveAddColumnMetaOnly(spark, path,
+            field.name, defaultSql)
+          ()
+        }
+      case None =>
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(cur.withColumn(field.name, expr(defaultSql)),
+          dataDir)
+    }
+    writeMeta(name, meta.copy(schema = StructType(meta.schema.fields :+ field)))
+  }
+
+  /** TRUNCATE TABLE — metadata-only on the partitioned format (one
+    * commit omitting every partition entry; time travel still reaches
+    * the old rows, `vacuum` reclaims the bytes), an empty swap on
+    * staging tables. */
+  private def truncateTable(name: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"TRUNCATE TABLE $name: no such table"))
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          val parts = VersionedPartitioned.partitions(spark, path)
+          if (parts.nonEmpty) {
+            VersionedPartitioned.dropPartitions(spark, path, parts)
+            ()
+          }
+        }
+      case None =>
+        Exchange.swapTable(emptyDf(meta.schema),
+          tableDir(name).resolve(DataDir).toString)
+    }
+  }
+
+  /** INSERT OVERWRITE — dynamic partition overwrite semantics (the
+    * Spark/Iceberg contract): exactly the partitions present in the
+    * query result are replaced wholesale, everything else is inherited
+    * by manifest reference; an unpartitioned table is replaced in
+    * full. The idempotent alternative to the reference's DELETE-day +
+    * INSERT pair, in one statement and one commit. */
+  private def insertOverwrite(name: String, body: String): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"INSERT OVERWRITE $name: no such table"))
+    val src = conform(query(body), meta.schema, name)
+    meta.partitionCol match {
+      case Some(p) =>
+        VersionedPartitioned.promote(src, tableDir(name).toString, p)
+        ()
+      case None =>
+        Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
+    }
+  }
+
+  /** OPTIMIZE t [WHERE <partitionCol> = '<v>'] ZORDER BY (c1, …) —
+    * Delta's table-maintenance verb routed onto
+    * `VersionedPartitioned.optimizeZOrderWhere`. `ZOrder.zkey` wants
+    * range-mapped dimensions, which a statement text cannot supply, so
+    * the router derives them: one aggregate pass collects each z
+    * column's min/max and the dimension becomes
+    * ⌊(v − min)/(max − min) · (2ᵇ − 1)⌋ — numeric/date/timestamp
+    * columns only (dictionary-coding strings is the Scala API's job).
+    * Stats sidecars are re-derived on the z columns so the rewrite
+    * makes `readPruned` selective on every dimension. */
+  private def optimizeTable(name: String, whereCol: Option[String],
+      whereVal: Option[String], zCols: Seq[String], bits: Int): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"OPTIMIZE $name: no such table"))
+    val p = meta.partitionCol.getOrElse(throw new IllegalArgumentException(
+      s"OPTIMIZE $name: staging tables have no snapshot layout to optimize"))
+    whereCol.foreach(c => require(c == p,
+      s"OPTIMIZE $name WHERE $c: only partition-targeted optimize routes " +
+        s"through the statement form (table is partitioned by $p)"))
+    val path = tableDir(name).toString
+    if (VersionedPartitioned.currentVersion(spark, path).isEmpty) return
+    val resolved = zCols.map { c =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE $name ZORDER BY $c: no such column")).name
+    }
+    val live = VersionedPartitioned.read(spark, path)
+    val boundsRow = live.select(resolved.flatMap(c =>
+      Seq(min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double")))): _*)
+      .head()
+    val zExprs = resolved.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
+      if (hi == lo) lit(0L)
+      else floor((col(s"`$c`").cast("double") - lit(lo)) / lit(hi - lo) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+    }
+    val keep: String => Boolean = whereVal match {
+      case Some(v) => _ == v
+      case None => _ => true
+    }
+    VersionedPartitioned.optimizeZOrderWhere(spark, path, zExprs, bits,
+      statsCols = resolved, keep = keep)
+    ()
+  }
+
   private def dropTable(name: String): Unit = {
     val dir = tableDir(name)
     if (java.nio.file.Files.exists(dir)) {
@@ -541,7 +683,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     meta.partitionCol match {
       case Some(_) =>
         val path = tableDir(name).toString
-        if (VersionedPartitioned.currentVersion(spark, path).isDefined)
+        // a truncated table has a manifest with zero live partitions —
+        // the format read refuses (schema unknowable from data), but
+        // the catalog knows the declared schema
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined &&
+            VersionedPartitioned.partitions(spark, path).nonEmpty)
           VersionedPartitioned.read(spark, path)
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         else emptyDf(meta.schema)
@@ -570,6 +716,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     require(parts.length == 2,
       s"table name must be schema-qualified (schema.table), got $name")
     java.nio.file.Paths.get(root, parts(0), parts(1))
+  }
+
+  private def writeMeta(name: String, meta: TableMeta): Unit = {
+    java.nio.file.Files.write(tableDir(name).resolve(MetaFile),
+      meta.render.getBytes("UTF-8"))
+    ()
   }
 
   private def metaOf(name: String): Option[TableMeta] = {
@@ -699,6 +851,21 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
+  private val AlterAddColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+""" +
+      """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*<[^>]*>)?)""" +
+      """(?:\s+DEFAULT\s+(.+?))?\s*\)?\s*;?\s*$""").r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val InsertOverwriteRe =
+    """(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$""".r
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+([\w.]+)""" +
+      """(?:\s+WHERE\s+([\w]+)\s*=\s*'([^']*)')?""" +
+      """\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
+      """(?:\s+BITS\s+(\d+))?\s*;?\s*$""").r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // leading (col, col, ...) list of an INSERT body

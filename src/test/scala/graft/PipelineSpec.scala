@@ -359,6 +359,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows() == Seq(("e", "2024-01-02", 10.0)))
   }
 
+  test("SqlLifecycle maintenance verbs: ALTER ADD COLUMN, INSERT OVERWRITE, TRUNCATE, OPTIMIZE, VACUUM") {
+    import graft.ops.{SqlLifecycle, VersionedPartitioned => VP}
+    val root = Files.createTempDirectory("graft_sqlmaint_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t
+      (k BIGINT, date DATE, v DECIMAL(10, 2)) USING ICEBERG
+      PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.t VALUES
+      (1, DATE '2024-01-01', 5.0), (2, DATE '2024-01-01', 25.0),
+      (3, DATE '2024-01-02', 50.0)""")
+    val path = s"$root/s/t"
+
+    // ALTER ADD COLUMN with a row-dependent default: metadata-only
+    // (version advances by ONE commit, no partition rewritten), and
+    // the column resolves in queries and later INSERTs
+    val vBefore = VP.currentVersion(spark, path).get
+    life.execute("""ALTER TABLE s.t ADD COLUMN band STRING
+      DEFAULT (CASE WHEN v >= 20 THEN 'H' ELSE 'L' END)""")
+    assert(VP.currentVersion(spark, path).get == vBefore + 1)
+    assert(life.query(
+      "SELECT k, band FROM s.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "L"), (2L, "H"), (3L, "H")))
+    life.execute(
+      "INSERT INTO s.t VALUES (4, DATE '2024-01-03', 9.0, 'X')")
+    assert(life.query("SELECT band FROM s.t WHERE k = 4").head.getString(0)
+      == "X")
+
+    // INSERT OVERWRITE replaces exactly the partitions in the result
+    life.execute("""INSERT OVERWRITE s.t
+      SELECT 9 AS k, DATE '2024-01-01' AS date,
+             CAST(1.0 AS DECIMAL(10,2)) AS v, 'Z' AS band""")
+    val afterOw = life.query("SELECT k FROM s.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterOw == Seq(3L, 4L, 9L)) // 01-01 replaced, others kept
+
+    // OPTIMIZE ZORDER BY rewrites layout, never content
+    life.execute("OPTIMIZE s.t ZORDER BY (k, v)")
+    assert(life.query("SELECT k FROM s.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 9L))
+
+    // VACUUM drops pre-head history; the live read is unaffected
+    life.execute("VACUUM s.t RETAIN 1 VERSIONS")
+    assert(life.query("SELECT count(*) FROM s.t").head.getLong(0) == 3L)
+    intercept[Exception](VP.readAt(spark, path, 1L).collect())
+
+    // TRUNCATE empties in one metadata commit; reload works
+    life.execute("TRUNCATE TABLE s.t")
+    assert(life.query("SELECT count(*) FROM s.t").head.getLong(0) == 0L)
+    life.execute(
+      "INSERT INTO s.t VALUES (7, DATE '2024-02-01', 2.0, 'Y')")
+    assert(life.query("SELECT k FROM s.t").head.getLong(0) == 7L)
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
