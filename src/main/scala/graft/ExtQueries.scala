@@ -2783,6 +2783,29 @@ object ExtQueries {
   }
 
   /**
+   * CTAS + VIEW statement-text gate (ops/SqlLifecycle.createTableAs,
+   * createView): a partitioned table created from a query (schema
+   * inferred, rows landing per partition through the normal promote
+   * path) and a SQL view over it, read through the query door — the
+   * interactive-catalog workflow. The oracle composes the same
+   * filter + aggregate directly.
+   */
+  private def sqlCtasView(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      CREATE TABLE sales.top USING ICEBERG PARTITIONED BY (month)
+      AS SELECT o_orderkey, o_custkey, month, total, src
+         FROM sales.facts WHERE total >= 100000""")
+    life.execute("""
+      CREATE VIEW sales.monthly AS
+      SELECT month, count(*) AS n_rows,
+             CAST(sum(total) AS DOUBLE) AS sum_total
+      FROM sales.top GROUP BY month""")
+    life.query(
+      "SELECT month, n_rows, sum_total FROM sales.monthly ORDER BY month")
+  }
+
+  /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
    * price-band column to every live partition in one atomic commit,
@@ -3534,6 +3557,7 @@ object ExtQueries {
     "sql_insert_overwrite" -> ((s, dir) => sqlInsertOverwrite(s, dir)),
     "sql_truncate_reload" -> ((s, dir) => sqlTruncateReload(s, dir)),
     "sql_optimize_vacuum" -> ((s, dir) => sqlOptimizeVacuum(s, dir)),
+    "sql_ctas_view" -> ((s, dir) => sqlCtasView(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -5827,6 +5851,16 @@ object ExtQueries {
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
         |  AND o_orderkey % 4 < 2
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_ctas_view" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
+        |FROM m WHERE p >= 100000
+        |GROUP BY month ORDER BY month""".stripMargin,
     // OPTIMIZE + VACUUM are pure relayout/reclamation: content must be
     // row-identical to the untouched fixture slice.
     "sql_optimize_vacuum" ->

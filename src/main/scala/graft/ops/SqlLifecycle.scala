@@ -70,11 +70,25 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     s match {
       case CreateSchemaRe(name) =>
         java.nio.file.Files.createDirectories(schemaDir(name)); None
+      case CreateTableAsRe(orReplace, ifNotExists, name, partBy, body) =>
+        createTableAs(name.toLowerCase,
+          Option(partBy).map(_.trim.toLowerCase), body,
+          orReplace = orReplace != null, ifNotExists = ifNotExists != null)
+        None
       case CreateTableRe(orReplace, ifNotExists, name, colsBlock, partBy) =>
         createTable(name.toLowerCase, colsBlock,
           Option(partBy).map(_.trim.toLowerCase),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null)
         None
+      case CreateViewRe(orReplace, name, body) =>
+        createView(name.toLowerCase, body, orReplace != null); None
+      case DropViewRe(name) =>
+        dropView(name.toLowerCase); None
+      case ShowTablesRe() =>
+        import spark.implicits._
+        Some((tables() ++ views().map(_ + " (view)")).toDF("table_name"))
+      case DescribeRe(name) =>
+        Some(describe(name.toLowerCase))
       case DeletePartRe(name, colName, d)
           if metaOf(name.toLowerCase)
             .exists(_.partitionCol.contains(colName.toLowerCase)) =>
@@ -199,6 +213,83 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val meta = TableMeta(schema, partBy)
     java.nio.file.Files.write(dir.resolve(MetaFile),
       meta.render.getBytes("UTF-8"))
+  }
+
+  /** CREATE TABLE … [PARTITIONED BY (p)] AS <query> — CTAS: schema
+    * inferred from the query result, then one append through the
+    * normal write path (partitioned CTAS promotes per partition). A
+    * replaced table that the body itself reads from is materialized
+    * first, so `CREATE OR REPLACE t AS SELECT … FROM t` is safe. */
+  private def createTableAs(name: String, partBy: Option[String],
+      body: String, orReplace: Boolean, ifNotExists: Boolean): Unit = {
+    val exists = metaOf(name).isDefined
+    if (exists && ifNotExists) return
+    if (exists && !orReplace)
+      throw new IllegalArgumentException(s"table $name already exists " +
+        "(use CREATE OR REPLACE TABLE or IF NOT EXISTS)")
+    val src = query(body)
+    val data = if (exists) src.localCheckpoint(true) else src
+    if (exists) dropTable(name)
+    partBy.foreach { p =>
+      require(data.columns.map(_.toLowerCase).contains(p),
+        s"PARTITIONED BY ($p): the query result has no such column")
+    }
+    val dir = tableDir(name)
+    java.nio.file.Files.createDirectories(dir)
+    val meta = TableMeta(data.schema, partBy)
+    java.nio.file.Files.write(dir.resolve(MetaFile),
+      meta.render.getBytes("UTF-8"))
+    appendRows(name, meta, data)
+  }
+
+  /** CREATE [OR REPLACE] VIEW — a named statement text in the catalog
+    * (`<schema>/<view>.graft_view.sql`), resolved lazily at query time
+    * against the then-current tables. Views may reference tables and
+    * other views (registration iterates to a fixpoint, so definition
+    * order does not matter; cycles fail with the unresolved names). */
+  private def createView(name: String, body: String,
+      orReplace: Boolean): Unit = {
+    require(metaOf(name).isEmpty,
+      s"CREATE VIEW $name: a table of that name exists")
+    val f = viewFile(name)
+    if (!orReplace)
+      require(!java.nio.file.Files.exists(f),
+        s"view $name already exists (use CREATE OR REPLACE VIEW)")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, body.trim.getBytes("UTF-8"))
+    ()
+  }
+
+  private def dropView(name: String): Unit = {
+    java.nio.file.Files.deleteIfExists(viewFile(name))
+    ()
+  }
+
+  /** Cataloged view names (lowercase `schema.view`). */
+  def views(): Seq[String] = {
+    val rootDir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootDir)) return Nil
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(rootDir).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .flatMap { sd =>
+        java.nio.file.Files.list(sd).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(ViewFileSuffix))
+          .map(f => s"${sd.getFileName}.${f.stripSuffix(ViewFileSuffix)}")
+      }.toSeq.sorted
+  }
+
+  /** DESCRIBE — the declared schema plus the partition key marker, as
+    * a DataFrame (the interactive-session introspection surface). */
+  private def describe(name: String): DataFrame = {
+    import spark.implicits._
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"DESCRIBE $name: no such table"))
+    meta.schema.fields.toSeq.map(f => (f.name, f.dataType.sql.toLowerCase,
+        if (meta.partitionCol.exists(_.equalsIgnoreCase(f.name)))
+          "partition key" else ""))
+      .toDF("col_name", "data_type", "comment")
   }
 
   private def insert(name: String, body: String): Unit = {
@@ -718,6 +809,13 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     java.nio.file.Paths.get(root, parts(0), parts(1))
   }
 
+  private def viewFile(name: String) = {
+    val parts = name.split("\\.")
+    require(parts.length == 2,
+      s"view name must be schema-qualified (schema.view), got $name")
+    java.nio.file.Paths.get(root, parts(0), parts(1) + ViewFileSuffix)
+  }
+
   private def writeMeta(name: String, meta: TableMeta): Unit = {
     java.nio.file.Files.write(tableDir(name).resolve(MetaFile),
       meta.render.getBytes("UTF-8"))
@@ -733,16 +831,37 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   /** Register every cataloged table as a temp view under its view-safe
-    * name (dots are illegal in temp view names). */
-  private def registerViews(): Unit =
+    * name (dots are illegal in temp view names), then every stored SQL
+    * view — iterating to a fixpoint so views may reference each other
+    * in any definition order (a cycle or a broken body fails with the
+    * unresolved names). */
+  private def registerViews(): Unit = {
     tables().foreach { t =>
       readTable(t, metaOf(t).get).createOrReplaceTempView(viewName(t))
     }
+    var pending = views()
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val still = pending.filter { v =>
+        val body = new String(
+          java.nio.file.Files.readAllBytes(viewFile(v)), "UTF-8")
+        try {
+          spark.sql(rewriteNames(resolveAsOf(body)))
+            .createOrReplaceTempView(viewName(v))
+          false
+        } catch { case _: Exception => true }
+      }
+      progress = still.size < pending.size
+      pending = still
+    }
+    require(pending.isEmpty,
+      s"views failed to resolve: ${pending.mkString(", ")}")
+  }
 
-  /** Rewrite qualified table names to their view-safe forms, longest
-    * name first so `s.t_stg_x` never half-matches `s.t`. */
+  /** Rewrite qualified table AND view names to their view-safe forms,
+    * longest name first so `s.t_stg_x` never half-matches `s.t`. */
   private def rewriteNames(sql: String): String =
-    tables().sortBy(-_.length).foldLeft(sql) { (acc, t) =>
+    (tables() ++ views()).sortBy(-_.length).foldLeft(sql) { (acc, t) =>
       acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(t) + "(?![\\w])",
         viewName(t))
     }
@@ -753,6 +872,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
 object SqlLifecycle {
   private val MetaFile = "_graft_table.meta"
   private val DataDir = "data"
+  private val ViewFileSuffix = ".graft_view.sql"
 
   private final case class TableMeta(schema: StructType,
       partitionCol: Option[String]) {
@@ -857,6 +977,17 @@ object SqlLifecycle {
       """(?:\s+DEFAULT\s+(.+?))?\s*\)?\s*;?\s*$""").r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val CreateTableAsRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.]+)(?:\s+USING\s+\w+)?(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """\s+AS\s+((?:SELECT|WITH)\s.*)$""").r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val DescribeRe =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
   private val InsertOverwriteRe =
     """(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$""".r
   private val OptimizeRe =

@@ -414,6 +414,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(life.query("SELECT k FROM s.t").head.getLong(0) == 7L)
   }
 
+  test("SqlLifecycle catalog verbs: CTAS, views, SHOW TABLES, DESCRIBE") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlcat_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.base
+      (k BIGINT, date DATE, v DECIMAL(10, 2)) USING ICEBERG
+      PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.base VALUES
+      (1, DATE '2024-01-01', 5.0), (2, DATE '2024-01-01', 25.0),
+      (3, DATE '2024-01-02', 50.0)""")
+
+    // CTAS, partitioned: schema inferred, rows land per partition
+    life.execute("""CREATE TABLE s.big USING ICEBERG PARTITIONED BY (date)
+      AS SELECT k, date, v FROM s.base WHERE v >= 20""")
+    assert(life.table("s.big").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L))
+    // CREATE OR REPLACE … AS SELECT FROM itself is safe (materialized
+    // before the drop)
+    life.execute("""CREATE OR REPLACE TABLE s.big USING ICEBERG
+      PARTITIONED BY (date) AS SELECT * FROM s.big WHERE k = 3""")
+    assert(life.table("s.big").collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // views: reference tables AND other views, any definition order
+    life.execute(
+      "CREATE VIEW s.v2 AS SELECT k * 10 AS k10 FROM s.v1")
+    life.execute(
+      "CREATE VIEW s.v1 AS SELECT k FROM s.base WHERE v < 30")
+    assert(life.query("SELECT k10 FROM s.v2 ORDER BY k10")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    life.execute("DROP VIEW s.v2")
+    assert(life.views() == Seq("s.v1"))
+
+    // SHOW TABLES lists tables and views; DESCRIBE shows the schema
+    val shown = life.execute("SHOW TABLES").get
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("s.base", "s.big", "s.v1 (view)"))
+    val desc = life.execute("DESCRIBE s.base").get
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc == Seq(("k", ""), ("date", "partition key"), ("v", "")))
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
