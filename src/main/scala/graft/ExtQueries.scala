@@ -2805,6 +2805,112 @@ object ExtQueries {
       "SELECT month, n_rows, sum_total FROM sales.monthly ORDER BY month")
   }
 
+  /** The row-verb fixture's fourth month, appended via the same INSERT
+    * statement text — the second commit of the metadata-table gates. */
+  private def insertApril(life: graft.ops.SqlLifecycle): Unit = {
+    life.execute("""
+      INSERT INTO sales.facts
+      SELECT o_orderkey, o_custkey,
+             date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+             CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+             'apr' AS src
+      FROM orders_src
+      WHERE date_format(to_date(o_orderdate), 'yyyy-MM') = '1995-04'
+        AND o_orderkey % 4 < 2""")
+    ()
+  }
+
+  /**
+   * Iceberg metadata-table gate, `history` suffix
+   * (ops/SqlLifecycle.resolveMetadataTables →
+   * VersionedPartitioned.historyDf): a three-commit script — base
+   * insert, one-month copy-on-write UPDATE, new-month INSERT — read
+   * back through the query door's `sales.facts.history` suffix. The
+   * versions, per-version live-partition counts and the `is_current`
+   * flag must reproduce the commit log exactly; the oracle derives the
+   * partition counts from the data, so a manifest merge that dropped
+   * or duplicated an entry fails the hash. A metadata query end to
+   * end: commit-log reads only, zero data I/O. Wall-clock
+   * `committed_at` stays out of the projection by contract.
+   */
+  private def sqlHistoryMeta(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute(
+      "UPDATE sales.facts SET total = total * 2 WHERE month = '1995-02'")
+    insertApril(life)
+    life.query("""
+      SELECT version, CAST(n_partitions AS BIGINT) AS n_partitions,
+             is_current
+      FROM sales.facts.history ORDER BY version""")
+  }
+
+  /**
+   * Iceberg metadata-table gate, `partitions` × `files` suffixes
+   * (ops/SqlLifecycle.resolveMetadataTables →
+   * VersionedPartitioned.partitionsDf/filesDf): per-partition row
+   * counts from the partitions table must agree with the sum of the
+   * files table's per-file `record_count` (consistent by construction
+   * — the gate pins it stays so) AND with the oracle's recount from
+   * the raw data. Counts come from stats sidecars or parquet FOOTERS,
+   * never a data scan (`filesDf` contract), so this is the
+   * 100 TB-shaped "how big is each partition" query.
+   */
+  private def sqlPartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    insertApril(life)
+    life.query("""
+      SELECT p.month, p.n_rows, f.n_rows_files,
+             CAST(p.n_delete_files AS BIGINT) AS n_delete_files
+      FROM sales.facts.partitions p
+      JOIN (SELECT month, sum(record_count) AS n_rows_files
+            FROM sales.facts.files GROUP BY month) f
+        ON p.month = f.month
+      ORDER BY p.month""")
+  }
+
+  /**
+   * SHOW PARTITIONS / SHOW CREATE TABLE statement-text gate
+   * (ops/SqlLifecycle.showPartitions/showCreateTable): the partition
+   * census in Spark's own `col=value` output shape — a pure manifest
+   * read. SHOW CREATE TABLE is exercised inline (its DDL text must
+   * carry the partition clause and the DECIMAL column through the
+   * catalog round-trip); its full text stays spec-territory, the
+   * partition list is the hash-gated surface.
+   */
+  private def sqlShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    val ddl = life.execute("SHOW CREATE TABLE sales.facts").get
+      .head().getString(0)
+    require(ddl.contains("PARTITIONED BY (month)") &&
+      ddl.toLowerCase.contains("decimal(18,2)"),
+      s"SHOW CREATE TABLE lost schema detail:\n$ddl")
+    life.execute("SHOW PARTITIONS sales.facts").get
+  }
+
+  /**
+   * CALL procedure statement-text gate
+   * (ops/SqlLifecycle.callProcedure → rollbackTo/compact/vacuum):
+   * Iceberg's maintenance-procedure texts run end to end — a bad
+   * repricing commit is undone by `rollback_to_snapshot` (named and
+   * positional argument forms both exercised), the live state is
+   * rewritten by `rewrite_data_files`, and `expire_snapshots` reclaims
+   * history down to the rewrite. Net content must be EXACTLY the base
+   * fixture slice: a rollback landing on the wrong version, a compact
+   * dropping or duplicating rows, or an expire eating the live
+   * snapshot all fail the hash.
+   */
+  private def sqlCallRollback(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute(
+      "UPDATE sales.facts SET total = total * 3, src = 'oops' WHERE month = '1995-02'")
+    life.execute("CALL system.rollback_to_snapshot('sales.facts', 1)")
+    life.execute("CALL graft.system.rewrite_data_files(table => 'sales.facts')")
+    val expired = life.execute(
+      "CALL system.expire_snapshots(table => 'sales.facts', retain_last => 1)")
+    require(expired.isDefined, "CALL must return a result frame")
+    rowVerbOut(life)
+  }
+
   /**
    * Schema evolution on the versioned table
    * (ops/VersionedPartitioned.evolveAddColumn): add a derived
@@ -2880,6 +2986,74 @@ object ExtQueries {
       .select(col("month").cast("string").as("month"), col("n_rows"),
         col("sum_o_totalprice").cast("double").as("total_price"))
       .orderBy("month")
+  }
+
+  /**
+   * Incremental JOIN-view maintenance
+   * (ops/IncrementalAgg.joinAggregate/maintainJoin): a
+   * revenue-by-(month × market-segment) view over orders ⋈ customer is
+   * materialized at (fact v1, dim v1), then BOTH sides change — the
+   * fact reprices one month and gains another (partition replacement),
+   * and the dim moves every `c_custkey % 10 = 3` customer to a new
+   * segment (replacement of its two touched hash-bucket partitions,
+   * which also exercises the unchanged-rows-cancel property of the
+   * delta rule). The view is maintained from the two changedSides
+   * pairs plus the time-traveled old fact — never a recompute — and
+   * the oracle IS the from-scratch recompute in DuckDB, so any error
+   * in the two-relation delta rule (dropped cross term, double count,
+   * sign flip) fails the hash. Sums ride DECIMAL end to end.
+   */
+  private def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val fact = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_custkey") % 4).as("cbucket"))
+    val base = java.nio.file.Files.createTempDirectory("graft_incrjoin_")
+    val froot = base.resolve("fact").toString
+    val droot = base.resolve("dim").toString
+    VersionedPartitioned.promote(
+      fact.where(col("month").between("1995-01", "1995-03")), froot, "month")
+    VersionedPartitioned.promote(dim, droot, "cbucket")
+    val keys = Seq("c_custkey")
+    val groups = Seq("month", "c_mktsegment")
+    val sums = Seq("o_totalprice")
+    // materialize at v1 × v1
+    val state = IncrementalAgg.joinAggregate(
+      VersionedPartitioned.read(s, froot), VersionedPartitioned.read(s, droot),
+      keys, groups, sums)
+    // fact v2: reprice 1995-02 ×2, add 1995-04
+    VersionedPartitioned.promote(
+      fact.where(col("month") === "1995-02")
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(18,2)"))
+        .unionByName(fact.where(col("month") === "1995-04")),
+      froot, "month")
+    // dim v2: segment move, written as full replacement of the touched
+    // buckets (their unchanged rows ride along and must cancel)
+    val movedBuckets = dim.where(col("c_custkey") % 10 === 3)
+      .select(col("cbucket")).distinct()
+    VersionedPartitioned.promote(
+      dim.join(broadcast(movedBuckets), Seq("cbucket"))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 3, lit("MOVED"))
+            .otherwise(col("c_mktsegment"))),
+      droot, "cbucket")
+    val (oldF, newF) = VersionedPartitioned.changedSides(s, froot, 1L)
+    val (oldD, newD) = VersionedPartitioned.changedSides(s, droot, 1L)
+    IncrementalAgg.maintainJoin(state,
+        oldFact = VersionedPartitioned.readAt(s, froot, 1L),
+        oldFactChanged = oldF, newFactChanged = newF,
+        newDim = VersionedPartitioned.read(s, droot),
+        oldDimChanged = oldD, newDimChanged = newD,
+        keys, groups, sums)
+      .select(col("month").cast("string").as("month"), col("c_mktsegment"),
+        col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("total_price"))
+      .orderBy("month", "c_mktsegment")
   }
 
   /**
@@ -3549,6 +3723,7 @@ object ExtQueries {
     "incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "incremental_distinct" -> ((s, dir) => incrementalDistinct(s, dir)),
     "incremental_quantile" -> ((s, dir) => incrementalQuantile(s, dir)),
+    "incremental_join" -> ((s, dir) => incrementalJoin(s, dir)),
     "sql_merge_upsert" -> ((s, dir) => sqlMergeUpsert(s, dir)),
     "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
@@ -3558,6 +3733,10 @@ object ExtQueries {
     "sql_truncate_reload" -> ((s, dir) => sqlTruncateReload(s, dir)),
     "sql_optimize_vacuum" -> ((s, dir) => sqlOptimizeVacuum(s, dir)),
     "sql_ctas_view" -> ((s, dir) => sqlCtasView(s, dir)),
+    "sql_history_meta" -> ((s, dir) => sqlHistoryMeta(s, dir)),
+    "sql_partitions_meta" -> ((s, dir) => sqlPartitionsMeta(s, dir)),
+    "sql_show_partitions" -> ((s, dir) => sqlShowPartitions(s, dir)),
+    "sql_call_rollback" -> ((s, dir) => sqlCallRollback(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
     "versioned_propagate" -> ((s, dir) => versionedPropagate(s, dir)),
@@ -5873,6 +6052,54 @@ object ExtQueries {
         |        BETWEEN '1995-01' AND '1995-03'
         |  AND o_orderkey % 4 < 2
         |ORDER BY o_orderkey""".stripMargin,
+    // The commit log's shape is fully determined by the scripted
+    // statements: v1 = base insert (3 months), v2 = one-month CoW
+    // UPDATE (partition count unchanged), v3 = April insert (4).
+    "sql_history_meta" ->
+      """WITH m AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                    AS month
+        |           FROM orders WHERE o_orderkey % 4 < 2),
+        |c3 AS (SELECT count(*) AS n FROM m
+        |       WHERE month BETWEEN '1995-01' AND '1995-03'),
+        |c4 AS (SELECT count(*) AS n FROM m
+        |       WHERE month BETWEEN '1995-01' AND '1995-04')
+        |SELECT CAST(1 AS BIGINT) AS version, c3.n AS n_partitions,
+        |       FALSE AS is_current FROM c3
+        |UNION ALL SELECT CAST(2 AS BIGINT), c3.n, FALSE FROM c3
+        |UNION ALL SELECT CAST(3 AS BIGINT), c4.n, TRUE FROM c4
+        |ORDER BY version""".stripMargin,
+    // partitions.n_rows ≡ sum(files.record_count) ≡ the raw recount;
+    // no MoR deletes in the script, so n_delete_files = 0 everywhere.
+    "sql_partitions_meta" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
+        |           FROM orders WHERE o_orderkey % 4 < 2),
+        |g AS (SELECT month, count(*) AS n FROM m
+        |      WHERE month BETWEEN '1995-01' AND '1995-04' GROUP BY month)
+        |SELECT month, n AS n_rows, n AS n_rows_files,
+        |       CAST(0 AS BIGINT) AS n_delete_files
+        |FROM g ORDER BY month""".stripMargin,
+    "sql_show_partitions" ->
+      """SELECT 'month=' || month AS "partition"
+        |FROM (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |               AS month
+        |      FROM orders
+        |      WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |              BETWEEN '1995-01' AND '1995-03'
+        |        AND o_orderkey % 4 < 2)
+        |ORDER BY 1""".stripMargin,
+    // rollback + rewrite + expire must be a content no-op: the bad
+    // repricing commit is fully undone, so the oracle is the untouched
+    // base fixture slice (same contract as sql_optimize_vacuum).
+    "sql_call_rollback" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |       'base' AS src
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |        BETWEEN '1995-01' AND '1995-03'
+        |  AND o_orderkey % 4 < 2
+        |ORDER BY o_orderkey""".stripMargin,
     // HLL estimates at coupon-mode cardinality are exact, so the
     // maintained sketch view is recomputed as plain COUNT DISTINCT
     // over the post-change composition.
@@ -5928,6 +6155,30 @@ object ExtQueries {
         |SELECT o_orderstatus, q, bucket FROM sel
         |ORDER BY 1, 2""".stripMargin
     },
+    // The join view maintained by the two-relation delta rule must
+    // equal this from-scratch recompute of the post-change fact ⋈ the
+    // post-change dim.
+    "incremental_join" ->
+      """WITH fbase AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                        AS month,
+        |                      o_custkey,
+        |                      CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |               FROM orders),
+        |f AS (
+        |  SELECT month, o_custkey, p FROM fbase
+        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT month, o_custkey, CAST(p * 2 AS DECIMAL(18,2)) AS p
+        |  FROM fbase WHERE month = '1995-02'
+        |),
+        |d AS (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 10 = 3 THEN 'MOVED'
+        |                  ELSE c_mktsegment END AS c_mktsegment
+        |      FROM customer)
+        |SELECT f.month, d.c_mktsegment, count(*) AS n_rows,
+        |       CAST(sum(f.p) AS DOUBLE) AS total_price
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Partition-spec evolution must be a pure relayout: the aggregate
     // over the evolved table equals the same aggregate over the source.
     "versioned_repartition" ->

@@ -52,23 +52,97 @@ object IncrementalAgg {
    */
   def maintain(state: DataFrame, oldChanged: DataFrame,
       newChanged: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    applySigned(state,
+      minuses = Seq(aggregate(oldChanged, groupCols, sumCols)),
+      pluses = Seq(aggregate(newChanged, groupCols, sumCols)),
+      groupCols, sumCols)
+
+  /** Signed merge of a materialized aggregate with delta terms (each
+    * already in the `aggregate` shape): state + Σpluses − Σminuses per
+    * group — one aggregate-sized union + hash aggregation, the shared
+    * engine of `maintain` and `maintainJoin`. */
+  private def applySigned(state: DataFrame, minuses: Seq[DataFrame],
+      pluses: Seq[DataFrame], groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
-    val minus = aggregate(oldChanged, groupCols, sumCols)
-    val plus = aggregate(newChanged, groupCols, sumCols)
     def signed(df: DataFrame, sign: Int): DataFrame =
       df.select((groupCols.map(col) :+
         (col("n_rows") * sign).as("n_rows")) ++
         sumCols.map(c => (col(s"sum_$c") * sign).as(s"sum_$c")): _*)
     val aggs = sum(col("n_rows")).as("n_rows") +:
       sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
-    signed(state, 1)
-      .unionByName(signed(minus, -1))
-      .unionByName(signed(plus, 1))
+    (signed(state, 1) +:
+      (minuses.map(signed(_, -1)) ++ pluses.map(signed(_, 1))))
+      .reduce(_.unionByName(_))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       // a maintained count of 0 means the group left the table; a
       // recompute would not emit it either
       .where(col("n_rows") > 0)
+  }
+
+  // --------------------------------------------- JOIN VIEWS (delta rule) —
+  //
+  // MV = aggregate(fact ⋈ dim) with group columns from EITHER side (the
+  // revenue-by-dim-attribute view every star schema materializes). The
+  // two-relation delta rule (Gupta/Mumick again) with ΔF = F_new − F_old
+  // and ΔD = D_new − D_old as signed multisets:
+  //
+  //   Δ(F ⋈ D) = ΔF ⋈ D_new  +  F_old ⋈ ΔD
+  //
+  // (expand: ΔF⋈D_new = F_new⋈D_new − F_old⋈D_new and F_old⋈ΔD =
+  // F_old⋈D_new − F_old⋈D_old — the cross term cancels exactly.)
+  // Under partition-replacement changes, ΔF is the fact's changedSides
+  // pair (untouched partitions cancel; unchanged rows WITHIN a touched
+  // partition appear identically on both sides and cancel in the
+  // aggregate), and ΔD likewise on the dim's own partitioning.
+  //
+  // Scale shape: the ΔF terms scan only the fact's touched partitions
+  // against the (typically broadcast) dim. The F_old ⋈ ΔD terms are the
+  // expensive direction in principle — but the INNER JOIN itself
+  // restricts F_old to rows matching the changed dim keys, so with the
+  // dim delta broadcast this is one semi-join-shaped scan of the old
+  // fact (prune it further with readPruned/bloom on the join key when
+  // the fact is key-clustered); a dim that does not change contributes
+  // nothing and the terms vanish. Nothing aggregate-sized ever joins at
+  // row grain on the state side.
+
+  /** The materialized join-view shape: `aggregate` over fact ⋈ dim on
+    * equi-keys. Group columns may come from either input. */
+  def joinAggregate(fact: DataFrame, dim: DataFrame, joinKeys: Seq[String],
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    aggregate(fact.join(dim, joinKeys), groupCols, sumCols)
+
+  /**
+   * Maintain a materialized join aggregate under one change window on
+   * EACH side (either may be a no-op: pass empty frames for an
+   * unchanged side's delta and the terms vanish).
+   *
+   *  - `oldFact`: the FULL fact as of the old version (time travel —
+   *    `VersionedPartitioned.readAt`); only rows joining the dim delta
+   *    are ever kept, so feed a key-pruned read at scale.
+   *  - `oldFactChanged`/`newFactChanged`: the fact's changedSides pair.
+   *  - `newDim`: the full dim as of the new version.
+   *  - `oldDimChanged`/`newDimChanged`: the dim's changedSides pair.
+   *
+   * Returns the maintained view, equal to `joinAggregate` over the two
+   * post-change tables — the `incremental_join` gate hash-compares it
+   * against a from-scratch recompute in DuckDB.
+   */
+  def maintainJoin(state: DataFrame,
+      oldFact: DataFrame, oldFactChanged: DataFrame,
+      newFactChanged: DataFrame, newDim: DataFrame,
+      oldDimChanged: DataFrame, newDimChanged: DataFrame,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    def term(f: DataFrame, d: DataFrame): DataFrame =
+      aggregate(f.join(d, joinKeys), groupCols, sumCols)
+    applySigned(state,
+      minuses = Seq(term(oldFactChanged, newDim),
+        term(oldFact, oldDimChanged)),
+      pluses = Seq(term(newFactChanged, newDim),
+        term(oldFact, newDimChanged)),
+      groupCols, sumCols)
   }
 
   // --------------------------------------- COUNT DISTINCT via sketches —

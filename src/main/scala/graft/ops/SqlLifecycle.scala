@@ -87,6 +87,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case ShowTablesRe() =>
         import spark.implicits._
         Some((tables() ++ views().map(_ + " (view)")).toDF("table_name"))
+      case ShowPartitionsRe(name) =>
+        Some(showPartitions(name.toLowerCase))
+      case ShowCreateRe(name) =>
+        Some(showCreateTable(name.toLowerCase))
+      case CallRe(proc, argBlock) =>
+        Some(callProcedure(proc.toLowerCase, argBlock))
       case DescribeRe(name) =>
         Some(describe(name.toLowerCase))
       case DeletePartRe(name, colName, d)
@@ -136,9 +142,46 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
     registerViews()
-    val withTravel = resolveAsOf(sel)
+    val withTravel = resolveAsOf(resolveMetadataTables(sel))
     spark.sql(rewriteNames(withTravel))
   }
+
+  /** Iceberg's metadata-table suffix syntax in the query door:
+    * `schema.table.history|snapshots|partitions|files` over a
+    * cataloged partitioned table registers the corresponding
+    * `VersionedPartitioned` metadata frame as a pinned view and
+    * substitutes its name. All four are METADATA queries — commit-log
+    * and sidecar/footer reads, zero data I/O (`filesDf` contract) —
+    * so they stay O(#versions + #files) small reads at any table
+    * size. `committed_at`/`made_current_at` are wall-clock and belong
+    * in no deterministic gate (same contract as `versionAsOf`). */
+  private def resolveMetadataTables(sel: String): String =
+    MetaTableRe.replaceAllIn(sel, m => {
+      val t = m.group(1).toLowerCase
+      val kind = m.group(2).toLowerCase
+      val ok = metaOf(t).exists(_.partitionCol.isDefined) &&
+        VersionedPartitioned.currentVersion(spark, tableDir(t).toString)
+          .isDefined
+      if (!ok) m.matched
+      else {
+        val path = tableDir(t).toString
+        val df = kind match {
+          case "history" =>
+            val cur = VersionedPartitioned.currentVersion(spark, path).get
+            VersionedPartitioned.historyDf(spark, path)
+              .withColumn("is_current", col("version") === cur)
+          case "snapshots" =>
+            VersionedPartitioned.historyDf(spark, path)
+              .select(col("version").as("snapshot_id"),
+                col("committed_at"), col("n_partitions"), col("tag"))
+          case "partitions" => VersionedPartitioned.partitionsDf(spark, path)
+          case "files" => VersionedPartitioned.filesDf(spark, path)
+        }
+        val vn = viewName(t) + "__meta_" + kind
+        df.createOrReplaceTempView(vn)
+        scala.util.matching.Regex.quoteReplacement(vn)
+      }
+    })
 
   private def resolveAsOf(sel: String): String = {
     def pinned(tableName: String, suffix: String,
@@ -290,6 +333,87 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         if (meta.partitionCol.exists(_.equalsIgnoreCase(f.name)))
           "partition key" else ""))
       .toDF("col_name", "data_type", "comment")
+  }
+
+  /** SHOW PARTITIONS — Spark's output shape (one `partition` column of
+    * `col=value` strings, sorted): a pure manifest read, zero data
+    * I/O, O(#partitions) driver rows — the census is metadata by
+    * definition. */
+  private def showPartitions(name: String): DataFrame = {
+    import spark.implicits._
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"SHOW PARTITIONS $name: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"SHOW PARTITIONS $name: table is not partitioned")
+    val path = tableDir(name).toString
+    val dirs = // dir names already carry the col=value form Spark shows
+      if (VersionedPartitioned.currentVersion(spark, path).isDefined)
+        VersionedPartitioned.partitions(spark, path)
+      else Nil
+    dirs.sorted.toDF("partition")
+  }
+
+  /** SHOW CREATE TABLE — the catalog entry rendered back as the DDL
+    * text this router accepts (round-trippable by construction). */
+  private def showCreateTable(name: String): DataFrame = {
+    import spark.implicits._
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"SHOW CREATE TABLE $name: no such table"))
+    val partClause =
+      meta.partitionCol.map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
+    Seq(s"CREATE TABLE $name (${meta.schema.toDDL})" +
+      s"\nUSING ICEBERG$partClause").toDF("createtab_stmt")
+  }
+
+  /** CALL `system.<procedure>(...)` — Iceberg's stored-procedure
+    * maintenance surface routed onto the manifest format's existing
+    * verbs. Positional or `name => value` named arguments, catalog
+    * prefixes before `system.` ignored (Iceberg texts write
+    * `CALL catalog.system.proc(...)`). Supported:
+    *  - `rollback_to_snapshot(table, version)` /
+    *    `set_current_snapshot(table, version)` → `rollbackTo` (a NEW
+    *    commit pointing at the old state — history is append-only,
+    *    time travel over the bad commit still works until vacuum).
+    *  - `expire_snapshots(table, retain_last)` → `vacuum` (keep the
+    *    last n versions, reclaim unreferenced snapshot dirs).
+    *  - `rewrite_data_files(table)` → `compact` (live state rewritten
+    *    as one fresh snapshot; MoR delete refs materialized).
+    * Each returns a one-row result frame, like Iceberg's procedures. */
+  private def callProcedure(proc: String, argBlock: String): DataFrame = {
+    import spark.implicits._
+    val args = splitTop(argBlock).map { a =>
+      CallArgRe.findFirstMatchIn(a) match {
+        case Some(m) => (Option(m.group(1)).map(_.toLowerCase),
+          Option(m.group(2)).getOrElse(m.group(3)).trim)
+        case None => (None, a.trim)
+      }
+    }
+    def arg(names: Seq[String], pos: Int): String =
+      args.collectFirst { case (Some(n), v) if names.contains(n) => v }
+        .orElse(args.filter(_._1.isEmpty).lift(pos).map(_._2))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CALL system.$proc: missing argument ${names.head}"))
+    val table = arg(Seq("table"), 0).toLowerCase
+    require(metaOf(table).isDefined, s"CALL system.$proc: no table $table")
+    val path = tableDir(table).toString
+    proc match {
+      case "rollback_to_snapshot" | "set_current_snapshot" =>
+        val to = arg(Seq("version", "snapshot_id"), 1).toLong
+        val v = VersionedPartitioned.rollbackTo(spark, path, to)
+        Seq((table, to, v)).toDF("table", "rolled_back_to", "current_version")
+      case "expire_snapshots" =>
+        val keep = arg(Seq("retain_last"), 1).toInt
+        val removed = VersionedPartitioned.vacuum(spark, path,
+          keepLast = keep, orphanMinAgeMs = 0L)
+        Seq((table, removed)).toDF("table", "deleted_data_files_count")
+      case "rewrite_data_files" =>
+        val v = VersionedPartitioned.compact(spark, path)
+        Seq((table, v)).toDF("table", "current_version")
+      case other => throw new IllegalArgumentException(
+        s"CALL system.$other: unsupported procedure (have " +
+          "rollback_to_snapshot, set_current_snapshot, expire_snapshots, " +
+          "rewrite_data_files)")
+    }
   }
 
   private def insert(name: String, body: String): Unit = {
@@ -986,6 +1110,18 @@ object SqlLifecycle {
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val CallRe =
+    """(?is)^\s*CALL\s+(?:[\w]+\.)*system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
+  // one CALL argument: optional `name =>`, then a 'quoted' or bare value
+  private val CallArgRe =
+    """(?s)^\s*(?:(\w+)\s*=>\s*)?(?:'([^']*)'|([^\s].*?))\s*$""".r
+  // `schema.table.<metadata table>` suffix form in query texts
+  private val MetaTableRe =
+    """(?i)\b([\w]+\.[\w]+)\.(history|snapshots|partitions|files)\b""".r
   private val DescribeRe =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
   private val InsertOverwriteRe =

@@ -179,6 +179,87 @@ object VersionedPartitioned {
     }.toDF("version", "tag", "n_partitions", "n_snapshots", "committed_at")
   }
 
+  /** Iceberg's `files` metadata table for the manifest format: one row
+    * per live data file — (partition value, file path relative to the
+    * table root, record_count) — with ZERO data I/O on every path:
+    * counts come from the per-file `_stats` sidecar when the file's
+    * snapshot has one, else from the parquet FOOTERS (driver-parallel
+    * metadata reads, O(#files) small reads — commit with `statsCols`
+    * at cluster scale so the sidecar path always serves). Record
+    * counts are as-written, Iceberg `record_count` semantics:
+    * merge-on-read delete sidecars live in their own files and never
+    * change a data file's count (`readRowChanges` materializes them on
+    * read; a rewrite clears them). The collect here is file METADATA —
+    * the same bounded census `vacuum`'s referenced-dir walk does —
+    * never data rows. */
+  def filesDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val m = manifestAt(spark, root, None)
+    require(m.entries.nonEmpty,
+      s"manifest under $root has no live partitions (schema unknowable)")
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows: Seq[(String, String, Long)] =
+      m.entries.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+        case (snap, parts) =>
+          val partDirs = parts.keys.toSet
+          val snapPath = new HPath(rootPath, snap)
+          val statsPath = new HPath(snapPath, Versioned.StatsDirName)
+          val sidecar =
+            (if (fs.exists(statsPath))
+               Some(spark.read.parquet(statsPath.toString)) else None)
+              .filter(st => st.columns.contains("__rows") &&
+                st.columns.contains("__file"))
+          sidecar match {
+            case Some(st) =>
+              st.select(col("__file"), col("__rows")).collect().toSeq
+                .map(r => (r.getString(0), r.getLong(1)))
+                .filter { case (f, _) =>
+                  partDirs.contains(f.takeWhile(_ != '/')) }
+                .map { case (f, n) => (f.takeWhile(_ != '/'), s"$snap/$f", n) }
+            case None =>
+              import scala.collection.parallel.CollectionConverters._
+              partDirs.toSeq.sorted.flatMap { pd =>
+                fs.listStatus(new HPath(snapPath, pd)).toSeq
+                  .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+                  .map(_.getPath).par.map { p =>
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(p, conf)
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    val n = try r.getRecordCount finally r.close()
+                    (pd, s"$snap/$pd/${p.getName}", n)
+                  }.toList
+              }
+          }
+      }
+    rows.map { case (pd, f, n) =>
+      (unescapePathName(pd.stripPrefix(m.partitionCol + "=")), f, n)
+    }.toDF(m.partitionCol, "file_path", "record_count")
+      .orderBy(m.partitionCol, "file_path")
+  }
+
+  /** Iceberg's `partitions` metadata table: one row per live partition
+    * — (partition value, n_files, n_rows, n_delete_files) — folded
+    * from `filesDf` (so the two tables are consistent by construction)
+    * plus the manifest's merge-on-read delete-sidecar census. Like
+    * Iceberg, `n_rows` is the data files' record count; live rows
+    * under pending MoR deletes resolve at read time. */
+  def partitionsDf(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, typedLit}
+    val m = manifestAt(spark, root, None)
+    val delCounts: Map[String, Int] = m.deletes.map { case (pd, ds) =>
+      unescapePathName(pd.stripPrefix(m.partitionCol + "=")) -> ds.size
+    }
+    filesDf(spark, root)
+      .groupBy(col(m.partitionCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("n_rows"))
+      .withColumn("n_delete_files",
+        coalesce(org.apache.spark.sql.functions
+          .element_at(typedLit(delCounts), col(m.partitionCol)), lit(0)))
+      .orderBy(m.partitionCol)
+  }
+
   /** The table's manifest partition column (`HiddenPartition` recovers
     * its transform spec from this name). */
   def partitionColumn(spark: SparkSession, root: String): String =

@@ -214,6 +214,47 @@ class AggSpec extends AnyFunSuite {
     assert(maintained.where(col("part") === "p2").isEmpty)
   }
 
+  test("IncrementalAgg.maintainJoin equals recompute when both sides change; unchanged side is a no-op") {
+    import graft.ops.IncrementalAgg
+    // fact partitioned by part, dim by bucket; groups span both sides
+    val fact = (1L to 400L).map { i =>
+      (s"p${i % 4}", i % 23, s"m${i % 3}", BigDecimal(i * 7 % 100))
+    }.toDF("part", "k", "m", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val dim = (0L to 22L).map(k => (s"b${k % 2}", k, s"seg${k % 5}"))
+      .toDF("bucket", "k", "seg")
+    val keys = Seq("k"); val groups = Seq("m", "seg"); val sums = Seq("v")
+    val state = IncrementalAgg.joinAggregate(fact, dim, keys, groups, sums)
+    // fact change: replace p1 (rescaled), drop p3 entirely
+    val oldF = fact.where(col("part").isin("p1", "p3"))
+    val newF = fact.where(col("part") === "p1")
+      .withColumn("v", (col("v") * 3).cast("decimal(18,2)"))
+    val factAfter = fact.where(col("part").isin("p0", "p2")).unionByName(newF)
+    // dim change: bucket b1 rewritten — odd keys move segment, even
+    // keys ride along unchanged (they must cancel in the delta)
+    val oldD = dim.where(col("bucket") === "b1")
+    val newD = oldD.withColumn("seg",
+      when(col("k") % 2 === 1, lit("segX")).otherwise(col("seg")))
+    val dimAfter = dim.where(col("bucket") === "b0").unionByName(newD)
+    val maintained = IncrementalAgg.maintainJoin(state,
+      oldFact = fact, oldFactChanged = oldF, newFactChanged = newF,
+      newDim = dimAfter, oldDimChanged = oldD, newDimChanged = newD,
+      keys, groups, sums)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("m"), col("seg"), col("n_rows"),
+          col("sum_v").cast("double").as("s"))
+        .as[(String, String, Long, Double)].collect().sorted.toSeq
+    assert(canon(maintained) ==
+      canon(IncrementalAgg.joinAggregate(factAfter, dimAfter, keys, groups, sums)))
+    // a no-op dim window degenerates to the single-relation rule
+    val empty = dim.where(lit(false))
+    val factOnly = IncrementalAgg.maintainJoin(state,
+      oldFact = fact, oldFactChanged = oldF, newFactChanged = newF,
+      newDim = dim, oldDimChanged = empty, newDimChanged = empty,
+      keys, groups, sums)
+    assert(canon(factOnly) ==
+      canon(IncrementalAgg.joinAggregate(factAfter, dim, keys, groups, sums)))
+  }
+
   test("IncrementalAgg quantiles: α-bounded vs exact, merge ≡ whole-input, zero/negative contract") {
     import graft.ops.IncrementalAgg
     val alpha = 0.01

@@ -456,6 +456,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(desc == Seq(("k", ""), ("date", "partition key"), ("v", "")))
   }
 
+  test("SqlLifecycle metadata tables, SHOW CREATE round-trip, CALL procedures") {
+    import graft.ops.{SqlLifecycle, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_sqlmeta_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t
+      (k BIGINT, date DATE, v DECIMAL(10, 2)) USING ICEBERG
+      PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.t VALUES
+      (1, DATE '2024-01-01', 5.0), (2, DATE '2024-01-01', 25.0),
+      (3, DATE '2024-01-02', 50.0)""")
+    life.execute("INSERT INTO s.t VALUES (4, DATE '2024-01-03', 75.0)")
+
+    // history: two commits, second current; snapshots mirrors it
+    val hist = life.query(
+      "SELECT version, n_partitions, is_current FROM s.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    assert(hist == Seq((1L, 2, false), (2L, 3, true)))
+    assert(life.query("SELECT count(*) FROM s.t.snapshots").head().getLong(0) == 2L)
+
+    // partitions ≡ files fold; SHOW PARTITIONS agrees with both
+    val parts = life.query(
+      "SELECT date, n_files, n_rows, n_delete_files FROM s.t.partitions ORDER BY date")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSeq
+    assert(parts == Seq(("2024-01-01", 2L, 0), ("2024-01-02", 1L, 0),
+      ("2024-01-03", 1L, 0)))
+    val fileSum = life.query(
+      "SELECT CAST(sum(record_count) AS BIGINT) FROM s.t.files").head().getLong(0)
+    assert(fileSum == 4L)
+    assert(life.execute("SHOW PARTITIONS s.t").get.collect()
+      .map(_.getString(0)).toSeq
+      == Seq("date=2024-01-01", "date=2024-01-02", "date=2024-01-03"))
+
+    // MoR delete sidecars: files keeps as-written record counts
+    // (Iceberg record_count semantics), partitions reports the
+    // delete-file census, the data read resolves to live rows
+    val keys = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS k, DATE '2024-01-01' AS date")
+    VersionedPartitioned.deleteKeysMor(spark, s"$root/s/t", keys)
+    assert(life.query("SELECT CAST(sum(record_count) AS BIGINT) FROM s.t.files")
+      .head().getLong(0) == 4L)
+    assert(life.query(
+      "SELECT n_delete_files FROM s.t.partitions WHERE date = '2024-01-01'")
+      .head().getInt(0) == 1)
+    assert(life.table("s.t").count() == 3L)
+
+    // SHOW CREATE TABLE round-trips through a second catalog
+    val ddl = life.execute("SHOW CREATE TABLE s.t").get.head().getString(0)
+    val root2 = Files.createTempDirectory("graft_sqlmeta2_").toString
+    val life2 = new SqlLifecycle(spark, root2)
+    life2.execute("CREATE SCHEMA s")
+    life2.execute(ddl)
+    assert(life2.execute("DESCRIBE s.t").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == life.execute("DESCRIBE s.t").get.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+    // CALL: set_current_snapshot back to v1, positional args; the
+    // result frame reports the new current version
+    val res = life.execute("CALL system.set_current_snapshot('s.t', 1)").get
+    assert(res.head().getLong(2) >= 3L)
+    assert(life.table("s.t").count() == 3L) // v1 content, MoR delete undone
+    intercept[IllegalArgumentException] {
+      life.execute("CALL system.no_such_proc('s.t')")
+    }
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
