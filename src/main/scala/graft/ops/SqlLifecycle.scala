@@ -141,7 +141,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * capability). Timestamps accept `yyyy-MM-dd HH:mm:ss[.SSS]` or
     * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
-    registerViews()
+    registerViewsFor(sel)
     val withTravel = resolveAsOf(resolveMetadataTables(sel))
     spark.sql(rewriteNames(withTravel))
   }
@@ -472,22 +472,13 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   private def appendRows(name: String, meta: TableMeta,
       rows: DataFrame): Unit = meta.partitionCol match {
     case Some(p) =>
-      val path = tableDir(name).toString
-      // true INSERT semantics on the partition-overwrite format: union
-      // the new rows with the CURRENT rows of only the affected
-      // partitions, then promote those partitions (O(day), not
-      // O(table); after the reference's DELETE step the union is just
-      // the new rows)
-      val parts = rows.select(col(p).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet
-      if (parts.isEmpty) return
-      val cur =
-        if (VersionedPartitioned.currentVersion(spark, path).isDefined &&
-            VersionedPartitioned.partitions(spark, path).nonEmpty)
-          VersionedPartitioned.readPartitionsWhere(spark, path, parts.contains)
-            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-        else emptyDf(meta.schema)
-      VersionedPartitioned.promote(cur.unionByName(rows), path, p)
+      // true INSERT semantics on the partition-overwrite format:
+      // write-snapshot-first, partitions discovered from the written
+      // dirs, current rows of overlapping partitions folded in —
+      // O(day) data touched, and exactly ONE Spark job on the
+      // reference's DELETE-day-then-INSERT sequence (see
+      // VersionedPartitioned.insertInto)
+      VersionedPartitioned.insertInto(rows, tableDir(name).toString, p)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
@@ -508,15 +499,24 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       "route through the SQL front door")
     val path = tableDir(name).toString
     if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
-      // literal typed by the partition column's declared type (DATE in
-      // the reference texts; string for e.g. month-keyed tables)
-      val v = meta.schema(meta.schema.fieldNames
+      meta.schema(meta.schema.fieldNames
           .find(_.equalsIgnoreCase(p)).get).dataType match {
+        // a whole-partition delete on a DATE/STRING key is Iceberg's
+        // metadata-delete fast path: the entry leaves the manifest,
+        // zero data I/O, zero Spark jobs (the literal normalizes to
+        // the on-disk partition value directly)
         case org.apache.spark.sql.types.DateType =>
-          lit(java.sql.Date.valueOf(d))
-        case dt => lit(d).cast(dt)
+          VersionedPartitioned.deletePartitionValues(spark, path,
+            Set(java.sql.Date.valueOf(d).toString))
+        case org.apache.spark.sql.types.StringType =>
+          VersionedPartitioned.deletePartitionValues(spark, path, Set(d))
+        // other key types: literal typed by the declared type, routed
+        // through the copy-on-write row delete (value normalization to
+        // dir names is type-specific; the rewrite stays O(partition))
+        case dt =>
+          VersionedPartitioned.deleteWhere(spark, path,
+            col(s"`$p`") === lit(d).cast(dt))
       }
-      VersionedPartitioned.deleteWhere(spark, path, col(s"`$p`") === v)
       ()
     }
   }
@@ -954,16 +954,46 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     else None
   }
 
-  /** Register every cataloged table as a temp view under its view-safe
-    * name (dots are illegal in temp view names), then every stored SQL
-    * view — iterating to a fixpoint so views may reference each other
-    * in any definition order (a cycle or a broken body fails with the
-    * unresolved names). */
-  private def registerViews(): Unit = {
-    tables().foreach { t =>
+  /** Register ONLY the cataloged tables and views the statement (or,
+    * transitively, a referenced view's body) actually names, each as a
+    * temp view under its view-safe name (dots are illegal in temp view
+    * names). A statement touching one table resolves one manifest —
+    * router overhead is O(names referenced), never O(catalog size), so
+    * per-statement cost stays flat as the catalog grows (at 100×
+    * tables the old register-everything pass made EVERY statement pay
+    * #tables manifest resolutions). Name detection uses rewriteNames'
+    * own match rule (name not followed by a word char, string literals
+    * blanked first) plus the view-safe form, so anything the rewriter
+    * would touch is guaranteed registered. Views iterate to a fixpoint
+    * so they may reference each other in any definition order (a cycle
+    * or a broken body among the REFERENCED views fails with the
+    * unresolved names; unreferenced broken views no longer poison
+    * unrelated statements). */
+  private def registerViewsFor(sql: String): Unit = {
+    val ts = tables().toSet
+    val vs = views().toSet
+    val universe = (ts ++ vs).toSeq
+    def refs(text: String): Set[String] = {
+      val t = blankLiterals(stripComments(text))
+      universe.filter { n =>
+        nameRe(n).findFirstIn(t).isDefined ||
+          nameRe(viewName(n)).findFirstIn(t).isDefined
+      }.toSet
+    }
+    var needed = refs(sql)
+    var frontier = needed.intersect(vs)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap { v =>
+        refs(new String(
+          java.nio.file.Files.readAllBytes(viewFile(v)), "UTF-8"))
+      } -- needed
+      needed ++= next
+      frontier = next.intersect(vs)
+    }
+    needed.intersect(ts).toSeq.sorted.foreach { t =>
       readTable(t, metaOf(t).get).createOrReplaceTempView(viewName(t))
     }
-    var pending = views()
+    var pending = needed.intersect(vs).toSeq.sorted
     var progress = true
     while (pending.nonEmpty && progress) {
       val still = pending.filter { v =>
@@ -982,13 +1012,21 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       s"views failed to resolve: ${pending.mkString(", ")}")
   }
 
+  private def nameRe(n: String) =
+    ("(?i)" + java.util.regex.Pattern.quote(n) + "(?![\\w])").r
+
   /** Rewrite qualified table AND view names to their view-safe forms,
-    * longest name first so `s.t_stg_x` never half-matches `s.t`. */
-  private def rewriteNames(sql: String): String =
-    (tables() ++ views()).sortBy(-_.length).foldLeft(sql) { (acc, t) =>
-      acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(t) + "(?![\\w])",
-        viewName(t))
-    }
+    * longest name first so `s.t_stg_x` never half-matches `s.t` —
+    * outside single-quoted string literals only, so a data string that
+    * happens to contain a table name ships unrewritten. */
+  private def rewriteNames(sql: String): String = {
+    val names = (tables() ++ views()).sortBy(-_.length)
+    mapOutsideLiterals(sql, seg =>
+      names.foldLeft(seg) { (acc, t) =>
+        acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(t) +
+          "(?![\\w])", viewName(t))
+      })
+  }
 
   private def viewName(t: String): String = t.replace(".", "__")
 }
@@ -1012,6 +1050,37 @@ object SqlLifecycle {
       TableMeta(StructType.fromDDL(kv("ddl")),
         Some(kv("partition")).filter(_ != "-"))
     }
+  }
+
+  /** Single-quoted SQL string literal, `''` escaping included. */
+  private val LiteralRe = "'(?:[^']|'')*'".r
+
+  /** Apply `f` to the stretches of `sql` OUTSIDE string literals,
+    * leaving literal bytes untouched — the splitter the name rewriter
+    * and the reference scanner share, so what one rewrites the other
+    * is guaranteed to have registered. */
+  private def mapOutsideLiterals(sql: String, f: String => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- LiteralRe.findAllMatchIn(sql)) {
+      sb.append(f(sql.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(f(sql.substring(last)))
+    sb.toString
+  }
+
+  /** Collapse every string literal to `''` (for reference scanning —
+    * a table name inside a data string is data, not a reference). */
+  private def blankLiterals(sql: String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- LiteralRe.findAllMatchIn(sql)) {
+      sb.append(sql.substring(last, m.start)).append("''")
+      last = m.end
+    }
+    sb.append(sql.substring(last))
+    sb.toString
   }
 
   /** Strip `-- comment` lines (the reference texts are comment-heavy). */

@@ -390,10 +390,17 @@ object VersionedPartitioned {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partitionCol + "="))
       .map(_.getPath.getName -> snapName).toMap
-    // Claim loop with per-attempt re-merge: a lost claim means the
-    // merge base advanced — re-read it or drop the winner's partitions.
-    // The merge base is the LATEST manifest only (one commit-file read
-    // per attempt), never the full history.
+    commitSnapshot(spark, fs, rootPath, root, partitionCol, written, tag)
+  }
+
+  /** Claim loop with per-attempt re-merge: a lost claim means the
+    * merge base advanced — re-read it or drop the winner's partitions.
+    * The merge base is the LATEST manifest only (one commit-file read
+    * per attempt), never the full history. Shared by `promote` and the
+    * INSERT-shaped `insertInto`. */
+  private def commitSnapshot(spark: SparkSession, fs: FileSystem,
+      rootPath: HPath, root: String, partitionCol: String,
+      written: Map[String, String], tag: Option[String]): Long = {
     var committed = -1L
     while (committed < 0) {
       val latest = latestManifest(spark, root)
@@ -423,6 +430,48 @@ object VersionedPartitioned {
       }
     }
     committed
+  }
+
+  /** INSERT-shaped promote (the SQL front door's INSERT INTO): write
+    * `df` as a snapshot FIRST (one Spark job), learn the touched
+    * partitions from the snapshot's own directory names, fold in the
+    * CURRENT rows of any overlapping live partition (a second
+    * append-write, only when overlap exists), then commit through the
+    * same claim loop as `promote`. The reference's DELETE-day-then-
+    * INSERT promote pair leaves overlap empty, so the common path is
+    * exactly ONE job where read-union-promote took three (the
+    * partition-discovery `distinct().collect()`, the current-partition
+    * read, the write) — at a 70-statement pipeline day that is the
+    * difference between O(statements) and O(3·statements) job
+    * round-trips. Returns None (no commit) for an empty insert. */
+  def insertInto(df: DataFrame, root: String,
+      partitionCol: String): Option[Long] = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil)
+    val snapPath = new HPath(rootPath, snapName)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath.getName).toSet
+    if (written.isEmpty) { fs.delete(snapPath, true); return None }
+    val overlap = latestManifest(spark, root)
+      .map(_._2.entries.keySet.intersect(written)).getOrElse(Set.empty)
+    if (overlap.nonEmpty) {
+      // INSERT means union: the overlapped partitions' current rows
+      // (delete sidecars and metadata-evolved defaults applied by the
+      // manifest read) join the new rows inside the same snapshot dirs
+      val vals = overlap.map(d =>
+        unescapePathName(d.substring(d.indexOf('=') + 1)))
+      readPartitionsWhere(spark, root, vals.contains)
+        .select(df.columns.map(c => col(s"`$c`")): _*)
+        .repartition(col(partitionCol))
+        .write.mode("append").partitionBy(partitionCol)
+        .parquet(snapPath.toString)
+    }
+    Some(commitSnapshot(spark, fs, rootPath, root, partitionCol,
+      written.map(_ -> snapName).toMap, None))
   }
 
   /** Read the latest committed state: one immutable-parquet scan per
@@ -896,6 +945,30 @@ object VersionedPartitioned {
       readManifest(spark, root, mTo)) // nothing changed: schema-only read
     val empty = anchor.where(org.apache.spark.sql.functions.lit(false))
     (oldSide.getOrElse(empty), newSide.getOrElse(empty))
+  }
+
+  /** Whole-partition DELETE (the reference's idempotent DELETE-day,
+    * `dags/dag.py:292-296`): dropping partitions whose VALUE is in
+    * `values` is METADATA-ONLY — the affected entries (and their
+    * delete-sidecar refs) leave the manifest; no data file is read or
+    * written, no Spark job runs (Iceberg's metadata-delete fast path
+    * for partition-predicate deletes). A value set with no live
+    * partition commits nothing and returns the current version — the
+    * first run of a DELETE-then-INSERT backfill day costs zero jobs
+    * here. Snapshot dirs keep their files: time travel still sees the
+    * dropped rows, and `vacuum` reclaims unreferenced dirs later. */
+  def deletePartitionValues(spark: SparkSession, root: String,
+      values: Set[String], tag: Option[String] = None): Option[Long] = {
+    val m0 = manifestAt(spark, root, None)
+    val affected = m0.entries.keySet.filter { d =>
+      values.contains(unescapePathName(d.substring(d.indexOf('=') + 1)))
+    }
+    if (affected.isEmpty) return currentVersion(spark, root)
+    Some(claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.get
+      (pv + 1, render(Manifest(m.partitionCol, m.entries -- affected, tag,
+        m.addedCols, m.deletes -- affected)))
+    })
   }
 
   /** Optimistic claim loop shared by the manifest-editing commits:

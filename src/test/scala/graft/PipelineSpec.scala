@@ -456,6 +456,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(desc == Seq(("k", ""), ("date", "partition key"), ("v", "")))
   }
 
+  test("SqlLifecycle query door: lazy registration resolves only referenced tables; literals are never rewritten") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqllazy_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    for (t <- Seq("t1", "t2")) {
+      life.execute(s"""CREATE TABLE s.$t
+        (k BIGINT, date DATE, note STRING) USING ICEBERG
+        PARTITIONED BY (date)""")
+      life.execute(s"INSERT INTO s.$t VALUES (1, DATE '2024-01-01', 's.t1')")
+    }
+    // a view over t2, referenced nowhere in the t1-only statements below
+    life.execute("CREATE VIEW s.v2 AS SELECT k FROM s.t2")
+    // corrupt t2's commit file: ANY manifest resolution of t2 now throws,
+    // so a t1-only query succeeding proves the router registered only the
+    // tables the statement references (per-statement cost O(referenced),
+    // not O(catalog))
+    import scala.jdk.CollectionConverters._
+    val t2dir = java.nio.file.Paths.get(root, "s", "t2")
+    val commits = java.nio.file.Files.list(t2dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit")).toSeq
+    assert(commits.nonEmpty)
+    commits.foreach(c => java.nio.file.Files.write(c,
+      "corrupt".getBytes("UTF-8")))
+    // t1-only query: fine. The same text also proves string literals are
+    // never name-rewritten ('s.t2' stays data; 's.t1' comes back verbatim)
+    val row = life.query(
+      "SELECT k, note, 's.t2 and s.t1' AS lit FROM s.t1 WHERE note = 's.t1'")
+      .collect().toSeq
+    assert(row.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      == Seq((1L, "s.t1", "s.t2 and s.t1")))
+    // touching t2 (directly or through the view) DOES resolve it → throws
+    intercept[Exception](life.query("SELECT * FROM s.t2").collect())
+    intercept[Exception](life.query("SELECT * FROM s.v2").collect())
+  }
+
+  test("SqlLifecycle INSERT folds overlapping partitions; partition DELETE is metadata-only") {
+    import graft.ops.{SqlLifecycle, VersionedPartitioned => VP}
+    val root = Files.createTempDirectory("graft_sqlins_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t (k BIGINT, date DATE)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute("INSERT INTO s.t VALUES (1, DATE '2024-01-01')")
+    // second INSERT into the SAME live partition: union, not overwrite
+    // (the write-snapshot-first path must fold the current rows in)
+    life.execute("""INSERT INTO s.t VALUES
+      (2, DATE '2024-01-01'), (3, DATE '2024-01-02')""")
+    assert(life.table("s.t").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L))
+    val path = java.nio.file.Paths.get(root, "s", "t").toString
+    val vBefore = VP.currentVersion(spark, path).get
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    }
+    val filesBefore = dataFiles()
+    // whole-partition DELETE: manifest edit only — zero data files
+    // created or removed, and time travel still sees the dropped rows
+    life.execute("DELETE FROM s.t WHERE date = DATE '2024-01-01'")
+    assert(dataFiles() == filesBefore)
+    assert(life.table("s.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(VP.readAt(spark, path, vBefore).count() == 3)
+    // deleting a date with no live partition commits nothing
+    val v1 = VP.currentVersion(spark, path).get
+    life.execute("DELETE FROM s.t WHERE date = DATE '2099-12-31'")
+    assert(VP.currentVersion(spark, path).get == v1)
+    // INSERT of zero rows commits nothing
+    life.execute("INSERT INTO s.t SELECT * FROM s.t WHERE k < 0")
+    assert(VP.currentVersion(spark, path).get == v1)
+  }
+
   test("SqlLifecycle metadata tables, SHOW CREATE round-trip, CALL procedures") {
     import graft.ops.{SqlLifecycle, VersionedPartitioned}
     val root = Files.createTempDirectory("graft_sqlmeta_").toString
