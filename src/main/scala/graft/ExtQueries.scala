@@ -2717,6 +2717,42 @@ object ExtQueries {
   }
 
   /**
+   * ALTER TABLE … DROP COLUMN + re-ADD statement-text gate
+   * (ops/SqlLifecycle.alterDropColumn → evolveDropColumnMetaOnly):
+   * both evolutions are metadata-only commits — zero partitions
+   * rewritten — and the ordered-rule replay must make the re-added
+   * column start BLANK (every row answers the new default). A fake
+   * drop would resurrect the old physical 'base' values and fail the
+   * hash; a drop that rewrote data would still pass here but is
+   * pinned metadata-only in VersionedSpec.
+   */
+  private def sqlAlterDrop(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("ALTER TABLE sales.facts DROP COLUMN src")
+    life.execute("ALTER TABLE sales.facts ADD COLUMN src STRING DEFAULT 'evolved'")
+    rowVerbOut(life)
+  }
+
+  /**
+   * ALTER TABLE … RENAME COLUMN statement-text gate
+   * (ops/SqlLifecycle.alterRenameColumn → evolveRenameColumnMetaOnly):
+   * metadata-only rename; the old name must stop resolving and the new
+   * name must answer with the SAME values through the query door —
+   * including in predicates and aggregates, so a rename that dropped
+   * or blanked the data fails the hash.
+   */
+  private def sqlAlterRename(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("ALTER TABLE sales.facts RENAME COLUMN total TO amount")
+    life.query("""
+      SELECT month, count(*) AS n_rows,
+             CAST(sum(amount) AS DOUBLE) AS sum_amount,
+             CAST(sum(CASE WHEN amount >= 150000 THEN amount END) AS DOUBLE)
+               AS sum_high
+      FROM sales.facts GROUP BY month ORDER BY month""")
+  }
+
+  /**
    * INSERT OVERWRITE statement-text gate
    * (ops/SqlLifecycle.insertOverwrite → promote): dynamic partition
    * overwrite — the February partition is replaced WHOLESALE by a
@@ -3729,6 +3765,8 @@ object ExtQueries {
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
     "sql_delete_rows" -> ((s, dir) => sqlDeleteRows(s, dir)),
     "sql_alter_add" -> ((s, dir) => sqlAlterAdd(s, dir)),
+    "sql_alter_drop" -> ((s, dir) => sqlAlterDrop(s, dir)),
+    "sql_alter_rename" -> ((s, dir) => sqlAlterRename(s, dir)),
     "sql_insert_overwrite" -> ((s, dir) => sqlInsertOverwrite(s, dir)),
     "sql_truncate_reload" -> ((s, dir) => sqlTruncateReload(s, dir)),
     "sql_optimize_vacuum" -> ((s, dir) => sqlOptimizeVacuum(s, dir)),
@@ -6003,6 +6041,31 @@ object ExtQueries {
         |SELECT CASE WHEN p >= 150000 THEN 'H' ELSE 'L' END AS band, month,
         |       count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // drop-then-re-add: every row answers the new default — the old
+    // physical 'base' values must NOT resurrect
+    "sql_alter_drop" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
+        |       'evolved' AS src
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "sql_alter_rename" ->
+      """WITH m AS (SELECT o_orderkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2)
+        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_amount,
+        |       CAST(sum(CASE WHEN p >= 150000 THEN p END) AS DOUBLE)
+        |         AS sum_high
+        |FROM m GROUP BY month ORDER BY month""".stripMargin,
     // February replaced wholesale by the overwrite slice (note: keyed
     // %2, NOT the fixture's %4<2 — vanished rows must stay vanished),
     // January/March inherited.

@@ -108,6 +108,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AlterAddColRe(name, colName, colType, default) =>
         alterAddColumn(name.toLowerCase, colName, colType.trim,
           Option(default)); None
+      case AlterDropColRe(name, colName) =>
+        alterDropColumn(name.toLowerCase, colName); None
+      case AlterRenameColRe(name, from, to) =>
+        alterRenameColumn(name.toLowerCase, from, to); None
       case TruncateRe(name) =>
         truncateTable(name.toLowerCase); None
       case InsertOverwriteRe(name, body) =>
@@ -796,6 +800,68 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     writeMeta(name, meta.copy(schema = StructType(meta.schema.fields :+ field)))
   }
 
+  /** ALTER TABLE … DROP COLUMN — metadata-only on the partitioned
+    * format (`evolveDropColumnMetaOnly`: one manifest commit, zero
+    * data I/O; time travel still sees the column). Unpartitioned
+    * staging tables rewrite in place (small and transient by
+    * contract). The catalog schema loses the field either way. */
+  private def alterDropColumn(name: String, colName: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    val field = meta.schema.fieldNames.find(_.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $name DROP COLUMN $colName: no such column"))
+    require(!meta.partitionCol.exists(_.equalsIgnoreCase(colName)),
+      s"ALTER TABLE $name DROP COLUMN $colName: cannot drop the " +
+        "partition column")
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          VersionedPartitioned.evolveDropColumnMetaOnly(spark, path, field)
+          ()
+        }
+      case None =>
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(cur.drop(field), dataDir)
+    }
+    writeMeta(name, meta.copy(schema =
+      StructType(meta.schema.fields.filterNot(_.name == field))))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN a TO b — metadata-only on the
+    * partitioned format (`evolveRenameColumnMetaOnly`); staging
+    * tables rewrite in place. Type and position survive the rename. */
+  private def alterRenameColumn(name: String, from: String,
+      to: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    val field = meta.schema.fieldNames.find(_.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $name RENAME COLUMN $from: no such column"))
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"ALTER TABLE $name RENAME COLUMN $from TO $to: '$to' already exists")
+    require(!meta.partitionCol.exists(_.equalsIgnoreCase(from)),
+      s"ALTER TABLE $name RENAME COLUMN $from: cannot rename the " +
+        "partition column")
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          VersionedPartitioned.evolveRenameColumnMetaOnly(spark, path,
+            field, to)
+          ()
+        }
+      case None =>
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(cur.withColumnRenamed(field, to), dataDir)
+    }
+    writeMeta(name, meta.copy(schema = StructType(meta.schema.fields.map(f =>
+      if (f.name == field) f.copy(name = to) else f))))
+  }
+
   /** TRUNCATE TABLE — metadata-only on the partitioned format (one
     * commit omitting every partition entry; time travel still reaches
     * the old rows, `vacuum` reclaims the bytes), an empty swap on
@@ -1168,6 +1234,12 @@ object SqlLifecycle {
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+""" +
       """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*<[^>]*>)?)""" +
       """(?:\s+DEFAULT\s+(.+?))?\s*\)?\s*;?\s*$""").r
+  private val AlterDropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+""" +
+      """\(?\s*(\w+)\s*\)?\s*;?\s*$""").r
+  private val AlterRenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+""" +
+      """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val CreateTableAsRe =

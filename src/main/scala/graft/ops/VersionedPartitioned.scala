@@ -66,23 +66,38 @@ object VersionedPartitioned {
   private val Marker = "graft-manifest v1"
   private val TagPrefix = "tag:"
   private val ColPrefix = "addcol:"
+  private val DropColPrefix = "dropcol:"
+  private val RenColPrefix = "rencol:"
   private val DelPrefix = "del:"
   private[ops] val DelDirPrefix = "del-"
 
+  /** One metadata-only schema-evolution step — Iceberg's ADD / DROP /
+    * RENAME COLUMN semantics without touching a data file. Steps apply
+    * IN COMMIT ORDER at read time, per snapshot frame, so
+    * drop-then-re-add yields a fresh column whose default fills every
+    * pre-existing row (the old physical bytes stay invisible — the
+    * Iceberg field-id rule reproduced on ordered rewrite rules). */
+  sealed trait Evolution
+  final case class AddCol(name: String, defaultSql: String) extends Evolution
+  final case class DropCol(name: String) extends Evolution
+  final case class RenameCol(from: String, to: String) extends Evolution
+
   /** partition-dir-name (e.g. "date=2024-01-01") → snapshot dir name.
-    * `addedCols` records metadata-only evolved columns as (name,
-    * default SQL expression): readers fill them on the fly for any
-    * snapshot file written before the evolution. `deletes` records
+    * `evolution` records metadata-only schema evolution as ordered
+    * add/drop/rename rules: readers replay them on the fly over any
+    * snapshot file written before the evolution (an `addcol` fills its
+    * default only when the frame lacks the column physically, so later
+    * promotes that carry it override the default). `deletes` records
     * merge-on-read delete sidecars per partition dir (ordered delete
     * dir names, Iceberg-v2 equality-delete shape): readers anti-join
     * the partition's rows against each sidecar's key file; any rewrite
     * of a partition drops its delete refs (the deletes are already
     * applied in what was read and rewritten). Partition dir names
-    * always contain '=', so the `addcol:`/`del:` prefixes cannot
-    * collide with an entry row. */
+    * always contain '=', so the `addcol:`/`dropcol:`/`rencol:`/`del:`
+    * prefixes cannot collide with an entry row. */
   final case class Manifest(partitionCol: String,
       entries: Map[String, String], tag: Option[String],
-      addedCols: Seq[(String, String)] = Nil,
+      evolution: Seq[Evolution] = Nil,
       deletes: Map[String, Seq[String]] = Map.empty)
 
   private def render(m: Manifest): String = {
@@ -92,12 +107,22 @@ object VersionedPartitioned {
       "tag must be non-empty and single-line"))
     val header = s"$Marker\t${m.partitionCol}"
     val tagLine = m.tag.map(TagPrefix + _).toSeq
-    val colLines = m.addedCols.map { case (n, d) =>
+    def cleanName(n: String, what: String): Unit =
       require(n.nonEmpty && !n.exists(c => c == '\n' || c == '\t'),
-        "added-column name must be non-empty without tab/newline")
-      require(d.nonEmpty && !d.contains('\n'),
-        "added-column default must be a non-empty single-line SQL expression")
-      s"$ColPrefix$n\t$d"
+        s"$what must be non-empty without tab/newline")
+    val colLines = m.evolution.map {
+      case AddCol(n, d) =>
+        cleanName(n, "added-column name")
+        require(d.nonEmpty && !d.contains('\n'),
+          "added-column default must be a non-empty single-line SQL expression")
+        s"$ColPrefix$n\t$d"
+      case DropCol(n) =>
+        cleanName(n, "dropped-column name")
+        s"$DropColPrefix$n"
+      case RenameCol(o, n) =>
+        cleanName(o, "renamed-column old name")
+        cleanName(n, "renamed-column new name")
+        s"$RenColPrefix$o\t$n"
     }
     val delLines = m.deletes.toSeq.sortBy(_._1).flatMap { case (p, ds) =>
       ds.map { d =>
@@ -120,13 +145,23 @@ object VersionedPartitioned {
     val tag = body.headOption.filter(_.startsWith(TagPrefix))
       .map(_.stripPrefix(TagPrefix))
     val afterTag = body.dropWhile(_.startsWith(TagPrefix))
-    val addedCols = afterTag.takeWhile(_.startsWith(ColPrefix)).map { l =>
-      val s = l.stripPrefix(ColPrefix)
-      val i = s.indexOf('\t')
-      require(i > 0, s"bad added-column row: $l")
-      s.substring(0, i) -> s.substring(i + 1)
+    def isEvo(l: String) = l.startsWith(ColPrefix) ||
+      l.startsWith(DropColPrefix) || l.startsWith(RenColPrefix)
+    val evolution: Seq[Evolution] = afterTag.takeWhile(isEvo).map {
+      case l if l.startsWith(ColPrefix) =>
+        val s = l.stripPrefix(ColPrefix)
+        val i = s.indexOf('\t')
+        require(i > 0, s"bad added-column row: $l")
+        AddCol(s.substring(0, i), s.substring(i + 1))
+      case l if l.startsWith(DropColPrefix) =>
+        DropCol(l.stripPrefix(DropColPrefix))
+      case l =>
+        val s = l.stripPrefix(RenColPrefix)
+        val i = s.indexOf('\t')
+        require(i > 0, s"bad renamed-column row: $l")
+        RenameCol(s.substring(0, i), s.substring(i + 1))
     }
-    val afterCols = afterTag.dropWhile(_.startsWith(ColPrefix))
+    val afterCols = afterTag.dropWhile(isEvo)
     val deletes = afterCols.takeWhile(_.startsWith(DelPrefix)).map { l =>
       val s = l.stripPrefix(DelPrefix)
       val i = s.indexOf('\t')
@@ -139,7 +174,7 @@ object VersionedPartitioned {
       require(i > 0, s"bad manifest row: $l")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    Manifest(partitionCol, entries, tag, addedCols, deletes)
+    Manifest(partitionCol, entries, tag, evolution, deletes)
   }
 
   /** (version, manifest) for every parseable commit, ascending.
@@ -413,7 +448,7 @@ object VersionedPartitioned {
       // that carries one physically simply overrides its default;
       // delete sidecars survive on UNTOUCHED partitions and drop on
       // overwritten ones (the rewrite replaces the rows they applied to)
-      val prevCols = latest.map(_._2.addedCols).getOrElse(Nil)
+      val prevCols = latest.map(_._2.evolution).getOrElse(Nil)
       val prevDel = latest.map(_._2.deletes).getOrElse(Map.empty) -- written.keys
       val v = latest.map(_._1).getOrElse(0L) + 1
       val content =
@@ -572,7 +607,7 @@ object VersionedPartitioned {
           s"table is partitioned by ${m.partitionCol}, not $partitionCol")
       }
       val base = baseM.map(_.entries).getOrElse(Map.empty)
-      val prevCols = baseM.map(_.addedCols).getOrElse(Nil)
+      val prevCols = baseM.map(_.evolution).getOrElse(Nil)
       val prevDel = baseM.map(_.deletes).getOrElse(Map.empty) -- written.keys
       val v = head.map(_._1).getOrElse(0L) + 1
       val content =
@@ -660,9 +695,13 @@ object VersionedPartitioned {
     * snapshots written before and after an evolution differ in
     * physical schema. */
   private def applyAddedCols(df: DataFrame, m: Manifest): DataFrame =
-    m.addedCols.foldLeft(df) { case (d, (n, default)) =>
-      if (d.columns.contains(n)) d
-      else d.withColumn(n, org.apache.spark.sql.functions.expr(default))
+    m.evolution.foldLeft(df) {
+      case (d, AddCol(n, default)) =>
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, org.apache.spark.sql.functions.expr(default))
+      case (d, DropCol(n)) => d.drop(n)
+      case (d, RenameCol(o, n)) =>
+        if (d.columns.contains(o)) d.withColumnRenamed(o, n) else d
     }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -874,7 +913,7 @@ object VersionedPartitioned {
         .where(org.apache.spark.sql.functions.lit(false))
     else
       readManifest(spark, root,
-        Manifest(mTo.partitionCol, changed, mTo.tag, mTo.addedCols,
+        Manifest(mTo.partitionCol, changed, mTo.tag, mTo.evolution,
           mTo.deletes))
   }
 
@@ -937,7 +976,7 @@ object VersionedPartitioned {
       val kept = entries.filter { case (p, _) => changed(p) }
       if (kept.isEmpty) None
       else Some(readManifest(spark, root,
-        Manifest(mTo.partitionCol, kept, None, mTo.addedCols,
+        Manifest(mTo.partitionCol, kept, None, mTo.evolution,
         mTo.deletes)))
     }
     val (oldSide, newSide) = (side(fromEntries), side(mTo.entries))
@@ -967,7 +1006,7 @@ object VersionedPartitioned {
     Some(claimLoop(spark, root) { latest =>
       val (pv, m) = latest.get
       (pv + 1, render(Manifest(m.partitionCol, m.entries -- affected, tag,
-        m.addedCols, m.deletes -- affected)))
+        m.evolution, m.deletes -- affected)))
     })
   }
 
@@ -1029,7 +1068,7 @@ object VersionedPartitioned {
       val (pv, m) = latest.get
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- dirNames, tag,
-          m.addedCols, m.deletes -- dirNames)))
+          m.evolution, m.deletes -- dirNames)))
     }
   }
 
@@ -1092,7 +1131,7 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(pcol, m.entries -- affected ++ written, tag,
-          m.addedCols, m.deletes -- affected -- written.keys)))
+          m.evolution, m.deletes -- affected -- written.keys)))
     }
   }
 
@@ -1196,7 +1235,7 @@ object VersionedPartitioned {
             "the new state and re-run")
       (pv + 1,
         render(Manifest(pcol, m.entries -- affectedDirs ++ written, tag,
-          m.addedCols, m.deletes -- affectedDirs -- written.keys)))
+          m.evolution, m.deletes -- affectedDirs -- written.keys)))
     }
   }
 
@@ -1381,7 +1420,7 @@ object VersionedPartitioned {
       .take(maxSnapshots - 1).map(_._1).toSet
     val rewrite = m0.entries.filterNot { case (_, snap) => keep(snap) }
     val frame = readManifest(spark, root,
-      Manifest(m0.partitionCol, rewrite, None, m0.addedCols,
+      Manifest(m0.partitionCol, rewrite, None, m0.evolution,
       m0.deletes))
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
@@ -1404,7 +1443,7 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- rewrite.keys ++ written,
-          None, m.addedCols, m.deletes -- rewrite.keys -- written.keys)))
+          None, m.evolution, m.deletes -- rewrite.keys -- written.keys)))
     })
   }
 
@@ -1455,13 +1494,62 @@ object VersionedPartitioned {
     claimLoop(spark, root) { latest =>
       val (pv, m) = latest.getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
-      require(!m.addedCols.exists(_._1 == name),
-        s"column '$name' already evolved under $root")
       require(!readManifest(spark, root, m).columns.contains(name),
         s"column '$name' already exists under $root")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.addedCols :+ (name -> defaultSql), m.deletes)))
+          m.evolution :+ AddCol(name, defaultSql), m.deletes)))
+    }
+
+  /** Metadata-only DROP COLUMN — same Iceberg semantics as
+    * `evolveAddColumnMetaOnly`: no data file is touched; the commit
+    * appends an ordered drop rule and every reader projects the column
+    * away on the fly. Time travel to a pre-drop version still sees it.
+    * A later re-ADD of the same name starts blank (rules replay in
+    * order, so the drop hides the physical bytes before the add fills
+    * its default) — Iceberg's fresh-field-id behavior. The partition
+    * column cannot be dropped. */
+  def evolveDropColumnMetaOnly(spark: SparkSession, root: String,
+      name: String): Long =
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root"))
+      require(name != m.partitionCol,
+        s"cannot drop partition column '$name' (evolve the partition " +
+          "spec first: repartitionTable)")
+      require(readManifest(spark, root, m).columns.contains(name),
+        s"DROP COLUMN $name: no such column under $root")
+      (pv + 1, render(
+        Manifest(m.partitionCol, m.entries, None,
+          m.evolution :+ DropCol(name), m.deletes)))
+    }
+
+  /** Metadata-only RENAME COLUMN — no data file is touched; readers
+    * rename on the fly (a frame already carrying the new name — a
+    * post-rename promote — passes through untouched). Time travel to a
+    * pre-rename version sees the old name. The partition column cannot
+    * be renamed (partition dir names embed it), and renames on tables
+    * with live merge-on-read delete sidecars are refused — a sidecar's
+    * key file stores the OLD physical name, so the anti-join would
+    * silently stop matching. */
+  def evolveRenameColumnMetaOnly(spark: SparkSession, root: String,
+      from: String, to: String): Long =
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root"))
+      require(from != m.partitionCol,
+        s"cannot rename partition column '$from'")
+      require(m.deletes.isEmpty,
+        s"RENAME COLUMN on a table with live delete sidecars is not " +
+          "supported — compact the deletes first (rewrite_data_files)")
+      val cols = readManifest(spark, root, m).columns
+      require(cols.contains(from),
+        s"RENAME COLUMN $from: no such column under $root")
+      require(!cols.contains(to),
+        s"RENAME COLUMN $from TO $to: '$to' already exists under $root")
+      (pv + 1, render(
+        Manifest(m.partitionCol, m.entries, None,
+          m.evolution :+ RenameCol(from, to), m.deletes)))
     }
 
   /**
@@ -1523,7 +1611,7 @@ object VersionedPartitioned {
         throw new IllegalStateException(
           s"concurrent commit v$pv under $root during spec evolution " +
             s"(rewrote v$v0) — re-run repartitionTable against the new state")
-      (pv + 1, render(Manifest(newPartitionCol, written, tag, m.addedCols)))
+      (pv + 1, render(Manifest(newPartitionCol, written, tag, m.evolution)))
     }
   }
 
@@ -1578,7 +1666,7 @@ object VersionedPartitioned {
       claimLoop(spark, root) { latest =>
         val (pv, m) = latest.get
         (pv + 1, render(Manifest(m.partitionCol, m.entries,
-          Some(s"$SrcVersionTag$cursor"), m.addedCols, m.deletes)))
+          Some(s"$SrcVersionTag$cursor"), m.evolution, m.deletes)))
       }
       // the carry-forward commit is above keepMin, so the deletions
       // below leave it (and therefore the cursor) intact
@@ -1594,7 +1682,7 @@ object VersionedPartitioned {
         claimLoop(spark, root) { latest =>
           val (pv, m) = latest.get
           (pv + 1, render(Manifest(m.partitionCol, m.entries,
-            Some(t), m.addedCols, m.deletes)))
+            Some(t), m.evolution, m.deletes)))
         }
       }
     fs.listStatus(rootPath).foreach { s =>

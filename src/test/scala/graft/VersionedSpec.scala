@@ -419,6 +419,61 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned metadata-only DROP/RENAME COLUMN: zero data rewritten, time travel sees the old shape, drop-then-re-add starts blank") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"))
+        .toDF("date", "v", "src"), root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapDirs() = fs.listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName).toSet
+    val before = snapDirs()
+    // RENAME: metadata-only, old name gone, new name answers, time
+    // travel pre-rename sees the old name
+    VersionedPartitioned.evolveRenameColumnMetaOnly(spark, root, "src", "origin")
+    assert(snapDirs() == before)
+    val renamed = VersionedPartitioned.read(spark, root)
+    assert(renamed.columns.toSet == Set("date", "v", "origin"))
+    assert(renamed.select("origin").orderBy("v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(VersionedPartitioned.readAt(spark, root, 1L)
+      .columns.toSet == Set("date", "v", "src"))
+    // a post-rename promote carries the NEW name physically and reads
+    // back untouched
+    VersionedPartitioned.promote(
+      Seq(("2024-01-03", 3, "c")).toDF("date", "v", "origin"), root)
+    assert(VersionedPartitioned.read(spark, root)
+      .select("origin").orderBy("v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // DROP: metadata-only, column invisible, time travel still has it
+    val afterPromote = snapDirs()
+    VersionedPartitioned.evolveDropColumnMetaOnly(spark, root, "origin")
+    assert(snapDirs() == afterPromote)
+    val dropped = VersionedPartitioned.read(spark, root)
+    assert(dropped.columns.toSet == Set("date", "v"))
+    assert(VersionedPartitioned.readAt(spark, root, 3L)
+      .columns.contains("origin"))
+    // drop-then-re-add: the re-added column starts BLANK (default for
+    // every row) — the old physical bytes must not resurrect
+    VersionedPartitioned.evolveAddColumnMetaOnly(spark, root, "origin", "'fresh'")
+    assert(VersionedPartitioned.read(spark, root)
+      .select("origin").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("fresh"))
+    // guards: partition column protected, unknown column raises,
+    // rename-collision raises
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveDropColumnMetaOnly(spark, root, "date")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveDropColumnMetaOnly(spark, root, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveRenameColumnMetaOnly(spark, root, "v", "date")
+    }
+  }
+
   test("partitioned deleteWhere: only matching partitions rewritten, emptied partitions leave the manifest, NULL predicate keeps its row, no-match is a no-op") {
     val root = Files.createTempDirectory("graft_vp").toString
     // day1: v 1..4 — partial delete; day2: v 101,102 — fully deleted;
