@@ -2717,6 +2717,36 @@ object ExtQueries {
   }
 
   /**
+   * Conditional MERGE statement-text gate (ops/SqlLifecycle.mergeInto →
+   * Merge.mergeExpr): `WHEN MATCHED AND <cond>` plus value-expression
+   * assignments (`SET total = t.total + s.total`) — the everyday
+   * Iceberg MERGE shapes beyond same-column routing. Discriminating by
+   * construction: a matched row FAILING the condition must keep ALL
+   * target values (total unchanged AND src still 'base'); a matched
+   * row passing it must take the t+s sum (not the bare source value,
+   * which would pass a wrong same-column routing); unmatched source
+   * rows insert. The oracle replays the three-way classification.
+   */
+  private def sqlMergeConditional(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      MERGE INTO sales.facts AS t
+      USING (SELECT o_orderkey, o_custkey,
+                    date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+                    CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+                    'merged' AS src
+             FROM orders_src
+             WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+                     BETWEEN '1995-01' AND '1995-03'
+               AND o_orderkey % 2 = 0) AS s
+      ON t.o_orderkey = s.o_orderkey AND t.month = s.month
+      WHEN MATCHED AND s.total > 100000
+        THEN UPDATE SET total = t.total + s.total, src = s.src
+      WHEN NOT MATCHED THEN INSERT *""")
+    rowVerbOut(life)
+  }
+
+  /**
    * ALTER TABLE … DROP COLUMN + re-ADD statement-text gate
    * (ops/SqlLifecycle.alterDropColumn → evolveDropColumnMetaOnly):
    * both evolutions are metadata-only commits — zero partitions
@@ -3764,6 +3794,7 @@ object ExtQueries {
     "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
     "sql_delete_rows" -> ((s, dir) => sqlDeleteRows(s, dir)),
+    "sql_merge_conditional" -> ((s, dir) => sqlMergeConditional(s, dir)),
     "sql_alter_add" -> ((s, dir) => sqlAlterAdd(s, dir)),
     "sql_alter_drop" -> ((s, dir) => sqlAlterDrop(s, dir)),
     "sql_alter_rename" -> ((s, dir) => sqlAlterRename(s, dir)),
@@ -6041,6 +6072,24 @@ object ExtQueries {
         |SELECT CASE WHEN p >= 150000 THEN 'H' ELSE 'L' END AS band, month,
         |       count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // three-way classification: matched+high → t+s sum with 'merged';
+    // matched+low → UNTOUCHED target row; source-only (%4=2) → insert
+    "sql_merge_conditional" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03')
+        |SELECT o_orderkey, o_custkey, month,
+        |       CAST(CASE WHEN o_orderkey % 4 = 0 AND p > 100000
+        |                 THEN p + p ELSE p END AS DOUBLE) AS total,
+        |       CASE WHEN o_orderkey % 4 = 0 AND p > 100000 THEN 'merged'
+        |            WHEN o_orderkey % 4 = 2 THEN 'merged'
+        |            ELSE 'base' END AS src
+        |FROM m
+        |WHERE o_orderkey % 4 < 2 OR o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // drop-then-re-add: every row answers the new default — the old
     // physical 'base' values must NOT resurrect
     "sql_alter_drop" ->

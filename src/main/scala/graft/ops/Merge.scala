@@ -108,4 +108,60 @@ object Merge {
     }
     kept.select(outCols: _*)
   }
+
+  /**
+   * Expression-level MERGE — the clause shapes `merge` cannot carry:
+   *  - `assigns`: (target column → value Column over the aliased join,
+   *    `t.col` / `s.col`) — SQL's `SET c = t.total + s.total`; every
+   *    assignment reads the PRE-update target row (standard UPDATE
+   *    semantics — assignment order cannot matter).
+   *  - `matchedWhen`: SQL's `WHEN MATCHED AND <cond>` — a matched row
+   *    failing the condition (or evaluating it to NULL, three-valued
+   *    logic) keeps EVERY target value; it still blocks the insert arm
+   *    (it matched).
+   *  - `deleteWhen`: as in `merge`, over the target side (`t.col`),
+   *    optionally conditional (`WHEN NOT MATCHED BY SOURCE AND cond`).
+   *
+   * Same scale shape as `merge`: one full-outer join on the key, rows
+   * shuffle exactly once, no collect.
+   */
+  def mergeExpr(target: DataFrame, source: DataFrame, keys: Seq[String],
+      assigns: Seq[(String, Column)], matchedWhen: Option[Column] = None,
+      deleteWhen: Option[Column] = None): DataFrame = {
+    val tFlag = freshName("__t_present", target, source)
+    val sFlag = freshName("__s_present", target, source)
+    val t = target.withColumn(tFlag, lit(true)).alias("t")
+    val s = source.withColumn(sFlag, lit(true)).alias("s")
+    val matched = col(s"s.$sFlag").isNotNull && col(s"t.$tFlag").isNotNull
+    val inTarget = col(s"t.$tFlag").isNotNull
+    val applyUpdate = matchedWhen
+      .map(c => matched && coalesce(c, lit(false))).getOrElse(matched)
+    val assignOf = assigns.toMap
+    require(assigns.forall { case (c, _) => target.columns.contains(c) },
+      s"mergeExpr: assignment to unknown target column in " +
+        s"${assigns.map(_._1).mkString(", ")}")
+    require(keys.forall(k => !assignOf.contains(k)),
+      "mergeExpr: merge keys cannot be assigned")
+    val outCols = target.columns.toSeq.map { c =>
+      if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+      else {
+        val onUpdate = assignOf.get(c) match {
+          case Some(v) => when(applyUpdate, v).otherwise(col(s"t.$c"))
+          case None => col(s"t.$c")
+        }
+        if (source.columns.contains(c))
+          when(!inTarget, col(s"s.$c")).otherwise(onUpdate).as(c)
+        else onUpdate.as(c)
+      }
+    }
+    val joined = t.join(s,
+      keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val kept = deleteWhen match {
+      case Some(cond) =>
+        joined.where(matched || !inTarget || !coalesce(cond, lit(false)))
+      case None => joined
+    }
+    kept.select(outCols: _*)
+  }
 }

@@ -678,50 +678,111 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case c => throw new IllegalArgumentException(
         s"cannot parse ON conjunct '$c' — expected t.col = s.col")
     }
-    val updateSet = UpdateSetClauseRe.findFirstMatchIn(clausesText)
-      .map(_.group(1).trim)
+    val updateClause = UpdateSetClauseRe.findFirstMatchIn(clausesText)
+    // a WHEN MATCHED clause the UPDATE-SET regex did not consume (a
+    // second clause, or WHEN MATCHED THEN DELETE) must raise, never
+    // silently drop
+    require(WhenMatchedRe.findAllIn(clausesText).size ==
+        updateClause.size,
+      "the MERGE front door routes at most one WHEN MATCHED [AND cond] " +
+        "THEN UPDATE SET clause — matched-DELETE and multi-clause " +
+        "merges go through the Merge Scala API")
+    val matchedCond = updateClause.flatMap(m => Option(m.group(1)))
+      .map(_.trim)
+    val updateSet = updateClause.map(_.group(2).trim)
     val insertAll = InsertAllClauseRe.findFirstIn(clausesText).isDefined
-    val deleteBySource =
-      DeleteBySourceClauseRe.findFirstIn(clausesText).isDefined
-    // `SET c = s.c` assignments: target column names, source value of
-    // the SAME column (value-level expressions → Merge Scala API)
-    def parseAssigns(block: String): Seq[String] = splitTop(block).map {
-      case MergeAssignRe(ta, tc, sa, sc) =>
-        require(ta == null || ta.equalsIgnoreCase(tAlias),
-          s"SET $ta.$tc: left side must be the target ($tAlias)")
-        require(sa.equalsIgnoreCase(sAlias),
-          s"SET $tc = $sa.$sc: right side must be the source ($sAlias)")
-        require(tc.equalsIgnoreCase(sc),
-          s"SET $tc = $sAlias.$sc: the front door routes same-column " +
-            "assignments; value expressions go through Merge.merge")
-        meta.schema.fields.find(_.name.equalsIgnoreCase(tc)).getOrElse(
-          throw new IllegalArgumentException(
-            s"MERGE INTO $target SET $tc: no such column")).name
-      case a => throw new IllegalArgumentException(
-        s"cannot parse SET assignment '$a' — expected col = $sAlias.col")
+    val deleteClause = DeleteBySourceClauseRe.findFirstMatchIn(clausesText)
+    val deleteBySource = deleteClause.isDefined
+    val deleteCond = deleteClause.flatMap(m => Option(m.group(1)))
+      .map(_.trim)
+    // every SET assignment parsed as (declared target column, rhs text);
+    // an rhs of exactly `sAlias.sameCol` is the simple shape the
+    // column-level Merge.merge carries — anything else (a value
+    // expression over t./s.) routes through Merge.mergeExpr
+    def resolveCol(tc: String): String =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(tc)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO $target SET $tc: no such column")).name
+    val assignPairs: Seq[(String, String)] = updateSet match {
+      case Some(block) if block != "*" => splitTop(block).map {
+        case MergeAssignLhsRe(ta, tc, rhs) =>
+          require(ta == null || ta.equalsIgnoreCase(tAlias),
+            s"SET $ta.$tc: left side must be the target ($tAlias)")
+          resolveCol(tc) -> rhs.trim
+        case a => throw new IllegalArgumentException(
+          s"cannot parse SET assignment '$a' — expected [t.]col = <expr>")
+      }
+      case _ => Nil
     }
+    def isSimple(colName: String, rhs: String): Boolean =
+      "^(\\w+)\\.(\\w+)$".r.findFirstMatchIn(rhs).exists(m =>
+        m.group(1).equalsIgnoreCase(sAlias) &&
+          m.group(2).equalsIgnoreCase(colName))
+    val needsExpr = matchedCond.isDefined || deleteCond.isDefined ||
+      assignPairs.exists { case (c, rhs) => !isSimple(c, rhs) }
+    // an EXPRESSION assigned to the partition column could move a row
+    // into a partition outside the rewrite scope (affected = source ∪
+    // matched partitions covers `s.p` but not arbitrary expressions) —
+    // refuse rather than lose the row
+    meta.partitionCol.foreach { p =>
+      require(assignPairs.forall { case (c, rhs) =>
+        !c.equalsIgnoreCase(p) || isSimple(c, rhs) },
+        s"MERGE INTO $target: assigning an expression to partition " +
+          s"column '$p' is not routed (the row could move outside the " +
+          "partition-scoped rewrite) — use UPDATE or the Merge Scala API")
+    }
+    // alias-qualified references in conditions/value expressions are
+    // rewritten to the join's internal t./s. aliases (outside string
+    // literals); unqualified ambiguous names fail resolution loudly
+    def rewriteAliases(e: String): String =
+      mapOutsideLiterals(e, seg => seg
+        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(tAlias) + "\\.",
+          "t.")
+        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sAlias) + "\\.",
+          "s."))
     val src0 =
       if (srcIsQuery) query(srcText)
-      else if (metaOf(srcText.toLowerCase).isDefined) table(srcText)
+      else if (srcText.contains(".") &&
+          metaOf(srcText.toLowerCase).isDefined) table(srcText)
       else query(s"SELECT * FROM $srcText")
     val src = conform(src0, meta.schema, target)
     def doMerge(cur: DataFrame): DataFrame =
-      (updateSet, insertAll, deleteBySource) match {
+      if (needsExpr) {
+        require(insertAll, "the MERGE front door requires the " +
+          "WHEN NOT MATCHED THEN INSERT * arm")
+        val assignCols: Seq[(String, org.apache.spark.sql.Column)] =
+          updateSet match {
+            case Some("*") => meta.schema.fieldNames.toSeq
+              .filterNot(keys.contains).map(c => c -> col(s"s.`$c`"))
+            case Some(_) => assignPairs.map { case (c, rhs) =>
+              val dt = meta.schema(c).dataType
+              c -> expr(rewriteAliases(rhs)).cast(dt)
+            }
+            case None => Nil
+          }
+        Merge.mergeExpr(cur, src, keys, assignCols,
+          matchedCond.map(c => expr(rewriteAliases(c))),
+          if (deleteBySource)
+            Some(deleteCond.map(c => expr(rewriteAliases(c)))
+              .getOrElse(lit(true)))
+          else None)
+      } else (updateSet, insertAll, deleteBySource) match {
         case (Some("*"), true, false) => Merge.upsert(cur, src, keys)
         case (Some("*"), true, true) =>
           Merge.merge(cur, src, keys, Nil, Some(lit(true)))
-        case (Some(block), true, del) =>
-          Merge.merge(cur, src, keys, parseAssigns(block),
+        case (Some(_), true, del) =>
+          Merge.merge(cur, src, keys, assignPairs.map(_._1),
             if (del) Some(lit(true)) else None)
         case (None, true, false) =>
           cur.unionByName(
             src.join(cur.select(keys.map(c => col(s"`$c`")): _*).distinct(),
               keys, "left_anti"))
         case _ => throw new IllegalArgumentException(
-          "the MERGE front door supports WHEN MATCHED THEN UPDATE SET " +
-            "*/assignments, WHEN NOT MATCHED THEN INSERT * (required), " +
-            "and WHEN NOT MATCHED BY SOURCE THEN DELETE — other clause " +
-            "combinations route through the Merge Scala API")
+          "the MERGE front door supports WHEN MATCHED [AND cond] THEN " +
+            "UPDATE SET */assignments, WHEN NOT MATCHED THEN INSERT * " +
+            "(required), and WHEN NOT MATCHED BY SOURCE [AND cond] THEN " +
+            "DELETE — other clause combinations route through the Merge " +
+            "Scala API")
       }
     meta.partitionCol match {
       case None =>
@@ -1182,13 +1243,19 @@ object SqlLifecycle {
     """(?is)^(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*)$""".r
   private val OnEqRe = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
   private val UpdateSetClauseRe =
-    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s|$)""".r
+    ("""(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+""" +
+      """(.+?)\s*(?=WHEN\s|$)""").r
   private val InsertAllClauseRe =
     """(?is)WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*""".r
   private val DeleteBySourceClauseRe =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE""".r
+    ("""(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+""" +
+      """(?:AND\s+(.+?)\s+)?THEN\s+DELETE""").r
   private val MergeAssignRe =
     """(?i)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+  /** LHS of one SET assignment: `[alias.]col = <any rhs>`. */
+  private val MergeAssignLhsRe =
+    """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(.+?)\s*$""".r
+  private val WhenMatchedRe = """(?is)WHEN\s+MATCHED[\s(]""".r
 
   /** Split on top-level commas (outside parens and '…' strings) — the
     * assignment-list splitter for UPDATE SET / MERGE SET blocks. */

@@ -492,6 +492,62 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception](life.query("SELECT * FROM s.v2").collect())
   }
 
+  test("SqlLifecycle conditional MERGE: pre-update reads, failed condition keeps target row, conditional BY SOURCE delete, guards") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlcondmerge_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t
+      (k BIGINT, date DATE, a BIGINT, b BIGINT, src STRING)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.t VALUES
+      (1, DATE '2024-01-01', 10, 20, 'base'),
+      (2, DATE '2024-01-01', 30, 40, 'base'),
+      (3, DATE '2024-01-02', 50, 60, 'base')""")
+    Seq((1L, java.sql.Date.valueOf("2024-01-01"), 100L, 200L, "m"),
+        (2L, java.sql.Date.valueOf("2024-01-01"), 1L, 2L, "m"),
+        (9L, java.sql.Date.valueOf("2024-01-03"), 7L, 8L, "m"))
+      .toDF("k", "date", "a", "b", "src").createOrReplaceTempView("merge_src")
+    // k=1 matches AND passes cond (s.a > 50): swap semantics — both
+    // assignments read the PRE-update target row (a' = t.b + s.a,
+    // b' = t.a). k=2 matches but FAILS the condition: keeps ALL target
+    // values. k=9 unmatched: inserted. k=3 untouched.
+    life.execute("""
+      MERGE INTO s.t AS t USING merge_src AS s
+      ON t.k = s.k
+      WHEN MATCHED AND s.a > 50
+        THEN UPDATE SET a = t.b + s.a, b = t.a, src = s.src
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = life.table("s.t").orderBy("k")
+      .select("k", "a", "b", "src").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq((1L, 120L, 10L, "m"), (2L, 30L, 40L, "base"),
+      (3L, 50L, 60L, "base"), (9L, 7L, 8L, "m")))
+    // conditional BY SOURCE delete: only target-only rows passing the
+    // condition go (k=3 has b=60 → deleted; k=1,2 matched → stay)
+    life.execute("""
+      MERGE INTO s.t AS t USING merge_src AS s
+      ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.b >= 50 THEN DELETE""")
+    assert(life.table("s.t").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 9L))
+    // guards: a second WHEN MATCHED clause and a partition-column
+    // expression assignment both raise, never silently drop
+    val e1 = intercept[IllegalArgumentException](life.execute("""
+      MERGE INTO s.t AS t USING merge_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.a > 50 THEN UPDATE SET a = s.a
+      WHEN MATCHED THEN UPDATE SET b = s.b
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e1.getMessage.contains("at most one WHEN MATCHED"))
+    val e2 = intercept[IllegalArgumentException](life.execute("""
+      MERGE INTO s.t AS t USING merge_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET date = DATE_ADD(s.date, 1)
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e2.getMessage.contains("partition"))
+  }
+
   test("SqlLifecycle INSERT folds overlapping partitions; partition DELETE is metadata-only") {
     import graft.ops.{SqlLifecycle, VersionedPartitioned => VP}
     val root = Files.createTempDirectory("graft_sqlins_").toString
