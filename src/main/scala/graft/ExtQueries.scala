@@ -657,6 +657,71 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** REAL PNG decode (Multimodal.PngCodec — DEFLATE via
+    * `java.util.zip`, chunk CRCs verified): each embedding's first 48
+    * dims become 16 RGB pixels laid out 8×5 (each base pixel doubled
+    * horizontally, row 4 repeating row 0), so the encoder's
+    * per-row filter cycle hits ALL FIVE adaptive filters
+    * (None/Sub/Up/Average/Paeth) in every single image — and the
+    * position-weighted `pos_luma` over the DECODED pixels fails on any
+    * unfilter bug (filters reconstruct against the previous scanline,
+    * so one bad row corrupts everything below it). The oracle replays
+    * the layout positionally from the raw embeddings. */
+  private def imagePngStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(40)(q =>
+          base(((q / 8) % 4) * 4 + (q % 8) / 2))
+        val bytes = Multimodal.PngCodec.encode(8, 5, rgb)
+        val (w, h, dec) = Multimodal.PngCodec.decode(bytes)
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
+  /** PNG decode → nearest resize (8×5 → 4×2 picks source rows 0 and 2,
+    * even columns — base pixels 0-3 and 8-11) → RE-ENCODE as PNG →
+    * decode AGAIN → stats. Two full DEFLATE round trips per image; the
+    * second stream has different row geometry (filters 0,1 only), so
+    * both the filter-heavy and filter-light paths sit under one hash. */
+  private def imagePngResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(40)(q =>
+          base(((q / 8) % 4) * 4 + (q % 8) / 2))
+        val (w, h, dec) =
+          Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(8, 5, rgb))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 4, 2)
+        val (_, _, dec2) =
+          Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(4, 2, small))
+        val lumas = dec2.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, dec2.length, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "n_px", "luma_sum", "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- joins —
 
   /**
@@ -3709,6 +3774,8 @@ object ExtQueries {
     "image_bmp_stats" -> ((s, dir) => imageBmpStats(s, dir)),
     "image_bmp_resize" -> ((s, dir) => imageBmpResize(s, dir)),
     "image_qoi_stats" -> ((s, dir) => imageQoiStats(s, dir)),
+    "image_png_stats" -> ((s, dir) => imagePngStats(s, dir)),
+    "image_png_resize" -> ((s, dir) => imagePngResize(s, dir)),
     "image_qoi_resize" -> ((s, dir) => imageQoiResize(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
@@ -4647,6 +4714,61 @@ object ExtQueries {
         |       CAST(max(luma) AS BIGINT) AS luma_max,
         |       CAST(sum(luma * (16*(pos//4) + 4*(pos%4) + 1)) AS BIGINT)
         |         AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // 8×5 layout: base pixel p (row p//4, col p%4) doubled horizontally;
+    // row 4 repeats base row 0 → base row 0 pixels appear 4× with
+    // position weights (2c)+(2c+1)+(32+2c)+(32+2c+1) = 8c+66, rows 1-3
+    // appear 2× with weights 16r+4c+1
+    "image_png_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id, pos,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
+        |SELECT vec_id,
+        |       CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+        |       CAST(sum(CASE WHEN pos//4 = 0 THEN 4 ELSE 2 END * luma)
+        |         AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(CASE WHEN pos//4 = 0 THEN 8*(pos%4) + 66
+        |                     ELSE 16*(pos//4) + 4*(pos%4) + 1 END * luma)
+        |         AS BIGINT) AS pos_luma
+        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // 8×5 → 4×2 nearest picks source rows 0,2 at even columns = base
+    // pixels 0-3 and 8-11, same surviving set as the QOI resize gate
+    "image_png_resize" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS pos
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, pos,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |l AS (SELECT vec_id, pos - 4*(pos//8) AS pos2,
+        |             (299*r + 587*g + 114*b) // 1000 AS luma
+        |      FROM c WHERE pos IN (0,1,2,3,8,9,10,11))
+        |SELECT vec_id, CAST(8 AS INT) AS n_px,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
         |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // 8×4 → 4×2 nearest picks source (2i,2j) = base pixels 0-3 and 8-11
     // at output positions 0-7 (pos2 = pos - 4*(pos//8))

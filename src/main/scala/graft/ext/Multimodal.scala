@@ -434,6 +434,201 @@ object Multimodal {
   }
 
   /**
+   * PNG (RFC 2083) — the dominant raster format of the open web, fully
+   * decodable pure-JVM because DEFLATE ships in `java.util.zip`.
+   * Supported profile: 8-bit greyscale (color type 0) and truecolor RGB
+   * (color type 2), non-interlaced, all five adaptive scanline filters
+   * (None/Sub/Up/Average/Paeth — the stateful part: every filter
+   * reconstructs against the PREVIOUS scanline and the byte `bpp` to
+   * the left, so one mis-stepped row corrupts everything below it).
+   * The encoder cycles the filter type per row (`row % 5`), so every
+   * round-tripped image ≥5 rows exercises the full decoder filter
+   * surface deterministically. Chunk CRCs are verified on decode;
+   * ancillary chunks are skipped; palette/alpha/16-bit/interlace raise.
+   */
+  object PngCodec {
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+    /** Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+      * the linear estimate a + b − c, ties breaking a, then b. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def writeChunk(out: java.io.ByteArrayOutputStream,
+        typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Unit = { out.write(v >>> 24)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff)
+        out.write(v & 0xff) }
+      be32(data.length)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(crc.getValue.toInt)
+    }
+
+    /** Encode row-major top-down pixels — packed 0xRRGGBB when
+      * `gray = false`, 0..255 values when `gray = true` — as a
+      * non-interlaced 8-bit PNG, filters cycling `row % 5`. */
+    def encode(width: Int, height: Int, px: Array[Int],
+        gray: Boolean = false): Array[Byte] = {
+      require(width > 0 && height > 0 && px.length == width * height,
+        s"need width*height pixels, got ${px.length} for ${width}x$height")
+      val bpp = if (gray) 1 else 3
+      val stride = width * bpp
+      val raw = new Array[Byte](height * (1 + stride))
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      var o = 0
+      var r = 0
+      while (r < height) {
+        var x = 0
+        while (x < width) {
+          val p = px(r * width + x)
+          if (gray) cur(x) = p & 0xff
+          else { cur(3 * x) = (p >> 16) & 0xff
+            cur(3 * x + 1) = (p >> 8) & 0xff; cur(3 * x + 2) = p & 0xff }
+          x += 1
+        }
+        val ft = r % 5
+        raw(o) = ft.toByte; o += 1
+        var i = 0
+        while (i < stride) {
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val b = prev(i)
+          val c = if (i >= bpp) prev(i - bpp) else 0
+          val f = ft match {
+            case 0 => cur(i)
+            case 1 => cur(i) - a
+            case 2 => cur(i) - b
+            case 3 => cur(i) - (a + b) / 2
+            case _ => cur(i) - paeth(a, b, c)
+          }
+          raw(o) = (f & 0xff).toByte; o += 1
+          i += 1
+        }
+        Array.copy(cur, 0, prev, 0, stride)
+        r += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = new java.io.ByteArrayOutputStream(13)
+      def be32h(v: Int): Unit = { ihdr.write(v >>> 24)
+        ihdr.write((v >>> 16) & 0xff); ihdr.write((v >>> 8) & 0xff)
+        ihdr.write(v & 0xff) }
+      be32h(width); be32h(height)
+      ihdr.write(8)                        // bit depth
+      ihdr.write(if (gray) 0 else 2)       // color type
+      ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/adaptive/none
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig, 0, Sig.length)
+      writeChunk(out, "IHDR", ihdr.toByteArray)
+      writeChunk(out, "IDAT", comp.toByteArray)
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** (width, height, row-major top-down 0xRRGGBB pixels — greyscale
+      * replicated across the three channels). Chunk CRCs verified. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length >= 8 + 12 && Sig.indices.forall(i =>
+        bytes(i) == Sig(i)), "not a PNG file")
+      def be32(o: Int): Int = ((bytes(o) & 0xff) << 24) |
+        ((bytes(o + 1) & 0xff) << 16) | ((bytes(o + 2) & 0xff) << 8) |
+        (bytes(o + 3) & 0xff)
+      var i = 8
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end) {
+        require(i + 12 <= bytes.length, "truncated chunk header")
+        val len = be32(i)
+        require(len >= 0 && i + 12 + len <= bytes.length,
+          "truncated chunk body")
+        val typ = new String(bytes, i + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, i + 4, 4 + len)
+        require(crc.getValue.toInt == be32(i + 8 + len),
+          s"bad CRC in $typ chunk")
+        typ match {
+          case "IHDR" =>
+            w = be32(i + 8); h = be32(i + 12)
+            require(bytes(i + 16) == 8, "8-bit depth only")
+            colorType = bytes(i + 17) & 0xff
+            require(colorType == 0 || colorType == 2,
+              s"color type $colorType unsupported (greyscale/RGB only)")
+            require(bytes(i + 18) == 0 && bytes(i + 19) == 0 &&
+              bytes(i + 20) == 0,
+              "deflate/adaptive-filter/non-interlaced only")
+          case "IDAT" => idat.write(bytes, i + 8, len)
+          case "IEND" => end = true
+          case _ => ()                     // ancillary chunk: skip
+        }
+        i += 12 + len
+      }
+      require(w > 0 && h > 0 && colorType >= 0, "missing IHDR geometry")
+      val bpp = if (colorType == 0) 1 else 3
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, off, raw.length - off)
+        require(n > 0 || !infl.needsInput, "truncated IDAT stream")
+        off += n
+      }
+      require(off == raw.length,
+        s"IDAT inflated to $off bytes, expected ${raw.length}")
+      infl.end()
+      val px = new Array[Int](w * h)
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      var o = 0
+      var r = 0
+      while (r < h) {
+        val ft = raw(o) & 0xff; o += 1
+        require(ft <= 4, s"unknown filter type $ft")
+        var k = 0
+        while (k < stride) {
+          val x = raw(o) & 0xff; o += 1
+          val a = if (k >= bpp) cur(k - bpp) else 0
+          val b = prev(k)
+          val c = if (k >= bpp) prev(k - bpp) else 0
+          cur(k) = (ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case _ => x + paeth(a, b, c)
+          }) & 0xff
+          k += 1
+        }
+        var xx = 0
+        while (xx < w) {
+          px(r * w + xx) =
+            if (bpp == 1) { val g = cur(xx); (g << 16) | (g << 8) | g }
+            else (cur(3 * xx) << 16) | (cur(3 * xx + 1) << 8) |
+              cur(3 * xx + 2)
+          xx += 1
+        }
+        Array.copy(cur, 0, prev, 0, stride)
+        r += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec
    * wants (shared decoder state per partition, zero per-row setup).

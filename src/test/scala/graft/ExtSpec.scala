@@ -1044,6 +1044,35 @@ class ExtSpec extends AnyFunSuite {
     intercept[Exception](QoiCodec.decode(bytes.dropRight(12)))
   }
 
+  test("Multimodal.PngCodec: RGB and greyscale round-trip through all five filters; CRC and truncation rejected") {
+    import Multimodal.PngCodec
+    // 5 rows → the encoder's row % 5 cycle emits None/Sub/Up/Average/
+    // Paeth in one stream; noisy content so every filter does real work
+    val rgb = Array.tabulate(40)(i => ((i * 2654435761L) & 0xFFFFFF).toInt)
+    val bytes = PngCodec.encode(8, 5, rgb)
+    val (w, h, dec) = PngCodec.decode(bytes)
+    assert((w, h) == ((8, 5)) && dec.toSeq == rgb.toSeq)
+    // greyscale mode: 1 byte/px on disk, replicated channels decoded
+    val gray = Array.tabulate(30)(i => (i * 37) % 256)
+    val gb = PngCodec.encode(6, 5, gray, gray = true)
+    val (gw, gh, gdec) = PngCodec.decode(gb)
+    assert((gw, gh) == ((6, 5)))
+    assert(gdec.toSeq == gray.map(g => (g << 16) | (g << 8) | g).toSeq)
+    // DEFLATE is real: a constant image compresses far below raw size
+    val flat = Array.fill(32 * 32)(0x336699)
+    assert(PngCodec.encode(32, 32, flat).length < 32 * 32 * 3 / 4)
+    assert(PngCodec.decode(PngCodec.encode(32, 32, flat))._3.toSeq
+      == flat.toSeq)
+    // corruption is an error, never garbage pixels: flipped IDAT byte
+    // fails the chunk CRC; truncation fails the length walk
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 20) = (corrupt(bytes.length - 20) ^ 0x1).toByte
+    intercept[Exception](PngCodec.decode(corrupt))
+    intercept[Exception](PngCodec.decode(bytes.dropRight(8)))
+    intercept[Exception](PngCodec.decode("not a png".getBytes("UTF-8")))
+    intercept[Exception](PngCodec.encode(2, 2, Array(1)))
+  }
+
   test("Multimodal.PgmCodec: real byte round trip, comment-tolerant header, corruption rejected") {
     import Multimodal.PgmCodec
     val px = (0 until 12).map(i => (i * 21) % 256).toArray
