@@ -946,4 +946,84 @@ object Dedup {
         TextNorm.shingles(TextNorm.tokens(col(textCol)), shingleK)).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") > maxDocFreq)
+
+  /** Build the shared MinHash+LSH pair graph once — see NearDupGraph. */
+  def nearDupGraph(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Long = DefaultMaxLshBucket): NearDupGraph =
+    new NearDupGraph(df, idCol,
+      minhashNearDupEdges(df, idCol, textCol, numHashes, bands, shingleK,
+        threshold, maxBucketSize))
+}
+
+/**
+ * The MinHash+LSH pair graph computed ONCE and served to the whole
+ * cluster family. A curation pipeline typically derives SEVERAL
+ * products from the same near-dup graph — cluster labels, the
+ * cluster-size distribution for observability, a min-id dedup and a
+ * keep-the-best dedup — and recomputing signatures + banding +
+ * Jaccard verification per product multiplies the dominant cost. Here
+ * the verified edges and the component labels are each persisted on
+ * first use, so every product after the first costs only its own
+ * aggregation: O(1) corpus passes for the family instead of
+ * O(products). At 100 TB that is the difference between one
+ * signature scan and four.
+ *
+ * The per-round bench gates intentionally do NOT share — driver
+ * isolation clears caches between queries so each gate times the full
+ * pass standalone — a production pipeline calls `Dedup.nearDupGraph`
+ * and reads the members. `close()` unpersists both frames.
+ *
+ * Product semantics are pinned (ExtSpec) to equal the standalone
+ * functions: `clusters` ≡ `components(minhashNearDupEdges(...))`,
+ * `dedupMinId` ≡ `dedupByPairs`, `dedupBest(p)` ≡ `dedupByPairsBest`.
+ */
+final class NearDupGraph private[ext] (df: DataFrame, idCol: String,
+    edges0: DataFrame) {
+  import org.apache.spark.storage.StorageLevel
+
+  /** Verified (id_a, id_b, jaccard) near-dup pairs, persisted. */
+  val edges: DataFrame = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, component) min-label connected components, persisted —
+    * computed from the persisted edges, so the signature pass never
+    * re-runs for label consumers. */
+  lazy val clusters: DataFrame =
+    Dedup.components(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Cluster-size distribution (singletons excluded) — the dedup
+    * observability product. */
+  def clusterSizes: DataFrame =
+    clusters.groupBy("component").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /** One survivor per cluster, min-id policy (≡ `Dedup.dedupByPairs`). */
+  def dedupMinId: DataFrame = {
+    val losers = clusters.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One survivor per cluster, best-by-`preference` policy (ties to
+    * the smallest id; ≡ `Dedup.dedupByPairsBest`). */
+  def dedupBest(preference: Column): DataFrame = {
+    val comps = clusters
+      .select(col("id").as("__comp_id"), col("component").as("__comp_label"))
+    val labeled = df.join(comps, df(idCol) === col("__comp_id"), "left")
+      .withColumn("__comp", coalesce(col("__comp_label"), col(idCol)))
+      .drop("__comp_id", "__comp_label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__comp")).orderBy(preference.desc, col(idCol))
+    labeled.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__comp", "__rk")
+  }
+
+  def close(): Unit = {
+    edges.unpersist(false)
+    clusters.unpersist(false)
+    ()
+  }
 }

@@ -128,6 +128,32 @@ class ExtSpec extends AnyFunSuite {
         numHashes = 128, bands = 32)))
   }
 
+  test("NearDupGraph: one shared pair graph serves clusters, sizes and both dedup policies identically to the standalone functions") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val g = Dedup.nearDupGraph(d, "doc_id", "text",
+      numHashes = 128, bands = 32)
+    try {
+      val soloEdges = Dedup.minhashNearDupEdges(d, "doc_id", "text",
+        numHashes = 128, bands = 32)
+      def pairs(p: org.apache.spark.sql.DataFrame) =
+        p.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs(g.edges) == pairs(soloEdges) && pairs(g.edges).nonEmpty)
+      def labels(p: org.apache.spark.sql.DataFrame) =
+        p.select("id", "component").as[(Long, Long)].collect().toSet
+      assert(labels(g.clusters) == labels(Dedup.components(soloEdges)))
+      assert(g.clusterSizes.as[(Long, Long)].collect().toSet ==
+        Dedup.components(soloEdges).groupBy("component")
+          .agg(count(lit(1)).as("s")).groupBy(col("s").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .as[(Long, Long)].collect().toSet)
+      def ids(p: org.apache.spark.sql.DataFrame) =
+        p.select("doc_id").as[Long].collect().toSet
+      assert(ids(g.dedupMinId) == ids(Dedup.dedupByPairs(d, soloEdges, "doc_id")))
+      assert(ids(g.dedupBest(col("n_chars"))) ==
+        ids(Dedup.dedupByPairsBest(d, soloEdges, "doc_id", col("n_chars"))))
+    } finally g.close()
+  }
+
   test("ngramJaccardPairs: doc-freq cap bounds hot postings, keeps clean output") {
     // every doc shares one ubiquitous prefix shingle; true dups still
     // share rare shingles, so a cap must not change the pair output
