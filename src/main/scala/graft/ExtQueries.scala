@@ -2848,6 +2848,28 @@ object ExtQueries {
   }
 
   /**
+   * ALTER TABLE … ALTER COLUMN TYPE statement-text gate
+   * (ops/SqlLifecycle.alterWidenColumn → evolveWidenColumnMetaOnly):
+   * metadata-only lossless type widening — DECIMAL(18,2) grows to
+   * DECIMAL(28,2) in one commit, zero partitions rewritten, and the
+   * gate then INSERTS a value that OVERFLOWS the original precision
+   * (10²⁰ needs 23 digits), so the sum only matches if the widening
+   * actually took effect on both the catalog and the read path. Sums
+   * stay exact in DECIMAL until the final DOUBLE cast.
+   */
+  private def sqlAlterWiden(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute(
+      "ALTER TABLE sales.facts ALTER COLUMN total TYPE DECIMAL(28, 2)")
+    life.execute("""INSERT INTO sales.facts VALUES
+      (9000000001, 1, '1995-02', 100000000000000000000.00, 'wide')""")
+    life.query("""
+      SELECT month, count(*) AS n_rows,
+             CAST(sum(total) AS DOUBLE) AS sum_total
+      FROM sales.facts GROUP BY month ORDER BY month""")
+  }
+
+  /**
    * INSERT OVERWRITE statement-text gate
    * (ops/SqlLifecycle.insertOverwrite → promote): dynamic partition
    * overwrite — the February partition is replaced WHOLESALE by a
@@ -3865,6 +3887,7 @@ object ExtQueries {
     "sql_alter_add" -> ((s, dir) => sqlAlterAdd(s, dir)),
     "sql_alter_drop" -> ((s, dir) => sqlAlterDrop(s, dir)),
     "sql_alter_rename" -> ((s, dir) => sqlAlterRename(s, dir)),
+    "sql_alter_widen" -> ((s, dir) => sqlAlterWiden(s, dir)),
     "sql_insert_overwrite" -> ((s, dir) => sqlInsertOverwrite(s, dir)),
     "sql_truncate_reload" -> ((s, dir) => sqlTruncateReload(s, dir)),
     "sql_optimize_vacuum" -> ((s, dir) => sqlOptimizeVacuum(s, dir)),
@@ -6237,6 +6260,23 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN p >= 150000 THEN p END) AS DOUBLE)
         |         AS sum_high
         |FROM m GROUP BY month ORDER BY month""".stripMargin,
+    // the widened column absorbs a 23-digit value; sums exact in
+    // DECIMAL until the final DOUBLE cast
+    "sql_alter_widen" ->
+      """WITH m AS (SELECT o_orderkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  CAST(o_totalprice AS DECIMAL(28,2)) AS p
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2),
+        |u AS (SELECT month, p FROM m
+        |      UNION ALL
+        |      SELECT '1995-02',
+        |             CAST(100000000000000000000.00 AS DECIMAL(28,2)))
+        |SELECT month, count(*) AS n_rows,
+        |       CAST(sum(p) AS DOUBLE) AS sum_total
+        |FROM u GROUP BY month ORDER BY month""".stripMargin,
     // February replaced wholesale by the overwrite slice (note: keyed
     // %2, NOT the fixture's %4<2 — vanished rows must stay vanished),
     // January/March inherited.

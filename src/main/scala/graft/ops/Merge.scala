@@ -121,13 +121,17 @@ object Merge {
    *    (it matched).
    *  - `deleteWhen`: as in `merge`, over the target side (`t.col`),
    *    optionally conditional (`WHEN NOT MATCHED BY SOURCE AND cond`).
+   *  - `insertWhen`: SQL's `WHEN NOT MATCHED AND <cond> THEN INSERT` —
+   *    a source-only row failing the condition (or evaluating it NULL)
+   *    is simply not inserted.
    *
    * Same scale shape as `merge`: one full-outer join on the key, rows
    * shuffle exactly once, no collect.
    */
   def mergeExpr(target: DataFrame, source: DataFrame, keys: Seq[String],
       assigns: Seq[(String, Column)], matchedWhen: Option[Column] = None,
-      deleteWhen: Option[Column] = None): DataFrame = {
+      deleteWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None): DataFrame = {
     val tFlag = freshName("__t_present", target, source)
     val sFlag = freshName("__s_present", target, source)
     val t = target.withColumn(tFlag, lit(true)).alias("t")
@@ -157,10 +161,15 @@ object Merge {
     val joined = t.join(s,
       keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
       "full_outer")
-    val kept = deleteWhen match {
+    val afterDelete = deleteWhen match {
       case Some(cond) =>
         joined.where(matched || !inTarget || !coalesce(cond, lit(false)))
       case None => joined
+    }
+    val kept = insertWhen match {
+      case Some(cond) =>
+        afterDelete.where(inTarget || coalesce(cond, lit(false)))
+      case None => afterDelete
     }
     kept.select(outCols: _*)
   }

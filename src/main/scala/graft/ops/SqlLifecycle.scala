@@ -110,6 +110,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           Option(default)); None
       case AlterDropColRe(name, colName) =>
         alterDropColumn(name.toLowerCase, colName); None
+      case AlterColTypeRe(name, colName, colType) =>
+        alterWidenColumn(name.toLowerCase, colName, colType.trim); None
       case AlterRenameColRe(name, from, to) =>
         alterRenameColumn(name.toLowerCase, from, to); None
       case TruncateRe(name) =>
@@ -690,7 +692,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val matchedCond = updateClause.flatMap(m => Option(m.group(1)))
       .map(_.trim)
     val updateSet = updateClause.map(_.group(2).trim)
-    val insertAll = InsertAllClauseRe.findFirstIn(clausesText).isDefined
+    val insertClause = InsertAllClauseRe.findFirstMatchIn(clausesText)
+    val insertAll = insertClause.isDefined
+    val insertCond = insertClause.flatMap(m => Option(m.group(1)))
+      .map(_.trim)
     val deleteClause = DeleteBySourceClauseRe.findFirstMatchIn(clausesText)
     val deleteBySource = deleteClause.isDefined
     val deleteCond = deleteClause.flatMap(m => Option(m.group(1)))
@@ -719,6 +724,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         m.group(1).equalsIgnoreCase(sAlias) &&
           m.group(2).equalsIgnoreCase(colName))
     val needsExpr = matchedCond.isDefined || deleteCond.isDefined ||
+      insertCond.isDefined ||
       assignPairs.exists { case (c, rhs) => !isSimple(c, rhs) }
     // an EXPRESSION assigned to the partition column could move a row
     // into a partition outside the rewrite scope (affected = source ∪
@@ -765,7 +771,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           if (deleteBySource)
             Some(deleteCond.map(c => expr(rewriteAliases(c)))
               .getOrElse(lit(true)))
-          else None)
+          else None,
+          insertCond.map(c => expr(rewriteAliases(c))))
       } else (updateSet, insertAll, deleteBySource) match {
         case (Some("*"), true, false) => Merge.upsert(cur, src, keys)
         case (Some("*"), true, true) =>
@@ -792,9 +799,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case Some(p) =>
         val path = tableDir(target).toString
         if (VersionedPartitioned.currentVersion(spark, path).isEmpty) {
-          // empty target: nothing matches — the result is the insert arm
-          if (insertAll && src.take(1).nonEmpty) {
-            VersionedPartitioned.promote(src, path, p)
+          // empty target: nothing matches — the result is the insert
+          // arm (filtered by its condition when the clause carries one)
+          val ins = insertCond.map(c =>
+            src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
+          if (insertAll && ins.take(1).nonEmpty) {
+            VersionedPartitioned.promote(ins, path, p)
           }
           return
         }
@@ -889,6 +899,49 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
     writeMeta(name, meta.copy(schema =
       StructType(meta.schema.fields.filterNot(_.name == field))))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only lossless
+    * type widening on the partitioned format
+    * (`evolveWidenColumnMetaOnly`: int→bigint, float→double, decimal
+    * precision growth; anything else raises); staging tables rewrite
+    * in place. The catalog schema takes the wide type, so later
+    * INSERTs conform-cast to it. */
+  private def alterWidenColumn(name: String, colName: String,
+      colType: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $name ALTER COLUMN $colName: no such column"))
+    require(!meta.partitionCol.exists(_.equalsIgnoreCase(colName)),
+      s"ALTER TABLE $name ALTER COLUMN $colName: cannot widen the " +
+        "partition column")
+    val newType = org.apache.spark.sql.types.DataType.fromDDL(colType)
+    meta.partitionCol match {
+      case Some(_) =>
+        val path = tableDir(name).toString
+        if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
+          VersionedPartitioned.evolveWidenColumnMetaOnly(spark, path,
+            field.name, newType)
+          ()
+        } else require(
+          VersionedPartitioned.isLosslessWidening(field.dataType, newType),
+          s"ALTER COLUMN ${field.name} TYPE $colType: not a lossless " +
+            s"widening of ${field.dataType.sql}")
+      case None =>
+        require(
+          VersionedPartitioned.isLosslessWidening(field.dataType, newType),
+          s"ALTER COLUMN ${field.name} TYPE $colType: not a lossless " +
+            s"widening of ${field.dataType.sql}")
+        val dataDir = tableDir(name).resolve(DataDir).toString
+        val cur = readUnpartitioned(meta, dataDir)
+        Exchange.swapTable(
+          cur.withColumn(field.name, col(s"`${field.name}`").cast(newType)),
+          dataDir)
+    }
+    writeMeta(name, meta.copy(schema = StructType(meta.schema.fields.map(f =>
+      if (f.name == field.name) f.copy(dataType = newType) else f))))
   }
 
   /** ALTER TABLE … RENAME COLUMN a TO b — metadata-only on the
@@ -1246,7 +1299,8 @@ object SqlLifecycle {
     ("""(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+""" +
       """(.+?)\s*(?=WHEN\s|$)""").r
   private val InsertAllClauseRe =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*""".r
+    ("""(?is)WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?""" +
+      """(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*""").r
   private val DeleteBySourceClauseRe =
     ("""(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+""" +
       """(?:AND\s+(.+?)\s+)?THEN\s+DELETE""").r
@@ -1307,6 +1361,10 @@ object SqlLifecycle {
   private val AlterRenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+""" +
       """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
+  private val AlterColTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """(?:SET\s+DATA\s+)?TYPE\s+""" +
+      """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$""").r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val CreateTableAsRe =

@@ -68,6 +68,7 @@ object VersionedPartitioned {
   private val ColPrefix = "addcol:"
   private val DropColPrefix = "dropcol:"
   private val RenColPrefix = "rencol:"
+  private val WidenColPrefix = "widencol:"
   private val DelPrefix = "del:"
   private[ops] val DelDirPrefix = "del-"
 
@@ -81,6 +82,9 @@ object VersionedPartitioned {
   final case class AddCol(name: String, defaultSql: String) extends Evolution
   final case class DropCol(name: String) extends Evolution
   final case class RenameCol(from: String, to: String) extends Evolution
+  /** Lossless type widening (Iceberg's ALTER COLUMN TYPE): readers
+    * cast old physical values up; `typeDdl` is a Spark DDL type. */
+  final case class WidenCol(name: String, typeDdl: String) extends Evolution
 
   /** partition-dir-name (e.g. "date=2024-01-01") → snapshot dir name.
     * `evolution` records metadata-only schema evolution as ordered
@@ -123,6 +127,11 @@ object VersionedPartitioned {
         cleanName(o, "renamed-column old name")
         cleanName(n, "renamed-column new name")
         s"$RenColPrefix$o\t$n"
+      case WidenCol(n, t) =>
+        cleanName(n, "widened-column name")
+        require(t.nonEmpty && !t.contains('\n'),
+          "widened-column type must be a single-line Spark DDL type")
+        s"$WidenColPrefix$n\t$t"
     }
     val delLines = m.deletes.toSeq.sortBy(_._1).flatMap { case (p, ds) =>
       ds.map { d =>
@@ -146,7 +155,8 @@ object VersionedPartitioned {
       .map(_.stripPrefix(TagPrefix))
     val afterTag = body.dropWhile(_.startsWith(TagPrefix))
     def isEvo(l: String) = l.startsWith(ColPrefix) ||
-      l.startsWith(DropColPrefix) || l.startsWith(RenColPrefix)
+      l.startsWith(DropColPrefix) || l.startsWith(RenColPrefix) ||
+      l.startsWith(WidenColPrefix)
     val evolution: Seq[Evolution] = afterTag.takeWhile(isEvo).map {
       case l if l.startsWith(ColPrefix) =>
         val s = l.stripPrefix(ColPrefix)
@@ -155,6 +165,11 @@ object VersionedPartitioned {
         AddCol(s.substring(0, i), s.substring(i + 1))
       case l if l.startsWith(DropColPrefix) =>
         DropCol(l.stripPrefix(DropColPrefix))
+      case l if l.startsWith(WidenColPrefix) =>
+        val s = l.stripPrefix(WidenColPrefix)
+        val i = s.indexOf('\t')
+        require(i > 0, s"bad widened-column row: $l")
+        WidenCol(s.substring(0, i), s.substring(i + 1))
       case l =>
         val s = l.stripPrefix(RenColPrefix)
         val i = s.indexOf('\t')
@@ -702,6 +717,13 @@ object VersionedPartitioned {
       case (d, DropCol(n)) => d.drop(n)
       case (d, RenameCol(o, n)) =>
         if (d.columns.contains(o)) d.withColumnRenamed(o, n) else d
+      case (d, WidenCol(n, t)) =>
+        // cast is a no-op on frames (post-widening snapshots) already
+        // carrying the wide type
+        if (d.columns.contains(n))
+          d.withColumn(n, d(n).cast(
+            org.apache.spark.sql.types.DataType.fromDDL(t)))
+        else d
     }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -1550,6 +1572,55 @@ object VersionedPartitioned {
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
           m.evolution :+ RenameCol(from, to), m.deletes)))
+    }
+
+  /** Is `to` a LOSSLESS widening of `from` — Iceberg's type-promotion
+    * whitelist: int→long (and the narrower integrals up),
+    * float→double, decimal(p,s)→decimal(p′,s) with p′≥p (same scale).
+    * Everything else (narrowing, scale changes, cross-family casts)
+    * is not an evolution, it is a rewrite. */
+  private[ops] def isLosslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  /** Metadata-only TYPE WIDENING — Iceberg's `ALTER COLUMN … TYPE`:
+    * no data file is touched; readers cast old physical values up on
+    * the fly (a no-op on post-widening snapshots that already carry
+    * the wide type). Only the lossless promotions pass
+    * (`isLosslessWidening`); the partition column is refused (its
+    * values are embedded in partition dir names). Time travel to a
+    * pre-widening version sees the narrow type. */
+  def evolveWidenColumnMetaOnly(spark: SparkSession, root: String,
+      name: String, newType: org.apache.spark.sql.types.DataType): Long =
+    claimLoop(spark, root) { latest =>
+      val (pv, m) = latest.getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root"))
+      require(name != m.partitionCol,
+        s"cannot widen partition column '$name' (dir names embed its " +
+          "rendered values)")
+      val cur = readManifest(spark, root, m)
+      val field = cur.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN $name: no such column under $root"))
+      require(isLosslessWidening(field.dataType, newType),
+        s"ALTER COLUMN $name TYPE ${newType.sql}: not a lossless " +
+          s"widening of ${field.dataType.sql} (int→bigint, float→double, " +
+          "decimal precision growth at the same scale)")
+      (pv + 1, render(
+        Manifest(m.partitionCol, m.entries, None,
+          m.evolution :+ WidenCol(name, newType.sql), m.deletes)))
     }
 
   /**

@@ -533,6 +533,16 @@ class PipelineSpec extends AnyFunSuite {
       WHEN NOT MATCHED BY SOURCE AND t.b >= 50 THEN DELETE""")
     assert(life.table("s.t").orderBy("k").collect().map(_.getLong(0)).toSeq
       == Seq(1L, 2L, 9L))
+    // conditional INSERT arm: only source-only rows passing the
+    // condition insert (k=9 has a=7 < 100 → NOT inserted again after
+    // we delete it; k=1,2 matched → untouched by the insert arm)
+    life.execute("DELETE FROM s.t WHERE k = 9")
+    life.execute("""
+      MERGE INTO s.t AS t USING merge_src AS s
+      ON t.k = s.k
+      WHEN NOT MATCHED AND s.a >= 100 THEN INSERT *""")
+    assert(life.table("s.t").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L))
     // guards: a second WHEN MATCHED clause and a partition-column
     // expression assignment both raise, never silently drop
     val e1 = intercept[IllegalArgumentException](life.execute("""

@@ -472,6 +472,28 @@ class VersionedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VersionedPartitioned.evolveRenameColumnMetaOnly(spark, root, "v", "date")
     }
+    // TYPE WIDENING: metadata-only int→bigint; old snapshots read back
+    // as the wide type, time travel keeps the narrow one; narrowing
+    // and partition-column widening raise
+    val beforeWiden = snapDirs()
+    val vW = VersionedPartitioned.evolveWidenColumnMetaOnly(spark, root,
+      "v", org.apache.spark.sql.types.LongType)
+    assert(snapDirs() == beforeWiden)
+    val widened = VersionedPartitioned.read(spark, root)
+    assert(widened.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.select("v").orderBy("v").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(VersionedPartitioned.readAt(spark, root, vW - 1)
+      .schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveWidenColumnMetaOnly(spark, root,
+        "v", org.apache.spark.sql.types.IntegerType) // narrowing back
+    }
+    intercept[IllegalArgumentException] {
+      VersionedPartitioned.evolveWidenColumnMetaOnly(spark, root,
+        "date", org.apache.spark.sql.types.StringType)
+    }
   }
 
   test("partitioned deleteWhere: only matching partitions rewritten, emptied partitions leave the manifest, NULL predicate keeps its row, no-match is a no-op") {
