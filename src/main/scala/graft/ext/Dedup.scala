@@ -153,13 +153,24 @@ object Dedup {
    */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
       maxBucketSize: Option[Long] = Some(DefaultMaxLshBucket)): DataFrame = {
-    val banded = sizedBandBuckets(sigs, idCol, bands)
+    val banded = cachedSizedBandBuckets(sigs, idCol, bands)
     val small = maxBucketSize match {
       case Some(cap) => banded.where(col("__bsz") <= cap)
       case None => banded
     }
     pairExpand(small, idCol).distinct()
   }
+
+  /** Persisted `sizedBandBuckets` — the banded frame feeds BOTH sides
+    * of the pair self-join (and the edges API's star branch), so
+    * without a persist the posexplode + window subtree evaluates once
+    * per reference. The rows are 5 numeric columns (docs × bands of
+    * them) — aggregate-sized, never bodies — so caching them is the
+    * cheap side of the trade at any corpus size. */
+  private def cachedSizedBandBuckets(sigs: DataFrame, idCol: String,
+      bands: Int): DataFrame =
+    sizedBandBuckets(sigs, idCol, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /**
    * LSH candidate EDGES — the components-family variant of
@@ -174,7 +185,7 @@ object Dedup {
    */
   def lshCandidateEdges(sigs: DataFrame, idCol: String, bands: Int,
       maxBucketSize: Long = DefaultMaxLshBucket): DataFrame = {
-    val banded = sizedBandBuckets(sigs, idCol, bands)
+    val banded = cachedSizedBandBuckets(sigs, idCol, bands)
     val pairs = pairExpand(banded.where(col("__bsz") <= maxBucketSize), idCol)
     val stars = banded.where(col("__bsz") > maxBucketSize)
       .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
