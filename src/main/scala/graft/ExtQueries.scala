@@ -722,6 +722,98 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** Shared 4-frame animated-GIF builder for the video_* gates: an 8×4
+    * logical screen, frame 0 full (the QOI/PNG base layout), frame 1 a
+    * 4×2 delta rect with disposal RESTORE-TO-BACKGROUND, frame 2 an
+    * 8×2 rect with transparency holes every 3rd pixel (the prior canvas
+    * shows through), frame 3 a 2×2 rect over the restored region —
+    * so one container exercises sub-rect compositing, disposal 2,
+    * transparency, AND interlaced LZW in every single image. */
+  private def gifFramesFor(base: Array[Int]): Seq[Multimodal.GifFrame] = {
+    import Multimodal.GifFrame
+    val f0 = Array.tabulate(32)(q => base((q / 8) * 4 + (q % 8) / 2))
+    val f1 = Array.tabulate(8)(p => base((4 * (p / 4) + p % 4 + 5) % 16))
+    val f2 = Array.tabulate(16)(p =>
+      if (p % 3 == 0) Multimodal.GifCodec.Hole else base((2 * p + 1) % 16))
+    val f3 = Array.tabulate(4)(p => base((3 * p + 2) % 16))
+    Seq(
+      GifFrame(0, 0, 8, 4, f0, disposal = 1),
+      GifFrame(2, 1, 4, 2, f1, disposal = 2),
+      GifFrame(0, 2, 8, 2, f2, disposal = 1),
+      GifFrame(5, 0, 2, 2, f3, disposal = 1))
+  }
+
+  /** REAL animated-GIF decode (Multimodal.GifCodec — variable-width
+    * LZW, sub-blocks, interlacing): four delta frames composited onto
+    * the canvas, then per-frame luma stats over the DECODED composites.
+    * Disposal-2 restore and transparency holes make later frames depend
+    * on earlier canvas state, so any compositing, disposal or LZW bug
+    * shifts the position-weighted `pos_luma` of frames 1-3. The oracle
+    * replays the compositing arithmetic positionally (background is
+    * provably black: the hole slot is the smallest unused 24-bit
+    * value, so palette entry 0 is always 0x000000 here). */
+  private def videoGifStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val bytes =
+          Multimodal.GifCodec.encode(8, 4, gifFramesFor(base), interlaced = true)
+        val (w, h, frames) = Multimodal.GifCodec.decode(bytes)
+        frames.iterator.zipWithIndex.map { case (canvas, f) =>
+          val lumas = canvas.map(p => (299L * ((p >> 16) & 0xff) +
+            587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+          val posLuma = lumas.zipWithIndex.map { case (l, i) => l * (i + 1) }.sum
+          (id, f, w, h, frames.length, lumas.sum, lumas.min, lumas.max, posLuma)
+        }
+      })
+      .toDF("vec_id", "frame", "width", "height", "n_frames", "luma_sum",
+        "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id", "frame")
+  }
+
+  /** Frame-sample + resize over the video modality: decode the 4-frame
+    * GIF, keep every 2nd composited frame (0 and 2), nearest-resize
+    * each 8×4 → 4×2, RE-ENCODE the sampled frames as a new full-frame
+    * GIF, decode AGAIN, stats per sampled frame. Two complete LZW round
+    * trips; the second container has no holes/disposal so both the
+    * delta-frame and plain-frame encoder paths sit under one hash. */
+  private def videoGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val bytes =
+          Multimodal.GifCodec.encode(8, 4, gifFramesFor(base), interlaced = true)
+        val (w, h, frames) = Multimodal.GifCodec.decode(bytes)
+        val sampled = frames.indices.by(2).map { f =>
+          Multimodal.GifFrame(0, 0, 4, 2,
+            Multimodal.PgmCodec.nearestResize(w, h, frames(f), 4, 2))
+        }
+        val bytes2 = Multimodal.GifCodec.encode(4, 2, sampled)
+        val (_, _, dec2) = Multimodal.GifCodec.decode(bytes2)
+        dec2.iterator.zipWithIndex.map { case (canvas, i) =>
+          val lumas = canvas.map(p => (299L * ((p >> 16) & 0xff) +
+            587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+          val posLuma = lumas.zipWithIndex.map { case (l, j) => l * (j + 1) }.sum
+          (id, i * 2, canvas.length, lumas.sum, lumas.min, lumas.max, posLuma)
+        }
+      })
+      .toDF("vec_id", "src_frame", "n_px", "luma_sum", "luma_min",
+        "luma_max", "pos_luma")
+      .orderBy("vec_id", "src_frame")
+  }
+
   // ------------------------------------------------------------- joins —
 
   /**
@@ -3799,6 +3891,8 @@ object ExtQueries {
     "image_png_stats" -> ((s, dir) => imagePngStats(s, dir)),
     "image_png_resize" -> ((s, dir) => imagePngResize(s, dir)),
     "image_qoi_resize" -> ((s, dir) => imageQoiResize(s, dir)),
+    "video_gif_stats" -> ((s, dir) => videoGifStats(s, dir)),
+    "video_gif_frames" -> ((s, dir) => videoGifFrames(s, dir)),
     "join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
     "sessionize" -> ((s, dir) => sessionize(s, dir)),
     "profile_lineitem" -> ((s, dir) => profileLineitem(s, dir)),
@@ -4818,6 +4912,116 @@ object ExtQueries {
         |       CAST(max(luma) AS BIGINT) AS luma_max,
         |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
         |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Animated-GIF compositing replayed positionally: frame 0 is the
+    // base 8×4 layout; frame 1 overlays (4r+c-1)%16 on rows 1-2 cols
+    // 2-5 then RESTORES that rect to background (disposal 2 → black,
+    // since the hole slot guarantees palette[0]=0); frame 2 overlays
+    // rows 2-3 with (2p+1)%16 except holes at p%3=0 (prior canvas shows
+    // through); frame 3 overlays (3p+2)%16 on rows 0-1 cols 5-6.
+    "video_gif_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS k
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, k,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |bl AS (SELECT vec_id, k,
+        |              (299*r + 587*g + 114*b) // 1000 AS luma FROM c),
+        |cells AS (
+        |  SELECT v.vec_id, f.f, g.pos, g.pos//8 AS rr, g.pos%8 AS cc
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS pos) g),
+        |kx AS (
+        |  SELECT vec_id, f, pos,
+        |    CASE
+        |      WHEN f = 0 THEN 4*rr + cc//2
+        |      WHEN f = 1 THEN
+        |        CASE WHEN rr BETWEEN 1 AND 2 AND cc BETWEEN 2 AND 5
+        |             THEN (4*rr + cc - 1) % 16 ELSE 4*rr + cc//2 END
+        |      WHEN f = 2 THEN
+        |        CASE WHEN rr >= 2 THEN
+        |               CASE WHEN (8*rr - 16 + cc) % 3 = 0 THEN
+        |                      CASE WHEN rr = 2 AND cc BETWEEN 2 AND 5
+        |                           THEN NULL ELSE 4*rr + cc//2 END
+        |                    ELSE (2*(8*rr - 16 + cc) + 1) % 16 END
+        |             WHEN rr = 1 AND cc BETWEEN 2 AND 5 THEN NULL
+        |             ELSE 4*rr + cc//2 END
+        |      ELSE
+        |        CASE WHEN rr <= 1 AND cc IN (5, 6)
+        |               THEN (3*(2*rr + cc - 5) + 2) % 16
+        |             WHEN rr >= 2 THEN
+        |               CASE WHEN (8*rr - 16 + cc) % 3 = 0 THEN
+        |                      CASE WHEN rr = 2 AND cc BETWEEN 2 AND 5
+        |                           THEN NULL ELSE 4*rr + cc//2 END
+        |                    ELSE (2*(8*rr - 16 + cc) + 1) % 16 END
+        |             WHEN rr = 1 AND cc BETWEEN 2 AND 5 THEN NULL
+        |             ELSE 4*rr + cc//2 END
+        |    END AS k
+        |  FROM cells),
+        |lum AS (
+        |  SELECT kx.vec_id, kx.f, kx.pos, coalesce(bl.luma, 0) AS luma
+        |  FROM kx LEFT JOIN bl
+        |    ON bl.vec_id = kx.vec_id AND bl.k = kx.k)
+        |SELECT vec_id, CAST(f AS INT) AS frame,
+        |       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       CAST(4 AS INT) AS n_frames,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(luma * (pos + 1)) AS BIGINT) AS pos_luma
+        |FROM lum GROUP BY vec_id, f ORDER BY vec_id, frame""".stripMargin,
+    // Frame-sample stride 2 (composites 0 and 2) then 8×4→4×2 nearest
+    // resize picks source (2i, 2j): from frame 0 that's base(8i+j);
+    // from frame 2, row 0 is base(j) and row 1 hits two holes (source
+    // cols 0,6 → prior canvas base(8), base(11)) and two overlay cells
+    // (base(5), base(9)). The re-encode/decode round trip is identity.
+    "video_gif_frames" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         unnest(generate_series(0, 15)) AS k
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, k,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+1] + 1) * 127) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+2] + 1) * 127) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(round((emb[3*k+3] + 1) * 127) AS BIGINT))) AS b
+        |  FROM p),
+        |bl AS (SELECT vec_id, k,
+        |              (299*r + 587*g + 114*b) // 1000 AS luma FROM c),
+        |g AS (
+        |  SELECT v.vec_id, sf.sf, q.pos
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+        |  CROSS JOIN (SELECT unnest([0, 2]) AS sf) sf
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS pos) q),
+        |kx AS (
+        |  SELECT vec_id, sf, pos,
+        |    CASE WHEN sf = 0 THEN 8*(pos//4) + pos%4
+        |         WHEN pos < 4 THEN pos
+        |         ELSE CASE pos WHEN 4 THEN 8 WHEN 5 THEN 5
+        |                       WHEN 6 THEN 9 ELSE 11 END
+        |    END AS k
+        |  FROM g),
+        |lum AS (
+        |  SELECT kx.vec_id, kx.sf, kx.pos, bl.luma
+        |  FROM kx JOIN bl ON bl.vec_id = kx.vec_id AND bl.k = kx.k)
+        |SELECT vec_id, CAST(sf AS INT) AS src_frame,
+        |       CAST(8 AS INT) AS n_px,
+        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |       CAST(min(luma) AS BIGINT) AS luma_min,
+        |       CAST(max(luma) AS BIGINT) AS luma_max,
+        |       CAST(sum(luma * (pos + 1)) AS BIGINT) AS pos_luma
+        |FROM lum GROUP BY vec_id, sf ORDER BY vec_id, src_frame""".stripMargin,
     "image_pgm_stats" ->
       """WITH px AS (
         |  SELECT vec_id,

@@ -628,6 +628,350 @@ object Multimodal {
     }
   }
 
+  /** One frame of an animated GIF: a sub-rectangle of the logical
+    * screen. `px` is row-major 0xRRGGBB; the sentinel `Hole` (-1) marks
+    * a transparent pixel (the previous canvas shows through — encoded
+    * via the GCE transparent-color index). `disposal` is the GIF89a
+    * disposal method applied AFTER this frame: 1 = leave the canvas,
+    * 2 = restore this frame's rectangle to the background color. */
+  case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+      px: Array[Int], disposal: Int = 1, delayCs: Int = 4)
+
+  /**
+   * REAL codec for animated GIF (GIF89a) — the container that makes
+   * "video" a real modality here: multiple frames, sub-rectangle delta
+   * frames, transparency holes, disposal methods, and interlacing, all
+   * over genuine variable-width LZW (the spec's compression — clear/EOI
+   * codes, code width growth 3→12 bits, table reset at 4096 entries,
+   * LSB-first bit packing, 255-byte sub-block framing). Pure JVM; no
+   * imaging library. Layout per the public GIF89a specification:
+   * header, logical screen descriptor, global color table, per frame a
+   * Graphic Control Extension + image descriptor + LZW-compressed
+   * indices, trailer. Scale shape: like the other codecs the
+   * encode/decode runs inside `mapPartitions` — bytes never shuffle.
+   */
+  object GifCodec {
+    /** Transparent-pixel sentinel in `GifFrame.px`. */
+    val Hole: Int = -1
+
+    private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    }
+
+    /** Interlace pass row order for a frame of height h (GIF's four
+      * passes: every 8th from 0, every 8th from 4, every 4th from 2,
+      * every 2nd from 1). */
+    private def interlaceRows(h: Int): Array[Int] =
+      ((0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++
+        (1 until h by 2)).toArray
+
+    /** GIF-variant LZW compress of palette indices at `minCodeSize`
+      * (≥2) bits per root code. Emits CLEAR first, CLEAR again whenever
+      * the table fills (4096 codes), EOI last. */
+    private[graft] def lzwCompress(idx: Array[Int],
+        minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var nBits = 0
+      var codeSize = minCodeSize + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << nBits
+        nBits += codeSize
+        while (nBits >= 8) {
+          out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8
+        }
+      }
+      // dictionary: string = (prefix code, appended index) → code
+      var dict = new java.util.HashMap[Long, Integer]()
+      var next = eoi + 1
+      def key(prefix: Int, k: Int) = (prefix.toLong << 12) | k.toLong
+      emit(clear)
+      var w = -1
+      var i = 0
+      while (i < idx.length) {
+        val k = idx(i)
+        require(k >= 0 && k < clear, s"index $k out of palette range")
+        if (w < 0) w = k
+        else {
+          val cached = dict.get(key(w, k))
+          if (cached != null) w = cached.intValue()
+          else {
+            emit(w)
+            if (next == 4096) {               // table full: reset
+              emit(clear)
+              dict = new java.util.HashMap[Long, Integer]()
+              next = eoi + 1
+              codeSize = minCodeSize + 1
+            } else {
+              dict.put(key(w, k), Integer.valueOf(next))
+              next += 1
+              // decoder widens when ITS next counter (one behind ours)
+              // reaches 1<<codeSize — mirror that exactly
+              if (next == (1 << codeSize) + 1 && codeSize < 12)
+                codeSize += 1
+            }
+            w = k
+          }
+        }
+        i += 1
+      }
+      if (w >= 0) emit(w)
+      emit(eoi)
+      if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** GIF-variant LZW decompress (mirror of `lzwCompress`, including
+      * the `code == next` self-reference case and deferred clears). */
+    private[graft] def lzwDecompress(data: Array[Byte], minCodeSize: Int,
+        expected: Int): Array[Int] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new Array[Int](expected)
+      var n = 0
+      // dict as (prefix, last index); roots are implicit
+      val prefix = new Array[Int](4096)
+      val last = new Array[Int](4096)
+      var next = eoi + 1
+      var codeSize = minCodeSize + 1
+      var bitBuf = 0L; var nBits = 0; var pos = 0
+      var prev = -1
+      val scratch = new Array[Int](4096)
+      def expand(code: Int): Int = {            // → length, writes out
+        var c = code; var len = 0
+        while (c >= clear) { scratch(len) = last(c); len += 1; c = prefix(c) }
+        scratch(len) = c; len += 1
+        var j = len - 1
+        while (j >= 0) {
+          require(n < expected, "LZW output overruns frame")
+          out(n) = scratch(j); n += 1; j -= 1
+        }
+        len
+      }
+      def firstIndex(code: Int): Int = {
+        var c = code
+        while (c >= clear) c = prefix(c)
+        c
+      }
+      var done = false
+      while (!done) {
+        while (nBits < codeSize) {
+          require(pos < data.length, "truncated LZW stream")
+          bitBuf |= (data(pos) & 0xffL) << nBits; nBits += 8; pos += 1
+        }
+        val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+        bitBuf >>>= codeSize; nBits -= codeSize
+        if (code == clear) {
+          next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+        } else if (code == eoi) done = true
+        else {
+          if (prev < 0) { require(code < clear, "first code not a root")
+            expand(code) }
+          else {
+            require(code <= next && next <= 4096, s"bad LZW code $code")
+            if (next < 4096) {
+              prefix(next) = prev
+              last(next) = firstIndex(if (code == next) prev else code)
+              next += 1
+            }
+            expand(code)
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+      require(n == expected, s"LZW yielded $n of $expected pixels")
+      out
+    }
+
+    /**
+     * Encode frames onto a width×height logical screen. The global
+     * palette is the ascending-sorted distinct colors across all
+     * frames; if any frame has `Hole` pixels, the smallest 24-bit value
+     * NOT used by any frame becomes the dedicated transparent slot (so
+     * when holes exist, palette entry 0 — also the background color —
+     * is always 0x000000: either black is a used color, or black is
+     * unused and becomes the hole slot).
+     */
+    def encode(width: Int, height: Int, frames: Seq[GifFrame],
+        interlaced: Boolean = false): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty, "empty GIF")
+      frames.foreach { f =>
+        require(f.w > 0 && f.h > 0 && f.px.length == f.w * f.h,
+          "frame pixel count mismatch")
+        require(f.left >= 0 && f.top >= 0 && f.left + f.w <= width &&
+          f.top + f.h <= height, "frame rect outside screen")
+        require(f.disposal == 1 || f.disposal == 2, "disposal 1 or 2")
+      }
+      val used = frames.flatMap(_.px.iterator.filter(_ != Hole))
+        .distinct.sorted.toArray
+      val anyHole = frames.exists(_.px.contains(Hole))
+      val holeColor = if (!anyHole) -1 else {
+        val set = used.toSet
+        Iterator.from(0).find(!set.contains(_)).get
+      }
+      val palette = (if (anyHole) (used :+ holeColor).sorted else used)
+      require(palette.length <= 256, s"${palette.length} colors > 256")
+      val slot = palette.zipWithIndex.toMap
+      val transIdx = if (anyHole) slot(holeColor) else -1
+      // palette size field is a power of two ≥ 2
+      var sizeBits = 1
+      while ((1 << sizeBits) < palette.length) sizeBits += 1
+      val minCode = math.max(2, sizeBits)
+      val out = new java.io.ByteArrayOutputStream()
+      "GIF89a".foreach(c => out.write(c))
+      le16(out, width); le16(out, height)
+      out.write(0x80 | ((sizeBits - 1) & 7)) // global table, 2^sizeBits
+      out.write(0)                           // background = palette 0
+      out.write(0)                           // no aspect ratio
+      (0 until (1 << sizeBits)).foreach { i =>
+        val c = if (i < palette.length) palette(i) else 0
+        out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+        out.write(c & 0xff)
+      }
+      // NETSCAPE2.0 looping application extension (decoders skip it)
+      out.write(0x21); out.write(0xff); out.write(11)
+      "NETSCAPE2.0".foreach(c => out.write(c))
+      out.write(3); out.write(1); le16(out, 0); out.write(0)
+      frames.foreach { f =>
+        out.write(0x21); out.write(0xf9); out.write(4) // GCE
+        out.write((f.disposal << 2) | (if (transIdx >= 0) 1 else 0))
+        le16(out, f.delayCs)
+        out.write(if (transIdx >= 0) transIdx else 0)
+        out.write(0)
+        out.write(0x2c)                                // image descriptor
+        le16(out, f.left); le16(out, f.top); le16(out, f.w); le16(out, f.h)
+        out.write(if (interlaced) 0x40 else 0)
+        val rowOrder =
+          if (interlaced) interlaceRows(f.h) else (0 until f.h).toArray
+        val idx = new Array[Int](f.w * f.h)
+        var o = 0
+        rowOrder.foreach { r =>
+          var c = 0
+          while (c < f.w) {
+            val p = f.px(r * f.w + c)
+            idx(o) = if (p == Hole) transIdx else slot(p)
+            o += 1; c += 1
+          }
+        }
+        out.write(minCode)
+        val lzw = lzwCompress(idx, minCode)
+        var off = 0
+        while (off < lzw.length) {
+          val len = math.min(255, lzw.length - off)
+          out.write(len); out.write(lzw, off, len); off += len
+        }
+        out.write(0)                                   // block terminator
+      }
+      out.write(0x3b)                                  // trailer
+      out.toByteArray
+    }
+
+    /**
+     * Decode to COMPOSITED canvases: element f is the full logical
+     * screen as visible after frame f renders (disposal applied between
+     * frames, transparent pixels preserving the prior canvas). The
+     * canvas starts as the background color.
+     */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+      require(bytes.length > 13 &&
+        new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"),
+        "not a GIF file")
+      var pos = 6
+      def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+      def u16(): Int = { val v = (bytes(pos) & 0xff) |
+        ((bytes(pos + 1) & 0xff) << 8); pos += 2; v }
+      val width = u16(); val height = u16()
+      val lsdPacked = u8()
+      val bg = u8(); u8()                           // background, aspect
+      val globalPal: Array[Int] =
+        if ((lsdPacked & 0x80) != 0) {
+          val n = 1 << ((lsdPacked & 7) + 1)
+          Array.fill(n) { val r = u8(); val g = u8(); val b = u8()
+            (r << 16) | (g << 8) | b }
+        } else Array.empty
+      val bgColor =
+        if (globalPal.nonEmpty && bg < globalPal.length) globalPal(bg)
+        else 0
+      val canvas = Array.fill(width * height)(bgColor)
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+      var disposal = 0; var transIdx = -1
+      var done = false
+      while (!done) {
+        u8() match {
+          case 0x3b => done = true
+          case 0x21 =>                               // extension
+            val label = u8()
+            if (label == 0xf9) {
+              val n = u8(); require(n == 4, "bad GCE size")
+              val packed = u8()
+              disposal = (packed >> 2) & 7
+              u16()                                  // delay
+              val t = u8()
+              transIdx = if ((packed & 1) != 0) t else -1
+              require(u8() == 0, "GCE missing terminator")
+            } else {                                 // skip sub-blocks
+              var n = u8()
+              while (n != 0) { pos += n; n = u8() }
+            }
+          case 0x2c =>                               // image descriptor
+            val left = u16(); val top = u16()
+            val fw = u16(); val fh = u16()
+            val packed = u8()
+            val localPal: Array[Int] =
+              if ((packed & 0x80) != 0) {
+                val n = 1 << ((packed & 7) + 1)
+                Array.fill(n) { val r = u8(); val g = u8(); val b = u8()
+                  (r << 16) | (g << 8) | b }
+              } else globalPal
+            require(localPal.nonEmpty, "no color table")
+            require(left + fw <= width && top + fh <= height,
+              "frame rect outside screen")
+            val interlacedF = (packed & 0x40) != 0
+            val minCode = u8()
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8()
+            while (n != 0) {
+              data.write(bytes, pos, n); pos += n; n = u8()
+            }
+            val idx = lzwDecompress(data.toByteArray, minCode, fw * fh)
+            val rowOrder =
+              if (interlacedF) interlaceRows(fh) else (0 until fh).toArray
+            var o = 0
+            rowOrder.foreach { r =>
+              var c = 0
+              while (c < fw) {
+                val k = idx(o); o += 1
+                if (k != transIdx) {
+                  require(k < localPal.length, s"palette index $k")
+                  canvas((top + r) * width + (left + c)) = localPal(k)
+                }
+                c += 1
+              }
+            }
+            frames += canvas.clone()
+            if (disposal == 2) {                     // restore rect to bg
+              var r = 0
+              while (r < fh) {
+                var c = 0
+                while (c < fw) {
+                  canvas((top + r) * width + (left + c)) = bgColor
+                  c += 1
+                }
+                r += 1
+              }
+            }
+            disposal = 0; transIdx = -1
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02x")
+        }
+      }
+      require(frames.nonEmpty, "GIF contains no frames")
+      (width, height, frames.toArray)
+    }
+  }
+
   /**
    * Partition-batched decode + feature extraction. The decoder runs once
    * per row inside a partition iterator — the batch shape a real codec

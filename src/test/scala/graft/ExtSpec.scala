@@ -1070,6 +1070,55 @@ class ExtSpec extends AnyFunSuite {
     intercept[Exception](QoiCodec.decode(bytes.dropRight(12)))
   }
 
+  test("Multimodal.GifCodec: LZW width growth + table reset, interlace, delta frames, disposal, transparency") {
+    import Multimodal.{GifCodec, GifFrame}
+    // LZW unit: a high-entropy 256-color index stream long enough to
+    // grow the code width to 12 bits AND overflow the 4096-entry table,
+    // forcing a mid-stream CLEAR + re-grow — then an exact round trip
+    val big = Array.tabulate(9000)(i => ((i * 2654435761L) >>> 7).toInt & 0xff)
+    assert(GifCodec.lzwDecompress(GifCodec.lzwCompress(big, 8), 8,
+      big.length).toSeq == big.toSeq)
+    // and the tiny-palette path (minCodeSize floor of 2)
+    val bits = Array.tabulate(50)(i => i % 2)
+    assert(GifCodec.lzwDecompress(GifCodec.lzwCompress(bits, 2), 2,
+      bits.length).toSeq == bits.toSeq)
+
+    // single full frame, interlaced: canvas round-trips exactly
+    val px = Array.tabulate(32)(i => (i * 0x030507) & 0xffffff)
+    val one = GifCodec.decode(GifCodec.encode(8, 4,
+      Seq(GifFrame(0, 0, 8, 4, px)), interlaced = true))
+    assert(one._1 == 8 && one._2 == 4 && one._3.length == 1 &&
+      one._3(0).toSeq == px.toSeq)
+
+    // animation semantics: frame 0 full red canvas (disposal 2),
+    // frame 1 a 2×1 delta at (1,1) with one HOLE pixel.
+    // After frame 1: frame 0's rect was restored to background first —
+    // background is BLACK because red!=0 so the smallest unused color
+    // (allocated for the hole) is 0x000000 at palette slot 0.
+    val anim = GifCodec.encode(4, 2, Seq(
+      GifFrame(0, 0, 4, 2, Array.fill(8)(0xFF0000), disposal = 2),
+      GifFrame(1, 1, 2, 1, Array(GifCodec.Hole, 0x00FF00))))
+    val (_, _, frames) = GifCodec.decode(anim)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == Seq.fill(8)(0xFF0000))
+    val expect1 = Array.fill(8)(0)                  // restored to bg
+    expect1(1 * 4 + 1) = 0                          // hole: bg shows through
+    expect1(1 * 4 + 2) = 0x00FF00
+    assert(frames(1).toSeq == expect1.toSeq)
+
+    // disposal 1 leaves the canvas: hole now shows the PRIOR pixel
+    val anim2 = GifCodec.encode(4, 2, Seq(
+      GifFrame(0, 0, 4, 2, Array.fill(8)(0xFF0000), disposal = 1),
+      GifFrame(1, 1, 2, 1, Array(GifCodec.Hole, 0x00FF00))))
+    val f2 = GifCodec.decode(anim2)._3
+    assert(f2(1)(1 * 4 + 1) == 0xFF0000 && f2(1)(1 * 4 + 2) == 0x00FF00)
+
+    intercept[Exception](GifCodec.decode("not a gif".getBytes("UTF-8")))
+    intercept[Exception](GifCodec.encode(2, 2, Seq(
+      GifFrame(0, 0, 3, 3, Array.fill(9)(1)))))     // rect outside screen
+    intercept[Exception](GifCodec.decode(anim.dropRight(6)))
+  }
+
   test("Multimodal.PngCodec: RGB and greyscale round-trip through all five filters; CRC and truncation rejected") {
     import Multimodal.PngCodec
     // 5 rows → the encoder's row % 5 cycle emits None/Sub/Up/Average/
