@@ -3384,6 +3384,84 @@ object ExtQueries {
       .orderBy("o_orderstatus", "q")
   }
 
+  /**
+   * MIN/MAX under delta maintenance
+   * (ops/IncrementalAgg.minMaxState/maintainMinMax/minMaxValues):
+   * extremes are not subtractable, so the maintained view keeps one
+   * lossless min/max row per (partition × group) cell and the change
+   * window replaces only the touched partitions' cells — the same
+   * promote/rewrite shape as `incremental_agg`. Unlike the HLL gate
+   * the cells are exact, so the oracle recomputes the post-change
+   * extremes from scratch in DuckDB and hash-compares.
+   */
+  private def incrementalMinMax(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incrmm_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val state = IncrementalAgg.minMaxState(
+      VersionedPartitioned.read(s, root), "month", Seq("o_orderstatus"),
+      Seq("p"))
+    VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("p", (col("p") * 2).cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    val (oldSide, newSide) = VersionedPartitioned.changedSides(s, root, 1L)
+    IncrementalAgg.minMaxValues(
+        IncrementalAgg.maintainMinMax(state, oldSide, newSide, "month",
+          Seq("o_orderstatus"), Seq("p")),
+        Seq("o_orderstatus"), Seq("p"))
+      .select(col("o_orderstatus"),
+        col("min_p").cast("double").as("min_price"),
+        col("max_p").cast("double").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /**
+   * TOP-K ROWS under delta maintenance
+   * (ops/IncrementalAgg.topKState/maintainTopK/topKValues): each
+   * (partition × group) cell keeps its own k best rows — lossless for
+   * the top-k question since a group's global winners include at most
+   * k rows from any one partition — and the change window replaces
+   * only touched cells. Ranks by (price DESC, orderkey ASC); the
+   * oracle recomputes the post-change ranking from scratch in DuckDB.
+   * (Top-k of per-key AGGREGATES is deliberately NOT built this way —
+   * not cell-decomposable; see the Scaladoc.)
+   */
+  private def incrementalTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incrtopk_").resolve("t").toString
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-03")), root, "month")
+    val state = IncrementalAgg.topKState(
+      VersionedPartitioned.read(s, root), "month", Seq("o_orderstatus"),
+      "p", "o_orderkey", 3)
+    VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02")
+        .withColumn("p", (col("p") * 2).cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-04")),
+      root, "month")
+    val (oldSide, newSide) = VersionedPartitioned.changedSides(s, root, 1L)
+    IncrementalAgg.topKValues(
+        IncrementalAgg.maintainTopK(state, oldSide, newSide, "month",
+          Seq("o_orderstatus"), "p", "o_orderkey", 3),
+        Seq("o_orderstatus"), "p", "o_orderkey", 3)
+      .select(col("o_orderstatus"), col("rank"), col("o_orderkey"),
+        col("p").cast("double").as("total_price"))
+      .orderBy("o_orderstatus", "rank")
+  }
+
   private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
       .where(col("month").between("1995-01", "1995-02"))
@@ -3973,6 +4051,8 @@ object ExtQueries {
     "incremental_distinct" -> ((s, dir) => incrementalDistinct(s, dir)),
     "incremental_quantile" -> ((s, dir) => incrementalQuantile(s, dir)),
     "incremental_join" -> ((s, dir) => incrementalJoin(s, dir)),
+    "incremental_minmax" -> ((s, dir) => incrementalMinMax(s, dir)),
+    "incremental_topk" -> ((s, dir) => incrementalTopK(s, dir)),
     "sql_merge_upsert" -> ((s, dir) => sqlMergeUpsert(s, dir)),
     "sql_merge_prune" -> ((s, dir) => sqlMergePrune(s, dir)),
     "sql_update_where" -> ((s, dir) => sqlUpdateWhere(s, dir)),
@@ -6351,6 +6431,44 @@ object ExtQueries {
         |)
         |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Maintained min/max and top-k views vs from-scratch recomputes of
+    // the post-change table (the same fin CTE as incremental_agg).
+    "incremental_minmax" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  o_orderstatus,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus, p FROM m
+        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
+        |  WHERE month = '1995-02'
+        |)
+        |SELECT o_orderstatus, CAST(min(p) AS DOUBLE) AS min_price,
+        |       CAST(max(p) AS DOUBLE) AS max_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "incremental_topk" ->
+      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |                  o_orderstatus, o_orderkey,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus, o_orderkey, p FROM m
+        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey,
+        |         CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
+        |  WHERE month = '1995-02'
+        |),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderkey, p,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY p DESC, o_orderkey ASC) AS rank
+        |  FROM fin)
+        |SELECT o_orderstatus, CAST(rank AS INT) AS rank, o_orderkey,
+        |       CAST(p AS DOUBLE) AS total_price
+        |FROM r WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
     // The row-level-verb gates share one fixture (the %4<2 slice of
     // three months, DECIMAL(18,2) prices) and restate each verb's
     // outcome as a direct CASE over the same slice — the engine runs

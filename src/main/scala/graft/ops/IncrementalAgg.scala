@@ -321,4 +321,107 @@ object IncrementalAgg {
           .otherwise(lit(2d) * pow(lit(gamma), col("bucket")) / (gamma + 1))
           .as("est"): _*)
   }
+
+  // ----------------------------- MIN/MAX + TOP-K via partition cells —
+  //
+  // MIN/MAX and top-k rows are not subtractable either (deleting the
+  // current max invalidates `state − old + new`), but under partition-
+  // replacement windows both are maintainable EXACTLY with the same
+  // partition-grained-cell shape as the sketches above — and unlike
+  // HLL these cells are lossless, so the read equals a from-scratch
+  // recompute bit for bit. Each (partition × group) cell keeps its own
+  // min/max (resp. its own k best rows); a change window replaces only
+  // the touched partitions' cells; the read re-aggregates cells per
+  // group. Exact because every row lives in exactly one partition:
+  // the global extreme is the extreme of per-cell extremes, and every
+  // global top-k row is inside its own cell's top-k (at most k of a
+  // group's winners can come from one partition).
+  //
+  // The classic distributed pitfall this design deliberately DODGES:
+  // top-k of PER-KEY AGGREGATES is not cell-decomposable — a key just
+  // below k-th place in every cell can be global #1 — so `topKState`
+  // ranks physical ROWS only. For aggregate top-k, maintain the full
+  // key aggregate (`maintain`) and rank at read; it is group-count-
+  // sized, not data-sized, so that read stays cheap.
+  //
+  // Scale shape: state is O(#partitions × #groups) rows (× k for
+  // top-k), maintenance scans only the new side of the window at row
+  // grain, and the state-side join is an aggregate-sized broadcast
+  // anti-join on the partition key. Nothing row-grained ever joins.
+
+  /** Partition-grained min/max state: one row per (partitionCol ×
+    * groupCols) cell with `min_<c>`/`max_<c>` per value column. */
+  def minMaxState(df: DataFrame, partitionCol: String,
+      groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    val aggs = valueCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy((partitionCol +: groupCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Maintain min/max cells under one partition-replacement window —
+    * drop touched cells, re-aggregate the new rows; equals
+    * `minMaxState` over the post-change table, cell for cell. */
+  def maintainMinMax(state: DataFrame, oldChanged: DataFrame,
+      newChanged: DataFrame, partitionCol: String, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val touched = oldChanged.select(col(partitionCol))
+      .unionByName(newChanged.select(col(partitionCol))).distinct()
+    state.join(touched, Seq(partitionCol), "left_anti")
+      .unionByName(minMaxState(newChanged, partitionCol, groupCols, valueCols))
+  }
+
+  /** Collapse min/max cells to per-group extremes — min of mins, max
+    * of maxes; the read path of the maintained view. */
+  def minMaxValues(state: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))
+    state.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Partition-grained top-k-rows state: for each (partitionCol ×
+    * groupCols) cell, the k best rows by (`orderCol` DESC, `idCol`
+    * ASC — the id breaks ties deterministically). State rows carry
+    * (partition, groups, id, order value). */
+  def topKState(df: DataFrame, partitionCol: String,
+      groupCols: Seq[String], orderCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((partitionCol +: groupCols).map(col): _*)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.select((partitionCol +: groupCols :+ idCol :+ orderCol).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Maintain top-k cells under one partition-replacement window —
+    * the same drop-touched + re-rank-new rule; equals `topKState` over
+    * the post-change table, row for row. */
+  def maintainTopK(state: DataFrame, oldChanged: DataFrame,
+      newChanged: DataFrame, partitionCol: String, groupCols: Seq[String],
+      orderCol: String, idCol: String, k: Int): DataFrame = {
+    val touched = oldChanged.select(col(partitionCol))
+      .unionByName(newChanged.select(col(partitionCol))).distinct()
+    state.join(touched, Seq(partitionCol), "left_anti")
+      .unionByName(
+        topKState(newChanged, partitionCol, groupCols, orderCol, idCol, k))
+  }
+
+  /** Collapse top-k cells to the per-group global top-k with ranks —
+    * a window over the aggregate-sized cell union, the read path of
+    * the maintained view. Equal to ranking the full table because the
+    * cells are lossless for the top-k question. */
+  def topKValues(state: DataFrame, groupCols: Seq[String],
+      orderCol: String, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    state.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select((groupCols :+ "rank" :+ idCol :+ orderCol).map(col): _*)
+  }
 }

@@ -214,6 +214,78 @@ class AggSpec extends AnyFunSuite {
     assert(maintained.where(col("part") === "p2").isEmpty)
   }
 
+  test("IncrementalAgg min/max + top-k cells: maintained == recompute incl. dropped partition; per-key-agg pitfall dodged") {
+    import graft.ops.IncrementalAgg
+    val base = (1L to 600L).map { i =>
+      (s"p${i % 3}", s"g${i % 2}", i, (i * 37 % 1000).toDouble)
+    }.toDF("part", "grp", "id", "v")
+    // replace p1 (new values, some holding new extremes), DROP p2
+    val oldChanged = base.where(col("part").isin("p1", "p2"))
+    val newChanged = (1L to 40L).map(i =>
+      ("p1", s"g${i % 2}", 10000L + i, 2000.0 + i))
+      .toDF("part", "grp", "id", "v")
+    val after = base.where(col("part") === "p0").unionByName(newChanged)
+
+    // ---- min/max
+    val mmState = IncrementalAgg.minMaxState(base, "part", Seq("grp"), Seq("v"))
+    val mm = IncrementalAgg.minMaxValues(
+      IncrementalAgg.maintainMinMax(mmState, oldChanged, newChanged,
+        "part", Seq("grp"), Seq("v")), Seq("grp"), Seq("v"))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, mn, mx) => g -> (mn, mx) }.toMap
+    val mmWant = after.groupBy("grp").agg(min(col("v")), max(col("v")))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, mn, mx) => g -> (mn, mx) }.toMap
+    assert(mm == mmWant)
+    // the new p1 rows hold the global max — a subtract-style rule
+    // could never have produced this; the cell rule must
+    assert(mmWant.values.forall(_._2 >= 2000.0))
+
+    // ---- top-k rows
+    val k = 4
+    val tkState = IncrementalAgg.topKState(base, "part", Seq("grp"),
+      "v", "id", k)
+    // cells are bounded: at most k rows per (part, grp)
+    val cellMax = tkState.groupBy("part", "grp").count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(cellMax <= k)
+    val got = IncrementalAgg.topKValues(
+      IncrementalAgg.maintainTopK(tkState, oldChanged, newChanged,
+        "part", Seq("grp"), "v", "id", k),
+      Seq("grp"), "v", "id", k)
+      .select(col("grp"), col("rank"), col("id"), col("v"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").desc, col("id").asc)
+    val want = after.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("id"), col("v"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == want)
+    // dropped partition p2 contributes no cells after maintenance
+    assert(IncrementalAgg.maintainTopK(tkState, oldChanged, newChanged,
+      "part", Seq("grp"), "v", "id", k).where(col("part") === "p2").isEmpty)
+
+    // ---- the documented pitfall, demonstrated: per-key SUM top-1 from
+    // per-cell top-1-by-sum is WRONG (key "b" is 2nd in every cell but
+    // global 1st); the sound path (full `maintain` + rank at read) is
+    // right.
+    val skew = Seq(
+      ("p0", "a", 10.0), ("p0", "b", 9.0), ("p0", "c", 1.0),
+      ("p1", "c", 10.0), ("p1", "b", 9.0), ("p1", "a", 1.0),
+      ("p2", "a", 0.5), ("p2", "b", 9.0), ("p2", "c", 0.5)
+    ).toDF("part", "key", "v")
+    val naive = skew.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("part"))
+          .orderBy(col("v").desc, col("key").asc)))
+      .where(col("rn") === 1)
+      .groupBy("key").agg(sum(col("v")).as("s"))
+      .orderBy(col("s").desc).select("key").as[String].head()
+    val sound = skew.groupBy("key").agg(sum(col("v")).as("s"))
+      .orderBy(col("s").desc).select("key").as[String].head()
+    assert(sound == "b" && naive != "b")
+  }
+
   test("IncrementalAgg.maintainJoin equals recompute when both sides change; unchanged side is a no-op") {
     import graft.ops.IncrementalAgg
     // fact partitioned by part, dim by bucket; groups span both sides
