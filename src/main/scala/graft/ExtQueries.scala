@@ -3114,6 +3114,30 @@ object ExtQueries {
   }
 
   /**
+   * ANALYZE TABLE statement-text gate (ops/SqlLifecycle.analyzeTable →
+   * VersionedPartitioned.analyzeColumns, read back through the
+   * `column_stats` metadata suffix): per-column null count, exact NDV,
+   * min/max and total rendered length from ONE aggregation pass,
+   * stored immutably next to the version they describe. The oracle
+   * recomputes every statistic from the raw slice in DuckDB — a
+   * mis-attributed null count, off-by-one NDV or wrong-version stamp
+   * all fail the hash. The stats feed the query door's stats-driven
+   * broadcast hint (plan shape PlanSpec-pinned; `table_bytes` is
+   * file-size metadata and deliberately outside the hash).
+   */
+  private def sqlAnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("ANALYZE TABLE sales.facts COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, month, src")
+    life.query("""
+      SELECT col_name, n_rows, n_nulls, ndv, min_value, max_value,
+             total_len,
+             CAST(analyzed_version AS BIGINT) AS analyzed_version,
+             CAST(current_version AS BIGINT) AS current_version
+      FROM sales.facts.column_stats ORDER BY col_name""")
+  }
+
+  /**
    * SHOW PARTITIONS / SHOW CREATE TABLE statement-text gate
    * (ops/SqlLifecycle.showPartitions/showCreateTable): the partition
    * census in Spark's own `col=value` output shape — a pure manifest
@@ -4069,6 +4093,7 @@ object ExtQueries {
     "sql_history_meta" -> ((s, dir) => sqlHistoryMeta(s, dir)),
     "sql_partitions_meta" -> ((s, dir) => sqlPartitionsMeta(s, dir)),
     "sql_show_partitions" -> ((s, dir) => sqlShowPartitions(s, dir)),
+    "sql_analyze_stats" -> ((s, dir) => sqlAnalyzeStats(s, dir)),
     "sql_call_rollback" -> ((s, dir) => sqlCallRollback(s, dir)),
     "versioned_evolve_meta" -> ((s, dir) => versionedEvolveMeta(s, dir)),
     "versioned_delete" -> ((s, dir) => versionedDelete(s, dir)),
@@ -6683,6 +6708,45 @@ object ExtQueries {
         |              BETWEEN '1995-01' AND '1995-03'
         |        AND o_orderkey % 4 < 2)
         |ORDER BY 1""".stripMargin,
+    // Every ANALYZE statistic recomputed from the raw fixture slice;
+    // the version stamps are the fixture's single INSERT commit (v1),
+    // analyzed and current alike.
+    "sql_analyze_stats" ->
+      """WITH m AS (SELECT o_orderkey,
+        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                    AS month,
+        |                  'base' AS src
+        |           FROM orders
+        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |                   BETWEEN '1995-01' AND '1995-03'
+        |             AND o_orderkey % 4 < 2),
+        |s AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n,
+        |         count(*) - count(o_orderkey) AS n_nulls,
+        |         count(DISTINCT o_orderkey) AS ndv,
+        |         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+        |         sum(length(CAST(o_orderkey AS VARCHAR))) AS total_len
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'month', count(*), count(*) - count(month),
+        |         count(DISTINCT month),
+        |         CAST(min(month) AS VARCHAR), CAST(max(month) AS VARCHAR),
+        |         sum(length(CAST(month AS VARCHAR)))
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'src', count(*), count(*) - count(src),
+        |         count(DISTINCT src),
+        |         CAST(min(src) AS VARCHAR), CAST(max(src) AS VARCHAR),
+        |         sum(length(CAST(src AS VARCHAR)))
+        |  FROM m)
+        |SELECT col_name, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       CAST(ndv AS BIGINT) AS ndv, min_value, max_value,
+        |       CAST(total_len AS BIGINT) AS total_len,
+        |       CAST(1 AS BIGINT) AS analyzed_version,
+        |       CAST(1 AS BIGINT) AS current_version
+        |FROM s ORDER BY col_name""".stripMargin,
     // rollback + rewrite + expire must be a content no-op: the bad
     // repricing commit is fully undone, so the oracle is the untouched
     // base fixture slice (same contract as sql_optimize_vacuum).

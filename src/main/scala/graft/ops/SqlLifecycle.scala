@@ -129,6 +129,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           VersionedPartitioned.vacuum(spark, path, keepLast = n,
             orphanMinAgeMs = 0L)
         None
+      case AnalyzeRe(name, allMark, colsBlock) =>
+        analyzeTable(name.toLowerCase, allMark != null,
+          Option(colsBlock)); None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
@@ -182,6 +185,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
                 col("committed_at"), col("n_partitions"), col("tag"))
           case "partitions" => VersionedPartitioned.partitionsDf(spark, path)
           case "files" => VersionedPartitioned.filesDf(spark, path)
+          case "column_stats" => VersionedPartitioned.columnStats(spark, path)
         }
         val vn = viewName(t) + "__meta_" + kind
         df.createOrReplaceTempView(vn)
@@ -980,6 +984,33 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * commit omitting every partition entry; time travel still reaches
     * the old rows, `vacuum` reclaims the bytes), an empty swap on
     * staging tables. */
+  /** ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+    * COLUMNS] — one aggregation pass storing per-column CBO stats next
+    * to the current version (`VersionedPartitioned.analyzeColumns`).
+    * Bare COMPUTE STATISTICS analyzes the partition column only (row
+    * count + file bytes are what the planner needs; the per-column
+    * detail is the FOR COLUMNS surface). Read back via the
+    * `t.column_stats` metadata suffix; consumed by the query door's
+    * stats-driven broadcast hint. */
+  private def analyzeTable(name: String, allColumns: Boolean,
+      colsBlock: Option[String]): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"ANALYZE TABLE $name: no such table"))
+    val pcol = meta.partitionCol.getOrElse(
+      throw new IllegalArgumentException(
+        s"ANALYZE TABLE $name: only partitioned tables carry stats"))
+    val path = tableDir(name).toString
+    require(VersionedPartitioned.currentVersion(spark, path).isDefined,
+      s"ANALYZE TABLE $name: table has no committed data")
+    val cols =
+      if (allColumns) meta.schema.fieldNames.toSeq
+      else colsBlock match {
+        case Some(block) => splitTop(block).map(_.trim.toLowerCase)
+        case None => Seq(pcol)
+      }
+    VersionedPartitioned.analyzeColumns(spark, path, cols)
+  }
+
   private def truncateTable(name: String): Unit = {
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"TRUNCATE TABLE $name: no such table"))
@@ -1171,7 +1202,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       frontier = next.intersect(vs)
     }
     needed.intersect(ts).toSeq.sorted.foreach { t =>
-      readTable(t, metaOf(t).get).createOrReplaceTempView(viewName(t))
+      val meta = metaOf(t).get
+      val base = readTable(t, meta)
+      val hinted =
+        if (statsSaysBroadcast(t, meta)) base.hint("broadcast") else base
+      hinted.createOrReplaceTempView(viewName(t))
     }
     var pending = needed.intersect(vs).toSeq.sorted
     var progress = true
@@ -1191,6 +1226,29 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     require(pending.isEmpty,
       s"views failed to resolve: ${pending.mkString(", ")}")
   }
+
+  /** Stats-driven broadcast decision — the CBO use of the ANALYZE
+    * surface: a cataloged partitioned table whose CURRENT version has
+    * committed stats under the size threshold registers with a
+    * broadcast hint, so any join against it in the query door plans as
+    * a broadcast join even when `spark.sql.autoBroadcastJoinThreshold`
+    * is off (size-unknown scans are exactly why users turn it off —
+    * analyzed sizes are known). Stale stats (any commit since the
+    * analyze) are IGNORED, never trusted: the decision degrades to
+    * Spark's defaults rather than broadcasting a table that has since
+    * grown. The check is file metadata only (a dir listing, then one
+    * footer-sized read for analyzed tables); threshold conf
+    * `spark.graft.analyze.broadcastThreshold` (bytes, ≤0 disables),
+    * default 10 MB — Spark's own auto-broadcast default. */
+  private def statsSaysBroadcast(t: String, meta: TableMeta): Boolean =
+    meta.partitionCol.isDefined && {
+      val threshold = spark.conf
+        .getOption("spark.graft.analyze.broadcastThreshold")
+        .map(_.toLong).getOrElse(10L * 1024 * 1024)
+      threshold > 0 && VersionedPartitioned
+        .statsBytesIfCurrent(spark, tableDir(t).toString)
+        .exists(_ <= threshold)
+    }
 
   private def nameRe(n: String) =
     ("(?i)" + java.util.regex.Pattern.quote(n) + "(?![\\w])").r
@@ -1387,7 +1445,10 @@ object SqlLifecycle {
     """(?s)^\s*(?:(\w+)\s*=>\s*)?(?:'([^']*)'|([^\s].*?))\s*$""".r
   // `schema.table.<metadata table>` suffix form in query texts
   private val MetaTableRe =
-    """(?i)\b([\w]+\.[\w]+)\.(history|snapshots|partitions|files)\b""".r
+    """(?i)\b([\w]+\.[\w]+)\.(history|snapshots|partitions|files|column_stats)\b""".r
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(ALL)\s+COLUMNS|\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
   private val DescribeRe =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
   private val InsertOverwriteRe =

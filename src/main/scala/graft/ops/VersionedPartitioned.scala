@@ -310,6 +310,119 @@ object VersionedPartitioned {
       .orderBy(m.partitionCol)
   }
 
+  // --------------------------------------------- ANALYZE column stats —
+
+  private def analyzeDir(rootPath: HPath, v: Long) =
+    new HPath(new HPath(rootPath, "_analyze"), s"v$v")
+
+  /**
+   * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` for the manifest
+   * format: ONE distributed aggregation pass over the current snapshot
+   * computes, per requested column, the CBO statistics a planner wants
+   * — null count, NDV, min/max (rendered to strings), total byte
+   * length — plus the table-level row count and live data-file bytes
+   * (the latter a pure file-metadata census, zero data I/O). Stats
+   * land in `_analyze/v<version>/` parquet, immutable alongside the
+   * version they describe: `columnStats` exposes the analyzed version
+   * next to the current one, so a consumer can see staleness instead
+   * of trusting silently (the auto-broadcast planner ignores stale
+   * stats entirely — conservative, never wrong).
+   *
+   * NDV is exact by default (`count(DISTINCT c)` — correct but an
+   * expand pass multiplying the scan by #columns). At 100 TB pass
+   * `exact = false`: `approx_count_distinct`'s HLL keeps the job
+   * one-scan-no-expand with ~2 % error — the standard CBO trade
+   * (Spark's own ANALYZE uses HLL++ for exactly this reason).
+   */
+  def analyzeColumns(spark: SparkSession, root: String, cols: Seq[String],
+      exact: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "at least one column to analyze")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val m = manifestAt(spark, root, None)
+    // live data-file bytes: the same bounded metadata census filesDf runs
+    val totalBytes: Long = m.entries.groupBy(_._2).toSeq.map {
+      case (snap, parts) =>
+        val snapPath = new HPath(rootPath, snap)
+        parts.keys.toSeq.map { pd =>
+          fs.listStatus(new HPath(snapPath, pd)).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+        }.sum
+    }.sum
+    val df = readManifest(spark, root, m)
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"analyzeColumns: no column $c in ${schema.fieldNames.mkString(", ")}"))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val ndv = if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(count(col(c)).as(s"__nn_$c"), ndv.as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        sum(coalesce(length(col(c).cast("string")).cast("long"), lit(0L)))
+          .as(s"__len_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = row.getLong(row.fieldIndex("__n"))
+    import spark.implicits._
+    val out = cols.map { c =>
+      (c, nRows, nRows - row.getLong(row.fieldIndex(s"__nn_$c")),
+        row.getLong(row.fieldIndex(s"__ndv_$c")),
+        Option(row.getAs[String](row.fieldIndex(s"__min_$c"))),
+        Option(row.getAs[String](row.fieldIndex(s"__max_$c"))),
+        row.getLong(row.fieldIndex(s"__len_$c")), totalBytes)
+    }.toDF("col_name", "n_rows", "n_nulls", "ndv", "min_value",
+      "max_value", "total_len", "table_bytes")
+    val dest = analyzeDir(rootPath, cur)
+    out.coalesce(1).write.mode("overwrite").parquet(dest.toString)
+  }
+
+  /** Highest version with committed column stats, if any — a pure
+    * directory listing of `_analyze/`. */
+  def analyzedVersion(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val dir = new HPath(rootPath, "_analyze")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(n => n.drop(1).toLongOption)
+      .sorted.lastOption
+  }
+
+  /** The maintained column statistics, latest analyze run: one row per
+    * analyzed column plus `analyzed_version`/`current_version` so
+    * staleness is visible (stats describe the version they were
+    * computed at — a later commit does not invalidate them, it just
+    * dates them). Aggregate-sized driver read. */
+  def columnStats(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val av = analyzedVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no column stats under $root — run analyzeColumns first"))
+    val cur = currentVersion(spark, root).getOrElse(av)
+    val (_, rootPath) = Versioned.fsOf(spark, root)
+    spark.read.parquet(analyzeDir(rootPath, av).toString)
+      .withColumn("analyzed_version", lit(av))
+      .withColumn("current_version", lit(cur))
+  }
+
+  /** Stats-backed size estimate for broadcast planning: the analyzed
+    * live-file byte count, ONLY when the stats are current (analyzed
+    * version == current version). Stale or missing stats → None — the
+    * planner falls back to Spark's own defaults rather than acting on
+    * a size that may be wrong. */
+  def statsBytesIfCurrent(spark: SparkSession, root: String): Option[Long] =
+    analyzedVersion(spark, root)
+      .filter(av => currentVersion(spark, root).contains(av))
+      .map { av =>
+        import org.apache.spark.sql.functions.max
+        val (_, rootPath) = Versioned.fsOf(spark, root)
+        spark.read.parquet(analyzeDir(rootPath, av).toString)
+          .select(max(col("table_bytes"))).collect()(0).getLong(0)
+      }
+
   /** The table's manifest partition column (`HiddenPartition` recovers
     * its transform spec from this name). */
   def partitionColumn(spark: SparkSession, root: String): String =

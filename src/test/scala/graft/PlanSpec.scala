@@ -331,4 +331,53 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
     }
   }
+
+  test("ANALYZE stats drive the broadcast decision; stale stats are ignored") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cbo_").toString
+    val life = new graft.ops.SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.facts (k BIGINT, part STRING, v BIGINT)
+      USING ICEBERG PARTITIONED BY (part)""")
+    life.execute("""CREATE TABLE s.dim (k BIGINT, part STRING, name STRING)
+      USING ICEBERG PARTITIONED BY (part)""")
+    (1L to 2000L).map(i => (i, s"p${i % 4}", i * 3))
+      .toDF("k", "part", "v").createOrReplaceTempView("facts_src")
+    (1L to 50L).map(i => (i, s"p${i % 2}", s"n$i"))
+      .toDF("k", "part", "name").createOrReplaceTempView("dim_src")
+    life.execute("INSERT INTO s.facts SELECT * FROM facts_src")
+    life.execute("INSERT INTO s.dim SELECT * FROM dim_src")
+    val q = "SELECT f.k, d.name FROM s.facts f JOIN s.dim d ON f.k = d.k"
+    // isolate the stats-driven decision from Spark's own size estimate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no stats yet → no hint → sort-merge join
+      val before = life.query(q).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"), s"plan:\n$before")
+      // analyzed + tiny → broadcast hint kicks in with auto-broadcast OFF
+      life.execute("ANALYZE TABLE s.dim COMPUTE STATISTICS FOR COLUMNS k")
+      val after = life.query(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"), s"plan:\n$after")
+      // a commit AFTER the analyze dates the stats → decision reverts
+      // (stale sizes are never trusted)
+      life.execute("INSERT INTO s.dim SELECT k + 100, part, name FROM dim_src")
+      val stale = life.query(q).queryExecution.executedPlan.toString
+      assert(!stale.contains("BroadcastHashJoin"), s"plan:\n$stale")
+      // threshold conf disables the path outright
+      life.execute("ANALYZE TABLE s.dim COMPUTE STATISTICS FOR COLUMNS k")
+      spark.conf.set("spark.graft.analyze.broadcastThreshold", "0")
+      val off = life.query(q).queryExecution.executedPlan.toString
+      assert(!off.contains("BroadcastHashJoin"), s"plan:\n$off")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.analyze.broadcastThreshold")
+    }
+    // column_stats carries the staleness stamp the decision keys on
+    val cs = graft.ops.VersionedPartitioned.columnStats(spark,
+      java.nio.file.Paths.get(root, "s", "dim").toString)
+    val r = cs.select("analyzed_version", "current_version").head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
 }
