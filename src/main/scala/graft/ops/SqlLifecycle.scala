@@ -132,6 +132,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
+      case AlterBranchRe(name, verb, branch) =>
+        alterBranch(name.toLowerCase, verb.toUpperCase == "CREATE",
+          branch); None
+      case InsertBranchRe(name, branch, body) =>
+        insertToBranch(name.toLowerCase, branch, body); None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
@@ -1449,6 +1454,14 @@ object SqlLifecycle {
   private val AnalyzeRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(ALL)\s+COLUMNS|\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
+  private val AlterBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(CREATE|DROP)\s+BRANCH\s+""" +
+      """(\w+)\s*;?\s*$""").r
+  private val InsertBranchRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w]+\.[\w]+)\.branch_(\w+)\s+(.*)$""".r
+  // Iceberg's branch read suffix in query texts: `schema.table.branch_<b>`
+  private val BranchReadRe =
+    """(?i)\b([\w]+\.[\w]+)\.branch_(\w+)\b""".r
   private val DescribeRe =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
   private val InsertOverwriteRe =

@@ -753,6 +753,33 @@ object VersionedPartitioned {
     committed
   }
 
+  /** Fork a branch at main's CURRENT manifest — Iceberg's
+    * `ALTER TABLE … CREATE BRANCH`: one pointer file whose content is
+    * the current manifest verbatim. Metadata-only (zero data I/O, no
+    * snapshot written); subsequent `promoteToBranch` calls advance the
+    * branch head from here. Idempotent-hostile by design: an existing
+    * branch is an error, not a silent re-fork. */
+  def createBranch(spark: SparkSession, root: String, branch: String): Unit = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    require(Versioned.branchHeadRaw(fs, rootPath, branch).isEmpty,
+      s"branch $branch already exists under $root")
+    val (_, m) = latestManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no commits under $root — nothing to branch from"))
+    val pre = Versioned.branchFilePrefix(branch)
+    val target = new HPath(rootPath, f"${pre}${1L}%020d${Versioned.CommitSuffix}")
+    val os = fs.create(target, false)
+    try os.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** True when `branch` has at least one commit. */
+  def branchExists(spark: SparkSession, root: String,
+      branch: String): Boolean = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    Versioned.branchHeadRaw(fs, rootPath, branch).isDefined
+  }
+
   /** Audit read of the branch head's manifest (snapshot-isolated like
     * every other read here). */
   def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {
