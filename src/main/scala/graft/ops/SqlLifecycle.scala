@@ -132,11 +132,6 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
-      case AlterBranchRe(name, verb, branch) =>
-        alterBranch(name.toLowerCase, verb.toUpperCase == "CREATE",
-          branch); None
-      case InsertBranchRe(name, branch, body) =>
-        insertToBranch(name.toLowerCase, branch, body); None
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
