@@ -2724,6 +2724,60 @@ object ExtQueries {
     monthTotals(byTs)
   }
 
+  /**
+   * WAP-from-statement-texts gate (ops/SqlLifecycle branch routing —
+   * the Iceberg scripting shape of `wap_publish_partitioned`, whose
+   * oracle it shares): main loads Jan–Mar through raw INSERT texts;
+   * `ALTER TABLE … CREATE BRANCH audit` forks the audit branch;
+   * `INSERT OVERWRITE t.branch_audit` stages the February repricing
+   * (partition replace on the branch head); `INSERT INTO
+   * t.branch_audit` appends April; the audit reads the branch through
+   * the query door's `t.branch_<b>` suffix while main must still
+   * serve the original state; `CALL system.fast_forward` publishes
+   * metadata-only. Every step is a statement text — the door an
+   * Iceberg user actually scripts WAP through.
+   */
+  private def sqlWapBranch(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlwap_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA wap")
+    life.execute("""
+      CREATE TABLE wap.orders_monthly
+      (month STRING, o_orderkey BIGINT, o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    base.createOrReplaceTempView("raw_wap_orders")
+    life.execute("""
+      INSERT INTO wap.orders_monthly
+      SELECT month, o_orderkey, o_totalprice FROM raw_wap_orders
+      WHERE month BETWEEN '1995-01' AND '1995-03'""")
+    life.execute("ALTER TABLE wap.orders_monthly CREATE BRANCH audit")
+    life.execute("""
+      INSERT OVERWRITE wap.orders_monthly.branch_audit
+      SELECT month, o_orderkey,
+             CAST(round(o_totalprice * CAST(1.1 AS DECIMAL(3,1)), 2)
+                  AS DECIMAL(18,2))
+      FROM raw_wap_orders WHERE month = '1995-02'""")
+    life.execute("""
+      INSERT INTO wap.orders_monthly.branch_audit
+      SELECT month, o_orderkey, o_totalprice FROM raw_wap_orders
+      WHERE month = '1995-04'""")
+    // the audit: branch serves 4 staged months; main still the original 3
+    val audit = life.query("""
+      SELECT count(DISTINCT month) AS m
+      FROM wap.orders_monthly.branch_audit""").collect().head.getLong(0)
+    require(audit == 4, s"audit read expected 4 branch months, got $audit")
+    val mainMonths = life.query(
+      "SELECT count(DISTINCT month) AS m FROM wap.orders_monthly")
+      .collect().head.getLong(0)
+    require(mainMonths == 3,
+      s"staged branch writes leaked into main ($mainMonths months)")
+    life.execute(
+      "CALL catalog.system.fast_forward('wap.orders_monthly', 'audit')")
+    monthTotals(life.table("wap.orders_monthly"))
+  }
+
   /** Shared fixture of the row-level-verb SQL gates: a fresh lifecycle
     * catalog holding `sales.facts` (month-partitioned), loaded with the
     * `o_orderkey % 4 < 2` slice of three 1995 months via raw statement
@@ -4068,6 +4122,7 @@ object ExtQueries {
     "versioned_delete_mor" -> ((s, dir) => versionedDeleteMor(s, dir)),
     "versioned_timetravel_ts" -> ((s, dir) => versionedTimeTravelTs(s, dir)),
     "sql_timetravel" -> ((s, dir) => sqlTimeTravel(s, dir)),
+    "sql_wap_branch" -> ((s, dir) => sqlWapBranch(s, dir)),
     "versioned_compacted" -> ((s, dir) => versionedCompacted(s, dir)),
     "versioned_evolve" -> ((s, dir) => versionedEvolve(s, dir)),
     "versioned_repartition" -> ((s, dir) => versionedRepartition(s, dir)),
@@ -4581,7 +4636,11 @@ object ExtQueries {
     base + ("versioned_timetravel_ts" -> base("versioned_timetravel")) +
       // the SQL sugar (`VERSION AS OF` / `TIMESTAMP AS OF`) resolves
       // through the same readAt machinery — one oracle for all doors
-      ("sql_timetravel" -> base("versioned_timetravel"))
+      ("sql_timetravel" -> base("versioned_timetravel")) +
+      // WAP through statement texts stages the same Feb-reprice/April-
+      // append and publishes the same metadata-only fast-forward as
+      // the Scala-API gate — one oracle for both doors
+      ("sql_wap_branch" -> base("wap_publish_partitioned"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

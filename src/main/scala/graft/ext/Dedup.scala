@@ -24,14 +24,45 @@ import org.apache.spark.sql.functions._
  * All hashes are seeded xxhash64 — deterministic across runs/executors.
  *
  * Cache lifecycle: the near-dup joins persist their shared shingle/
- * signature frames (MEMORY_AND_DISK) for the duration of the session —
- * long-lived sessions issuing many dedup calls should
- * `spark.catalog.clearCache()` between batches (the Verify/Bench
- * harnesses do).
+ * signature frames (MEMORY_AND_DISK). Every internal persist is
+ * TRACKED per session: long-lived sessions issuing many dedup calls
+ * release them with `Dedup.releaseCaches(spark)` once the round's
+ * results are materialized (unpersisting under a still-lazy result is
+ * safe — it recomputes), or `spark.catalog.clearCache()` for the
+ * blunt version (the Verify/Bench harnesses isolate per query).
+ * `nearDupGraph` returns an explicit handle with `close()` instead.
  */
 object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Internal persists by session — Spark's CacheManager holds strong
+    * references, so an orphaned persist survives until session end;
+    * this registry makes release possible without a handle per call. */
+  private val liveCaches = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.computeIfAbsent(p.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
+    p
+  }
+
+  /** Unpersist every frame the dedup operators cached in `spark` since
+    * the last release. Returns the number released. Safe at any time:
+    * a not-yet-materialized result simply recomputes its inputs. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int = {
+    val q = liveCaches.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      var d = q.poll()
+      while (d != null) { d.unpersist(false); n += 1; d = q.poll() }
+      n
+    }
+  }
 
   /**
    * Exact dedup: one surviving row per distinct `textCol`, keeping the
@@ -169,8 +200,7 @@ object Dedup {
     * cheap side of the trade at any corpus size. */
   private def cachedSizedBandBuckets(sigs: DataFrame, idCol: String,
       bands: Int): DataFrame =
-    sizedBandBuckets(sigs, idCol, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached(sizedBandBuckets(sigs, idCol, bands))
 
   /**
    * LSH candidate EDGES — the components-family variant of
@@ -270,8 +300,7 @@ object Dedup {
     // verification) — persist ONE shingle pass instead of recomputing it
     // per plan branch
     val sets = shingleSets(df, idCol, textCol, shingleK)
-    val sigs = sigsFromShingles(sets, idCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = cached(sigsFromShingles(sets, idCol, numHashes))
     val cands = lshCandidatePairs(sigs, idCol, bands, maxBucketSize)
     verifyJaccard(cands, sets, idCol, threshold)
   }
@@ -290,8 +319,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Long = DefaultMaxLshBucket): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleK)
-    val sigs = sigsFromShingles(sets, idCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = cached(sigsFromShingles(sets, idCol, numHashes))
     val cands = lshCandidateEdges(sigs, idCol, bands, maxBucketSize)
     verifyJaccard(cands, sets, idCol, threshold)
   }
@@ -303,9 +331,8 @@ object Dedup {
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame = {
     graft.functions.TextExprs.register(df.sparkSession)
-    df.select(col(idCol),
-        expr(s"token_shingles(`$textCol`, $shingleK)").as("__shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached(df.select(col(idCol),
+      expr(s"token_shingles(`$textCol`, $shingleK)").as("__shingles")))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -355,9 +382,8 @@ object Dedup {
       idCol, bands)
     // two consumers (vs-corpus join, within-batch self-join) of a small
     // frame — persist instead of re-aggregating the batch signatures
-    val bBands = bandBuckets(sigsFromShingles(bSets, idCol, numHashes),
-        idCol, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = cached(bandBuckets(
+      sigsFromShingles(bSets, idCol, numHashes), idCol, bands))
     // id_b is the batch doc in BOTH candidate branches, so the verified
     // losers are exactly the distinct id_b values
     val vsCorpus = cBands.select(col(idCol).as("id_a"),
@@ -462,9 +488,8 @@ object Dedup {
   def incrementalNearDupsIndexed(corpusIndexed: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 32,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val batchIdx = buildBandIndex(batch, idCol, textCol, numHashes, bands,
-        shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchIdx = cached(buildBandIndex(batch, idCol, textCol, numHashes,
+      bands, shingleK))
     def explodeBands(idx: DataFrame, as: String): DataFrame =
       idx.select(col(idCol), posexplode(col(IndexBucketsCol)))
         .toDF(idCol, "__band", "__bucket")
@@ -530,8 +555,7 @@ object Dedup {
     require(n >= 2 && n <= 64, "need 2..64 chunks")
     // both self-join sides read the signatures — persist the (tiny)
     // (id, simhash) frame instead of re-aggregating the token stream
-    val hashed = simhashSignatures(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = cached(simhashSignatures(df, idCol, textCol))
     // chunk c covers bits [c*64 div n, (c+1)*64 div n) — widths differ by
     // ≤1 bit when n ∤ 64; the mask strips arithmetic-shift sign fill.
     val chunked = hashed.select(col(idCol), col("__simhash"), posexplode(expr(

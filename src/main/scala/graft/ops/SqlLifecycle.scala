@@ -116,6 +116,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         alterRenameColumn(name.toLowerCase, from, to); None
       case TruncateRe(name) =>
         truncateTable(name.toLowerCase); None
+      case AlterBranchRe(name, verb, branch) =>
+        alterBranch(name.toLowerCase, verb, branch); None
+      case InsertOverwriteBranchRe(name, branch, body) =>
+        insertToBranch(name.toLowerCase, branch, body, overwrite = true); None
+      case InsertBranchRe(name, branch, body) =>
+        insertToBranch(name.toLowerCase, branch, body, overwrite = false); None
       case InsertOverwriteRe(name, body) =>
         insertOverwrite(name.toLowerCase, body); None
       case OptimizeRe(name, whereCol, whereVal, zCols, bits) =>
@@ -151,9 +157,33 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
     registerViewsFor(sel)
-    val withTravel = resolveAsOf(resolveMetadataTables(sel))
+    val withTravel = resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)))
     spark.sql(rewriteNames(withTravel))
   }
+
+  /** Iceberg's branch read suffix in query texts: `schema.table
+    * .branch_<b>` over a cataloged partitioned table with a live
+    * branch pointer registers the branch head's manifest read
+    * (snapshot-isolated, like every read) as a pinned view and
+    * substitutes its name — the WAP audit's `SELECT … FROM
+    * t.branch_audit` door. An unknown table or branch passes through
+    * untouched (Spark then fails resolution loudly). */
+  private def resolveBranchReads(sel: String): String =
+    BranchReadRe.replaceAllIn(sel, m => {
+      val t = m.group(1).toLowerCase
+      val b = m.group(2)
+      val meta = metaOf(t).filter(_.partitionCol.isDefined)
+      val ok = meta.isDefined &&
+        VersionedPartitioned.branchExists(spark, tableDir(t).toString, b)
+      if (!ok) m.matched
+      else {
+        val vn = viewName(t) + "__branch_" + b
+        VersionedPartitioned.readBranch(spark, tableDir(t).toString, b)
+          .select(meta.get.schema.fieldNames.map(c => col(s"`$c`")): _*)
+          .createOrReplaceTempView(vn)
+        scala.util.matching.Regex.quoteReplacement(vn)
+      }
+    })
 
   /** Iceberg's metadata-table suffix syntax in the query door:
     * `schema.table.history|snapshots|partitions|files` over a
@@ -419,16 +449,45 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case "rewrite_data_files" =>
         val v = VersionedPartitioned.compact(spark, path)
         Seq((table, v)).toDF("table", "current_version")
+      case "fast_forward" =>
+        // Iceberg: fast_forward(table, branch, to) advances `branch`
+        // to `to`'s head. The versioned format's only writable ref is
+        // main, so the 3-arg form requires branch = 'main'; the 2-arg
+        // shorthand fast_forward(table, audit_branch) means the same.
+        // Metadata-only (`publish`); the branch pointer survives for
+        // re-audits until ALTER TABLE … DROP BRANCH.
+        val positional = args.count(_._1.isEmpty)
+        val named = args.flatMap(_._1)
+        val threeArg = named.contains("to") || positional >= 3
+        val src =
+          if (threeArg) arg(Seq("to"), 2) else arg(Seq("branch", "to"), 1)
+        if (threeArg) {
+          val target = arg(Seq("branch"), 1)
+          require(target.equalsIgnoreCase("main"),
+            s"CALL system.fast_forward: only 'main' can be " +
+              s"fast-forwarded (got '$target')")
+        }
+        val v = VersionedPartitioned.publish(spark, path, src, drop = false)
+        Seq((table, src, v))
+          .toDF("table", "published_branch", "current_version")
       case other => throw new IllegalArgumentException(
         s"CALL system.$other: unsupported procedure (have " +
           "rollback_to_snapshot, set_current_snapshot, expire_snapshots, " +
-          "rewrite_data_files)")
+          "rewrite_data_files, fast_forward)")
     }
   }
 
   private def insert(name: String, body: String): Unit = {
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"INSERT INTO $name: no such table"))
+    appendRows(name, meta, insertSource(name, meta, body))
+  }
+
+  /** Parse an INSERT body — optional (col, …) list, then VALUES … or a
+    * query — and conform it to the target's declared schema. Shared by
+    * the main INSERT route and the branch staging routes. */
+  private def insertSource(name: String, meta: TableMeta,
+      body: String): DataFrame = {
     // body = optional (col, ...) column list, then VALUES ... or a query
     val (colList, rest) = body.trim match {
       case ColListRe(cols, r) =>
@@ -441,7 +500,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       else query(rest)
     // explicit column list: positional tuple/query columns take the
     // listed names; unnamed → conform below decides by name vs position
-    val src = colList match {
+    colList match {
       case Some(cols) =>
         require(src0.columns.length == cols.length,
           s"INSERT INTO $name: ${cols.length} columns listed, " +
@@ -457,7 +516,54 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         graft.model.Schemas.evolve(src0.toDF(cols: _*), meta.schema)
       case None => conform(src0, meta.schema, name)
     }
-    appendRows(name, meta, src)
+  }
+
+  /** `ALTER TABLE t CREATE|DROP BRANCH b` — the WAP loop's ref verbs
+    * over the versioned format's branch pointers (metadata-only both
+    * ways; `VersionedPartitioned.createBranch` forks at main's CURRENT
+    * manifest). */
+  private def alterBranch(name: String, verb: String, branch: String): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"ALTER TABLE $name $verb BRANCH: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"ALTER TABLE $name $verb BRANCH: branches ride the partitioned " +
+        "(versioned) format — unpartitioned tables have no commit log")
+    val path = tableDir(name).toString
+    verb.toUpperCase match {
+      case "CREATE" =>
+        require(VersionedPartitioned.currentVersion(spark, path).isDefined,
+          s"ALTER TABLE $name CREATE BRANCH $branch: no committed data " +
+            "to fork from")
+        VersionedPartitioned.createBranch(spark, path, branch)
+      case "DROP" =>
+        VersionedPartitioned.dropBranch(spark, path, branch); ()
+    }
+  }
+
+  /** `INSERT INTO|OVERWRITE t.branch_<b> …` — staging writes on a
+    * branch, main untouched: INSERT folds overlapping branch-visible
+    * partitions (true insert, `insertIntoBranch`); OVERWRITE stages a
+    * partition merge that REPLACES the written partitions on the
+    * branch head (`promoteToBranch` — the WAP audit-rewrite shape). */
+  private def insertToBranch(name: String, branch: String, body: String,
+      overwrite: Boolean): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"INSERT INTO $name.branch_$branch: no such table"))
+    val pcol = meta.partitionCol.getOrElse(
+      throw new IllegalArgumentException(
+        s"INSERT INTO $name.branch_$branch: branches ride the " +
+          "partitioned (versioned) format"))
+    val path = tableDir(name).toString
+    require(VersionedPartitioned.currentVersion(spark, path).isDefined,
+      s"INSERT INTO $name.branch_$branch: the table has no committed " +
+        "data — branches fork from main's manifest")
+    val rows = insertSource(name, meta, body)
+    if (overwrite) {
+      VersionedPartitioned.promoteToBranch(rows, path, branch, pcol)
+    } else {
+      VersionedPartitioned.insertIntoBranch(rows, path, branch, pcol)
+    }
+    ()
   }
 
   /** BY NAME when the source columns are exactly the target's (any
@@ -743,13 +849,17 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
     // alias-qualified references in conditions/value expressions are
     // rewritten to the join's internal t./s. aliases (outside string
-    // literals); unqualified ambiguous names fail resolution loudly
+    // literals) in ONE pass — sequential replaceAll would let a source
+    // alias of literally 't' re-capture the just-rewritten target
+    // references and resolve target columns against the source;
+    // unqualified ambiguous names fail resolution loudly
+    require(!tAlias.equalsIgnoreCase(sAlias),
+      s"MERGE INTO: target and source aliases must differ (both '$tAlias')")
+    val aliasRe = ("(?i)\\b(" + java.util.regex.Pattern.quote(tAlias) +
+      "|" + java.util.regex.Pattern.quote(sAlias) + ")\\.").r
     def rewriteAliases(e: String): String =
-      mapOutsideLiterals(e, seg => seg
-        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(tAlias) + "\\.",
-          "t.")
-        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sAlias) + "\\.",
-          "s."))
+      mapOutsideLiterals(e, seg => aliasRe.replaceAllIn(seg, m =>
+        if (m.group(1).equalsIgnoreCase(tAlias)) "t." else "s."))
     val src0 =
       if (srcIsQuery) query(srcText)
       else if (srcText.contains(".") &&
@@ -1005,7 +1115,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val cols =
       if (allColumns) meta.schema.fieldNames.toSeq
       else colsBlock match {
-        case Some(block) => splitTop(block).map(_.trim.toLowerCase)
+        // requested names resolve case-insensitively to the DECLARED
+        // field names (SQL identifier semantics; analyzeColumns
+        // validates with the schema's exact spelling)
+        case Some(block) => splitTop(block).map { raw =>
+          val want = raw.trim
+          meta.schema.fieldNames.find(_.equalsIgnoreCase(want)).getOrElse(
+            throw new IllegalArgumentException(
+              s"ANALYZE TABLE $name FOR COLUMNS $want: no such column"))
+        }
         case None => Seq(pcol)
       }
     VersionedPartitioned.analyzeColumns(spark, path, cols)
@@ -1454,6 +1572,9 @@ object SqlLifecycle {
       """(\w+)\s*;?\s*$""").r
   private val InsertBranchRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w]+\.[\w]+)\.branch_(\w+)\s+(.*)$""".r
+  private val InsertOverwriteBranchRe =
+    ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?""" +
+      """([\w]+\.[\w]+)\.branch_(\w+)\s+(.*)$""").r
   // Iceberg's branch read suffix in query texts: `schema.table.branch_<b>`
   private val BranchReadRe =
     """(?i)\b([\w]+\.[\w]+)\.branch_(\w+)\b""".r

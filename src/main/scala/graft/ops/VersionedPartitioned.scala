@@ -69,6 +69,7 @@ object VersionedPartitioned {
   private val DropColPrefix = "dropcol:"
   private val RenColPrefix = "rencol:"
   private val WidenColPrefix = "widencol:"
+  private val SnapGenPrefix = "snapgen:"
   private val DelPrefix = "del:"
   private[ops] val DelDirPrefix = "del-"
 
@@ -102,7 +103,17 @@ object VersionedPartitioned {
   final case class Manifest(partitionCol: String,
       entries: Map[String, String], tag: Option[String],
       evolution: Seq[Evolution] = Nil,
-      deletes: Map[String, Seq[String]] = Map.empty)
+      deletes: Map[String, Seq[String]] = Map.empty,
+      snapGens: Map[String, Int] = Map.empty) {
+    /** Gens for snapshots this commit writes: every dir in `written`
+      * maps to its snapshot, stamped with the CURRENT rule count —
+      * rules recorded before the write are already reflected in the
+      * snapshot's physical schema and must never replay over it
+      * (replaying an older DropCol over a post-re-add snapshot is
+      * silent data loss). */
+    def gensWith(written: Map[String, String]): Map[String, Int] =
+      snapGens ++ written.valuesIterator.map(_ -> evolution.length)
+  }
 
   private def render(m: Manifest): String = {
     require(!m.partitionCol.exists(c => c == '\n' || c == '\t'),
@@ -133,6 +144,20 @@ object VersionedPartitioned {
           "widened-column type must be a single-line Spark DDL type")
         s"$WidenColPrefix$n\t$t"
     }
+    // schema generation per referenced snapshot: the number of
+    // evolution rules in effect when the snapshot was written. Rules
+    // with index < gen predate nothing in that snapshot and are
+    // skipped at read time (see applyAddedCols). Gen 0 is the
+    // default at parse and is never rendered; unreferenced snaps are
+    // pruned so the block stays O(#referenced snapshots).
+    val referenced = m.entries.values.toSet
+    val genLines = m.snapGens.toSeq
+      .filter { case (s, g) => g > 0 && referenced(s) }
+      .sortBy(_._1)
+      .map { case (s, g) =>
+        cleanName(s, "snapshot name")
+        s"$SnapGenPrefix$s\t$g"
+      }
     val delLines = m.deletes.toSeq.sortBy(_._1).flatMap { case (p, ds) =>
       ds.map { d =>
         require(d.startsWith(DelDirPrefix) && !d.exists(c => c == '\n' || c == '\t'),
@@ -141,7 +166,8 @@ object VersionedPartitioned {
       }
     }
     val rows = m.entries.toSeq.sorted.map { case (p, s) => s"$p\t$s" }
-    (header +: tagLine ++: colLines ++: delLines ++: rows).mkString("\n")
+    (header +: tagLine ++: colLines ++: genLines ++: delLines ++: rows)
+      .mkString("\n")
   }
 
   private def parse(content: String): Manifest = {
@@ -176,7 +202,14 @@ object VersionedPartitioned {
         require(i > 0, s"bad renamed-column row: $l")
         RenameCol(s.substring(0, i), s.substring(i + 1))
     }
-    val afterCols = afterTag.dropWhile(isEvo)
+    val afterEvo = afterTag.dropWhile(isEvo)
+    val snapGens = afterEvo.takeWhile(_.startsWith(SnapGenPrefix)).map { l =>
+      val s = l.stripPrefix(SnapGenPrefix)
+      val i = s.indexOf('\t')
+      require(i > 0, s"bad snapshot-generation row: $l")
+      s.substring(0, i) -> s.substring(i + 1).toInt
+    }.toMap
+    val afterCols = afterEvo.dropWhile(_.startsWith(SnapGenPrefix))
     val deletes = afterCols.takeWhile(_.startsWith(DelPrefix)).map { l =>
       val s = l.stripPrefix(DelPrefix)
       val i = s.indexOf('\t')
@@ -189,7 +222,7 @@ object VersionedPartitioned {
       require(i > 0, s"bad manifest row: $l")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    Manifest(partitionCol, entries, tag, evolution, deletes)
+    Manifest(partitionCol, entries, tag, evolution, deletes, snapGens)
   }
 
   /** (version, manifest) for every parseable commit, ascending.
@@ -578,9 +611,11 @@ object VersionedPartitioned {
       // overwritten ones (the rewrite replaces the rows they applied to)
       val prevCols = latest.map(_._2.evolution).getOrElse(Nil)
       val prevDel = latest.map(_._2.deletes).getOrElse(Map.empty) -- written.keys
+      val prevGens = latest.map(_._2.snapGens).getOrElse(Map.empty)
       val v = latest.map(_._1).getOrElse(0L) + 1
       val content =
-        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel))
+        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel,
+          prevGens ++ written.valuesIterator.map(_ -> prevCols.length)))
       val target = new HPath(rootPath,
         f"${Versioned.CommitPrefix}$v%020d${Versioned.CommitSuffix}")
       try {
@@ -717,7 +752,6 @@ object VersionedPartitioned {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
-    val pre = Versioned.branchFilePrefix(branch)
     val snapName = writeSnapshot(df, rootPath, partitionCol, statsCols,
       cluster)
     val snapPath = new HPath(rootPath, snapName)
@@ -725,6 +759,18 @@ object VersionedPartitioned {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partitionCol + "="))
       .map(_.getPath.getName -> snapName).toMap
+    commitToBranch(spark, fs, rootPath, root, branch, partitionCol,
+      written, tag)
+  }
+
+  /** The branch-head claim loop shared by `promoteToBranch` and
+    * `insertIntoBranch`: merge `written` onto the branch head (or the
+    * fork base — main's current manifest) and advance the branch
+    * pointer, re-merging on a lost race like `commitSnapshot`. */
+  private def commitToBranch(spark: SparkSession, fs: FileSystem,
+      rootPath: HPath, root: String, branch: String, partitionCol: String,
+      written: Map[String, String], tag: Option[String]): Long = {
+    val pre = Versioned.branchFilePrefix(branch)
     var committed = -1L
     while (committed < 0) {
       val head = Versioned.branchHeadRaw(fs, rootPath, branch)
@@ -737,9 +783,11 @@ object VersionedPartitioned {
       val base = baseM.map(_.entries).getOrElse(Map.empty)
       val prevCols = baseM.map(_.evolution).getOrElse(Nil)
       val prevDel = baseM.map(_.deletes).getOrElse(Map.empty) -- written.keys
+      val prevGens = baseM.map(_.snapGens).getOrElse(Map.empty)
       val v = head.map(_._1).getOrElse(0L) + 1
       val content =
-        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel))
+        render(Manifest(partitionCol, base ++ written, tag, prevCols, prevDel,
+          prevGens ++ written.valuesIterator.map(_ -> prevCols.length)))
       val target = new HPath(rootPath, f"$pre$v%020d${Versioned.CommitSuffix}")
       try {
         val os = fs.create(target, false)
@@ -751,6 +799,44 @@ object VersionedPartitioned {
       }
     }
     committed
+  }
+
+  /** INSERT-shaped staging write on `branch` — the WAP loop's
+    * `INSERT INTO t.branch_<b> …` statement route: write `df` as a
+    * snapshot FIRST (one Spark job, same shape as `insertInto`), fold
+    * in the CURRENT branch-visible rows of any overlapping partition
+    * (branch head if the branch has commits, else main's manifest —
+    * the fork point), then advance the branch head. Main is never
+    * touched. Returns None (no commit) for an empty insert. */
+  def insertIntoBranch(df: DataFrame, root: String, branch: String,
+      partitionCol: String = "date"): Option[Long] = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil)
+    val snapPath = new HPath(rootPath, snapName)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath.getName).toSet
+    if (written.isEmpty) { fs.delete(snapPath, true); return None }
+    val baseM = Versioned.branchHeadRaw(fs, rootPath, branch)
+      .map(h => parse(h._2))
+      .orElse(latestManifest(spark, root).map(_._2))
+    val overlap = baseM.map(_.entries.view.filterKeys(written).toMap)
+      .getOrElse(Map.empty)
+    if (overlap.nonEmpty) {
+      // INSERT means union: the overlapped partitions' branch-visible
+      // rows (delete sidecars and evolution scoped by readManifest's
+      // sub-view contract) join the new rows inside the snapshot dirs
+      readManifest(spark, root, baseM.get.copy(entries = overlap))
+        .select(df.columns.map(c => col(s"`$c`")): _*)
+        .repartition(col(partitionCol))
+        .write.mode("append").partitionBy(partitionCol)
+        .parquet(snapPath.toString)
+    }
+    Some(commitToBranch(spark, fs, rootPath, root, branch, partitionCol,
+      written.map(_ -> snapName).toMap, None))
   }
 
   /** Fork a branch at main's CURRENT manifest — Iceberg's
@@ -848,16 +934,34 @@ object VersionedPartitioned {
     * (name, default) applies only when the frame lacks the column
     * physically. Applied per snapshot frame BEFORE the union, because
     * snapshots written before and after an evolution differ in
-    * physical schema. */
-  private def applyAddedCols(df: DataFrame, m: Manifest): DataFrame =
-    m.evolution.foldLeft(df) {
-      case (d, AddCol(n, default)) =>
+    * physical schema.
+    *
+    * Destructive rules (DROP / RENAME) are scoped by the snapshot's
+    * recorded schema generation: a rule whose index is below `gen`
+    * was already in effect when the snapshot was written, so its
+    * physical schema reflects it — replaying it would destroy REAL
+    * data (DROP c → ADD c: a later promote's genuine c values would
+    * be dropped and refilled with the ADD default; re-adding a
+    * renamed-away name would clobber it again). Snapshots from
+    * manifests predating the gen block parse to gen 0 — full replay,
+    * the pre-scoping behavior. AddCol/WidenCol stay gen-unscoped:
+    * their contains-column guards make replay idempotent, and they
+    * keep filling defaults for post-evolution promotes that omitted
+    * the column. */
+  private def applyAddedCols(df: DataFrame, m: Manifest,
+      snap: String): DataFrame = {
+    val gen = m.snapGens.getOrElse(snap, 0)
+    m.evolution.zipWithIndex.foldLeft(df) {
+      case (d, (AddCol(n, default), _)) =>
         if (d.columns.contains(n)) d
         else d.withColumn(n, org.apache.spark.sql.functions.expr(default))
-      case (d, DropCol(n)) => d.drop(n)
-      case (d, RenameCol(o, n)) =>
-        if (d.columns.contains(o)) d.withColumnRenamed(o, n) else d
-      case (d, WidenCol(n, t)) =>
+      case (d, (DropCol(n), i)) =>
+        if (i < gen) d else d.drop(n)
+      case (d, (RenameCol(o, n), i)) =>
+        if (i < gen) d
+        else if (d.columns.contains(o)) d.withColumnRenamed(o, n)
+        else d
+      case (d, (WidenCol(n, t), _)) =>
         // cast is a no-op on frames (post-widening snapshots) already
         // carrying the wide type
         if (d.columns.contains(n))
@@ -865,6 +969,7 @@ object VersionedPartitioned {
             org.apache.spark.sql.types.DataType.fromDDL(t)))
         else d
     }
+  }
 
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
@@ -876,7 +981,8 @@ object VersionedPartitioned {
         val base = new HPath(rootPath, snap).toString
         applyAddedCols(
           spark.read.option("basePath", base)
-            .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*), m)
+            .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*),
+          m, snap)
     }
     val out = frames.reduce(_.unionByName(_))
     // merge-on-read deletes: anti-join against the referenced key
@@ -971,7 +1077,7 @@ object VersionedPartitioned {
         val base = new HPath(rootPath, snap).toString
         applyAddedCols(
           spark.read.option("basePath", base)
-            .parquet(files.map(f => s"$base/${f._2}"): _*), m)
+            .parquet(files.map(f => s"$base/${f._2}"): _*), m, snap)
     }
     frames.reduce(_.unionByName(_))
   }
@@ -1032,7 +1138,7 @@ object VersionedPartitioned {
             // partitions (stats-less or pre-row-count sidecar)
             val base = snapPath.toString
             applyAddedCols(spark.read.option("basePath", base)
-              .parquet(partDirs.sorted.map(p => s"$base/$p"): _*), m)
+              .parquet(partDirs.sorted.map(p => s"$base/$p"): _*), m, snap)
               .groupBy(col(m.partitionCol).cast("string").as(m.partitionCol))
               .agg(count(lit(1)).as("n_rows"),
                 min(col(colName)).as(s"min_$colName"),
@@ -1076,7 +1182,7 @@ object VersionedPartitioned {
     else
       readManifest(spark, root,
         Manifest(mTo.partitionCol, changed, mTo.tag, mTo.evolution,
-          mTo.deletes))
+          mTo.deletes, mTo.snapGens))
   }
 
   /**
@@ -1139,7 +1245,7 @@ object VersionedPartitioned {
       if (kept.isEmpty) None
       else Some(readManifest(spark, root,
         Manifest(mTo.partitionCol, kept, None, mTo.evolution,
-        mTo.deletes)))
+        mTo.deletes, mTo.snapGens)))
     }
     val (oldSide, newSide) = (side(fromEntries), side(mTo.entries))
     val anchor = newSide.orElse(oldSide).getOrElse(
@@ -1168,7 +1274,7 @@ object VersionedPartitioned {
     Some(claimLoop(spark, root) { latest =>
       val (pv, m) = latest.get
       (pv + 1, render(Manifest(m.partitionCol, m.entries -- affected, tag,
-        m.evolution, m.deletes -- affected)))
+        m.evolution, m.deletes -- affected, m.snapGens)))
     })
   }
 
@@ -1230,7 +1336,7 @@ object VersionedPartitioned {
       val (pv, m) = latest.get
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- dirNames, tag,
-          m.evolution, m.deletes -- dirNames)))
+          m.evolution, m.deletes -- dirNames, m.snapGens)))
     }
   }
 
@@ -1293,7 +1399,8 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(pcol, m.entries -- affected ++ written, tag,
-          m.evolution, m.deletes -- affected -- written.keys)))
+          m.evolution, m.deletes -- affected -- written.keys,
+          m.gensWith(written))))
     }
   }
 
@@ -1397,7 +1504,8 @@ object VersionedPartitioned {
             "the new state and re-run")
       (pv + 1,
         render(Manifest(pcol, m.entries -- affectedDirs ++ written, tag,
-          m.evolution, m.deletes -- affectedDirs -- written.keys)))
+          m.evolution, m.deletes -- affectedDirs -- written.keys,
+          m.gensWith(written))))
     }
   }
 
@@ -1583,7 +1691,7 @@ object VersionedPartitioned {
     val rewrite = m0.entries.filterNot { case (_, snap) => keep(snap) }
     val frame = readManifest(spark, root,
       Manifest(m0.partitionCol, rewrite, None, m0.evolution,
-      m0.deletes))
+      m0.deletes, m0.snapGens))
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
@@ -1605,7 +1713,8 @@ object VersionedPartitioned {
             "against the new state")
       (pv + 1,
         render(Manifest(m.partitionCol, m.entries -- rewrite.keys ++ written,
-          None, m.evolution, m.deletes -- rewrite.keys -- written.keys)))
+          None, m.evolution, m.deletes -- rewrite.keys -- written.keys,
+          m.gensWith(written))))
     })
   }
 
@@ -1660,7 +1769,7 @@ object VersionedPartitioned {
         s"column '$name' already exists under $root")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.evolution :+ AddCol(name, defaultSql), m.deletes)))
+          m.evolution :+ AddCol(name, defaultSql), m.deletes, m.snapGens)))
     }
 
   /** Metadata-only DROP COLUMN — same Iceberg semantics as
@@ -1683,7 +1792,7 @@ object VersionedPartitioned {
         s"DROP COLUMN $name: no such column under $root")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.evolution :+ DropCol(name), m.deletes)))
+          m.evolution :+ DropCol(name), m.deletes, m.snapGens)))
     }
 
   /** Metadata-only RENAME COLUMN — no data file is touched; readers
@@ -1711,7 +1820,7 @@ object VersionedPartitioned {
         s"RENAME COLUMN $from TO $to: '$to' already exists under $root")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.evolution :+ RenameCol(from, to), m.deletes)))
+          m.evolution :+ RenameCol(from, to), m.deletes, m.snapGens)))
     }
 
   /** Is `to` a LOSSLESS widening of `from` — Iceberg's type-promotion
@@ -1760,7 +1869,8 @@ object VersionedPartitioned {
           "decimal precision growth at the same scale)")
       (pv + 1, render(
         Manifest(m.partitionCol, m.entries, None,
-          m.evolution :+ WidenCol(name, newType.sql), m.deletes)))
+          m.evolution :+ WidenCol(name, newType.sql), m.deletes,
+          m.snapGens)))
     }
 
   /**
@@ -1822,7 +1932,8 @@ object VersionedPartitioned {
         throw new IllegalStateException(
           s"concurrent commit v$pv under $root during spec evolution " +
             s"(rewrote v$v0) — re-run repartitionTable against the new state")
-      (pv + 1, render(Manifest(newPartitionCol, written, tag, m.evolution)))
+      (pv + 1, render(Manifest(newPartitionCol, written, tag, m.evolution,
+        Map.empty, m.gensWith(written))))
     }
   }
 
@@ -1877,7 +1988,8 @@ object VersionedPartitioned {
       claimLoop(spark, root) { latest =>
         val (pv, m) = latest.get
         (pv + 1, render(Manifest(m.partitionCol, m.entries,
-          Some(s"$SrcVersionTag$cursor"), m.evolution, m.deletes)))
+          Some(s"$SrcVersionTag$cursor"), m.evolution, m.deletes,
+          m.snapGens)))
       }
       // the carry-forward commit is above keepMin, so the deletions
       // below leave it (and therefore the cursor) intact
@@ -1893,7 +2005,7 @@ object VersionedPartitioned {
         claimLoop(spark, root) { latest =>
           val (pv, m) = latest.get
           (pv + 1, render(Manifest(m.partitionCol, m.entries,
-            Some(t), m.evolution, m.deletes)))
+            Some(t), m.evolution, m.deletes, m.snapGens)))
         }
       }
     fs.listStatus(rootPath).foreach { s =>

@@ -128,6 +128,28 @@ class ExtSpec extends AnyFunSuite {
         numHashes = 128, bands = 32)))
   }
 
+  test("releaseCaches unpersists the dedup operators' internal caches; released results still recompute correctly") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // drain anything earlier tests left behind so the baseline is ours
+    Dedup.releaseCaches(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      numHashes = 32, bands = 8)
+    val before = pairs.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+      "the near-dup pass should have materialized tracked caches")
+    // the call persisted its shingle + signature + banded frames — the
+    // registry must know about them and release them all
+    val released = Dedup.releaseCaches(spark)
+    assert(released >= 3, s"expected >=3 tracked caches, got $released")
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "released caches must leave no extra persistent RDDs behind")
+    // a released (lazy) result recomputes, same answer
+    assert(pairs.count() == before)
+    // the registry drained: a release with no new dedup calls is a no-op
+    assert(Dedup.releaseCaches(spark) == 0)
+  }
+
   test("NearDupGraph: one shared pair graph serves clusters, sizes and both dedup policies identically to the standalone functions") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val g = Dedup.nearDupGraph(d, "doc_id", "text",

@@ -558,6 +558,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partition"))
   }
 
+  test("SqlLifecycle WAP branch routing: CREATE BRANCH, branch INSERT/OVERWRITE, branch SELECT, fast_forward, DROP BRANCH") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlwap_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA w")
+    life.execute("""CREATE TABLE w.facts
+      (k BIGINT, month STRING, total DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("""INSERT INTO w.facts VALUES
+      (1, '1995-01', 10.00), (2, '1995-02', 20.00), (3, '1995-03', 30.00)""")
+    // fork the audit branch at main's current manifest (metadata-only)
+    life.execute("ALTER TABLE w.facts CREATE BRANCH audit")
+    // staged partition REPLACE on the branch: February repriced
+    life.execute("""INSERT OVERWRITE w.facts.branch_audit
+      VALUES (2, '1995-02', 22.00)""")
+    // staged true INSERT on the branch: April appended, then a second
+    // February row FOLDED into the branch's repriced partition
+    life.execute("INSERT INTO w.facts.branch_audit VALUES (4, '1995-04', 40.00)")
+    life.execute("INSERT INTO w.facts.branch_audit VALUES (5, '1995-02', 5.00)")
+    def totals(sql: String): Map[String, Double] =
+      life.query(sql).collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    // branch read through the query door: repriced + folded Feb, April
+    val branch = totals("""SELECT month, sum(total) FROM w.facts.branch_audit
+      GROUP BY month""")
+    assert(branch == Map("1995-01" -> 10.0, "1995-02" -> 27.0,
+      "1995-03" -> 30.0, "1995-04" -> 40.0), s"branch state: $branch")
+    // main is untouched until publish
+    val main0 = totals("SELECT month, sum(total) FROM w.facts GROUP BY month")
+    assert(main0 == Map("1995-01" -> 10.0, "1995-02" -> 20.0,
+      "1995-03" -> 30.0), s"main leaked staged writes: $main0")
+    // audit passed → fast-forward main to the branch head (both arg forms)
+    val ff = life.execute(
+      "CALL catalog.system.fast_forward('w.facts', 'main', 'audit')").get
+    assert(ff.select("published_branch").collect().head.getString(0) == "audit")
+    val main1 = totals("SELECT month, sum(total) FROM w.facts GROUP BY month")
+    assert(main1 == branch, s"publish must fast-forward main: $main1")
+    // the branch pointer survives publish (re-audit loop) until dropped
+    life.execute("INSERT INTO w.facts.branch_audit VALUES (6, '1995-05', 1.00)")
+    life.execute("ALTER TABLE w.facts DROP BRANCH audit")
+    // after the drop the suffix no longer resolves → loud failure
+    intercept[Exception] {
+      life.query("SELECT count(*) FROM w.facts.branch_audit").collect()
+    }
+    // guards: double CREATE raises; branch verbs on unknown tables raise
+    life.execute("ALTER TABLE w.facts CREATE BRANCH b2")
+    intercept[IllegalArgumentException] {
+      life.execute("ALTER TABLE w.facts CREATE BRANCH b2")
+    }
+    intercept[IllegalArgumentException] {
+      life.execute("ALTER TABLE w.nope CREATE BRANCH x")
+    }
+  }
+
+  test("SqlLifecycle MERGE with swapped/colliding aliases: source aliased 't' must not capture target references") {
+    // regression: sequential alias rewriting (target pass then source
+    // pass) let USING ... AS t re-capture the just-produced internal
+    // 't.' references, resolving target columns against the source
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlalias_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t
+      (k BIGINT, date DATE, a BIGINT, src STRING)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute("""INSERT INTO s.t VALUES
+      (1, DATE '2024-01-01', 10, 'base'),
+      (2, DATE '2024-01-02', 30, 'base')""")
+    Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1000L, "m"),
+        (9L, java.sql.Date.valueOf("2024-01-03"), 7L, "m"))
+      .toDF("k", "date", "a", "src").createOrReplaceTempView("alias_src")
+    // target aliased 'x', source aliased 't' (the collision): the
+    // matched row's new a must read TARGET a (10) + source a (1000);
+    // with the clobber bug both sides resolve to the source → 2000
+    life.execute("""
+      MERGE INTO s.t AS x USING alias_src AS t
+      ON x.k = t.k
+      WHEN MATCHED AND t.a > 50 THEN UPDATE SET a = x.a + t.a, src = t.src
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = life.table("s.t").orderBy("k")
+      .select("k", "a", "src").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1010L, "m"), (2L, 30L, "base"), (9L, 7L, "m")),
+      s"alias collision resolved target columns against the source: $got")
+    // fully swapped aliases (target 's', source 't') also round-trip
+    life.execute("""
+      MERGE INTO s.t AS s USING alias_src AS t
+      ON s.k = t.k
+      WHEN MATCHED AND t.k = 9 THEN UPDATE SET a = s.a * 2, src = s.src
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(life.table("s.t").where($"k" === 9).select("a").collect()
+      .map(_.getLong(0)).toSeq == Seq(14L))
+    // identical aliases raise loudly instead of producing ambiguity
+    val e = intercept[IllegalArgumentException](life.execute("""
+      MERGE INTO s.t AS z USING alias_src AS z ON z.k = z.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("aliases must differ"))
+  }
+
   test("SqlLifecycle INSERT folds overlapping partitions; partition DELETE is metadata-only") {
     import graft.ops.{SqlLifecycle, VersionedPartitioned => VP}
     val root = Files.createTempDirectory("graft_sqlins_").toString

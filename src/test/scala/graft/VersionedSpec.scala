@@ -496,6 +496,60 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("evolution rules are generation-scoped: promotes AFTER drop-then-re-add keep their real values; re-adding a renamed-away name never clobbers") {
+    // the silent-data-loss scenario: DROP c, re-ADD c with a default,
+    // then promote rows carrying REAL c values — an unscoped replay
+    // would drop the real values and refill the default. The snapshot
+    // generation recorded at write time must fence the older DropCol.
+    val root = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1, "old1"), ("2024-01-02", 2, "old2"))
+        .toDF("date", "v", "c"), root)
+    VersionedPartitioned.evolveDropColumnMetaOnly(spark, root, "c")
+    VersionedPartitioned.evolveAddColumnMetaOnly(spark, root, "c", "'dflt'")
+    // post-re-add promote with genuine values
+    VersionedPartitioned.promote(
+      Seq(("2024-01-03", 3, "real3")).toDF("date", "v", "c"), root)
+    val got = VersionedPartitioned.read(spark, root)
+      .selectExpr("cast(date as string) as date", "c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("2024-01-01" -> "dflt", "2024-01-02" -> "dflt",
+      "2024-01-03" -> "real3"),
+      s"post-re-add promote lost its real values: $got")
+    // an INSERT-shaped write after the re-add keeps real values too
+    VersionedPartitioned.insertInto(
+      Seq(("2024-01-04", 4, "real4")).toDF("date", "v", "c"), root, "date")
+    assert(VersionedPartitioned.read(spark, root)
+      .where(col("date") === "2024-01-04").select("c").collect()
+      .map(_.getString(0)).toSeq == Seq("real4"))
+    // partition-scoped rewrite (deleteWhere) of a post-re-add
+    // partition re-stamps the rewritten snapshot at the current
+    // generation — values survive the round trip
+    VersionedPartitioned.deleteWhere(spark, root, col("v") === 1)
+    assert(VersionedPartitioned.read(spark, root)
+      .where(col("date") === "2024-01-03").select("c").collect()
+      .map(_.getString(0)).toSeq == Seq("real3"))
+    // RENAME a → b, then re-ADD a: a post-re-add promote carrying BOTH
+    // must keep them distinct (unscoped replay would rename the new
+    // physical a over b)
+    val root2 = Files.createTempDirectory("graft_vp").toString
+    VersionedPartitioned.promote(
+      Seq(("2024-01-01", 1, "av1")).toDF("date", "v", "a"), root2)
+    VersionedPartitioned.evolveRenameColumnMetaOnly(spark, root2, "a", "b")
+    VersionedPartitioned.evolveAddColumnMetaOnly(spark, root2, "a", "'na'")
+    VersionedPartitioned.promote(
+      Seq(("2024-01-02", 2, "bv2", "av2")).toDF("date", "v", "b", "a"), root2)
+    val rows = VersionedPartitioned.read(spark, root2)
+      .selectExpr("v", "a", "b").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1, "na", "av1"), (2, "av2", "bv2")),
+      s"rename/re-add interplay clobbered columns: $rows")
+    // old frames (gen 0) still replay everything: time travel to the
+    // pre-evolution version sees the original shape
+    assert(VersionedPartitioned.readAt(spark, root2, 1L)
+      .columns.toSet == Set("date", "v", "a"))
+  }
+
   test("partitioned deleteWhere: only matching partitions rewritten, emptied partitions leave the manifest, NULL predicate keeps its row, no-match is a no-op") {
     val root = Files.createTempDirectory("graft_vp").toString
     // day1: v 1..4 — partial delete; day2: v 101,102 — fully deleted;
