@@ -2455,6 +2455,59 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /**
+   * Transform-partition DDL gate (ops/SqlLifecycle.resolvePartitionSpec
+   * → ops/HiddenPartition — Iceberg's canonical
+   * `PARTITIONED BY (days(ts), bucket(8, user_id))` statement, the one
+   * lakehouse DDL shape a migrating user hits on day one): the table
+   * is created from RAW TEXT, loaded through a routed INSERT (the
+   * physical key derived invisibly — a projection where the row
+   * already lives), and read back through the query door, which
+   * serves only the declared columns. The result is produced by the
+   * MANIFEST-PRUNED multi-member read (day range × bucket equality)
+   * over the statement-created table and required row-identical to
+   * the unpruned routed SELECT inline; shares
+   * `versioned_hidden_multi`'s oracle by construction.
+   */
+  private def sqlHiddenDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{MemberEquals, MemberRange}
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlhid_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA hid")
+    life.execute("""
+      CREATE TABLE hid.events
+      (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING)
+      USING ICEBERG PARTITIONED BY (days(ts), bucket(8, user_id))""")
+    ev.createOrReplaceTempView("raw_hidden_events")
+    life.execute("""
+      INSERT INTO hid.events
+      SELECT event_id, ts, user_id, event_type FROM raw_hidden_events""")
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("bigint").as("id_sum"))
+      .orderBy("event_type")
+    val routed = agg(life.query("""
+      SELECT * FROM hid.events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                AND TIMESTAMP '2024-01-21 23:59:59.999999'
+        AND user_id = 42"""))
+    // hidden partitioning must stay hidden through the SQL door
+    require(!life.table("hid.events").columns.exists(_.startsWith("hp__")),
+      "the physical partition key leaked into the declared schema")
+    val pruned = agg(graft.ops.HiddenPartition.readMultiWhere(s,
+      java.nio.file.Paths.get(root, "hid", "events").toString, Seq(
+        MemberRange(lit("2024-01-08 00:00:00").cast("timestamp"),
+          lit("2024-01-21 23:59:59.999999").cast("timestamp")),
+        MemberEquals(lit(42L)))))
+    require(routed.collect().toSeq == pruned.collect().toSeq,
+      "manifest-pruned read disagrees with the unpruned routed SELECT")
+    pruned
+  }
+
   /** OPTIMIZE … ZORDER BY gate (ops/VersionedPartitioned
     * .optimizeZOrder): promote six months unclustered, z-order-rewrite
     * on (orderkey, custkey) buckets, then answer a custkey-range
@@ -4223,7 +4276,8 @@ object ExtQueries {
     "sql_percentile_cont" -> ((s, dir) => {
       graft.sources.Views.register(s, dir); s.sql(percentileContSql)
     }),
-    "versioned_hidden_multi" -> ((s, dir) => versionedHiddenMulti(s, dir))
+    "versioned_hidden_multi" -> ((s, dir) => versionedHiddenMulti(s, dir)),
+    "sql_hidden_ddl" -> ((s, dir) => sqlHiddenDdl(s, dir))
   )
 
   // SQL fragments shared by the oracles -------------------------------
@@ -4640,7 +4694,11 @@ object ExtQueries {
       // WAP through statement texts stages the same Feb-reprice/April-
       // append and publishes the same metadata-only fast-forward as
       // the Scala-API gate — one oracle for both doors
-      ("sql_wap_branch" -> base("wap_publish_partitioned"))
+      ("sql_wap_branch" -> base("wap_publish_partitioned")) +
+      // transform-partition DDL loads the same events slice under the
+      // same days×bucket spec as the Scala-API gate — one oracle for
+      // the DDL door and the HiddenPartition door
+      ("sql_hidden_ddl" -> base("versioned_hidden_multi"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

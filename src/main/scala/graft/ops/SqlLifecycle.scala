@@ -287,16 +287,86 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         "(use CREATE OR REPLACE TABLE or IF NOT EXISTS)")
     if (exists) dropTable(name)
     val schema = StructType.fromDDL(colsBlock)
-    partBy.foreach { p =>
-      require(schema.fieldNames.map(_.toLowerCase).contains(p),
-        s"PARTITIONED BY ($p): no such column in the DDL")
-    }
+    val storedPart = partBy.map(resolvePartitionSpec(_, schema.fieldNames))
     val dir = tableDir(name)
     java.nio.file.Files.createDirectories(dir)
-    val meta = TableMeta(schema, partBy)
+    val meta = TableMeta(schema, storedPart)
     java.nio.file.Files.write(dir.resolve(MetaFile),
       meta.render.getBytes("UTF-8"))
   }
+
+  /** Parse a PARTITIONED BY block: a single identity column, or
+    * Iceberg's partition-transform DDL — `days(c)` / `months(c)` /
+    * `bucket(n, c)` / `truncate(w, c)`, composable as a comma list
+    * (`days(ts), bucket(16, id)` → `MultiOf`). Returns the STORED
+    * partition column: the declared column for identity, the
+    * transform-encoded physical key (`hp__…`) otherwise — the same
+    * round-trip `HiddenPartition.transformOf` reads back, so every
+    * manifest capability (travel, branches, WAP, pruning) applies to
+    * transform-partitioned tables verbatim. Multiple identity columns
+    * are not routed (the versioned format is single-key; Iceberg users
+    * compose transforms instead). */
+  private def resolvePartitionSpec(raw: String,
+      fields: Seq[String]): String = {
+    def declared(c: String): String = {
+      val want = c.trim
+      require(fields.map(_.toLowerCase).contains(want.toLowerCase),
+        s"PARTITIONED BY ($want): no such column in the DDL")
+      want.toLowerCase
+    }
+    val entries = splitTop(raw).map(_.trim).filter(_.nonEmpty)
+    require(entries.nonEmpty, "PARTITIONED BY: empty spec")
+    if (entries.length == 1 && !entries.head.contains("("))
+      return declared(entries.head)
+    def transformOf(e: String): graft.ops.PartitionTransform = e match {
+      case TransformCallRe(fn, argsBlock) =>
+        val args = argsBlock.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def one(): String = {
+          require(args.length == 1,
+            s"PARTITIONED BY $e: expected 1 argument"); declared(args(0))
+        }
+        def two(): (Int, String) = {
+          require(args.length == 2,
+            s"PARTITIONED BY $e: expected (n, column)")
+          (args(0).toInt, declared(args(1)))
+        }
+        fn.toLowerCase match {
+          case "days" | "day" => graft.ops.DaysOf(one())
+          case "months" | "month" => graft.ops.MonthsOf(one())
+          case "bucket" => val (n, c) = two(); graft.ops.BucketOf(n, c)
+          case "truncate" | "trunc" =>
+            val (w, c) = two(); graft.ops.TruncateOf(w, c)
+          case other => throw new IllegalArgumentException(
+            s"PARTITIONED BY: unsupported transform $other(…) — have " +
+              "days, months, bucket, truncate")
+        }
+      case ident if !ident.contains("(") =>
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY ($raw): identity column '$ident' cannot " +
+            "combine with transforms — the versioned format stores one " +
+            "physical key (wrap it in truncate/days to compose)")
+      case other => throw new IllegalArgumentException(
+        s"PARTITIONED BY: cannot parse '$other'")
+    }
+    val ts = entries.map(transformOf)
+    if (ts.length == 1) ts.head.physCol
+    else graft.ops.MultiOf(ts).physCol
+  }
+
+  /** Hidden-partition transform of a cataloged table, when its stored
+    * partition column is a transform-encoded physical key. */
+  private def hiddenOf(meta: TableMeta): Option[graft.ops.PartitionTransform] =
+    meta.partitionCol.filter(_.startsWith("hp__"))
+      .map(graft.ops.PartitionTransform.parse)
+
+  /** Re-derive the physical partition key on a frame carrying only
+    * declared columns — every statement-routed write into a hidden-
+    * partitioned table passes through here (a projection, not a
+    * shuffle; the key is derived where the row already is). No-op for
+    * identity-partitioned tables. */
+  private def withPhysKey(df: DataFrame, meta: TableMeta): DataFrame =
+    hiddenOf(meta).map(t => df.withColumn(
+      meta.partitionCol.get, t.expr)).getOrElse(df)
 
   /** CREATE TABLE … [PARTITIONED BY (p)] AS <query> — CTAS: schema
     * inferred from the query result, then one append through the
@@ -313,13 +383,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val src = query(body)
     val data = if (exists) src.localCheckpoint(true) else src
     if (exists) dropTable(name)
-    partBy.foreach { p =>
-      require(data.columns.map(_.toLowerCase).contains(p),
-        s"PARTITIONED BY ($p): the query result has no such column")
-    }
+    val storedPart = partBy.map(resolvePartitionSpec(_, data.columns.toSeq))
     val dir = tableDir(name)
     java.nio.file.Files.createDirectories(dir)
-    val meta = TableMeta(data.schema, partBy)
+    val meta = TableMeta(data.schema, storedPart)
     java.nio.file.Files.write(dir.resolve(MetaFile),
       meta.render.getBytes("UTF-8"))
     appendRows(name, meta, data)
@@ -559,9 +626,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         "data — branches fork from main's manifest")
     val rows = insertSource(name, meta, body)
     if (overwrite) {
-      VersionedPartitioned.promoteToBranch(rows, path, branch, pcol)
+      VersionedPartitioned.promoteToBranch(withPhysKey(rows, meta), path,
+        branch, pcol)
     } else {
-      VersionedPartitioned.insertIntoBranch(rows, path, branch, pcol)
+      VersionedPartitioned.insertIntoBranch(withPhysKey(rows, meta), path,
+        branch, pcol)
     }
     ()
   }
@@ -594,7 +663,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       // O(day) data touched, and exactly ONE Spark job on the
       // reference's DELETE-day-then-INSERT sequence (see
       // VersionedPartitioned.insertInto)
-      VersionedPartitioned.insertInto(rows, tableDir(name).toString, p)
+      VersionedPartitioned.insertInto(withPhysKey(rows, meta),
+        tableDir(name).toString, p)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
@@ -697,26 +767,32 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case Some(p) =>
         val path = tableDir(name).toString
         if (VersionedPartitioned.currentVersion(spark, path).isEmpty) return
-        val live = VersionedPartitioned.read(spark, path)
-          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+        // hidden-partitioned: frames carry only declared columns, so
+        // re-derive the physical key wherever partition values are
+        // inspected or written (withPhysKey is a projection)
+        val live = withPhysKey(VersionedPartitioned.read(spark, path)
+          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*), meta)
         def partsOf(df: DataFrame): Set[String] =
           df.select(col(s"`$p`").cast("string")).distinct()
             .collect().map(_.getString(0)).toSet
         val oldParts = partsOf(live.where(pred))
         if (oldParts.isEmpty) return
-        // an assignment to the partition column can move rows into
+        // an assignment to the partition column (or, for a hidden
+        // table, any transform SOURCE column) can move rows into
         // partitions the predicate never touched — widen the rewrite
         // set to every landing partition
+        val partSources = hiddenOf(meta)
+          .map(_.sourceCol.split(",").toSeq).getOrElse(Seq(p))
         val newParts =
-          if (assigns.exists(_._1.equalsIgnoreCase(p)))
-            partsOf(applyTo(live.where(pred)))
+          if (assigns.exists(a => partSources.exists(a._1.equalsIgnoreCase)))
+            partsOf(withPhysKey(applyTo(live.where(pred)), meta))
           else Set.empty[String]
         val affected = oldParts ++ newParts
         val cur = VersionedPartitioned.readPartitionsWhere(spark, path,
             affected.contains)
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-        VersionedPartitioned.overwritePartitions(applyTo(cur), path,
-          affected.contains)
+        VersionedPartitioned.overwritePartitions(
+          withPhysKey(applyTo(cur), meta), path, affected.contains)
         ()
       case None =>
         val dataDir = tableDir(name).resolve(DataDir).toString
@@ -836,13 +912,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val needsExpr = matchedCond.isDefined || deleteCond.isDefined ||
       insertCond.isDefined ||
       assignPairs.exists { case (c, rhs) => !isSimple(c, rhs) }
-    // an EXPRESSION assigned to the partition column could move a row
-    // into a partition outside the rewrite scope (affected = source ∪
-    // matched partitions covers `s.p` but not arbitrary expressions) —
-    // refuse rather than lose the row
+    // an EXPRESSION assigned to the partition column (or, for a
+    // hidden-partitioned table, a transform SOURCE column) could move
+    // a row into a partition outside the rewrite scope (affected =
+    // source ∪ matched partitions covers `s.p` but not arbitrary
+    // expressions) — refuse rather than lose the row
     meta.partitionCol.foreach { p =>
+      val partSources = hiddenOf(meta)
+        .map(_.sourceCol.split(",").toSeq).getOrElse(Seq(p))
       require(assignPairs.forall { case (c, rhs) =>
-        !c.equalsIgnoreCase(p) || isSimple(c, rhs) },
+        !partSources.exists(c.equalsIgnoreCase) || isSimple(c, rhs) },
         s"MERGE INTO $target: assigning an expression to partition " +
           s"column '$p' is not routed (the row could move outside the " +
           "partition-scoped rewrite) — use UPDATE or the Merge Scala API")
@@ -918,7 +997,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           val ins = insertCond.map(c =>
             src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
           if (insertAll && ins.take(1).nonEmpty) {
-            VersionedPartitioned.promote(ins, path, p)
+            VersionedPartitioned.promote(withPhysKey(ins, meta), path, p)
           }
           return
         }
@@ -928,22 +1007,23 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         if (deleteBySource) {
           val cur = readTable(target, meta)
           VersionedPartitioned.overwritePartitions(
-            conform(doMerge(cur), meta.schema, target), path, _ => true)
+            withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
+            path, _ => true)
         } else {
-          val srcParts = partsOf(src)
+          val srcParts = partsOf(withPhysKey(src, meta))
           val matchedParts =
             if (keys.exists(_.equalsIgnoreCase(p))) Set.empty[String]
-            else partsOf(readTable(target, meta)
+            else partsOf(withPhysKey(readTable(target, meta)
               .join(src.select(keys.map(c => col(s"`$c`")): _*).distinct(),
-                keys, "left_semi"))
+                keys, "left_semi"), meta))
           val affected = srcParts ++ matchedParts
           if (affected.isEmpty) return
           val cur = VersionedPartitioned.readPartitionsWhere(spark, path,
               affected.contains)
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
           VersionedPartitioned.overwritePartitions(
-            conform(doMerge(cur), meta.schema, target), path,
-            affected.contains)
+            withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
+            path, affected.contains)
         }
         ()
     }
@@ -1160,7 +1240,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val src = conform(query(body), meta.schema, name)
     meta.partitionCol match {
       case Some(p) =>
-        VersionedPartitioned.promote(src, tableDir(name).toString, p)
+        VersionedPartitioned.promote(withPhysKey(src, meta),
+          tableDir(name).toString, p)
         ()
       case None =>
         Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
@@ -1453,7 +1534,7 @@ object SqlLifecycle {
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """([\w.]+)\s*\((.*)\)\s*USING\s+\w+""" +
-      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+COMMENT\s+'[^']*')?\s*;?\s*$""").r
   private val DeletePartRe =
     ("""(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+([\w]+)\s*=\s*""" +
@@ -1545,7 +1626,8 @@ object SqlLifecycle {
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val CreateTableAsRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """([\w.]+)(?:\s+USING\s+\w+)?(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """([\w.]+)(?:\s+USING\s+\w+)?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """\s+AS\s+((?:SELECT|WITH)\s.*)$""").r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
@@ -1593,4 +1675,6 @@ object SqlLifecycle {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // leading (col, col, ...) list of an INSERT body
   private val ColListRe = """(?s)^\(([^)]*)\)\s*(.*)$""".r
+  // one PARTITIONED BY transform call: days(ts), bucket(16, id), ...
+  private val TransformCallRe = """(?s)^(\w+)\s*\(\s*([^)]*)\s*\)$""".r
 }

@@ -1367,13 +1367,20 @@ object VersionedPartitioned {
   def deleteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       tag: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not, regexp_extract}
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not, regexp_extract, regexp_replace, url_decode}
     val m0 = manifestAt(spark, root, None)
     val pcol = m0.partitionCol
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val live = readManifest(spark, root, m0)
     val dirPat = "/(" + java.util.regex.Pattern.quote(pcol) + "=[^/]+)/"
-    val fileDir = regexp_extract(input_file_name(), dirPat, 1)
+    // ON-DISK form, like writeSnapshot's `__file`: input_file_name()
+    // returns a URI, so a dir name with URI-special chars (e.g. the
+    // multi-transform '|' separator) arrives percent-encoded and would
+    // never match the manifest's listStatus-sourced entry keys — one
+    // decode recovers the disk name ('+' pre-escaped: url_decode reads
+    // a literal '+', legal on disk, as an encoded space)
+    val fileDir = url_decode(regexp_replace(
+      regexp_extract(input_file_name(), dirPat, 1), "\\+", "%2B"))
     val affected = live.where(predicate).select(fileDir.as("__d"))
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return currentVersion(spark, root).get

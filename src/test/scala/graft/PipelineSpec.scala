@@ -558,6 +558,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partition"))
   }
 
+  test("SqlLifecycle transform-partition DDL: days/bucket spec from raw text, routed INSERT/SELECT/UPDATE/DELETE/MERGE, key stays hidden") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlhidden_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA h")
+    life.execute("""CREATE TABLE h.ev
+      (id BIGINT, ts TIMESTAMP, uid BIGINT, v DOUBLE)
+      USING ICEBERG PARTITIONED BY (days(ts), bucket(4, uid))""")
+    // the stored partition column is the transform-encoded physical key
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "h", "ev", "_graft_table.meta")), "UTF-8")
+    assert(metaText.contains("hp__multi__days__ts__AND__bucket4__uid"),
+      s"meta: $metaText")
+    life.execute("""INSERT INTO h.ev VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 7, 1.0),
+      (2, TIMESTAMP '2024-01-01 11:00:00', 8, 2.0),
+      (3, TIMESTAMP '2024-01-02 09:00:00', 7, 3.0)""")
+    // SELECT through the query door: declared columns only, right rows
+    val got = life.query("SELECT id, v FROM h.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(!life.table("h.ev").columns.exists(_.startsWith("hp__")))
+    // physical layout: one dir per (day × uid-bucket) combination
+    val parts = graft.ops.VersionedPartitioned.partitions(spark,
+      java.nio.file.Paths.get(root, "h", "ev").toString)
+    assert(parts.size == 3, s"parts: $parts") // (d1,b7)(d1,b8)(d2,b7)
+    // UPDATE with a predicate on a SOURCE column routes partition-scoped
+    life.execute("UPDATE h.ev SET v = v * 10 WHERE uid = 7")
+    assert(life.query("SELECT CAST(sum(v) AS DOUBLE) s FROM h.ev")
+      .collect().head.getDouble(0) == 42.0) // 10 + 2 + 30
+    // UPDATE that MOVES a row across partitions (ts reassigned):
+    // the landing partition is outside the matched set — must widen
+    life.execute(
+      "UPDATE h.ev SET ts = TIMESTAMP '2024-01-05 08:00:00' WHERE id = 2")
+    assert(life.query(
+      "SELECT count(*) c FROM h.ev WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'")
+      .collect().head.getLong(0) == 1L)
+    // DELETE by source-column predicate
+    life.execute("DELETE FROM h.ev WHERE id = 3")
+    assert(life.table("h.ev").count() == 2)
+    // MERGE upserts through the hidden layout (key ≠ any partition source)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, 100.0),
+        (9L, java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 9L, 9.0))
+      .toDF("id", "ts", "uid", "v").createOrReplaceTempView("hid_src")
+    life.execute("""MERGE INTO h.ev AS t USING hid_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val after = life.query("SELECT id, v FROM h.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == Seq((1L, 100.0), (2L, 2.0), (9L, 9.0)), s"got $after")
+    // CTAS with a transform spec also routes
+    life.execute("""CREATE TABLE h.ev2 USING ICEBERG
+      PARTITIONED BY (months(ts)) AS SELECT * FROM h.ev""")
+    assert(life.table("h.ev2").count() == 3)
+    // guards: unknown transform and unknown source column raise
+    intercept[IllegalArgumentException] { life.execute("""
+      CREATE TABLE h.bad (a BIGINT, ts TIMESTAMP) USING ICEBERG
+      PARTITIONED BY (years(ts))""") }
+    intercept[IllegalArgumentException] { life.execute("""
+      CREATE TABLE h.bad2 (a BIGINT, ts TIMESTAMP) USING ICEBERG
+      PARTITIONED BY (days(nope))""") }
+  }
+
   test("SqlLifecycle WAP branch routing: CREATE BRANCH, branch INSERT/OVERWRITE, branch SELECT, fast_forward, DROP BRANCH") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlwap_").toString
