@@ -1,0 +1,8 @@
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        IN ('1995-02', '1995-03', '1996-01')
+GROUP BY 1 ORDER BY 1

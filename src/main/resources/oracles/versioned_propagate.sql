@@ -1,0 +1,16 @@
+WITH b AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders),
+m AS (
+  SELECT month, p FROM b WHERE month = '1995-01'
+  UNION ALL
+  SELECT month,
+         CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
+              AS DECIMAL(18,2)) AS p
+  FROM b WHERE month = '1995-02'
+  UNION ALL
+  SELECT month, p FROM b WHERE month = '1995-03')
+SELECT month, count(*) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS total_price
+FROM m GROUP BY 1 ORDER BY 1

@@ -4701,10 +4701,21 @@ object ExtQueries {
       ("sql_hidden_ddl" -> base("versioned_hidden_multi"))
   }
 
+  /** Static oracle SQL texts live as classpath resources
+    * (`src/main/resources/oracles/<query>.sql`) — one reviewable file
+    * per query; only oracles built from shared SQL fragments or
+    * Scala-side parameters stay inline below. Loaded once at class
+    * init (oracleSqlBase is lazy) — bounded, driver-side, no I/O in
+    * any query path. */
+  private def oracle(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/oracles/$name.sql")
+    require(in != null, s"missing oracle resource oracles/$name.sql")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
-    "dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, text FROM documents
-        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_exact" -> oracle("dedup_exact"),
     "dedup_minhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_ngram" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
     "dedup_simhash" -> jaccardPairsSql("id_a, id_b, round(j, 6) AS jaccard"),
@@ -4769,63 +4780,13 @@ object ExtQueries {
          |       CAST((n2 - d2) * 10000 // n2 AS BIGINT) AS rep2_bps,
          |       CAST((n3 - d3) * 10000 // n3 AS BIGINT) AS rep3_bps
          |FROM n ORDER BY doc_id""".stripMargin,
-    "sample_stratified" ->
-      """SELECT lang, count(*) AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM documents
-        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
-        |      (CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END)
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "domain_mix" ->
-      """WITH w(g, wt) AS (VALUES
-        |       ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
-        |       ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
-        |d AS (SELECT doc_id, source, wt,
-        |             md5(CAST(doc_id AS VARCHAR) || ':mix1') AS key
-        |      FROM documents JOIN w ON source = g),
-        |t AS (SELECT source,
-        |             CAST(floor(min(CAST(ng AS DOUBLE) / wt) OVER () * wt) AS BIGINT) AS target
-        |      FROM (SELECT source, wt, count(*) AS ng FROM d GROUP BY 1, 2)),
-        |r AS (SELECT doc_id, source,
-        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS mix_rank
-        |      FROM d)
-        |SELECT r.doc_id, r.source, mix_rank FROM r JOIN t USING (source)
-        |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
+    "sample_stratified" -> oracle("sample_stratified"),
+    "domain_mix" -> oracle("domain_mix"),
     "dedup_clusters" -> componentsSql(4),
-    "versioned_hidden_days" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(event_id) AS BIGINT) AS id_sum
-        |FROM events
-        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
-        |          AND TIMESTAMP '2024-01-21 23:59:59.999999'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "versioned_hidden_bucket" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(event_id) AS BIGINT) AS id_sum
-        |FROM events WHERE user_id = 42
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "versioned_hidden_multi" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(event_id) AS BIGINT) AS id_sum
-        |FROM events
-        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
-        |          AND TIMESTAMP '2024-01-21 23:59:59.999999'
-        |  AND user_id = 42
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "small_quantity_revenue" ->
-      """WITH st AS (SELECT l_partkey,
-        |                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS sumq,
-        |                   count(*) AS nq
-        |            FROM lineitem GROUP BY 1)
-        |SELECT p_brand, count(*) AS n_small,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
-        |            AS DOUBLE) AS small_revenue
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN st USING (l_partkey)
-        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sumq
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "versioned_hidden_days" -> oracle("versioned_hidden_days"),
+    "versioned_hidden_bucket" -> oracle("versioned_hidden_bucket"),
+    "versioned_hidden_multi" -> oracle("versioned_hidden_multi"),
+    "small_quantity_revenue" -> oracle("small_quantity_revenue"),
     "suppliers_kept_waiting" -> suppliersWaitingSql,
     "sql_correlated_exists" -> suppliersWaitingSql,
     "split_leakage_safe" ->
@@ -4871,13 +4832,7 @@ object ExtQueries {
          |SELECT cluster, label AS majority_label, cluster_n AS n_vectors,
          |       CAST((n * 10000) // cluster_n AS BIGINT) AS purity_bps
          |FROM r WHERE rnk = 1 ORDER BY cluster""".stripMargin,
-    "dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |             list_cosine_similarity(a.dv, b.dv) AS c
-        |      FROM v a, v b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(c, 4) AS cos
-        |FROM p WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" -> oracle("dedup_embedding"),
     "dedup_embedding_ann" ->
       s"""WITH $annCtesSql,
         |cands AS (
@@ -4906,20 +4861,7 @@ object ExtQueries {
         |  JOIN n nb ON nb.vec_id = id_b),
         |${edgesAndSteps("c >= 0.45", 4)}
         |SELECT id, label AS component FROM l4 ORDER BY id""".stripMargin,
-    "similarity_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id % 20 = 0),
-        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-        |      FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |             list_cosine_similarity(cv, qv) AS sim
-        |      FROM c, q WHERE neighbor_id != query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "similarity_topk" -> oracle("similarity_topk"),
     "text_stats" -> (statsSql + "\nORDER BY doc_id"),
     "text_lang_profile" ->
       s"""WITH stats AS ($statsSql)
@@ -4939,388 +4881,52 @@ object ExtQueries {
          |                   for i in range(1, greatest(len(hs) - 3, 1) + 1)])),
          |         ',') AS fingerprint
          |FROM h ORDER BY doc_id""".stripMargin,
-    "multimodal_features" ->
-      """SELECT doc_id, 'text' AS modality,
-        |       octet_length(encode(text)) AS byte_len,
-        |       md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" -> oracle("multimodal_features"),
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH encode→parse of the actual WAV bytes
-    "audio_wav_stats" ->
-      """WITH sv AS (
-        |  SELECT user_id,
-        |         greatest(-32767, least(32767,
-        |           CAST(round(value * 10) AS BIGINT))) AS s
-        |  FROM events)
-        |SELECT user_id,
-        |       count(*) AS n_samples,
-        |       CAST(16000 AS INT) AS sample_rate,
-        |       CAST(max(abs(s)) AS BIGINT) AS peak,
-        |       CAST(sum(s * s) AS BIGINT) AS energy
-        |FROM sv GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "audio_wav_stats" -> oracle("audio_wav_stats"),
     // the 8×8→4×4 nearest resize = the row-major positions with even
     // row and column index (1-based: r·8+c+1 for r,c ∈ {0,2,4,6})
-    "image_pgm_resize" ->
-      """WITH src AS (
-        |  SELECT vec_id,
-        |         [greatest(0, least(255, CAST(round((x + 1) * 127) AS INT)))
-        |          for x in CAST(embedding AS DOUBLE[])] AS px
-        |  FROM embeddings),
-        |small AS (
-        |  SELECT vec_id,
-        |         [px[i] for i in [1,3,5,7,17,19,21,23,33,35,37,39,49,51,53,55]] AS sp
-        |  FROM src)
-        |SELECT vec_id,
-        |       CAST(len(sp) AS INT) AS n_px,
-        |       CAST(list_aggregate(sp, 'sum') AS BIGINT) AS px_sum,
-        |       CAST(list_aggregate(sp, 'min') AS INT) AS px_min,
-        |       CAST(list_aggregate(sp, 'max') AS INT) AS px_max
-        |FROM small ORDER BY vec_id""".stripMargin,
+    "image_pgm_resize" -> oracle("image_pgm_resize"),
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH encode→parse of the actual PGM bytes
-    "image_bmp_stats" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id, pos,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
-        |SELECT vec_id,
-        |       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(pos * luma) AS BIGINT) AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "image_bmp_resize" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id,
-        |             CASE pos WHEN 0 THEN 0 WHEN 2 THEN 1
-        |                      WHEN 8 THEN 2 WHEN 10 THEN 3 END AS pos2,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma
-        |      FROM c WHERE pos IN (0, 2, 8, 10))
-        |SELECT vec_id, CAST(4 AS INT) AS n_px,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_bmp_stats" -> oracle("image_bmp_stats"),
+    "image_bmp_resize" -> oracle("image_bmp_resize"),
     // expected stats straight from the source values — the engine side
     // must reproduce them THROUGH the stateful QOI chunk stream (encode
     // → decode); the doubled pixel at source pos p (row p//4, col p%4)
     // lands at output positions 8r+2c and 8r+2c+1 → weight 16r+4c+1
-    "image_qoi_stats" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id, pos,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
-        |SELECT vec_id,
-        |       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-        |       CAST(2 * sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(luma * (16*(pos//4) + 4*(pos%4) + 1)) AS BIGINT)
-        |         AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_qoi_stats" -> oracle("image_qoi_stats"),
     // 8×5 layout: base pixel p (row p//4, col p%4) doubled horizontally;
     // row 4 repeats base row 0 → base row 0 pixels appear 4× with
     // position weights (2c)+(2c+1)+(32+2c)+(32+2c+1) = 8c+66, rows 1-3
     // appear 2× with weights 16r+4c+1
-    "image_png_stats" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id, pos,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma FROM c)
-        |SELECT vec_id,
-        |       CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
-        |       CAST(sum(CASE WHEN pos//4 = 0 THEN 4 ELSE 2 END * luma)
-        |         AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(CASE WHEN pos//4 = 0 THEN 8*(pos%4) + 66
-        |                     ELSE 16*(pos//4) + 4*(pos%4) + 1 END * luma)
-        |         AS BIGINT) AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_png_stats" -> oracle("image_png_stats"),
     // 8×5 → 4×2 nearest picks source rows 0,2 at even columns = base
     // pixels 0-3 and 8-11, same surviving set as the QOI resize gate
-    "image_png_resize" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id, pos - 4*(pos//8) AS pos2,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma
-        |      FROM c WHERE pos IN (0,1,2,3,8,9,10,11))
-        |SELECT vec_id, CAST(8 AS INT) AS n_px,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_png_resize" -> oracle("image_png_resize"),
     // 8×4 → 4×2 nearest picks source (2i,2j) = base pixels 0-3 and 8-11
     // at output positions 0-7 (pos2 = pos - 4*(pos//8))
-    "image_qoi_resize" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS pos
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, pos,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*pos+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |l AS (SELECT vec_id, pos - 4*(pos//8) AS pos2,
-        |             (299*r + 587*g + 114*b) // 1000 AS luma
-        |      FROM c WHERE pos IN (0,1,2,3,8,9,10,11))
-        |SELECT vec_id, CAST(8 AS INT) AS n_px,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(pos2 * luma) AS BIGINT) AS pos_luma
-        |FROM l GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "image_qoi_resize" -> oracle("image_qoi_resize"),
     // Animated-GIF compositing replayed positionally: frame 0 is the
     // base 8×4 layout; frame 1 overlays (4r+c-1)%16 on rows 1-2 cols
     // 2-5 then RESTORES that rect to background (disposal 2 → black,
     // since the hole slot guarantees palette[0]=0); frame 2 overlays
     // rows 2-3 with (2p+1)%16 except holes at p%3=0 (prior canvas shows
     // through); frame 3 overlays (3p+2)%16 on rows 0-1 cols 5-6.
-    "video_gif_stats" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS k
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, k,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |bl AS (SELECT vec_id, k,
-        |              (299*r + 587*g + 114*b) // 1000 AS luma FROM c),
-        |cells AS (
-        |  SELECT v.vec_id, f.f, g.pos, g.pos//8 AS rr, g.pos%8 AS cc
-        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS pos) g),
-        |kx AS (
-        |  SELECT vec_id, f, pos,
-        |    CASE
-        |      WHEN f = 0 THEN 4*rr + cc//2
-        |      WHEN f = 1 THEN
-        |        CASE WHEN rr BETWEEN 1 AND 2 AND cc BETWEEN 2 AND 5
-        |             THEN (4*rr + cc - 1) % 16 ELSE 4*rr + cc//2 END
-        |      WHEN f = 2 THEN
-        |        CASE WHEN rr >= 2 THEN
-        |               CASE WHEN (8*rr - 16 + cc) % 3 = 0 THEN
-        |                      CASE WHEN rr = 2 AND cc BETWEEN 2 AND 5
-        |                           THEN NULL ELSE 4*rr + cc//2 END
-        |                    ELSE (2*(8*rr - 16 + cc) + 1) % 16 END
-        |             WHEN rr = 1 AND cc BETWEEN 2 AND 5 THEN NULL
-        |             ELSE 4*rr + cc//2 END
-        |      ELSE
-        |        CASE WHEN rr <= 1 AND cc IN (5, 6)
-        |               THEN (3*(2*rr + cc - 5) + 2) % 16
-        |             WHEN rr >= 2 THEN
-        |               CASE WHEN (8*rr - 16 + cc) % 3 = 0 THEN
-        |                      CASE WHEN rr = 2 AND cc BETWEEN 2 AND 5
-        |                           THEN NULL ELSE 4*rr + cc//2 END
-        |                    ELSE (2*(8*rr - 16 + cc) + 1) % 16 END
-        |             WHEN rr = 1 AND cc BETWEEN 2 AND 5 THEN NULL
-        |             ELSE 4*rr + cc//2 END
-        |    END AS k
-        |  FROM cells),
-        |lum AS (
-        |  SELECT kx.vec_id, kx.f, kx.pos, coalesce(bl.luma, 0) AS luma
-        |  FROM kx LEFT JOIN bl
-        |    ON bl.vec_id = kx.vec_id AND bl.k = kx.k)
-        |SELECT vec_id, CAST(f AS INT) AS frame,
-        |       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-        |       CAST(4 AS INT) AS n_frames,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(luma * (pos + 1)) AS BIGINT) AS pos_luma
-        |FROM lum GROUP BY vec_id, f ORDER BY vec_id, frame""".stripMargin,
+    "video_gif_stats" -> oracle("video_gif_stats"),
     // Frame-sample stride 2 (composites 0 and 2) then 8×4→4×2 nearest
     // resize picks source (2i, 2j): from frame 0 that's base(8i+j);
     // from frame 2, row 0 is base(j) and row 1 hits two holes (source
     // cols 0,6 → prior canvas base(8), base(11)) and two overlay cells
     // (base(5), base(9)). The re-encode/decode round trip is identity.
-    "video_gif_frames" ->
-      """WITH p AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         unnest(generate_series(0, 15)) AS k
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, k,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+1] + 1) * 127) AS BIGINT))) AS r,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+2] + 1) * 127) AS BIGINT))) AS g,
-        |    greatest(0, least(255,
-        |      CAST(round((emb[3*k+3] + 1) * 127) AS BIGINT))) AS b
-        |  FROM p),
-        |bl AS (SELECT vec_id, k,
-        |              (299*r + 587*g + 114*b) // 1000 AS luma FROM c),
-        |g AS (
-        |  SELECT v.vec_id, sf.sf, q.pos
-        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
-        |  CROSS JOIN (SELECT unnest([0, 2]) AS sf) sf
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS pos) q),
-        |kx AS (
-        |  SELECT vec_id, sf, pos,
-        |    CASE WHEN sf = 0 THEN 8*(pos//4) + pos%4
-        |         WHEN pos < 4 THEN pos
-        |         ELSE CASE pos WHEN 4 THEN 8 WHEN 5 THEN 5
-        |                       WHEN 6 THEN 9 ELSE 11 END
-        |    END AS k
-        |  FROM g),
-        |lum AS (
-        |  SELECT kx.vec_id, kx.sf, kx.pos, bl.luma
-        |  FROM kx JOIN bl ON bl.vec_id = kx.vec_id AND bl.k = kx.k)
-        |SELECT vec_id, CAST(sf AS INT) AS src_frame,
-        |       CAST(8 AS INT) AS n_px,
-        |       CAST(sum(luma) AS BIGINT) AS luma_sum,
-        |       CAST(min(luma) AS BIGINT) AS luma_min,
-        |       CAST(max(luma) AS BIGINT) AS luma_max,
-        |       CAST(sum(luma * (pos + 1)) AS BIGINT) AS pos_luma
-        |FROM lum GROUP BY vec_id, sf ORDER BY vec_id, src_frame""".stripMargin,
-    "image_pgm_stats" ->
-      """WITH px AS (
-        |  SELECT vec_id,
-        |         greatest(0, least(255,
-        |           CAST(round((CAST(x AS DOUBLE) + 1) * 127) AS INT))) AS p
-        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
-        |        FROM embeddings))
-        |SELECT vec_id,
-        |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-        |       CAST(255 AS INT) AS maxval,
-        |       CAST(sum(p) AS BIGINT) AS px_sum,
-        |       CAST(min(p) AS INT) AS px_min,
-        |       CAST(max(p) AS INT) AS px_max,
-        |       CAST(sum(p) AS BIGINT) * 10000 // 64 AS mean_bps
-        |FROM px GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         CASE WHEN prev_ts IS NULL THEN 0
-        |              WHEN epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1
-        |              ELSE 0 END AS boundary
-        |  FROM e),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |           AS session_id
-        |  FROM b)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
-        |       CAST(round(sum(CAST(value AS DECIMAL(24,6))), 4) AS DOUBLE) AS value_sum
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-    "scd2_history" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         lag(event_type) OVER (PARTITION BY user_id
-        |                               ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |chg AS (
-        |  SELECT user_id, ts, event_id, event_type
-        |  FROM marked WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id,
-        |       row_number() OVER w AS version,
-        |       event_type,
-        |       epoch_ms(ts) AS effective_from_ms,
-        |       epoch_ms(lead(ts) OVER w) AS effective_to_ms
-        |FROM chg
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin,
-    "stats_agg" ->
-      """SELECT l_returnflag,
-        |       round(var_samp(l_quantity), 4) AS qty_var,
-        |       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
-        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-        |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "regr_stats" ->
-      """SELECT l_returnflag,
-        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
-        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "misc_aggs" ->
-      """SELECT o_orderpriority,
-        |       count(*) AS n_orders,
-        |       bool_and(o_totalprice > 0) AS all_positive,
-        |       bool_or(o_orderstatus = 'P') AS any_pending,
-        |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-        |       count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01') AS n_recent
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "video_gif_frames" -> oracle("video_gif_frames"),
+    "image_pgm_stats" -> oracle("image_pgm_stats"),
+    "sessionize" -> oracle("sessionize"),
+    "scd2_history" -> oracle("scd2_history"),
+    "stats_agg" -> oracle("stats_agg"),
+    "regr_stats" -> oracle("regr_stats"),
+    "misc_aggs" -> oracle("misc_aggs"),
     "profile_lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
@@ -5331,77 +4937,15 @@ object ExtQueries {
            |       round(avg($c), 4) AS avg_value
            |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
-    "asof_ref" ->
-      """WITH refs AS (
-        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
-        |  FROM (SELECT user_id, ts, event_id, value,
-        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                                  ORDER BY ts, event_id) AS rn
-        |        FROM events)
-        |  WHERE rn = 1)
-        |SELECT l.event_id, l.user_id,
-        |       r.rid AS ref_rid, round(r.rvalue, 4) AS ref_rvalue
-        |FROM events l
-        |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin,
+    "asof_ref" -> oracle("asof_ref"),
     // forward as-of: DuckDB's ASOF infers direction from the inequality
-    "asof_forward" ->
-      """WITH refs AS (
-        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
-        |  FROM (SELECT user_id, ts, event_id, value,
-        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                                  ORDER BY ts, event_id) AS rn
-        |        FROM events)
-        |  WHERE rn = 1)
-        |SELECT l.event_id, l.user_id,
-        |       r.rid AS ref_rid, round(r.rvalue, 4) AS ref_rvalue
-        |FROM events l
-        |ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts <= r.ts
-        |ORDER BY l.event_id""".stripMargin,
+    "asof_forward" -> oracle("asof_forward"),
     // nearest = the closer of the backward and forward matches, ties to
     // backward (pandas merge_asof tie rule) — two ASOF joins + a pick
-    "asof_nearest" ->
-      """WITH refs AS (
-        |  SELECT user_id, ts, event_id AS rid, value AS rvalue
-        |  FROM (SELECT user_id, ts, event_id, value,
-        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                                  ORDER BY ts, event_id) AS rn
-        |        FROM events)
-        |  WHERE rn = 1),
-        |b AS (SELECT l.event_id, l.user_id, l.ts,
-        |             r.ts AS bts, r.rid AS brid, r.rvalue AS brvalue
-        |      FROM events l
-        |      ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts >= r.ts),
-        |f AS (SELECT l.event_id,
-        |             r.ts AS fts, r.rid AS frid, r.rvalue AS frvalue
-        |      FROM events l
-        |      ASOF LEFT JOIN refs r ON l.user_id = r.user_id AND l.ts <= r.ts)
-        |SELECT b.event_id, b.user_id,
-        |       CASE WHEN b.bts IS NULL THEN f.frid
-        |            WHEN f.fts IS NULL THEN b.brid
-        |            WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
-        |                 <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.brid
-        |            ELSE f.frid END AS ref_rid,
-        |       round(CASE WHEN b.bts IS NULL THEN f.frvalue
-        |                  WHEN f.fts IS NULL THEN b.brvalue
-        |                  WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
-        |                       <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.brvalue
-        |                  ELSE f.frvalue END, 4) AS ref_rvalue
-        |FROM b JOIN f USING (event_id)
-        |ORDER BY b.event_id""".stripMargin,
+    "asof_nearest" -> oracle("asof_nearest"),
     "pack_shards" -> packShardsSql,
     "pack_shards_dist" -> packShardsSql,
-    "dominant_source" ->
-      """WITH c AS (SELECT lang, source, count(*) AS n_docs
-        |           FROM documents GROUP BY 1, 2),
-        |r AS (SELECT lang, source, n_docs,
-        |             sum(n_docs) OVER (PARTITION BY lang) AS lang_total,
-        |             row_number() OVER (PARTITION BY lang
-        |               ORDER BY n_docs DESC, source) AS rn
-        |      FROM c)
-        |SELECT lang, source AS top_source, n_docs,
-        |       CAST(n_docs * 10000 // lang_total AS BIGINT) AS share_bps
-        |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "dominant_source" -> oracle("dominant_source"),
     "pack_length_buckets" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
@@ -5414,134 +4958,21 @@ object ExtQueries {
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY len_bucket, shard ORDER BY len_bucket, shard""".stripMargin,
-    "revenue_share" ->
-      """WITH ps AS (
-        |  SELECT o_orderstatus,
-        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |           AS status_cents
-        |  FROM orders GROUP BY o_orderstatus),
-        |g AS (SELECT CAST(sum(status_cents) AS BIGINT) AS grand_cents FROM ps)
-        |SELECT o_orderstatus, status_cents,
-        |       CAST((status_cents * 10000) // grand_cents AS BIGINT) AS share_bps
-        |FROM ps, g ORDER BY o_orderstatus""".stripMargin,
-    "join_region" ->
-      """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
-        |       count(s_suppkey) AS n_suppliers
-        |FROM nation
-        |JOIN region ON n_regionkey = r_regionkey
-        |LEFT JOIN supplier ON s_nationkey = n_nationkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "join_semi_anti" ->
-      """WITH with_orders AS (
-        |  SELECT c_mktsegment, count(*) AS n_with_orders
-        |  FROM customer c
-        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |  GROUP BY c_mktsegment),
-        |without_orders AS (
-        |  SELECT c_mktsegment, count(*) AS n_without_orders
-        |  FROM customer c
-        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |  GROUP BY c_mktsegment)
-        |SELECT c_mktsegment,
-        |       coalesce(n_with_orders, 0) AS n_with_orders,
-        |       coalesce(n_without_orders, 0) AS n_without_orders
-        |FROM with_orders FULL OUTER JOIN without_orders USING (c_mktsegment)
-        |ORDER BY c_mktsegment""".stripMargin,
-    "set_ops" ->
-      """WITH s AS (SELECT s_nationkey AS nk FROM supplier),
-        |c AS (SELECT c_nationkey AS nk FROM customer)
-        |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM s INTERSECT SELECT nk FROM c)
-        |UNION ALL
-        |SELECT 'supplier_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
-        |UNION ALL
-        |SELECT 'customer_only', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
-        |ORDER BY op, nk""".stripMargin,
-    "json_props" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
-        |       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "docs_pivot" ->
-      """SELECT source, round(de, 4) AS de, round(en, 4) AS en,
-        |       round(es, 4) AS es, round(fr, 4) AS fr, round(zh, 4) AS zh
-        |FROM (PIVOT (SELECT source, lang, n_chars FROM documents)
-        |      ON lang IN ('de', 'en', 'es', 'fr', 'zh')
-        |      USING avg(n_chars) GROUP BY source)
-        |ORDER BY source""".stripMargin,
-    "quantiles_lineitem" ->
-      """SELECT l_returnflag,
-        |       round(q[1], 4) AS p25, round(q[2], 4) AS p50,
-        |       round(q[3], 4) AS p75, round(q[4], 4) AS p95
-        |FROM (SELECT l_returnflag,
-        |             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS q
-        |      FROM lineitem GROUP BY l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin,
-    "range_bands" ->
-      """WITH bands AS (
-        |  SELECT p_partkey AS band_id,
-        |         p_retailprice * 10 AS lo,
-        |         p_retailprice * 10 + 2000 AS hi
-        |  FROM part WHERE p_partkey % 20 = 0)
-        |SELECT band_id, count(*) AS n_points
-        |FROM bands b JOIN lineitem l
-        |  ON l.l_extendedprice BETWEEN b.lo AND b.hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin,
-    "docs_rollup" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |       round(avg(n_chars), 4) AS avg_chars
-        |FROM documents GROUP BY ROLLUP(lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-    "join_revenue" ->
-      """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       count(*) AS n_lineitems
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "shipping_priority" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        |       o_orderpriority,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                      * (CAST(1 AS DECIMAL(18,2))
-        |                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
-        |            AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
-        |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
-    "events_lead_lag" ->
-      """SELECT event_id, user_id,
-        |       round(value - lag(value) OVER w, 4) AS delta_prev,
-        |       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
-        |       lead(event_type) OVER w AS next_type
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin,
-    "docs_cube" ->
-      """SELECT lang, source,
-        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
-        |       count(*) AS n_docs,
-        |       round(avg(n_chars), 4) AS avg_chars
-        |FROM documents GROUP BY CUBE(lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin,
-    "top_parts_per_brand" ->
-      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
-        |  SELECT p_brand, p_partkey, p_retailprice,
-        |         row_number() OVER (PARTITION BY p_brand
-        |                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
-        |  FROM part)
-        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
-    "sample_hash" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        |       round(sum(l_quantity), 2) AS qty_sum
-        |FROM lineitem
-        |WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "revenue_share" -> oracle("revenue_share"),
+    "join_region" -> oracle("join_region"),
+    "join_semi_anti" -> oracle("join_semi_anti"),
+    "set_ops" -> oracle("set_ops"),
+    "json_props" -> oracle("json_props"),
+    "docs_pivot" -> oracle("docs_pivot"),
+    "quantiles_lineitem" -> oracle("quantiles_lineitem"),
+    "range_bands" -> oracle("range_bands"),
+    "docs_rollup" -> oracle("docs_rollup"),
+    "join_revenue" -> oracle("join_revenue"),
+    "shipping_priority" -> oracle("shipping_priority"),
+    "events_lead_lag" -> oracle("events_lead_lag"),
+    "docs_cube" -> oracle("docs_cube"),
+    "top_parts_per_brand" -> oracle("top_parts_per_brand"),
+    "sample_hash" -> oracle("sample_hash"),
     "tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -5557,298 +4988,32 @@ object ExtQueries {
          |      FROM scored)
          |SELECT doc_id, tok, rank, round(score, 4) AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "join_skew_salted" ->
-      """WITH dim AS (SELECT event_type, count(*) AS type_count
-        |             FROM events GROUP BY event_type)
-        |SELECT e.event_type, max(d.type_count) AS type_count,
-        |       count(*) AS n_events,
-        |       CAST(round(sum(CAST(e.value AS DECIMAL(24,6))), 2) AS DOUBLE) AS value_sum
-        |FROM events e JOIN dim d ON e.event_type = d.event_type
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-    "price_metrics" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |m AS (
-        |  SELECT user_id, event_type, date, close,
-        |         lag(close) OVER w AS prev_close,
-        |         max(close) OVER (PARTITION BY user_id, event_type ORDER BY date
-        |                          ROWS UNBOUNDED PRECEDING) AS peak
-        |  FROM bars
-        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date))
-        |SELECT user_id, event_type, date, close,
-        |       round((close / nullif(prev_close, 0) - 1) * 10000, 4) AS ret_bps,
-        |       round((close / nullif(peak, 0) - 1) * 10000, 4) AS drawdown_bps
-        |FROM m ORDER BY user_id, event_type, date""".stripMargin,
-    "bars_weekly" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_min(value, event_id) AS open, max(value) AS high,
-        |         min(value) AS low, arg_max(value, event_id) AS close,
-        |         count(*) AS volume
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT user_id, event_type,
-        |       CAST(date_trunc('week', date) AS DATE) AS week,
-        |       arg_min(open, date) AS open, max(high) AS high,
-        |       min(low) AS low, arg_max(close, date) AS close,
-        |       CAST(sum(volume) AS BIGINT) AS volume
-        |FROM bars GROUP BY 1, 2, 3
-        |ORDER BY user_id, event_type, week""".stripMargin,
+    "join_skew_salted" -> oracle("join_skew_salted"),
+    "price_metrics" -> oracle("price_metrics"),
+    "bars_weekly" -> oracle("bars_weekly"),
     // OBV is pure integer arithmetic; ATR replays the exact-decimal
     // window sum + one fixed-order double division
-    "indicators_obv_atr" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         max(value) AS high, min(value) AS low,
-        |         arg_max(value, event_id) AS close,
-        |         count(*) AS volume
-        |  FROM events GROUP BY 1, 2, 3),
-        |d AS (SELECT user_id, event_type, date, close, volume,
-        |             CAST(close AS DECIMAL(18,6)) AS c,
-        |             CAST(high AS DECIMAL(18,6)) AS h,
-        |             CAST(low AS DECIMAL(18,6)) AS l,
-        |             lag(CAST(close AS DECIMAL(18,6))) OVER w AS pc
-        |      FROM bars
-        |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date)),
-        |e AS (SELECT *,
-        |             CASE WHEN pc IS NULL THEN CAST(0 AS BIGINT)
-        |                  WHEN c > pc THEN CAST(1 AS BIGINT)
-        |                  WHEN c < pc THEN CAST(-1 AS BIGINT)
-        |                  ELSE CAST(0 AS BIGINT) END AS sgn,
-        |             CASE WHEN pc IS NULL THEN h - l
-        |                  ELSE greatest(h - l, abs(h - pc), abs(l - pc))
-        |                  END AS tr
-        |      FROM d),
-        |f AS (SELECT user_id, event_type, date, close,
-        |             CAST(sum(sgn * volume) OVER cum AS BIGINT) AS obv,
-        |             count(tr) OVER t AS n,
-        |             sum(tr) OVER t AS trs
-        |      FROM e
-        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |             t AS (PARTITION BY user_id, event_type ORDER BY date
-        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close, obv,
-        |       round(CASE WHEN n = 14
-        |                  THEN CAST(trs AS DOUBLE) / n END, 4) AS atr_14
-        |FROM f ORDER BY user_id, event_type, date""".stripMargin,
+    "indicators_obv_atr" -> oracle("indicators_obv_atr"),
     // integer-exact Bollinger: same unit scaling, same decimal sums,
     // same single double division + sqrt — bit-identical pre-round
-    "bollinger_bands" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |c AS (SELECT user_id, event_type, date, close,
-        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
-        |                  AS DECIMAL(13,0)) AS cu
-        |      FROM bars),
-        |s AS (SELECT user_id, event_type, date, close,
-        |             count(*) OVER t AS n,
-        |             sum(cu) OVER t AS sc,
-        |             sum(CAST(cu * cu AS DECIMAL(30,0))) OVER t AS sc2
-        |      FROM c
-        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
-        |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close,
-        |       round(CASE WHEN n = 20
-        |                  THEN CAST(sc AS DOUBLE) / n / 1e6 END, 4) AS bb_mid,
-        |       round(CASE WHEN n = 20
-        |                  THEN CAST(sc AS DOUBLE) / n / 1e6
-        |                       + 2 * (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sc2 AS HUGEINT)
-        |                                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
-        |                                   / CAST(n * (n - 1) AS DOUBLE)) / 1e6)
-        |                  END, 4) AS bb_upper,
-        |       round(CASE WHEN n = 20
-        |                  THEN CAST(sc AS DOUBLE) / n / 1e6
-        |                       - 2 * (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sc2 AS HUGEINT)
-        |                                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
-        |                                   / CAST(n * (n - 1) AS DOUBLE)) / 1e6)
-        |                  END, 4) AS bb_lower
-        |FROM s ORDER BY user_id, event_type, date""".stripMargin,
-    "rsi_close" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |d AS (SELECT user_id, event_type, date, close,
-        |             CAST(close AS DECIMAL(18,6))
-        |               - lag(CAST(close AS DECIMAL(18,6))) OVER w AS delta
-        |      FROM bars
-        |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date)),
-        |r AS (SELECT user_id, event_type, date, close,
-        |             sum(CASE WHEN delta > 0 THEN delta
-        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) OVER t AS gsum,
-        |             sum(CASE WHEN delta < 0 THEN -delta
-        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) OVER t AS lsum,
-        |             count(delta) OVER t AS nd
-        |      FROM d
-        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
-        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close,
-        |       round(CASE WHEN nd = 14 AND gsum + lsum <> 0
-        |                  THEN 100.0 * CAST(gsum AS DOUBLE)
-        |                       / CAST(gsum + lsum AS DOUBLE) END, 4) AS rsi_14
-        |FROM r ORDER BY user_id, event_type, date""".stripMargin,
+    "bollinger_bands" -> oracle("bollinger_bands"),
+    "rsi_close" -> oracle("rsi_close"),
     // exact-decimal channel extremes; one IEEE division per ratio with
     // explicit parens so both engines associate identically
-    "stochastic_k" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         max(value) AS high, min(value) AS low,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |c AS (SELECT user_id, event_type, date, close,
-        |             CAST(close AS DECIMAL(18,6)) AS cu,
-        |             max(CAST(high AS DECIMAL(18,6))) OVER t AS h14,
-        |             min(CAST(low AS DECIMAL(18,6))) OVER t AS l14,
-        |             count(*) OVER t AS n
-        |      FROM bars
-        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
-        |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close,
-        |       CASE WHEN n = 14 AND h14 <> l14
-        |            THEN 100.0 * (CAST(cu - l14 AS DOUBLE)
-        |                          / CAST(h14 - l14 AS DOUBLE))
-        |       END AS stoch_k,
-        |       CASE WHEN n = 14 AND h14 <> l14
-        |            THEN -100.0 * (CAST(h14 - cu AS DOUBLE)
-        |                           / CAST(h14 - l14 AS DOUBLE))
-        |       END AS williams_r
-        |FROM c ORDER BY user_id, event_type, date""".stripMargin,
+    "stochastic_k" -> oracle("stochastic_k"),
     // decimal price×volume numerator, integer denominator, one final
     // division — partial windows are exact weighted means, no NULL gate
-    "vwap_rolling" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close, count(*) AS volume
-        |  FROM events GROUP BY 1, 2, 3),
-        |v AS (SELECT user_id, event_type, date, close,
-        |             sum(CAST(CAST(CAST(close AS DECIMAL(18,6)) * 1000000
-        |                           AS DECIMAL(13,0)) * volume
-        |                      AS DECIMAL(30,0))) OVER t AS pvs,
-        |             sum(volume) OVER t AS vs
-        |      FROM bars
-        |      WINDOW t AS (PARTITION BY user_id, event_type ORDER BY date
-        |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close,
-        |       CAST(pvs AS DOUBLE) / CAST(vs AS DOUBLE) / 1e6 AS vwap_20
-        |FROM v ORDER BY user_id, event_type, date""".stripMargin,
+    "vwap_rolling" -> oracle("vwap_rolling"),
     // 1e-6 integer units throughout; sample variance via the HUGEINT
     // identity, downside is the population RMS of the negative deltas
-    "risk_metrics" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |c AS (SELECT user_id, event_type, date,
-        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
-        |                  AS DECIMAL(13,0)) AS cu
-        |      FROM bars),
-        |d AS (SELECT user_id, event_type,
-        |             cu - lag(cu) OVER (PARTITION BY user_id, event_type
-        |                                ORDER BY date) AS dd
-        |      FROM c),
-        |e AS (SELECT user_id, event_type, dd,
-        |             CAST(dd * dd AS DECIMAL(30,0)) AS dd2
-        |      FROM d WHERE dd IS NOT NULL),
-        |g AS (SELECT user_id, event_type,
-        |             count(*) AS n,
-        |             CAST(sum(dd) AS DECIMAL(25,0)) AS s,
-        |             CAST(sum(dd2) AS DECIMAL(30,0)) AS s2,
-        |             CAST(sum(CASE WHEN dd < 0 THEN dd2
-        |                           ELSE CAST(0 AS DECIMAL(30,0)) END)
-        |                  AS DECIMAL(30,0)) AS sneg
-        |      FROM e GROUP BY 1, 2),
-        |f AS (SELECT user_id, event_type, n, s, sneg,
-        |             CAST(s AS DOUBLE) / n / 1e6 AS mean_d,
-        |             CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
-        |                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
-        |                  AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_d
-        |      FROM g)
-        |SELECT user_id, event_type, n AS n_changes,
-        |       mean_d AS mean_chg,
-        |       CASE WHEN n >= 10 THEN sqrt(var_d) / 1e6 END AS vol_chg,
-        |       CASE WHEN n >= 10
-        |            THEN sqrt(CAST(sneg AS DOUBLE)
-        |                      / CAST(n AS DOUBLE)) / 1e6 END
-        |         AS downside_chg,
-        |       CASE WHEN n >= 10 AND var_d <> 0
-        |            THEN mean_d / (sqrt(var_d) / 1e6) END AS drift_ratio
-        |FROM f ORDER BY user_id, event_type""".stripMargin,
+    "risk_metrics" -> oracle("risk_metrics"),
     // five exact-decimal sums per pair; the coefficient is one final
     // double expression over the HUGEINT identities
-    "returns_correlation" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |c AS (SELECT user_id, event_type, date,
-        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
-        |                  AS DECIMAL(13,0)) AS cu
-        |      FROM bars),
-        |d AS (SELECT user_id, event_type, date,
-        |             CAST(cu - lag(cu) OVER (PARTITION BY user_id, event_type
-        |                                     ORDER BY date)
-        |                  AS DECIMAL(14,0)) AS dd
-        |      FROM c),
-        |e AS (SELECT * FROM d WHERE dd IS NOT NULL),
-        |p AS (SELECT a.user_id, a.event_type AS et_a, b.event_type AS et_b,
-        |             count(*) AS np,
-        |             CAST(sum(a.dd) AS DECIMAL(25,0)) AS sx,
-        |             CAST(sum(b.dd) AS DECIMAL(25,0)) AS sy,
-        |             CAST(sum(CAST(a.dd * a.dd AS DECIMAL(30,0)))
-        |                  AS DECIMAL(30,0)) AS sxx,
-        |             CAST(sum(CAST(b.dd * b.dd AS DECIMAL(30,0)))
-        |                  AS DECIMAL(30,0)) AS syy,
-        |             CAST(sum(CAST(a.dd * b.dd AS DECIMAL(30,0)))
-        |                  AS DECIMAL(30,0)) AS sxy
-        |      FROM e a JOIN e b
-        |        ON a.user_id = b.user_id AND a.date = b.date
-        |       AND a.event_type < b.event_type
-        |      GROUP BY 1, 2, 3),
-        |q AS (SELECT user_id, et_a, et_b, np,
-        |             CAST(CAST(np AS HUGEINT) * CAST(sxy AS HUGEINT)
-        |                  - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
-        |                  AS DOUBLE) AS cov,
-        |             CAST(CAST(np AS HUGEINT) * CAST(sxx AS HUGEINT)
-        |                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
-        |                  AS DOUBLE) AS vx,
-        |             CAST(CAST(np AS HUGEINT) * CAST(syy AS HUGEINT)
-        |                  - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
-        |                  AS DOUBLE) AS vy
-        |      FROM p)
-        |SELECT user_id, et_a, et_b, np AS n_days,
-        |       round(cov / (sqrt(vx) * sqrt(vy)), 6) AS chg_corr
-        |FROM q WHERE np >= 10 AND vx <> 0 AND vy <> 0
-        |ORDER BY user_id, et_a, et_b""".stripMargin,
+    "returns_correlation" -> oracle("returns_correlation"),
     // conditional aggregation replays the explicit-values pivot
-    "pivot_volume" ->
-      """SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS isodow,
-        |       count(*) FILTER (WHERE event_type = 'click') AS click,
-        |       count(*) FILTER (WHERE event_type = 'error') AS error,
-        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |       count(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pivot_volume" -> oracle("pivot_volume"),
     // UNION ALL of the four projections replays the melt
-    "bars_unpivot" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_min(value, event_id) AS open, max(value) AS high,
-        |         min(value) AS low, arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT user_id, event_type, date, field, price FROM (
-        |  SELECT user_id, event_type, date, 'open' AS field, open AS price
-        |  FROM bars
-        |  UNION ALL
-        |  SELECT user_id, event_type, date, 'high', high FROM bars
-        |  UNION ALL
-        |  SELECT user_id, event_type, date, 'low', low FROM bars
-        |  UNION ALL
-        |  SELECT user_id, event_type, date, 'close', close FROM bars)
-        |ORDER BY user_id, event_type, date, field""".stripMargin,
+    "bars_unpivot" -> oracle("bars_unpivot"),
     // integer-derived ranks; percent_rank/cume_dist are the standard
     // rational forms on identical operands. The DataFrame gate and the
     // shared-text SQL gate both verify against the SAME string that
@@ -5859,147 +5024,21 @@ object ExtQueries {
     "sql_interval_range" -> intervalRangeSql,
     "sql_percentile_cont" -> percentileContSql,
     // pure integer sums per grouping set; gid tags the level
-    "volume_rollup" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |         CAST(isodow(CAST(ts AS DATE)) AS INT) AS isodow
-        |  FROM events)
-        |SELECT event_type, isodow, count(*) AS n_events,
-        |       CAST(GROUPING(event_type, isodow) AS BIGINT) AS gid
-        |FROM e GROUP BY ROLLUP (event_type, isodow)
-        |ORDER BY gid, event_type, isodow""".stripMargin,
+    "volume_rollup" -> oracle("volume_rollup"),
     // the two dyadic left-folds replayed with DuckDB list comprehensions
     // (the ewma_close technique); macd is their raw-double difference
-    "macd_dyadic" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |wf AS (
-        |  SELECT user_id, event_type, date, close,
-        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
-        |                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cf,
-        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
-        |                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS cs
-        |  FROM bars)
-        |SELECT user_id, event_type, date, close,
-        |       list_reduce([cf[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
-        |                    for i in range(1, len(cf) + 1)],
-        |                   (a, v) -> a + v)
-        |         / CAST((1::BIGINT << len(cf)) - 1 AS DOUBLE)
-        |       - list_reduce([cs[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
-        |                      for i in range(1, len(cs) + 1)],
-        |                     (a, v) -> a + v)
-        |         / CAST((1::BIGINT << len(cs)) - 1 AS DOUBLE) AS macd
-        |FROM wf ORDER BY user_id, event_type, date""".stripMargin,
+    "macd_dyadic" -> oracle("macd_dyadic"),
     // running-peak date by double equality on the row that set it,
     // then pure integer date arithmetic
-    "underwater_days" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |p AS (SELECT user_id, event_type, date, close,
-        |             max(close) OVER cum AS peak
-        |      FROM bars
-        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |q AS (SELECT user_id, event_type, date, close,
-        |             max(CASE WHEN close = peak THEN date END) OVER cum
-        |               AS peak_date
-        |      FROM p
-        |      WINDOW cum AS (PARTITION BY user_id, event_type ORDER BY date
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_type, date, close,
-        |       CAST(date_diff('day', peak_date, date) AS BIGINT)
-        |         AS underwater_days
-        |FROM q ORDER BY user_id, event_type, date""".stripMargin,
+    "underwater_days" -> oracle("underwater_days"),
     // market composite = exact decimal sum of all keys' deltas per date;
     // β via the HUGEINT identities, one final double division
-    "beta_market" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |c AS (SELECT user_id, event_type, date,
-        |             CAST(CAST(close AS DECIMAL(18,6)) * 1000000
-        |                  AS DECIMAL(13,0)) AS cu
-        |      FROM bars),
-        |d AS (SELECT user_id, event_type, date,
-        |             CAST(cu - lag(cu) OVER (PARTITION BY user_id, event_type
-        |                                     ORDER BY date)
-        |                  AS DECIMAL(14,0)) AS dd
-        |      FROM c),
-        |e AS (SELECT * FROM d WHERE dd IS NOT NULL),
-        |m AS (SELECT date, CAST(sum(dd) AS DECIMAL(25,0)) AS mm
-        |      FROM e GROUP BY 1),
-        |p AS (SELECT e.user_id, e.event_type,
-        |             count(*) AS np,
-        |             CAST(sum(e.dd) AS DECIMAL(25,0)) AS sx,
-        |             CAST(sum(m.mm) AS DECIMAL(30,0)) AS sm,
-        |             CAST(sum(CAST(e.dd * m.mm AS DECIMAL(30,0)))
-        |                  AS DECIMAL(38,0)) AS sxm,
-        |             CAST(sum(CAST(m.mm * m.mm AS DECIMAL(38,0)))
-        |                  AS DECIMAL(38,0)) AS smm
-        |      FROM e JOIN m ON e.date = m.date
-        |      GROUP BY 1, 2),
-        |q AS (SELECT user_id, event_type, np,
-        |             CAST(CAST(np AS HUGEINT) * CAST(sxm AS HUGEINT)
-        |                  - CAST(sx AS HUGEINT) * CAST(sm AS HUGEINT)
-        |                  AS DOUBLE) AS cov,
-        |             CAST(CAST(np AS HUGEINT) * CAST(smm AS HUGEINT)
-        |                  - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
-        |                  AS DOUBLE) AS varm
-        |      FROM p)
-        |SELECT user_id, event_type, np AS n_days, cov / varm AS beta
-        |FROM q WHERE np >= 10 AND varm <> 0
-        |ORDER BY user_id, event_type""".stripMargin,
+    "beta_market" -> oracle("beta_market"),
     // integer tick sums per ISO weekday; raw-double fixed-order shares
-    "volume_seasonality" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         count(*) AS volume
-        |  FROM events GROUP BY 1, 2, 3),
-        |g AS (SELECT event_type, CAST(isodow(date) AS INT) AS isodow,
-        |             count(*) AS n_days,
-        |             CAST(sum(volume) AS BIGINT) AS total_vol
-        |      FROM bars GROUP BY 1, 2),
-        |w AS (SELECT *, sum(total_vol) OVER (PARTITION BY event_type)
-        |               AS wk_vol
-        |      FROM g)
-        |SELECT event_type, isodow, n_days, total_vol,
-        |       CAST(total_vol AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_vol,
-        |       CAST(total_vol AS DOUBLE) / CAST(wk_vol AS DOUBLE) AS vol_share
-        |FROM w ORDER BY event_type, isodow""".stripMargin,
+    "volume_seasonality" -> oracle("volume_seasonality"),
     // pure integer date arithmetic
-    "trading_gaps" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date
-        |  FROM events GROUP BY 1, 2, 3),
-        |g AS (SELECT user_id, event_type, date,
-        |             lag(date) OVER (PARTITION BY user_id, event_type
-        |                             ORDER BY date) AS prev_date
-        |      FROM bars)
-        |SELECT user_id, event_type, prev_date AS gap_start,
-        |       date AS gap_end,
-        |       CAST(date_diff('day', prev_date, date) - 1 AS BIGINT)
-        |         AS gap_days
-        |FROM g WHERE date_diff('day', prev_date, date) > 1
-        |ORDER BY user_id, event_type, gap_start""".stripMargin,
-    "event_bursts" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |                      count(*) AS n_events
-        |               FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, day, n_events,
-        |             sum(n_events) OVER tw AS ps,
-        |             count(n_events) OVER tw AS pn
-        |      FROM daily
-        |      WINDOW tw AS (PARTITION BY event_type ORDER BY day
-        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, day, n_events,
-        |       n_events * pn * 10000 // ps AS ratio_bps,
-        |       coalesce((n_events * pn * 10000 // ps) > 20000, FALSE) AS burst
-        |FROM w ORDER BY event_type, day""".stripMargin,
+    "trading_gaps" -> oracle("trading_gaps"),
+    "event_bursts" -> oracle("event_bursts"),
     "cluster_sizes" ->
       s"""${componentsCtes(4)},
          |lab AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
@@ -6187,35 +5226,7 @@ object ExtQueries {
          |      FROM d a, d b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(c, 6) AS containment
          |FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
-    "similarity_quantized" ->
-      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |s AS (SELECT vec_id, dv,
-        |             greatest(list_max(dv), -list_min(dv)) / 127.0 AS scale
-        |      FROM t),
-        |z AS (SELECT vec_id, dv, scale,
-        |             [CASE WHEN scale > 0
-        |                   THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
-        |                   ELSE 0.0 END for x in dv] AS qd
-        |      FROM s),
-        |c AS (SELECT vec_id AS neighbor_id, dv AS cv, scale AS cs, qd AS cq FROM z),
-        |q AS (SELECT vec_id AS query_id, dv AS qv, scale AS qs, qd AS qq
-        |      FROM z WHERE vec_id % 20 = 0),
-        |a AS (SELECT query_id, neighbor_id, cv, qv,
-        |             cs * qs * list_dot_product(cq, qq) AS approx
-        |      FROM c, q WHERE neighbor_id != query_id),
-        |sh AS (SELECT query_id, neighbor_id, cv, qv,
-        |              row_number() OVER (PARTITION BY query_id
-        |                                 ORDER BY approx DESC, neighbor_id) AS ar
-        |       FROM a),
-        |e AS (SELECT query_id, neighbor_id,
-        |             list_cosine_similarity(cv, qv) AS sim
-        |      FROM sh WHERE ar <= 20),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM e)
-        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "similarity_quantized" -> oracle("similarity_quantized"),
     "dedup_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |h AS (SELECT doc_id,
@@ -6231,20 +5242,7 @@ object ExtQueries {
          |      GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared FROM p
          |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
-    "temperature_mix" ->
-      """WITH c AS (SELECT lang AS g, count(*) AS ng FROM documents GROUP BY 1),
-        |w AS (SELECT g, ng, sqrt(CAST(ng AS DOUBLE)) AS wt FROM c),
-        |d AS (SELECT doc_id, lang,
-        |             md5(CAST(doc_id AS VARCHAR) || ':temp1') AS key
-        |      FROM documents),
-        |t AS (SELECT g AS lang,
-        |             CAST(floor(min(CAST(ng AS DOUBLE) / wt) OVER () * wt) AS BIGINT) AS target
-        |      FROM w),
-        |r AS (SELECT doc_id, lang,
-        |             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS mix_rank
-        |      FROM d)
-        |SELECT r.doc_id, r.lang, mix_rank FROM r JOIN t USING (lang)
-        |WHERE mix_rank <= target ORDER BY doc_id""".stripMargin,
+    "temperature_mix" -> oracle("temperature_mix"),
     "quality_score_lr" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -6270,30 +5268,7 @@ object ExtQueries {
          |       round(1.0 / (1.0 + exp(-zv)), 4) AS lr_score,
          |       zv >= 0 AS keep
          |FROM z ORDER BY doc_id""".stripMargin,
-    "embed_quantize" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-        |s AS (SELECT vec_id, dv,
-        |             greatest(list_max(dv), -list_min(dv)) / 127.0 AS scale
-        |      FROM t),
-        |q AS (SELECT vec_id, dv, scale,
-        |             [CAST(CASE WHEN scale > 0
-        |                        THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
-        |                        ELSE 0.0 END AS INT) for x in dv] AS qvec,
-        |             [CASE WHEN scale > 0
-        |                   THEN least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
-        |                   ELSE 0.0 END for x in dv] AS qd
-        |      FROM s),
-        |e AS (SELECT vec_id, len(dv) AS dim, scale, qvec,
-        |             CASE WHEN len(dv) > 0 THEN
-        |               list_reduce([(dv[i] - qd[i] * scale) * (dv[i] - qd[i] * scale)
-        |                            for i in range(1, len(dv) + 1)],
-        |                           (a, v) -> a + v) / len(dv)
-        |             ELSE 0.0 END AS mse_raw
-        |      FROM q)
-        |SELECT vec_id, dim, round(scale, 6) AS q_scale,
-        |       array_to_string(qvec, ',') AS qvec,
-        |       round(mse_raw, 9) AS mse
-        |FROM e ORDER BY vec_id""".stripMargin,
+    "embed_quantize" -> oracle("embed_quantize"),
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id,
@@ -6304,598 +5279,103 @@ object ExtQueries {
          |       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
          |       len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-    "price_histogram" ->
-      """SELECT bucket,
-        |       CAST(round(0 + bucket * 5000.0, 4) AS DOUBLE) AS lo_edge,
-        |       CAST(round(0 + (bucket + 1) * 5000.0, 4) AS DOUBLE) AS hi_edge,
-        |       count(*) AS n_rows
-        |FROM (SELECT CAST(least(greatest(floor((l_extendedprice - 0) / 5000.0), 0), 21) AS BIGINT) AS bucket
-        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "snapshot_diff" ->
-      """WITH o AS (SELECT user_id, event_type, value, TRUE AS op FROM (
-        |        SELECT user_id, event_type, value,
-        |               row_number() OVER (PARTITION BY user_id, event_type
-        |                                  ORDER BY ts DESC, event_id DESC) AS rn
-        |        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15')
-        |      WHERE rn = 1),
-        |n AS (SELECT user_id, event_type, value, TRUE AS np FROM (
-        |        SELECT user_id, event_type, value,
-        |               row_number() OVER (PARTITION BY user_id, event_type
-        |                                  ORDER BY ts DESC, event_id DESC) AS rn
-        |        FROM events)
-        |      WHERE rn = 1),
-        |d AS (SELECT user_id, event_type,
-        |             CASE WHEN op IS NULL THEN 'insert'
-        |                  WHEN np IS NULL THEN 'delete'
-        |                  WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
-        |                  ELSE 'update' END AS change_type
-        |      FROM o FULL OUTER JOIN n USING (user_id, event_type))
-        |SELECT user_id, event_type, change_type FROM d
-        |WHERE change_type <> 'unchanged'
-        |ORDER BY user_id, event_type""".stripMargin,
-    "rolling_wau" ->
-      """WITH p AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
-        |d AS (SELECT DISTINCT day FROM p)
-        |SELECT d.day AS report_day, count(DISTINCT u) AS active_users
-        |FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "ewma_close" ->
-      """WITH bars AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |wf AS (
-        |  SELECT user_id, event_type, date,
-        |         list(close) OVER (PARTITION BY user_id, event_type ORDER BY date
-        |                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c
-        |  FROM bars)
-        |SELECT user_id, event_type, date,
-        |       round(list_reduce([c[i] * CAST((1::BIGINT << (i - 1)) AS DOUBLE)
-        |                          for i in range(1, len(c) + 1)],
-        |                         (a, v) -> a + v)
-        |             / CAST((1::BIGINT << len(c)) - 1 AS DOUBLE), 4) AS ewma_close
-        |FROM wf ORDER BY user_id, event_type, date""".stripMargin,
-    "events_outliers" ->
-      """WITH x AS (SELECT event_id, event_type, value,
-        |                  CAST(round(value * 100) AS HUGEINT) AS xv
-        |           FROM events),
-        |s AS (SELECT event_type, count(*)::HUGEINT AS n,
-        |             sum(xv) AS sv, sum(xv * xv) AS q
-        |      FROM x GROUP BY 1)
-        |SELECT event_id, event_type, value,
-        |       round(CAST(xv * n - sv AS DOUBLE)
-        |             / sqrt(CAST(n * (n * q - sv * sv) AS DOUBLE) / (n - 1)), 4) AS z
-        |FROM x JOIN s USING (event_type)
-        |WHERE n >= 2 AND
-        |      (xv * n - sv) * (xv * n - sv) * (n - 1) > 9 * n * (n * q - sv * sv)
-        |ORDER BY event_id""".stripMargin,
+    "price_histogram" -> oracle("price_histogram"),
+    "snapshot_diff" -> oracle("snapshot_diff"),
+    "rolling_wau" -> oracle("rolling_wau"),
+    "ewma_close" -> oracle("ewma_close"),
+    "events_outliers" -> oracle("events_outliers"),
     // maxBasketSize=1000 encoded in the oracle (HAVING <= cap) so the
     // oversized-basket exclusion is equivalent by construction
     "pagerank_parts" -> pagerankSql(3),
     "pagerank_weighted" -> pagerankSql(3, weighted = true),
-    "triangle_counts" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
-        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
-        |pp AS (SELECT a.p AS pa, b2.p AS pb
-        |       FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
-        |       GROUP BY 1, 2 HAVING count(*) >= 3),
-        |tri AS (SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
-        |        FROM pp p1
-        |        JOIN pp p2 ON p1.pb = p2.pa
-        |        JOIN pp p3 ON p3.pa = p1.pa AND p3.pb = p2.pb),
-        |nodes AS (SELECT DISTINCT pa AS id FROM pp
-        |          UNION SELECT DISTINCT pb FROM pp),
-        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
-        |          SELECT x AS id FROM tri
-        |          UNION ALL SELECT y FROM tri
-        |          UNION ALL SELECT z FROM tri) GROUP BY id)
-        |SELECT n.id, coalesce(c.t, 0) AS n_triangles
-        |FROM nodes n LEFT JOIN cnt c USING (id)
-        |ORDER BY id""".stripMargin,
-    "basket_pairs" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |ok AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 1000),
-        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o))
-        |SELECT a.p AS item_a, b2.p AS item_b, count(*) AS n_baskets
-        |FROM bb a JOIN bb b2 USING (o) WHERE a.p < b2.p
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY item_a, item_b""".stripMargin,
-    "fuzzy_join" ->
-      """WITH v AS (SELECT DISTINCT p_name AS s FROM part),
-        |k AS (SELECT DISTINCT s,
-        |             unnest([string_split(s, ' ')[1], string_split(s, ' ')[-1]]) AS bk
-        |      FROM v),
-        |p AS (SELECT DISTINCT a.s AS s_a, b.s AS s_b
-        |      FROM k a JOIN k b USING (bk) WHERE a.s < b.s)
-        |SELECT s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
-        |FROM p WHERE levenshtein(s_a, s_b) <= 4
-        |ORDER BY s_a, s_b""".stripMargin,
+    "triangle_counts" -> oracle("triangle_counts"),
+    "basket_pairs" -> oracle("basket_pairs"),
+    "fuzzy_join" -> oracle("fuzzy_join"),
     "zorder_layout" ->
       s"""SELECT p_partkey, p_size,
          |       ${graft.ops.ZOrder.zkeySql(Seq("p_size", "p_partkey % 64"), 6)} AS zkey
          |FROM part ORDER BY zkey, p_partkey""".stripMargin,
-    "bloom_semi_join" ->
-      """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
-        |       count(*) AS n_orders,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
-        |FROM orders
-        |WHERE o_custkey IN (SELECT c_custkey FROM customer
-        |                    WHERE c_mktsegment = 'BUILDING')
-        |GROUP BY 1 ORDER BY month_start""".stripMargin,
-    "orders_by_month" ->
-      """SELECT date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month_start,
-        |       EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS qtr,
-        |       count(*) AS n_orders,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price
-        |FROM orders
-        |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
-    "join_bucketed" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bloom_semi_join" -> oracle("bloom_semi_join"),
+    "orders_by_month" -> oracle("orders_by_month"),
+    "join_bucketed" -> oracle("join_bucketed"),
     // The three versioned_* gates replay the table-format outcome in
     // plain SQL over the raw parquet: changed-partition set for the
     // incremental scan, full-upsert state for the partition-grain
     // merge, plain range filter for the stats-pruned read.
-    "versioned_changes" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        IN ('1995-02', '1995-03', '1996-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_merge" ->
-      """WITH b AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |         o_orderkey,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |m AS (
-        |  SELECT month, o_orderkey,
-        |         CASE WHEN month = '1995-02' AND o_orderkey % 2 = 0
-        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
-        |                        AS DECIMAL(18,2))
-        |              ELSE p END AS p
-        |  FROM b WHERE month BETWEEN '1995-01' AND '1995-03'
-        |  UNION ALL
-        |  SELECT month, o_orderkey, p FROM b WHERE month = '1995-04')
-        |SELECT month, count(*) AS n_rows,
-        |       CAST(sum(p) AS DOUBLE) AS total_price
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_pruned" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-06'
-        |  AND o_orderkey BETWEEN 10000 AND 30000
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_zorder_optimized" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-06'
-        |  AND o_custkey BETWEEN 100 AND 700
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_changes" -> oracle("versioned_changes"),
+    "versioned_merge" -> oracle("versioned_merge"),
+    "versioned_pruned" -> oracle("versioned_pruned"),
+    "versioned_zorder_optimized" -> oracle("versioned_zorder_optimized"),
     // Compaction is content-preserving: 12 single-month promotes under
     // the fan-in policy read back as the plain per-month aggregate.
-    "versioned_compacted" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-12'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_compacted" -> oracle("versioned_compacted"),
     // Time travel: the pinned v1 read ignores the later 1995-02
     // rewrite, so the oracle is the UNMODIFIED three months.
     // same direct Jan–Mar aggregation as versioned_timetravel: the WAP
     // publish must land main on exactly the staged branch state
-    "wap_publish" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "wap_publish" -> oracle("wap_publish"),
     // Feb repriced on the branch, April appended, Jan/Mar inherited —
     // the published state aggregated directly
-    "wap_publish_partitioned" ->
-      """WITH b AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |m AS (
-        |  SELECT month,
-        |         CASE WHEN month = '1995-02'
-        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
-        |                        AS DECIMAL(18,2))
-        |              ELSE p END AS p
-        |  FROM b WHERE month BETWEEN '1995-01' AND '1995-04')
-        |SELECT month, count(*) AS n_rows,
-        |       CAST(sum(p) AS DOUBLE) AS total_price
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "wap_publish_partitioned" -> oracle("wap_publish_partitioned"),
     // post-rollback main serves the original Jan–Mar state
-    "versioned_rollback" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_timetravel" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_evolve" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
-        |            THEN 'H' ELSE 'L' END AS price_band,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_rollback" -> oracle("versioned_rollback"),
+    "versioned_timetravel" -> oracle("versioned_timetravel"),
+    "versioned_evolve" -> oracle("versioned_evolve"),
     // Delta maintenance must equal recompute: the oracle aggregates the
     // post-change table built from scratch.
-    "incremental_agg" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders),
-        |fin AS (
-        |  SELECT month, p FROM m WHERE month IN ('1995-01', '1995-03', '1995-04')
-        |  UNION ALL
-        |  SELECT month, CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
-        |  WHERE month = '1995-02'
-        |)
-        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total_price
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "incremental_agg" -> oracle("incremental_agg"),
     // Maintained min/max and top-k views vs from-scratch recomputes of
     // the post-change table (the same fin CTE as incremental_agg).
-    "incremental_minmax" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  o_orderstatus,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders),
-        |fin AS (
-        |  SELECT o_orderstatus, p FROM m
-        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
-        |  UNION ALL
-        |  SELECT o_orderstatus, CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
-        |  WHERE month = '1995-02'
-        |)
-        |SELECT o_orderstatus, CAST(min(p) AS DOUBLE) AS min_price,
-        |       CAST(max(p) AS DOUBLE) AS max_price
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
-    "incremental_topk" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  o_orderstatus, o_orderkey,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders),
-        |fin AS (
-        |  SELECT o_orderstatus, o_orderkey, p FROM m
-        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
-        |  UNION ALL
-        |  SELECT o_orderstatus, o_orderkey,
-        |         CAST(p * 2 AS DECIMAL(18,2)) AS p FROM m
-        |  WHERE month = '1995-02'
-        |),
-        |r AS (
-        |  SELECT o_orderstatus, o_orderkey, p,
-        |         row_number() OVER (PARTITION BY o_orderstatus
-        |                            ORDER BY p DESC, o_orderkey ASC) AS rank
-        |  FROM fin)
-        |SELECT o_orderstatus, CAST(rank AS INT) AS rank, o_orderkey,
-        |       CAST(p AS DOUBLE) AS total_price
-        |FROM r WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
+    "incremental_minmax" -> oracle("incremental_minmax"),
+    "incremental_topk" -> oracle("incremental_topk"),
     // The row-level-verb gates share one fixture (the %4<2 slice of
     // three months, DECIMAL(18,2) prices) and restate each verb's
     // outcome as a direct CASE over the same slice — the engine runs
     // the statement text, the oracle runs the semantics.
-    "sql_merge_upsert" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03')
-        |SELECT o_orderkey, o_custkey, month,
-        |       CAST(CASE WHEN o_orderkey % 4 IN (1, 2) THEN p * 2 ELSE p END
-        |            AS DOUBLE) AS total,
-        |       CASE WHEN o_orderkey % 4 IN (1, 2) THEN 'merged' ELSE 'base' END
-        |         AS src
-        |FROM m
-        |WHERE o_orderkey % 4 < 2 OR o_orderkey % 4 = 2
-        |ORDER BY o_orderkey""".stripMargin,
-    "sql_merge_prune" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03')
-        |SELECT o_orderkey, o_custkey, month,
-        |       CAST(p * 2 AS DOUBLE) AS total,
-        |       CASE WHEN o_orderkey % 4 = 1 THEN 'base' ELSE 'merged' END AS src
-        |FROM m
-        |WHERE o_orderkey % 4 IN (1, 2)
-        |ORDER BY o_orderkey""".stripMargin,
-    "sql_update_where" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT o_orderkey, o_custkey, month,
-        |       CAST(CASE WHEN o_custkey % 10 = 3 THEN p * 3 ELSE p END
-        |            AS DOUBLE) AS total,
-        |       CASE WHEN o_custkey % 10 = 3 THEN 'boosted' ELSE 'base' END
-        |         AS src
-        |FROM m ORDER BY o_orderkey""".stripMargin,
-    "sql_delete_rows" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
-        |       'base' AS src
-        |FROM m
-        |WHERE NOT (p > 150000 AND o_custkey % 2 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
-    "sql_alter_add" ->
-      """WITH m AS (SELECT o_orderkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT CASE WHEN p >= 150000 THEN 'H' ELSE 'L' END AS band, month,
-        |       count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
-        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql_merge_upsert" -> oracle("sql_merge_upsert"),
+    "sql_merge_prune" -> oracle("sql_merge_prune"),
+    "sql_update_where" -> oracle("sql_update_where"),
+    "sql_delete_rows" -> oracle("sql_delete_rows"),
+    "sql_alter_add" -> oracle("sql_alter_add"),
     // three-way classification: matched+high → t+s sum with 'merged';
     // matched+low → UNTOUCHED target row; source-only (%4=2) → insert
-    "sql_merge_conditional" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03')
-        |SELECT o_orderkey, o_custkey, month,
-        |       CAST(CASE WHEN o_orderkey % 4 = 0 AND p > 100000
-        |                 THEN p + p ELSE p END AS DOUBLE) AS total,
-        |       CASE WHEN o_orderkey % 4 = 0 AND p > 100000 THEN 'merged'
-        |            WHEN o_orderkey % 4 = 2 THEN 'merged'
-        |            ELSE 'base' END AS src
-        |FROM m
-        |WHERE o_orderkey % 4 < 2 OR o_orderkey % 2 = 0
-        |ORDER BY o_orderkey""".stripMargin,
+    "sql_merge_conditional" -> oracle("sql_merge_conditional"),
     // drop-then-re-add: every row answers the new default — the old
     // physical 'base' values must NOT resurrect
-    "sql_alter_drop" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
-        |       'evolved' AS src
-        |FROM m ORDER BY o_orderkey""".stripMargin,
-    "sql_alter_rename" ->
-      """WITH m AS (SELECT o_orderkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_amount,
-        |       CAST(sum(CASE WHEN p >= 150000 THEN p END) AS DOUBLE)
-        |         AS sum_high
-        |FROM m GROUP BY month ORDER BY month""".stripMargin,
+    "sql_alter_drop" -> oracle("sql_alter_drop"),
+    "sql_alter_rename" -> oracle("sql_alter_rename"),
     // the widened column absorbs a 23-digit value; sums exact in
     // DECIMAL until the final DOUBLE cast
-    "sql_alter_widen" ->
-      """WITH m AS (SELECT o_orderkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(28,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2),
-        |u AS (SELECT month, p FROM m
-        |      UNION ALL
-        |      SELECT '1995-02',
-        |             CAST(100000000000000000000.00 AS DECIMAL(28,2)))
-        |SELECT month, count(*) AS n_rows,
-        |       CAST(sum(p) AS DOUBLE) AS sum_total
-        |FROM u GROUP BY month ORDER BY month""".stripMargin,
+    "sql_alter_widen" -> oracle("sql_alter_widen"),
     // February replaced wholesale by the overwrite slice (note: keyed
     // %2, NOT the fixture's %4<2 — vanished rows must stay vanished),
     // January/March inherited.
-    "sql_insert_overwrite" ->
-      """WITH m AS (SELECT o_orderkey, o_custkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03')
-        |SELECT o_orderkey, o_custkey, month, CAST(p AS DOUBLE) AS total,
-        |       'base' AS src
-        |FROM m WHERE month <> '1995-02' AND o_orderkey % 4 < 2
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, month, CAST(p * 2 AS DOUBLE) AS total,
-        |       'ow' AS src
-        |FROM m WHERE month = '1995-02' AND o_orderkey % 2 = 0
-        |ORDER BY o_orderkey""".stripMargin,
-    "sql_truncate_reload" ->
-      """SELECT o_orderkey, o_custkey,
-        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-        |       'reload' AS src
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
-        |  AND o_orderkey % 4 < 2
-        |ORDER BY o_orderkey""".stripMargin,
-    "sql_ctas_view" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2)
-        |SELECT month, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
-        |FROM m WHERE p >= 100000
-        |GROUP BY month ORDER BY month""".stripMargin,
+    "sql_insert_overwrite" -> oracle("sql_insert_overwrite"),
+    "sql_truncate_reload" -> oracle("sql_truncate_reload"),
+    "sql_ctas_view" -> oracle("sql_ctas_view"),
     // OPTIMIZE + VACUUM are pure relayout/reclamation: content must be
     // row-identical to the untouched fixture slice.
-    "sql_optimize_vacuum" ->
-      """SELECT o_orderkey, o_custkey,
-        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-        |       'base' AS src
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |  AND o_orderkey % 4 < 2
-        |ORDER BY o_orderkey""".stripMargin,
+    "sql_optimize_vacuum" -> oracle("sql_optimize_vacuum"),
     // The commit log's shape is fully determined by the scripted
     // statements: v1 = base insert (3 months), v2 = one-month CoW
     // UPDATE (partition count unchanged), v3 = April insert (4).
-    "sql_history_meta" ->
-      """WITH m AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                    AS month
-        |           FROM orders WHERE o_orderkey % 4 < 2),
-        |c3 AS (SELECT count(*) AS n FROM m
-        |       WHERE month BETWEEN '1995-01' AND '1995-03'),
-        |c4 AS (SELECT count(*) AS n FROM m
-        |       WHERE month BETWEEN '1995-01' AND '1995-04')
-        |SELECT CAST(1 AS BIGINT) AS version, c3.n AS n_partitions,
-        |       FALSE AS is_current FROM c3
-        |UNION ALL SELECT CAST(2 AS BIGINT), c3.n, FALSE FROM c3
-        |UNION ALL SELECT CAST(3 AS BIGINT), c4.n, TRUE FROM c4
-        |ORDER BY version""".stripMargin,
+    "sql_history_meta" -> oracle("sql_history_meta"),
     // partitions.n_rows ≡ sum(files.record_count) ≡ the raw recount;
     // no MoR deletes in the script, so n_delete_files = 0 everywhere.
-    "sql_partitions_meta" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
-        |           FROM orders WHERE o_orderkey % 4 < 2),
-        |g AS (SELECT month, count(*) AS n FROM m
-        |      WHERE month BETWEEN '1995-01' AND '1995-04' GROUP BY month)
-        |SELECT month, n AS n_rows, n AS n_rows_files,
-        |       CAST(0 AS BIGINT) AS n_delete_files
-        |FROM g ORDER BY month""".stripMargin,
-    "sql_show_partitions" ->
-      """SELECT 'month=' || month AS "partition"
-        |FROM (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |               AS month
-        |      FROM orders
-        |      WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |              BETWEEN '1995-01' AND '1995-03'
-        |        AND o_orderkey % 4 < 2)
-        |ORDER BY 1""".stripMargin,
+    "sql_partitions_meta" -> oracle("sql_partitions_meta"),
+    "sql_show_partitions" -> oracle("sql_show_partitions"),
     // Every ANALYZE statistic recomputed from the raw fixture slice;
     // the version stamps are the fixture's single INSERT commit (v1),
     // analyzed and current alike.
-    "sql_analyze_stats" ->
-      """WITH m AS (SELECT o_orderkey,
-        |                  strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                    AS month,
-        |                  'base' AS src
-        |           FROM orders
-        |           WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                   BETWEEN '1995-01' AND '1995-03'
-        |             AND o_orderkey % 4 < 2),
-        |s AS (
-        |  SELECT 'o_orderkey' AS col_name, count(*) AS n,
-        |         count(*) - count(o_orderkey) AS n_nulls,
-        |         count(DISTINCT o_orderkey) AS ndv,
-        |         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
-        |         CAST(max(o_orderkey) AS VARCHAR) AS max_value,
-        |         sum(length(CAST(o_orderkey AS VARCHAR))) AS total_len
-        |  FROM m
-        |  UNION ALL
-        |  SELECT 'month', count(*), count(*) - count(month),
-        |         count(DISTINCT month),
-        |         CAST(min(month) AS VARCHAR), CAST(max(month) AS VARCHAR),
-        |         sum(length(CAST(month AS VARCHAR)))
-        |  FROM m
-        |  UNION ALL
-        |  SELECT 'src', count(*), count(*) - count(src),
-        |         count(DISTINCT src),
-        |         CAST(min(src) AS VARCHAR), CAST(max(src) AS VARCHAR),
-        |         sum(length(CAST(src AS VARCHAR)))
-        |  FROM m)
-        |SELECT col_name, CAST(n AS BIGINT) AS n_rows,
-        |       CAST(n_nulls AS BIGINT) AS n_nulls,
-        |       CAST(ndv AS BIGINT) AS ndv, min_value, max_value,
-        |       CAST(total_len AS BIGINT) AS total_len,
-        |       CAST(1 AS BIGINT) AS analyzed_version,
-        |       CAST(1 AS BIGINT) AS current_version
-        |FROM s ORDER BY col_name""".stripMargin,
+    "sql_analyze_stats" -> oracle("sql_analyze_stats"),
     // rollback + rewrite + expire must be a content no-op: the bad
     // repricing commit is fully undone, so the oracle is the untouched
     // base fixture slice (same contract as sql_optimize_vacuum).
-    "sql_call_rollback" ->
-      """SELECT o_orderkey, o_custkey,
-        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-        |       'base' AS src
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |  AND o_orderkey % 4 < 2
-        |ORDER BY o_orderkey""".stripMargin,
+    "sql_call_rollback" -> oracle("sql_call_rollback"),
     // HLL estimates at coupon-mode cardinality are exact, so the
     // maintained sketch view is recomputed as plain COUNT DISTINCT
     // over the post-change composition.
-    "incremental_distinct" ->
-      """WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |                  o_orderstatus, o_orderpriority
-        |           FROM orders),
-        |fin AS (
-        |  SELECT month, o_orderstatus, o_orderpriority FROM m
-        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
-        |  UNION ALL
-        |  SELECT month, o_orderstatus, '1-URGENT' AS o_orderpriority FROM m
-        |  WHERE month = '1995-02'
-        |)
-        |SELECT o_orderstatus,
-        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT)
-        |         AS approx_distinct_o_orderpriority,
-        |       CAST(count(DISTINCT month) AS BIGINT) AS approx_distinct_month
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "incremental_distinct" -> oracle("incremental_distinct"),
     // The maintained log-bucket quantile view replayed from scratch:
     // bucket = ceil(ln(v)/ln γ) with ln γ embedded as the JVM-computed
     // literal (Double.toString round-trips bit-exactly through DuckDB's
@@ -6935,322 +5415,45 @@ object ExtQueries {
     // The join view maintained by the two-relation delta rule must
     // equal this from-scratch recompute of the post-change fact ⋈ the
     // post-change dim.
-    "incremental_join" ->
-      """WITH fbase AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |                        AS month,
-        |                      o_custkey,
-        |                      CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |               FROM orders),
-        |f AS (
-        |  SELECT month, o_custkey, p FROM fbase
-        |  WHERE month IN ('1995-01', '1995-03', '1995-04')
-        |  UNION ALL
-        |  SELECT month, o_custkey, CAST(p * 2 AS DECIMAL(18,2)) AS p
-        |  FROM fbase WHERE month = '1995-02'
-        |),
-        |d AS (SELECT c_custkey,
-        |             CASE WHEN c_custkey % 10 = 3 THEN 'MOVED'
-        |                  ELSE c_mktsegment END AS c_mktsegment
-        |      FROM customer)
-        |SELECT f.month, d.c_mktsegment, count(*) AS n_rows,
-        |       CAST(sum(f.p) AS DOUBLE) AS total_price
-        |FROM f JOIN d ON f.o_custkey = d.c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "incremental_join" -> oracle("incremental_join"),
     // Partition-spec evolution must be a pure relayout: the aggregate
     // over the evolved table equals the same aggregate over the source.
-    "versioned_repartition" ->
-      """SELECT o_orderstatus,
-        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_repartition" -> oracle("versioned_repartition"),
     // Same oracle as versioned_evolve by design: rewrite evolution and
     // metadata-only evolution must be observationally equivalent.
-    "versioned_evolve_meta" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
-        |            THEN 'H' ELSE 'L' END AS price_band,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_evolve_meta" -> oracle("versioned_evolve_meta"),
     // same delete predicate as versioned_delete, served merge-on-read;
     // March stays live (no dropPartitions in this gate)
-    "versioned_delete_mor" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-03'
-        |  AND NOT (strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
-        |           AND o_orderkey % 10 = 0)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "versioned_delete" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |       count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_price
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-        |        BETWEEN '1995-01' AND '1995-02'
-        |  AND NOT (strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-02'
-        |           AND o_orderkey % 10 = 0)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_delete_mor" -> oracle("versioned_delete_mor"),
+    "versioned_delete" -> oracle("versioned_delete"),
     // Final dest state after two propagation hops: original 1995-01,
     // uplifted 1995-02 (the rewrite that rode hop 2), new 1995-03.
-    "versioned_propagate" ->
-      """WITH b AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |m AS (
-        |  SELECT month, p FROM b WHERE month = '1995-01'
-        |  UNION ALL
-        |  SELECT month,
-        |         CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
-        |              AS DECIMAL(18,2)) AS p
-        |  FROM b WHERE month = '1995-02'
-        |  UNION ALL
-        |  SELECT month, p FROM b WHERE month = '1995-03')
-        |SELECT month, count(*) AS n_rows,
-        |       CAST(sum(p) AS DOUBLE) AS total_price
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_propagate" -> oracle("versioned_propagate"),
     // CDC feed over the backfill window: 1995-02's dropped keys are
     // deletes, its genuinely-repriced keys are updates (unchanged keys
     // vanish), 1995-04 is all inserts; untouched 01/03 contribute
     // nothing because their partitions never enter the diff.
-    "versioned_cdc" ->
-      """WITH b AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |         o_orderkey,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |new02 AS (
-        |  SELECT month, o_orderkey,
-        |         CASE WHEN o_orderkey % 3 = 0
-        |              THEN CAST(round(p * CAST(1.1 AS DECIMAL(3,1)), 2)
-        |                        AS DECIMAL(18,2))
-        |              ELSE p END AS p
-        |  FROM b WHERE month = '1995-02' AND o_orderkey % 10 <> 0),
-        |changes AS (
-        |  SELECT month, 'delete' AS change_type
-        |  FROM b WHERE month = '1995-02' AND o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT n.month, 'update' AS change_type
-        |  FROM new02 n JOIN b o
-        |    ON o.month = '1995-02' AND o.o_orderkey = n.o_orderkey
-        |  WHERE n.p <> o.p
-        |  UNION ALL
-        |  SELECT month, 'insert' AS change_type
-        |  FROM b WHERE month = '1995-04')
-        |SELECT month, change_type, count(*) AS n_changes
-        |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_cdc" -> oracle("versioned_cdc"),
     // Per-month stats of the post-rewrite table state: 01/03 original,
     // 02 with every 10th key dropped — the engine answers from stats
     // sidecars, the oracle from the rows themselves.
-    "versioned_stats" ->
-      """WITH b AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-        |         o_orderkey,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |m AS (
-        |  SELECT month, p FROM b WHERE month IN ('1995-01', '1995-03')
-        |  UNION ALL
-        |  SELECT month, p FROM b
-        |  WHERE month = '1995-02' AND o_orderkey % 10 <> 0)
-        |SELECT month, count(*) AS n_rows,
-        |       CAST(min(p) AS DOUBLE) AS min_price,
-        |       CAST(max(p) AS DOUBLE) AS max_price
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-    "merge_upsert" ->
-      """WITH t AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-        |         o_orderpriority
-        |  FROM orders WHERE o_orderkey % 3 <> 0),
-        |s AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
-        |              * CAST(1.1 AS DECIMAL(3,1)), 2) AS DECIMAL(18,2))
-        |           AS o_totalprice,
-        |         '0-MERGED' AS o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 0)
-        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-        |       CASE WHEN s.o_orderkey IS NOT NULL
-        |            THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |       CAST(CASE WHEN s.o_orderkey IS NOT NULL
-        |            THEN s.o_totalprice ELSE t.o_totalprice END AS DOUBLE)
-        |         AS o_totalprice,
-        |       CASE WHEN s.o_orderkey IS NOT NULL
-        |            THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
-        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
-    "resample_ffill" ->
-      """WITH b AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |r AS (SELECT user_id, event_type, min(date) AS d0, max(date) AS d1
-        |      FROM b GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT user_id, event_type,
-        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
-        |  FROM r),
-        |j AS (
-        |  SELECT s.user_id, s.event_type, s.date, b.close,
-        |         b.close IS NOT NULL AS observed
-        |  FROM spine s LEFT JOIN b
-        |    ON s.user_id = b.user_id AND s.event_type = b.event_type
-        |   AND s.date = b.date)
-        |SELECT user_id, event_type, date,
-        |       round(last_value(close IGNORE NULLS) OVER (
-        |         PARTITION BY user_id, event_type ORDER BY date
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close,
-        |       observed
-        |FROM j ORDER BY user_id, event_type, date""".stripMargin,
+    "versioned_stats" -> oracle("versioned_stats"),
+    "merge_upsert" -> oracle("merge_upsert"),
+    "resample_ffill" -> oracle("resample_ffill"),
     // resample_interp emits close UNROUNDED: the arithmetic below is the
     // exact IEEE operation order of Resample.dailyInterpolate
     // (vp + ((vn-vp) * num) / den with integer day distances), so the
     // doubles agree bit-for-bit; rounding would only add half-case risk.
-    "resample_interp" ->
-      """WITH b AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3),
-        |r AS (SELECT user_id, event_type, min(date) AS d0, max(date) AS d1
-        |      FROM b GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT user_id, event_type,
-        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
-        |  FROM r),
-        |j AS (
-        |  SELECT s.user_id, s.event_type, s.date, b.close,
-        |         b.close IS NOT NULL AS observed
-        |  FROM spine s LEFT JOIN b
-        |    ON s.user_id = b.user_id AND s.event_type = b.event_type
-        |   AND s.date = b.date),
-        |a AS (
-        |  SELECT user_id, event_type, date, close, observed,
-        |         last_value(CASE WHEN observed AND close IS NOT NULL
-        |                         THEN date END IGNORE NULLS) OVER fwd AS d_prev,
-        |         last_value(CASE WHEN observed AND close IS NOT NULL
-        |                         THEN close END IGNORE NULLS) OVER fwd AS v_prev,
-        |         first_value(CASE WHEN observed AND close IS NOT NULL
-        |                          THEN date END IGNORE NULLS) OVER bwd AS d_next,
-        |         first_value(CASE WHEN observed AND close IS NOT NULL
-        |                          THEN close END IGNORE NULLS) OVER bwd AS v_next
-        |  FROM j
-        |  WINDOW fwd AS (PARTITION BY user_id, event_type ORDER BY date
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         bwd AS (PARTITION BY user_id, event_type ORDER BY date
-        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, event_type, date,
-        |       CASE WHEN observed THEN close
-        |            WHEN d_next IS NULL THEN v_prev
-        |            ELSE v_prev + (v_next - v_prev) * (date - d_prev)
-        |                          / (d_next - d_prev) END AS close,
-        |       observed
-        |FROM a ORDER BY user_id, event_type, date""".stripMargin,
-    "rolling_range" ->
-      """WITH b AS (
-        |  SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        |         arg_max(value, event_id) AS close
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT user_id, event_type, date,
-        |       count(*) OVER w AS n_in_range,
-        |       round(avg(close) OVER w, 4) AS avg_in_range,
-        |       round(max(close) OVER w, 4) AS max_in_range
-        |FROM b
-        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY date
-        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_type, date""".stripMargin,
-    "rank_family" ->
-      """SELECT p_brand, p_partkey, p_size,
-        |       rank() OVER wt AS rnk,
-        |       dense_rank() OVER wt AS drnk,
-        |       round(percent_rank() OVER wt, 6) AS prnk,
-        |       round(cume_dist() OVER wt, 6) AS cdist,
-        |       ntile(4) OVER wu AS price_quartile,
-        |       first_value(p_partkey) OVER wu AS top_part
-        |FROM part
-        |WINDOW wt AS (PARTITION BY p_brand ORDER BY p_size),
-        |       wu AS (PARTITION BY p_brand
-        |              ORDER BY p_retailprice DESC, p_partkey)
-        |ORDER BY p_partkey""".stripMargin,
-    "join_outer" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        |       count(p.p_partkey) AS n_matched,
-        |       CAST(round(sum(CAST(coalesce(p.p_retailprice, 0)
-        |                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS price_sum
-        |FROM lineitem l
-        |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part
-        |           WHERE p_partkey % 5 = 0) p
-        |  ON l.l_partkey = p.p_partkey
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "above_brand_avg" ->
-      """WITH x AS (
-        |  SELECT p_brand, p_retailprice,
-        |         count(*) OVER (PARTITION BY p_brand) AS n,
-        |         sum(CAST(p_retailprice AS DECIMAL(18,2)))
-        |           OVER (PARTITION BY p_brand) AS s
-        |  FROM part)
-        |SELECT p_brand, count(*) AS n_above,
-        |       round(max(p_retailprice), 2) AS max_price
-        |FROM x
-        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * n > s
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    "map_functions" ->
-      """SELECT event_type, k, count(*) AS n,
-        |       round(avg(json_extract_string(props, '$.' || k)::DOUBLE), 4)
-        |         AS avg_v
-        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
-        |      FROM events)
-        |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
-    "topk_agg" ->
-      """SELECT event_type, rank, event_id FROM (
-        |  SELECT event_type, event_id,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY value DESC, event_id) AS rank
-        |  FROM events)
-        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
-    "unpivot_measures" ->
-      """WITH u AS (
-        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
-        |SELECT l_returnflag, measure, count(*) AS n_rows,
-        |       CAST(round(sum(CAST(val AS DECIMAL(24,6))), 2) AS DOUBLE) AS val_sum
-        |FROM u GROUP BY l_returnflag, measure
-        |ORDER BY l_returnflag, measure""".stripMargin,
-    "embedding_norms" ->
-      """SELECT vec_id, len(embedding) AS dim,
-        |       round(sqrt(list_dot_product(embedding::DOUBLE[],
-        |                                   embedding::DOUBLE[])), 4) AS l2_norm,
-        |       round(list_max(embedding::DOUBLE[]), 4) AS max_component,
-        |       round(list_min(embedding::DOUBLE[]), 4) AS min_component
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "strings_norm" ->
-      """SELECT c_custkey,
-        |       upper(substr(c_name, 1, 8)) AS name_prefix,
-        |       reverse(lower(c_name)) AS name_rev,
-        |       lpad(c_custkey::VARCHAR, 10, '0') AS key_padded,
-        |       regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
-        |       length(c_name) AS name_len
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "resample_interp" -> oracle("resample_interp"),
+    "rolling_range" -> oracle("rolling_range"),
+    "rank_family" -> oracle("rank_family"),
+    "join_outer" -> oracle("join_outer"),
+    "above_brand_avg" -> oracle("above_brand_avg"),
+    "map_functions" -> oracle("map_functions"),
+    "topk_agg" -> oracle("topk_agg"),
+    "unpivot_measures" -> oracle("unpivot_measures"),
+    "embedding_norms" -> oracle("embedding_norms"),
+    "strings_norm" -> oracle("strings_norm"),
     // similarity_ann / similarity_ivf: the ANN pipelines are approximate
     // vs brute force but DETERMINISTIC functions of the data (md5-derived
     // hyperplanes / stride-sampled centroids), so the oracles replay the
@@ -7310,90 +5513,17 @@ object ExtQueries {
         |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
         |                     AND ex.neighbor_id = ann.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
-    "similarity_ivf" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nm FROM v),
-        |cents AS (SELECT vec_id AS cent_id, dv AS ev, nm AS en
-        |          FROM n WHERE vec_id % 20 = 0),
-        |assigned AS (
-        |  SELECT neighbor_id, cv, cn, cent_id FROM (
-        |    SELECT a.vec_id AS neighbor_id, a.dv AS cv, a.nm AS cn, c.cent_id,
-        |           row_number() OVER (PARTITION BY a.vec_id
-        |             ORDER BY list_dot_product(a.dv, c.ev) / (a.nm * c.en) DESC,
-        |                      c.cent_id) AS rn
-        |    FROM n a, cents c) WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, qv, qn, cent_id FROM (
-        |    SELECT q.vec_id AS query_id, q.dv AS qv, q.nm AS qn, c.cent_id,
-        |           row_number() OVER (PARTITION BY q.vec_id
-        |             ORDER BY list_dot_product(q.dv, c.ev) / (q.nm * c.en) DESC,
-        |                      c.cent_id) AS rn
-        |    FROM n q, cents c WHERE q.vec_id % 20 = 0) WHERE rn <= 8),
-        |scored AS (
-        |  SELECT p.query_id, a.neighbor_id,
-        |         list_dot_product(a.cv, p.qv) / (a.cn * p.qn) AS sim
-        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
-        |  WHERE a.neighbor_id <> p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM scored)
-        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "similarity_ivf" -> oracle("similarity_ivf"),
 
     // Funnel replay: the same chained conditional cumulative mins — step
     // i's earliest in-order completion as of each row, reduced per user,
     // then counted per step.
-    "event_funnel" ->
-      """WITH c0 AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         min(CASE WHEN event_type = 'view' THEN ts END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS f0
-        |  FROM events),
-        |c1 AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click'
-        |                      AND f0 IS NOT NULL AND ts > f0 THEN ts END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS f1
-        |  FROM c0),
-        |c2 AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase'
-        |                      AND f1 IS NOT NULL AND ts > f1 THEN ts END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS f2
-        |  FROM c1),
-        |u AS (SELECT user_id, min(f0) AS f0, min(f1) AS f1, min(f2) AS f2
-        |      FROM c2 GROUP BY user_id)
-        |SELECT 1 AS step, 'view' AS step_type,
-        |       count(*) FILTER (WHERE f0 IS NOT NULL) AS n_users FROM u
-        |UNION ALL
-        |SELECT 2, 'click', count(*) FILTER (WHERE f1 IS NOT NULL) FROM u
-        |UNION ALL
-        |SELECT 3, 'purchase', count(*) FILTER (WHERE f2 IS NOT NULL) FROM u
-        |ORDER BY step""".stripMargin,
+    "event_funnel" -> oracle("event_funnel"),
 
-    "retention_cohorts" ->
-      """WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day
-        |           FROM events GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, ts::DATE AS active_day FROM events),
-        |g AS (SELECT cohort_day, active_day - cohort_day AS day_offset,
-        |             count(*) AS n_users
-        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
-        |z AS (SELECT cohort_day, day_offset, n_users,
-        |             max(CASE WHEN day_offset = 0 THEN n_users END)
-        |               OVER (PARTITION BY cohort_day) AS cohort_size
-        |      FROM g)
-        |SELECT cohort_day, day_offset, n_users, cohort_size,
-        |       round(n_users::DOUBLE / cohort_size, 4) AS retention
-        |FROM z ORDER BY cohort_day, day_offset""".stripMargin,
+    "retention_cohorts" -> oracle("retention_cohorts"),
 
     // The naive global row_number the two-pass bucketed rank must equal.
-    "shuffle_order" ->
-      """SELECT doc_id,
-        |       row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':r6'),
-        |                          doc_id) AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "shuffle_order" -> oracle("shuffle_order"),
 
     "quality_filter" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -7410,11 +5540,7 @@ object ExtQueries {
          |       NOT (n_tokens < 25 OR n_tokens > 90 OR stop_raw < 0.02) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
 
-    "pii_scrub" ->
-      """SELECT event_id,
-        |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
-        |       len(regexp_extract_all(props, '[0-9]+')) AS n_masked
-        |FROM events ORDER BY event_id""".stripMargin,
+    "pii_scrub" -> oracle("pii_scrub"),
 
     // the full curation chain replayed in one CTE pipeline: quality
     // keep → digit-run scrub → exact-Jaccard pairs + 4-round components
