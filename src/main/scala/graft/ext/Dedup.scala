@@ -38,12 +38,23 @@ object Dedup {
 
   /** Internal persists by session — Spark's CacheManager holds strong
     * references, so an orphaned persist survives until session end;
-    * this registry makes release possible without a handle per call. */
+    * this registry makes release possible without a handle per call.
+    * The references here must be STRONG (the internal frames have no
+    * other holder — weak entries would be collected before release and
+    * the persists would leak unreleasable), so a session that stops
+    * without calling releaseCaches would otherwise stay pinned for the
+    * JVM lifetime. Instead, every registry touch PURGES entries whose
+    * SparkContext has stopped: a stopped context already freed its
+    * cached blocks, so dropping the entry is the release. */
   private val liveCaches = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession,
     java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
+  private def purgeStopped(): Unit =
+    liveCaches.keySet.removeIf(_.sparkContext.isStopped)
+
   private def cached(df: DataFrame): DataFrame = {
+    purgeStopped()
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.computeIfAbsent(p.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
@@ -54,6 +65,7 @@ object Dedup {
     * the last release. Returns the number released. Safe at any time:
     * a not-yet-materialized result simply recomputes its inputs. */
   def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int = {
+    purgeStopped()
     val q = liveCaches.remove(spark)
     if (q == null) 0
     else {

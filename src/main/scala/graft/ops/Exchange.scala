@@ -46,7 +46,9 @@ object Exchange {
   def promote(df: DataFrame, path: String, partitionCol: String = "date",
       cluster: Boolean = true): Unit = {
     val spark = df.sparkSession
-    val out = if (cluster) df.repartition(col(partitionCol)) else df
+    val out =
+      if (cluster) VersionedPartitioned.clusterForWrite(df, partitionCol)
+      else df
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -92,7 +94,9 @@ object Exchange {
   def promoteAtomic(df: DataFrame, path: String, partitionCol: String = "date",
       cluster: Boolean = true): Unit = {
     val spark = df.sparkSession
-    val out = if (cluster) df.repartition(col(partitionCol)) else df
+    val out =
+      if (cluster) VersionedPartitioned.clusterForWrite(df, partitionCol)
+      else df
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new HPath(path.stripSuffix("/") + "__staging")

@@ -189,20 +189,27 @@ object HiddenPartition {
     VersionedPartitioned.read(spark, root).drop(t.physCol)
   }
 
-  /** Map a source-column literal to its partition value, by evaluating
-    * THE SAME expression the write path used (a 1-row local project —
-    * metadata-priced, and immune to Scala/SQL semantic drift, e.g.
-    * session-timezone handling in date_format or xxhash64 seeding).
-    * The literal is first CAST to the table's stored source-column type:
+  /** Map source-column literals to their partition values, by
+    * evaluating THE SAME expressions the write path used (ONE 1-row
+    * local project for the whole batch — metadata-priced, and immune
+    * to Scala/SQL semantic drift, e.g. session-timezone handling in
+    * date_format or xxhash64 seeding). Batched: a multi-member range ×
+    * equality read needs several mappings, and each `head` is a full
+    * job round-trip — one job for all of them, not one each. Each
+    * literal is first CAST to the table's stored source-column type:
     * xxhash64 is type-sensitive (int vs long, date vs timestamp hash
     * differently), so an uncast literal of the wrong width would prune
     * a bucket table to the WRONG partition and silently return zero
     * rows instead of erroring. */
-  private def partitionValueOf(spark: SparkSession, t: PartitionTransform,
-      v: Column, schema: org.apache.spark.sql.types.StructType): String = {
-    val dt = schema(t.sourceCol).dataType
-    spark.range(1).select(t.exprOf(v.cast(dt)).cast("string"))
-      .head.getString(0)
+  private def partitionValuesOf(spark: SparkSession,
+      lookups: Seq[(PartitionTransform, Column)],
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    if (lookups.isEmpty) return Nil
+    val exprs = lookups.map { case (t, v) =>
+      t.exprOf(v.cast(schema(t.sourceCol).dataType)).cast("string")
+    }
+    val row = spark.range(1).select(exprs: _*).head
+    lookups.indices.map(row.getString)
   }
 
   /** Range read on the SOURCE column (inclusive bounds): manifest-level
@@ -216,9 +223,9 @@ object HiddenPartition {
     require(t.monotone,
       s"${t.physCol}: range pruning needs an order-preserving transform " +
         "(days/months/truncate) — bucket tables support readEquals only")
-    val schema = VersionedPartitioned.read(spark, root).schema
-    val loP = partitionValueOf(spark, t, lo, schema)
-    val hiP = partitionValueOf(spark, t, hi, schema)
+    val schema = VersionedPartitioned.tableSchema(spark, root)
+    val Seq(loP, hiP) =
+      partitionValuesOf(spark, Seq(t -> lo, t -> hi), schema)
     VersionedPartitioned.readPartitionsWhere(spark, root,
         v => v >= loP && v <= hiP)
       .where(col(t.sourceCol).between(lo, hi))
@@ -233,11 +240,74 @@ object HiddenPartition {
     val t = transformOf(spark, root)
     require(!t.isInstanceOf[MultiOf],
       s"${t.physCol}: multi-member tables read via readMultiWhere")
-    val p = partitionValueOf(spark, t, v,
-      VersionedPartitioned.read(spark, root).schema)
+    val Seq(p) = partitionValuesOf(spark, Seq(t -> v),
+      VersionedPartitioned.tableSchema(spark, root))
     VersionedPartitioned.readPartitionsWhere(spark, root, _ == p)
       .where(col(t.sourceCol) === v)
       .drop(t.physCol)
+  }
+
+  /** Partition-value keep for plan-extracted per-member bounds — the
+    * SQL front door's entry into hidden pruning (`SqlLifecycle.query`
+    * routes statement WHERE conjuncts here via `ScanPrune`). `bounds`
+    * lines up positionally with the spec's members (a single-transform
+    * table is a 1-member spec); None = unconstrained member. Equality
+    * literals map through the write path's own transform expression
+    * (one batched job for everything); range bounds map only on
+    * MONOTONE members — on a bucket member they degrade to
+    * unconstrained, never to a wrong prune. Bound inclusiveness is
+    * intentionally ignored: every transform is a COARSENING (day,
+    * month, prefix), so `src > lo` still admits later rows of `lo`'s
+    * own partition — the partition-level bound is always inclusive.
+    * Returns None when nothing maps (caller skips pruning). */
+  def keepForBounds(spark: SparkSession, root: String,
+      bounds: Seq[Option[ScanPrune.Bounds]]): Option[String => Boolean] = {
+    val t = transformOf(spark, root)
+    val members = t match {
+      case m: MultiOf => m.members
+      case single => Seq(single)
+    }
+    require(bounds.size == members.size,
+      s"expected ${members.size} member bounds, got ${bounds.size}")
+    val schema = VersionedPartitioned.tableSchema(spark, root)
+    // assemble one batched lookup: per member, its usable literals
+    val lookups = members.zip(bounds).flatMap {
+      case (_, None) => Nil
+      case (m, Some(b)) =>
+        val eqs = b.eqs.toSeq.flatten.map(l => m -> ScanPrune.literalColumn(l))
+        val lo = b.lo.filter(_ => m.monotone)
+          .map(l => m -> ScanPrune.literalColumn(l._1))
+        val hi = b.hi.filter(_ => m.monotone)
+          .map(l => m -> ScanPrune.literalColumn(l._1))
+        eqs ++ lo ++ hi
+    }
+    if (lookups.isEmpty) return None
+    val mapped = Iterator(partitionValuesOf(spark, lookups, schema): _*)
+    var usable = false
+    val checks: Seq[String => Boolean] = members.zip(bounds).map {
+      case (_, None) => (_: String) => true
+      case (m, Some(b)) =>
+        val eqSet = b.eqs.map(es => es.map(_ => mapped.next()).toSet)
+        val loP = b.lo.filter(_ => m.monotone).map(_ => mapped.next())
+        val hiP = b.hi.filter(_ => m.monotone).map(_ => mapped.next())
+        if (eqSet.isDefined || loP.isDefined || hiP.isDefined) usable = true
+        (v: String) =>
+          // a constrained member is null-intolerant: the sentinel (and
+          // the writer-level null dir) can never satisfy it
+          v != MultiOf.NullValue && v != "__HIVE_DEFAULT_PARTITION__" &&
+            eqSet.forall(_.contains(v)) &&
+            loP.forall(v >= _) && hiP.forall(v <= _)
+    }
+    if (!usable) None
+    else Some { value =>
+      if (members.size == 1) checks.head(value)
+      else {
+        val parts =
+          value.split(java.util.regex.Pattern.quote(MultiOf.Sep), -1)
+        parts.length == checks.size &&
+          checks.zip(parts).forall { case (c, v) => c(v) }
+      }
+    }
   }
 
   /** Member-wise pruned read on a `MultiOf` table: one `MemberPred`
@@ -256,22 +326,29 @@ object HiddenPartition {
     }
     require(preds.size == t.members.size,
       s"expected ${t.members.size} member predicates, got ${preds.size}")
-    val schema = VersionedPartitioned.read(spark, root).schema
-    // per-member partition-value constraints, resolved driver-side.
+    val schema = VersionedPartitioned.tableSchema(spark, root)
+    // per-member partition-value constraints, resolved driver-side in
+    // ONE batched literal-mapping job (partitionValuesOf).
     // Null member values are stored as the MultiOf.NullValue sentinel,
     // so every value splits into exactly members.size parts and an
     // unconstrained (AnyValue) member never excludes null-source rows.
+    val lookups = t.members.zip(preds).flatMap {
+      case (_, AnyValue) => Nil
+      case (m, MemberRange(lo, hi)) =>
+        require(m.monotone,
+          s"${m.physCol}: range pruning needs a monotone member")
+        Seq(m -> lo, m -> hi)
+      case (m, MemberEquals(eq)) => Seq(m -> eq)
+    }
+    val mapped = Iterator(partitionValuesOf(spark, lookups, schema): _*)
     val checks: Seq[String => Boolean] =
       t.members.zip(preds).map {
         case (_, AnyValue) => (_: String) => true
-        case (m, MemberRange(lo, hi)) =>
-          require(m.monotone,
-            s"${m.physCol}: range pruning needs a monotone member")
-          val (lp, hp) = (partitionValueOf(spark, m, lo, schema),
-            partitionValueOf(spark, m, hi, schema))
+        case (_, MemberRange(_, _)) =>
+          val (lp, hp) = (mapped.next(), mapped.next())
           (v: String) => v != MultiOf.NullValue && v >= lp && v <= hp
-        case (m, MemberEquals(eq)) =>
-          val p = partitionValueOf(spark, m, eq, schema)
+        case (_, MemberEquals(_)) =>
+          val p = mapped.next()
           (v: String) => v == p
       }
     val pruned = VersionedPartitioned.readPartitionsWhere(spark, root,

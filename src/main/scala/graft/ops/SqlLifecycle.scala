@@ -156,9 +156,58 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * capability). Timestamps accept `yyyy-MM-dd HH:mm:ss[.SSS]` or
     * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
-    registerViewsFor(sel)
+    val referenced = registerViewsFor(sel)
     val withTravel = resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)))
-    spark.sql(rewriteNames(withTravel))
+    val rewritten = rewriteNames(withTravel)
+    val df = spark.sql(rewritten)
+    // statement-predicate pruning: if the OPTIMIZED plan proves every
+    // scan of a cataloged partitioned table is filtered on its
+    // partition (or hidden-transform source) columns, re-register that
+    // table's view as the manifest-PRUNED read and re-resolve — the
+    // reference's `WHERE date = DATE '{{ ds }}'` statements then plan
+    // O(day), not O(table), exactly like the Scala API's readPruned /
+    // readMultiWhere paths (ScanPrune has the safety argument).
+    if (pruneScans(df, referenced)) spark.sql(rewritten) else df
+  }
+
+  /** Re-register every referenced partitioned table whose scans are
+    * all partition-filtered as a pruned view; true if any changed. */
+  private def pruneScans(df: DataFrame, tables: Seq[String]): Boolean = {
+    val plan =
+      try df.queryExecution.optimizedPlan
+      catch { case scala.util.control.NonFatal(_) => return false }
+    var any = false
+    for (t <- tables; meta <- metaOf(t); pcol <- meta.partitionCol) {
+      val path = tableDir(t).toString
+      val leaves = ScanPrune.leavesUnder(plan, path)
+      if (leaves.nonEmpty) {
+        // every scan of the table must be provably constrained — the
+        // shared view can only narrow if ALL its readers allow it
+        val keeps: Seq[Option[String => Boolean]] = leaves.map { leaf =>
+          if (pcol.startsWith("hp__")) {
+            val members = PartitionTransform.parse(pcol) match {
+              case m: MultiOf => m.members
+              case s => Seq(s)
+            }
+            val bounds =
+              members.map(m => ScanPrune.boundsFor(leaf.conjuncts, m.sourceCol))
+            if (bounds.forall(_.isEmpty)) None
+            else
+              try HiddenPartition.keepForBounds(spark, path, bounds)
+              catch { case scala.util.control.NonFatal(_) => None }
+          } else
+            ScanPrune.boundsFor(leaf.conjuncts, pcol).map(ScanPrune.plainKeep)
+        }
+        if (keeps.nonEmpty && keeps.forall(_.isDefined)) {
+          val pruned = VersionedPartitioned
+            .readPartitionsWhere(spark, path, ScanPrune.anyOf(keeps.flatten))
+            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+          pruned.createOrReplaceTempView(viewName(t))
+          any = true
+        }
+      }
+    }
+    any
   }
 
   /** Iceberg's branch read suffix in query texts: `schema.table
@@ -167,9 +216,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * (snapshot-isolated, like every read) as a pinned view and
     * substitutes its name — the WAP audit's `SELECT … FROM
     * t.branch_audit` door. An unknown table or branch passes through
-    * untouched (Spark then fails resolution loudly). */
+    * untouched (Spark then fails resolution loudly). Substitution runs
+    * OUTSIDE string literals only (`mapOutsideLiterals`, the same
+    * contract as `rewriteNames`): a data string that happens to
+    * contain `schema.table.branch_x` ships unrewritten. */
   private def resolveBranchReads(sel: String): String =
-    BranchReadRe.replaceAllIn(sel, m => {
+    mapOutsideLiterals(sel, seg => BranchReadRe.replaceAllIn(seg, m => {
       val t = m.group(1).toLowerCase
       val b = m.group(2)
       val meta = metaOf(t).filter(_.partitionCol.isDefined)
@@ -183,7 +235,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .createOrReplaceTempView(vn)
         scala.util.matching.Regex.quoteReplacement(vn)
       }
-    })
+    }))
 
   /** Iceberg's metadata-table suffix syntax in the query door:
     * `schema.table.history|snapshots|partitions|files` over a
@@ -195,7 +247,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * size. `committed_at`/`made_current_at` are wall-clock and belong
     * in no deterministic gate (same contract as `versionAsOf`). */
   private def resolveMetadataTables(sel: String): String =
-    MetaTableRe.replaceAllIn(sel, m => {
+    mapOutsideLiterals(sel, seg => MetaTableRe.replaceAllIn(seg, m => {
       val t = m.group(1).toLowerCase
       val kind = m.group(2).toLowerCase
       val ok = metaOf(t).exists(_.partitionCol.isDefined) &&
@@ -221,7 +273,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         df.createOrReplaceTempView(vn)
         scala.util.matching.Regex.quoteReplacement(vn)
       }
-    })
+    }))
 
   private def resolveAsOf(sel: String): String = {
     def pinned(tableName: String, suffix: String,
@@ -603,6 +655,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             "to fork from")
         VersionedPartitioned.createBranch(spark, path, branch)
       case "DROP" =>
+        // fail loudly on a missing branch, like every other DDL route
+        // (and Iceberg's own DROP BRANCH) — a silent no-op here would
+        // let a typo'd WAP cleanup leave the real audit branch live
+        require(VersionedPartitioned.branchExists(spark, path, branch),
+          s"ALTER TABLE $name DROP BRANCH $branch: no such branch")
         VersionedPartitioned.dropBranch(spark, path, branch); ()
     }
   }
@@ -1379,7 +1436,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * or a broken body among the REFERENCED views fails with the
     * unresolved names; unreferenced broken views no longer poison
     * unrelated statements). */
-  private def registerViewsFor(sql: String): Unit = {
+  private def registerViewsFor(sql: String): Seq[String] = {
     val ts = tables().toSet
     val vs = views().toSet
     val universe = (ts ++ vs).toSeq
@@ -1424,6 +1481,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
     require(pending.isEmpty,
       s"views failed to resolve: ${pending.mkString(", ")}")
+    needed.intersect(ts).toSeq.sorted
   }
 
   /** Stats-driven broadcast decision — the CBO use of the ANALYZE
