@@ -497,7 +497,7 @@ object SparkEntry {
   ) ++ ExtQueries.queries
 
   def oracleSql: Map[String, String] = {
-    val base = oracleSqlBase ++ dqOracles ++ ExtQueries.oracleSql
+    val base = oracleSqlBase ++ dqOracles ++ ExtOracles.oracleSql
     // the SQL front door must hash-match the DataFrame front door:
     // sql_cumulative is verified against rolling_7day's exact oracle;
     // likewise the manifest-format pipeline must match the plain one

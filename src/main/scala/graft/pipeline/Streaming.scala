@@ -497,4 +497,80 @@ object Streaming {
         cfg.cumulativePath)
     }
   }
+
+  // ---- CDC change-feed subscription (Iceberg's changelog read) ---------
+
+  /** Tag prefix carrying the change-feed cursor on the DEST log's
+    * commit history — same mechanism as `propagateChanges`' cursor
+    * (monotone, vacuum-carried, restart-proof). */
+  private[graft] val CdcSrcTag = "cdc-src-version:"
+
+  /** The version column each delivered change row carries (also the
+    * dest log's partition column, so every hop is one new partition —
+    * an append-only log). NOT underscore-prefixed: Spark's file index
+    * hides `_*` partition dirs. */
+  val CommitVersionCol = "commit_version"
+
+  /**
+   * One exactly-once change-feed hop: deliver the SOURCE table's
+   * row-level changes since the last delivered version into `destRoot`
+   * — a CDC LOG table of `keys :+ change_type :+ commit_version` rows,
+   * partitioned by the source version that produced each window
+   * (Iceberg's `create_changelog_view` shape over the
+   * `readRowChanges` classification the format already computes).
+   *
+   * Exactly-once across restarts and replays: the cursor is a
+   * `cdc-src-version:<v>` tag on the DEST commit history, written
+   * atomically WITH the delivered window (one promote) — a crash
+   * between hops loses nothing, a replayed hop sees `to <= from` and
+   * no-ops, and vacuum carries the newest tag forward
+   * (`Versioned.epochCarryTags` contract). No checkpoint directory:
+   * the log table IS the checkpoint.
+   *
+   * Scale: each hop reads only the partitions the version window
+   * touched (`changedSides` is O(touched partitions)), classifies with
+   * one full-outer join on the keys, and writes change-sized output.
+   * The first hop (cursor 0) is the bootstrap: every current row
+   * delivered as `insert`.
+   *
+   * Returns the delivered (fromVersion, toVersion] window, or None
+   * when the feed is caught up.
+   */
+  def changeFeedHop(spark: SparkSession, sourceRoot: String,
+      keys: Seq[String], destRoot: String): Option[(Long, Long)] = {
+    val to = VersionedPartitioned.currentVersion(spark, sourceRoot)
+      .getOrElse(return None)
+    val from = VersionedPartitioned
+      .latestTagWithPrefix(spark, destRoot, CdcSrcTag)
+      .map(_.toLong).getOrElse(0L)
+    if (to <= from) return None
+    val changes = VersionedPartitioned
+      .readRowChanges(spark, sourceRoot, keys, from, Some(to))
+      .withColumn(CommitVersionCol, lit(to))
+    VersionedPartitioned.promote(changes, destRoot, CommitVersionCol,
+      tag = Some(s"$CdcSrcTag$to"))
+    Some((from, to))
+  }
+
+  /** The change-feed as a STREAMING SUBSCRIPTION: a `StreamingQuery`
+    * that polls the source commit log on `trigger`'s cadence and runs
+    * `changeFeedHop` per tick. The rate source is only the clock —
+    * delivery state lives entirely in the dest log's cursor tag, so
+    * the query needs no checkpoint, stops and restarts anywhere, and
+    * two concurrent subscribers to the same dest are serialized by the
+    * promote claim loop. `Trigger.AvailableNow` gives one catch-up
+    * tick (run-to-completion); `ProcessingTime` gives a continuous
+    * poll. Downstream consumers compose: the dest log is a normal
+    * versioned table, so `readPartitionsWhere(commit_version > n)`
+    * reads just the new windows. */
+  def changeFeed(spark: SparkSession, sourceRoot: String, keys: Seq[String],
+      destRoot: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream.trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        changeFeedHop(spark, sourceRoot, keys, destRoot)
+        ()
+      }
+      .start()
 }

@@ -460,4 +460,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.exists(_.contains("emailtoken")) &&
       !texts.exists(_.contains("example")))
   }
+
+  test("changeFeed: streamed CDC hops equal batch readRowChanges, survive restarts, replay no-ops") {
+    import graft.ops.VersionedPartitioned
+    val root = Files.createTempDirectory("graft_cdcfeed_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val keys = Seq("date", "id")
+    def rows(d: Int, ids: Range, bump: Double) = ids.map(i =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i.toLong, i * 1.5 + bump))
+      .toDF("date", "id", "px")
+    def feedRows() = VersionedPartitioned.read(spark, log)
+      .select("date", "id", "change_type", "commit_version")
+      .as[(java.sql.Date, Long, String, Long)].collect().toSeq.sorted
+    // v1: two days — the bootstrap hop delivers everything as insert
+    VersionedPartitioned.promote(
+      rows(1, 1 to 5, 0).union(rows(2, 6 to 10, 0)), src, "date")
+    val q1 = Streaming.changeFeed(spark, src, keys, log)
+    q1.awaitTermination()
+    val v1 = VersionedPartitioned.currentVersion(spark, src).get
+    val hop1 = feedRows()
+    assert(hop1.size == 10 && hop1.forall(_._3 == "insert") &&
+      hop1.forall(_._4 == v1))
+    // batch equivalence for the same window
+    val batch1 = VersionedPartitioned.readRowChanges(spark, src, keys, 0L)
+      .as[(java.sql.Date, Long, String)].collect().toSeq.sorted
+    assert(hop1.map(r => (r._1, r._2, r._3)) == batch1)
+    // replay: caught-up subscription delivers nothing, cursor holds
+    val q2 = Streaming.changeFeed(spark, src, keys, log)
+    q2.awaitTermination()
+    assert(feedRows() == hop1)
+    // v2: rewrite day 1 (ids 1-3 updated, 4-5 deleted, 11 inserted);
+    // a RESTARTED subscription picks up exactly this window
+    VersionedPartitioned.promote(
+      rows(1, 1 to 3, 100).union(rows(1, 11 to 11, 0)), src, "date")
+    val v2 = VersionedPartitioned.currentVersion(spark, src).get
+    val q3 = Streaming.changeFeed(spark, src, keys, log)
+    q3.awaitTermination()
+    val all = feedRows()
+    val hop2 = all.filter(_._4 == v2)
+    assert(all.size == hop1.size + hop2.size)
+    val byType = hop2.groupBy(_._3).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byType("update") == Seq(1L, 2L, 3L))
+    assert(byType("delete") == Seq(4L, 5L))
+    assert(byType("insert") == Seq(11L))
+    // window equivalence: hop2 == batch readRowChanges(v1, v2)
+    val batch2 = VersionedPartitioned
+      .readRowChanges(spark, src, keys, v1, Some(v2))
+      .as[(java.sql.Date, Long, String)].collect().toSeq.sorted
+    assert(hop2.map(r => (r._1, r._2, r._3)) == batch2)
+    // the log is a normal versioned table: window reads prune by version
+    assert(VersionedPartitioned.readPartitionsWhere(spark, log,
+      _.toLong > v1).count() == hop2.size)
+  }
 }
