@@ -434,7 +434,16 @@ object ExtOracles {
       // transform-partition DDL loads the same events slice under the
       // same days×bucket spec as the Scala-API gate — one oracle for
       // the DDL door and the HiddenPartition door
-      ("sql_hidden_ddl" -> base("versioned_hidden_multi"))
+      ("sql_hidden_ddl" -> base("versioned_hidden_multi")) +
+      ("sql_hidden_rowverbs" -> oracle("sql_hidden_rowverbs")) +
+      // the WITH-prologue MERGE is syntax over the same upsert — the
+      // two statement doors must land on one oracle
+      ("sql_merge_cte" -> base("sql_merge_upsert")) +
+      // TIFF round-trips losslessly over the SAME 4x4 RGB source as
+      // BMP — the container must be invisible in the numbers, so the
+      // stats/resize gates share BMP's oracles
+      ("image_tiff_stats" -> base("image_bmp_stats")) +
+      ("image_tiff_resize" -> base("image_bmp_resize"))
   }
 
   /** Static oracle SQL texts live as classpath resources

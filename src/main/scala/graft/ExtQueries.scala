@@ -540,6 +540,61 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** REAL tag-directory decode (Multimodal.TiffCodec — baseline
+    * little-endian TIFF): same 4×4 RGB source as the BMP gate, but the
+    * bytes round-trip through an IFD walk (inline vs offset values)
+    * and MULTI-STRIP reassembly (RowsPerStrip=2 → two strips at 4
+    * rows) — a reader assuming contiguous pixels or inline-only tag
+    * values relocates rows, which the position-weighted `pos_luma`
+    * catches. Lossless like BMP, so the two gates share one oracle:
+    * the container must be invisible in the numbers. */
+  private def imageTiffStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val rgb = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val (w, h, dec) =
+          Multimodal.TiffCodec.decode(Multimodal.TiffCodec.encode(4, 4, rgb))
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
+  /** TIFF decode → nearest resize → position-weighted luma, mirroring
+    * `image_bmp_resize` over the strip-assembled pixels (shared
+    * oracle — same lossless contract). */
+  private def imageTiffResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val rgb = Array.tabulate(16)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val (w, h, dec) =
+          Multimodal.TiffCodec.decode(Multimodal.TiffCodec.encode(4, 4, rgb))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 2, 2)
+        val lumas = small.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, small.length, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "n_px", "luma_sum", "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id")
+  }
+
   /** Color decode → nearest resize (4×4 → 2×2 on the PACKED pixels —
     * nearest-neighbor picks positions, so the grayscale kernel works
     * on RGB unchanged) → position-weighted luma over the RESIZED
@@ -2498,6 +2553,48 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /**
+   * Row-verb DML on a HIDDEN-partitioned table through the statement
+   * router (ops/SqlLifecycle.deleteRows / update over a
+   * `PARTITIONED BY (days(ts), bucket(8, user_id))` table): a
+   * non-partition DELETE predicate rewrites only the partitions
+   * holding matching rows; an UPDATE that assigns a transform SOURCE
+   * column (user_id feeds bucket(8, …)) migrates rows between hash
+   * partitions, so the router widens the copy-on-write set to every
+   * landing partition (`withPhysKey` re-derives the physical key —
+   * a row updated into bucket b must be readable from bucket b). The
+   * final routed SELECT carries a ts-range WHERE, so it also
+   * exercises statement-predicate pruning over the rewritten table.
+   * Oracle replays delete → update → range-aggregate in set SQL.
+   */
+  private def sqlHiddenRowVerbs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .where(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlhidrv_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA hr")
+    life.execute("""
+      CREATE TABLE hr.ev
+      (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING)
+      USING ICEBERG PARTITIONED BY (days(ts), bucket(8, user_id))""")
+    ev.createOrReplaceTempView("raw_hidden_rowverb_events")
+    life.execute(
+      "INSERT INTO hr.ev SELECT * FROM raw_hidden_rowverb_events")
+    life.execute("DELETE FROM hr.ev WHERE event_type = 'error'")
+    life.execute("""
+      UPDATE hr.ev SET user_id = user_id + 1
+      WHERE ts < TIMESTAMP '2024-01-04 00:00:00'""")
+    life.query("""
+      SELECT event_type, count(*) AS n_events,
+             sum(user_id) AS user_sum
+      FROM hr.ev
+      WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                AND TIMESTAMP '2024-01-08 23:59:59.999999'
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   /** OPTIMIZE … ZORDER BY gate (ops/VersionedPartitioned
     * .optimizeZOrder): promote six months unclustered, z-order-rewrite
     * on (orderkey, custkey) buckets, then answer a custkey-range
@@ -2884,6 +2981,35 @@ object ExtQueries {
              WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
                      BETWEEN '1995-01' AND '1995-03'
                AND o_orderkey % 4 IN (1, 2)) AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    rowVerbOut(life)
+  }
+
+  /**
+   * `WITH … MERGE INTO` prologue gate (ops/SqlLifecycle
+   * .hoistWithIntoMerge): the changes-CTE-then-upsert text Iceberg and
+   * Delta users write — the CTE prologue is hoisted into the USING
+   * subquery and the statement routes through the same MERGE door.
+   * Same source slice and clauses as `sql_merge_upsert`, so the two
+   * gates share one oracle: the prologue must be pure syntax, changing
+   * nothing about the merge outcome.
+   */
+  private def sqlMergeCte(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      WITH changes AS (
+        SELECT o_orderkey, o_custkey,
+               date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+               CAST(o_totalprice AS DECIMAL(18, 2)) * 2 AS total,
+               'merged' AS src
+        FROM orders_src
+        WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+                BETWEEN '1995-01' AND '1995-03'
+          AND o_orderkey % 4 IN (1, 2))
+      MERGE INTO sales.facts AS t
+      USING changes AS s
       ON t.o_orderkey = s.o_orderkey
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *""")
@@ -4133,6 +4259,8 @@ object ExtQueries {
     "audio_wav_stats" -> ((s, dir) => audioWavStats(s, dir)),
     "image_pgm_resize" -> ((s, dir) => imagePgmResize(s, dir)),
     "image_bmp_stats" -> ((s, dir) => imageBmpStats(s, dir)),
+    "image_tiff_stats" -> ((s, dir) => imageTiffStats(s, dir)),
+    "image_tiff_resize" -> ((s, dir) => imageTiffResize(s, dir)),
     "image_bmp_resize" -> ((s, dir) => imageBmpResize(s, dir)),
     "image_qoi_stats" -> ((s, dir) => imageQoiStats(s, dir)),
     "image_png_stats" -> ((s, dir) => imagePngStats(s, dir)),
@@ -4316,6 +4444,8 @@ object ExtQueries {
       graft.sources.Views.register(s, dir); s.sql(percentileContSql)
     }),
     "versioned_hidden_multi" -> ((s, dir) => versionedHiddenMulti(s, dir)),
-    "sql_hidden_ddl" -> ((s, dir) => sqlHiddenDdl(s, dir))
+    "sql_hidden_ddl" -> ((s, dir) => sqlHiddenDdl(s, dir)),
+    "sql_hidden_rowverbs" -> ((s, dir) => sqlHiddenRowVerbs(s, dir)),
+    "sql_merge_cte" -> ((s, dir) => sqlMergeCte(s, dir))
   )
 }

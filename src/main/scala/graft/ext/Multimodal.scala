@@ -302,6 +302,159 @@ object Multimodal {
   }
 
   /**
+   * REAL codec for baseline TIFF (little-endian "II*\0", the seventh
+   * pure-JVM container and the first TAG-DIRECTORY one): unlike the
+   * fixed-layout rasters, a TIFF reader must WALK metadata — an IFD of
+   * (tag, type, count, value-or-offset) entries whose values live
+   * inline when ≤4 bytes and behind file offsets otherwise — and then
+   * reassemble the image from STRIPS scattered anywhere in the file.
+   * The encoder deliberately writes one strip per TWO rows (so every
+   * ≥3-row image has several strips) and puts the out-of-line arrays
+   * (BitsPerSample, StripOffsets, StripByteCounts) between the pixel
+   * data and the IFD: a reader that assumes contiguous pixels or
+   * inline-only values fails the position-weighted oracle checksum.
+   * 8-bit RGB, Compression=1 (none), PhotometricInterpretation=2.
+   */
+  object TiffCodec {
+    private val RowsPerStrip = 2
+
+    private final class W(val out: java.io.ByteArrayOutputStream) {
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+      def size: Int = out.size()
+    }
+
+    def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height,
+        s"need width*height pixels, got ${rgb.length} for ${width}x$height")
+      val w = new W(new java.io.ByteArrayOutputStream())
+      w.out.write('I'); w.out.write('I'); w.u16(42)
+      val nStrips = (height + RowsPerStrip - 1) / RowsPerStrip
+      // layout: header(8) | strips | bitsPerSample | [stripOffsets,
+      // stripByteCounts when >1 strip] | IFD
+      val stripOffsets = new Array[Int](nStrips)
+      val stripBytes = new Array[Int](nStrips)
+      var off = 8
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(RowsPerStrip, height - s * RowsPerStrip)
+        stripOffsets(s) = off
+        stripBytes(s) = rows * width * 3
+        off += stripBytes(s)
+        s += 1
+      }
+      val bpsOff = off; off += 6                    // 3 SHORTs
+      val soOff = off
+      val sbOff = if (nStrips > 1) { off += 4 * nStrips; off } else off
+      if (nStrips > 1) off += 4 * nStrips
+      val ifdOff = off
+      w.u32(ifdOff)
+      var p = 0                                     // strips, top-down rows
+      while (p < rgb.length) {
+        val v = rgb(p)
+        w.out.write((v >> 16) & 0xff); w.out.write((v >> 8) & 0xff)
+        w.out.write(v & 0xff)
+        p += 1
+      }
+      w.u16(8); w.u16(8); w.u16(8)                  // BitsPerSample array
+      if (nStrips > 1) {
+        stripOffsets.foreach(w.u32)
+        stripBytes.foreach(w.u32)
+      }
+      // IFD: entry count, 12-byte entries ascending by tag, next-IFD 0
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        w.u16(tag); w.u16(typ); w.u32(count); w.u32(value)
+      }
+      w.u16(9)
+      entry(256, 4, 1, width)                       // ImageWidth LONG
+      entry(257, 4, 1, height)                      // ImageLength LONG
+      entry(258, 3, 3, bpsOff)                      // BitsPerSample → offset
+      entry(259, 3, 1, 1)                           // Compression: none
+      entry(262, 3, 1, 2)                           // Photometric: RGB
+      entry(273, 4, nStrips,                        // StripOffsets
+        if (nStrips > 1) soOff else stripOffsets(0))
+      entry(277, 3, 1, 3)                           // SamplesPerPixel
+      entry(278, 4, 1, RowsPerStrip)                // RowsPerStrip
+      entry(279, 4, nStrips,                        // StripByteCounts
+        if (nStrips > 1) sbOff else stripBytes(0))
+      w.u32(0)
+      w.out.toByteArray
+    }
+
+    /** (width, height, row-major top-down 0xRRGGBB pixels). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+      require(bytes.length >= 8 && bytes(0) == 'I'.toByte &&
+        bytes(1) == 'I'.toByte && u16(2) == 42, "not a little-endian TIFF")
+      val ifd = u32(4)
+      val n = u16(ifd)
+      // tag → (type, count, raw value/offset field position)
+      var width = -1; var height = -1; var rowsPerStrip = Int.MaxValue
+      var compression = 1; var photometric = 2; var samples = 3
+      var soPos = -1; var soType = 0; var soCount = 0
+      var sbPos = -1; var sbType = 0; var sbCount = 0
+      var bpsOk = true
+      // a SHORT/LONG array value: inline when it fits 4 bytes, else
+      // the field holds an offset — the TIFF rule this decoder exists
+      // to exercise
+      def arrayAt(pos: Int, typ: Int, count: Int): Array[Int] = {
+        val sz = (if (typ == 3) 2 else 4) * count
+        val base = if (sz <= 4) pos else u32(pos)
+        Array.tabulate(count)(i =>
+          if (typ == 3) u16(base + 2 * i) else u32(base + 4 * i))
+      }
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + 12 * e
+        val tag = u16(off); val typ = u16(off + 2)
+        val count = u32(off + 4); val vpos = off + 8
+        def scalar: Int = if (typ == 3) u16(vpos) else u32(vpos)
+        tag match {
+          case 256 => width = scalar
+          case 257 => height = scalar
+          case 258 => bpsOk = arrayAt(vpos, typ, count).forall(_ == 8)
+          case 259 => compression = scalar
+          case 262 => photometric = scalar
+          case 273 => soPos = vpos; soType = typ; soCount = count
+          case 277 => samples = scalar
+          case 278 => rowsPerStrip = scalar
+          case 279 => sbPos = vpos; sbType = typ; sbCount = count
+          case _ => ()                              // unknown tags skip
+        }
+        e += 1
+      }
+      require(width > 0 && height > 0 && soPos >= 0 && sbPos >= 0,
+        "TIFF missing required tags")
+      require(compression == 1 && photometric == 2 && samples == 3 && bpsOk,
+        s"only uncompressed 8-bit RGB supported (comp=$compression " +
+          s"photo=$photometric spp=$samples)")
+      val offsets = arrayAt(soPos, soType, soCount)
+      val counts = arrayAt(sbPos, sbType, sbCount)
+      require(offsets.length == counts.length, "strip tables disagree")
+      val px = new Array[Int](width * height)
+      var strip = 0
+      var row = 0
+      while (strip < offsets.length) {
+        var o = offsets(strip)
+        val end = o + counts(strip)
+        while (o < end && row < height) {
+          var x = 0
+          while (x < width) {
+            px(row * width + x) = ((bytes(o) & 0xff) << 16) |
+              ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+            o += 3; x += 1
+          }
+          row += 1
+        }
+        strip += 1
+      }
+      require(row == height, s"strips carried $row of $height rows")
+      (width, height, px)
+    }
+  }
+
+  /**
    * REAL codec for QOI ("Quite OK Image", qoiformat.org) — the fourth
    * pure-JVM container, and the first genuinely COMPRESSED one: unlike
    * PGM/WAV/BMP (fixed-layout rasters), QOI round-trips through a

@@ -142,8 +142,100 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
         dropTable(name.toLowerCase); None
-      case _ => Some(query(s))
+      case _ =>
+        // `WITH … MERGE INTO` (the changes-CTE-then-upsert text Iceberg
+        // and Delta users write): hoist the CTE prologue into the USING
+        // source so the MERGE router sees a plain subquery. A WITH that
+        // does NOT lead to a top-level MERGE parses as a query as before.
+        hoistWithIntoMerge(s) match {
+          case Some(merge) => mergeInto(merge); None
+          case None => Some(query(s))
+        }
     }
+  }
+
+  /** Rewrite `WITH <ctes> MERGE INTO … USING <src> …` into
+    * `MERGE INTO … USING (WITH <ctes> …) …` — the prologue's CTEs are
+    * only readable by the source side (the target is a cataloged
+    * table), so scoping them into the USING subquery preserves
+    * semantics exactly and reuses the whole MERGE router unchanged.
+    * `USING <cteName>` becomes `USING (WITH <ctes> SELECT * FROM
+    * <cteName>)`; a `USING (subquery)` gets the CTE list prepended
+    * (merging lists when the subquery carries its own WITH). Returns
+    * None when the text is not a WITH-led top-level MERGE — the
+    * caller then routes it as an ordinary query. */
+  private def hoistWithIntoMerge(text: String): Option[String] = {
+    val t = text.trim.stripSuffix(";")
+    if (!"""(?is)^WITH\s.*""".r.matches(t)) return None
+    // walk the CTE list: name [(cols)] AS ( body ) [, …]
+    var i = 4
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    var done = false
+    while (!done) {
+      skipWs()
+      val nameEnd = {
+        var j = i
+        while (j < t.length && (t.charAt(j).isLetterOrDigit ||
+          t.charAt(j) == '_')) j += 1
+        j
+      }
+      if (nameEnd == i) return None
+      i = nameEnd; skipWs()
+      if (i < t.length && t.charAt(i) == '(') { // optional column list
+        i = matchingParen(t, i) + 1; skipWs()
+      }
+      if (i + 2 > t.length || !t.substring(i, i + 2).equalsIgnoreCase("AS"))
+        return None
+      i += 2; skipWs()
+      if (i >= t.length || t.charAt(i) != '(') return None
+      i = matchingParen(t, i) + 1; skipWs()
+      if (i < t.length && t.charAt(i) == ',') i += 1 else done = true
+    }
+    val ctes = t.substring(4, i).trim
+    val rest = t.substring(i).trim
+    if (!"""(?is)^MERGE\s+INTO\s.*""".r.matches(rest)) return None
+    // first USING outside string literals, scanned positionally
+    // (blankLiterals shortens literals, so its offsets don't map back)
+    val srcStart = {
+      var j = 0; var inStr = false; var at = -1
+      while (at < 0 && j < rest.length - 6) {
+        rest.charAt(j) match {
+          case '\'' => inStr = !inStr
+          case _ if !inStr &&
+              rest.substring(j, j + 5).equalsIgnoreCase("USING") &&
+              (rest.charAt(j + 5).isWhitespace || rest.charAt(j + 5) == '(') &&
+              (j == 0 || !rest.charAt(j - 1).isLetterOrDigit) =>
+            at = j + 5
+            while (at < rest.length && rest.charAt(at).isWhitespace) at += 1
+          case _ =>
+        }
+        j += 1
+      }
+      if (at < 0) return None
+      at
+    }
+    val rewritten =
+      if (rest.charAt(srcStart) == '(') {
+        val close = matchingParen(rest, srcStart)
+        val body = rest.substring(srcStart + 1, close).trim
+        val merged =
+          if ("""(?is)^WITH\s.*""".r.matches(body))
+            "WITH " + ctes + ", " + body.substring(4).trim
+          else "WITH " + ctes + " " + body
+        rest.substring(0, srcStart) + "(" + merged + ")" +
+          rest.substring(close + 1)
+      } else {
+        val nameEnd = {
+          var j = srcStart
+          while (j < rest.length && !rest.charAt(j).isWhitespace) j += 1
+          j
+        }
+        val srcName = rest.substring(srcStart, nameEnd)
+        rest.substring(0, srcStart) +
+          "(WITH " + ctes + " SELECT * FROM " + srcName + ")" +
+          rest.substring(nameEnd)
+      }
+    Some(rewritten)
   }
 
   /** The query door: `spark.sql` over the cataloged tables (each

