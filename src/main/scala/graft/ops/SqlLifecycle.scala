@@ -262,6 +262,13 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     if (pruneScans(df, referenced)) spark.sql(rewritten) else df
   }
 
+  /** A manifest dir name's raw partition value (`date=2024-01-01` →
+    * `2024-01-01`, path-unescaped) — the form `readPartitionsWhere`
+    * feeds its keep function. */
+  private def unescapeDirValue(dir: String): String =
+    VersionedPartitioned.unescapePathName(
+      dir.substring(dir.indexOf('=') + 1))
+
   /** Re-register every referenced partitioned table whose scans are
     * all partition-filtered as a pruned view; true if any changed. */
   private def pruneScans(df: DataFrame, tables: Seq[String]): Boolean = {
@@ -291,11 +298,21 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             ScanPrune.boundsFor(leaf.conjuncts, pcol).map(ScanPrune.plainKeep)
         }
         if (keeps.nonEmpty && keeps.forall(_.isDefined)) {
-          val pruned = VersionedPartitioned
-            .readPartitionsWhere(spark, path, ScanPrune.anyOf(keeps.flatten))
-            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-          pruned.createOrReplaceTempView(viewName(t))
-          any = true
+          val keep = ScanPrune.anyOf(keeps.flatten)
+          // re-resolve only when the keep actually narrows the manifest
+          // — a bound that spans every live partition (the reference's
+          // first pipeline days, where the 8-day window covers the
+          // whole young table) would otherwise pay a second analysis
+          // pass for an identical plan
+          val narrows = VersionedPartitioned.partitions(spark, path)
+            .exists(d => !keep(unescapeDirValue(d)))
+          if (narrows) {
+            val pruned = VersionedPartitioned
+              .readPartitionsWhere(spark, path, keep)
+              .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+            pruned.createOrReplaceTempView(viewName(t))
+            any = true
+          }
         }
       }
     }

@@ -48,7 +48,7 @@ object VersionedPartitioned {
     * parquet writer applies to partition dir names. Kept local so the
     * sidecar-backed and fallback-scan paths of `partitionStats` emit
     * the same RAW value form without depending on Catalyst internals. */
-  private def unescapePathName(s: String): String = {
+  private[ops] def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder(s.length)
     var i = 0
