@@ -443,7 +443,8 @@ object ExtOracles {
       // BMP — the container must be invisible in the numbers, so the
       // stats/resize gates share BMP's oracles
       ("image_tiff_stats" -> base("image_bmp_stats")) +
-      ("image_tiff_resize" -> base("image_bmp_resize"))
+      ("image_tiff_resize" -> base("image_bmp_resize")) +
+      ("sql_changelog_view" -> oracle("sql_changelog_view"))
   }
 
   /** Static oracle SQL texts live as classpath resources

@@ -2948,6 +2948,40 @@ object ExtQueries {
     life
   }
 
+  /**
+   * `CALL system.create_changelog_view` gate (ops/SqlLifecycle
+   * .callProcedure → VersionedPartitioned.readRowChanges): Iceberg's
+   * CDC procedure over the statement door. The fixture's v1 holds
+   * months 1995-01..03; a routed partition DELETE drops 1995-01 (v2)
+   * and a routed INSERT appends 1995-04 (v3); the procedure registers
+   * `facts_changes` for (v1, current] and the routed SELECT aggregates
+   * it — full-row identity, so the dropped month surfaces as deletes
+   * and the new month as inserts, with untouched months absent (their
+   * partitions are never read). Oracle replays both windows in set SQL.
+   */
+  private def sqlChangelogView(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("DELETE FROM sales.facts WHERE month = '1995-01'")
+    life.execute("""
+      INSERT INTO sales.facts
+      SELECT o_orderkey, o_custkey,
+             date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+             CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+             'base' AS src
+      FROM orders_src
+      WHERE date_format(to_date(o_orderdate), 'yyyy-MM') = '1995-04'
+        AND o_orderkey % 4 < 2""")
+    life.execute("""
+      CALL system.create_changelog_view(table => 'sales.facts',
+                                        from_version => 1)""")
+    life.query("""
+      SELECT change_type, month, count(*) AS n_changes,
+             sum(o_orderkey) AS key_sum
+      FROM facts_changes
+      GROUP BY change_type, month
+      ORDER BY change_type, month""")
+  }
+
   /** The gates' shared output shape (DECIMAL re-cast to DOUBLE for a
     * representation-stable hash, like the other versioned gates). */
   private def rowVerbOut(life: graft.ops.SqlLifecycle): DataFrame =
@@ -4446,6 +4480,7 @@ object ExtQueries {
     "versioned_hidden_multi" -> ((s, dir) => versionedHiddenMulti(s, dir)),
     "sql_hidden_ddl" -> ((s, dir) => sqlHiddenDdl(s, dir)),
     "sql_hidden_rowverbs" -> ((s, dir) => sqlHiddenRowVerbs(s, dir)),
-    "sql_merge_cte" -> ((s, dir) => sqlMergeCte(s, dir))
+    "sql_merge_cte" -> ((s, dir) => sqlMergeCte(s, dir)),
+    "sql_changelog_view" -> ((s, dir) => sqlChangelogView(s, dir))
   )
 }

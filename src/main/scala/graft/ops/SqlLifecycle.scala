@@ -698,10 +698,40 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         val v = VersionedPartitioned.publish(spark, path, src, drop = false)
         Seq((table, src, v))
           .toDF("table", "published_branch", "current_version")
+      case "create_changelog_view" =>
+        // Iceberg's CDC procedure: register `<table>_changes`, the
+        // row-level change feed of (from_version, to_version] —
+        // full-row keys (every declared column, plus the physical
+        // partition key for hidden tables so moves classify per
+        // partition), Iceberg's default identity when no identifier
+        // fields are declared: an updated row appears as its old row
+        // deleted + its new row inserted. The view is a plain temp
+        // view over `readRowChanges` — queryable through this door
+        // like any table, zero data copied.
+        val from = arg(Seq("from_version", "start_snapshot_id"), 1).toLong
+        val to = args.collectFirst {
+          case (Some(n), v)
+              if Seq("to_version", "end_snapshot_id").contains(n) =>
+            v.toLong
+        }.orElse(args.filter(_._1.isEmpty).lift(2).map(_._2.toLong))
+        val meta = metaOf(table).get
+        val pcol = meta.partitionCol.getOrElse(
+          throw new IllegalArgumentException(
+            "CALL system.create_changelog_view: the change feed rides " +
+              s"the versioned (partitioned) format — $table is " +
+              "unpartitioned"))
+        val keys =
+          (pcol +: meta.schema.fieldNames.toSeq).distinct
+        val changes = VersionedPartitioned
+          .readRowChanges(spark, path, keys, from, to)
+          .drop(if (pcol.startsWith("hp__")) pcol else "")
+        val vn = table.split("\\.")(1) + "_changes"
+        changes.createOrReplaceTempView(vn)
+        Seq((table, vn, from)).toDF("table", "changelog_view", "from_version")
       case other => throw new IllegalArgumentException(
         s"CALL system.$other: unsupported procedure (have " +
           "rollback_to_snapshot, set_current_snapshot, expire_snapshots, " +
-          "rewrite_data_files, fast_forward)")
+          "rewrite_data_files, fast_forward, create_changelog_view)")
     }
   }
 
