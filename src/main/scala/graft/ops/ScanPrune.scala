@@ -170,35 +170,80 @@ object ScanPrune {
         .convertToScala(l.value, l.dataType))
       .cast(l.dataType)
 
-  /** Partition keep for a PLAIN partitioned table (the manifest
-    * partition column is a declared column): parse each partition
-    * value string back to the literal's type with Catalyst's own Cast
-    * — the inverse of how the writer rendered it — and compare TYPED,
-    * so numeric partitions don't fall into the "9" > "10" string
-    * trap. An unparseable partition value is kept, conservatively. */
-  def plainKeep(bounds: Bounds): String => Boolean = {
+  /** OR-combine per-leaf keeps: a partition survives if ANY scan of
+    * the table needs it (self-joins read one shared view). */
+  def anyOf(keeps: Seq[String => Boolean]): String => Boolean =
+    v => keeps.exists(_(v))
+
+  /** Partition keep for a PLAIN table derived directly from the leaf's
+    * conjuncts — the Bounds path generalized to DISJUNCTIONS:
+    * `date = 'a' OR date = 'b'` (and any and/or tree whose leaves are
+    * comparisons of the partition column against literals) maps to the
+    * union of the branch keeps. An OR with an unmappable branch yields
+    * no constraint for that conjunct (the branch could admit any
+    * partition); an AND keeps whichever sides map (each is a necessary
+    * condition alone). Every mapped leaf is null-intolerant, so the
+    * writer's null partition is always excluded. Returns None when no
+    * conjunct constrains the column. */
+  def plainKeepFor(conjuncts: Seq[Expression],
+      name: String): Option[String => Boolean] = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(name)
+      case _ => false
+    }
     def parse(s: String,
         dt: org.apache.spark.sql.types.DataType): Option[Any] = Option(Cast(
       Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString(s),
         org.apache.spark.sql.types.StringType), dt,
       Some(java.time.ZoneOffset.UTC.getId)).eval())
+    // None = unparseable partition value: keep, never drop on doubt
     def cmp(s: String, l: Literal): Option[Int] = parse(s, l.dataType).map {
       pv => org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(l.dataType).compare(pv, l.value)
     }
-    (v: String) =>
-      if (v == "__HIVE_DEFAULT_PARTITION__") false // null partition: every constraint here is null-intolerant
-      else {
-        bounds.eqs.forall(_.exists(e => cmp(v, e).forall(_ == 0))) &&
-          bounds.lo.forall { case (b, incl) =>
-            cmp(v, b).forall(c => if (incl) c >= 0 else c > 0) } &&
-          bounds.hi.forall { case (b, incl) =>
-            cmp(v, b).forall(c => if (incl) c <= 0 else c < 0) }
+    def leaf(rel: Literal => Int => Boolean)(l: Literal): String => Boolean =
+      v => cmp(v, l).forall(rel(l))
+    def keepOf(e: Expression): Option[String => Boolean] = e match {
+      case EqualTo(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ == 0)(l))
+      case EqualTo(l: Literal, c) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ == 0)(l))
+      case EqualNullSafe(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ == 0)(l))
+      case In(c, vs) if isCol(c) && vs.forall {
+          case l: Literal => l.value != null; case _ => false } =>
+        val ls = vs.collect { case l: Literal => l }
+        Some(v => ls.exists(l => cmp(v, l).forall(_ == 0)))
+      case InSet(c, vs) if isCol(c) && !vs.contains(null) =>
+        val ls = vs.toSeq.map(x => Literal(x, c.dataType))
+        Some(v => ls.exists(l => cmp(v, l).forall(_ == 0)))
+      case GreaterThan(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ > 0)(l))
+      case GreaterThanOrEqual(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ >= 0)(l))
+      case LessThan(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ < 0)(l))
+      case LessThanOrEqual(c, l: Literal) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ <= 0)(l))
+      case GreaterThan(l: Literal, c) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ < 0)(l))
+      case GreaterThanOrEqual(l: Literal, c) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ <= 0)(l))
+      case LessThan(l: Literal, c) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ > 0)(l))
+      case LessThanOrEqual(l: Literal, c) if isCol(c) && l.value != null =>
+        Some(leaf(_ => _ >= 0)(l))
+      case Or(a, b) =>
+        for (ka <- keepOf(a); kb <- keepOf(b)) yield (v => ka(v) || kb(v))
+      case And(a, b) => (keepOf(a), keepOf(b)) match {
+        case (Some(x), Some(y)) => Some(v => x(v) && y(v))
+        case (one, other) => one.orElse(other)
       }
+      case _ => None
+    }
+    val ks = conjuncts.flatMap(keepOf(_))
+    if (ks.isEmpty) None
+    else Some(v =>
+      v != "__HIVE_DEFAULT_PARTITION__" && ks.forall(_(v)))
   }
-
-  /** OR-combine per-leaf keeps: a partition survives if ANY scan of
-    * the table needs it (self-joins read one shared view). */
-  def anyOf(keeps: Seq[String => Boolean]): String => Boolean =
-    v => keeps.exists(_(v))
 }

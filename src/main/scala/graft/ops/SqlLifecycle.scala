@@ -249,7 +249,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * ISO-8601 instants, interpreted in the session UTC. */
   def query(sel: String): DataFrame = {
     val referenced = registerViewsFor(sel)
-    val withTravel = resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)))
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val withTravel =
+      resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)), pinned)
     val rewritten = rewriteNames(withTravel)
     val df = spark.sql(rewritten)
     // statement-predicate pruning: if the OPTIMIZED plan proves every
@@ -258,8 +260,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     // table's view as the manifest-PRUNED read and re-resolve — the
     // reference's `WHERE date = DATE '{{ ds }}'` statements then plan
     // O(day), not O(table), exactly like the Scala API's readPruned /
-    // readMultiWhere paths (ScanPrune has the safety argument).
-    if (pruneScans(df, referenced)) spark.sql(rewritten) else df
+    // readMultiWhere paths (ScanPrune has the safety argument). Time
+    // travel prunes the same way: a pinned `VERSION AS OF` view scans
+    // the same table dir, so its keep narrows the OLD manifest.
+    if (pruneScans(df, referenced, pinned.toSeq)) spark.sql(rewritten) else df
   }
 
   /** A manifest dir name's raw partition value (`date=2024-01-01` →
@@ -269,14 +273,26 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     VersionedPartitioned.unescapePathName(
       dir.substring(dir.indexOf('=') + 1))
 
-  /** Re-register every referenced partitioned table whose scans are
-    * all partition-filtered as a pruned view; true if any changed. */
-  private def pruneScans(df: DataFrame, tables: Seq[String]): Boolean = {
+  /** Re-register every referenced partitioned table (and AS-OF pinned
+    * view of one) whose scans are all partition-filtered as a pruned
+    * view; true if any changed. `pinned` entries are (viewName, table,
+    * version) from `resolveAsOf` — a pinned view scans the SAME table
+    * dir as the current view, so one keep (the OR over every scan of
+    * that dir) narrows each registered view against its own manifest
+    * version. */
+  private def pruneScans(df: DataFrame, tables: Seq[String],
+      pinned: Seq[(String, String, Long)] = Nil): Boolean = {
     val plan =
       try df.queryExecution.optimizedPlan
       catch { case scala.util.control.NonFatal(_) => return false }
     var any = false
-    for (t <- tables; meta <- metaOf(t); pcol <- meta.partitionCol) {
+    // per table dir: the views to (maybe) re-register against it
+    val targets: Map[String, Seq[(String, Option[Long])]] =
+      (tables.map(t => t -> (viewName(t) -> Option.empty[Long])) ++
+        pinned.map { case (vn, t, v) => t -> (vn -> Some(v)) })
+        .groupMap(_._1)(_._2)
+    for ((t, views) <- targets.toSeq.sortBy(_._1);
+        meta <- metaOf(t); pcol <- meta.partitionCol) {
       val path = tableDir(t).toString
       val leaves = ScanPrune.leavesUnder(plan, path)
       if (leaves.nonEmpty) {
@@ -295,23 +311,25 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
               try HiddenPartition.keepForBounds(spark, path, bounds)
               catch { case scala.util.control.NonFatal(_) => None }
           } else
-            ScanPrune.boundsFor(leaf.conjuncts, pcol).map(ScanPrune.plainKeep)
+            ScanPrune.plainKeepFor(leaf.conjuncts, pcol)
         }
         if (keeps.nonEmpty && keeps.forall(_.isDefined)) {
           val keep = ScanPrune.anyOf(keeps.flatten)
-          // re-resolve only when the keep actually narrows the manifest
-          // — a bound that spans every live partition (the reference's
-          // first pipeline days, where the 8-day window covers the
-          // whole young table) would otherwise pay a second analysis
-          // pass for an identical plan
-          val narrows = VersionedPartitioned.partitions(spark, path)
-            .exists(d => !keep(unescapeDirValue(d)))
-          if (narrows) {
-            val pruned = VersionedPartitioned
-              .readPartitionsWhere(spark, path, keep)
-              .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-            pruned.createOrReplaceTempView(viewName(t))
-            any = true
+          views.foreach { case (vn, version) =>
+            // re-resolve only when the keep actually narrows that
+            // view's manifest — a bound that spans every live partition
+            // (the reference's first pipeline days, where the 8-day
+            // window covers the whole young table) would otherwise pay
+            // a second analysis pass for an identical plan
+            val narrows = VersionedPartitioned.partitions(spark, path, version)
+              .exists(d => !keep(unescapeDirValue(d)))
+            if (narrows) {
+              val pruned = VersionedPartitioned
+                .readPartitionsWhere(spark, path, keep, version)
+                .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+              pruned.createOrReplaceTempView(vn)
+              any = true
+            }
           }
         }
       }
@@ -384,22 +402,32 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       }
     }))
 
-  private def resolveAsOf(sel: String): String = {
+  /** Resolve the time-travel sugar to pinned views; each registration
+    * is reported into `pinnedOut` as (viewName, table, version) so the
+    * statement-predicate pruner can narrow pinned manifests too.
+    * (No literal guard here, unlike branch/metadata rewriting: the
+    * timestamp form's own pattern INCLUDES a quoted literal, which a
+    * mapOutsideLiterals segment would never contain.) */
+  private def resolveAsOf(sel: String,
+      pinnedOut: scala.collection.mutable.Buffer[(String, String, Long)] =
+        scala.collection.mutable.ArrayBuffer.empty): String = {
     def pinned(tableName: String, suffix: String,
-        read: (String, TableMeta) => DataFrame): Option[String] = {
+        versionOf: String => Long): Option[String] = {
       val t = tableName.toLowerCase
       metaOf(t).filter(_.partitionCol.isDefined).map { meta =>
         val vn = viewName(t) + suffix
-        read(tableDir(t).toString, meta)
+        val path = tableDir(t).toString
+        val v = versionOf(path)
+        VersionedPartitioned.readAt(spark, path, v)
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
           .createOrReplaceTempView(vn)
+        pinnedOut += ((vn, t, v))
         vn
       }
     }
     val s1 = VersionAsOfRe.replaceAllIn(sel, m =>
       scala.util.matching.Regex.quoteReplacement(
-        pinned(m.group(1), "__v" + m.group(2), (p, _) =>
-          VersionedPartitioned.readAt(spark, p, m.group(2).toLong))
+        pinned(m.group(1), "__v" + m.group(2), _ => m.group(2).toLong)
           .getOrElse(m.matched)))
     TimestampAsOfRe.replaceAllIn(s1, m => {
       val raw = m.group(2)
@@ -409,8 +437,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli }
       scala.util.matching.Regex.quoteReplacement(
-        pinned(m.group(1), "__ts" + ms, (p, _) =>
-          VersionedPartitioned.readAsOf(spark, p, ms))
+        pinned(m.group(1), "__ts" + ms, p =>
+          VersionedPartitioned.versionAsOf(spark, p, ms))
           .getOrElse(m.matched))
     })
   }
@@ -1799,10 +1827,14 @@ object SqlLifecycle {
     }
     throw new IllegalArgumentException("unbalanced parentheses in USING (…)")
   }
+  // both spellings of each travel clause: Spark/Delta's bare
+  // `VERSION AS OF` / `TIMESTAMP AS OF` and the ANSI-style
+  // `FOR SYSTEM_VERSION AS OF` / `FOR SYSTEM_TIME AS OF` Iceberg
+  // documents — one regex each, the FOR prefix optional
   private val VersionAsOfRe =
-    """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+|VERSION\s+)AS\s+OF\s+(\d+)""".r
   private val TimestampAsOfRe =
-    """(?i)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+    """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
   private val AlterAddColRe =

@@ -250,6 +250,39 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(partDirs(joined.inputFiles, "date=").size == 10)
   }
 
+  test("SQL door: OR-of-partition-values and AS-OF reads prune too") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_or_sqlprune_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""
+      CREATE TABLE s.bars (date DATE, id BIGINT, px DOUBLE)
+      USING ICEBERG PARTITIONED BY (date)""")
+    (1 to 100).map(i => (java.sql.Date.valueOf(f"2024-03-${i % 10 + 1}%02d"),
+        i.toLong, i * 1.5))
+      .toDF("date", "id", "px").createOrReplaceTempView("or_sqlprune_src")
+    life.execute("INSERT INTO s.bars SELECT * FROM or_sqlprune_src")
+    // a disjunction of partition values keeps exactly its branches
+    val ored = life.query("""SELECT * FROM s.bars
+      WHERE date = DATE '2024-03-02' OR date = DATE '2024-03-07'""")
+    assert(partDirs(ored.inputFiles, "date=") ==
+      Seq("date=2024-03-02", "date=2024-03-07"))
+    assert(ored.count() == 20)
+    // v2 rewrites one day; a FOR SYSTEM_VERSION AS OF 1 read with a
+    // WHERE prunes the PINNED manifest (pre-rewrite rows come back)
+    life.execute("DELETE FROM s.bars WHERE date = DATE '2024-03-05'")
+    val travel = life.query("""
+      SELECT * FROM s.bars FOR SYSTEM_VERSION AS OF 1
+      WHERE date = DATE '2024-03-05'""")
+    assert(partDirs(travel.inputFiles, "date=") == Seq("date=2024-03-05"))
+    assert(travel.count() == 10)
+    // the current view still sees the delete (and an impossible
+    // predicate plans nothing)
+    assert(life.query(
+      "SELECT * FROM s.bars WHERE date = DATE '2024-03-05'").count() == 0)
+  }
+
   test("hidden tables keep the plain-format capabilities (time travel)") {
     val root = freshRoot("graft_hp_tt_")
     val df = sampleDf()
