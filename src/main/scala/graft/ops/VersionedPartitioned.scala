@@ -1063,15 +1063,22 @@ object VersionedPartitioned {
           m, snap)
     }
     val out = frames.reduce(_.unionByName(_))
-    // merge-on-read deletes: anti-join against the referenced key
-    // sidecars, each scoped to the partitions that still reference it
-    // (an overwritten partition dropped its refs, so its NEW rows must
-    // not anti-join old keys even when the sidecar survives for other
-    // partitions). Sidecar schema = partitionCol + key columns — the
-    // join keys, read from the file, not the manifest. Sub-views
-    // (pruned/incremental reads) pass a restricted entry map; scoping
-    // deletes to it keeps them consistent automatically.
-    val scoped = m.deletes.view.filterKeys(m.entries.contains).toMap
+    applyMorDeletes(spark, rootPath, m, m.entries.keySet, out)
+  }
+
+  /** Merge-on-read delete resolution shared by the full manifest read
+    * and the file-pruned read: anti-join `out` against the referenced
+    * key sidecars, each scoped to the partitions IN `entryDirs` that
+    * still reference it (an overwritten partition dropped its refs, so
+    * its NEW rows must not anti-join old keys even when the sidecar
+    * survives for other partitions). Sidecar schema = partitionCol +
+    * key columns — the join keys, read from the file, not the
+    * manifest. Sub-views (pruned/incremental reads) pass their
+    * restricted dir set; scoping deletes to it keeps them consistent
+    * automatically. */
+  private def applyMorDeletes(spark: SparkSession, rootPath: HPath,
+      m: Manifest, entryDirs: Set[String], out: DataFrame): DataFrame = {
+    val scoped = m.deletes.view.filterKeys(entryDirs.contains).toMap
     if (scoped.isEmpty) out
     else {
       import org.apache.spark.sql.functions.col
@@ -1157,7 +1164,14 @@ object VersionedPartitioned {
           spark.read.option("basePath", base)
             .parquet(files.map(f => s"$base/${f._2}"): _*), m, snap)
     }
-    frames.reduce(_.unionByName(_))
+    // merge-on-read deletes apply to the pruned view too — a key
+    // deleted via sidecar must not resurface just because its file
+    // survived stats pruning. Scoped to the partitions the kept files
+    // belong to, same contract as the full read.
+    val keptDirs = keep.map(_._2.takeWhile(_ != '/')).toSet
+    applyMorDeletes(spark, rootPath, m,
+      m.entries.keySet.filter(keptDirs.contains),
+      frames.reduce(_.unionByName(_)))
   }
 
   /**

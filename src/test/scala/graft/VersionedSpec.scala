@@ -1279,6 +1279,25 @@ class VersionedSpec extends AnyFunSuite {
       Set("2024-01-01" -> 1))
   }
 
+  test("deleteKeysMor: the stats-pruned read resolves sidecar deletes too") {
+    val root = Files.createTempDirectory("graft_mor_pruned").toString
+    // stats-bearing promote so prunedFiles has min/max to skip on
+    VersionedPartitioned.promote(
+      pdf("2024-01-01" -> 1, "2024-01-01" -> 2, "2024-01-02" -> 3), root,
+      statsCols = Seq("v"))
+    VersionedPartitioned.deleteKeysMor(spark, root, kdf("2024-01-01" -> 1))
+    // the deleted key's FILE survives pruning (its [min,max] covers 1),
+    // but the row must not resurface through the pruned read — the
+    // MoR anti-join applies to every read shape, not just the full one
+    assert(state(VersionedPartitioned.readPruned(spark, root, "v", 1, 3)) ==
+      Set("2024-01-01" -> 2, "2024-01-02" -> 3))
+    // rewrite day1: refs drop, the fresh same-key row reads back
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), root,
+      statsCols = Seq("v"))
+    assert(state(VersionedPartitioned.readPruned(spark, root, "v", 1, 3)) ==
+      Set("2024-01-01" -> 1, "2024-01-02" -> 3))
+  }
+
   test("deleteKeysMor: compact materializes deletes and vacuum reclaims the sidecars") {
     val root = Files.createTempDirectory("graft_mor").toString
     VersionedPartitioned.promote(
