@@ -154,6 +154,33 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Execute a multi-statement SCRIPT: statements split on top-level
+    * semicolons — outside string literals and parentheses, so
+    * `VALUES ('a;b')` and subqueries ship intact — and routed through
+    * `execute` in order. Returns the LAST statement's result frame, if
+    * any (the usual tail-SELECT convention). Comment-only or empty
+    * fragments are skipped, so trailing semicolons and `-- header`
+    * blocks route cleanly. */
+  def executeScript(script: String): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    var depth = 0; var inStr = false
+    val sb = new StringBuilder
+    def flush(): Unit = {
+      val stmt = sb.toString
+      sb.clear()
+      if (stripComments(stmt).trim.nonEmpty) last = execute(stmt)
+    }
+    for (ch <- script) ch match {
+      case '\'' => inStr = !inStr; sb += ch
+      case '(' if !inStr => depth += 1; sb += ch
+      case ')' if !inStr => depth -= 1; sb += ch
+      case ';' if !inStr && depth == 0 => flush()
+      case c => sb += c
+    }
+    flush()
+    last
+  }
+
   /** Rewrite `WITH <ctes> MERGE INTO … USING <src> …` into
     * `MERGE INTO … USING (WITH <ctes> …) …` — the prologue's CTEs are
     * only readable by the source side (the target is a cataloged

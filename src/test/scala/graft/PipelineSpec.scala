@@ -294,6 +294,30 @@ class PipelineSpec extends AnyFunSuite {
       == Seq("b"))
   }
 
+  test("SqlLifecycle executeScript: a semicolon-separated task body routes in order") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlscript_").toString
+    val life = new SqlLifecycle(spark, root)
+    // one Airflow-task-shaped script: DDL + loads + a tail SELECT.
+    // The ';' inside a VALUES string literal and inside the subquery
+    // parens must NOT split; comment-only fragments are skipped.
+    val out = life.executeScript("""
+      -- daily task
+      CREATE SCHEMA s;
+      CREATE TABLE s.t (k BIGINT, v STRING) USING ICEBERG PARTITIONED BY (k);
+      INSERT INTO s.t VALUES (1, 'a;b'), (2, 'c');
+      INSERT INTO s.t SELECT * FROM (SELECT 3, 'd;e');
+      SELECT k, v FROM s.t WHERE k >= 1 ORDER BY k;
+    """)
+    assert(out.isDefined)
+    assert(out.get.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a;b"), (2L, "c"), (3L, "d;e")))
+    // a script ending in DML returns no frame
+    assert(life.executeScript(
+      "INSERT INTO s.t VALUES (4, 'x'); -- done").isEmpty)
+    assert(life.table("s.t").count() == 4)
+  }
+
   test("SqlLifecycle row-level verbs: MERGE INTO, UPDATE, DELETE predicate") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlrow_").toString
