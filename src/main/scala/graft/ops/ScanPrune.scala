@@ -191,11 +191,13 @@ object ScanPrune {
       case a: AttributeReference => a.name.equalsIgnoreCase(name)
       case _ => false
     }
+    // TRY eval mode: under the ANSI default a malformed value THROWS
+    // from Cast — the keep-on-doubt contract needs null, not a crash
     def parse(s: String,
         dt: org.apache.spark.sql.types.DataType): Option[Any] = Option(Cast(
       Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString(s),
         org.apache.spark.sql.types.StringType), dt,
-      Some(java.time.ZoneOffset.UTC.getId)).eval())
+      Some(java.time.ZoneOffset.UTC.getId), EvalMode.TRY).eval())
     // None = unparseable partition value: keep, never drop on doubt
     def cmp(s: String, l: Literal): Option[Int] = parse(s, l.dataType).map {
       pv => org.apache.spark.sql.catalyst.util.TypeUtils
