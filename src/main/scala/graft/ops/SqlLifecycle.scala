@@ -755,14 +755,18 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .toDF("table", "published_branch", "current_version")
       case "create_changelog_view" =>
         // Iceberg's CDC procedure: register `<table>_changes`, the
-        // row-level change feed of (from_version, to_version] —
-        // full-row keys (every declared column, plus the physical
-        // partition key for hidden tables so moves classify per
-        // partition), Iceberg's default identity when no identifier
-        // fields are declared: an updated row appears as its old row
-        // deleted + its new row inserted. The view is a plain temp
-        // view over `readRowChanges` — queryable through this door
-        // like any table, zero data copied.
+        // row-level change feed of (from_version, to_version]. Without
+        // `identifier_columns`, identity is the FULL ROW (every
+        // declared column, plus the physical partition key for hidden
+        // tables so moves classify per partition) — Iceberg's default
+        // when no identifier fields are declared: an updated row
+        // appears as its old row deleted + its new row inserted. WITH
+        // `identifier_columns => 'k1,k2'`, identity is those keys and
+        // a changed row classifies as `update` (the partition column
+        // is added implicitly — it must pin rows, the readRowChanges
+        // contract). The view is a plain temp view over
+        // `readRowChanges` — queryable through this door like any
+        // table, zero data copied.
         val from = arg(Seq("from_version", "start_snapshot_id"), 1).toLong
         val to = args.collectFirst {
           case (Some(n), v)
@@ -775,8 +779,19 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             "CALL system.create_changelog_view: the change feed rides " +
               s"the versioned (partitioned) format — $table is " +
               "unpartitioned"))
-        val keys =
-          (pcol +: meta.schema.fieldNames.toSeq).distinct
+        val identifiers = args.collectFirst {
+          case (Some("identifier_columns"), v) =>
+            v.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+              meta.schema.fields.find(_.name.equalsIgnoreCase(c))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"CALL system.create_changelog_view: no column $c " +
+                    s"in $table")).name
+            }
+        }
+        val keys = identifiers match {
+          case Some(ids) => (pcol +: ids).distinct
+          case None => (pcol +: meta.schema.fieldNames.toSeq).distinct
+        }
         val changes = VersionedPartitioned
           .readRowChanges(spark, path, keys, from, to)
           .drop(if (pcol.startsWith("hp__")) pcol else "")

@@ -848,6 +848,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("create_changelog_view with identifier_columns classifies updates as updates") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlclv_ids_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t (date STRING, k BIGINT, v STRING)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute(
+      "INSERT INTO s.t VALUES ('d1', 1, 'a'), ('d1', 2, 'b'), ('d2', 3, 'c')")
+    // v2: rewrite d1 — k=1 re-valued, k=2 dropped, k=4 appears
+    life.execute("DELETE FROM s.t WHERE date = 'd1'")
+    life.execute("INSERT INTO s.t VALUES ('d1', 1, 'A'), ('d1', 4, 'd')")
+    def feed(callArgs: String): Map[(Long, String), Int] = {
+      life.execute(s"CALL system.create_changelog_view($callArgs)")
+      life.query("SELECT k, change_type FROM t_changes")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    // key identity: the re-valued k=1 is ONE update row; the untouched
+    // d2 partition contributes nothing
+    val keyed = feed("table => 's.t', from_version => 1, " +
+      "identifier_columns => 'k'")
+    assert(keyed == Map((1L, "update") -> 1, (2L, "delete") -> 1,
+      (4L, "insert") -> 1))
+    // full-row identity (the default): the same re-value is the old
+    // row deleted + the new row inserted
+    val fullRow = feed("table => 's.t', from_version => 1")
+    assert(fullRow == Map((1L, "delete") -> 1, (1L, "insert") -> 1,
+      (2L, "delete") -> 1, (4L, "insert") -> 1))
+    // unknown identifier column fails loudly
+    intercept[IllegalArgumentException] {
+      life.execute("CALL system.create_changelog_view(" +
+        "table => 's.t', from_version => 1, identifier_columns => 'nope')")
+    }
+  }
+
   test("strict DQ mode fails the run on a violation") {
     val root = Files.createTempDirectory("graft_pipe3").toString
     val pipe = new Pipeline(spark,
