@@ -422,6 +422,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           case "partitions" => VersionedPartitioned.partitionsDf(spark, path)
           case "files" => VersionedPartitioned.filesDf(spark, path)
           case "column_stats" => VersionedPartitioned.columnStats(spark, path)
+          case "refs" =>
+            // Iceberg's `refs` metadata table: main + every live
+            // branch pointer with its head snapshot — one dir listing
+            import spark.implicits._
+            (("main", "BRANCH",
+              VersionedPartitioned.currentVersion(spark, path).get) +:
+              VersionedPartitioned.branches(spark, path)
+                .map { case (b, v) => (b, "BRANCH", v) })
+              .toDF("name", "type", "snapshot_id")
         }
         val vn = viewName(t) + "__meta_" + kind
         df.createOrReplaceTempView(vn)
@@ -1916,7 +1925,7 @@ object SqlLifecycle {
     """(?s)^\s*(?:(\w+)\s*=>\s*)?(?:'([^']*)'|([^\s].*?))\s*$""".r
   // `schema.table.<metadata table>` suffix form in query texts
   private val MetaTableRe =
-    """(?i)\b([\w]+\.[\w]+)\.(history|snapshots|partitions|files|column_stats)\b""".r
+    """(?i)\b([\w]+\.[\w]+)\.(history|snapshots|partitions|files|column_stats|refs)\b""".r
   private val AnalyzeRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(ALL)\s+COLUMNS|\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r

@@ -927,6 +927,30 @@ object VersionedPartitioned {
     Versioned.branchHeadRaw(fs, rootPath, branch).isDefined
   }
 
+  /** Live branch names with their head versions — ONE directory
+    * listing (branch names contain no dashes by the pointer-file
+    * grammar, so the `_branch-<name>-v<NNN>` form parses by the LAST
+    * `-v`). Main is not included; it is the commit log itself. */
+  def branches(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getLen > 0
+        && s.getPath.getName.startsWith(Versioned.BranchPrefix)
+        && s.getPath.getName.endsWith(Versioned.CommitSuffix))
+      .flatMap { s =>
+        val body = s.getPath.getName
+          .stripPrefix(Versioned.BranchPrefix)
+          .stripSuffix(Versioned.CommitSuffix)
+        val cut = body.lastIndexOf(Versioned.BranchMid)
+        if (cut <= 0) None
+        else body.drop(cut + Versioned.BranchMid.length).toLongOption
+          .map(v => body.take(cut) -> v)
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq.sortBy(_._1)
+  }
+
   /** Audit read of the branch head's manifest (snapshot-isolated like
     * every other read here). */
   def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {

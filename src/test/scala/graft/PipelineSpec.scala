@@ -697,6 +697,15 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       life.execute("ALTER TABLE w.nope CREATE BRANCH x")
     }
+    // dropping a missing branch raises too (parity with Iceberg)
+    intercept[IllegalArgumentException] {
+      life.execute("ALTER TABLE w.facts DROP BRANCH never_created")
+    }
+    // the `refs` metadata table lists main + live branches (audit was
+    // dropped above, b2 survives)
+    assert(life.query("SELECT name, type FROM w.facts.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("b2", "BRANCH"), ("main", "BRANCH")))
   }
 
   test("SqlLifecycle MERGE with swapped/colliding aliases: source aliased 't' must not capture target references") {
