@@ -163,19 +163,51 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * blocks route cleanly. */
   def executeScript(script: String): Option[DataFrame] = {
     var last: Option[DataFrame] = None
-    var depth = 0; var inStr = false
+    var depth = 0
     val sb = new StringBuilder
     def flush(): Unit = {
       val stmt = sb.toString
       sb.clear()
       if (stripComments(stmt).trim.nonEmpty) last = execute(stmt)
     }
-    for (ch <- script) ch match {
-      case '\'' => inStr = !inStr; sb += ch
-      case '(' if !inStr => depth += 1; sb += ch
-      case ')' if !inStr => depth -= 1; sb += ch
-      case ';' if !inStr && depth == 0 => flush()
-      case c => sb += c
+    // comment- and literal-aware scan: a `;` inside `-- …` or
+    // `/* … */` is comment text (the Airflow-task-shaped scripts this
+    // API targets are comment-heavy), a `'` inside a comment must not
+    // flip string state, and `''` inside a literal is an escaped quote,
+    // not an exit+enter pair. Comment bytes are COPIED into the
+    // statement (execute strips them properly), so error messages still
+    // show the user's text.
+    var i = 0
+    while (i < script.length) {
+      script.charAt(i) match {
+        case '\'' =>
+          sb += '\''; i += 1
+          var closed = false
+          while (i < script.length && !closed) {
+            val c = script.charAt(i); sb += c; i += 1
+            if (c == '\'') {
+              if (i < script.length && script.charAt(i) == '\'') {
+                sb += '\''; i += 1
+              } else closed = true
+            }
+          }
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          while (i < script.length && script.charAt(i) != '\n') {
+            sb += script.charAt(i); i += 1
+          }
+        case '/' if i + 1 < script.length && script.charAt(i + 1) == '*' =>
+          sb ++= "/*"; i += 2
+          while (i + 1 < script.length &&
+            !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) {
+            sb += script.charAt(i); i += 1
+          }
+          if (i + 1 < script.length) { sb ++= "*/"; i += 2 }
+          else i = script.length
+        case '(' => depth += 1; sb += '('; i += 1
+        case ')' => depth -= 1; sb += ')'; i += 1
+        case ';' if depth == 0 => flush(); i += 1
+        case c => sb += c; i += 1
+      }
     }
     flush()
     last
@@ -190,8 +222,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * <cteName>)`; a `USING (subquery)` gets the CTE list prepended
     * (merging lists when the subquery carries its own WITH). Returns
     * None when the text is not a WITH-led top-level MERGE — the
-    * caller then routes it as an ordinary query. */
-  private def hoistWithIntoMerge(text: String): Option[String] = {
+    * caller then routes it as an ordinary query. A malformed prologue
+    * (unbalanced parentheses the CTE walk trips over) also returns
+    * None rather than crashing: the statement then reaches `query`,
+    * where Spark's own parser produces the real error message. */
+  private def hoistWithIntoMerge(text: String): Option[String] =
+    try hoistWithIntoMergeImpl(text)
+    catch { case _: IllegalArgumentException => None }
+
+  private def hoistWithIntoMergeImpl(text: String): Option[String] = {
     val t = text.trim.stripSuffix(";")
     if (!"""(?is)^WITH\s.*""".r.matches(t)) return None
     // walk the CTE list: name [(cols)] AS ( body ) [, …]
@@ -404,9 +443,18 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     mapOutsideLiterals(sel, seg => MetaTableRe.replaceAllIn(seg, m => {
       val t = m.group(1).toLowerCase
       val kind = m.group(2).toLowerCase
-      val ok = metaOf(t).exists(_.partitionCol.isDefined) &&
+      val cataloged = metaOf(t).exists(_.partitionCol.isDefined)
+      val ok = cataloged &&
         VersionedPartitioned.currentVersion(spark, tableDir(t).toString)
           .isDefined
+      // a cataloged-but-never-written table has no commit log to
+      // answer from: fail loudly with the table named, like the other
+      // DDL routes, instead of passing through to an opaque
+      // unresolved-name error (or, worse, a bare NoSuchElementException
+      // from the head-version lookup)
+      if (cataloged && !ok)
+        throw new IllegalArgumentException(
+          s"$t.$kind: table has no committed snapshots yet")
       if (!ok) m.matched
       else {
         val path = tableDir(t).toString
@@ -720,9 +768,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         case None => (None, a.trim)
       }
     }
+    // positional fallback resolves by the argument's ABSOLUTE slot in
+    // the call (Iceberg's convention), not its index among only the
+    // positional args — a mixed call like (table => 's.t', 1, 2) keeps
+    // 1 in slot 1 and 2 in slot 2 instead of sliding both down and
+    // silently mis-slotting them
+    def posArg(pos: Int): Option[String] =
+      args.lift(pos).collect { case (None, v) => v }
     def arg(names: Seq[String], pos: Int): String =
       args.collectFirst { case (Some(n), v) if names.contains(n) => v }
-        .orElse(args.filter(_._1.isEmpty).lift(pos).map(_._2))
+        .orElse(posArg(pos))
         .getOrElse(throw new IllegalArgumentException(
           s"CALL system.$proc: missing argument ${names.head}"))
     val table = arg(Seq("table"), 0).toLowerCase
@@ -748,9 +803,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         // shorthand fast_forward(table, audit_branch) means the same.
         // Metadata-only (`publish`); the branch pointer survives for
         // re-audits until ALTER TABLE … DROP BRANCH.
-        val positional = args.count(_._1.isEmpty)
         val named = args.flatMap(_._1)
-        val threeArg = named.contains("to") || positional >= 3
+        val threeArg = named.contains("to") || args.length >= 3
         val src =
           if (threeArg) arg(Seq("to"), 2) else arg(Seq("branch", "to"), 1)
         if (threeArg) {
@@ -777,11 +831,14 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         // `readRowChanges` — queryable through this door like any
         // table, zero data copied.
         val from = arg(Seq("from_version", "start_snapshot_id"), 1).toLong
+        // optional end version: same named-or-absolute-slot resolution
+        // as every required argument (a mixed call must not silently
+        // widen the change window by dropping a mis-slotted bound)
         val to = args.collectFirst {
           case (Some(n), v)
               if Seq("to_version", "end_snapshot_id").contains(n) =>
             v.toLong
-        }.orElse(args.filter(_._1.isEmpty).lift(2).map(_._2.toLong))
+        }.orElse(posArg(2).map(_.toLong))
         val meta = metaOf(table).get
         val pcol = meta.partitionCol.getOrElse(
           throw new IllegalArgumentException(
@@ -1796,12 +1853,44 @@ object SqlLifecycle {
     sb.toString
   }
 
-  /** Strip `-- comment` lines (the reference texts are comment-heavy). */
-  private def stripComments(sql: String): String =
-    sql.linesIterator.map { l =>
-      val i = l.indexOf("--")
-      if (i >= 0) l.take(i) else l
-    }.mkString("\n")
+  /** Strip `-- line` and slash-star block comments, literal-aware
+    * (the reference texts are comment-heavy): a comment opener inside
+    * a '…' string is data and ships intact; a quote or semicolon
+    * inside a comment is comment text and never flips scanner state
+    * (the old line-oriented strip corrupted literals containing `--`
+    * and let apostrophes in comments poison every downstream
+    * paren/quote scanner). `''` escaping is handled explicitly; a line
+    * comment keeps its newline, a block comment collapses to one
+    * space so the tokens around it stay separate. */
+  private[ops] def stripComments(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') {
+        // copy the whole literal, doubled-quote escapes included
+        sb += ch; i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          val c = sql.charAt(i); sb += c; i += 1
+          if (c == '\'') {
+            if (i < sql.length && sql.charAt(i) == '\'') {
+              sb += '\''; i += 1
+            } else closed = true
+          }
+        }
+      } else if (ch == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (ch == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+        sb += ' '
+      } else { sb += ch; i += 1 }
+    }
+    sb.toString
+  }
 
   private val CreateSchemaRe =
     """(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*;?\s*$""".r

@@ -318,6 +318,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(life.table("s.t").count() == 4)
   }
 
+  test("SqlLifecycle scanners are comment-aware (quotes/semicolons in comments)") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlcomments_").toString
+    val life = new SqlLifecycle(spark, root)
+    // a ';' and an apostrophe inside comments must not split or flip
+    // string state; the second statement must still route
+    val out = life.executeScript("""
+      CREATE SCHEMA c; -- schema; don't split on the comment's ; or '
+      CREATE TABLE c.t (k BIGINT, v STRING) USING ICEBERG
+        PARTITIONED BY (k); /* block; comment with an apostrophe: ' */
+      INSERT INTO c.t VALUES (1, 'x');
+      SELECT k, v FROM c.t; -- tail select
+    """)
+    assert(out.get.as[(Long, String)].collect().toSeq == Seq((1L, "x")))
+    // `--` INSIDE a string literal is data, not a comment (the old
+    // line-oriented strip truncated the literal and broke the quote)
+    assert(life.query("SELECT 'a--b' AS v").as[String].head() == "a--b")
+    // a WITH-led query whose comment holds an apostrophe routes as a
+    // query (the CTE hoist walk must not crash on it)
+    assert(life.execute("""
+      WITH x AS (SELECT 1 AS n) -- don't crash
+      SELECT n FROM x""").get.as[Int].head() == 1)
+    // metadata suffix on a created-but-never-written table is a loud,
+    // named error, not an unresolved-view crash
+    life.execute("CREATE TABLE c.empty (k BIGINT, d STRING) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    val e = intercept[IllegalArgumentException](
+      life.query("SELECT * FROM c.empty.refs"))
+    assert(e.getMessage.contains("c.empty") &&
+      e.getMessage.contains("no committed snapshots"))
+  }
+
+  test("create_changelog_view: mixed named/positional args slot correctly") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlclv_mixed_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t (date STRING, k BIGINT, v STRING)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute("INSERT INTO s.t VALUES ('d1', 1, 'a')") // v1
+    life.execute("INSERT INTO s.t VALUES ('d2', 2, 'b')") // v2
+    life.execute("INSERT INTO s.t VALUES ('d3', 3, 'c')") // v3
+    // (table => named, 1, 2 positional): from=1, to=2 — the window is
+    // (1, 2], i.e. ONLY the k=2 insert; a mis-slotted `to` would fall
+    // back to the current version and leak k=3 in
+    life.execute(
+      "CALL system.create_changelog_view(table => 's.t', 1, 2)")
+    assert(life.query("SELECT k FROM t_changes").as[Long].collect()
+      .toSeq == Seq(2L))
+  }
+
   test("SqlLifecycle row-level verbs: MERGE INTO, UPDATE, DELETE predicate") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlrow_").toString
