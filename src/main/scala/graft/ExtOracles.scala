@@ -444,7 +444,14 @@ object ExtOracles {
       // stats/resize gates share BMP's oracles
       ("image_tiff_stats" -> base("image_bmp_stats")) +
       ("image_tiff_resize" -> base("image_bmp_resize")) +
-      ("sql_changelog_view" -> oracle("sql_changelog_view"))
+      ("sql_changelog_view" -> oracle("sql_changelog_view")) +
+      // a routed range statement over the z-ordered table must skip
+      // files AND still answer exactly like the Scala readPruned gate —
+      // one oracle for both doors
+      ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
+      ("sql_dpp_join" -> oracle("sql_dpp_join")) +
+      ("changefeed_incremental" -> oracle("changefeed_incremental")) +
+      ("sql_merge_evolve" -> oracle("sql_merge_evolve"))
   }
 
   /** Static oracle SQL texts live as classpath resources

@@ -2621,6 +2621,83 @@ object ExtQueries {
         .where(col("o_custkey").between(100L, 700L)))
   }
 
+  /**
+   * File-level stats skipping through the SQL FRONT DOOR
+   * (ops/SqlLifecycle.narrowOccurrence → VersionedPartitioned
+   * .readPrunedWhere): the same z-ordered layout as
+   * `versioned_zorder_optimized`, but the range read arrives as a
+   * routed statement — `WHERE o_custkey BETWEEN …` on a cataloged
+   * table. The statement's bounds on the stats-covered z column must
+   * reach the `_stats` sidecars and skip files exactly like the Scala
+   * `readPruned` (HiddenPartitionSpec pins the scanned-file identity;
+   * this row pins that what survives the skip is the right answer —
+   * it shares the Scala gate's oracle).
+   */
+  private def sqlZorderRange(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .where(col("month").between("1995-01", "1995-06"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlzr_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA z")
+    life.execute("""
+      CREATE TABLE z.orders (month STRING, o_orderkey BIGINT,
+        o_custkey BIGINT, o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val path = java.nio.file.Paths.get(root, "z", "orders").toString
+    graft.ops.VersionedPartitioned.promote(base, path, "month")
+    graft.ops.VersionedPartitioned.optimizeZOrder(s, path,
+      Seq(pmod(col("o_orderkey"), lit(64L)), pmod(col("o_custkey"), lit(64L))),
+      bits = 6, statsCols = Seq("o_orderkey", "o_custkey"),
+      maxRecordsPerFile = 500L)
+    life.query("""
+      SELECT month, count(*) AS n_rows,
+             CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+      FROM z.orders
+      WHERE o_custkey BETWEEN 100 AND 700
+      GROUP BY month ORDER BY month""")
+  }
+
+  /**
+   * Join-derived partition pruning through the SQL front door
+   * (ops/ScanPrune.dppConjuncts — the dynamic-partition-pruning shape):
+   * a month-partitioned fact joined to a tiny month→quarter dim with
+   * the filter on the DIM side only. The router evaluates the dim's
+   * distinct join keys at plan time and narrows the fact's manifest to
+   * the dim-selected months — the most common 100 TB star-query shape
+   * with no literal on the fact. HiddenPartitionSpec pins the
+   * partitions actually planned; this row pins the answer.
+   */
+  private def sqlDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqldpp_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA star")
+    life.execute("""
+      CREATE TABLE star.fact (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    monthlyOrders(s, dir).createOrReplaceTempView("sqldpp_orders_src")
+    life.execute("""
+      INSERT INTO star.fact
+      SELECT month, o_orderkey, o_totalprice FROM sqldpp_orders_src""")
+    life.execute(
+      "CREATE TABLE star.dim (month STRING, quarter STRING) USING ICEBERG")
+    life.execute("INSERT INTO star.dim VALUES " +
+      (1 to 12).map(m => f"('1995-$m%02d', 'Q${(m - 1) / 3 + 1}%d')")
+        .mkString(", "))
+    life.query("""
+      SELECT d.quarter AS quarter, count(*) AS n_rows,
+             CAST(sum(f.o_totalprice) AS DOUBLE) AS total_price
+      FROM star.fact f
+      JOIN star.dim d ON f.month = d.month
+      WHERE d.quarter = 'Q2'
+      GROUP BY d.quarter ORDER BY quarter""")
+  }
+
   /** Hidden partitioning, day transform (ops/HiddenPartition): events
     * promoted under days(ts) — the user never supplies a partition
     * key — then a two-week SOURCE-column range read that prunes at the
@@ -3094,6 +3171,43 @@ object ExtQueries {
       SET total = total * 3, src = 'boosted'
       WHERE o_custkey % 10 = 3""")
     rowVerbOut(life)
+  }
+
+  /**
+   * MERGE WITH SCHEMA EVOLUTION statement-text gate
+   * (ops/SqlLifecycle.mergeInto(evolve = true) →
+   * evolveAddColumnMetaOnly + Merge): the source carries a NEW
+   * `region` column — the router widens the target with ONE
+   * metadata-only commit (existing rows read NULL, no file rewritten)
+   * before the upsert routes. Matched rows take the source's region
+   * and src marker, untouched rows keep NULL region and their base
+   * marker, unmatched source rows insert with the full evolved row.
+   * The oracle replays the three-way classification with the column
+   * synthesized in SQL.
+   */
+  private def sqlMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val life = rowVerbFixture(s, dir)
+    life.execute("""
+      MERGE WITH SCHEMA EVOLUTION INTO sales.facts AS t
+      USING (SELECT o_orderkey, o_custkey,
+                    date_format(to_date(o_orderdate), 'yyyy-MM') AS month,
+                    CAST(o_totalprice AS DECIMAL(18, 2)) AS total,
+                    'merged' AS src,
+                    CASE WHEN o_custkey % 2 = 0 THEN 'east' ELSE 'west' END
+                      AS region
+             FROM orders_src
+             WHERE date_format(to_date(o_orderdate), 'yyyy-MM')
+                     BETWEEN '1995-01' AND '1995-03'
+               AND o_orderkey % 4 IN (1, 2)) AS s
+      ON t.o_orderkey = s.o_orderkey AND t.month = s.month
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    life.table("sales.facts")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("month").cast("string").as("month"),
+        col("total").cast("double").as("total"), col("src"),
+        coalesce(col("region"), lit("-")).as("region"))
+      .orderBy("o_orderkey")
   }
 
   /**
@@ -3905,6 +4019,67 @@ object ExtQueries {
   }
 
   /**
+   * CDC-fed incremental view maintenance (pipeline/Streaming
+   * .changeFeedHop + ops/IncrementalAgg): a per-month aggregate
+   * maintained PURELY from the delivered change-feed log — the source
+   * table is never re-read downstream — must equal the batch aggregate
+   * over the source's final state. Keys are the FULL ROW, so every
+   * change is a delete+insert pair and each delivered window maintains
+   * as state − agg(deletes) + agg(inserts) (the delta rule); the
+   * third, caught-up hop delivers nothing — a spurious window would
+   * double rows into the fold and fail the hash. Scale: each hop reads
+   * only the touched partitions, each maintenance step joins
+   * aggregate-sized frames — the downstream consumer's cost is
+   * O(changes), never O(table). The oracle replays the final state's
+   * aggregate from the raw rows.
+   */
+  private def changefeedIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cfinc_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val keys = Seq("month", "o_orderkey", "o_totalprice")
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice") *
+              lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+              .cast("decimal(18,2)"))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log) // caught up
+    val logDf = graft.ops.VersionedPartitioned.read(s, log)
+    val vcol = graft.pipeline.Streaming.CommitVersionCol
+    // delivered windows in commit order — bounded driver metadata
+    // (one value per hop), same contract as the pipeline's run dates
+    val windows = logDf.select(col(vcol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rowCols = keys.map(c => col(s"`$c`"))
+    var state = graft.ops.IncrementalAgg.aggregate(
+      logDf.where(lit(false)).select(rowCols: _*),
+      Seq("month"), Seq("o_totalprice"))
+    for (v <- windows) {
+      val w = logDf.where(col(vcol) === v)
+      state = graft.ops.IncrementalAgg.maintain(state,
+        oldChanged = w.where(col("change_type") === "delete")
+          .select(rowCols: _*),
+        newChanged = w.where(col("change_type") === "insert")
+          .select(rowCols: _*),
+        Seq("month"), Seq("o_totalprice"))
+    }
+    state.select(col("month").cast("string").as("month"), col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("total_price"))
+      .orderBy("month")
+  }
+
+  /**
    * Row-level change data feed on the partitioned table format
    * (ops/VersionedPartitioned.readRowChanges — Delta `table_changes` /
    * Iceberg CDC computed at partition grain): v1 holds 1995-01..03; a
@@ -4481,6 +4656,10 @@ object ExtQueries {
     "sql_hidden_ddl" -> ((s, dir) => sqlHiddenDdl(s, dir)),
     "sql_hidden_rowverbs" -> ((s, dir) => sqlHiddenRowVerbs(s, dir)),
     "sql_merge_cte" -> ((s, dir) => sqlMergeCte(s, dir)),
-    "sql_changelog_view" -> ((s, dir) => sqlChangelogView(s, dir))
+    "sql_changelog_view" -> ((s, dir) => sqlChangelogView(s, dir)),
+    "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
+    "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
+    "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
+    "sql_merge_evolve" -> ((s, dir) => sqlMergeEvolve(s, dir))
   )
 }

@@ -31,9 +31,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
  */
 object ScanPrune {
 
-  /** One scan of a table inside a plan: the leaf's output attributes
-    * and the filter conjuncts directly above it (empty = unfiltered). */
-  final case class Leaf(output: Seq[Attribute], conjuncts: Seq[Expression])
+  /** One scan of a table inside a plan: the leaf's output attributes,
+    * the filter conjuncts directly above it (empty = unfiltered), and
+    * the scan's `BaseRelation` INSTANCE — reference identity maps the
+    * leaf back to the registered view whose frame built it (each
+    * statement-occurrence view is built from its own read call, so two
+    * scans of a self-joined table resolve to different instances). */
+  final case class Leaf(output: Seq[Attribute], conjuncts: Seq[Expression],
+      relation: AnyRef)
 
   /** All parquet-scan leaves under `plan` whose file-index roots live
     * under `dir` (an absolute table directory), each with the
@@ -85,7 +90,8 @@ object ScanPrune {
         val outIds = rel.output.map(_.exprId).toSet
         acc += Leaf(rel.output, conj.filter(c =>
           c.deterministic && c.references.nonEmpty &&
-            c.references.forall(a => outIds.contains(a.exprId))))
+            c.references.forall(a => outIds.contains(a.exprId))),
+          rel.relation)
       case other =>
         // any other node breaks the direct chain: restart with no
         // carried conjuncts (the optimizer already pushed what's safe)
@@ -159,6 +165,116 @@ object ScanPrune {
     }
     if (eqs.isEmpty && lo.isEmpty && hi.isEmpty) None
     else Some(Bounds(eqs, lo, hi))
+  }
+
+  /** External-value `[lo, hi]` SUPERSET of `b` — the file-skipping
+    * form fed to `VersionedPartitioned.prunedFilesWhere`: an equality
+    * set collapses to its min/max (typed ordering, never string),
+    * strict bounds widen to inclusive, and a contradictory (empty)
+    * equality set degrades to unbounded — pruning may only ever
+    * widen. Values come back as external Scala objects so `lit(...)`
+    * against the stats sidecar compares in the column's own type. */
+  def rangeOf(b: Bounds): (Option[Any], Option[Any]) = {
+    def ext(l: Literal): Any = org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    b.eqs match {
+      case Some(vs) if vs.nonEmpty =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(vs.head.dataType)
+        val sorted = vs.sortWith((a, c) => ord.compare(a.value, c.value) < 0)
+        (Some(ext(sorted.head)), Some(ext(sorted.last)))
+      case Some(_) => (None, None)
+      case None => (b.lo.map(p => ext(p._1)), b.hi.map(p => ext(p._1)))
+    }
+  }
+
+  /**
+   * Join-derived (DPP-shaped) conjuncts for a leaf: when the optimized
+   * plan joins the leaf's side to another subtree with an equality on
+   * one of `cols` (the partition column, or a hidden transform's
+   * source columns), and the other side is small and deterministic,
+   * evaluate the other side's DISTINCT join keys NOW (one bounded
+   * planning-time job) and synthesize `col IN (keys)` — the existing
+   * literal keep machinery (`plainKeepFor` / `boundsFor`) then maps it
+   * to a manifest keep exactly like a written IN list. This is what
+   * Spark's own dynamic partition pruning does for catalog tables; the
+   * manifest reads resolve outside the catalog, so the bridge
+   * re-derives it at the statement level.
+   *
+   * Safety: only null-intolerant `EqualTo` key pairs are used, and
+   * only for join types where dropping fact-side rows whose key is
+   * absent from the dim side provably cannot change the result —
+   * Inner/LeftSemi (either side), the NON-preserved side of an outer
+   * join, and the RIGHT side of an anti join (a right row whose key no
+   * left row carries matches nothing either way). The dim subtree must
+   * be deterministic (re-evaluating it must see the same keys) and
+   * under `spark.graft.dpp.maxDimBytes` estimated (default 64 MB — a
+   * side cheap enough to evaluate twice); more than
+   * `spark.graft.dpp.maxKeys` distinct keys (default 1000, partition
+   * counts are metadata-sized) abandons the prune. Everything here
+   * degrades to "no extra conjunct", never to a wrong answer.
+   */
+  def dppConjuncts(plan: LogicalPlan, leaf: Leaf, cols: Seq[String],
+      spark: org.apache.spark.sql.SparkSession): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.plans._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val conf = spark.conf
+    if (!conf.getOption("spark.graft.dpp.enabled").forall(_.toBoolean))
+      return Nil
+    val maxKeys = conf.getOption("spark.graft.dpp.maxKeys")
+      .map(_.toInt).getOrElse(1000)
+    val maxDimBytes = conf.getOption("spark.graft.dpp.maxDimBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val wanted: Map[ExprId, AttributeReference] = cols.flatMap(c =>
+      leaf.output.collectFirst {
+        case a: AttributeReference if a.name.equalsIgnoreCase(c) => a
+      }).map(a => a.exprId -> a).toMap
+    if (wanted.isEmpty) return Nil
+    val done = scala.collection.mutable.Set.empty[ExprId]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    plan.foreach {
+      case j: Join if j.condition.isDefined =>
+        val eqs = split(j.condition.get).collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        }
+        for ((x, y) <- eqs; (fa, da) <- Seq((x, y), (y, x))
+            if wanted.contains(fa.exprId) && !done(fa.exprId)) {
+          val factLeft =
+            j.left.outputSet.contains(fa) && j.right.outputSet.contains(da)
+          val factRight =
+            j.right.outputSet.contains(fa) && j.left.outputSet.contains(da)
+          val prunable = (factLeft || factRight) && (j.joinType match {
+            case Inner | LeftSemi => true
+            case LeftOuter | LeftAnti => factRight // only the non-preserved /
+            case RightOuter => factLeft           // probe side may narrow
+            case _ => false
+          })
+          val dim = if (factLeft) j.right else j.left
+          val dimOk = prunable &&
+            dim.stats.sizeInBytes <= BigInt(maxDimBytes) &&
+            dim.find(p => p.expressions.exists(e =>
+              e.exists(!_.deterministic))).isEmpty
+          if (dimOk) {
+            val keys = try {
+              Some(org.apache.spark.sql.graft.Internals
+                .ofRows(spark, Project(Seq(da), dim))
+                .distinct().limit(maxKeys + 1).collect()
+                .map(_.get(0)).filter(_ != null).toSeq)
+            } catch { case scala.util.control.NonFatal(_) => None }
+            // null keys are dropped (an equality key of null matches
+            // nothing); an empty key set legitimately prunes EVERY
+            // partition — the join's result is empty either way
+            keys.filter(_.length <= maxKeys).foreach { ks =>
+              val leafAttr = wanted(fa.exprId)
+              out += In(leafAttr,
+                ks.map(v => Literal.create(v, leafAttr.dataType)))
+              done += fa.exprId
+            }
+          }
+        }
+      case _ =>
+    }
+    out.toSeq
   }
 
   /** A Catalyst-internal literal as a Column (external value form), so

@@ -84,6 +84,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         createView(name.toLowerCase, body, orReplace != null); None
       case DropViewRe(name) =>
         dropView(name.toLowerCase); None
+      case ExplainRe(mode, body) =>
+        Some(explain(body, Option(mode).map(_.trim.toLowerCase)
+          .getOrElse("formatted")))
       case ShowTablesRe() =>
         import spark.implicits._
         Some((tables() ++ views().map(_ + " (view)")).toDF("table_name"))
@@ -103,6 +106,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         deleteRows(name.toLowerCase, pred); None
       case UpdateRe(name, setBlock, pred) =>
         update(name.toLowerCase, setBlock, Option(pred)); None
+      case MergeEvolveRe(tail) =>
+        mergeInto("MERGE INTO " + tail, evolve = true); None
       case MergeStmtRe() =>
         mergeInto(s); None
       case AlterAddColRe(name, colName, colType, default) =>
@@ -148,6 +153,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         // source so the MERGE router sees a plain subquery. A WITH that
         // does NOT lead to a top-level MERGE parses as a query as before.
         hoistWithIntoMerge(s) match {
+          case Some(MergeEvolveRe(tail)) =>
+            mergeInto("MERGE INTO " + tail, evolve = true); None
           case Some(merge) => mergeInto(merge); None
           case None => Some(query(s))
         }
@@ -259,7 +266,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
     val ctes = t.substring(4, i).trim
     val rest = t.substring(i).trim
-    if (!"""(?is)^MERGE\s+INTO\s.*""".r.matches(rest)) return None
+    if (!"""(?is)^MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s.*""".r
+        .matches(rest)) return None
     // first USING outside string literals, scanned positionally
     // (blankLiterals shortens literals, so its offsets don't map back)
     val srcStart = {
@@ -316,20 +324,44 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   def query(sel: String): DataFrame = {
     val referenced = registerViewsFor(sel)
     val pinned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    val withTravel =
-      resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)), pinned)
-    val rewritten = rewriteNames(withTravel)
+    val withTravel = resolveAsOf(resolveMetadataTables(resolveBranchReads(sel)),
+      pinned, registerShared = false)
+    // every statement-text occurrence of a partitioned table (and of
+    // an AS-OF pinned read) resolves through its OWN per-statement
+    // view — so the pruner can narrow each scan independently (a
+    // self-join with one filtered side prunes that side alone), and
+    // narrowing never mutates a session-shared name a concurrent
+    // statement could resolve against
+    val (rewritten, occs) =
+      splitScanOccurrences(rewriteNames(withTravel), referenced, pinned.toSeq)
     val df = spark.sql(rewritten)
-    // statement-predicate pruning: if the OPTIMIZED plan proves every
-    // scan of a cataloged partitioned table is filtered on its
-    // partition (or hidden-transform source) columns, re-register that
-    // table's view as the manifest-PRUNED read and re-resolve — the
+    // statement-predicate pruning: if the OPTIMIZED plan proves a
+    // scan occurrence is filtered on its partition (or hidden-
+    // transform source) columns — by literal, or by a join to a small
+    // dim (the DPP shape) — re-register that occurrence's view as the
+    // manifest-PRUNED read and re-resolve; statement bounds on a
+    // stats-covered data column additionally skip FILES inside the
+    // surviving partitions (the readPruned / z-order path). The
     // reference's `WHERE date = DATE '{{ ds }}'` statements then plan
-    // O(day), not O(table), exactly like the Scala API's readPruned /
-    // readMultiWhere paths (ScanPrune has the safety argument). Time
-    // travel prunes the same way: a pinned `VERSION AS OF` view scans
-    // the same table dir, so its keep narrows the OLD manifest.
-    if (pruneScans(df, referenced, pinned.toSeq)) spark.sql(rewritten) else df
+    // O(day), not O(table), exactly like the Scala API's pruned reads
+    // (ScanPrune has the safety argument). Time travel prunes the same
+    // way: a pinned view's keep narrows its OLD manifest.
+    if (pruneScans(df, occs)) spark.sql(rewritten) else df
+  }
+
+  /** EXPLAIN [EXTENDED|FORMATTED|…] <query> through the statement
+    * door: the plan text of the PRUNED plan — the one `query` actually
+    * runs after occurrence narrowing — so a user can verify a routed
+    * partition-filtered statement plans O(day), not O(table), without
+    * leaving SQL. One row, one `plan` column (Spark's own EXPLAIN
+    * output shape). The query is planned, never executed (modulo the
+    * pruner's bounded metadata work and any DPP key probe — the same
+    * work running the statement would do). */
+  private def explain(body: String, mode: String): DataFrame = {
+    import spark.implicits._
+    val df = query(body)
+    val m = org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    Seq(df.queryExecution.explainString(m)).toDF("plan")
   }
 
   /** A manifest dir name's raw partition value (`date=2024-01-01` →
@@ -339,68 +371,174 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     VersionedPartitioned.unescapePathName(
       dir.substring(dir.indexOf('=') + 1))
 
-  /** Re-register every referenced partitioned table (and AS-OF pinned
-    * view of one) whose scans are all partition-filtered as a pruned
-    * view; true if any changed. `pinned` entries are (viewName, table,
-    * version) from `resolveAsOf` — a pinned view scans the SAME table
-    * dir as the current view, so one keep (the OR over every scan of
-    * that dir) narrows each registered view against its own manifest
-    * version. */
-  private def pruneScans(df: DataFrame, tables: Seq[String],
-      pinned: Seq[(String, String, Long)] = Nil): Boolean = {
+  /** One statement-text occurrence of a cataloged partitioned table
+    * (or of an AS-OF pinned read of one): its unique per-statement
+    * view name, table, pinned version, and the parquet relation
+    * INSTANCES its registered frame scans — reference identity is how
+    * optimized-plan leaves map back to exactly this occurrence. */
+  private final case class ScanOcc(view: String, table: String,
+      version: Option[Long], meta: TableMeta, rels: Seq[AnyRef])
+
+  /** The frame one occurrence view registers: the current read (with
+    * the stats-driven broadcast hint, like the shared registration) or
+    * the pinned-version read. */
+  private def occFrame(t: String, meta: TableMeta,
+      version: Option[Long]): DataFrame = version match {
+    case Some(v) =>
+      VersionedPartitioned.readAt(spark, tableDir(t).toString, v)
+        .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+    case None =>
+      val base = readTable(t, meta)
+      if (statsSaysBroadcast(t, meta)) base.hint("broadcast") else base
+  }
+
+  private def relsOf(df: DataFrame): Seq[AnyRef] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }
+
+  /** Rewrite each occurrence of a partitioned table's view name (and
+    * of an AS-OF pinned name) in the statement text to a UNIQUE
+    * per-statement view, each registered from its own read call so its
+    * relation instances identify its plan leaves. Unpartitioned tables
+    * and SQL views keep their shared names (nothing narrows them). */
+  private def splitScanOccurrences(text: String, tables: Seq[String],
+      pinned: Seq[(String, String, Long)]): (String, Seq[ScanOcc]) = {
+    val sid = SqlLifecycle.stmtCounter.incrementAndGet()
+    val occs = scala.collection.mutable.ArrayBuffer.empty[ScanOcc]
+    var out = text
+    val targets: Seq[(String, String, Option[Long])] =
+      tables.flatMap(t => metaOf(t) match {
+        case Some(m) if m.partitionCol.isDefined =>
+          Some((viewName(t), t, Option.empty[Long]))
+        case _ => None
+      }) ++ pinned.map { case (vn, t, v) => (vn, t, Some(v)) }
+    for ((vn, t, version) <- targets.distinct) {
+      val meta = metaOf(t).get
+      out = mapOutsideLiterals(out, seg =>
+        nameRe(vn).replaceAllIn(seg, _ => {
+          val u = s"${vn}__s${sid}_${occs.length + 1}"
+          val frame = occFrame(t, meta, version)
+          frame.createOrReplaceTempView(u)
+          occs += ScanOcc(u, t, version, meta, relsOf(frame))
+          scala.util.matching.Regex.quoteReplacement(u)
+        }))
+    }
+    (out, occs.toSeq)
+  }
+
+  /** Narrow every occurrence view whose scans the optimized plan
+    * proves constrained; true if any re-registered. Each occurrence
+    * narrows INDEPENDENTLY — the r15 all-scans-of-the-table rule now
+    * applies only to the leaves of one occurrence (a CTE body
+    * referenced twice expands the same view into several leaves). */
+  private def pruneScans(df: DataFrame, occs: Seq[ScanOcc]): Boolean = {
+    if (occs.isEmpty) return false
     val plan =
       try df.queryExecution.optimizedPlan
       catch { case scala.util.control.NonFatal(_) => return false }
     var any = false
-    // per table dir: the views to (maybe) re-register against it
-    val targets: Map[String, Seq[(String, Option[Long])]] =
-      (tables.map(t => t -> (viewName(t) -> Option.empty[Long])) ++
-        pinned.map { case (vn, t, v) => t -> (vn -> Some(v)) })
-        .groupMap(_._1)(_._2)
-    for ((t, views) <- targets.toSeq.sortBy(_._1);
-        meta <- metaOf(t); pcol <- meta.partitionCol) {
-      val path = tableDir(t).toString
+    for (occ <- occs; pcol <- occ.meta.partitionCol) {
+      val path = tableDir(occ.table).toString
       val leaves = ScanPrune.leavesUnder(plan, path)
-      if (leaves.nonEmpty) {
-        // every scan of the table must be provably constrained — the
-        // shared view can only narrow if ALL its readers allow it
-        val keeps: Seq[Option[String => Boolean]] = leaves.map { leaf =>
-          if (pcol.startsWith("hp__")) {
-            val members = PartitionTransform.parse(pcol) match {
-              case m: MultiOf => m.members
-              case s => Seq(s)
-            }
-            val bounds =
-              members.map(m => ScanPrune.boundsFor(leaf.conjuncts, m.sourceCol))
-            if (bounds.forall(_.isEmpty)) None
-            else
-              try HiddenPartition.keepForBounds(spark, path, bounds)
-              catch { case scala.util.control.NonFatal(_) => None }
-          } else
-            ScanPrune.plainKeepFor(leaf.conjuncts, pcol)
-        }
-        if (keeps.nonEmpty && keeps.forall(_.isDefined)) {
-          val keep = ScanPrune.anyOf(keeps.flatten)
-          views.foreach { case (vn, version) =>
-            // re-resolve only when the keep actually narrows that
-            // view's manifest — a bound that spans every live partition
-            // (the reference's first pipeline days, where the 8-day
-            // window covers the whole young table) would otherwise pay
-            // a second analysis pass for an identical plan
-            val narrows = VersionedPartitioned.partitions(spark, path, version)
-              .exists(d => !keep(unescapeDirValue(d)))
-            if (narrows) {
-              val pruned = VersionedPartitioned
-                .readPartitionsWhere(spark, path, keep, version)
-                .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-              pruned.createOrReplaceTempView(vn)
-              any = true
-            }
-          }
-        }
-      }
+        .filter(l => occ.rels.exists(_ eq l.relation))
+      if (leaves.nonEmpty && narrowOccurrence(occ, pcol, path, leaves, plan))
+        any = true
     }
     any
+  }
+
+  /** The narrowing decision for one occurrence: literal + join-derived
+    * partition keeps, composed with file-level stats skipping when the
+    * statement bounds a stats-covered data column. Registration only
+    * happens when something provably narrows — a bound spanning every
+    * live partition (the reference's first pipeline days, where the
+    * 8-day window covers the whole young table) must not pay a second
+    * analysis pass for an identical plan. */
+  private def narrowOccurrence(occ: ScanOcc, pcol: String, path: String,
+      leaves: Seq[ScanPrune.Leaf],
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    val hidden = pcol.startsWith("hp__")
+    val members: Seq[PartitionTransform] =
+      if (hidden) PartitionTransform.parse(pcol) match {
+        case m: MultiOf => m.members
+        case s => Seq(s)
+      } else Nil
+    val partSources = if (hidden) members.map(_.sourceCol) else Seq(pcol)
+    // join-derived (DPP) conjuncts for partition-source columns the
+    // leaf does not already constrain by literal — a fact×dim join on
+    // the partition column with the filter on dim then prunes the fact
+    val augmented = leaves.map { leaf =>
+      val unconstrained = partSources.filter(c =>
+        ScanPrune.boundsFor(leaf.conjuncts, c).isEmpty)
+      if (unconstrained.isEmpty) leaf
+      else leaf.copy(conjuncts = leaf.conjuncts ++
+        ScanPrune.dppConjuncts(plan, leaf, unconstrained, spark))
+    }
+    val keeps: Seq[Option[String => Boolean]] = augmented.map { leaf =>
+      if (hidden) {
+        val bounds =
+          members.map(m => ScanPrune.boundsFor(leaf.conjuncts, m.sourceCol))
+        if (bounds.forall(_.isEmpty)) None
+        else
+          try HiddenPartition.keepForBounds(spark, path, bounds)
+          catch { case scala.util.control.NonFatal(_) => None }
+      } else ScanPrune.plainKeepFor(leaf.conjuncts, pcol)
+    }
+    val partKeep: Option[String => Boolean] =
+      if (keeps.forall(_.isDefined)) Some(ScanPrune.anyOf(keeps.flatten))
+      else None
+    val partNarrows = partKeep.exists(keep =>
+      VersionedPartitioned.partitions(spark, path, occ.version)
+        .exists(d => !keep(unescapeDirValue(d))))
+    // file-level skipping: single-leaf occurrences only (the common
+    // case — a multi-leaf union of ranges adds nothing but code), and
+    // only when a non-partition column is actually bounded (the
+    // stats-coverage census costs one footer read per snapshot, so the
+    // reference's partition-only statements never pay it)
+    val fileBounds: Seq[(String, Option[Any], Option[Any])] =
+      if (hidden || augmented.size != 1) Nil
+      else {
+        val conjuncts = augmented.head.conjuncts
+        val boundedCols = conjuncts.flatMap(_.references.toSeq.map(_.name))
+          .distinct.filterNot(_.equalsIgnoreCase(pcol))
+          .filter(c => ScanPrune.boundsFor(conjuncts, c).isDefined)
+        if (boundedCols.isEmpty) Nil
+        else {
+          val covered =
+            try VersionedPartitioned.statsCoveredCols(spark, path, occ.version)
+            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+          boundedCols.flatMap(c => covered.find(_.equalsIgnoreCase(c)))
+            .flatMap { c =>
+              val (lo, hi) =
+                ScanPrune.rangeOf(ScanPrune.boundsFor(conjuncts, c).get)
+              if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
+            }
+        }
+      }
+    def register(frame: DataFrame): Boolean = {
+      frame.select(occ.meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+        .createOrReplaceTempView(occ.view)
+      true
+    }
+    if (fileBounds.nonEmpty) {
+      val keep = partKeep.getOrElse((_: String) => true)
+      val kept = VersionedPartitioned
+        .prunedFilesWhere(spark, path, fileBounds, keep, occ.version)
+      val fileNarrows = partNarrows || {
+        val census = VersionedPartitioned
+          .prunedFilesWhere(spark, path, Nil, keep, occ.version)
+        kept.size < census.size
+      }
+      if (fileNarrows)
+        register(VersionedPartitioned.readFileList(spark, path, kept,
+          occ.version))
+      else false
+    } else if (partNarrows)
+      register(VersionedPartitioned.readPartitionsWhere(spark, path,
+        partKeep.get, occ.version))
+    else false
   }
 
   /** Iceberg's branch read suffix in query texts: `schema.table
@@ -486,15 +624,21 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       }
     }))
 
-  /** Resolve the time-travel sugar to pinned views; each registration
-    * is reported into `pinnedOut` as (viewName, table, version) so the
-    * statement-predicate pruner can narrow pinned manifests too.
+  /** Resolve the time-travel sugar to pinned view names; each is
+    * reported into `pinnedOut` as (viewName, table, version) so the
+    * statement-predicate pruner can narrow pinned manifests too. With
+    * `registerShared = false` (the query-door path) only the NAME is
+    * substituted — `splitScanOccurrences` then registers every
+    * occurrence of it under a unique per-statement name, so the shared
+    * registration would be dead weight; view-body resolution (which
+    * does no occurrence splitting) keeps the shared registration.
     * (No literal guard here, unlike branch/metadata rewriting: the
     * timestamp form's own pattern INCLUDES a quoted literal, which a
     * mapOutsideLiterals segment would never contain.) */
   private def resolveAsOf(sel: String,
       pinnedOut: scala.collection.mutable.Buffer[(String, String, Long)] =
-        scala.collection.mutable.ArrayBuffer.empty): String = {
+        scala.collection.mutable.ArrayBuffer.empty,
+      registerShared: Boolean = true): String = {
     def pinned(tableName: String, suffix: String,
         versionOf: String => Long): Option[String] = {
       val t = tableName.toLowerCase
@@ -502,9 +646,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         val vn = viewName(t) + suffix
         val path = tableDir(t).toString
         val v = versionOf(path)
-        VersionedPartitioned.readAt(spark, path, v)
-          .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-          .createOrReplaceTempView(vn)
+        if (registerShared) {
+          VersionedPartitioned.readAt(spark, path, v)
+            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+            .createOrReplaceTempView(vn)
+        }
         pinnedOut += ((vn, t, v))
         vn
       }
@@ -1153,7 +1299,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * `mergePromote` fast-path argument). `overwritePartitions` then
     * rewrites exactly that set in one commit, dropping any partition
     * whose rows all migrated away. */
-  private def mergeInto(sqlText: String): Unit = {
+  private def mergeInto(sqlText: String, evolve: Boolean = false): Unit = {
     val text = sqlText.trim.stripSuffix(";")
     val head = MergeHeadRe.findPrefixMatchOf(text).getOrElse(
       throw new IllegalArgumentException(
@@ -1161,7 +1307,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           "[AS] <alias> USING …"))
     val target = head.group(1).toLowerCase
     val tAlias = head.group(2)
-    val meta = metaOf(target).getOrElse(
+    val meta0 = metaOf(target).getOrElse(
       throw new IllegalArgumentException(s"MERGE INTO $target: no such table"))
     val rest = text.substring(head.end).trim
     val (srcText, srcIsQuery, afterSrc) =
@@ -1173,6 +1319,34 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         require(sp > 0, "cannot parse MERGE INTO: USING needs a source")
         (rest.take(sp), false, rest.drop(sp))
       }
+    // the source frame resolves BEFORE clause parsing so that WITH
+    // SCHEMA EVOLUTION can widen the target first — a SET referencing
+    // a brand-new column must resolve against the evolved schema
+    val src0 =
+      if (srcIsQuery) query(srcText)
+      else if (srcText.contains(".") &&
+          metaOf(srcText.toLowerCase).isDefined) table(srcText)
+      else query(s"SELECT * FROM $srcText")
+    // MERGE WITH SCHEMA EVOLUTION (Iceberg/Delta syntax): source
+    // columns the target lacks become metadata-only ADD COLUMNs (typed
+    // from the source schema; existing rows read NULL, zero data I/O)
+    // before the merge routes. The statement form supports the
+    // source-superset shape — the source must still carry every
+    // existing target column (a narrower source silently nulling
+    // matched rows is the Scala API's explicit-defaults territory).
+    val meta = if (!evolve) meta0 else {
+      val lacking = meta0.schema.fieldNames.filterNot(c =>
+        src0.columns.exists(_.equalsIgnoreCase(c)))
+      require(lacking.isEmpty,
+        s"MERGE WITH SCHEMA EVOLUTION INTO $target: the source must " +
+          s"carry every existing target column (missing: " +
+          s"${lacking.mkString(", ")})")
+      val missing = src0.schema.fields.filterNot(f =>
+        meta0.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      missing.foreach(f =>
+        alterAddColumn(target, f.name, f.dataType.sql, None))
+      if (missing.isEmpty) meta0 else metaOf(target).get
+    }
     val (sAlias, onText, clausesText) = afterSrc.trim match {
       case MergeTailRe(a, o, c) => (a, o, c)
       case _ => throw new IllegalArgumentException(
@@ -1271,11 +1445,6 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     def rewriteAliases(e: String): String =
       mapOutsideLiterals(e, seg => aliasRe.replaceAllIn(seg, m =>
         if (m.group(1).equalsIgnoreCase(tAlias)) "t." else "s."))
-    val src0 =
-      if (srcIsQuery) query(srcText)
-      else if (srcText.contains(".") &&
-          metaOf(srcText.toLowerCase).isDefined) table(srcText)
-      else query(s"SELECT * FROM $srcText")
     val src = conform(src0, meta.schema, target)
     def doMerge(cur: DataFrame): DataFrame =
       if (needsExpr) {
@@ -1732,12 +1901,21 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       needed ++= next
       frontier = next.intersect(vs)
     }
+    // shared table views exist for two readers: unpartitioned tables
+    // (never occurrence-split) and referenced SQL-view BODIES (resolved
+    // below against the shared names). A partitioned table referenced
+    // only by the statement text resolves through its occurrence views
+    // instead — skipping the shared registration here saves one
+    // manifest resolution per table on every routed statement
+    val viewsReferenced = needed.intersect(vs).nonEmpty
     needed.intersect(ts).toSeq.sorted.foreach { t =>
       val meta = metaOf(t).get
-      val base = readTable(t, meta)
-      val hinted =
-        if (statsSaysBroadcast(t, meta)) base.hint("broadcast") else base
-      hinted.createOrReplaceTempView(viewName(t))
+      if (meta.partitionCol.isEmpty || viewsReferenced) {
+        val base = readTable(t, meta)
+        val hinted =
+          if (statsSaysBroadcast(t, meta)) base.hint("broadcast") else base
+        hinted.createOrReplaceTempView(viewName(t))
+      }
     }
     var pending = needed.intersect(vs).toSeq.sorted
     var progress = true
@@ -1802,6 +1980,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
 }
 
 object SqlLifecycle {
+  /** Per-statement id for occurrence view names — GLOBAL across
+    * SqlLifecycle instances, so two routers over different catalog
+    * roots sharing one SparkSession can never collide on a name. */
+  private val stmtCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val MetaFile = "_graft_table.meta"
   private val DataDir = "data"
   private val ViewFileSuffix = ".graft_view.sql"
@@ -1912,6 +2095,9 @@ object SqlLifecycle {
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
   // dispatcher (full-statement) and parser head for MERGE INTO
   private val MergeStmtRe = """(?is)^\s*MERGE\s+INTO\s+.*$""".r
+  // Iceberg/Delta's evolve variant: MERGE WITH SCHEMA EVOLUTION INTO …
+  private val MergeEvolveRe =
+    """(?is)^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+(.*)$""".r
   private val MergeHeadRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
   private val MergeTailRe =
@@ -2003,6 +2189,9 @@ object SqlLifecycle {
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ExplainRe =
+    ("""(?is)^\s*EXPLAIN(?:\s+(SIMPLE|EXTENDED|CODEGEN|COST|FORMATTED))?""" +
+      """\s+((?:SELECT|WITH|VALUES)\s.*)$""").r
   private val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
   private val ShowCreateRe =

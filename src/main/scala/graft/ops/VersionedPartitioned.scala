@@ -1134,17 +1134,50 @@ object VersionedPartitioned {
    * simply prune less.
    */
   def prunedFiles(spark: SparkSession, root: String, colName: String,
-      lo: Any, hi: Any, version: Option[Long] = None): Seq[(String, String)] = {
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[(String, String)] =
+    prunedFilesWhere(spark, root, Seq((colName, Some(lo), Some(hi))),
+      version = version)
+
+  /**
+   * Generalized file-planning step: `bounds` is a CONJUNCTION of
+   * per-column ranges `(col, lo?, hi?)` (either side may be open) and
+   * `keep` a partition-value filter applied at the manifest BEFORE any
+   * sidecar is read — partition pruning and multi-column file skipping
+   * composed in one metadata pass, the planning shape a z-ordered
+   * table wants (one skip condition per z dimension). Per referenced
+   * snapshot, each bound applies only when THAT snapshot's sidecar
+   * carries the column's `min_`/`max_` stats; a missing column or a
+   * stats-less snapshot degrades that bound to keep-all for the
+   * snapshot — mixed histories stay correct, older snapshots just
+   * prune less. With `bounds = Nil` this is a pure file CENSUS of the
+   * kept partitions (the denominator a caller compares against to
+   * decide whether skipping narrowed anything).
+   */
+  def prunedFilesWhere(spark: SparkSession, root: String,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      keep: String => Boolean = _ => true,
+      version: Option[Long] = None): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{lit, substring_index}
     val m = manifestAt(spark, root, version)
     val (fs, rootPath) = Versioned.fsOf(spark, root)
-    m.entries.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (snap, parts) =>
+    val entries = m.entries.filter { case (dir, _) =>
+      keep(unescapePathName(dir.substring(dir.indexOf('=') + 1)))
+    }
+    entries.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (snap, parts) =>
       val partDirs = parts.keys.toSeq
       val snapPath = new HPath(rootPath, snap)
       val statsPath = new HPath(snapPath, Versioned.StatsDirName)
-      if (!fs.exists(statsPath)) {
-        // no stats in this snapshot — every file of every referenced
-        // partition survives
+      val sidecar =
+        if (fs.exists(statsPath))
+          Some(spark.read.parquet(statsPath.toString)) else None
+      // only the bounds THIS snapshot's sidecar covers may skip
+      val usable = sidecar.map(st => bounds.filter { case (c, lo, hi) =>
+        (lo.isDefined || hi.isDefined) &&
+          st.columns.contains(s"min_$c") && st.columns.contains(s"max_$c")
+      }).getOrElse(Nil)
+      if (usable.isEmpty) {
+        // no applicable stats — every file of every kept partition
+        // survives (a plain listing, no sidecar read)
         partDirs.sorted.flatMap { p =>
           fs.listStatus(new HPath(snapPath, p)).toSeq
             .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
@@ -1152,14 +1185,37 @@ object VersionedPartitioned {
             .map(s => snap -> s"$p/${s.getPath.getName}")
         }
       } else {
-        spark.read.parquet(statsPath.toString)
+        val cond = usable.map { case (c, lo, hi) =>
+          val miss = lo.map(l => col(s"max_$c") < lit(l))
+            .getOrElse(lit(false)) ||
+            hi.map(h => col(s"min_$c") > lit(h)).getOrElse(lit(false))
+          col(s"min_$c").isNull || col(s"max_$c").isNull || !miss
+        }.reduce(_ && _)
+        sidecar.get
           .where(substring_index(col("__file"), "/", 1)
             .isin(partDirs: _*))
-          .where(col(s"min_$colName").isNull || col(s"max_$colName").isNull ||
-            !(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))
+          .where(cond)
           .select("__file").collect().map(r => snap -> r.getString(0)).toSeq
             .sortBy(_._2)
       }
+    }
+  }
+
+  /** Columns with `[min,max]` coverage in at least one referenced
+    * snapshot's stats sidecar — a footer-read census (one schema read
+    * per referenced snapshot, zero data I/O) the SQL door uses to
+    * decide whether file-level skipping is worth planning for a
+    * statement's bounds. */
+  def statsCoveredCols(spark: SparkSession, root: String,
+      version: Option[Long] = None): Set[String] = {
+    val m = manifestAt(spark, root, version)
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    m.entries.values.toSet[String].flatMap { snap =>
+      val statsPath = new HPath(new HPath(rootPath, snap),
+        Versioned.StatsDirName)
+      if (!fs.exists(statsPath)) Set.empty[String]
+      else spark.read.parquet(statsPath.toString).schema.fieldNames
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
     }
   }
 
@@ -1174,9 +1230,37 @@ object VersionedPartitioned {
    * pushes it into the parquet scan as usual).
    */
   def readPruned(spark: SparkSession, root: String, colName: String,
-      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readPrunedWhere(spark, root, Seq((colName, Some(lo), Some(hi))),
+      version = version)
+
+  /** The generalized pruned read: `prunedFilesWhere`'s partition keep
+    * + multi-column file skip, materialized as a scan of exactly the
+    * surviving files. Shares `readPruned`'s contract (surviving files
+    * still carry non-matching rows; callers apply the real predicate
+    * on top) and its merge-on-read delete scoping. */
+  def readPrunedWhere(spark: SparkSession, root: String,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      keep: String => Boolean = _ => true,
+      version: Option[Long] = None): DataFrame = {
     val m = manifestAt(spark, root, version)
-    val keep = prunedFiles(spark, root, colName, lo, hi, version)
+    readFileList(spark, root, m,
+      prunedFilesWhere(spark, root, bounds, keep, version))
+  }
+
+  /** `readFileList` resolving the manifest itself — the SQL door's
+    * entry (it computes the file census separately for its
+    * narrows-anything check, then reads exactly that list). */
+  private[ops] def readFileList(spark: SparkSession, root: String,
+      keep: Seq[(String, String)], version: Option[Long]): DataFrame =
+    readFileList(spark, root, manifestAt(spark, root, version), keep)
+
+  /** Read an explicit `(snapshot, partition-relative file)` list (the
+    * `prunedFilesWhere` shape) against manifest `m` — the shared tail
+    * of the pruned reads, also used by the SQL door after it has
+    * already paid for the file census. */
+  private def readFileList(spark: SparkSession, root: String,
+      m: Manifest, keep: Seq[(String, String)]): DataFrame = {
     if (keep.isEmpty)
       return readManifest(spark, root, m)
         .where(org.apache.spark.sql.functions.lit(false))

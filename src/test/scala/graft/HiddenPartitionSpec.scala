@@ -240,14 +240,23 @@ class HiddenPartitionSpec extends AnyFunSuite {
       Seq("date=2024-03-03", "date=2024-03-04"))
     assert(partDirs(life.query("SELECT * FROM s.bars").inputFiles,
       "date=").size == 10)
-    // a self-join with one filtered and one unfiltered scan must NOT
-    // narrow the shared view (the unfiltered side needs every row)
+    // a self-join narrows each scan INDEPENDENTLY (per-occurrence
+    // views): the `a.date =` side plans exactly its one partition, the
+    // unfiltered side keeps every row it needs — r15's shared view had
+    // to stay whole whenever any scan was unconstrained
     val joined = life.query("""
       SELECT a.id FROM s.bars a
       JOIN s.bars b ON a.id = b.id
       WHERE a.date = DATE '2024-03-05'""")
     assert(joined.count() == 10)
-    assert(partDirs(joined.inputFiles, "date=").size == 10)
+    val sides = joined.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        partDirs(l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles, "date=")
+    }
+    assert(sides.exists(_ == Seq("date=2024-03-05")), s"sides: $sides")
+    assert(sides.exists(_.size == 10), s"sides: $sides")
   }
 
   test("SQL door: OR-of-partition-values and AS-OF reads prune too") {
@@ -281,6 +290,92 @@ class HiddenPartitionSpec extends AnyFunSuite {
     // predicate plans nothing)
     assert(life.query(
       "SELECT * FROM s.bars WHERE date = DATE '2024-03-05'").count() == 0)
+  }
+
+  test("SQL door: stats bounds skip FILES like the Scala readPruned") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zr_sqlprune_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA z")
+    life.execute("""
+      CREATE TABLE z.fact (date DATE, id BIGINT, px DOUBLE)
+      USING ICEBERG PARTITIONED BY (date)""")
+    // promote straight into the cataloged dir with id-clustered small
+    // files + [min,max] id stats — the z-order/readPruned layout
+    val path = java.nio.file.Paths.get(root, "z", "fact").toString
+    val df = (1 to 1000).map(i =>
+        (java.sql.Date.valueOf(f"2024-03-${i % 4 + 1}%02d"), i.toLong, i * 1.5))
+      .toDF("date", "id", "px")
+    VersionedPartitioned.promote(df, path, "date",
+      statsCols = Seq("id"), clusterBy = Seq("id"), maxRecordsPerFile = 50L)
+    val routed = life.query(
+      "SELECT * FROM z.fact WHERE id BETWEEN 100 AND 200")
+    val scalaPruned = VersionedPartitioned
+      .readPruned(spark, path, "id", 100L, 200L)
+    // the routed statement scans exactly the files the Scala
+    // stats-pruned read scans — a strict subset of the table
+    assert(routed.inputFiles.sorted.toSeq ==
+      scalaPruned.inputFiles.sorted.toSeq)
+    assert(routed.inputFiles.length <
+      VersionedPartitioned.read(spark, path).inputFiles.length)
+    assert(routed.select("id").as[Long].collect().sorted.toSeq ==
+      (100L to 200L).toSeq)
+    // partition keep COMPOSES with the file skip: one day AND the id
+    // range plans a subset of both prunes
+    val both = life.query("""SELECT * FROM z.fact
+      WHERE date = DATE '2024-03-01' AND id BETWEEN 100 AND 200""")
+    assert(partDirs(both.inputFiles, "date=") == Seq("date=2024-03-01"))
+    assert(both.inputFiles.length < routed.inputFiles.length)
+    assert(both.select("id").as[Long].collect().sorted.toSeq ==
+      (100L to 200L).filter(i => i % 4 + 1 == 1).toSeq)
+  }
+
+  test("SQL door: a join to a filtered dim prunes the fact (DPP shape)") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_sqlprune_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""
+      CREATE TABLE s.fact (date DATE, id BIGINT, px DOUBLE)
+      USING ICEBERG PARTITIONED BY (date)""")
+    (1 to 100).map(i => (java.sql.Date.valueOf(f"2024-03-${i % 10 + 1}%02d"),
+        i.toLong, i * 1.5))
+      .toDF("date", "id", "px").createOrReplaceTempView("dpp_fact_src")
+    life.execute("INSERT INTO s.fact SELECT * FROM dpp_fact_src")
+    life.execute("CREATE TABLE s.dim (date DATE, flag STRING) USING ICEBERG")
+    life.execute("INSERT INTO s.dim VALUES " +
+      (1 to 10).map(d => s"(DATE '2024-03-${"%02d".format(d)}', " +
+        s"'${if (d == 3 || d == 7) "x" else "y"}')").mkString(", "))
+    // the filter sits on the DIM side only — the fact's partitions
+    // prune to the dim-selected days via the join key (classic DPP)
+    val routed = life.query("""
+      SELECT f.id FROM s.fact f
+      JOIN s.dim d ON f.date = d.date
+      WHERE d.flag = 'x'""")
+    assert(partDirs(routed.inputFiles, "date=") ==
+      Seq("date=2024-03-03", "date=2024-03-07"))
+    assert(routed.as[Long].collect().sorted.toSeq ==
+      (1 to 100).filter(i => i % 10 + 1 == 3 || i % 10 + 1 == 7)
+        .map(_.toLong).toSeq)
+    // preserved side of an outer join must NOT prune: every fact row
+    // survives a LEFT JOIN regardless of the dim filter
+    val outer = life.query("""
+      SELECT f.id FROM s.fact f
+      LEFT JOIN (SELECT * FROM s.dim WHERE flag = 'x') d
+        ON f.date = d.date""")
+    assert(outer.count() == 100)
+    assert(partDirs(outer.inputFiles, "date=").size == 10)
+    // kill switch honored
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try {
+      val off = life.query("""
+        SELECT f.id FROM s.fact f
+        JOIN s.dim d ON f.date = d.date
+        WHERE d.flag = 'x'""")
+      assert(partDirs(off.inputFiles, "date=").size == 10)
+    } finally spark.conf.unset("spark.graft.dpp.enabled")
   }
 
   test("hidden tables keep the plain-format capabilities (time travel)") {

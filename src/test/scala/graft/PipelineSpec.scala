@@ -350,6 +350,62 @@ class PipelineSpec extends AnyFunSuite {
       e.getMessage.contains("no committed snapshots"))
   }
 
+  test("SQL door: EXPLAIN surfaces the pruned plan text") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlexplain_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("CREATE TABLE s.e (date DATE, id BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (date)")
+    life.execute("INSERT INTO s.e VALUES " + (1 to 10)
+      .map(d => f"(DATE '2024-03-$d%02d', $d)").mkString(", "))
+    // the explained plan is the PRUNED one: its scan names only the
+    // kept partition dir — the O(day)-not-O(table) proof in SQL
+    val plan = life.execute(
+      "EXPLAIN SELECT * FROM s.e WHERE date = DATE '2024-03-05'")
+      .get.head.getString(0)
+    assert(plan.contains("date=2024-03-05") &&
+      !plan.contains("date=2024-03-06"), plan)
+    // mode argument routes; planning must not execute the query
+    assert(life.execute("EXPLAIN EXTENDED SELECT count(*) AS n FROM s.e")
+      .get.head.getString(0).contains("== Physical Plan =="))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target metadata-only") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlmev_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""CREATE TABLE s.t (date STRING, k BIGINT, v STRING)
+      USING ICEBERG PARTITIONED BY (date)""")
+    life.execute(
+      "INSERT INTO s.t VALUES ('d1', 1, 'a'), ('d1', 2, 'b'), ('d2', 3, 'c')")
+    life.execute("""
+      MERGE WITH SCHEMA EVOLUTION INTO s.t AS t
+      USING (SELECT 'd1' AS date, CAST(2 AS BIGINT) AS k, 'B' AS v,
+                    'new' AS w
+             UNION ALL
+             SELECT 'd2', CAST(4 AS BIGINT), 'd', 'new') AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = life.table("s.t")
+      .select(col("k"), col("v"), coalesce(col("w"), lit("-")).as("w"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    // matched row takes the new column, untouched rows read the
+    // metadata-only NULL default, the new row inserts whole
+    assert(got == Seq((1L, "a", "-"), (2L, "B", "new"),
+      (3L, "c", "-"), (4L, "d", "new")))
+    // a source LACKING an existing target column is refused loudly
+    val e = intercept[IllegalArgumentException](life.execute("""
+      MERGE WITH SCHEMA EVOLUTION INTO s.t AS t
+      USING (SELECT 'd1' AS date, CAST(9 AS BIGINT) AS k) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("every existing target column"))
+  }
+
   test("create_changelog_view: mixed named/positional args slot correctly") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlclv_mixed_").toString

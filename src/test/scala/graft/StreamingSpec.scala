@@ -513,4 +513,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedPartitioned.readPartitionsWhere(spark, log,
       _.toLong > v1).count() == hop2.size)
   }
+
+  test("changeFeed + IncrementalAgg: a CDC-maintained view survives restarts") {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_cdcmv_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    // full-row identity: every change is a delete+insert pair, so the
+    // downstream fold needs only the two signed aggregate terms
+    val keys = Seq("date", "id", "px")
+    def rows(d: Int, ids: Range, bump: Double) = ids.map(i =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i.toLong, i * 1.5 + bump))
+      .toDF("date", "id", "px")
+    val vcol = Streaming.CommitVersionCol
+    // maintain the per-date (count, sum px) view from windows AFTER
+    // `from` — the consumer's own cursor, independent of the feed's
+    def maintainFrom(state: DataFrame, from: Long): (DataFrame, Long) = {
+      val logDf = VersionedPartitioned.read(spark, log)
+        .where(col(vcol) > from)
+      val windows = logDf.select(col(vcol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      var s = state
+      for (v <- windows) {
+        val w = logDf.where(col(vcol) === v)
+        s = IncrementalAgg.maintain(s,
+          w.where(col("change_type") === "delete").select("date", "id", "px"),
+          w.where(col("change_type") === "insert").select("date", "id", "px"),
+          Seq("date"), Seq("px"))
+      }
+      (s.localCheckpoint(true), windows.lastOption.getOrElse(from))
+    }
+    def batchAgg() = IncrementalAgg.aggregate(
+      VersionedPartitioned.read(spark, src), Seq("date"), Seq("px"))
+    def rowsOf(df: DataFrame) = df
+      .select(col("date").cast("string"), col("n_rows"),
+        org.apache.spark.sql.functions.round(col("sum_px"), 4))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    // v1 → subscribe → maintain: view == batch
+    VersionedPartitioned.promote(
+      rows(1, 1 to 5, 0).union(rows(2, 6 to 10, 0)), src, "date")
+    Streaming.changeFeed(spark, src, keys, log).awaitTermination()
+    val empty = IncrementalAgg.aggregate(
+      rows(1, 1 to 0, 0), Seq("date"), Seq("px"))
+    val (mv1, cur1) = maintainFrom(empty, 0L)
+    assert(rowsOf(mv1) == rowsOf(batchAgg()))
+    // RESTART with no source change: nothing delivered, view unchanged
+    Streaming.changeFeed(spark, src, keys, log).awaitTermination()
+    val (mv2, cur2) = maintainFrom(mv1, cur1)
+    assert(cur2 == cur1 && rowsOf(mv2) == rowsOf(mv1))
+    // rewrite day 1 (ids 1-3 re-valued, 4-5 dropped, 11 appears),
+    // restart the subscription, resume the fold from the cursor:
+    // the maintained view equals the batch aggregate of the new state
+    VersionedPartitioned.promote(
+      rows(1, 1 to 3, 100).union(rows(1, 11 to 11, 0)), src, "date")
+    Streaming.changeFeed(spark, src, keys, log).awaitTermination()
+    val (mv3, _) = maintainFrom(mv2, cur2)
+    assert(rowsOf(mv3) == rowsOf(batchAgg()))
+    assert(mv3.where(col("date") === "2024-03-01").head.getLong(1) == 4L)
+  }
 }
