@@ -451,7 +451,10 @@ object ExtOracles {
       ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
-      ("sql_merge_evolve" -> oracle("sql_merge_evolve"))
+      ("sql_merge_evolve" -> oracle("sql_merge_evolve")) +
+      // COPY INTO's idempotent triple-load lands exactly months
+      // 1995-01..03 — the plain aggregate the time-travel gate uses
+      ("sql_copy_into" -> base("versioned_timetravel"))
   }
 
   /** Static oracle SQL texts live as classpath resources

@@ -3174,6 +3174,49 @@ object ExtQueries {
   }
 
   /**
+   * COPY INTO statement-text gate (ops/SqlLifecycle.copyInto —
+   * Databricks' idempotent file-ingest verb): the 1995-01..02 orders
+   * slice lands as loose parquet files in an incoming directory;
+   * COPY INTO loads them, an immediate re-run loads NOTHING
+   * (file-level idempotence via the per-table ledger), and a third
+   * file appearing later loads incrementally — the directory-watching
+   * batch-ingest shape. Output is the per-month aggregate of the
+   * table: double-loading the re-run or missing the late file fails
+   * the hash. Shares `versioned_timetravel`'s oracle (plain 01..03
+   * aggregate).
+   */
+  private def sqlCopyInto(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlcopy_").toString
+    val src = s"$root/incoming"
+    base.where(col("month") === "1995-01")
+      .coalesce(1).write.mode("append").parquet(src)
+    base.where(col("month") === "1995-02")
+      .coalesce(1).write.mode("append").parquet(src)
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA ing")
+    life.execute("""
+      CREATE TABLE ing.orders (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute(s"COPY INTO ing.orders FROM '$src' FILEFORMAT = PARQUET")
+    // completed-run idempotence: the re-run must load zero files
+    val rerun = life.execute(
+      s"COPY INTO ing.orders FROM '$src' FILEFORMAT = PARQUET").get
+    require(rerun.head.getLong(1) == 0L,
+      "COPY INTO re-run loaded files it had already ingested")
+    base.where(col("month") === "1995-03")
+      .coalesce(1).write.mode("append").parquet(src)
+    life.execute(s"COPY INTO ing.orders FROM '$src'")
+    life.table("ing.orders")
+      .groupBy(col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("month")
+  }
+
+  /**
    * MERGE WITH SCHEMA EVOLUTION statement-text gate
    * (ops/SqlLifecycle.mergeInto(evolve = true) →
    * evolveAddColumnMetaOnly + Merge): the source carries a NEW
@@ -4660,6 +4703,7 @@ object ExtQueries {
     "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
-    "sql_merge_evolve" -> ((s, dir) => sqlMergeEvolve(s, dir))
+    "sql_merge_evolve" -> ((s, dir) => sqlMergeEvolve(s, dir)),
+    "sql_copy_into" -> ((s, dir) => sqlCopyInto(s, dir))
   )
 }

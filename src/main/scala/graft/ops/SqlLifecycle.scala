@@ -143,6 +143,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
+      case CopyIntoRe(name, path) =>
+        Some(copyInto(name.toLowerCase, path))
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
       case DropTableRe(name) =>
@@ -1015,6 +1017,57 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           "rollback_to_snapshot, set_current_snapshot, expire_snapshots, " +
           "rewrite_data_files, fast_forward, create_changelog_view)")
     }
+  }
+
+  /** `COPY INTO t FROM '<path>' [FILEFORMAT = PARQUET]` — Databricks'
+    * idempotent file-ingest verb: load exactly the source files not
+    * yet loaded into `t`, tracked in a per-table ledger
+    * (`_graft_copy_ledger`, one absolute file path per line, updated
+    * by atomic rename). Re-running a completed COPY INTO is a no-op;
+    * files appearing later in the directory load incrementally. The
+    * ledger write is ordered AFTER the data commit, so the one
+    * failure window is a crash between the two — that batch re-loads
+    * on retry (at-least-once across crashes, exactly-once across
+    * completed runs; full transactional file tracking is the Scala
+    * pipeline's epoch-tag territory). Files are read with the
+    * DECLARED schema: extra columns in a file are ignored, missing
+    * ones read NULL — the append-only evolution contract. Returns the
+    * one-row result frame Databricks returns (files/rows loaded). */
+  private def copyInto(name: String, from: String): DataFrame = {
+    import spark.implicits._
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"COPY INTO $name: no such table"))
+    val (fs, p) = Versioned.fsOf(spark, from)
+    require(fs.exists(p), s"COPY INTO $name: source path $from not found")
+    val files =
+      (if (fs.getFileStatus(p).isDirectory)
+         fs.listStatus(p).toSeq.filter(s => s.isFile &&
+             !s.getPath.getName.startsWith("_") &&
+             !s.getPath.getName.startsWith("."))
+           .map(_.getPath.toString)
+       else Seq(p.toString)).sorted
+    val ledger = tableDir(name).resolve(CopyLedgerFile)
+    val loaded: Set[String] =
+      if (java.nio.file.Files.exists(ledger))
+        new String(java.nio.file.Files.readAllBytes(ledger), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).toSet
+      else Set.empty
+    val fresh = files.filterNot(loaded)
+    if (fresh.nonEmpty) {
+      val rows = spark.read.schema(meta.schema).parquet(fresh: _*)
+      val n = rows.count()
+      appendRows(name, meta, rows)
+      val tmp = ledger.resolveSibling(CopyLedgerFile + ".tmp")
+      java.nio.file.Files.write(tmp,
+        ((loaded ++ fresh).toSeq.sorted.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, ledger,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Seq((name, fresh.size.toLong, n))
+        .toDF("table", "num_files_loaded", "num_rows_loaded")
+    } else
+      Seq((name, 0L, 0L)).toDF("table", "num_files_loaded", "num_rows_loaded")
   }
 
   private def insert(name: String, body: String): Unit = {
@@ -1986,6 +2039,7 @@ object SqlLifecycle {
   private val stmtCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val MetaFile = "_graft_table.meta"
+  private val CopyLedgerFile = "_graft_copy_ledger"
   private val DataDir = "data"
   private val ViewFileSuffix = ".graft_view.sql"
 
@@ -2163,6 +2217,10 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
+  // Databricks' idempotent file-ingest verb; only PARQUET routes
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
   private val AlterAddColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+""" +
       """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*<[^>]*>)?)""" +

@@ -350,6 +350,33 @@ class PipelineSpec extends AnyFunSuite {
       e.getMessage.contains("no committed snapshots"))
   }
 
+  test("COPY INTO: ledger idempotence on staging tables, loud errors") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlcopy_stg_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA c")
+    life.execute("CREATE TABLE c.s (k BIGINT, v STRING) USING ICEBERG")
+    val incoming = s"$root/in"
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(incoming)
+    assert(life.execute(s"COPY INTO c.s FROM '$incoming'")
+      .get.head.getLong(2) == 1L)
+    // completed-run idempotence on the unpartitioned path too
+    assert(life.execute(s"COPY INTO c.s FROM '$incoming'")
+      .get.head.getLong(1) == 0L)
+    // a late file loads incrementally; earlier files stay single-loaded
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(incoming)
+    life.execute(s"COPY INTO c.s FROM '$incoming'")
+    assert(life.table("c.s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // loud failures: unknown table, missing source path
+    intercept[IllegalArgumentException](
+      life.execute(s"COPY INTO c.nope FROM '$incoming'"))
+    intercept[IllegalArgumentException](
+      life.execute(s"COPY INTO c.s FROM '$root/absent'"))
+  }
+
   test("SQL door: EXPLAIN surfaces the pruned plan text") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlexplain_").toString
