@@ -367,6 +367,13 @@ class HiddenPartitionSpec extends AnyFunSuite {
         ON f.date = d.date""")
     assert(outer.count() == 100)
     assert(partDirs(outer.inputFiles, "date=").size == 10)
+    // the IN-subquery spelling optimizes to a semi join — same prune
+    val insub = life.query("""
+      SELECT id FROM s.fact
+      WHERE date IN (SELECT date FROM s.dim WHERE flag = 'x')""")
+    assert(partDirs(insub.inputFiles, "date=") ==
+      Seq("date=2024-03-03", "date=2024-03-07"))
+    assert(insub.count() == 20)
     // kill switch honored
     spark.conf.set("spark.graft.dpp.enabled", "false")
     try {
@@ -376,6 +383,37 @@ class HiddenPartitionSpec extends AnyFunSuite {
         WHERE d.flag = 'x'""")
       assert(partDirs(off.inputFiles, "date=").size == 10)
     } finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
+  test("SQL door: DPP prunes hidden BUCKET partitions via the join key") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_hidden_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA h")
+    life.execute("""
+      CREATE TABLE h.ev (id BIGINT, ts TIMESTAMP, name STRING)
+      USING ICEBERG PARTITIONED BY (bucket(4, name))""")
+    sampleDf().createOrReplaceTempView("dpp_hidden_src")
+    life.execute("INSERT INTO h.ev SELECT * FROM dpp_hidden_src")
+    life.execute("CREATE TABLE h.dim (name STRING, flag STRING) USING ICEBERG")
+    life.execute("INSERT INTO h.dim VALUES " + (0 to 6)
+      .map(i => s"('user$i', '${if (i == 3) "x" else "y"}')").mkString(", "))
+    // the filter sits on the dim; the fact's HASH partitions prune to
+    // the flagged names' buckets — join-derived keys flow through the
+    // same transform lookup literal equality uses
+    val routed = life.query("""
+      SELECT e.id FROM h.ev e
+      JOIN h.dim d ON e.name = d.name
+      WHERE d.flag = 'x'""")
+    val pfx = "hp__bucket4__name="
+    val scalaPruned = HiddenPartition.readEquals(spark,
+      java.nio.file.Paths.get(root, "h", "ev").toString, lit("user3"))
+    assert(partDirs(routed.inputFiles, pfx) ==
+      partDirs(scalaPruned.inputFiles, pfx))
+    assert(partDirs(routed.inputFiles, pfx).size == 1)
+    assert(routed.as[Long].collect().sorted.toSeq ==
+      (1 to 200).filter(_ % 7 == 3).map(_.toLong).toSeq)
   }
 
   test("hidden tables keep the plain-format capabilities (time travel)") {
