@@ -454,7 +454,8 @@ object ExtOracles {
       ("sql_merge_evolve" -> oracle("sql_merge_evolve")) +
       // COPY INTO's idempotent triple-load lands exactly months
       // 1995-01..03 — the plain aggregate the time-travel gate uses
-      ("sql_copy_into" -> base("versioned_timetravel"))
+      ("sql_copy_into" -> base("versioned_timetravel")) +
+      ("gopher_rules" -> oracle("gopher_rules"))
   }
 
   /** Static oracle SQL texts live as classpath resources

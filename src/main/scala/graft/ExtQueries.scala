@@ -326,6 +326,14 @@ object ExtQueries {
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.stats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Gopher-rule quality filter (ext/TextOps.gopherRules — Rae et al.
+    * 2021 A1.1): per-doc integer measures + the keep bit over the
+    * documents corpus; the oracle replays every rule with DuckDB list
+    * functions, so a divergence in tokenization, line handling or any
+    * threshold flips the hash. */
+  private def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   private def textLangProfile(s: SparkSession, dir: String): DataFrame =
     TextOps.stats(docs(s, dir), "doc_id", "text")
       .groupBy("lang_guess")
@@ -4504,6 +4512,7 @@ object ExtQueries {
     "similarity_recall" -> ((s, dir) => similarityRecall(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
+    "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),

@@ -106,6 +106,68 @@ object TextOps {
         }).as("lang_guess"))
   }
 
+  /**
+   * Gopher-rule document filter (Rae et al. 2021, appendix A1.1 — the
+   * public quality heuristics most LLM data pipelines start from): one
+   * pass per document over whitespace tokens and trimmed non-blank
+   * lines, every measure an EXACT integer (centichars / basis points /
+   * counts) so a keep decision can never flip on cross-engine float
+   * division. Rules, in the paper's order:
+   *   - word count in [50, 100 000]
+   *   - mean word length in [3, 10] chars (centichars 300..1000)
+   *   - symbol-to-word ratio ('#' or '…') ≤ 0.1
+   *   - ≤ 90% of lines starting with a bullet ('•', '- ', '* ')
+   *   - ≤ 30% of lines ending with an ellipsis ('…' or '...')
+   *   - ≥ 80% of words containing an alphabetic character
+   *   - ≥ 2 distinct hits from the 8-word English stop list
+   * Scale: pure per-row expressions (split / higher-order functions /
+   * translate) — no shuffle, no UDF; the filter runs where the text
+   * already is and composes with any downstream keep/drop policy.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    def bps(x: Column, n: Column): Column =
+      floor(x.cast("double") * 10000d / greatest(n, lit(1))).cast("long")
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("__sumlen"),
+        (length(text) - length(translate(text, "#…", ""))).cast("long")
+          .as("__nsym"),
+        size(lines).cast("long").as("__nlines"),
+        size(filter(lines, l => l.startsWith("•") || l.startsWith("- ") ||
+          l.startsWith("* "))).cast("long").as("__nbullet"),
+        size(filter(lines, l => l.endsWith("…") || l.endsWith("...")))
+          .cast("long").as("__nell"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("__nalpha"),
+        size(array_intersect(array_distinct(transform(toks, lower(_))),
+          stops)).cast("long").as("stop_hits"))
+      .select(col(idCol), col("n_words"),
+        floor(col("__sumlen").cast("double") * 100d /
+          greatest(col("n_words"), lit(1))).cast("long").as("mean_len_centi"),
+        bps(col("__nsym"), col("n_words")).as("symbol_bps"),
+        bps(col("__nbullet"), col("__nlines")).as("bullet_bps"),
+        bps(col("__nell"), col("__nlines")).as("ellipsis_bps"),
+        bps(col("__nalpha"), col("n_words")).as("alpha_bps"),
+        col("stop_hits"))
+      .withColumn("rules_passed",
+        // the per-rule tally makes EVERY threshold visible in the
+        // verified output even on a corpus where one rule (here the
+        // stop list, on synthetic text) rejects everything
+        Seq(col("n_words").between(50L, 100000L),
+          col("mean_len_centi").between(300L, 1000L),
+          col("symbol_bps") <= 1000L, col("bullet_bps") <= 9000L,
+          col("ellipsis_bps") <= 3000L, col("alpha_bps") >= 8000L,
+          col("stop_hits") >= 2L).map(_.cast("long")).reduce(_ + _))
+      .withColumn("kept", (col("rules_passed") === 7L).cast("long"))
+  }
+
   /** Ordered (non-distinct) k-shingles — winnowing needs positional
     * k-grams, unlike the set-shaped `TextNorm.shingles`. */
   def orderedShingles(toks: Column, k: Int): Column =

@@ -296,6 +296,37 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("TextOps.gopherRules: each rule discriminates, a clean doc keeps") {
+    val base = "the quick brown fox jumps over the lazy dog and " +
+      "runs with great speed that day under warm skies every morning "
+    val docs = Seq(
+      ("clean", base * 4),                            // all 7 rules pass
+      ("short", "the and to of"),                     // word count < 50
+      ("symbols", (base * 4) + ("# " * 60)),          // '#' per word > 0.1
+      ("bullets", Seq.fill(10)("• item in a list").mkString("\n") +
+        "\n" + base * 4),                             // just bullets + body
+      ("numeric", ("12345 67890 11111 " * 20) + "the and"), // alpha < 80%
+      ("longwords", ("extraordinarily incomprehensible " * 30) + "the and"),
+      ("nostops", "alpha beta gamma delta epsilon zeta " * 10)
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "kept", "rules_passed", "stop_hits")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("clean")._2 == 1L && got("clean")._3 == 7L)
+    // 4 words fail the count AND the 2.5-char mean; the other 5 pass
+    assert(got("short")._2 == 0L && got("short")._3 == 5L)
+    assert(got("symbols")._2 == 0L)
+    assert(got("numeric")._2 == 0L)
+    assert(got("longwords")._2 == 0L)
+    assert(got("nostops")._2 == 0L && got("nostops")._4 == 0L)
+    // the bullet doc fails ONLY when bullets dominate the line census:
+    // 10 bullet lines over 11 total lines is > 90%
+    assert(got("bullets")._2 == 0L)
+    // stop hits are DISTINCT stop-list words, not token occurrences
+    // ('the' appears twice per repetition but counts once)
+    assert(got("clean")._4 == 4L) // the, and, with, that
+  }
+
   test("TextOps.decontaminate: flags exactly the docs overlapping the eval set") {
     val shared = (1 to 10).map(i => s"leak$i").mkString(" ")
     val evalSet = docs((100L, s"$shared and some eval framing text"))
