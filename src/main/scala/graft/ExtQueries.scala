@@ -4071,10 +4071,12 @@ object ExtQueries {
 
   /**
    * CDC-fed incremental view maintenance (pipeline/Streaming
-   * .changeFeedHop + ops/IncrementalAgg): a per-month aggregate
+   * .changeFeedHop + .maintainAggregate): a per-month aggregate
    * maintained PURELY from the delivered change-feed log — the source
-   * table is never re-read downstream — must equal the batch aggregate
-   * over the source's final state. Keys are the FULL ROW, so every
+   * table is never re-read downstream, and the maintained state lives
+   * in its own exactly-once table (cursor tag committed atomically
+   * with each fold) — must equal the batch aggregate over the
+   * source's final state. Keys are the FULL ROW, so every
    * change is a delete+insert pair and each delivered window maintains
    * as state − agg(deletes) + agg(inserts) (the delta rule); the
    * third, caught-up hop delivers nothing — a spurious window would
@@ -4091,9 +4093,16 @@ object ExtQueries {
     val src = s"$root/src"
     val log = s"$root/log"
     val keys = Seq("month", "o_orderkey", "o_totalprice")
+    val state = s"$root/state"
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+      graft.pipeline.Streaming.maintainAggregate(s, log, state,
+        Seq("month"), Seq("o_totalprice"))
+      ()
+    }
     graft.ops.VersionedPartitioned.promote(
       base.where(col("month").between("1995-01", "1995-02")), src, "month")
-    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+    hop() // bootstrap window folded into the committed state
     graft.ops.VersionedPartitioned.promote(
       base.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0)
         .withColumn("o_totalprice",
@@ -4104,28 +4113,11 @@ object ExtQueries {
             .otherwise(col("o_totalprice")))
         .unionByName(base.where(col("month") === "1995-03")),
       src, "month")
-    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
-    graft.pipeline.Streaming.changeFeedHop(s, src, keys, log) // caught up
-    val logDf = graft.ops.VersionedPartitioned.read(s, log)
-    val vcol = graft.pipeline.Streaming.CommitVersionCol
-    // delivered windows in commit order — bounded driver metadata
-    // (one value per hop), same contract as the pipeline's run dates
-    val windows = logDf.select(col(vcol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val rowCols = keys.map(c => col(s"`$c`"))
-    var state = graft.ops.IncrementalAgg.aggregate(
-      logDf.where(lit(false)).select(rowCols: _*),
-      Seq("month"), Seq("o_totalprice"))
-    for (v <- windows) {
-      val w = logDf.where(col(vcol) === v)
-      state = graft.ops.IncrementalAgg.maintain(state,
-        oldChanged = w.where(col("change_type") === "delete")
-          .select(rowCols: _*),
-        newChanged = w.where(col("change_type") === "insert")
-          .select(rowCols: _*),
-        Seq("month"), Seq("o_totalprice"))
-    }
-    state.select(col("month").cast("string").as("month"), col("n_rows"),
+    hop() // fold the backfill window into the committed state
+    hop() // caught up: BOTH the feed and the view must no-op — a
+          // spurious window would double rows and fail the hash
+    graft.ops.VersionedPartitioned.read(s, state)
+      .select(col("month").cast("string").as("month"), col("n_rows"),
         col("sum_o_totalprice").cast("double").as("total_price"))
       .orderBy("month")
   }

@@ -552,6 +552,77 @@ object Streaming {
     Some((from, to))
   }
 
+  /** Consumer-side cursor tag for a maintained aggregate: the highest
+    * LOG window (source commit version) folded into the state, carried
+    * on the STATE table's own commit history — same restart-proof,
+    * vacuum-carried mechanism as the feed's `cdc-src-version:`. */
+  private[graft] val MvCursorTag = "mv-log-version:"
+
+  /**
+   * One exactly-once MAINTENANCE hop of a materialized aggregate fed
+   * by a CDC log (`changeFeedHop`'s output shape): fold every log
+   * window delivered after the view's own cursor into the state table
+   * with the delta rule (`IncrementalAgg.maintain` — full-row-keyed
+   * feeds carry only insert/delete rows, and count/sum deltas are
+   * associative, so one fold over the whole (from, to] union is exact:
+   * an insert-then-delete across windows cancels to zero). The new
+   * state commits WITH the `mv-log-version:<to>` cursor in ONE atomic
+   * commit — a crash between hops loses nothing, a replayed hop sees
+   * `to <= from` and no-ops, and the state table needs no checkpoint:
+   * it IS the checkpoint.
+   *
+   * Scale: the hop reads only the new log windows (partition-pruned on
+   * `commit_version`), the state is aggregate-sized, and the fold is
+   * one hash aggregation + one aggregate-sized merge — a downstream
+   * consumer's steady-state cost is O(changes), never O(source table).
+   * The state table is partitioned by `groupCols.head`; a group whose
+   * maintained count reaches zero leaves the table (its partition
+   * drops when emptied, `overwritePartitions` semantics).
+   *
+   * Returns the folded (fromVersion, toVersion] window of SOURCE
+   * commit versions, or None when the view is caught up.
+   */
+  def maintainAggregate(spark: SparkSession, logRoot: String,
+      stateRoot: String, groupCols: Seq[String],
+      sumCols: Seq[String]): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (VersionedPartitioned.currentVersion(spark, logRoot).isEmpty)
+      return None
+    val delivered = VersionedPartitioned.partitions(spark, logRoot)
+      .map(d => d.substring(d.indexOf('=') + 1).toLong)
+    if (delivered.isEmpty) return None
+    val to = delivered.max
+    val from = VersionedPartitioned
+      .latestTagWithPrefix(spark, stateRoot, MvCursorTag)
+      .map(_.toLong).getOrElse(0L)
+    if (to <= from) return None
+    val win = VersionedPartitioned.readPartitionsWhere(spark, logRoot,
+        v => { val n = v.toLong; n > from && n <= to })
+      .drop(CommitVersionCol)
+    def side(kind: String) =
+      win.where(col("change_type") === kind).drop("change_type")
+    val bootstrap =
+      VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
+    val state =
+      if (bootstrap)
+        graft.ops.IncrementalAgg.aggregate(
+          side("insert").where(lit(false)), groupCols, sumCols)
+      else VersionedPartitioned.read(spark, stateRoot)
+    val next = graft.ops.IncrementalAgg.maintain(state,
+      side("delete"), side("insert"), groupCols, sumCols)
+    val cursor = Some(s"$MvCursorTag$to")
+    if (bootstrap) {
+      // an empty bootstrap fold has no commit to carry the cursor —
+      // harmless: the same empty windows re-fold to nothing next hop
+      if (next.take(1).nonEmpty)
+        VersionedPartitioned.promote(next, stateRoot, groupCols.head,
+          tag = cursor)
+    } else
+      VersionedPartitioned.overwritePartitions(next, stateRoot,
+        _ => true, tag = cursor)
+    Some((from, to))
+  }
+
   /** The change-feed as a STREAMING SUBSCRIPTION: a `StreamingQuery`
     * that polls the source commit log on `trigger`'s cadence and runs
     * `changeFeedHop` per tick. The rate source is only the clock —

@@ -514,6 +514,48 @@ class StreamingSpec extends AnyFunSuite {
       _.toLong > v1).count() == hop2.size)
   }
 
+  test("maintainAggregate: exactly-once state commits from the CDC log") {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_cdcmva_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val state = s"$root/state"
+    val keys = Seq("date", "id", "px")
+    def rows(d: Int, ids: Range) = ids.map(i =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i.toLong, i * 1.5))
+      .toDF("date", "id", "px")
+    def stateRows() = VersionedPartitioned.read(spark, state)
+      .select(col("date").cast("string"), col("n_rows"),
+        org.apache.spark.sql.functions.round(col("sum_px"), 4))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    def batchRows() = IncrementalAgg.aggregate(
+        VersionedPartitioned.read(spark, src), Seq("date"), Seq("px"))
+      .select(col("date").cast("string"), col("n_rows"),
+        org.apache.spark.sql.functions.round(col("sum_px"), 4))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    VersionedPartitioned.promote(
+      rows(1, 1 to 5).union(rows(2, 6 to 10)), src, "date")
+    Streaming.changeFeedHop(spark, src, keys, log)
+    // bootstrap fold commits state + cursor atomically
+    assert(Streaming.maintainAggregate(spark, log, state,
+      Seq("date"), Seq("px")).isDefined)
+    assert(stateRows() == batchRows())
+    val v1 = VersionedPartitioned.currentVersion(spark, state).get
+    // caught up: no new window -> no state commit (exactly-once)
+    assert(Streaming.maintainAggregate(spark, log, state,
+      Seq("date"), Seq("px")).isEmpty)
+    assert(VersionedPartitioned.currentVersion(spark, state).get == v1)
+    // a metadata partition DELETE upstream flows as deletes and DROPS
+    // the emptied group from the maintained state
+    VersionedPartitioned.deletePartitionValues(spark, src,
+      Set("2024-03-01"))
+    Streaming.changeFeedHop(spark, src, keys, log)
+    assert(Streaming.maintainAggregate(spark, log, state,
+      Seq("date"), Seq("px")).isDefined)
+    assert(stateRows() == batchRows())
+    assert(stateRows().map(_._1) == Seq("2024-03-02"))
+  }
+
   test("changeFeed + IncrementalAgg: a CDC-maintained view survives restarts") {
     import graft.ops.{IncrementalAgg, VersionedPartitioned}
     val root = Files.createTempDirectory("graft_cdcmv_").toString
