@@ -623,6 +623,25 @@ object Streaming {
     Some((from, to))
   }
 
+  /** The maintained aggregate as a STREAMING SUBSCRIPTION — the
+    * consumer-side twin of `changeFeed`: a `StreamingQuery` that polls
+    * the CDC log on `trigger`'s cadence and runs `maintainAggregate`
+    * per tick. Delivery state lives entirely in the state table's
+    * cursor tag, so the query needs no checkpoint and restarts
+    * anywhere; composed with `changeFeed` this is source table →
+    * exactly-once CDC log → exactly-once materialized aggregate, all
+    * three restart-proof. */
+  def maintainedAggregate(spark: SparkSession, logRoot: String,
+      stateRoot: String, groupCols: Seq[String], sumCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream.trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        maintainAggregate(spark, logRoot, stateRoot, groupCols, sumCols)
+        ()
+      }
+      .start()
+
   /** The change-feed as a STREAMING SUBSCRIPTION: a `StreamingQuery`
     * that polls the source commit log on `trigger`'s cadence and runs
     * `changeFeedHop` per tick. The rate source is only the clock —

@@ -554,6 +554,15 @@ class StreamingSpec extends AnyFunSuite {
       Seq("date"), Seq("px")).isDefined)
     assert(stateRows() == batchRows())
     assert(stateRows().map(_._1) == Seq("2024-03-02"))
+    // the subscription twin: feed + view as two chained streaming
+    // queries, both checkpoint-free; a fresh source commit flows
+    // source → log → state in one AvailableNow tick each
+    VersionedPartitioned.promote(rows(3, 20 to 24), src, "date")
+    Streaming.changeFeed(spark, src, keys, log).awaitTermination()
+    Streaming.maintainedAggregate(spark, log, state,
+      Seq("date"), Seq("px")).awaitTermination()
+    assert(stateRows() == batchRows())
+    assert(stateRows().map(_._1) == Seq("2024-03-02", "2024-03-03"))
   }
 
   test("changeFeed + IncrementalAgg: a CDC-maintained view survives restarts") {
