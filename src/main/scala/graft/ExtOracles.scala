@@ -455,7 +455,8 @@ object ExtOracles {
       // COPY INTO's idempotent triple-load lands exactly months
       // 1995-01..03 — the plain aggregate the time-travel gate uses
       ("sql_copy_into" -> base("versioned_timetravel")) +
-      ("gopher_rules" -> oracle("gopher_rules"))
+      ("gopher_rules" -> oracle("gopher_rules")) +
+      ("c4_clean" -> oracle("c4_clean"))
   }
 
   /** Static oracle SQL texts live as classpath resources

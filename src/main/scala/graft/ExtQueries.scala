@@ -334,6 +334,13 @@ object ExtQueries {
   private def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** C4 line-level cleaning gate (ext/TextOps.c4Clean — Raffel et al.
+    * 2020 §2.2): per-doc line/sentence censuses, drop flags and the
+    * cleaned-text length over the documents corpus; the oracle replays
+    * every rule with DuckDB list functions. */
+  private def c4CleanQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.c4Clean(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   private def textLangProfile(s: SparkSession, dir: String): DataFrame =
     TextOps.stats(docs(s, dir), "doc_id", "text")
       .groupBy("lang_guess")
@@ -4505,6 +4512,7 @@ object ExtQueries {
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
+    "c4_clean" -> ((s, dir) => c4CleanQ(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),

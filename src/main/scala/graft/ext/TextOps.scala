@@ -168,6 +168,47 @@ object TextOps {
       .withColumn("kept", (col("rules_passed") === 7L).cast("long"))
   }
 
+  /**
+   * C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other
+   * canonical public filter, complementing the doc-level
+   * [[gopherRules]]): per document, keep only trimmed lines that end
+   * in a terminal punctuation mark ('.', '!', '?', '"'), carry at
+   * least 3 whitespace words, and do not mention "javascript"
+   * (case-insensitive); then drop the whole document when it contains
+   * "lorem ipsum" (any casing) or a curly brace, or when the cleaned
+   * text holds fewer than 5 sentences (terminal-mark count — the
+   * cross-engine-countable stand-in for C4's sentence splitter).
+   * Output is integer-exact per doc: line/sentence censuses, the drop
+   * flags, the kept bit, and the cleaned text's length — enough for a
+   * downstream pipeline to act on without re-deriving anything. One
+   * shuffle-free per-row pass, no UDF.
+   */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def lineKept(l: Column): Column =
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, lineKept(_))
+    val cleaned = array_join(kept, "\n")
+    df.select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        (length(cleaned) -
+          length(translate(cleaned, ".!?", ""))).cast("long")
+          .as("n_sentences"),
+        lower(text).contains("lorem ipsum").cast("long").as("has_lorem"),
+        text.contains("{").cast("long").as("has_brace"),
+        length(cleaned).cast("long").as("cleaned_chars"))
+      .withColumn("kept",
+        (col("has_lorem") === 0L && col("has_brace") === 0L &&
+          col("n_sentences") >= 5L).cast("long"))
+  }
+
   /** Ordered (non-distinct) k-shingles — winnowing needs positional
     * k-grams, unlike the set-shaped `TextNorm.shingles`. */
   def orderedShingles(toks: Column, k: Int): Column =

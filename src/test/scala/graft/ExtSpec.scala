@@ -327,6 +327,35 @@ class ExtSpec extends AnyFunSuite {
     assert(got("clean")._4 == 4L) // the, and, with, that
   }
 
+  test("TextOps.c4Clean: line rules and page drops each discriminate") {
+    val good = "This line has plenty of words."
+    val six = Seq.fill(6)(good).mkString("\n")
+    val docs = Seq(
+      ("keep", six),                                    // 6 kept, >=5 sentences
+      ("shortlines", Seq.fill(6)("Too short.").mkString("\n")), // < 3 words
+      ("nopunct", Seq.fill(6)("this line has no terminal punctuation at all")
+        .mkString("\n")),
+      ("js", six + "\nThis site needs JavaScript enabled to work."),
+      ("lorem", six + "\nLorem Ipsum dolor sit amet."),
+      ("brace", six + "\nvar code = { x };"),
+      ("fewsent", Seq.fill(3)(good).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4Clean(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept_lines", "kept")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("keep") == (("keep", 6L, 6L, 1L)))
+    assert(got("shortlines")._3 == 0L && got("shortlines")._4 == 0L)
+    assert(got("nopunct")._3 == 0L && got("nopunct")._4 == 0L)
+    // the javascript LINE drops; the page survives on the others
+    assert(got("js") == (("js", 7L, 6L, 1L)))
+    // lorem ipsum and curly braces drop the PAGE even when its lines
+    // individually pass
+    assert(got("lorem")._3 == 7L && got("lorem")._4 == 0L)
+    assert(got("brace")._4 == 0L)
+    // fewer than 5 sentences after cleaning drops the page
+    assert(got("fewsent")._3 == 3L && got("fewsent")._4 == 0L)
+  }
+
   test("TextOps.decontaminate: flags exactly the docs overlapping the eval set") {
     val shared = (1 to 10).map(i => s"leak$i").mkString(" ")
     val evalSet = docs((100L, s"$shared and some eval framing text"))
