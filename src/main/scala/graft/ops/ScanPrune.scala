@@ -206,13 +206,22 @@ object ScanPrune {
    * absent from the dim side provably cannot change the result —
    * Inner/LeftSemi (either side), the NON-preserved side of an outer
    * join, and the RIGHT side of an anti join (a right row whose key no
-   * left row carries matches nothing either way). The dim subtree must
-   * be deterministic (re-evaluating it must see the same keys) and
-   * under `spark.graft.dpp.maxDimBytes` estimated (default 64 MB — a
-   * side cheap enough to evaluate twice); more than
-   * `spark.graft.dpp.maxKeys` distinct keys (default 1000, partition
-   * counts are metadata-sized) abandons the prune. Everything here
-   * degrades to "no extra conjunct", never to a wrong answer.
+   * left row carries matches nothing either way). The leaf must also be
+   * REACHABLE from the join's fact side through row-multiset-safe
+   * operators only (Filter, pass-through Project, Sort, Join on the
+   * key-carrying side, Aggregate grouped on the key): an exprId passes
+   * unchanged through Limit/Window/Sample, but pruning BELOW such a
+   * node changes which rows it sees (a pre-limit prune picks a
+   * different 10 rows), so any other node on the path abandons the
+   * prune — the same reachability rule Spark's own PartitionPruning
+   * applies. The dim subtree must be deterministic (re-evaluating it
+   * must see the same keys) and under `spark.graft.dpp.maxDimBytes`
+   * estimated (default 64 MB — a side cheap enough to evaluate twice);
+   * more than `spark.graft.dpp.maxKeys` distinct keys (default 1000,
+   * partition counts are metadata-sized) abandons the prune (null keys
+   * are filtered BEFORE the counting limit so a sampled null can never
+   * mask truncation). Everything here degrades to "no extra conjunct",
+   * never to a wrong answer.
    */
   def dppConjuncts(plan: LogicalPlan, leaf: Leaf, cols: Seq[String],
       spark: org.apache.spark.sql.SparkSession): Seq[Expression] = {
@@ -230,6 +239,34 @@ object ScanPrune {
         case a: AttributeReference if a.name.equalsIgnoreCase(c) => a
       }).map(a => a.exprId -> a).toMap
     if (wanted.isEmpty) return Nil
+    // Pruning the leaf's partitions is only legal when every operator
+    // between the join's fact side and the leaf preserves the
+    // row-per-key mapping: removing leaf rows with key k must remove
+    // (or null-out, for intermediate outer joins — null fails the
+    // null-intolerant top equality) ONLY key-k rows at the join input.
+    // Filter/Sort/pass-through Project qualify; a Join recurses into
+    // whichever side carries the key attribute; an Aggregate qualifies
+    // only when the key is one of its grouping attributes (pruning
+    // removes exactly the pruned groups). Limit/Window/Sample/Generate
+    // and anything else changes RETAINED rows — bail.
+    def safeReach(p: LogicalPlan, faId: ExprId): Boolean = p match {
+      case rel: LogicalRelation => rel.relation eq leaf.relation
+      case f: Filter => safeReach(f.child, faId)
+      case pr: Project => safeReach(pr.child, faId)
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        safeReach(s.child, faId)
+      case jj: Join =>
+        (jj.left.outputSet.exists(_.exprId == faId) &&
+          safeReach(jj.left, faId)) ||
+        (jj.right.outputSet.exists(_.exprId == faId) &&
+          safeReach(jj.right, faId))
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        ag.groupingExpressions.exists {
+          case a: AttributeReference => a.exprId == faId
+          case _ => false
+        } && safeReach(ag.child, faId)
+      case _ => false
+    }
     val done = scala.collection.mutable.Set.empty[ExprId]
     val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
     plan.foreach {
@@ -249,21 +286,27 @@ object ScanPrune {
             case RightOuter => factLeft           // probe side may narrow
             case _ => false
           })
+          val fact = if (factLeft) j.left else j.right
           val dim = if (factLeft) j.right else j.left
           val dimOk = prunable &&
             dim.stats.sizeInBytes <= BigInt(maxDimBytes) &&
             dim.find(p => p.expressions.exists(e =>
-              e.exists(!_.deterministic))).isEmpty
+              e.exists(!_.deterministic))).isEmpty &&
+            safeReach(fact, fa.exprId)
           if (dimOk) {
+            // nulls are filtered BEFORE the counting limit (a null key
+            // matches nothing under EqualTo), so `length > maxKeys`
+            // detects truncation exactly — a sampled null can never
+            // shrink the post-filter count back under the cap and
+            // sneak a truncated (wrongly-pruning) key set through
             val keys = try {
               Some(org.apache.spark.sql.graft.Internals
-                .ofRows(spark, Project(Seq(da), dim))
+                .ofRows(spark, Project(Seq(da), Filter(IsNotNull(da), dim)))
                 .distinct().limit(maxKeys + 1).collect()
-                .map(_.get(0)).filter(_ != null).toSeq)
+                .map(_.get(0)).toSeq)
             } catch { case scala.util.control.NonFatal(_) => None }
-            // null keys are dropped (an equality key of null matches
-            // nothing); an empty key set legitimately prunes EVERY
-            // partition — the join's result is empty either way
+            // an empty key set legitimately prunes EVERY partition —
+            // the join's result is empty either way
             keys.filter(_.length <= maxKeys).foreach { ks =>
               val leafAttr = wanted(fa.exprId)
               out += In(leafAttr,

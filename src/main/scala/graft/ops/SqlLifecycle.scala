@@ -143,7 +143,14 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
-      case CopyIntoRe(name, path) =>
+      case CopyIntoRe(name, path, fmt) =>
+        // FILEFORMAT is matched loudly: a non-PARQUET format names the
+        // table and the format rather than falling through to the
+        // generic unroutable-statement error
+        if (fmt != null && !fmt.equalsIgnoreCase("PARQUET"))
+          throw new IllegalArgumentException(
+            s"COPY INTO ${name.toLowerCase}: unsupported FILEFORMAT " +
+              s"${fmt.toUpperCase} (only PARQUET)")
         Some(copyInto(name.toLowerCase, path))
       case InsertRe(name, body) =>
         insert(name.toLowerCase, body); None
@@ -348,7 +355,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     // O(day), not O(table), exactly like the Scala API's pruned reads
     // (ScanPrune has the safety argument). Time travel prunes the same
     // way: a pinned view's keep narrows its OLD manifest.
-    if (pruneScans(df, occs)) spark.sql(rewritten) else df
+    val out = if (pruneScans(df, occs)) spark.sql(rewritten) else df
+    // the per-statement occurrence views served their purpose the
+    // moment `spark.sql` ANALYZED the text (analysis is eager — the
+    // returned frame holds the resolved relations, not the names);
+    // dropping them keeps a long-lived session's temp-view catalog
+    // bounded across comment-heavy scripts instead of accumulating one
+    // file-listing-holding entry per routed occurrence
+    occs.foreach(o => spark.catalog.dropTempView(o.view))
+    out
   }
 
   /** EXPLAIN [EXTENDED|FORMATTED|…] <query> through the statement
@@ -2013,8 +2028,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         .exists(_ <= threshold)
     }
 
+  // boundary on BOTH sides: without the lookbehind, one table's
+  // view-safe name matching as a word-char-adjacent suffix of another's
+  // (b.t -> b__t inside ab__t) would corrupt the longer name
   private def nameRe(n: String) =
-    ("(?i)" + java.util.regex.Pattern.quote(n) + "(?![\\w])").r
+    ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(n) + "(?![\\w])").r
 
   /** Rewrite qualified table AND view names to their view-safe forms,
     * longest name first so `s.t_stg_x` never half-matches `s.t` —
@@ -2024,7 +2042,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val names = (tables() ++ views()).sortBy(-_.length)
     mapOutsideLiterals(sql, seg =>
       names.foldLeft(seg) { (acc, t) =>
-        acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(t) +
+        // leading boundary: an UNCATALOGED `ab.t` must not have a
+        // cataloged `b.t` rewritten inside it (`ab__t` would then
+        // silently bind the wrong table)
+        acc.replaceAll("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(t) +
           "(?![\\w])", viewName(t))
       })
   }
@@ -2217,10 +2238,11 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
-  // Databricks' idempotent file-ingest verb; only PARQUET routes
+  // Databricks' idempotent file-ingest verb; any FILEFORMAT matches so
+  // non-PARQUET rejects with the table named, not an unroutable error
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
-      """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*$""").r
   private val AlterAddColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+""" +
       """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*<[^>]*>)?)""" +

@@ -385,6 +385,89 @@ class HiddenPartitionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dpp.enabled")
   }
 
+  test("SQL door: DPP bails on LIMIT/Window between leaf and join") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_limit_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""
+      CREATE TABLE s.fact (date DATE, id BIGINT, px DOUBLE)
+      USING ICEBERG PARTITIONED BY (date)""")
+    (1 to 100).map(i => (java.sql.Date.valueOf(f"2024-03-${i % 10 + 1}%02d"),
+        i.toLong, i * 1.5))
+      .toDF("date", "id", "px").createOrReplaceTempView("dpp_limit_src")
+    life.execute("INSERT INTO s.fact SELECT * FROM dpp_limit_src")
+    life.execute("CREATE TABLE s.dim (date DATE, flag STRING) USING ICEBERG")
+    life.execute("INSERT INTO s.dim VALUES " +
+      (1 to 10).map(d => s"(DATE '2024-03-${"%02d".format(d)}', " +
+        s"'${if (d == 3 || d == 7) "x" else "y"}')").mkString(", "))
+    // a LIMIT between the fact leaf and the join: the 10 globally-
+    // lowest ids must be picked BEFORE the dim filter applies — a
+    // pre-limit prune would pick a different (flag-x-only) 10 and
+    // return 10 rows instead of 2
+    val limited = life.query("""
+      SELECT f.id FROM (SELECT * FROM s.fact ORDER BY id LIMIT 10) f
+      JOIN s.dim d ON f.date = d.date
+      WHERE d.flag = 'x'""")
+    assert(partDirs(limited.inputFiles, "date=").size == 10,
+      "pre-limit DPP prune is illegal: all partitions must scan")
+    assert(limited.as[Long].collect().sorted.toSeq == Seq(2L, 6L))
+    // a window function between leaf and join: row_number over the
+    // FULL table must number all 100 rows before the dim filter
+    val windowed = life.query("""
+      SELECT f.id, f.rn FROM (
+        SELECT date, id, row_number() OVER (ORDER BY id) AS rn
+        FROM s.fact) f
+      JOIN s.dim d ON f.date = d.date
+      WHERE d.flag = 'x' AND f.rn <= 10""")
+    assert(partDirs(windowed.inputFiles, "date=").size == 10,
+      "pre-window DPP prune is illegal: all partitions must scan")
+    assert(windowed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 6L))
+    // plain Filter/Project chains still prune — the legality walk must
+    // not regress the classic shape
+    val plain = life.query("""
+      SELECT f.id FROM (SELECT date, id FROM s.fact WHERE px > 0) f
+      JOIN s.dim d ON f.date = d.date
+      WHERE d.flag = 'x'""")
+    assert(partDirs(plain.inputFiles, "date=") ==
+      Seq("date=2024-03-03", "date=2024-03-07"))
+  }
+
+  test("SQL door: DPP key-count cap detects truncation despite nulls") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_nullcap_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""
+      CREATE TABLE s.fact (date DATE, id BIGINT)
+      USING ICEBERG PARTITIONED BY (date)""")
+    (1 to 40).map(i => (java.sql.Date.valueOf(f"2024-04-${i % 4 + 1}%02d"),
+        i.toLong))
+      .toDF("date", "id").createOrReplaceTempView("dpp_null_src")
+    life.execute("INSERT INTO s.fact SELECT * FROM dpp_null_src")
+    life.execute("CREATE TABLE s.dim (date DATE, flag STRING) USING ICEBERG")
+    // 3 distinct non-null keys + a NULL key; with maxKeys=2 the key
+    // set is truncated and the prune MUST be abandoned — a sampled
+    // null shrinking the post-filter count under the cap would prune
+    // date 2024-04-03 away and lose its rows
+    life.execute("""INSERT INTO s.dim VALUES
+      (DATE '2024-04-01', 'x'), (DATE '2024-04-02', 'x'),
+      (DATE '2024-04-03', 'x'), (NULL, 'x')""")
+    spark.conf.set("spark.graft.dpp.maxKeys", "2")
+    try {
+      val routed = life.query("""
+        SELECT f.id FROM s.fact f
+        JOIN s.dim d ON f.date = d.date
+        WHERE d.flag = 'x'""")
+      assert(routed.count() == 30,
+        "truncated key set must abandon the prune, not drop date 03")
+      assert(partDirs(routed.inputFiles, "date=").size == 4)
+    } finally spark.conf.unset("spark.graft.dpp.maxKeys")
+  }
+
   test("SQL door: DPP prunes hidden BUCKET partitions via the join key") {
     import graft.ops.SqlLifecycle
     val root = java.nio.file.Files

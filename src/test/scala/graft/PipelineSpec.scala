@@ -370,11 +370,39 @@ class PipelineSpec extends AnyFunSuite {
     life.execute(s"COPY INTO c.s FROM '$incoming'")
     assert(life.table("c.s").as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "a"), (2L, "b")))
-    // loud failures: unknown table, missing source path
+    // loud failures: unknown table, missing source path, and a
+    // non-PARQUET FILEFORMAT named explicitly (not an unroutable error)
     intercept[IllegalArgumentException](
       life.execute(s"COPY INTO c.nope FROM '$incoming'"))
     intercept[IllegalArgumentException](
       life.execute(s"COPY INTO c.s FROM '$root/absent'"))
+    val badFmt = intercept[IllegalArgumentException](
+      life.execute(s"COPY INTO c.s FROM '$incoming' FILEFORMAT = CSV"))
+    assert(badFmt.getMessage.contains("c.s") &&
+      badFmt.getMessage.contains("CSV"))
+    // the PARQUET spelling still routes (and stays idempotent)
+    assert(life.execute(s"COPY INTO c.s FROM '$incoming' FILEFORMAT = PARQUET")
+      .get.head.getLong(1) == 0L)
+  }
+
+  test("SQL door: occurrence views are dropped after the statement") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqloccdrop_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA o")
+    life.execute("CREATE TABLE o.f (date DATE, id BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (date)")
+    life.execute("INSERT INTO o.f VALUES " + (1 to 5)
+      .map(d => f"(DATE '2024-03-$d%02d', $d)").mkString(", "))
+    val q = life.query(
+      "SELECT a.id FROM o.f a JOIN o.f b ON a.id = b.id " +
+        "WHERE a.date = DATE '2024-03-02'")
+    assert(q.count() == 1)
+    // the per-statement `o__f__s<N>_<k>` views must not outlive the
+    // statement — a long-lived session's catalog stays bounded
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.matches("(?i)o__f__s\\d+_\\d+"))
+    assert(leaked.isEmpty, s"leaked occurrence views: ${leaked.mkString(",")}")
   }
 
   test("SQL door: EXPLAIN surfaces the pruned plan text") {
