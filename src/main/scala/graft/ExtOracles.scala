@@ -451,6 +451,47 @@ object ExtOracles {
       ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
+      ("changefeed_incremental_minmax" ->
+        oracle("changefeed_incremental_minmax")) +
+      ("changefeed_incremental_distinct" ->
+        oracle("changefeed_incremental_distinct")) +
+      ("changefeed_incremental_join" ->
+        oracle("changefeed_incremental_join")) +
+      ("changefeed_incremental_topk" ->
+        oracle("changefeed_incremental_topk")) +
+      // the feed-maintained quantile view replayed from scratch — same
+      // JVM-literal lnGamma contract as incremental_quantile, over the
+      // post-change months (01 untouched, 02 repriced x2, 03 appended)
+      ("changefeed_incremental_quantile" -> {
+        val lnGamma = math.log((1 + 0.01) / (1 - 0.01))
+        s"""WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+          |                  CAST(o_totalprice AS DOUBLE) AS v
+          |           FROM orders),
+          |fin AS (
+          |  SELECT month, v FROM m WHERE month = '1995-01'
+          |  UNION ALL
+          |  SELECT month, v * 2 AS v FROM m WHERE month = '1995-02'
+          |  UNION ALL
+          |  SELECT month, v FROM m WHERE month = '1995-03'
+          |),
+          |b AS (SELECT month,
+          |             CAST(ceil(ln(v) / $lnGamma) AS INT) AS bucket,
+          |             count(*) AS n
+          |      FROM fin GROUP BY 1, 2),
+          |c AS (SELECT month, bucket, n,
+          |             sum(n) OVER (PARTITION BY month
+          |                          ORDER BY bucket) AS cum,
+          |             sum(n) OVER (PARTITION BY month) AS total
+          |      FROM b),
+          |qs AS (SELECT CAST(q AS DOUBLE) AS q
+          |       FROM (VALUES (0.25), (0.5), (0.95)) AS t(q)),
+          |sel AS (SELECT c.month, qs.q, min(c.bucket) AS bucket
+          |        FROM c CROSS JOIN qs
+          |        WHERE c.cum >= floor(qs.q * (c.total - 1)) + 1
+          |        GROUP BY 1, 2)
+          |SELECT month, q, bucket FROM sel
+          |ORDER BY 1, 2""".stripMargin
+      }) +
       ("sql_merge_evolve" -> oracle("sql_merge_evolve")) +
       // COPY INTO's idempotent triple-load lands exactly months
       // 1995-01..03 — the plain aggregate the time-travel gate uses

@@ -4130,6 +4130,227 @@ object ExtQueries {
   }
 
   /**
+   * CDC-fed exact MIN/MAX view maintenance
+   * (pipeline/Streaming.maintainMinMax): months 1995-01..02 bootstrap
+   * the per-month (count, min, max) state from the feed; the rewrite
+   * window DELETES month 02's price extremum (every order ≥ 250 000
+   * drops) — the case the sum rule cannot carry, exercising the
+   * affected-group source rescan — and appends 1995-03. A third hop
+   * must no-op. The oracle recomputes the post-change extremes from
+   * scratch.
+   */
+  private def changefeedMinMax(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cfmm_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val state = s"$root/state"
+    val keys = Seq("month", "o_orderkey", "o_totalprice")
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+      graft.pipeline.Streaming.maintainMinMax(s, log, state, src,
+        Seq("month"), Seq("o_totalprice"))
+      ()
+    }
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    hop()
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" &&
+          col("o_totalprice") < lit(BigDecimal(250000)).cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    hop()
+    hop() // caught up: must no-op
+    graft.ops.VersionedPartitioned.read(s, state)
+      .select(col("month").cast("string").as("month"), col("n_rows"),
+        col("min_o_totalprice").cast("double").as("min_price"),
+        col("max_o_totalprice").cast("double").as("max_price"))
+      .orderBy("month")
+  }
+
+  /**
+   * CDC-fed exact COUNT DISTINCT view maintenance
+   * (pipeline/Streaming.maintainDistinct): the state is the
+   * distinct-support relation (month × custkey × multiplicity),
+   * maintained by the count delta rule; the read counts support rows
+   * per month. The rewrite drops every 10th orderkey from 1995-02 —
+   * custkeys whose orders all drop must leave the support — and
+   * appends 1995-03. The oracle recomputes COUNT(DISTINCT) from
+   * scratch.
+   */
+  private def changefeedDistinct(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_custkey"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cfdist_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val state = s"$root/state"
+    val keys = Seq("month", "o_orderkey", "o_custkey")
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+      graft.pipeline.Streaming.maintainDistinct(s, log, state,
+        Seq("month"), "o_custkey")
+      ()
+    }
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    hop()
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0)
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    hop()
+    hop()
+    graft.ops.IncrementalAgg.supportDistinctCounts(
+        graft.ops.VersionedPartitioned.read(s, state),
+        Seq("month"), "o_custkey")
+      .select(col("month").cast("string").as("month"),
+        col("distinct_o_custkey"))
+      .orderBy("month")
+  }
+
+  /**
+   * CDC-fed JOIN-view maintenance from TWO feeds
+   * (pipeline/Streaming.maintainJoinView): revenue by (month ×
+   * market segment) over orders ⋈ customer, both sides changing in
+   * the same fold — the fact drops every 10th 1995-02 order and adds
+   * 1995-03; the dim moves every 7th customer to segment MOVED (a
+   * full-row update = delete+insert through the feed). The two-
+   * relation delta rule must land exactly on the from-scratch
+   * recompute of post-change fact ⋈ post-change dim.
+   */
+  private def changefeedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cfjoin_").toString
+    val (fsrc, flog) = (s"$root/fsrc", s"$root/flog")
+    val (dsrc, dlog) = (s"$root/dsrc", s"$root/dlog")
+    val state = s"$root/state"
+    val factKeys = Seq("month", "o_orderkey", "c_custkey", "o_totalprice")
+    val dimKeys = Seq("c_custkey", "c_mktsegment", "c_nationkey")
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, fsrc, factKeys, flog)
+      graft.pipeline.Streaming.changeFeedHop(s, dsrc, dimKeys, dlog)
+      graft.pipeline.Streaming.maintainJoinView(s, flog, dlog, fsrc, dsrc,
+        state, Seq("c_custkey"), Seq("month", "c_mktsegment"),
+        Seq("o_totalprice"))
+      ()
+    }
+    graft.ops.VersionedPartitioned.promote(
+      fact.where(col("month").between("1995-01", "1995-02")), fsrc, "month")
+    graft.ops.VersionedPartitioned.promote(dim, dsrc, "c_nationkey")
+    hop()
+    graft.ops.VersionedPartitioned.promote(
+      fact.where(col("month") === "1995-02" && col("o_orderkey") % 10 =!= 0)
+        .unionByName(fact.where(col("month") === "1995-03")),
+      fsrc, "month")
+    graft.ops.VersionedPartitioned.promote(
+      dim.withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment"))),
+      dsrc, "c_nationkey")
+    hop()
+    hop()
+    graft.ops.VersionedPartitioned.read(s, state)
+      .select(col("month").cast("string").as("month"), col("c_mktsegment"),
+        col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("total_price"))
+      .orderBy("month", "c_mktsegment")
+  }
+
+  /**
+   * CDC-fed exact TOP-K-rows view maintenance
+   * (pipeline/Streaming.maintainTopK): per-month top-3 orders by
+   * (price DESC, orderkey ASC). The rewrite DELETES month 02's
+   * current winners (every order ≥ 250 000 drops) — the refill case
+   * that forces the affected-group rescan — and appends 1995-03. The
+   * oracle re-ranks the post-change table from scratch.
+   */
+  private def changefeedTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cftopk_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val state = s"$root/state"
+    val keys = Seq("month", "o_orderkey", "o_totalprice")
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+      graft.pipeline.Streaming.maintainTopK(s, log, state, src,
+        Seq("month"), "o_totalprice", "o_orderkey", 3)
+      ()
+    }
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    hop()
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02" &&
+          col("o_totalprice") < lit(BigDecimal(250000)).cast("decimal(18,2)"))
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    hop()
+    hop()
+    graft.ops.IncrementalAgg.topKValues(
+        graft.ops.VersionedPartitioned.read(s, state),
+        Seq("month"), "o_totalprice", "o_orderkey", 3)
+      .select(col("month").cast("string").as("month"), col("rank"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      .orderBy("month", "rank")
+  }
+
+  /**
+   * CDC-fed QUANTILE-sketch view maintenance
+   * (pipeline/Streaming.maintainQuantile): per-month DDSketch
+   * log-bucket counts maintained by the count delta rule — bucket
+   * counts ARE subtractable, so the ×2 repricing of 1995-02 (full-row
+   * updates through the feed) folds without any rescan. The oracle
+   * replays the bucket math, rank walk and selection from scratch in
+   * SQL (integer-exact on the bucket index, same contract as
+   * `incremental_quantile`).
+   */
+  private def changefeedQuantile(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cfq_").toString
+    val src = s"$root/src"
+    val log = s"$root/log"
+    val state = s"$root/state"
+    val keys = Seq("month", "o_orderkey", "v")
+    def hop(): Unit = {
+      graft.pipeline.Streaming.changeFeedHop(s, src, keys, log)
+      graft.pipeline.Streaming.maintainQuantile(s, log, state,
+        Seq("month"), "v")
+      ()
+    }
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")), src, "month")
+    hop()
+    graft.ops.VersionedPartitioned.promote(
+      base.where(col("month") === "1995-02").withColumn("v", col("v") * 2)
+        .unionByName(base.where(col("month") === "1995-03")),
+      src, "month")
+    hop()
+    hop()
+    graft.ops.IncrementalAgg.feedQuantileValues(
+        graft.ops.VersionedPartitioned.read(s, state),
+        Seq("month"), Seq(0.25, 0.5, 0.95))
+      .select(col("month").cast("string").as("month"), col("q"), col("bucket"))
+      .orderBy("month", "q")
+  }
+
+  /**
    * Row-level change data feed on the partitioned table format
    * (ops/VersionedPartitioned.readRowChanges — Delta `table_changes` /
    * Iceberg CDC computed at partition grain): v1 holds 1995-01..03; a
@@ -4712,6 +4933,11 @@ object ExtQueries {
     "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
+    "changefeed_incremental_minmax" -> ((s, dir) => changefeedMinMax(s, dir)),
+    "changefeed_incremental_distinct" -> ((s, dir) => changefeedDistinct(s, dir)),
+    "changefeed_incremental_join" -> ((s, dir) => changefeedJoin(s, dir)),
+    "changefeed_incremental_topk" -> ((s, dir) => changefeedTopK(s, dir)),
+    "changefeed_incremental_quantile" -> ((s, dir) => changefeedQuantile(s, dir)),
     "sql_merge_evolve" -> ((s, dir) => sqlMergeEvolve(s, dir)),
     "sql_copy_into" -> ((s, dir) => sqlCopyInto(s, dir))
   )

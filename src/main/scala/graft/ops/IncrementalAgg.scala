@@ -256,16 +256,23 @@ object IncrementalAgg {
     * carries bucket ids and counts, never values. Negative inputs are
     * a contract violation (shift the measure first) — they would land
     * in ln(|v|) buckets silently, so they are rejected per-row. */
+  /** The guarded log-bucket column itself — public so FEED-maintained
+    * quantile state (`Streaming.maintainQuantile`) can bucketize
+    * change windows with the exact arithmetic the batch state uses.
+    * Negative inputs are rejected per-row, same contract as
+    * `quantileState`. */
+  def bucketColumn(valueCol: String,
+      alpha: Double = DefaultAlpha): org.apache.spark.sql.Column =
+    when(col(valueCol).cast("double") < 0d,
+        raise_error(lit(s"quantile bucket($valueCol): negative value — " +
+          "the log-bucket sketch is positive-domain; shift the measure")))
+      .otherwise(bucketExpr(valueCol, gammaOf(alpha)))
+
   def quantileState(df: DataFrame, partitionCol: String,
       groupCols: Seq[String], valueCol: String,
       alpha: Double = DefaultAlpha): DataFrame = {
-    val gamma = gammaOf(alpha)
-    val guarded = when(col(valueCol).cast("double") < 0d,
-        raise_error(lit(s"quantileState($valueCol): negative value — " +
-          "the log-bucket sketch is positive-domain; shift the measure")))
-      .otherwise(bucketExpr(valueCol, gamma))
     df.select((partitionCol +: groupCols).map(col) :+
-        guarded.as("bucket"): _*)
+        bucketColumn(valueCol, alpha).as("bucket"): _*)
       .groupBy((partitionCol +: groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -380,6 +387,25 @@ object IncrementalAgg {
       Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))
     state.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Read path of a FEED-maintained exact COUNT DISTINCT view
+    * (`Streaming.maintainDistinct`): the state is the distinct-support
+    * relation — one row per (group × value) with multiplicity
+    * `n_rows` — so the per-group distinct count is the group's
+    * support-ROW count. Aggregate-sized input; exact (a value leaves
+    * the support exactly when its multiplicity reaches zero). */
+  def supportDistinctCounts(state: DataFrame, groupCols: Seq[String],
+      distinctCol: String): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"distinct_$distinctCol"))
+
+  /** `quantileValues` over a FEED-maintained (count-rule) quantile
+    * state, whose bucket-count column is `n_rows` rather than the
+    * batch cells' `n`. */
+  def feedQuantileValues(state: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], alpha: Double = DefaultAlpha): DataFrame =
+    quantileValues(state.withColumnRenamed("n_rows", "n"),
+      groupCols, qs, alpha)
 
   /** Partition-grained top-k-rows state: for each (partitionCol ×
     * groupCols) cell, the k best rows by (`orderCol` DESC, `idCol`

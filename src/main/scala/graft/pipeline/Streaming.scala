@@ -585,7 +585,28 @@ object Streaming {
   def maintainAggregate(spark: SparkSession, logRoot: String,
       stateRoot: String, groupCols: Seq[String],
       sumCols: Seq[String]): Option[(Long, Long)] = {
-    import org.apache.spark.sql.functions.{col, lit}
+    val (from, to, win) = pendingWindow(spark, logRoot, stateRoot)
+      .getOrElse(return None)
+    val bootstrap =
+      VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
+    val state =
+      if (bootstrap)
+        graft.ops.IncrementalAgg.aggregate(
+          feedSide(win, "insert").where(lit(false)), groupCols, sumCols)
+      else VersionedPartitioned.read(spark, stateRoot)
+    val next = graft.ops.IncrementalAgg.maintain(state,
+      feedSide(win, "delete"), feedSide(win, "insert"), groupCols, sumCols)
+    commitState(spark, stateRoot, next, groupCols.head, to, bootstrap)
+    Some((from, to))
+  }
+
+  /** The not-yet-folded (from, to] slice of a CDC log for a state
+    * table: the log partitions above the state's cursor, with the
+    * version column dropped (the fold is one signed pass over the
+    * union — full-row feeds make insert/delete deltas associative
+    * across windows). None when the view is caught up. */
+  private def pendingWindow(spark: SparkSession, logRoot: String,
+      stateRoot: String): Option[(Long, Long, DataFrame)] = {
     if (VersionedPartitioned.currentVersion(spark, logRoot).isEmpty)
       return None
     val delivered = VersionedPartitioned.partitions(spark, logRoot)
@@ -599,28 +620,318 @@ object Streaming {
     val win = VersionedPartitioned.readPartitionsWhere(spark, logRoot,
         v => { val n = v.toLong; n > from && n <= to })
       .drop(CommitVersionCol)
-    def side(kind: String) =
-      win.where(col("change_type") === kind).drop("change_type")
+    Some((from, to, win))
+  }
+
+  private def feedSide(win: DataFrame, kind: String): DataFrame =
+    win.where(col("change_type") === kind).drop("change_type")
+
+  /** Commit a maintained state WITH its cursor in one atomic commit —
+    * the exactly-once contract every maintained view shares. */
+  private def commitState(spark: SparkSession, stateRoot: String,
+      next: DataFrame, partitionCol: String, to: Long,
+      bootstrap: Boolean, tagPrefix: String = MvCursorTag,
+      tagValue: Option[String] = None): Unit = {
+    val cursor = Some(tagPrefix + tagValue.getOrElse(to.toString))
+    if (bootstrap) {
+      // an empty bootstrap fold has no commit to carry the cursor —
+      // harmless: the same empty windows re-fold to nothing next hop
+      if (next.take(1).nonEmpty)
+        VersionedPartitioned.promote(next, stateRoot, partitionCol,
+          tag = cursor)
+    } else
+      VersionedPartitioned.overwritePartitions(next, stateRoot,
+        _ => true, tag = cursor)
+  }
+
+  /**
+   * CDC-fed maintenance of an EXACT COUNT DISTINCT view: the state is
+   * the distinct-support relation — one row per (group × distinct
+   * value) with its multiplicity — which IS a count aggregate keyed by
+   * `groupCols :+ distinctCol`, so the count delta rule maintains it
+   * exactly under deletes (a value leaves the support when its
+   * maintained multiplicity reaches zero, precisely when it leaves the
+   * table). Read with `IncrementalAgg.supportDistinctCounts`: the
+   * per-group distinct count is the group's support-row count — an
+   * aggregate-sized pass. This is the standard MV answer to COUNT
+   * DISTINCT's non-subtractability: maintain the support, count at
+   * read. State size is O(#distinct values), change cost O(changes) —
+   * never O(source table).
+   */
+  def maintainDistinct(spark: SparkSession, logRoot: String,
+      stateRoot: String, groupCols: Seq[String],
+      distinctCol: String): Option[(Long, Long)] =
+    maintainAggregate(spark, logRoot, stateRoot,
+      groupCols :+ distinctCol, Nil)
+
+  /**
+   * CDC-fed maintenance of a QUANTILE-SKETCH view: bucketize the
+   * window's value column into the DDSketch log-buckets
+   * (`IncrementalAgg.bucketColumn` — α-relative-error by
+   * construction), then maintain the (group × bucket) counts with the
+   * same count delta rule — bucket counts ARE subtractable, so unlike
+   * the partition-grained batch path no rescan is ever needed. Read
+   * with `IncrementalAgg.feedQuantileValues`. State size is bounded by
+   * the data's dynamic range (≈1 400 buckets/group at α=1% over 12
+   * decades), change cost O(changes).
+   */
+  def maintainQuantile(spark: SparkSession, logRoot: String,
+      stateRoot: String, groupCols: Seq[String], valueCol: String,
+      alpha: Double = graft.ops.IncrementalAgg.DefaultAlpha)
+      : Option[(Long, Long)] = {
+    val (from, to, win) = pendingWindow(spark, logRoot, stateRoot)
+      .getOrElse(return None)
+    val keyed = win.select((groupCols.map(col) :+
+      graft.ops.IncrementalAgg.bucketColumn(valueCol, alpha).as("bucket") :+
+      col("change_type")): _*)
+    val keyCols = groupCols :+ "bucket"
     val bootstrap =
       VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
     val state =
       if (bootstrap)
         graft.ops.IncrementalAgg.aggregate(
-          side("insert").where(lit(false)), groupCols, sumCols)
+          feedSide(keyed, "insert").where(lit(false)), keyCols, Nil)
       else VersionedPartitioned.read(spark, stateRoot)
     val next = graft.ops.IncrementalAgg.maintain(state,
-      side("delete"), side("insert"), groupCols, sumCols)
-    val cursor = Some(s"$MvCursorTag$to")
-    if (bootstrap) {
-      // an empty bootstrap fold has no commit to carry the cursor —
-      // harmless: the same empty windows re-fold to nothing next hop
-      if (next.take(1).nonEmpty)
-        VersionedPartitioned.promote(next, stateRoot, groupCols.head,
-          tag = cursor)
-    } else
-      VersionedPartitioned.overwritePartitions(next, stateRoot,
-        _ => true, tag = cursor)
+      feedSide(keyed, "delete"), feedSide(keyed, "insert"), keyCols, Nil)
+    commitState(spark, stateRoot, next, groupCols.head, to, bootstrap)
     Some((from, to))
+  }
+
+  /**
+   * CDC-fed maintenance of an exact MIN/MAX (+ row count) view.
+   * Min/max is not subtractable — deleting the current extremum
+   * invalidates `state − old + new` — so the fold splits per group:
+   *
+   *  - inserts merge for free (`least`/`greatest` against the state);
+   *  - a group whose deletes provably cannot reach the merged extremes
+   *    (every deleted value strictly inside them) keeps the merged
+   *    cells;
+   *  - only groups a delete MIGHT have de-extremed are RESCANNED from
+   *    the source — at the log's own `to` version (time travel), so
+   *    the fold is exact even if the source has since advanced.
+   *
+   * The rescan reads only the affected groups' rows (broadcast
+   * semi-join on the group keys — partition-pruned further when the
+   * group key is the source's partition column), so the steady-state
+   * cost is O(changes) + O(affected groups' rows), never O(source
+   * table). A group whose maintained count reaches zero leaves the
+   * state, exactly as a recompute would drop it.
+   *
+   * Exactly-once like `maintainAggregate`: state + cursor commit
+   * atomically; replays no-op; restarts resume from the cursor.
+   */
+  def maintainMinMax(spark: SparkSession, logRoot: String,
+      stateRoot: String, sourceRoot: String, groupCols: Seq[String],
+      valueCols: Seq[String]): Option[(Long, Long)] = {
+    require(valueCols.nonEmpty, "at least one value column")
+    val (from, to, win) = pendingWindow(spark, logRoot, stateRoot)
+      .getOrElse(return None)
+    val ins = feedSide(win, "insert")
+    val del = feedSide(win, "delete")
+    val bootstrap =
+      VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
+    def shape(df: DataFrame): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +: valueCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val state =
+      if (bootstrap) shape(ins.where(lit(false)))
+      else VersionedPartitioned.read(spark, stateRoot)
+    val insAgg = ins.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n_ins"),
+        valueCols.flatMap(c => Seq(min(col(c)).as(s"__ins_min_$c"),
+          max(col(c)).as(s"__ins_max_$c"))): _*)
+    val delAgg = del.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n_del"),
+        valueCols.flatMap(c => Seq(min(col(c)).as(s"__del_min_$c"),
+          max(col(c)).as(s"__del_max_$c"))): _*)
+    val merged = state.join(insAgg, groupCols, "full_outer")
+      .join(delAgg, groupCols, "full_outer")
+    val nNext = coalesce(col("n_rows"), lit(0L)) +
+      coalesce(col("__n_ins"), lit(0L)) - coalesce(col("__n_del"), lit(0L))
+    // merged candidates: exact when no delete can reach them (least/
+    // greatest skip nulls, so an insert-only or state-only side merges
+    // correctly)
+    def candMin(c: String) = least(col(s"min_$c"), col(s"__ins_min_$c"))
+    def candMax(c: String) = greatest(col(s"max_$c"), col(s"__ins_max_$c"))
+    // a group needs the source rescan iff it HAS deletes and either
+    // was never in state (an insert+delete churn window) or some
+    // deleted value ties/bounds a candidate extreme — strictly-inside
+    // deletes provably cannot change min/max. The outer coalesce makes
+    // an UNDECIDABLE comparison (all-null values on some side) rescan
+    // rather than silently drop the group: rescan-on-doubt, never
+    // wrong, like every prune in this engine.
+    val rescan = coalesce(col("__n_del"), lit(0L)) > 0 &&
+      coalesce(col("n_rows").isNull || valueCols.map(c =>
+        col(s"__del_min_$c") <= candMin(c) ||
+          col(s"__del_max_$c") >= candMax(c)).reduce(_ || _), lit(true))
+    val keepCols = groupCols.map(col) ++ (nNext.as("n_rows") +:
+      valueCols.flatMap(c =>
+        Seq(candMin(c).as(s"min_$c"), candMax(c).as(s"max_$c"))))
+    val kept = merged.where(!rescan && nNext > 0).select(keepCols: _*)
+    val affected = merged.where(rescan).select(groupCols.map(col): _*)
+    // exact recompute of ONLY the affected groups, at the window's own
+    // source version — the broadcast semi-join keeps the scan to those
+    // groups' rows
+    val rescanned = shape(VersionedPartitioned.readAt(spark, sourceRoot, to)
+      .join(broadcast(affected), groupCols, "left_semi"))
+    val next = kept.unionByName(rescanned)
+    commitState(spark, stateRoot, next, groupCols.head, to, bootstrap)
+    Some((from, to))
+  }
+
+  /**
+   * CDC-fed maintenance of an exact per-group TOP-K-rows view (rank by
+   * `orderCol` DESC, ties broken by `idCol` ASC). The state keeps each
+   * group's current top-≤k rows, which is lossless for every question
+   * the view answers:
+   *
+   *  - window deltas net out by FULL ROW first (an insert+delete of
+   *    the same row across folded windows cancels; an update is a
+   *    delete of the old row + insert of the new, both surviving);
+   *  - inserts only RAISE the bar: merging them into the state and
+   *    re-ranking is exact;
+   *  - a delete below the group's k-th row cannot surface (state
+   *    holds k better rows) — ignored;
+   *  - a delete hitting a FULL group's state row opens a slot whose
+   *    refill row is not in state — that group alone is RESCANNED from
+   *    the source at the window's `to` version. A group with fewer
+   *    than k state rows holds ALL its rows, so its deletes apply
+   *    in-state without rescan.
+   *
+   * Steady-state cost: O(changes) + O(affected groups' rows); state is
+   * O(#groups × k). Exactly-once like `maintainAggregate`.
+   */
+  def maintainTopK(spark: SparkSession, logRoot: String,
+      stateRoot: String, sourceRoot: String, groupCols: Seq[String],
+      orderCol: String, idCol: String, k: Int): Option[(Long, Long)] = {
+    require(k > 0, "k must be positive")
+    val (from, to, win) = pendingWindow(spark, logRoot, stateRoot)
+      .getOrElse(return None)
+    val ins = feedSide(win, "insert")
+    val del = feedSide(win, "delete")
+    val stateCols = groupCols :+ idCol :+ orderCol
+    def proj(df: DataFrame) = df.select(stateCols.map(col): _*)
+    val netIns = proj(ins.exceptAll(del))
+    val netDel = proj(del.exceptAll(ins))
+    val bootstrap =
+      VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
+    // proj the persisted state too: the parquet read appends the
+    // partition column last, and exceptAll below is POSITIONAL
+    val state =
+      if (bootstrap) proj(ins.where(lit(false)))
+      else proj(VersionedPartitioned.read(spark, stateRoot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    def rank(df: DataFrame) = df
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .drop("__rn")
+    // groups needing a refill: FULL in state (k rows) AND a net delete
+    // hit one of those rows (full-tuple match — a below-k delete never
+    // appears in state and never rescans)
+    val fullness = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val stateSized = state
+      .withColumn("__gn", count(lit(1)).over(fullness))
+    val hit = stateSized.join(netDel, stateCols, "left_semi")
+    val affected = hit.where(col("__gn") >= k)
+      .select(groupCols.map(col): _*).distinct()
+    // survivors: state rows minus the deleted tuples, for groups NOT
+    // being rescanned; merge the net inserts and re-rank
+    val survivors = state.exceptAll(netDel)
+      .join(broadcast(affected), groupCols, "left_anti")
+    val merged = rank(survivors.unionByName(
+      netIns.join(broadcast(affected), groupCols, "left_anti")))
+    val rescanned = rank(proj(
+      VersionedPartitioned.readAt(spark, sourceRoot, to)
+        .join(broadcast(affected), groupCols, "left_semi")))
+    val next = merged.unionByName(rescanned)
+    commitState(spark, stateRoot, next, groupCols.head, to, bootstrap)
+    Some((from, to))
+  }
+
+  /** Cursor tag for a maintained JOIN view — carries BOTH sides'
+    * folded source versions as `<factV>:<dimV>`. */
+  private[graft] val MvJoinCursorTag = "mv-join-version:"
+
+  /**
+   * CDC-fed maintenance of a materialized JOIN aggregate
+   * (`IncrementalAgg.joinAggregate` over fact ⋈ dim) from TWO change
+   * feeds — the two-relation delta rule Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD
+   * with both deltas read straight from the logs:
+   *
+   *  - ΔF/ΔD are the logs' pending insert/delete windows;
+   *  - D_new is the dim at ITS window's `to` version, F_old the fact
+   *    at its `from` (both time travel — exact even if the sources
+   *    advance mid-fold; an empty fact cursor means F_old is empty and
+   *    those terms vanish).
+   *
+   * The composite cursor `<factTo>:<dimTo>` commits atomically with
+   * the state; either feed being caught up simply zeroes its delta
+   * terms. Steady-state cost: the ΔF terms scan change-sized frames
+   * against the (broadcastable) dim; the F_old⋈ΔD terms scan the old
+   * fact restricted BY THE JOIN ITSELF to the changed dim keys — an
+   * unchanged dim contributes nothing. Exactly-once like
+   * `maintainAggregate`.
+   */
+  def maintainJoinView(spark: SparkSession, factLogRoot: String,
+      dimLogRoot: String, factRoot: String, dimRoot: String,
+      stateRoot: String, joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String]): Option[((Long, Long), (Long, Long))] = {
+    def deliveredMax(logRoot: String): Long =
+      if (VersionedPartitioned.currentVersion(spark, logRoot).isEmpty) 0L
+      else VersionedPartitioned.partitions(spark, logRoot)
+        .map(d => d.substring(d.indexOf('=') + 1).toLong)
+        .foldLeft(0L)(math.max)
+    val (fTo, dTo) = (deliveredMax(factLogRoot), deliveredMax(dimLogRoot))
+    val (fFrom, dFrom) = VersionedPartitioned
+      .latestTagWithPrefix(spark, stateRoot, MvJoinCursorTag)
+      .map { s => val Array(a, b) = s.split(":"); (a.toLong, b.toLong) }
+      .getOrElse((0L, 0L))
+    if (fTo <= fFrom && dTo <= dFrom) return None
+    def windowOf(logRoot: String, sourceRoot: String, from: Long,
+        to: Long): DataFrame = {
+      // an empty or caught-up log contributes an empty delta — built
+      // from the log schema when one exists, else from the SOURCE's
+      // (a consumer may start before the other side's feed bootstraps)
+      if (VersionedPartitioned.currentVersion(spark, logRoot).isEmpty)
+        VersionedPartitioned.read(spark, sourceRoot).where(lit(false))
+          .withColumn("change_type", lit("insert"))
+      else if (to <= from)
+        VersionedPartitioned.read(spark, logRoot)
+          .where(lit(false)).drop(CommitVersionCol)
+      else VersionedPartitioned.readPartitionsWhere(spark, logRoot,
+          v => { val n = v.toLong; n > from && n <= to })
+        .drop(CommitVersionCol)
+    }
+    val fWin = windowOf(factLogRoot, factRoot, fFrom, fTo)
+    val dWin = windowOf(dimLogRoot, dimRoot, dFrom, dTo)
+    val oldFact =
+      if (fFrom == 0L) VersionedPartitioned.read(spark, factRoot)
+        .where(lit(false))
+      else VersionedPartitioned.readAt(spark, factRoot, fFrom)
+    val newDim =
+      if (dTo == 0L) VersionedPartitioned.read(spark, dimRoot)
+        .where(lit(false))
+      else VersionedPartitioned.readAt(spark, dimRoot, dTo)
+    val bootstrap =
+      VersionedPartitioned.currentVersion(spark, stateRoot).isEmpty
+    val state =
+      if (bootstrap)
+        graft.ops.IncrementalAgg.joinAggregate(
+          feedSide(fWin, "insert").where(lit(false)), newDim,
+          joinKeys, groupCols, sumCols)
+      else VersionedPartitioned.read(spark, stateRoot)
+    val next = graft.ops.IncrementalAgg.maintainJoin(state,
+      oldFact, feedSide(fWin, "delete"), feedSide(fWin, "insert"),
+      newDim, feedSide(dWin, "delete"), feedSide(dWin, "insert"),
+      joinKeys, groupCols, sumCols)
+    commitState(spark, stateRoot, next, groupCols.head, 0L, bootstrap,
+      tagPrefix = MvJoinCursorTag, tagValue = Some(s"$fTo:$dTo"))
+    Some(((fFrom, fTo), (dFrom, dTo)))
   }
 
   /** The maintained aggregate as a STREAMING SUBSCRIPTION — the

@@ -565,6 +565,214 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows().map(_._1) == Seq("2024-03-02", "2024-03-03"))
   }
 
+  test("maintainMinMax: extremum deletes rescan, replays no-op, restarts resume") {
+    import graft.ops.VersionedPartitioned
+    val root = Files.createTempDirectory("graft_cdcmm_").toString
+    val (src, log, state) = (s"$root/src", s"$root/log", s"$root/state")
+    val keys = Seq("date", "id", "px")
+    def rows(d: Int, pairs: Seq[(Long, Double)]) = pairs.map { case (i, p) =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i, p) }
+      .toDF("date", "id", "px")
+    def stateRows() = VersionedPartitioned.read(spark, state)
+      .select(col("date").cast("string"), col("n_rows"),
+        col("min_px"), col("max_px"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    def batchRows() = VersionedPartitioned.read(spark, src)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), min("px"), max("px"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    def hop() = {
+      Streaming.changeFeedHop(spark, src, keys, log)
+      Streaming.maintainMinMax(spark, log, state, src, Seq("date"), Seq("px"))
+    }
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 2L -> 9.0, 3L -> 1.0))
+        .union(rows(2, Seq(4L -> 7.0, 5L -> 2.0))), src, "date")
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+    val v1 = VersionedPartitioned.currentVersion(spark, state).get
+    // replay (a restart re-running the last hop): caught up, no commit
+    assert(Streaming.maintainMinMax(spark, log, state, src,
+      Seq("date"), Seq("px")).isEmpty)
+    assert(VersionedPartitioned.currentVersion(spark, state).get == v1)
+    // delete day 1's MAX (id 2) — the non-subtractable case: the new
+    // max (5.0) is not derivable from state+delta, only from the
+    // affected-group rescan
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 3L -> 1.0)), src, "date")
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+    assert(stateRows().find(_._1 == "2024-03-01").get ==
+      (("2024-03-01", 2L, 1.0, 5.0)))
+    // a strictly-inside delete (day 1's id 3=1.0 stays; delete nothing
+    // extreme on day 2? delete px=2.0 which IS day 2's min → rescan);
+    // then empty a whole group: day 2 drops entirely
+    VersionedPartitioned.deletePartitionValues(spark, src, Set("2024-03-02"))
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+    assert(stateRows().map(_._1) == Seq("2024-03-01"))
+  }
+
+  test("maintainTopK: winner deletes refill from source, replays no-op") {
+    import graft.ops.VersionedPartitioned
+    val root = Files.createTempDirectory("graft_cdctopk_").toString
+    val (src, log, state) = (s"$root/src", s"$root/log", s"$root/state")
+    val keys = Seq("date", "id", "px")
+    def rows(d: Int, pairs: Seq[(Long, Double)]) = pairs.map { case (i, p) =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i, p) }
+      .toDF("date", "id", "px")
+    def topRows() = graft.ops.IncrementalAgg.topKValues(
+        VersionedPartitioned.read(spark, state), Seq("date"), "px", "id", 2)
+      .select(col("date").cast("string"), col("rank"), col("id"), col("px"))
+      .as[(String, Int, Long, Double)].collect().toSeq.sorted
+    def batchTop() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("date")).orderBy(col("px").desc, col("id").asc)
+      VersionedPartitioned.read(spark, src)
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+        .select(col("date").cast("string"), col("rank"), col("id"), col("px"))
+        .as[(String, Int, Long, Double)].collect().toSeq.sorted
+    }
+    def hop() = {
+      Streaming.changeFeedHop(spark, src, keys, log)
+      Streaming.maintainTopK(spark, log, state, src, Seq("date"),
+        "px", "id", 2)
+    }
+    // day 1 has FOUR rows so the refill row (id 1, px 5.0) is outside
+    // the bootstrapped top-2 state
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 2L -> 9.0, 3L -> 1.0, 4L -> 7.0)), src, "date")
+    assert(hop().isDefined)
+    assert(topRows() == batchTop())
+    assert(topRows().map(_._3) == Seq(2L, 4L))
+    val v1 = VersionedPartitioned.currentVersion(spark, state).get
+    assert(Streaming.maintainTopK(spark, log, state, src, Seq("date"),
+      "px", "id", 2).isEmpty)
+    assert(VersionedPartitioned.currentVersion(spark, state).get == v1)
+    // delete the #1 row (id 2): the slot refills with id 1 (5.0), a row
+    // the state never held — only the source rescan can supply it
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 3L -> 1.0, 4L -> 7.0)), src, "date")
+    assert(hop().isDefined)
+    assert(topRows() == batchTop())
+    assert(topRows().map(_._3) == Seq(4L, 1L))
+    // inserts only raise the bar — no rescan path needed, still exact
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 3L -> 1.0, 4L -> 7.0, 5L -> 8.5)), src, "date")
+    assert(hop().isDefined)
+    assert(topRows() == batchTop())
+    assert(topRows().map(_._3) == Seq(5L, 4L))
+  }
+
+  test("maintainDistinct + maintainQuantile: count-rule states equal batch") {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_cdcdq_").toString
+    val (src, log) = (s"$root/src", s"$root/log")
+    val (dState, qState) = (s"$root/dstate", s"$root/qstate")
+    val keys = Seq("date", "id", "px")
+    def rows(d: Int, pairs: Seq[(Long, Double)]) = pairs.map { case (i, p) =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), i, p) }
+      .toDF("date", "id", "px")
+    def hop() = {
+      Streaming.changeFeedHop(spark, src, keys, log)
+      val d = Streaming.maintainDistinct(spark, log, dState, Seq("date"), "px")
+      val q = Streaming.maintainQuantile(spark, log, qState, Seq("date"), "px")
+      (d, q)
+    }
+    VersionedPartitioned.promote(
+      rows(1, Seq(1L -> 5.0, 2L -> 5.0, 3L -> 9.0))
+        .union(rows(2, Seq(4L -> 2.0, 5L -> 3.0))), src, "date")
+    hop()
+    // px 5.0 counted once on day 1 despite two rows
+    assert(IncrementalAgg.supportDistinctCounts(
+        VersionedPartitioned.read(spark, dState), Seq("date"), "px")
+      .select(col("date").cast("string"), col("distinct_px"))
+      .as[(String, Long)].collect().toSeq.sorted ==
+      Seq(("2024-03-01", 2L), ("2024-03-02", 2L)))
+    // a fan-out sanity: the two views carry INDEPENDENT cursors on
+    // their own state tables over the SAME log
+    val (dv, qv) = (VersionedPartitioned.currentVersion(spark, dState).get,
+      VersionedPartitioned.currentVersion(spark, qState).get)
+    assert(hop() == ((None, None)))
+    // rewrite day 1: drop one 5.0 row (multiplicity 2→1, support keeps
+    // the value) and drop 9.0 entirely (support loses it)
+    VersionedPartitioned.promote(rows(1, Seq(1L -> 5.0)), src, "date")
+    val (d2, q2) = hop()
+    assert(d2.isDefined && q2.isDefined)
+    assert(IncrementalAgg.supportDistinctCounts(
+        VersionedPartitioned.read(spark, dState), Seq("date"), "px")
+      .select(col("date").cast("string"), col("distinct_px"))
+      .as[(String, Long)].collect().toSeq.sorted ==
+      Seq(("2024-03-01", 1L), ("2024-03-02", 2L)))
+    assert(VersionedPartitioned.currentVersion(spark, dState).get > dv &&
+      VersionedPartitioned.currentVersion(spark, qState).get > qv)
+    // quantile state equals the batch bucketization of the final table
+    val feedBuckets = VersionedPartitioned.read(spark, qState)
+      .select(col("date").cast("string"), col("bucket"), col("n_rows"))
+      .as[(String, Int, Long)].collect().toSeq.sorted
+    val batchBuckets = VersionedPartitioned.read(spark, src)
+      .select(col("date").cast("string"),
+        IncrementalAgg.bucketColumn("px").as("bucket"))
+      .groupBy("date", "bucket").agg(count(lit(1)).as("n"))
+      .as[(String, Int, Long)].collect().toSeq.sorted
+    assert(feedBuckets == batchBuckets)
+  }
+
+  test("maintainJoinView: two feeds, one delta-rule fold, composite cursor") {
+    import graft.ops.{IncrementalAgg, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_cdcjv_").toString
+    val (fsrc, flog) = (s"$root/fsrc", s"$root/flog")
+    val (dsrc, dlog) = (s"$root/dsrc", s"$root/dlog")
+    val state = s"$root/state"
+    def facts(d: Int, pairs: Seq[(Long, Double)]) = pairs.map { case (k, p) =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"), k, p) }
+      .toDF("date", "k", "px")
+    def dims(pairs: Seq[(Long, String)]) = pairs
+      .toDF("k", "seg").withColumn("db", col("k") % 2)
+    def hop() = {
+      Streaming.changeFeedHop(spark, fsrc, Seq("date", "k", "px"), flog)
+      Streaming.changeFeedHop(spark, dsrc, Seq("k", "seg", "db"), dlog)
+      Streaming.maintainJoinView(spark, flog, dlog, fsrc, dsrc, state,
+        Seq("k"), Seq("seg"), Seq("px"))
+    }
+    def stateRows() = VersionedPartitioned.read(spark, state)
+      .select(col("seg"), col("n_rows"), col("sum_px"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    def batchRows() = IncrementalAgg.joinAggregate(
+        VersionedPartitioned.read(spark, fsrc),
+        VersionedPartitioned.read(spark, dsrc),
+        Seq("k"), Seq("seg"), Seq("px"))
+      .select(col("seg"), col("n_rows"), col("sum_px"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    VersionedPartitioned.promote(
+      facts(1, Seq(1L -> 5.0, 2L -> 9.0)).union(facts(2, Seq(3L -> 2.0))),
+      fsrc, "date")
+    VersionedPartitioned.promote(
+      dims(Seq(1L -> "a", 2L -> "b", 3L -> "a")), dsrc, "db")
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+    val v1 = VersionedPartitioned.currentVersion(spark, state).get
+    // replay: both feeds caught up → no state commit
+    assert(hop().isEmpty)
+    assert(VersionedPartitioned.currentVersion(spark, state).get == v1)
+    // BOTH sides change in one fold: fact day 1 repriced + day 3
+    // appended; dim key 3 moves a→b (delete+insert through its feed)
+    VersionedPartitioned.promote(
+      facts(1, Seq(1L -> 6.0, 2L -> 9.0)).union(facts(3, Seq(4L -> 1.0))),
+      fsrc, "date")
+    VersionedPartitioned.promote(
+      dims(Seq(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "a")), dsrc, "db")
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+    assert(stateRows() ==
+      Seq(("a", 2L, 7.0), ("b", 2L, 11.0)))
+    // dim-only change: the fact terms vanish, the fold still lands
+    VersionedPartitioned.promote(
+      dims(Seq(1L -> "b", 2L -> "b", 3L -> "b", 4L -> "a")), dsrc, "db")
+    assert(hop().isDefined)
+    assert(stateRows() == batchRows())
+  }
+
   test("changeFeed + IncrementalAgg: a CDC-maintained view survives restarts") {
     import graft.ops.{IncrementalAgg, VersionedPartitioned}
     val root = Files.createTempDirectory("graft_cdcmv_").toString
