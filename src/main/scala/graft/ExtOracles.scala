@@ -450,6 +450,7 @@ object ExtOracles {
       // one oracle for both doors
       ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
+      ("sql_point_lookup" -> oracle("sql_point_lookup")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
       ("changefeed_incremental_minmax" ->
         oracle("changefeed_incremental_minmax")) +

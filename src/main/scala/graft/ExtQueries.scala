@@ -2713,6 +2713,40 @@ object ExtQueries {
       GROUP BY d.quarter ORDER BY quarter""")
   }
 
+  /**
+   * Bloom-indexed point lookup through the statement door
+   * (ops/SqlLifecycle `CREATE BLOOMFILTER INDEX` +
+   * VersionedPartitioned per-file bloom sidecars): a high-cardinality
+   * md5 doc id is scattered across every partition, so min/max stats
+   * keep every file — only the per-file bloom can skip. The index is
+   * created BEFORE the insert (Databricks semantics: new writes emit
+   * blooms), and the routed equality statement must both skip files
+   * (HiddenPartitionSpec pins inputFiles) and return exactly the
+   * looked-up row — this gate hash-pins the latter against DuckDB's
+   * own md5.
+   */
+  private def sqlPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlpt_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA p")
+    life.execute("""
+      CREATE TABLE p.docs (month STRING, o_orderkey BIGINT, doc STRING)
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("CREATE BLOOMFILTER INDEX ON TABLE p.docs FOR COLUMNS (doc)")
+    val base = monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-03"))
+      .select(col("month"), col("o_orderkey"),
+        md5(col("o_orderkey").cast("string")).as("doc"))
+    base.createOrReplaceTempView("sqlpt_docs_src")
+    life.execute("INSERT INTO p.docs SELECT * FROM sqlpt_docs_src")
+    val target = base.where(col("month") === "1995-02")
+      .agg(md5(min(col("o_orderkey")).cast("string"))).head().getString(0)
+    life.query(
+      s"SELECT month, o_orderkey, doc FROM p.docs WHERE doc = '$target' " +
+        "ORDER BY o_orderkey")
+  }
+
   /** Hidden partitioning, day transform (ops/HiddenPartition): events
     * promoted under days(ts) — the user never supplies a partition
     * key — then a two-week SOURCE-column range read that prunes at the
@@ -4932,6 +4966,7 @@ object ExtQueries {
     "sql_changelog_view" -> ((s, dir) => sqlChangelogView(s, dir)),
     "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
+    "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
     "changefeed_incremental_minmax" -> ((s, dir) => changefeedMinMax(s, dir)),
     "changefeed_incremental_distinct" -> ((s, dir) => changefeedDistinct(s, dir)),

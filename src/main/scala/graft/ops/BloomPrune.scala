@@ -40,7 +40,14 @@ object BloomPrune {
 
   /** `bloom_might_contain(bloomBytes, xxhash64Value)` — Spark's native
     * codegen'd probe expression, surfaced as a registrable function
-    * (it ships in catalyst but is not in the public FunctionRegistry). */
+    * (it ships in catalyst but is not in the public FunctionRegistry) —
+    * and `bloom_filter_agg(xxhash64Value, estItems, numBits)`, its
+    * build-side AGGREGATE twin (what `InjectRuntimeFilter` plants on
+    * the creation side), which makes per-GROUP blooms expressible —
+    * the per-FILE bloom sidecars `VersionedPartitioned.writeSnapshot`
+    * emits are one `groupBy(__file).agg(bloom_filter_agg(…))`. Both
+    * ends hash through `xxhash64`, so build and probe agree by
+    * construction. */
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("bloom_might_contain"),
@@ -50,6 +57,17 @@ object BloomPrune {
         require(children.size == 2,
           "bloom_might_contain(bloom_bytes, xxhash64_value)")
         BloomFilterMightContain(children.head, children(1))
+      }),
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_filter_agg(xxhash64_value, est_items, num_bits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children.head, children(1), children(2))
       }))
 
   /** Idempotent per-session registration (same contract as

@@ -143,6 +143,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
+      case CreateBloomIdxRe(name, cols) =>
+        bloomIndex(name.toLowerCase, Some(cols)); None
+      case DropBloomIdxRe(name) =>
+        bloomIndex(name.toLowerCase, None); None
       case CopyIntoRe(name, path, fmt) =>
         // FILEFORMAT is matched loudly: a non-PARQUET format names the
         // table and the format rather than falling through to the
@@ -534,15 +538,41 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             }
         }
       }
+    // equality/IN conjuncts on BLOOM-indexed data columns additionally
+    // probe the per-file blooms — the point-lookup skip min/max cannot
+    // make on a scattered high-cardinality id. The bloom-coverage
+    // census (one footer read per snapshot) is paid only when an
+    // equality conjunct exists on a non-partition column.
+    val filePoints: Seq[(String, Seq[Any])] =
+      if (hidden || augmented.size != 1) Nil
+      else {
+        val conjuncts = augmented.head.conjuncts
+        val eqCols = conjuncts.flatMap(_.references.toSeq.map(_.name))
+          .distinct.filterNot(_.equalsIgnoreCase(pcol))
+          .flatMap(c => ScanPrune.boundsFor(conjuncts, c)
+            .flatMap(_.eqs).filter(_.nonEmpty).map(vs => (c, vs)))
+        if (eqCols.isEmpty) Nil
+        else {
+          val covered =
+            try VersionedPartitioned.bloomCoveredCols(spark, path, occ.version)
+            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+          eqCols.flatMap { case (c, ls) =>
+            covered.find(_.equalsIgnoreCase(c)).map(cc =>
+              (cc, ls.map(l => org.apache.spark.sql.catalyst
+                .CatalystTypeConverters.convertToScala(l.value, l.dataType))))
+          }
+        }
+      }
     def register(frame: DataFrame): Boolean = {
       frame.select(occ.meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         .createOrReplaceTempView(occ.view)
       true
     }
-    if (fileBounds.nonEmpty) {
+    if (fileBounds.nonEmpty || filePoints.nonEmpty) {
       val keep = partKeep.getOrElse((_: String) => true)
       val kept = VersionedPartitioned
-        .prunedFilesWhere(spark, path, fileBounds, keep, occ.version)
+        .prunedFilesWhere(spark, path, fileBounds, keep, occ.version,
+          filePoints)
       val fileNarrows = partNarrows || {
         val census = VersionedPartitioned
           .prunedFilesWhere(spark, path, Nil, keep, occ.version)
@@ -1210,7 +1240,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       // reference's DELETE-day-then-INSERT sequence (see
       // VersionedPartitioned.insertInto)
       VersionedPartitioned.insertInto(withPhysKey(rows, meta),
-        tableDir(name).toString, p)
+        tableDir(name).toString, p, bloomCols = meta.bloomCols)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1338,7 +1368,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             affected.contains)
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         VersionedPartitioned.overwritePartitions(
-          withPhysKey(applyTo(cur), meta), path, affected.contains)
+          withPhysKey(applyTo(cur), meta), path, affected.contains,
+          bloomCols = meta.bloomCols)
         ()
       case None =>
         val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1566,7 +1597,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           val ins = insertCond.map(c =>
             src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
           if (insertAll && ins.take(1).nonEmpty) {
-            VersionedPartitioned.promote(withPhysKey(ins, meta), path, p)
+            VersionedPartitioned.promote(withPhysKey(ins, meta), path, p,
+              bloomCols = meta.bloomCols)
           }
           return
         }
@@ -1577,7 +1609,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           val cur = readTable(target, meta)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, _ => true)
+            path, _ => true, bloomCols = meta.bloomCols)
         } else {
           val srcParts = partsOf(withPhysKey(src, meta))
           val matchedParts =
@@ -1592,7 +1624,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, affected.contains)
+            path, affected.contains, bloomCols = meta.bloomCols)
         }
         ()
     }
@@ -1810,7 +1842,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     meta.partitionCol match {
       case Some(p) =>
         VersionedPartitioned.promote(withPhysKey(src, meta),
-          tableDir(name).toString, p)
+          tableDir(name).toString, p, bloomCols = meta.bloomCols)
         ()
       case None =>
         Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
@@ -1858,8 +1890,40 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case None => _ => true
     }
     VersionedPartitioned.optimizeZOrderWhere(spark, path, zExprs, bits,
-      statsCols = resolved, keep = keep)
+      statsCols = resolved, keep = keep, bloomCols = meta.bloomCols)
     ()
+  }
+
+  /** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, …)` —
+    * Databricks' point-lookup index verb, with Databricks' semantics:
+    * the index columns are recorded in the table META, and every
+    * SUBSEQUENT write (INSERT / INSERT OVERWRITE / MERGE / UPDATE /
+    * OPTIMIZE) emits a per-file `bloom_<c>` filter into its stats
+    * sidecar; existing files index on their next rewrite (`OPTIMIZE`).
+    * Routed point statements (`WHERE c = 'v'` / `IN (…)`) then skip
+    * files whose bloom provably lacks the value — the case min/max
+    * stats cannot discriminate on a scattered high-cardinality id.
+    * DROP removes the meta entry; existing sidecars stay (ignored once
+    * no statement asks for point skipping — they ride out with their
+    * snapshots). */
+  private def bloomIndex(name: String, colsBlock: Option[String]): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"BLOOMFILTER INDEX ON $name: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"BLOOMFILTER INDEX ON $name: only partitioned tables carry " +
+        "file-level sidecars")
+    colsBlock match {
+      case Some(block) =>
+        val cols = splitTop(block).map { raw =>
+          val want = raw.trim
+          meta.schema.fieldNames.find(_.equalsIgnoreCase(want)).getOrElse(
+            throw new IllegalArgumentException(
+              s"BLOOMFILTER INDEX ON $name FOR COLUMNS $want: no such column"))
+        }
+        writeMeta(name, meta.copy(bloomCols = cols))
+      case None =>
+        writeMeta(name, meta.copy(bloomCols = Nil))
+    }
   }
 
   private def dropTable(name: String): Unit = {
@@ -2065,9 +2129,10 @@ object SqlLifecycle {
   private val ViewFileSuffix = ".graft_view.sql"
 
   private final case class TableMeta(schema: StructType,
-      partitionCol: Option[String]) {
+      partitionCol: Option[String], bloomCols: Seq[String] = Nil) {
     def render: String =
-      s"partition=${partitionCol.getOrElse("-")}\nddl=${schema.toDDL}\n"
+      s"partition=${partitionCol.getOrElse("-")}\nddl=${schema.toDDL}\n" +
+        (if (bloomCols.isEmpty) "" else s"bloom=${bloomCols.mkString(",")}\n")
   }
 
   private object TableMeta {
@@ -2076,7 +2141,8 @@ object SqlLifecycle {
         .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
         .toMap
       TableMeta(StructType.fromDDL(kv("ddl")),
-        Some(kv("partition")).filter(_ != "-"))
+        Some(kv("partition")).filter(_ != "-"),
+        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
     }
   }
 
@@ -2238,6 +2304,13 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
+  // Databricks' point-lookup index verbs: CREATE records the columns
+  // in the table meta (new writes emit bloom sidecars), DROP removes
+  private val CreateBloomIdxRe =
+    ("""(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+([\w.]+)\s+""" +
+      """FOR\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*$""").r
+  private val DropBloomIdxRe =
+    """(?is)^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   // Databricks' idempotent file-ingest verb; any FILEFORMAT matches so
   // non-PARQUET rejects with the table named, not an unroutable error
   private val CopyIntoRe =

@@ -570,7 +570,7 @@ object VersionedPartitioned {
   private def writeSnapshot(df: DataFrame, rootPath: HPath,
       partitionCol: String, statsCols: Seq[String],
       cluster: Boolean = true, clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): String = {
+      maxRecordsPerFile: Long = 0L, bloomCols: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     val snapName = Versioned.SnapPrefix + UUID.randomUUID().toString
     val snapPath = new HPath(rootPath, snapName)
@@ -585,10 +585,30 @@ object VersionedPartitioned {
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)
       .parquet(snapPath.toString)
-    if (statsCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{count, element_at, lit, max, min, regexp_replace, split, url_decode}
-      val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{call_function, count, element_at, lit, max, min, regexp_replace, split, url_decode, xxhash64}
+      // bloom columns get min/max TOO (same pass, negligible cost), so
+      // every bloom-covered column is also range-covered and the read
+      // planners need only one coverage census
+      val rangeCols = (statsCols ++ bloomCols).distinct
+      // per-file bloom over xxhash64(value) — Spark's own
+      // BloomFilterAggregate (the InjectRuntimeFilter build shape),
+      // probed at plan time with BloomFilterMightContain over the same
+      // hash. Sizing: ~`bloomBits` bits/file/column (default 2^19 =
+      // 64 KB serialized) holds `bloomItems` (default 50k) distinct
+      // values/file at <1% fpp; both conf knobs — a 100 TB layout with
+      // bigger files raises them, or caps skipping at a higher fpp
+      // (false positives only COST, never lose rows).
+      val bloomItems = spark.conf.getOption("spark.graft.stats.bloomItems")
+        .map(_.toLong).getOrElse(50000L)
+      val bloomBits = spark.conf.getOption("spark.graft.stats.bloomBits")
+        .map(_.toLong).getOrElse(1L << 19)
+      if (bloomCols.nonEmpty) BloomPrune.register(spark)
+      val aggs = (count(lit(1)).as("__rows") +: rangeCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+        bloomCols.map(c => call_function("bloom_filter_agg",
+          xxhash64(col(c)), lit(bloomItems), lit(bloomBits))
+          .as(s"bloom_$c"))
       // `__file` is stored in ON-DISK form: input_file_name() returns a
       // URI (':' Hive-escaped on disk as %3A arrives doubly encoded as
       // %253A, spaces as %20), so one percent-decode recovers the disk
@@ -609,12 +629,12 @@ object VersionedPartitioned {
   def promote(df: DataFrame, root: String, partitionCol: String = "date",
       tag: Option[String] = None, cluster: Boolean = true,
       statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Long = {
+      maxRecordsPerFile: Long = 0L, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
     val snapName = writeSnapshot(df, rootPath, partitionCol, statsCols,
-      cluster, clusterBy, maxRecordsPerFile)
+      cluster, clusterBy, maxRecordsPerFile, bloomCols)
     val snapPath = new HPath(rootPath, snapName)
     // The partitions actually written, read back from the snapshot's
     // own directory names — no re-implementation of Spark's partition
@@ -680,11 +700,12 @@ object VersionedPartitioned {
     * difference between O(statements) and O(3·statements) job
     * round-trips. Returns None (no commit) for an empty insert. */
   def insertInto(df: DataFrame, root: String,
-      partitionCol: String): Option[Long] = {
+      partitionCol: String, bloomCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
-    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil,
+      bloomCols = bloomCols)
     val snapPath = new HPath(rootPath, snapName)
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory &&
@@ -1156,7 +1177,8 @@ object VersionedPartitioned {
   def prunedFilesWhere(spark: SparkSession, root: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
       keep: String => Boolean = _ => true,
-      version: Option[Long] = None): Seq[(String, String)] = {
+      version: Option[Long] = None,
+      points: Seq[(String, Seq[Any])] = Nil): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{lit, substring_index}
     val m = manifestAt(spark, root, version)
     val (fs, rootPath) = Versioned.fsOf(spark, root)
@@ -1175,7 +1197,23 @@ object VersionedPartitioned {
         (lo.isDefined || hi.isDefined) &&
           st.columns.contains(s"min_$c") && st.columns.contains(s"max_$c")
       }).getOrElse(Nil)
-      if (usable.isEmpty) {
+      // equality/IN probes against this snapshot's per-file BLOOMs —
+      // the point-lookup case min/max cannot discriminate (a scattered
+      // high-cardinality id overlaps every file's range). The sidecar
+      // is metadata-sized (one row per file), so probing happens
+      // DRIVER-side over the public sketch API: each candidate value
+      // hashes through the SAME XxHash64 the build aggregate used,
+      // evaluated on the value cast to the column's STORED type (read
+      // off the sidecar's own min_<c> field — a decimal probed at the
+      // wrong scale would hash differently and wrongly skip). A value
+      // that cannot convert to the stored type degrades that column's
+      // probe to keep-all; no false negatives anywhere, so skipping
+      // never loses rows.
+      val usablePts = sidecar.map(st => points.filter { case (c, vs) =>
+        vs.nonEmpty && st.columns.contains(s"bloom_$c") &&
+          st.columns.contains(s"min_$c")
+      }).getOrElse(Nil)
+      if (usable.isEmpty && usablePts.isEmpty) {
         // no applicable stats — every file of every kept partition
         // survives (a plain listing, no sidecar read)
         partDirs.sorted.flatMap { p =>
@@ -1185,18 +1223,43 @@ object VersionedPartitioned {
             .map(s => snap -> s"$p/${s.getPath.getName}")
         }
       } else {
-        val cond = usable.map { case (c, lo, hi) =>
+        val st = sidecar.get
+        val rangeCond = usable.map { case (c, lo, hi) =>
           val miss = lo.map(l => col(s"max_$c") < lit(l))
             .getOrElse(lit(false)) ||
             hi.map(h => col(s"min_$c") > lit(h)).getOrElse(lit(false))
           col(s"min_$c").isNull || col(s"max_$c").isNull || !miss
-        }.reduce(_ && _)
-        sidecar.get
-          .where(substring_index(col("__file"), "/", 1)
+        }
+        val ranged = st.where(substring_index(col("__file"), "/", 1)
             .isin(partDirs: _*))
-          .where(cond)
-          .select("__file").collect().map(r => snap -> r.getString(0)).toSeq
-            .sortBy(_._2)
+          .where(rangeCond.foldLeft(lit(true))(_ && _))
+        // driver-side XxHash64 of each probe value in the stored type;
+        // None = unconvertible value → this column cannot skip
+        val probeHashes: Seq[Option[Seq[Long]]] = usablePts.map {
+          case (c, vs) =>
+            val dt = st.schema(st.schema.fieldIndex(s"min_$c")).dataType
+            try Some(vs.map { v =>
+              // seed 42 = the `xxhash64(...)` SQL default the build
+              // aggregate hashed with
+              new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(v, dt))).eval(null).asInstanceOf[Long]
+            }) catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val rows = ranged
+          .select((col("__file") +: usablePts.map { case (c, _) =>
+            col(s"bloom_$c") }): _*)
+          .collect()
+        rows.filter { r =>
+          probeHashes.zipWithIndex.forall { case (hs, i) =>
+            hs.isEmpty || r.isNullAt(i + 1) || {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  r.getAs[Array[Byte]](i + 1)))
+              hs.get.exists(bf.mightContainLong)
+            }
+          }
+        }.map(r => snap -> r.getString(0)).toSeq.sortBy(_._2)
       }
     }
   }
@@ -1207,7 +1270,18 @@ object VersionedPartitioned {
     * decide whether file-level skipping is worth planning for a
     * statement's bounds. */
   def statsCoveredCols(spark: SparkSession, root: String,
-      version: Option[Long] = None): Set[String] = {
+      version: Option[Long] = None): Set[String] =
+    coveredCols(spark, root, version, "min_")
+
+  /** Columns with a `bloom_` sidecar filter in at least one referenced
+    * snapshot — the SQL door's census for deciding whether an
+    * equality/IN conjunct is worth a bloom-probed file skip. */
+  def bloomCoveredCols(spark: SparkSession, root: String,
+      version: Option[Long] = None): Set[String] =
+    coveredCols(spark, root, version, "bloom_")
+
+  private def coveredCols(spark: SparkSession, root: String,
+      version: Option[Long], prefix: String): Set[String] = {
     val m = manifestAt(spark, root, version)
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     m.entries.values.toSet[String].flatMap { snap =>
@@ -1215,7 +1289,7 @@ object VersionedPartitioned {
         Versioned.StatsDirName)
       if (!fs.exists(statsPath)) Set.empty[String]
       else spark.read.parquet(statsPath.toString).schema.fieldNames
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSet
     }
   }
 
@@ -1242,10 +1316,11 @@ object VersionedPartitioned {
   def readPrunedWhere(spark: SparkSession, root: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
       keep: String => Boolean = _ => true,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      points: Seq[(String, Seq[Any])] = Nil): DataFrame = {
     val m = manifestAt(spark, root, version)
     readFileList(spark, root, m,
-      prunedFilesWhere(spark, root, bounds, keep, version))
+      prunedFilesWhere(spark, root, bounds, keep, version, points))
   }
 
   /** `readFileList` resolving the manifest itself — the SQL door's
@@ -1682,7 +1757,7 @@ object VersionedPartitioned {
    */
   def overwritePartitions(replacement: DataFrame, root: String,
       affected: String => Boolean, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = replacement.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val m0 = manifestAt(spark, root, None)
@@ -1690,7 +1765,8 @@ object VersionedPartitioned {
     def valueOf(dir: String) =
       unescapePathName(dir.substring(dir.indexOf('=') + 1))
     val affectedDirs = m0.entries.keySet.filter(d => affected(valueOf(d)))
-    val snapName = writeSnapshot(replacement, rootPath, pcol, statsCols)
+    val snapName = writeSnapshot(replacement, rootPath, pcol, statsCols,
+      bloomCols = bloomCols)
     val snapPath = new HPath(rootPath, snapName)
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
@@ -1838,7 +1914,8 @@ object VersionedPartitioned {
   def optimizeZOrderWhere(spark: SparkSession, root: String,
       zExprs: Seq[org.apache.spark.sql.Column], bits: Int,
       statsCols: Seq[String], keep: String => Boolean,
-      maxRecordsPerFile: Long = 1L << 20): Long = {
+      maxRecordsPerFile: Long = 1L << 20,
+      bloomCols: Seq[String] = Nil): Long = {
     val pc = partitionColumn(spark, root)
     val sorted = readPartitionsWhere(spark, root, keep)
       .withColumn("__zopt", ZOrder.zkey(zExprs, bits))
@@ -1846,7 +1923,7 @@ object VersionedPartitioned {
       .sortWithinPartitions(col(pc), col("__zopt"))
       .drop("__zopt")
     promote(sorted, root, pc, cluster = false, statsCols = statsCols,
-      maxRecordsPerFile = maxRecordsPerFile)
+      maxRecordsPerFile = maxRecordsPerFile, bloomCols = bloomCols)
   }
 
   /** Distinct snapshot dirs the latest manifest references — the

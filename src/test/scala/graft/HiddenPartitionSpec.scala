@@ -331,6 +331,87 @@ class HiddenPartitionSpec extends AnyFunSuite {
       (100L to 200L).filter(i => i % 4 + 1 == 1).toSeq)
   }
 
+  test("bloom sidecars: point lookups skip files min/max cannot") {
+    val root = freshRoot("graft_bloom_point_")
+    // 3 date partitions × ~4 files each; doc = md5(id) is scattered, so
+    // EVERY file's [min, max] doc range spans the hex space — range
+    // stats keep everything, only the per-file bloom can discriminate
+    val df = (1 to 4000).map(i =>
+        (java.sql.Date.valueOf(f"2024-03-${i % 3 + 1}%02d"), i.toLong))
+      .toDF("date", "id")
+      .withColumn("doc", md5(col("id").cast("string")))
+    VersionedPartitioned.promote(df, root, "date",
+      clusterBy = Seq("id"), maxRecordsPerFile = 400,
+      bloomCols = Seq("doc"))
+    val target = df.where(col("id") === 500L)
+      .select("doc").head().getString(0)
+    val census = VersionedPartitioned.prunedFilesWhere(spark, root, Nil)
+    assert(census.size >= 9) // multiple files per partition materialized
+    // min/max alone keeps every file — the high-cardinality overlap
+    val rangeOnly = VersionedPartitioned.prunedFilesWhere(spark, root,
+      Seq(("doc", Some(target), Some(target))))
+    assert(rangeOnly.size == census.size)
+    // the bloom probe narrows to ~1 file (fpp may admit a stray file,
+    // never lose the real one)
+    val bloomed = VersionedPartitioned.prunedFilesWhere(spark, root,
+      Nil, points = Seq(("doc", Seq(target))))
+    assert(bloomed.nonEmpty && bloomed.size <= 2,
+      s"bloom kept ${bloomed.size} of ${census.size} files")
+    // correctness: the pruned read still finds the row, exactly
+    val got = VersionedPartitioned.readPrunedWhere(spark, root, Nil,
+        points = Seq(("doc", Seq(target))))
+      .where(col("doc") === target)
+    assert(got.select("id").as[Long].collect().toSeq == Seq(500L))
+    // an IN list keeps the union of its members' files
+    val other = df.where(col("id") === 2500L)
+      .select("doc").head().getString(0)
+    val pair = VersionedPartitioned.prunedFilesWhere(spark, root,
+      Nil, points = Seq(("doc", Seq(target, other))))
+    assert(pair.size >= 2 && pair.size <= 4)
+    val both = VersionedPartitioned.readPrunedWhere(spark, root, Nil,
+        points = Seq(("doc", Seq(target, other))))
+      .where(col("doc").isin(target, other))
+    assert(both.select("id").as[Long].collect().toSeq.sorted ==
+      Seq(500L, 2500L))
+  }
+
+  test("SQL door: BLOOMFILTER INDEX point lookup skips files") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlbloom_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA b")
+    life.execute("""
+      CREATE TABLE b.docs (day STRING, id BIGINT, doc STRING)
+      USING ICEBERG PARTITIONED BY (day)""")
+    life.execute("CREATE BLOOMFILTER INDEX ON TABLE b.docs FOR COLUMNS (doc)")
+    (1 to 3000).map(i => (f"d${i % 3 + 1}%02d", i.toLong))
+      .toDF("day", "id")
+      .withColumn("doc", md5(col("id").cast("string")))
+      .createOrReplaceTempView("sqlbloom_src")
+    life.execute("INSERT INTO b.docs SELECT * FROM sqlbloom_src")
+    val target = spark.table("sqlbloom_src")
+      .where(col("id") === 500L).select("doc").head().getString(0)
+    // no partition predicate: only the bloom can narrow — the routed
+    // statement must touch ~1 of the 3 per-partition files
+    val routed = life.query(
+      s"SELECT id FROM b.docs WHERE doc = '$target'")
+    assert(routed.as[Long].collect().toSeq == Seq(500L))
+    assert(routed.inputFiles.length < 3,
+      s"bloom kept ${routed.inputFiles.length} of 3 files")
+    // min/max alone keeps everything (scattered md5): a RANGE statement
+    // on doc shows the contrast — all 3 files scanned
+    val ranged = life.query(
+      s"SELECT count(*) AS n FROM b.docs WHERE doc >= '0' AND doc <= 'g'")
+    assert(ranged.head().getLong(0) == 3000L)
+    // DROP removes the meta entry; later inserts skip the bloom pass
+    life.execute("DROP BLOOMFILTER INDEX ON TABLE b.docs")
+    life.execute("INSERT INTO b.docs VALUES ('d04', 9001, 'zzz')")
+    val after = life.query(
+      s"SELECT id FROM b.docs WHERE doc = '$target'")
+    assert(after.as[Long].collect().toSeq == Seq(500L))
+  }
+
   test("SQL door: a join to a filtered dim prunes the fact (DPP shape)") {
     import graft.ops.SqlLifecycle
     val root = java.nio.file.Files
