@@ -118,6 +118,25 @@ object ExtOracles {
   private val toksSql =
     """list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '), x -> x != '')"""
 
+  /** The markup-strip chain identical to TextOps.stripHtml — comments,
+    * script/style blocks with contents, all tags, six named entities
+    * (&amp; last), horizontal-whitespace squeeze, line trim + blank
+    * drop (array_to_string of an empty list is NULL in DuckDB where
+    * Spark's array_join gives '' — hence the COALESCE). */
+  private def stripHtmlSql(c: String): String =
+    s"""COALESCE(array_to_string(list_filter(list_transform(
+       |  string_split(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+       |        '<!--.*?-->', ' ', 'gs'),
+       |        '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis'),
+       |        '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),
+       |        '<[^>]*>', ' ', 'gs'),
+       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+       |    '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'), chr(10)),
+       |  l -> trim(l)), l -> l != ''), chr(10)), '')""".stripMargin
+
   /** The English stopword profile as a SQL IN-list (quality_filter's
     * stop_raw must be the same h_en / n_tokens division text_stats uses). */
   private val enStopSql = TextOps.enStopwords.map(w => s"'$w'").mkString(", ")
@@ -498,7 +517,10 @@ object ExtOracles {
       // 1995-01..03 — the plain aggregate the time-travel gate uses
       ("sql_copy_into" -> base("versioned_timetravel")) +
       ("gopher_rules" -> oracle("gopher_rules")) +
-      ("c4_clean" -> oracle("c4_clean"))
+      ("c4_clean" -> oracle("c4_clean")) +
+      ("html_strip" -> oracle("html_strip")) +
+      ("blocklist_filter" -> oracle("blocklist_filter")) +
+      ("nfkc_normalize" -> oracle("nfkc_normalize"))
   }
 
   /** Static oracle SQL texts live as classpath resources
@@ -1352,18 +1374,25 @@ object ExtOracles {
       s"""WITH w(g, wt) AS (VALUES
          |       ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
          |       ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
+         |strip AS (SELECT doc_id, lang, source, n_chars,
+         |                 ${stripHtmlSql("text")} AS text
+         |          FROM documents),
          |t0 AS (SELECT doc_id, lang, source, n_chars, text, $toksSql AS toks0
-         |       FROM documents),
+         |       FROM strip),
          |q AS (SELECT doc_id, lang, source, n_chars, text, len(toks0) AS nt,
          |             CASE WHEN len(toks0) > 0 THEN
          |               len(list_filter(toks0, x -> x IN ($enStopSql)))::DOUBLE
          |                 / len(toks0)
-         |             ELSE 0.0 END AS stop_raw
+         |             ELSE 0.0 END AS stop_raw,
+         |             len(list_filter(list_distinct(toks0),
+         |               x -> list_contains(['spam', 'viagra', 'casino'], x)))
+         |               AS block_hits
          |      FROM t0),
          |kept AS (SELECT doc_id, lang, source, n_chars,
          |                regexp_replace(text, '[0-9]+', '#', 'g') AS text
          |         FROM q
-         |         WHERE NOT (nt < 25 OR nt > 90 OR stop_raw < 0.02)),
+         |         WHERE NOT (nt < 25 OR nt > 90 OR stop_raw < 0.02)
+         |           AND block_hits = 0),
          |${componentsCtesFrom(4, "kept")},
          |lab AS (SELECT k.doc_id, k.lang, k.source, k.n_chars, k.text,
          |               coalesce(l.label, k.doc_id) AS comp

@@ -341,6 +341,60 @@ object ExtQueries {
   private def c4CleanQ(s: SparkSession, dir: String): DataFrame =
     TextOps.c4Clean(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** HTML/boilerplate stripping gate (ext/TextOps.htmlStrip — the step
+    * C4 runs before any filter): every document wrapped in a
+    * deterministic markup shell (script with braces and encoded
+    * entities, style, comments, attributes, entity-laden tail) that
+    * BOTH engines construct identically from the raw text, then
+    * stripped; the oracle replays the exact regex/replace chain in
+    * DuckDB and the cleaned TEXT itself is hash-compared — any
+    * divergence in tag/entity/whitespace handling flips the gate. */
+  private def htmlStripQ(s: SparkSession, dir: String): DataFrame = {
+    val shellHead = "<html><head><title>Doc</title><style type=\"text/css\">" +
+      "body { color: red; }</style></head>\n<body class=\"main\">" +
+      "<script type=\"text/javascript\">if (x &lt; 2) { y = \"a&quot;b\"; }" +
+      "</script>\n<!-- boilerplate -->\n<h1>Title</h1>\n<p>"
+    val shellTail = "</p>\n<div id=\"t\">&amp;amp; tail &lt;here&gt;&nbsp;end</div>" +
+      "</body></html>"
+    val wrapped = docs(s, dir)
+      .withColumn("html", concat(lit(shellHead), col("text"), lit(shellTail)))
+    TextOps.htmlStrip(wrapped, "doc_id", "html").orderBy("doc_id")
+  }
+
+  /** Bad-words blocklist gate (ext/TextOps.blocklistFilter — C4's
+    * any-hit-drops rule with the list as a broadcast plan literal):
+    * exact occurrence/distinct censuses + the keep bit over the
+    * documents corpus; the oracle replays the same normalized tokens
+    * and list membership in DuckDB. */
+  private def blocklistFilterQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.blocklistFilter(docs(s, dir), "doc_id", "text",
+      Seq("slow", "crash", "spam")).orderBy("doc_id")
+
+  /** NFKC normalization gate (functions/TextExprs.NfkcNormalize — the
+    * codegen kernel ahead of tokenization): a fixed mixed-width /
+    * accented / ligature / circled / halfwidth-katakana / superscript /
+    * vulgar-fraction fixture normalized by the kernel; the oracle
+    * carries the hand-verified NFKC results as literals (DuckDB's own
+    * nfc_normalize cannot produce compatibility mappings), so the
+    * kernel's output is hash-pinned byte for byte. */
+  private def nfkcNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    import s.implicits._
+    Seq(
+      (1L, "Café au lait"),
+      (2L, "ＡＢＣ１２３"),
+      (3L, "ﬁle system"),
+      (4L, "①②③"),
+      (5L, "ｶﾞｺﾞ"),
+      (6L, "x² + y³"),
+      (7L, "½ cup"),
+      (8L, "plain ascii stays")
+    ).toDF("id", "raw")
+      .select(col("id"), expr("nfkc(raw)").as("norm"),
+        (expr("nfkc(raw)") === col("raw")).cast("long").as("unchanged"))
+      .orderBy("id")
+  }
+
   private def textLangProfile(s: SparkSession, dir: String): DataFrame =
     TextOps.stats(docs(s, dir), "doc_id", "text")
       .groupBy("lang_guess")
@@ -4715,12 +4769,25 @@ object ExtQueries {
     * see. Output is the final shard manifest a training loader reads. */
   private def curateCorpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExprs.register(s)
+    // C4-order prologue: markup strip, then NFKC, BEFORE any filter —
+    // on this plain-ASCII fixture both are near-identities (the oracle
+    // replays the strip chain; NFKC identity on the corpus is
+    // ExtSpec-pinned since DuckDB cannot compute compatibility forms),
+    // but the chain is the one a crawled corpus runs.
     val d = docs(s, dir)
+      .withColumn("text", TextOps.stripHtml(col("text")))
+      .withColumn("text", expr("nfkc(text)"))
     val ts = d.withColumn("__ts", expr("token_stats(text)"))
     val n = col("__ts.n_tokens")
     val stopRaw = when(n > 0,
       col("__ts.h_en").cast("double") / n).otherwise(0.0)
-    val kept = ts.where(!(n < 25 || n > 90 || stopRaw < 0.02)).drop("__ts")
+    // broadcast blocklist gate (C4's any-hit-drops): the list rides in
+    // the plan; a page mentioning any listed word drops before dedup
+    val blocked = array(Seq("spam", "viagra", "casino").map(lit): _*)
+    val blockHits = size(array_intersect(
+      array_distinct(graft.ext.TextNorm.tokens(col("text"))), blocked))
+    val kept = ts.where(!(n < 25 || n > 90 || stopRaw < 0.02) &&
+      blockHits === 0).drop("__ts")
     // scrub BEFORE dedup: masked digit runs change shingle sets, so the
     // dedup must see what the trained model would see
     val scrub = TextOps.maskPattern(kept, "text", "[0-9]+", "#")
@@ -4768,6 +4835,9 @@ object ExtQueries {
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
     "c4_clean" -> ((s, dir) => c4CleanQ(s, dir)),
+    "html_strip" -> ((s, dir) => htmlStripQ(s, dir)),
+    "blocklist_filter" -> ((s, dir) => blocklistFilterQ(s, dir)),
+    "nfkc_normalize" -> ((s, dir) => nfkcNormalizeQ(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
     "text_fingerprint" -> ((s, dir) => textFingerprint(s, dir)),
     "multimodal_features" -> ((s, dir) => multimodalFeatures(s, dir)),

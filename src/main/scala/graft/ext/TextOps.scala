@@ -209,6 +209,83 @@ object TextOps {
           col("n_sentences") >= 5L).cast("long"))
   }
 
+  /**
+   * HTML/boilerplate stripping — the step C4's published recipe runs
+   * BEFORE any line or document filter (Raffel et al. 2020 §2.2 start
+   * from extracted text): raw markup in, clean text out. One ordered
+   * chain of codegen'd regex/replace passes per row — no UDF, no
+   * shuffle:
+   *   1. comments `<!-- … -->` drop;
+   *   2. `<script>`/`<style>` blocks drop WITH their contents (the
+   *      braces and code inside must never reach the text filters);
+   *   3. every remaining tag drops, replaced by a space so adjacent
+   *      words don't fuse;
+   *   4. the six named entities real extractors decode
+   *      (&nbsp; &lt; &gt; &quot; &#39;/&apos;, then &amp; LAST so
+   *      double-encoded text decodes one level, not two);
+   *   5. horizontal whitespace collapses, lines trim, blank lines drop
+   *      (newlines survive — [[c4Clean]] downstream is line-based).
+   * All patterns are RE2-compatible (lazy quantifiers + inline flags
+   * only), so an external SQL engine replays the chain byte-for-byte —
+   * the `html_strip` gate hash-compares the cleaned TEXT itself.
+   * Output: id, `text` (cleaned), and integer censuses.
+   */
+  /** The strip chain as a pure Column — composable ahead of any text
+    * pipeline stage (curateCorpus runs it first, C4-order). */
+  def stripHtml(raw: Column): Column = {
+    val noComment = regexp_replace(raw, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val squeezed = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val lines = filter(transform(split(squeezed, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    array_join(lines, "\n")
+  }
+
+  def htmlStrip(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val raw = col(htmlCol)
+    val cleaned = stripHtml(raw)
+    df.select(
+      col(idCol),
+      cleaned.as("text"),
+      length(raw).cast("long").as("raw_chars"),
+      length(cleaned).cast("long").as("clean_chars"),
+      size(filter(split(cleaned, "\\s+"), t => length(t) > 0)).cast("long")
+        .as("n_words"))
+  }
+
+  /**
+   * Bad-words blocklist gate (the Gopher/C4-style public recipe: C4
+   * drops any page containing a word from the open blocklist). The
+   * list ships as a PLAN LITERAL — the broadcast shape: it rides to
+   * executors inside the serialized plan once, the membership test is
+   * a codegen'd hash probe per token, and the pass stays shuffle-free
+   * where the text lives. Counts are exact integers; `kept` is C4's
+   * any-hit-drops rule. A list too large for a literal (millions of
+   * entries) should instead broadcast-anti-join exploded tokens —
+   * same result, still no fact-side shuffle.
+   */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val toks = TextNorm.tokens(col(textCol))
+    val blockArr = array(blocked.map(w => lit(w.toLowerCase)): _*)
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_words"),
+        size(filter(toks, t => array_contains(blockArr, t))).cast("long")
+          .as("n_bad"),
+        size(array_intersect(array_distinct(toks), blockArr)).cast("long")
+          .as("n_bad_distinct"))
+      .withColumn("kept", (col("n_bad") === 0L).cast("long"))
+  }
+
   /** Ordered (non-distinct) k-shingles — winnowing needs positional
     * k-grams, unlike the set-shaped `TextNorm.shingles`. */
   def orderedShingles(toks: Column, k: Int): Column =

@@ -229,6 +229,40 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /**
+   * NFKC Unicode normalization (UAX #15 compatibility decomposition +
+   * canonical composition, via the JDK's `java.text.Normalizer`) — the
+   * kernel real crawled corpora need AHEAD of tokenization: fullwidth
+   * ＡＢＣ→ABC, ligature ﬁ→fi, circled ①→1, halfwidth katakana
+   * composition, superscript ²→2, so one logical word stops splitting
+   * into several vocabulary entries. Deterministic (the JDK tables
+   * implement the frozen Unicode normalization stability policy) and
+   * idempotent. The `isNormalized` fast path makes the common
+   * already-ASCII row allocation-free, so the kernel is safe to leave
+   * permanently in a 100 TB ingest path.
+   */
+  def nfkc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFKC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+
+  case class NfkcNormalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfkc"
+    override def nullSafeEval(input: Any): Any =
+      nfkc(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.nfkc($c)")
+    override protected def withNewChildInternal(
+        newChild: Expression): NfkcNormalize =
+      copy(child = newChild)
+  }
+
   /** The text-function registry entries, shared by per-session
     * `register` and the `GraftExtensions` session-builder injection. */
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -259,6 +293,12 @@ object TextExprs {
         WinnowFingerprint(children.head,
           VectorExprs.intLit(children(1), "winnow_fingerprint k"),
           VectorExprs.intLit(children(2), "winnow_fingerprint w"))
+      }),
+    (FunctionIdentifier("nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfkc(text)")
+        NfkcNormalize(children.head)
       }))
 
   /**

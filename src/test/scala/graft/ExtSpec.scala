@@ -1342,4 +1342,69 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L) == 3)
     assert(out(2L) == 6) // non-ASCII: UTF-8 is 2 bytes per char
   }
+
+  // --------------------------------------- markup / blocklist / NFKC —
+
+  test("stripHtml drops tags+script contents, decodes entities, is plain-text identity") {
+    val html = "<html><head><style>p { color: red }</style></head>\n" +
+      "<body><script>if (a < 1) { b(); }</script><!-- x -->\n" +
+      "<h1>Head</h1>\n<p>one &amp; two &lt;three&gt;&nbsp;four</p></body></html>"
+    val got = TextOps.htmlStrip(docs((1L, html)), "id", "text")
+      .select("text").head().getString(0)
+    assert(got == "Head\none & two <three> four")
+    // script/style CONTENTS (braces included) never reach the output
+    assert(!got.contains("{") && !got.contains("color"))
+    // plain text with single spaces and newlines passes through intact
+    val plain = "alpha beta gamma\ndelta epsilon."
+    val id = TextOps.htmlStrip(docs((2L, plain)), "id", "text")
+      .select("text").head().getString(0)
+    assert(id == plain)
+    // the corpus curateCorpus strips is plain: identity there too
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    assert(d.where(graft.ext.TextOps.stripHtml(col("text")) =!= col("text"))
+      .count() == 0)
+  }
+
+  test("blocklistFilter: any-hit drops, counts exact, miss keeps") {
+    val in = docs((1L, "good clean text here"),
+      (2L, "some Slow slow text"), (3L, "spam"), (4L, ""))
+    val rows = TextOps.blocklistFilter(in, "id", "text", Seq("slow", "spam"))
+      .select("id", "n_bad", "n_bad_distinct", "kept")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) == ((0L, 0L, 1L)))
+    assert(rows(2L) == ((2L, 1L, 0L))) // case-insensitive, 2 hits 1 word
+    assert(rows(3L) == ((1L, 1L, 0L)))
+    assert(rows(4L) == ((0L, 0L, 1L)))
+  }
+
+  test("nfkc kernel: compatibility forms, idempotence, corpus identity") {
+    graft.functions.TextExprs.register(spark)
+    val cases = Seq(
+      "Café" -> "Café",             // canonical composition
+      "ＡＢＣ" -> "ABC",           // fullwidth
+      "ﬁle" -> "file",                    // ligature
+      "①②" -> "12",                  // circled digits
+      "ｶﾞ" -> "ガ",              // halfwidth katakana + mark
+      "x²" -> "x2",                       // superscript
+      "½" -> "1⁄2",                  // vulgar fraction
+      "ascii" -> "ascii")
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) =>
+      (i.toLong, s) }.toDF("id", "raw")
+      .select(col("id"), expr("nfkc(raw)").as("n"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2).toSeq
+    assert(got == cases.map(_._2))
+    // idempotent: nfkc(nfkc(x)) == nfkc(x)
+    val twice = cases.map(_._1).zipWithIndex.map { case (s, i) =>
+      (i.toLong, s) }.toDF("id", "raw")
+      .where(expr("nfkc(nfkc(raw))") =!= expr("nfkc(raw)")).count()
+    assert(twice == 0)
+    // the synthetic corpus is ASCII: nfkc is identity there — the pin
+    // that licenses curate_corpus's oracle to skip the NFKC replay
+    // (DuckDB cannot compute compatibility forms)
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    assert(d.where(expr("nfkc(text)") =!= col("text")).count() == 0)
+  }
 }
