@@ -223,6 +223,45 @@ object ScanPrune {
    * mask truncation). Everything here degrades to "no extra conjunct",
    * never to a wrong answer.
    */
+  /** Count of ACTUAL dim-probe evaluations (cache misses) — spec
+    * observability for the probe-reuse cache. */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
+
+  /** Session-lifetime LRU of probe outcomes, keyed by (canonical dim
+    * plan shape, the dim leaves' snapshot paths, projected-column
+    * position). The SNAPSHOT paths pin the data version: a view over
+    * the manifest format resolves to immutable `snap-<uuid>` dirs, so
+    * a table advancing produces new paths and a fresh probe — no
+    * explicit invalidation needed. Value None = the probe ran and was
+    * abandoned (too many keys), cached so a dashboard replaying the
+    * same statement doesn't re-pay the abandoned probe either.
+    * Bounded (64 entries × ≤maxKeys values) and synchronized — the
+    * probe itself dwarfs any lock cost. */
+  private val probeCache =
+    new java.util.LinkedHashMap[String, Option[Seq[Any]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Seq[Any]]]): Boolean =
+        size() > 64
+    }
+
+  private def dimCacheKey(dim: LogicalPlan, da: AttributeReference): String = {
+    // the CONCRETE file list, not root paths: an unpartitioned table's
+    // root dir is stable across swap-rewrites while its part files get
+    // fresh uuids — keying on files makes any data change a new key
+    val paths = dim.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.inputFiles.sorted.mkString(",")
+        case other => other.getClass.getName
+      }
+    }.mkString(";")
+    val pos = dim.output.indexWhere(_.exprId == da.exprId)
+    s"${dim.canonicalized.toString}|$paths|$pos"
+  }
+
+  private[graft] def clearProbeCache(): Unit =
+    probeCache.synchronized { probeCache.clear() }
+
   def dppConjuncts(plan: LogicalPlan, leaf: Leaf, cols: Seq[String],
       spark: org.apache.spark.sql.SparkSession): Seq[Expression] = {
     import org.apache.spark.sql.catalyst.plans._
@@ -294,20 +333,33 @@ object ScanPrune {
               e.exists(!_.deterministic))).isEmpty &&
             safeReach(fact, fa.exprId)
           if (dimOk) {
-            // nulls are filtered BEFORE the counting limit (a null key
-            // matches nothing under EqualTo), so `length > maxKeys`
-            // detects truncation exactly — a sampled null can never
-            // shrink the post-filter count back under the cap and
-            // sneak a truncated (wrongly-pruning) key set through
-            val keys = try {
-              Some(org.apache.spark.sql.graft.Internals
-                .ofRows(spark, Project(Seq(da), Filter(IsNotNull(da), dim)))
-                .distinct().limit(maxKeys + 1).collect()
-                .map(_.get(0)).toSeq)
-            } catch { case scala.util.control.NonFatal(_) => None }
+            // maxKeys is part of the key: a cached abandonment at one
+            // cap must not mask a raised cap (and vice versa)
+            val ck = s"$maxKeys|${dimCacheKey(dim, da)}"
+            val cached = probeCache.synchronized {
+              Option(probeCache.get(ck))
+            }
+            val keys = cached.getOrElse {
+              // nulls are filtered BEFORE the counting limit (a null
+              // key matches nothing under EqualTo), so `length >
+              // maxKeys` detects truncation exactly — a sampled null
+              // can never shrink the post-filter count back under the
+              // cap and sneak a truncated (wrongly-pruning) key set
+              // through
+              probeRuns.incrementAndGet()
+              val computed = (try {
+                Some(org.apache.spark.sql.graft.Internals
+                  .ofRows(spark, Project(Seq(da), Filter(IsNotNull(da), dim)))
+                  .distinct().limit(maxKeys + 1).collect()
+                  .map(_.get(0)).toSeq)
+              } catch { case scala.util.control.NonFatal(_) => None })
+                .filter(_.length <= maxKeys)
+              probeCache.synchronized { probeCache.put(ck, computed); () }
+              computed
+            }
             // an empty key set legitimately prunes EVERY partition —
             // the join's result is empty either way
-            keys.filter(_.length <= maxKeys).foreach { ks =>
+            keys.foreach { ks =>
               val leafAttr = wanted(fa.exprId)
               out += In(leafAttr,
                 ks.map(v => Literal.create(v, leafAttr.dataType)))

@@ -466,6 +466,45 @@ class HiddenPartitionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dpp.enabled")
   }
 
+  test("SQL door: DPP probe runs once across identical routed statements") {
+    import graft.ops.{ScanPrune, SqlLifecycle}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_cache_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA s")
+    life.execute("""
+      CREATE TABLE s.fact (date DATE, id BIGINT)
+      USING ICEBERG PARTITIONED BY (date)""")
+    (1 to 60).map(i => (java.sql.Date.valueOf(f"2024-05-${i % 6 + 1}%02d"),
+        i.toLong))
+      .toDF("date", "id").createOrReplaceTempView("dpp_cache_src")
+    life.execute("INSERT INTO s.fact SELECT * FROM dpp_cache_src")
+    life.execute("CREATE TABLE s.dim (date DATE, flag STRING) USING ICEBERG")
+    life.execute("INSERT INTO s.dim VALUES " +
+      (1 to 6).map(d => s"(DATE '2024-05-${"%02d".format(d)}', " +
+        s"'${if (d == 2) "x" else "y"}')").mkString(", "))
+    val stmt = """
+      SELECT f.id FROM s.fact f
+      JOIN s.dim d ON f.date = d.date
+      WHERE d.flag = 'x'"""
+    val r1 = life.query(stmt)
+    assert(partDirs(r1.inputFiles, "date=") == Seq("date=2024-05-02"))
+    val after1 = ScanPrune.probeRuns.get()
+    // a dashboard replaying the same statement: same prune, NO new
+    // probe job — the key probe result is served from the cache
+    val r2 = life.query(stmt)
+    assert(partDirs(r2.inputFiles, "date=") == Seq("date=2024-05-02"))
+    assert(ScanPrune.probeRuns.get() == after1,
+      "identical statement re-ran the dim probe")
+    // the dim ADVANCING invalidates by construction (new snapshot
+    // paths): the re-probe sees the new keys and the prune follows
+    life.execute("INSERT INTO s.dim VALUES (DATE '2024-05-05', 'x')")
+    val r3 = life.query(stmt)
+    assert(partDirs(r3.inputFiles, "date=") ==
+      Seq("date=2024-05-02", "date=2024-05-05"))
+    assert(ScanPrune.probeRuns.get() > after1, "dim advance must re-probe")
+  }
+
   test("SQL door: DPP bails on LIMIT/Window between leaf and join") {
     import graft.ops.SqlLifecycle
     val root = java.nio.file.Files
