@@ -19,8 +19,10 @@ fi
 tools/check.sh --bench
 
 # Refresh the per-query baseline from the run check.sh just produced
-# (only after every gate above was green).
-cp target/bench_queries.json BASELINE_queries.json
+# (only after every gate above was green). rebaseline.py clamps the
+# QUIET_REF.json-adjudicated queries so a contended closing run can
+# never ratchet a regress denominator upward (r16 verdict finding).
+python3 tools/rebaseline.py target/bench_queries.json BASELINE_queries.json
 if [[ -n "$(git status --porcelain BASELINE_queries.json)" ]]; then
   git add BASELINE_queries.json
   git commit -m "Refresh per-query bench baseline at round close"
