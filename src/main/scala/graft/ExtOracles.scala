@@ -470,6 +470,8 @@ object ExtOracles {
       ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("sql_point_lookup" -> oracle("sql_point_lookup")) +
+      ("txn_pair" -> oracle("txn_pair")) +
+      ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
       ("changefeed_incremental_minmax" ->
         oracle("changefeed_incremental_minmax")) +

@@ -2801,6 +2801,77 @@ object ExtQueries {
         "ORDER BY o_orderkey")
   }
 
+  /**
+   * Multi-table transaction (ops/Txn — the Iceberg REST-catalog
+   * transaction shape over the file-based logs): the reference's
+   * promote+cumulate pair committed as one transaction per "day"
+   * (month here), twice, then read back through `Txn.readAll`'s
+   * snapshot-consistent resolution. The oracle replays the final pair
+   * from scratch; TxnSpec pins the crash-window recovery and the
+   * never-see-partial reader guarantee.
+   */
+  private def txnPair(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Txn
+    val base = monthlyOrders(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txnpair_").toString
+    val (fact, cum) = (s"$root/fact", s"$root/cum")
+    def cumOf(upTo: String) = base.where(col("month") <= upTo)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_totalprice").as("cum_price"))
+    Txn.commit(Seq(
+      Txn.Write(base.where(col("month") === "1995-01"), fact, "month"),
+      Txn.Write(cumOf("1995-01"), cum, "month")))
+    Txn.commit(Seq(
+      Txn.Write(base.where(col("month") === "1995-02"), fact, "month"),
+      Txn.Write(cumOf("1995-02"), cum, "month")))
+    val Seq(f, c) = Txn.readAll(s, Seq(fact, cum))
+    f.groupBy("month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_totalprice").cast("double").as("total_price"))
+      .join(c.select(col("month"), col("n_orders"),
+        col("cum_price").cast("double").as("cum_price")), Seq("month"))
+      .select(col("month").cast("string").as("month"), col("n_rows"),
+        col("total_price"), col("n_orders"), col("cum_price"))
+      .orderBy("month")
+  }
+
+  /**
+   * CACHE TABLE through the statement door (ops/SqlLifecycle
+   * .cacheTable — Spark's verb, snapshot-pinned and version-checked):
+   * the cached read serves the first aggregate; the INSERT after it
+   * bumps the table version, so the final routed aggregate MUST see
+   * month 03 — a stale cache would hash-fail here. PipelineSpec pins
+   * the in-memory plan shape; this gate pins the data.
+   */
+  private def sqlCacheTable(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlcache_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA c")
+    life.execute("""
+      CREATE TABLE c.t (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18, 2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val base = monthlyOrders(s, dir)
+    base.where(col("month").between("1995-01", "1995-02"))
+      .createOrReplaceTempView("sqlcache_src1")
+    life.execute("INSERT INTO c.t SELECT * FROM sqlcache_src1")
+    life.execute("CACHE TABLE c.t")
+    // served from the pinned snapshot
+    life.query("SELECT count(*) AS n FROM c.t").collect()
+    // the write bumps the version: the cache entry is now stale and
+    // the next read drops it — month 03 must appear below
+    base.where(col("month") === "1995-03")
+      .createOrReplaceTempView("sqlcache_src2")
+    life.execute("INSERT INTO c.t SELECT * FROM sqlcache_src2")
+    life.query("""
+      SELECT month, count(*) AS n_rows,
+             CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+      FROM c.t GROUP BY month ORDER BY month""")
+  }
+
   /** Hidden partitioning, day transform (ops/HiddenPartition): events
     * promoted under days(ts) — the user never supplies a partition
     * key — then a two-week SOURCE-column range read that prunes at the
@@ -5037,6 +5108,8 @@ object ExtQueries {
     "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
+    "txn_pair" -> ((s, dir) => txnPair(s, dir)),
+    "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
     "changefeed_incremental_minmax" -> ((s, dir) => changefeedMinMax(s, dir)),
     "changefeed_incremental_distinct" -> ((s, dir) => changefeedDistinct(s, dir)),

@@ -147,6 +147,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         bloomIndex(name.toLowerCase, Some(cols)); None
       case DropBloomIdxRe(name) =>
         bloomIndex(name.toLowerCase, None); None
+      case CacheTableRe(name) =>
+        cacheTable(name.toLowerCase); None
+      case UncacheTableRe(name) =>
+        uncacheTable(name.toLowerCase); None
       case CopyIntoRe(name, path, fmt) =>
         // FILEFORMAT is matched loudly: a non-PARQUET format names the
         // table and the format rather than falling through to the
@@ -1927,6 +1931,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   private def dropTable(name: String): Unit = {
+    uncacheTable(name)
     val dir = tableDir(name)
     if (java.nio.file.Files.exists(dir)) {
       val (fs, p) = Versioned.fsOf(spark, dir.toString)
@@ -1935,16 +1940,63 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---------------------------------------------------------- caching —
+
+  /** CACHE TABLE state: name → (persisted frame, the snapshot version
+    * it materialized). Version-checked at every read, so the cache can
+    * never serve stale rows: any write bumps the table version and the
+    * next read drops + unpersists the entry (lazy invalidation — no
+    * write verb needs to know about the cache). */
+  private val cachedTables =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Long)]
+
+  /** `CACHE TABLE t` — Spark's verb with Spark's eager default: the
+    * CURRENT snapshot materializes in executor memory (one count()
+    * forces it) and every subsequent routed statement over `t` reuses
+    * the in-memory relation instead of re-reading parquet, until a
+    * write bumps the version. Partitioned (snapshot-versioned) tables
+    * only: versioning is what makes invalidation provable. */
+  private def cacheTable(name: String): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"CACHE TABLE $name: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"CACHE TABLE $name: only partitioned (snapshot-versioned) tables " +
+        "cache — staging tables have no version to invalidate on")
+    uncacheTable(name)
+    val path = tableDir(name).toString
+    val v = VersionedPartitioned.currentVersion(spark, path).getOrElse(0L)
+    val df = readTable(name, meta).persist()
+    df.count()
+    cachedTables.put(name, (df, v))
+    ()
+  }
+
+  private def uncacheTable(name: String): Unit =
+    cachedTables.remove(name).foreach { case (df, _) =>
+      df.unpersist()
+      ()
+    }
+
   // ---------------------------------------------------------- reading —
 
   private def readTable(name: String, meta: TableMeta): DataFrame =
     meta.partitionCol match {
       case Some(_) =>
         val path = tableDir(name).toString
+        val cur = VersionedPartitioned.currentVersion(spark, path)
+        cachedTables.get(name) match {
+          case Some((df, v)) if cur.contains(v) => return df
+          case Some(_) =>
+            // the table advanced past the cached snapshot: drop +
+            // unpersist (CACHE TABLE pins a snapshot, not a
+            // subscription — re-CACHE to pin the new head)
+            uncacheTable(name)
+          case None =>
+        }
         // a truncated table has a manifest with zero live partitions —
         // the format read refuses (schema unknowable from data), but
         // the catalog knows the declared schema
-        if (VersionedPartitioned.currentVersion(spark, path).isDefined &&
+        if (cur.isDefined &&
             VersionedPartitioned.partitions(spark, path).nonEmpty)
           VersionedPartitioned.read(spark, path)
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
@@ -2304,6 +2356,12 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
+  // Spark's snapshot-pinning cache verbs; UNCACHE of a never-cached
+  // table is a no-op like Spark's IF EXISTS spelling
+  private val CacheTableRe =
+    """(?is)^\s*CACHE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val UncacheTableRe =
+    """(?is)^\s*UNCACHE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // Databricks' point-lookup index verbs: CREATE records the columns
   // in the table meta (new writes emit bloom sidecars), DROP removes
   private val CreateBloomIdxRe =

@@ -385,6 +385,79 @@ class PipelineSpec extends AnyFunSuite {
       .get.head.getLong(1) == 0L)
   }
 
+  test("SQL door: CACHE TABLE pins the snapshot, invalidates on write") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlcachespec_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA m")
+    life.execute("CREATE TABLE m.t (d STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    life.execute("INSERT INTO m.t VALUES ('d1', 1), ('d2', 2)")
+    life.execute("CACHE TABLE m.t")
+    val cachedQ = life.query("SELECT sum(v) AS s FROM m.t")
+    assert(cachedQ.head().getLong(0) == 3L)
+    assert(cachedQ.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "cached read must hit the pin")
+    // a write bumps the version: the stale pin drops and the next
+    // routed read sees the new row (and is no longer in-memory)
+    life.execute("INSERT INTO m.t VALUES ('d3', 4)")
+    val fresh = life.query("SELECT sum(v) AS s FROM m.t")
+    assert(fresh.head().getLong(0) == 7L)
+    assert(!fresh.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"))
+    // re-pin picks up the new head; UNCACHE releases it
+    life.execute("CACHE TABLE m.t")
+    assert(life.query("SELECT sum(v) AS s FROM m.t")
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    life.execute("UNCACHE TABLE m.t")
+    assert(!life.query("SELECT sum(v) AS s FROM m.t")
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // loud error on a staging (unversioned) table; IF EXISTS no-ops
+    life.execute("CREATE TABLE m.stg (v BIGINT) USING ICEBERG")
+    intercept[IllegalArgumentException](life.execute("CACHE TABLE m.stg"))
+    life.execute("UNCACHE TABLE IF EXISTS m.never_cached")
+  }
+
+  test("Txn: pair commit, reader isolation, crash recovery") {
+    import graft.ops.{Txn, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_txnspec_").toString
+    val (fact, cum) = (s"$root/fact", s"$root/cum")
+    def rows(d: String, vs: Seq[Long]) =
+      vs.map(v => (d, v)).toDF("date", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("date").agg(count(lit(1)).as("n"))
+    val day1 = rows("2024-03-01", Seq(1L, 2L, 3L))
+    Txn.commit(Seq(Txn.Write(day1, fact, "date"),
+      Txn.Write(agg(day1), cum, "date")))
+    val Seq(f1, c1) = Txn.readAll(spark, Seq(fact, cum))
+    assert(f1.count() == 3 && c1.count() == 1)
+    // crash window simulated: the fact half of a transaction lands,
+    // the cumulative half never does
+    VersionedPartitioned.promote(rows("2024-03-02", Seq(4L, 5L)), fact,
+      "date", tag = Some("txn:deadbeef:1of2"))
+    // a reader between crash and recovery NEVER sees the partial pair
+    val Seq(f2, c2) = Txn.readAll(spark, Seq(fact, cum))
+    assert(f2.count() == 3 && c2.count() == 1,
+      "readAll must pin to the last COMPLETE transaction")
+    // recovery rolls the orphaned half back (restore-forward commit)
+    assert(Txn.recover(spark, Seq(fact, cum)) == Seq(fact))
+    assert(VersionedPartitioned.read(spark, fact).count() == 3)
+    // recovery is idempotent and a full retry lands both halves
+    assert(Txn.recover(spark, Seq(fact, cum)).isEmpty)
+    val day2 = rows("2024-03-02", Seq(4L, 5L))
+    Txn.commit(Seq(Txn.Write(day2, fact, "date"),
+      Txn.Write(agg(day1.union(day2)), cum, "date")))
+    val Seq(f3, c3) = Txn.readAll(spark, Seq(fact, cum))
+    assert(f3.count() == 5 && c3.count() == 2)
+    // bootstrap crash: a table whose FIRST commit is the orphaned half
+    // recovers to empty
+    val solo = s"$root/solo"
+    VersionedPartitioned.promote(rows("2024-03-01", Seq(9L)), solo,
+      "date", tag = Some("txn:cafe:1of2"))
+    assert(Txn.recover(spark, Seq(solo)) == Seq(solo))
+    assert(VersionedPartitioned.partitions(spark, solo).isEmpty)
+  }
+
   test("SQL door: occurrence views are dropped after the statement") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqloccdrop_").toString
