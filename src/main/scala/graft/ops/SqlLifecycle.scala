@@ -147,8 +147,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         bloomIndex(name.toLowerCase, Some(cols)); None
       case DropBloomIdxRe(name) =>
         bloomIndex(name.toLowerCase, None); None
-      case CacheTableRe(name) =>
-        cacheTable(name.toLowerCase); None
+      case CacheTableRe(lazyMark, name) =>
+        cacheTable(name.toLowerCase, eager = lazyMark == null); None
       case UncacheTableRe(name) =>
         uncacheTable(name.toLowerCase); None
       case CopyIntoRe(name, path, fmt) =>
@@ -1950,13 +1950,14 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   private val cachedTables =
     scala.collection.mutable.Map.empty[String, (DataFrame, Long)]
 
-  /** `CACHE TABLE t` — Spark's verb with Spark's eager default: the
-    * CURRENT snapshot materializes in executor memory (one count()
-    * forces it) and every subsequent routed statement over `t` reuses
-    * the in-memory relation instead of re-reading parquet, until a
-    * write bumps the version. Partitioned (snapshot-versioned) tables
-    * only: versioning is what makes invalidation provable. */
-  private def cacheTable(name: String): Unit = {
+  /** `CACHE [LAZY] TABLE t` — Spark's verb with Spark's eager
+    * default: the CURRENT snapshot materializes in executor memory
+    * (one count() forces it; LAZY defers to first use) and every
+    * subsequent routed statement over `t` reuses the in-memory
+    * relation instead of re-reading parquet, until a write bumps the
+    * version. Partitioned (snapshot-versioned) tables only:
+    * versioning is what makes invalidation provable. */
+  private def cacheTable(name: String, eager: Boolean = true): Unit = {
     val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
       s"CACHE TABLE $name: no such table"))
     require(meta.partitionCol.isDefined,
@@ -1966,7 +1967,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val path = tableDir(name).toString
     val v = VersionedPartitioned.currentVersion(spark, path).getOrElse(0L)
     val df = readTable(name, meta).persist()
-    df.count()
+    if (eager) df.count()
     cachedTables.put(name, (df, v))
     ()
   }
@@ -2356,10 +2357,11 @@ object SqlLifecycle {
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$""".r
-  // Spark's snapshot-pinning cache verbs; UNCACHE of a never-cached
+  // Spark's snapshot-pinning cache verbs (LAZY defers materialization
+  // to first use, Spark's own modifier); UNCACHE of a never-cached
   // table is a no-op like Spark's IF EXISTS spelling
   private val CacheTableRe =
-    """(?is)^\s*CACHE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*CACHE\s+(LAZY\s+)?TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val UncacheTableRe =
     """(?is)^\s*UNCACHE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // Databricks' point-lookup index verbs: CREATE records the columns

@@ -934,6 +934,26 @@ object Streaming {
     Some(((fFrom, fTo), (dFrom, dTo)))
   }
 
+  /**
+   * Generic checkpoint-free maintenance SUBSCRIPTION: a
+   * `StreamingQuery` that runs `hop` on `trigger`'s cadence — the
+   * shape `maintainedAggregate` and `changeFeed` share, exposed so
+   * EVERY maintained-view hop (`maintainMinMax`, `maintainTopK`,
+   * `maintainDistinct`, `maintainQuantile`, `maintainJoinView`, or a
+   * fan-out running several) has a streaming twin without a bespoke
+   * wrapper. The rate source is only the clock: all delivery state
+   * lives in each state table's own cursor tag, so the query needs no
+   * checkpoint, stops and restarts anywhere, and `AvailableNow` gives
+   * one catch-up tick while `ProcessingTime` polls continuously.
+   */
+  def maintained(spark: SparkSession,
+      trigger: Trigger = Trigger.AvailableNow())(hop: () => Unit)
+      : StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream.trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) => hop() }
+      .start()
+
   /** The maintained aggregate as a STREAMING SUBSCRIPTION — the
     * consumer-side twin of `changeFeed`: a `StreamingQuery` that polls
     * the CDC log on `trigger`'s cadence and runs `maintainAggregate`
@@ -945,13 +965,10 @@ object Streaming {
   def maintainedAggregate(spark: SparkSession, logRoot: String,
       stateRoot: String, groupCols: Seq[String], sumCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
-      .writeStream.trigger(trigger)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        maintainAggregate(spark, logRoot, stateRoot, groupCols, sumCols)
-        ()
-      }
-      .start()
+    maintained(spark, trigger) { () =>
+      maintainAggregate(spark, logRoot, stateRoot, groupCols, sumCols)
+      ()
+    }
 
   /** The change-feed as a STREAMING SUBSCRIPTION: a `StreamingQuery`
     * that polls the source commit log on `trigger`'s cadence and runs
@@ -967,11 +984,8 @@ object Streaming {
   def changeFeed(spark: SparkSession, sourceRoot: String, keys: Seq[String],
       destRoot: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
-      .writeStream.trigger(trigger)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        changeFeedHop(spark, sourceRoot, keys, destRoot)
-        ()
-      }
-      .start()
+    maintained(spark, trigger) { () =>
+      changeFeedHop(spark, sourceRoot, keys, destRoot)
+      ()
+    }
 }

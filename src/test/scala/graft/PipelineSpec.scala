@@ -412,6 +412,13 @@ class PipelineSpec extends AnyFunSuite {
     life.execute("UNCACHE TABLE m.t")
     assert(!life.query("SELECT sum(v) AS s FROM m.t")
       .queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // LAZY defers materialization but still pins + serves in-memory
+    life.execute("CACHE LAZY TABLE m.t")
+    val lazyQ = life.query("SELECT sum(v) AS s FROM m.t")
+    assert(lazyQ.head().getLong(0) == 7L)
+    assert(lazyQ.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"))
+    life.execute("UNCACHE TABLE m.t")
     // loud error on a staging (unversioned) table; IF EXISTS no-ops
     life.execute("CREATE TABLE m.stg (v BIGINT) USING ICEBERG")
     intercept[IllegalArgumentException](life.execute("CACHE TABLE m.stg"))

@@ -611,6 +611,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(hop().isDefined)
     assert(stateRows() == batchRows())
     assert(stateRows().map(_._1) == Seq("2024-03-01"))
+    // the STREAMING twin: one AvailableNow tick of the generic
+    // `maintained` subscription carries a fresh commit source → feed →
+    // state, checkpoint-free (all delivery state is the cursor tags)
+    VersionedPartitioned.promote(
+      rows(3, Seq(7L -> 4.0, 8L -> 6.0)), src, "date")
+    Streaming.maintained(spark) { () =>
+      Streaming.changeFeedHop(spark, src, keys, log)
+      Streaming.maintainMinMax(spark, log, state, src, Seq("date"),
+        Seq("px"))
+      ()
+    }.awaitTermination()
+    assert(stateRows() == batchRows())
+    assert(stateRows().map(_._1) == Seq("2024-03-01", "2024-03-03"))
   }
 
   test("maintainTopK: winner deletes refill from source, replays no-op") {
