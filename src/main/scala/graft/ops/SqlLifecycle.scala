@@ -544,15 +544,19 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       }
     // equality/IN conjuncts on BLOOM-indexed data columns additionally
     // probe the per-file blooms — the point-lookup skip min/max cannot
-    // make on a scattered high-cardinality id. The bloom-coverage
-    // census (one footer read per snapshot) is paid only when an
-    // equality conjunct exists on a non-partition column.
+    // make on a scattered high-cardinality id. Works for HIDDEN
+    // partitioning too (the probed column just must not be the
+    // partition key or a transform source — those prune at the
+    // manifest). The bloom-coverage census (one footer read per
+    // snapshot) is paid only when an equality conjunct exists on a
+    // probeable column.
     val filePoints: Seq[(String, Seq[Any])] =
-      if (hidden || augmented.size != 1) Nil
+      if (augmented.size != 1) Nil
       else {
+        val exclude = (pcol +: partSources).map(_.toLowerCase).toSet
         val conjuncts = augmented.head.conjuncts
         val eqCols = conjuncts.flatMap(_.references.toSeq.map(_.name))
-          .distinct.filterNot(_.equalsIgnoreCase(pcol))
+          .distinct.filterNot(c => exclude(c.toLowerCase))
           .flatMap(c => ScanPrune.boundsFor(conjuncts, c)
             .flatMap(_.eqs).filter(_.nonEmpty).map(vs => (c, vs)))
         if (eqCols.isEmpty) Nil

@@ -410,6 +410,24 @@ class HiddenPartitionSpec extends AnyFunSuite {
     val after = life.query(
       s"SELECT id FROM b.docs WHERE doc = '$target'")
     assert(after.as[Long].collect().toSeq == Seq(500L))
+    // HIDDEN partitioning composes: blooms on a data column skip files
+    // inside hash-bucket partitions the transform cannot discriminate
+    life.execute("""
+      CREATE TABLE b.hdocs (id BIGINT, grp STRING, doc STRING)
+      USING ICEBERG PARTITIONED BY (bucket(4, grp))""")
+    life.execute("CREATE BLOOMFILTER INDEX ON TABLE b.hdocs FOR COLUMNS (doc)")
+    (1 to 2000).map(i => (i.toLong, s"g${i % 40}"))
+      .toDF("id", "grp")
+      .withColumn("doc", md5(col("id").cast("string")))
+      .createOrReplaceTempView("sqlbloom_hsrc")
+    life.execute("INSERT INTO b.hdocs SELECT * FROM sqlbloom_hsrc")
+    val htarget = spark.table("sqlbloom_hsrc")
+      .where(col("id") === 700L).select("doc").head().getString(0)
+    val hrouted = life.query(
+      s"SELECT id FROM b.hdocs WHERE doc = '$htarget'")
+    assert(hrouted.as[Long].collect().toSeq == Seq(700L))
+    assert(hrouted.inputFiles.length < 4,
+      s"hidden-table bloom kept ${hrouted.inputFiles.length} of 4 files")
   }
 
   test("SQL door: a join to a filtered dim prunes the fact (DPP shape)") {
