@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("top_parts_per_brand").contains("WindowGroupLimit"))
   }
 
+  test("html_strip / blocklist_filter / nfkc: shuffle-free per-row passes") {
+    // the round-17 text kernels run where the text already lives: the
+    // whole strip/decode/tokenize/probe chain is per-row expressions —
+    // zero DATA shuffles (the gates' ORDER BY adds one range exchange
+    // for deterministic output; a hashpartitioning exchange would mean
+    // the pass re-keyed 100 TB of text). No UDFs anywhere: regex,
+    // replace and higher-order functions only (HOF lambda bodies are
+    // interpreted per element, which is exactly why the HOT-path
+    // kernels — norm_tokens, nfkc — are native codegen expressions).
+    for (name <- Seq("html_strip", "blocklist_filter", "nfkc_normalize")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffles: \n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name uses a UDF")
+    }
+  }
+
   test("join_revenue: dimension tables broadcast, fact join stays shuffled") {
     val p = plan("join_revenue")
     assert(p.contains("BroadcastHashJoin"))
