@@ -151,6 +151,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         cacheTable(name.toLowerCase, eager = lazyMark == null); None
       case UncacheTableRe(name) =>
         uncacheTable(name.toLowerCase); None
+      case RefreshTableRe(name) =>
+        // Spark's verb: re-resolve cached state. A cached table
+        // re-pins at the CURRENT version (the version check would
+        // drop a stale pin lazily anyway — REFRESH does it eagerly);
+        // an uncached table is a no-op, like Spark's.
+        val n = name.toLowerCase
+        if (metaOf(n).isEmpty)
+          throw new IllegalArgumentException(s"REFRESH TABLE $n: no such table")
+        if (cachedTables.contains(n)) cacheTable(n)
+        None
       case CopyIntoRe(name, path, fmt) =>
         // FILEFORMAT is matched loudly: a non-PARQUET format names the
         // table and the format rather than falling through to the
@@ -2368,6 +2378,8 @@ object SqlLifecycle {
     """(?is)^\s*CACHE\s+(LAZY\s+)?TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val UncacheTableRe =
     """(?is)^\s*UNCACHE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val RefreshTableRe =
+    """(?is)^\s*REFRESH\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   // Databricks' point-lookup index verbs: CREATE records the columns
   // in the table meta (new writes emit bloom sidecars), DROP removes
   private val CreateBloomIdxRe =

@@ -412,10 +412,23 @@ class PipelineSpec extends AnyFunSuite {
     life.execute("UNCACHE TABLE m.t")
     assert(!life.query("SELECT sum(v) AS s FROM m.t")
       .queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // REFRESH eagerly re-pins a cached table at the current head (the
+    // stale pin would drop lazily anyway); uncached tables no-op
+    life.execute("CACHE TABLE m.t")
+    life.execute("INSERT INTO m.t VALUES ('d4', 1)")
+    life.execute("REFRESH TABLE m.t")
+    val refreshed = life.query("SELECT sum(v) AS s FROM m.t")
+    assert(refreshed.head().getLong(0) == 8L)
+    assert(refreshed.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "REFRESH must re-pin at the new head")
+    life.execute("UNCACHE TABLE m.t")
+    life.execute("REFRESH TABLE m.t") // uncached: no-op
+    intercept[IllegalArgumentException](
+      life.execute("REFRESH TABLE m.nope"))
     // LAZY defers materialization but still pins + serves in-memory
     life.execute("CACHE LAZY TABLE m.t")
     val lazyQ = life.query("SELECT sum(v) AS s FROM m.t")
-    assert(lazyQ.head().getLong(0) == 7L)
+    assert(lazyQ.head().getLong(0) == 8L)
     assert(lazyQ.queryExecution.executedPlan.toString
       .contains("InMemoryTableScan"))
     life.execute("UNCACHE TABLE m.t")
