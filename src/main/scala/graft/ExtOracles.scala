@@ -470,6 +470,7 @@ object ExtOracles {
       ("sql_zorder_range" -> base("versioned_zorder_optimized")) +
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("sql_point_lookup" -> oracle("sql_point_lookup")) +
+      ("sql_agg_meta" -> oracle("sql_agg_meta")) +
       ("txn_pair" -> oracle("txn_pair")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
@@ -1339,6 +1340,7 @@ object ExtOracles {
         |                     AND ex.neighbor_id = ann.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "similarity_ivf" -> oracle("similarity_ivf"),
+    "similarity_ivfpq" -> oracle("similarity_ivfpq"),
 
     // Funnel replay: the same chained conditional cumulative mins — step
     // i's earliest in-order completion as of each row, reduced per user,

@@ -276,6 +276,23 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ANN (coarse cells + residual product-quantization codes +
+    * asymmetric-distance shortlist + exact rerank — the billion-scale
+    * index layout): code assignment is an exact-integer argmin
+    * (`pq_encode` scales residuals by 10⁴), so the DuckDB oracle
+    * replays sampling → assignment → encoding → decoding → shortlist →
+    * rerank bit-for-bit. ExtSpec pins the exhaustive-knob == brute
+    * force property and default-knob recall. */
+  private def similarityIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfPqTopK(e, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, centroidStride = 20, nProbe = 8,
+        m = 8, cbStride = 17, shortlist = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** End-to-end corpus dedup: the surviving documents after MinHash
     * near-dup pairs → connected components → drop every non-
     * representative. The operator a training pipeline actually calls
@@ -2802,6 +2819,45 @@ object ExtQueries {
   }
 
   /**
+   * Metadata-only aggregation through the statement door (StatsAgg +
+   * `aggregateFromStats`): a table opted into per-file stats via
+   * `ALTER TABLE … SET TBLPROPERTIES ('graft.statsColumns'=…)` answers
+   * a partition-filtered, partition-grouped COUNT/MIN/MAX/SUM from the
+   * `_stats` sidecars with zero data I/O — Iceberg's answer-from-
+   * manifests move. StatsAggSpec pins the plan shape (no data files
+   * read) and every fallback; this gate pins the NUMBERS against
+   * DuckDB's full recompute. The decimal total is cast to DOUBLE
+   * OUTSIDE the routed statement so the fold itself stays the exact
+   * decimal Spark's scan would produce.
+   */
+  private def sqlAggMeta(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlaggmeta_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA am")
+    life.execute("""
+      CREATE TABLE am.orders (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("ALTER TABLE am.orders SET TBLPROPERTIES " +
+      "('graft.statsColumns'='o_orderkey,o_totalprice')")
+    monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-06"))
+      .createOrReplaceTempView("aggmeta_src")
+    life.execute("INSERT INTO am.orders SELECT * FROM aggmeta_src")
+    life.query("""
+      SELECT month, count(*) AS n_rows, count(o_orderkey) AS n_keys,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             sum(o_totalprice) AS total
+      FROM am.orders
+      WHERE month BETWEEN '1995-02' AND '1995-05'
+      GROUP BY month""")
+      .select(col("month"), col("n_rows"), col("n_keys"), col("min_key"),
+        col("max_key"), col("total").cast("double").as("total"))
+      .orderBy("month")
+  }
+
+  /**
    * Multi-table transaction (ops/Txn — the Iceberg REST-catalog
    * transaction shape over the file-based logs): the reference's
    * promote+cumulate pair committed as one transaction per "day"
@@ -4903,6 +4959,7 @@ object ExtQueries {
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_recall" -> ((s, dir) => similarityRecall(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
+    "similarity_ivfpq" -> ((s, dir) => similarityIvfPq(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
     "c4_clean" -> ((s, dir) => c4CleanQ(s, dir)),
@@ -5108,6 +5165,7 @@ object ExtQueries {
     "sql_zorder_range" -> ((s, dir) => sqlZorderRange(s, dir)),
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
+    "sql_agg_meta" -> ((s, dir) => sqlAggMeta(s, dir)),
     "txn_pair" -> ((s, dir) => txnPair(s, dir)),
     "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),

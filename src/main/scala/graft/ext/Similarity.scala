@@ -221,6 +221,118 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ approximate top-k — the billion-scale ANN layout (Jégou et
+   * al. 2011, "Product Quantization for Nearest Neighbor Search"):
+   * coarse IVF cells over RESIDUAL product-quantization codes. At rest
+   * each corpus vector is (cell id, m codes, true norm) — m+12 bytes
+   * instead of 8·dim, a 20–30× compression that is what lets a 100 TB
+   * embedding corpus serve from executor memory — and the floats are
+   * reconstructed only streaming through the candidate scan
+   * (`pq_decode`, one fused codegen pass, no explode/regroup).
+   *
+   * Determinism/replayability contract (what lets the DuckDB oracle
+   * recompute the whole index from SQL): coarse centroids and codebook
+   * entries are deterministic corpus samples (every `centroidStride`-th
+   * / `cbStride`-th id — the data-adaptive sampling `ivfTopK`
+   * established); code assignment is an EXACT integer argmin over
+   * `floor(x·10⁴+0.5)`-scaled residuals (`pq_encode` — no FP reorder can
+   * flip a code across engines), ties to the lowest entry index;
+   * reconstruction adds the exact double codebook values back.
+   *
+   * Search: probe the `nProbe` nearest cells, rank candidates by
+   * approximate cosine ⟨q, decode(c)⟩ / (|q|·|c|) (true stored norms —
+   * the asymmetric-distance trick: only the corpus side is quantized),
+   * keep a `shortlist`, rerank the shortlist at full precision by
+   * joining the original vectors back, emit the top `k`. With
+   * `nProbe = nCells` and `shortlist ≥ |corpus|` this is exactly brute
+   * force; the knobs trade recall for scan fraction and rerank I/O.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidStride: Int = 20, nProbe: Int = 8,
+      m: Int = 8, cbStride: Int = 17, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val q = prep(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val cents = prep(
+      corpus.where(col(idCol) % centroidStride === 0), idCol, vecCol,
+      "__cent_id", "__ev", "__en")
+
+    // cell assignment + residuals (exact double subtraction)
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("__csim").desc, col("__cent_id"))
+    val resid = c.crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        dot(col("__cv"), col("__ev")) / (col("__cn") * col("__en")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .where(col("__rn") === 1)
+      .select(col("neighbor_id"), col("__cn"), col("__cent_id"),
+        zip_with(col("__cv"), col("__ev"), (x, y) => x - y).as("__res"))
+
+    // codebook: residual subvectors of the deterministic sample,
+    // collected driver-side — ksub·dim doubles, metadata-sized (the
+    // k-centroid-rows idiom from Clustering). Entry order = ascending
+    // sampled id, so entry INDEXES are engine-reproducible.
+    val sampleRows = resid.where(col("neighbor_id") % cbStride === 0)
+      .orderBy("neighbor_id").select("__res").collect()
+    require(sampleRows.nonEmpty,
+      s"ivfPqTopK: empty codebook sample (cbStride=$cbStride)")
+    val sample: Array[Array[Double]] =
+      sampleRows.map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val (dsub, ksub) = (dim / m, sample.length)
+    // flat (j, e, t) layout, double + scaled-int views
+    val flatD: Array[Double] = Array.tabulate(m * ksub * dsub) { i =>
+      val (j, e, t) = (i / (ksub * dsub), (i / dsub) % ksub, i % dsub)
+      sample(e)(j * dsub + t)
+    }
+    val flatI: Array[Long] =
+      flatD.map(graft.functions.VectorExprs.pqScaled)
+
+    // the at-rest index: (cell, m codes, true norm)
+    val encoded = resid.select(col("neighbor_id"), col("__cn"),
+      col("__cent_id"),
+      call_function("pq_encode", col("__res"), typedLit(flatI),
+        lit(m), lit(ksub)).as("__codes"))
+
+    // nProbe nearest cells per query (same probe as ivfTopK)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__qsim").desc, col("__cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__qsim",
+        dot(col("__qv"), col("__ev")) / (col("__qn") * col("__en")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cent_id"))
+
+    // approximate scoring: decode in the scan, asymmetric cosine
+    val centVecs = cents.select(col("__cent_id"), col("__ev"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val short = probes
+      .join(encoded.join(broadcast(centVecs), "__cent_id"), "__cent_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__dv", call_function("pq_decode", col("__codes"),
+        col("__ev"), typedLit(flatD), lit(ksub)))
+      .withColumn("__approx",
+        dot(col("__dv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= sl)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+
+    // exact rerank of the shortlist only: join the floats back by id
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(c, "neighbor_id")
+      .withColumn("sim",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /**
    * Add the LSH band-bucket keys (ARRAY<BIGINT>, one per band) for an
    * ARRAY<DOUBLE> vector column: bit j = [⟨plane_j, v⟩ > 0] with
    * md5-derived ±1 hyperplanes (VectorExprs.planes — reproducible in any

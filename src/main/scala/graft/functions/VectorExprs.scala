@@ -140,6 +140,141 @@ object VectorExprs {
       if (n > 0) err / n else 0.0))
   }
 
+  /** Fixed-point scale for PQ code assignment: distances are computed
+    * over `floor(x·10⁴ + 0.5)` int64 values, so the argmin is EXACT
+    * integer arithmetic — associative, reorder-proof, identically
+    * replayable by any engine (the same trick as `quantizeInt8`'s
+    * floor(+0.5)). 64-dim unit-scale embeddings scale to |v| ≤ ~10⁵;
+    * squared diffs ≤ ~4·10¹⁰ and subspace sums ≤ ~3·10¹² stay far
+    * inside both the int64 range and double's 2⁵³ exact-integer window
+    * (DuckDB's list arithmetic folds in doubles). */
+  private val PqScale = 10000.0
+
+  def pqScaled(x: Double): Long =
+    math.floor(x * PqScale + 0.5).toLong
+
+  /**
+   * Product-quantization code assignment (the IVF-PQ encode step):
+   * split `res` (a residual vector, length m·dsub) into `m` subvectors
+   * and pick, per subspace j, the codebook entry with the smallest
+   * L2 distance in the scaled-integer space. `cb` is the flat INT64
+   * codebook, layout `[(j·ksub + e)·dsub + t]` — subspace-major, entry
+   * index second — holding `pqScaled` values; ties break to the lowest
+   * entry index (strict `<`), which the integer distances make
+   * engine-independent. Returns the m entry indices (0-based).
+   */
+  def pqEncode(res: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val n = res.numElements()
+    if (m <= 0 || n % m != 0) throw new IllegalArgumentException(
+      s"pq_encode: vector length $n not divisible by m=$m")
+    val dsub = n / m
+    if (cb.numElements() != ksub * n) throw new IllegalArgumentException(
+      s"pq_encode: codebook length ${cb.numElements()} != ksub·len " +
+        s"(${ksub}·$n) — a mis-laid-out codebook would silently mis-encode")
+    val scaled = new Array[Long](n)
+    var i = 0
+    while (i < n) { scaled(i) = pqScaled(res.getDouble(i)); i += 1 }
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestDist = Long.MaxValue
+      var e = 0
+      while (e < ksub) {
+        val base = (j * ksub + e) * dsub
+        var dist = 0L
+        var t = 0
+        while (t < dsub) {
+          val d = scaled(j * dsub + t) - cb.getLong(base + t)
+          dist += d * d
+          t += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = e }
+        e += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /**
+   * Product-quantization reconstruction (the IVF-PQ decode step, run
+   * INSIDE the candidate scan): approx vector = coarse centroid +
+   * concatenated codebook entries. `cb` is the flat DOUBLE codebook in
+   * the same `[(j·ksub + e)·dsub + t]` layout as `pq_encode`'s integer
+   * twin but holding the EXACT original values — assignment is
+   * fixed-point, reconstruction full precision. One fused pass, no
+   * explode/regroup: the at-rest candidate row is (cent_id, m codes,
+   * norm) ≈ m+12 bytes instead of 8·dim, and the floats only ever
+   * exist streaming through this expression.
+   */
+  def pqDecode(codes: ArrayData, cent: ArrayData, cb: ArrayData,
+      ksub: Int): ArrayData = {
+    val m = codes.numElements()
+    val n = cent.numElements()
+    if (m <= 0 || n % m != 0) throw new IllegalArgumentException(
+      s"pq_decode: centroid length $n not divisible by m=$m")
+    if (cb.numElements() != ksub * n) throw new IllegalArgumentException(
+      s"pq_decode: codebook length ${cb.numElements()} != ksub·len " +
+        s"(${ksub}·$n)")
+    val dsub = n / m
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < m) {
+      val e = codes.getInt(j)
+      if (e < 0 || e >= ksub) throw new IllegalArgumentException(
+        s"pq_decode: code $e out of range [0, $ksub)")
+      val base = (j * ksub + e) * dsub
+      var t = 0
+      while (t < dsub) {
+        out(j * dsub + t) = cent.getDouble(j * dsub + t) +
+          cb.getDouble(base + t)
+        t += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class PqEncode(left: Expression, right: Expression, m: Int,
+      ksub: Int) extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(LongType))
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorExprs.pqEncode($a, $b, $m, $ksub)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqEncode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class PqDecode(first: Expression, second: Expression,
+      third: Expression, ksub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), ArrayType(DoubleType),
+        ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_decode"
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      pqDecode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        c.asInstanceOf[ArrayData], ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.VectorExprs.pqDecode($a, $b, $c, $ksub)")
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): PqDecode =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
@@ -219,6 +354,21 @@ object VectorExprs {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_quantize(vec, levels)")
         VecQuantize(children.head, intLit(children(1), "vec_quantize levels"))
+      }),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "pq_encode(res, cb_int, m, ksub)")
+        PqEncode(children(0), children(1),
+          intLit(children(2), "pq_encode m"),
+          intLit(children(3), "pq_encode ksub"))
+      }),
+    (FunctionIdentifier("pq_decode"),
+      new ExpressionInfo(classOf[PqDecode].getName, "pq_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "pq_decode(codes, cent, cb, ksub)")
+        PqDecode(children(0), children(1), children(2),
+          intLit(children(3), "pq_decode ksub"))
       }))
 
   /** Register `vec_dot(a, b)` and `sign_band_buckets(vec, nBits, dim,

@@ -119,6 +119,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         alterWidenColumn(name.toLowerCase, colName, colType.trim); None
       case AlterRenameColRe(name, from, to) =>
         alterRenameColumn(name.toLowerCase, from, to); None
+      case AlterTblPropsRe(name, verb, propsBlock) =>
+        alterTblProps(name.toLowerCase,
+          verb.equalsIgnoreCase("SET"), propsBlock); None
       case TruncateRe(name) =>
         truncateTable(name.toLowerCase); None
       case AlterBranchRe(name, verb, branch) =>
@@ -362,6 +365,26 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val (rewritten, occs) =
       splitScanOccurrences(rewriteNames(withTravel), referenced, pinned.toSeq)
     val df = spark.sql(rewritten)
+    // metadata-only aggregates: a statement that is exactly
+    // count/min/max/sum over ONE cataloged partitioned table —
+    // optionally filtered/grouped on its partition column — folds from
+    // the per-file `_stats` sidecars instead of scanning data
+    // (StatsAgg has the legality argument; any doubt falls through to
+    // the scan below). `SELECT count(*) FROM fact WHERE date = …`
+    // plans O(metadata) at any table size.
+    val statsAnswered: Option[DataFrame] =
+      if (spark.conf.getOption("spark.graft.sql.statsAgg")
+          .forall(_.toBoolean))
+        StatsAgg.tryAnswer(spark, df, occs.flatMap(o =>
+          o.meta.partitionCol.map(pc => StatsAgg.OccTable(
+            tableDir(o.table).toString, o.version, pc, o.rels))))
+      else None
+    statsAnswered match {
+      case Some(a) =>
+        occs.foreach(o => spark.catalog.dropTempView(o.view))
+        return a
+      case None =>
+    }
     // statement-predicate pruning: if the OPTIMIZED plan proves a
     // scan occurrence is filtered on its partition (or hidden-
     // transform source) columns — by literal, or by a join to a small
@@ -1258,7 +1281,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       // reference's DELETE-day-then-INSERT sequence (see
       // VersionedPartitioned.insertInto)
       VersionedPartitioned.insertInto(withPhysKey(rows, meta),
-        tableDir(name).toString, p, bloomCols = meta.bloomCols)
+        tableDir(name).toString, p, bloomCols = meta.bloomCols,
+        statsCols = meta.statsCols)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1387,7 +1411,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         VersionedPartitioned.overwritePartitions(
           withPhysKey(applyTo(cur), meta), path, affected.contains,
-          bloomCols = meta.bloomCols)
+          bloomCols = meta.bloomCols, statsCols = meta.statsCols)
         ()
       case None =>
         val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1616,7 +1640,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
           if (insertAll && ins.take(1).nonEmpty) {
             VersionedPartitioned.promote(withPhysKey(ins, meta), path, p,
-              bloomCols = meta.bloomCols)
+              bloomCols = meta.bloomCols, statsCols = meta.statsCols)
           }
           return
         }
@@ -1627,7 +1651,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           val cur = readTable(target, meta)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, _ => true, bloomCols = meta.bloomCols)
+            path, _ => true, bloomCols = meta.bloomCols,
+            statsCols = meta.statsCols)
         } else {
           val srcParts = partsOf(withPhysKey(src, meta))
           val matchedParts =
@@ -1642,7 +1667,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, affected.contains, bloomCols = meta.bloomCols)
+            path, affected.contains, bloomCols = meta.bloomCols,
+            statsCols = meta.statsCols)
         }
         ()
     }
@@ -1711,7 +1737,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         Exchange.swapTable(cur.drop(field), dataDir)
     }
     writeMeta(name, meta.copy(schema =
-      StructType(meta.schema.fields.filterNot(_.name == field))))
+      StructType(meta.schema.fields.filterNot(_.name == field)),
+      bloomCols = meta.bloomCols.filterNot(_ == field),
+      statsCols = meta.statsCols.filterNot(_ == field)))
   }
 
   /** ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only lossless
@@ -1720,6 +1748,50 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * precision growth; anything else raises); staging tables rewrite
     * in place. The catalog schema takes the wide type, so later
     * INSERTs conform-cast to it. */
+  /** `ALTER TABLE t SET TBLPROPERTIES ('graft.statsColumns'='c1,c2')` —
+    * Delta's `delta.dataSkippingStatsColumns` shape: the named columns
+    * are recorded in the table META, and every SUBSEQUENT write emits
+    * per-file min/max/count(/sum for integral+decimal) stats for them
+    * into the snapshot's `_stats` sidecar. Those stats feed file-level
+    * skipping (`prunedFilesWhere`) and metadata-only aggregation
+    * (`StatsAgg`/`aggregateFromStats`); existing snapshots index on
+    * their next rewrite (`OPTIMIZE`), exactly like the bloom-index
+    * verb. `UNSET` removes the property; existing sidecars ride out
+    * with their snapshots. Unknown property keys fail loudly — a
+    * silently ignored storage property is a debugging trap. */
+  private def alterTblProps(name: String, set: Boolean,
+      propsBlock: String): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    val props: Seq[(String, Option[String])] =
+      TblPropRe.findAllMatchIn(propsBlock).map { m =>
+        (m.group(1).replace("''", "'"),
+          Option(m.group(2)).map(_.replace("''", "'")))
+      }.toSeq
+    require(props.nonEmpty,
+      s"ALTER TABLE $name ${if (set) "SET" else "UNSET"} TBLPROPERTIES: " +
+        "no properties parsed")
+    var cur = meta
+    for ((k, v) <- props) k match {
+      case "graft.statsColumns" =>
+        if (set) {
+          val cols = v.getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE $name SET TBLPROPERTIES: '$k' needs a value"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val resolved = cols.map(c =>
+            cur.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"ALTER TABLE $name SET TBLPROPERTIES '$k': " +
+                  s"no such column $c")).name)
+          cur = cur.copy(statsCols = resolved.distinct)
+        } else cur = cur.copy(statsCols = Nil)
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE $name: unsupported table property '$other' — " +
+          "supported: 'graft.statsColumns'")
+    }
+    writeMeta(name, cur)
+  }
+
   private def alterWidenColumn(name: String, colName: String,
       colType: String): Unit = {
     val meta = metaOf(name).getOrElse(
@@ -1785,8 +1857,14 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         val cur = readUnpartitioned(meta, dataDir)
         Exchange.swapTable(cur.withColumnRenamed(field, to), dataDir)
     }
-    writeMeta(name, meta.copy(schema = StructType(meta.schema.fields.map(f =>
-      if (f.name == field) f.copy(name = to) else f))))
+    // index/stats properties follow the rename: future writes emit
+    // sidecar entries under the NEW name (existing sidecars keep the
+    // old one — readers treat missing coverage as keep-all/bail)
+    writeMeta(name, meta.copy(
+      schema = StructType(meta.schema.fields.map(f =>
+        if (f.name == field) f.copy(name = to) else f)),
+      bloomCols = meta.bloomCols.map(c => if (c == field) to else c),
+      statsCols = meta.statsCols.map(c => if (c == field) to else c)))
   }
 
   /** TRUNCATE TABLE — metadata-only on the partitioned format (one
@@ -1860,7 +1938,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     meta.partitionCol match {
       case Some(p) =>
         VersionedPartitioned.promote(withPhysKey(src, meta),
-          tableDir(name).toString, p, bloomCols = meta.bloomCols)
+          tableDir(name).toString, p, bloomCols = meta.bloomCols,
+          statsCols = meta.statsCols)
         ()
       case None =>
         Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
@@ -1908,7 +1987,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case None => _ => true
     }
     VersionedPartitioned.optimizeZOrderWhere(spark, path, zExprs, bits,
-      statsCols = resolved, keep = keep, bloomCols = meta.bloomCols)
+      statsCols = (resolved ++ meta.statsCols).distinct, keep = keep,
+      bloomCols = meta.bloomCols)
     ()
   }
 
@@ -2196,10 +2276,13 @@ object SqlLifecycle {
   private val ViewFileSuffix = ".graft_view.sql"
 
   private final case class TableMeta(schema: StructType,
-      partitionCol: Option[String], bloomCols: Seq[String] = Nil) {
+      partitionCol: Option[String], bloomCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil) {
     def render: String =
       s"partition=${partitionCol.getOrElse("-")}\nddl=${schema.toDDL}\n" +
-        (if (bloomCols.isEmpty) "" else s"bloom=${bloomCols.mkString(",")}\n")
+        (if (bloomCols.isEmpty) "" else s"bloom=${bloomCols.mkString(",")}\n") +
+        (if (statsCols.isEmpty) ""
+         else s"stats=${statsCols.mkString(",")}\n")
   }
 
   private object TableMeta {
@@ -2209,7 +2292,8 @@ object SqlLifecycle {
         .toMap
       TableMeta(StructType.fromDDL(kv("ddl")),
         Some(kv("partition")).filter(_ != "-"),
-        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
     }
   }
 
@@ -2406,6 +2490,11 @@ object SqlLifecycle {
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
       """(?:SET\s+DATA\s+)?TYPE\s+""" +
       """([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$""").r
+  private val AlterTblPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(SET|UNSET)\s+""" +
+      """TBLPROPERTIES\s*\(\s*(.*?)\s*\)\s*;?\s*$""").r
+  private val TblPropRe =
+    """(?s)'((?:[^']|'')*)'(?:\s*=\s*'((?:[^']|'')*)')?""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val CreateTableAsRe =

@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Metadata-only aggregate answering for the SQL front door — the
+ * plan-shape side of `VersionedPartitioned.aggregateFromStats`.
+ *
+ * Iceberg/Delta answer `SELECT count(*) FROM fact WHERE <partition
+ * predicate>` from manifests alone; this object does the same for the
+ * sidecar format. After `SqlLifecycle.query` resolves a routed
+ * statement, the OPTIMIZED plan is inspected: if it is exactly one
+ * ungrouped (or partition-grouped) Aggregate of
+ * count(*) / count(c) / min(c) / max(c) / sum(c) over ONE cataloged
+ * partitioned table, filtered — if at all — by a predicate the
+ * partition VALUE alone decides, the answer folds from the per-file
+ * `_stats` sidecars: O(metadata), zero data I/O. At 100 TB that turns
+ * a full-table scan into a planning-sized job.
+ *
+ * The safety argument mirrors `ScanPrune` but is strictly tighter:
+ * pruning needs conjuncts to be NECESSARY conditions; an exact answer
+ * needs the walked subtree to be the WHOLE row pipeline. The walk
+ * therefore admits only Filter / pass-through Project / the table
+ * frame's own Union, and every filter conjunct must reference the
+ * partition column alone, be deterministic, and be subquery-free —
+ * anything else returns None and the caller runs the real scan. Rows
+ * can then only be dropped by partition-value-decidable predicates,
+ * which `aggregateFromStats` re-applies per manifest entry, and the
+ * fold's own legality gates (pending MoR deletes, sidecar coverage,
+ * schema-evolution replay) bail the rest. A None is never wrong, a
+ * Some is never an estimate.
+ *
+ * Kill switch: `spark.graft.sql.statsAgg=false` (checked by the
+ * caller) routes every statement through the scan path unchanged.
+ */
+object StatsAgg {
+
+  /** What the door knows about one statement occurrence of a
+    * cataloged partitioned table: its root dir, optional pinned
+    * version, partition column, and the BaseRelation INSTANCES its
+    * registered frame scans (identity maps plan leaves back to it). */
+  final case class OccTable(root: String, version: Option[Long],
+      partitionCol: String, rels: Seq[AnyRef])
+
+  private final case class AggItem(func: String, inId: Option[ExprId],
+      outName: String, outType: org.apache.spark.sql.types.DataType)
+  private sealed trait OutItem
+  private final case class GroupOut(outName: String) extends OutItem
+  private final case class AggOut(item: AggItem) extends OutItem
+
+  /** One admitted leaf: its relation instance, snapshot dir name, the
+    * filter conjuncts accumulated down to it (leaf-attr terms), and
+    * the needed top-level ids resolved to leaf attributes. */
+  private final case class LeafInfo(rel: LogicalRelation, snap: String,
+      conjuncts: Seq[Expression], resolve: Map[ExprId, Attribute])
+
+  /** Try to answer `df`'s optimized plan from stats sidecars. */
+  def tryAnswer(spark: SparkSession, df: DataFrame,
+      occs: Seq[OccTable]): Option[DataFrame] =
+    try answer(spark, df, occs)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def answer(spark: SparkSession, df: DataFrame,
+      occs: Seq[OccTable]): Option[DataFrame] = {
+    if (occs.isEmpty) return None
+    val plan = df.queryExecution.optimizedPlan
+    // a global ORDER BY over the aggregate's own outputs re-applies on
+    // the folded frame — sorting O(partitions) metadata rows
+    val (agg, sortOrder) = plan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.global => s.child match {
+        case a: Aggregate
+            if s.order.forall(_.child.isInstanceOf[AttributeReference]) =>
+          (a, s.order)
+        case _ => return None
+      }
+      case a: Aggregate => (a, Seq.empty[SortOrder])
+      case _ => return None
+    }
+    val groupAttr: Option[AttributeReference] = agg.groupingExpressions match {
+      case Nil => None
+      case Seq(a: AttributeReference) => Some(a)
+      case _ => return None
+    }
+    // classify the output list; bail on anything but the supported
+    // aggregate shapes and the grouping column itself
+    val items: Seq[OutItem] = agg.aggregateExpressions.map {
+      case a: AttributeReference
+          if groupAttr.exists(_.exprId == a.exprId) => GroupOut(a.name)
+      case al @ Alias(a: AttributeReference, n)
+          if groupAttr.exists(_.exprId == a.exprId) => GroupOut(n)
+      case al @ Alias(ae: AggregateExpression, n)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        // count(DISTINCT <partition col>) = the kept-dir census; the
+        // spec builder below rejects any other distinct target
+        ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(a: AttributeReference) =>
+              AggOut(AggItem("count_distinct_part", Some(a.exprId), n,
+                LongType))
+            case _ => return None
+          }
+          case _ => return None
+        }
+      case al @ Alias(ae: AggregateExpression, n)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val item = ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(l: Literal) if l.value != null =>
+              AggItem("count_star", None, n, LongType)
+            case Seq(a: AttributeReference) =>
+              AggItem("count", Some(a.exprId), n, LongType)
+            case _ => return None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference =>
+              AggItem("min", Some(a.exprId), n, al.dataType)
+            case _ => return None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference =>
+              AggItem("max", Some(a.exprId), n, al.dataType)
+            case _ => return None
+          }
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              AggItem("sum", Some(a.exprId), n, al.dataType)
+            case _ => return None
+          }
+          case _ => return None
+        }
+        AggOut(item)
+      case _ => return None
+    }
+    val aggItems = items.collect { case AggOut(i) => i }
+    // no aggregate functions is only meaningful as SELECT DISTINCT
+    // <partition col> (a grouped projection) — bail otherwise
+    if (aggItems.isEmpty && groupAttr.isEmpty) return None
+    val needIds: Set[ExprId] =
+      aggItems.flatMap(_.inId).toSet ++ groupAttr.map(_.exprId)
+    // strict walk of the aggregate's child
+    val leaves = walk(agg.child, Nil, needIds.map(id => id -> id).toMap,
+      occs) match {
+      case Some(ls) if ls.nonEmpty => ls
+      case _ => return None
+    }
+    // exactly one occurrence owns every leaf
+    val occ = occs.find(o =>
+      leaves.forall(l => o.rels.exists(_ eq l.rel.relation))) match {
+      case Some(o) => o
+      case None => return None
+    }
+    // one leaf per snapshot (the frame unions each snapshot once)
+    if (leaves.map(_.snap).distinct.length != leaves.length) return None
+    // conjunct exactness per leaf: deterministic, subquery-free, and
+    // referencing ONLY the partition column
+    for (l <- leaves) {
+      val pAttr = l.rel.output.find(
+        _.name.equalsIgnoreCase(occ.partitionCol)) match {
+        case Some(a) => a
+        case None => if (l.conjuncts.nonEmpty) return None else null
+      }
+      for (c <- l.conjuncts) {
+        if (!c.deterministic) return None
+        if (c.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        if (!c.references.forall(_.exprId == pAttr.exprId)) return None
+      }
+    }
+    // needed columns must resolve to the SAME stored name in every leaf
+    def storedName(id: ExprId): Option[String] = {
+      val names = leaves.map(_.resolve.get(id).map(_.name)).distinct
+      names match { case Seq(Some(n)) => Some(n); case _ => None }
+    }
+    val specs = aggItems.map { i =>
+      val colName = i.inId match {
+        case Some(id) => storedName(id) match {
+          case Some(n) => Some(n)
+          case None => return None
+        }
+        case None => None
+      }
+      // the distinct census only answers for the partition column
+      // itself (any other column needs real data)
+      if (i.func == "count_distinct_part" &&
+        !colName.exists(_.equalsIgnoreCase(occ.partitionCol))) return None
+      VersionedPartitioned.StatsAggSpec(i.func, colName, i.outName, i.outType)
+    }
+    // grouping must be BY the partition column itself (dir-derivable)
+    val groupSpec: Option[(String, org.apache.spark.sql.types.DataType)] =
+      groupAttr match {
+        case Some(ga) =>
+          storedName(ga.exprId) match {
+            case Some(n) if n.equalsIgnoreCase(occ.partitionCol) =>
+              val outName = items.collectFirst {
+                case GroupOut(n2) => n2
+              }.getOrElse(return None)
+              Some((outName, ga.dataType))
+            case _ => return None
+          }
+        case None =>
+          if (items.exists(_.isInstanceOf[GroupOut])) return None
+          None
+      }
+    // per-(value, snapshot) keep: substitute the parsed partition
+    // value into the owning leaf's conjuncts and evaluate; a snapshot
+    // with no surviving leaf was optimized away as empty/contradicted
+    val bySnap: Map[String, LeafInfo] = leaves.map(l => l.snap -> l).toMap
+    val anyFilter = leaves.exists(_.conjuncts.nonEmpty)
+    val keep: Option[(String, String) => Option[Boolean]] =
+      Some { (value, snap) =>
+        bySnap.get(snap) match {
+          // a snapshot with no surviving leaf: under a filter the
+          // optimizer contradicted it away (rows provably excluded);
+          // with NO filter a missing branch is unexplained — bail
+          case None => if (anyFilter) Some(false) else None
+          case Some(l) if l.conjuncts.isEmpty => Some(true)
+          case Some(l) =>
+            val pAttr = l.rel.output
+              .find(_.name.equalsIgnoreCase(occ.partitionCol)).get
+            parseValue(value, pAttr.dataType) match {
+              case None => None
+              case Some(v) =>
+                val lit = Literal.create(v, pAttr.dataType)
+                val ok = l.conjuncts.forall { c =>
+                  c.transform {
+                    case a: AttributeReference if a.exprId == pAttr.exprId =>
+                      lit
+                  }.eval() == true
+                }
+                Some(ok)
+            }
+        }
+      }
+    // every ORDER BY key must be one of the aggregate's own outputs —
+    // resolved to a sortable Column BEFORE the fold runs
+    val outNames: Map[ExprId, String] =
+      agg.aggregateExpressions.map(ne => ne.exprId -> ne.name).toMap
+    val sortCols: Seq[org.apache.spark.sql.Column] = sortOrder.map { so =>
+      val name = outNames.get(
+        so.child.asInstanceOf[AttributeReference].exprId) match {
+        case Some(n) => n
+        case None => return None
+      }
+      val c = col(s"`$name`")
+      (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => c.asc_nulls_first
+        case (Ascending, NullsLast) => c.asc_nulls_last
+        case (Descending, NullsFirst) => c.desc_nulls_first
+        case (Descending, NullsLast) => c.desc_nulls_last
+      }
+    }
+    VersionedPartitioned.aggregateFromStats(spark, occ.root, specs,
+      keep, groupSpec, occ.version).map { folded =>
+      // reorder/rename to the statement's own output shape and cast to
+      // its exact types (nullability differences are benign)
+      val cols = items.map {
+        case GroupOut(n) => col(s"`$n`")
+        case AggOut(i) => col(s"`${i.outName}`").cast(i.outType)
+      }
+      val named = folded.select(cols: _*).toDF(df.columns: _*)
+      if (sortCols.isEmpty) named else named.orderBy(sortCols: _*)
+    }
+  }
+
+  /** Partition dir VALUE string → typed value; None = unparseable
+    * (bail), Some(null) = the writer's null partition. */
+  private def parseValue(v: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    if (v == "__HIVE_DEFAULT_PARTITION__") Some(null)
+    else {
+      val parsed = Cast(
+        Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType), dt,
+        Some(java.time.ZoneOffset.UTC.getId), EvalMode.TRY).eval()
+      if (parsed == null) None else Some(parsed)
+    }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Strict descent: Filter / pass-through Project / Union only, with
+    * positional attribute remapping at Union boundaries. `need` maps
+    * each top-level id to its id at the current level. Returns None
+    * the moment any node could change rows or values in a way the
+    * metadata fold cannot reproduce. */
+  private def walk(p: LogicalPlan, conj: Seq[Expression],
+      need: Map[ExprId, ExprId],
+      occs: Seq[OccTable]): Option[Seq[LeafInfo]] = p match {
+    case f: Filter =>
+      walk(f.child, conj ++ splitAnd(f.condition), need, occs)
+    case pr: Project =>
+      val passThrough: Map[ExprId, AttributeReference] =
+        pr.projectList.collect {
+          case a: AttributeReference => a.exprId -> a
+          case al @ Alias(ar: AttributeReference, _) => al.exprId -> ar
+        }.toMap
+      val computed: Set[ExprId] = pr.projectList.collect {
+        case al @ Alias(e, _) if !e.isInstanceOf[AttributeReference] =>
+          al.exprId
+      }.toSet
+      val needMapped = need.map { case (top, cur) =>
+        passThrough.get(cur).map(ar => top -> ar.exprId)
+      }
+      if (needMapped.exists(_.isEmpty)) return None
+      val conjMapped = conj.map(_.transformUp {
+        case a: AttributeReference if passThrough.contains(a.exprId) =>
+          passThrough(a.exprId)
+      })
+      if (conjMapped.exists(_.references.exists(r =>
+        computed.contains(r.exprId)))) return None
+      walk(pr.child, conjMapped, needMapped.flatten.toMap, occs)
+    case u: Union =>
+      val results = u.children.map { ch =>
+        val pos: Map[ExprId, Attribute] =
+          u.output.map(_.exprId).zip(ch.output).toMap
+        val needMapped = need.flatMap { case (top, cur) =>
+          pos.get(cur).map(a => top -> a.exprId)
+        }
+        if (needMapped.size != need.size) return None
+        val conjMapped = conj.map(_.transformUp {
+          case a: AttributeReference if pos.contains(a.exprId) =>
+            pos(a.exprId)
+        })
+        walk(ch, conjMapped, needMapped, occs)
+      }
+      if (results.exists(_.isEmpty)) None
+      else Some(results.flatMap(_.get))
+    case rel: LogicalRelation =>
+      val outIds = rel.output.map(_.exprId).toSet
+      if (!conj.forall(_.references.forall(a => outIds.contains(a.exprId))))
+        return None
+      val resolve: Map[ExprId, Attribute] = need.flatMap {
+        case (top, cur) => rel.output.find(_.exprId == cur).map(top -> _)
+      }
+      if (resolve.size != need.size) return None
+      // the leaf must belong to a known occurrence AND live in exactly
+      // one snapshot dir under that occurrence's root
+      val snap = rel.relation match {
+        case fs: HadoopFsRelation =>
+          val owner = occs.find(_.rels.exists(_ eq rel.relation))
+            .getOrElse(return None)
+          val rootAbs =
+            new java.io.File(owner.root).getAbsolutePath.stripSuffix("/") + "/"
+          val snaps = fs.location.rootPaths.map { rp =>
+            val up = rp.toUri.getPath
+            if (!up.startsWith(rootAbs)) return None
+            up.stripPrefix(rootAbs).split('/').headOption.getOrElse(
+              return None)
+          }.distinct
+          snaps match { case Seq(one) => one; case _ => return None }
+        case _ => return None
+      }
+      Some(Seq(LeafInfo(rel, snap, conj, resolve)))
+    case _ => None
+  }
+}

@@ -585,8 +585,32 @@ object VersionedPartitioned {
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)
       .parquet(snapPath.toString)
+    writeStats(spark, snapPath, snapName, statsCols, bloomCols)
+    snapName
+  }
+
+  /** Emit the snapshot's `_stats` sidecar over the files CURRENTLY in
+    * `snapPath` — separated from `writeSnapshot` so a writer that
+    * appends more files into the snapshot afterwards (`insertInto`'s
+    * overlap fold) can compute stats once, over the FINAL file set.
+    * The sidecar is the source of truth for file-level skipping and
+    * metadata aggregation: a data file it misses would silently drop
+    * from pruned reads, so it must always be written last. */
+  private def writeStats(spark: SparkSession, snapPath: HPath,
+      snapName: String, statsColsIn: Seq[String],
+      bloomColsIn: Seq[String]): Unit = {
+    // a stats/bloom column the written frame does not physically carry
+    // (renamed away, or a caller passing a superset) degrades to "no
+    // stats for it" — readers treat missing coverage as keep-all/bail,
+    // so dropping it here can never lose rows, while keeping it would
+    // fail the whole write on an unresolvable column
+    lazy val present = spark.read.parquet(snapPath.toString)
+      .schema.fieldNames.toSet
+    val statsCols = statsColsIn.filter(present.contains)
+    val bloomCols = bloomColsIn.filter(present.contains)
     if (statsCols.nonEmpty || bloomCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{call_function, count, element_at, lit, max, min, regexp_replace, split, url_decode, xxhash64}
+      import org.apache.spark.sql.functions.{call_function, count, element_at, lit, max, min, regexp_replace, split, sum, url_decode, xxhash64}
+      import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
       // bloom columns get min/max TOO (same pass, negligible cost), so
       // every bloom-covered column is also range-covered and the read
       // planners need only one coverage census
@@ -604,8 +628,25 @@ object VersionedPartitioned {
       val bloomBits = spark.conf.getOption("spark.graft.stats.bloomBits")
         .map(_.toLong).getOrElse(1L << 19)
       if (bloomCols.nonEmpty) BloomPrune.register(spark)
+      // Per-column non-null counts ride in the same pass (negligible
+      // cost) and, for exactly-foldable types (integrals + decimals —
+      // associative addition, no FP reorder drift), per-file sums: the
+      // inputs `aggregateFromStats` needs to answer COUNT(c)/SUM(c)
+      // from metadata alone. Sidecars written before this column set
+      // existed simply lack them — the metadata-agg path bails to a
+      // scan on missing coverage, never guesses.
+      val snapFrame = spark.read.option("basePath", snapPath.toString)
+        .parquet(snapPath.toString)
+      def summable(c: String): Boolean =
+        snapFrame.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+               _: DecimalType => true
+          case _ => false
+        }
       val aggs = (count(lit(1)).as("__rows") +: rangeCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          count(col(c)).as(s"cnt_$c")) ++
+          (if (summable(c)) Seq(sum(col(c)).as(s"sum_$c")) else Nil))) ++
         bloomCols.map(c => call_function("bloom_filter_agg",
           xxhash64(col(c)), lit(bloomItems), lit(bloomBits))
           .as(s"bloom_$c"))
@@ -616,14 +657,13 @@ object VersionedPartitioned {
       // read a literal '+' (legal on disk) as an encoded space
       val diskForm = url_decode(regexp_replace(
         element_at(split(input_file_name(), snapName + "/"), 2), "\\+", "%2B"))
-      spark.read.option("basePath", snapPath.toString)
-        .parquet(snapPath.toString)
+      snapFrame
         .groupBy(diskForm.as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .coalesce(1)
-        .write.parquet(new HPath(snapPath, Versioned.StatsDirName).toString)
+        .write.mode("overwrite")
+        .parquet(new HPath(snapPath, Versioned.StatsDirName).toString)
     }
-    snapName
   }
 
   def promote(df: DataFrame, root: String, partitionCol: String = "date",
@@ -700,12 +740,17 @@ object VersionedPartitioned {
     * difference between O(statements) and O(3·statements) job
     * round-trips. Returns None (no commit) for an empty insert. */
   def insertInto(df: DataFrame, root: String,
-      partitionCol: String, bloomCols: Seq[String] = Nil): Option[Long] = {
+      partitionCol: String, bloomCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
-    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil,
-      bloomCols = bloomCols)
+    // stats are deferred until AFTER the overlap fold below: the
+    // sidecar is the source of truth for file skipping and metadata
+    // aggregation, so it must describe the snapshot's FINAL file set —
+    // a sidecar written before the appended current-rows files would
+    // silently drop them from pruned reads
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil)
     val snapPath = new HPath(rootPath, snapName)
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory &&
@@ -726,6 +771,7 @@ object VersionedPartitioned {
         .write.mode("append").partitionBy(partitionCol)
         .parquet(snapPath.toString)
     }
+    writeStats(spark, snapPath, snapName, statsCols, bloomCols)
     Some(commitSnapshot(spark, fs, rootPath, root, partitionCol,
       written.map(_ -> snapName).toMap, None))
   }
@@ -1290,6 +1336,218 @@ object VersionedPartitioned {
       if (!fs.exists(statsPath)) Set.empty[String]
       else spark.read.parquet(statsPath.toString).schema.fieldNames
         .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSet
+    }
+  }
+
+  /** One aggregate a metadata-only fold must produce: `func` ∈
+    * {count_star, count, min, max, sum}, `column` the stored column
+    * (None for count_star), `outName`/`outType` the exact output
+    * column the caller's plan expects (count → LongType, min/max →
+    * the column's type, sum → Spark's sum result type). */
+  final case class StatsAggSpec(func: String, column: Option[String],
+      outName: String, outType: org.apache.spark.sql.types.DataType)
+
+  /**
+   * METADATA-ONLY aggregation — Iceberg's "answer COUNT/MIN/MAX from
+   * manifests" move for the sidecar format: fold the per-file `_stats`
+   * rows (`__rows`, `min_/max_/cnt_/sum_<c>`) of the live (kept)
+   * partitions instead of scanning data. O(files) metadata I/O — at
+   * 100 TB the difference between a sub-second planning-sized job and
+   * a full-table scan for `SELECT count(*) FROM fact WHERE date …`.
+   *
+   * Returns None — caller falls back to the real scan — whenever the
+   * fold could NOT be exactly the scan's answer:
+   *   - any kept partition has merge-on-read delete sidecars pending
+   *     (file stats predate the deletes);
+   *   - `partKeep` reports a partition value undecidable;
+   *   - schema-evolution rules would replay over any kept snapshot and
+   *     a column aggregate is requested (defaults/renames make stored
+   *     stats unrepresentative; count_star and partition grouping are
+   *     immune — row counts and dir names never evolve);
+   *   - any kept snapshot lacks a sidecar, or its sidecar lacks a
+   *     required stat column (older writes, renamed columns);
+   *   - a grouped fold meets a partition dir value that does not parse
+   *     in the group column's type.
+   * A `None` is always safe: the caller's scan path produces the same
+   * answer, just at data cost. A `Some` is always exact, never an
+   * estimate.
+   *
+   * `partKeep`: (unescaped partition VALUE, owning snapshot) →
+   * Some(keep) / None = undecidable (bail). Outer None = keep all.
+   * `groupBy`: produce one row per kept partition value instead of a
+   * global fold — (output name, partition column's data type).
+   */
+  def aggregateFromStats(spark: SparkSession, root: String,
+      aggs: Seq[StatsAggSpec],
+      partKeep: Option[(String, String) => Option[Boolean]] = None,
+      groupBy: Option[(String, org.apache.spark.sql.types.DataType)] = None,
+      version: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, substring_index, sum => fsum, min => fmin, max => fmax}
+    import org.apache.spark.sql.types.LongType
+    val m = manifestAt(spark, root, version)
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    def valueOf(dir: String): String =
+      unescapePathName(dir.substring(dir.indexOf('=') + 1))
+    // 1. kept entries (bail on any undecidable partition)
+    val keptDecisions = m.entries.toSeq.map { case (dir, snap) =>
+      partKeep.map(f => f(valueOf(dir), snap)).getOrElse(Some(true))
+        .map(k => (dir, snap, k))
+    }
+    if (keptDecisions.exists(_.isEmpty)) return None
+    val kept = keptDecisions.flatten.filter(_._3)
+      .map { case (d, s, _) => d -> s }
+    // 2. pending MoR deletes on a kept partition → stats predate them
+    if (m.deletes.keySet.exists(kept.iterator.map(_._1).toSet)) return None
+    // 3. evolution rules that would replay over a kept snapshot make
+    // stored column stats unrepresentative; row counts stay exact
+    val colAggs = aggs.exists(a => a.column.isDefined &&
+      a.func != "count_distinct_part")
+    if (colAggs && m.evolution.nonEmpty &&
+        !kept.iterator.map(_._2).toSet.forall(s =>
+          m.snapGens.getOrElse(s, 0) == m.evolution.length)) return None
+    // count(DISTINCT <partition col>) is a pure manifest fact: one
+    // value per kept dir, the null partition excluded (Spark's
+    // count-distinct ignores nulls). No sidecar involved.
+    val distinctParts: Long = kept.iterator.map(_._1)
+      .filterNot(_.endsWith("__HIVE_DEFAULT_PARTITION__")).size.toLong
+    // SELECT DISTINCT <partition col> (a grouped fold with NO
+    // aggregates) lists the kept dirs' typed values — zero I/O of any
+    // kind, not even sidecars; handled after the dir-value parse below
+    // 4. required sidecar columns per agg
+    val needCols: Seq[String] = aggs.flatMap { a =>
+      (a.func, a.column) match {
+        case ("count_star", _) => Nil
+        case ("count_distinct_part", _) => Nil
+        case ("count", Some(c)) => Seq(s"cnt_$c")
+        case ("min", Some(c)) => Seq(s"min_$c")
+        case ("max", Some(c)) => Seq(s"max_$c")
+        case ("sum", Some(c)) => Seq(s"sum_$c")
+        case _ => return None
+      }
+    }
+    // canonical per-file frame: __part, __rows, and each needed stat
+    // cast to its fold type (a widened column's older sidecars fold in
+    // the current type — min/max/sum are preserved by lossless casts)
+    def foldType(a: StatsAggSpec): org.apache.spark.sql.types.DataType =
+      a.func match {
+        case "count_star" | "count" => LongType
+        case _ => a.outType
+      }
+    val statCols: Seq[(String, org.apache.spark.sql.Column)] = aggs.flatMap {
+      a => a.func match {
+        case "count_star" | "count_distinct_part" => None
+        case f => a.column.map { c =>
+          val src = f match {
+            case "count" => s"cnt_$c"; case "min" => s"min_$c"
+            case "max" => s"max_$c"; case "sum" => s"sum_$c"
+          }
+          s"${f}__$c" -> col(s"`$src`").cast(foldType(a))
+        }
+      }
+    }.distinctBy(_._1)
+    // grouped count(DISTINCT partition) is a degenerate constant-1
+    // query nobody writes — not worth a fold rule
+    if (groupBy.isDefined && aggs.exists(_.func == "count_distinct_part"))
+      return None
+    // group values come from the partition DIR NAMES, typed with the
+    // TRY-cast `plainKeepFor` uses — identity partitioning guarantees
+    // the stored column equals its dir value, so an unparseable dir
+    // (not the null partition) means the fold cannot reproduce the
+    // scan's group key: bail
+    def dirVals(gType: org.apache.spark.sql.types.DataType):
+        Option[Seq[(String, Any)]] = Some(kept.map(_._1).distinct.map {
+      dir =>
+        val v = valueOf(dir)
+        if (dir.endsWith("__HIVE_DEFAULT_PARTITION__")) dir -> null
+        else {
+          val parsed = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType), gType,
+            Some(java.time.ZoneOffset.UTC.getId),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+            .eval()
+          if (parsed == null) return None
+          // eval() yields Catalyst-internal values (UTF8String, day
+          // ints); Row building needs the external representation
+          dir -> org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(parsed, gType)
+        }
+    })
+    def lookupDf(gName: String,
+        gType: org.apache.spark.sql.types.DataType,
+        vals: Seq[(String, Any)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vals.map { case (d, v) => org.apache.spark.sql.Row(d, v) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__part",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(gName, gType))))
+    // pure-manifest answers that need no sidecar at all:
+    //   SELECT DISTINCT <partition>  — the kept dirs' typed values
+    //   SELECT count(DISTINCT <partition>)  — the kept dir count
+    (aggs, groupBy) match {
+      case (Seq(), Some((gName, gType))) =>
+        return dirVals(gType).map(vs =>
+          lookupDf(gName, gType, vs).select(col(s"`$gName`")))
+      case (as, None) if as.nonEmpty &&
+          as.forall(_.func == "count_distinct_part") =>
+        return Some(spark.range(1).select(
+          as.map(a => lit(distinctParts).as(a.outName)): _*))
+      case _ if aggs.isEmpty => return None
+      case _ =>
+    }
+    val frames = kept.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (snap, dirs) =>
+        val statsPath = new HPath(new HPath(rootPath, snap),
+          Versioned.StatsDirName)
+        if (!fs.exists(statsPath)) return None
+        val st = spark.read.parquet(statsPath.toString)
+        if (!needCols.forall(st.columns.contains) ||
+          !st.columns.contains("__rows")) return None
+        st.where(substring_index(col("__file"), "/", 1)
+            .isin(dirs.map(_._1): _*))
+          .select(substring_index(col("__file"), "/", 1).as("__part") +:
+            col("__rows").cast(LongType).as("__rows") +:
+            statCols.map { case (n, c) => c.as(n) }: _*)
+    }
+    val foldExprs = aggs.map { a =>
+      lazy val c = a.column.map(cn => col(s"`${a.func}__$cn`"))
+      (a.func match {
+        case "count_star" => coalesce(fsum(col("__rows")), lit(0L))
+        case "count" => coalesce(fsum(c.get), lit(0L))
+        case "min" => fmin(c.get)
+        case "max" => fmax(c.get)
+        case "sum" => fsum(c.get).cast(a.outType)
+        // mixed with sidecar aggs: the constant rides the same fold
+        case "count_distinct_part" => fmin(lit(distinctParts))
+      }).as(a.outName)
+    }
+    groupBy match {
+      case None =>
+        if (kept.isEmpty) {
+          // Spark's global aggregate over zero rows: count 0, others null
+          val zeros = aggs.map { a =>
+            (a.func match {
+              case "count_star" | "count" | "count_distinct_part" =>
+                lit(0L)
+              case _ => lit(null).cast(a.outType)
+            }).as(a.outName)
+          }
+          Some(spark.range(1).select(zeros: _*))
+        } else Some(frames.reduce(_.unionByName(_)).agg(
+          foldExprs.head, foldExprs.tail: _*))
+      case Some((gName, gType)) =>
+        if (kept.isEmpty)
+          Some(spark.range(0).select(lit(null).cast(gType).as(gName) +:
+            aggs.map(a => lit(null).cast(a.outType).as(a.outName)): _*))
+        else dirVals(gType).map { vs =>
+          frames.reduce(_.unionByName(_))
+            .join(broadcast(lookupDf(gName, gType, vs)), Seq("__part"))
+            .groupBy(col(s"`$gName`"))
+            .agg(foldExprs.head, foldExprs.tail: _*)
+        }
     }
   }
 

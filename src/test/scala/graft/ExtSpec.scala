@@ -834,6 +834,60 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF pruned recall $recall collapsed")
   }
 
+  test("Similarity.ivfPqTopK: exact with exhaustive knobs; PQ shortlist keeps recall") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    // probing every cell with a corpus-sized shortlist makes the PQ
+    // approximation irrelevant: the exact rerank sees every candidate
+    val exhaustive = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      5, centroidStride = 50, nProbe = 10, m = 8, cbStride = 17,
+      shortlist = 1000))
+    assert(exhaustive == exact)
+    // default-ish knobs: codes are 8 bytes/vector (64x compression of
+    // the 64-dim doubles); the 4x-k shortlist + exact rerank keeps
+    // useful recall on isotropic random data
+    val pq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+        centroidStride = 50, nProbe = 6, m = 8, cbStride = 17,
+        shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactIds = exact.map { case (a, b, _) => (a, b) }
+    val recall = (pq & exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall collapsed")
+  }
+
+  test("pq_encode/pq_decode kernels: integer argmin, lowest-index ties, exact decode") {
+    import graft.functions.VectorExprs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    // m=2, dsub=2, ksub=2; codebook layout (j, e, t)
+    val cbD = Array(/* j0 e0 */ 1.0, 0.0, /* j0 e1 */ 0.0, 1.0,
+      /* j1 e0 */ 2.0, 2.0, /* j1 e1 */ -1.0, 0.0)
+    val cbI = new GenericArrayData(cbD.map(VectorExprs.pqScaled))
+    val codes = VectorExprs.pqEncode(arr(0.9, 0.1, -0.8, 0.1), cbI, 2, 2)
+    // subspace 0: (0.9,0.1) nearer (1,0) → e0; subspace 1: (-0.8,0.1)
+    // nearer (-1,0) → e1
+    assert(codes.toIntArray().toSeq == Seq(0, 1))
+    // tie (equidistant in scaled ints) → lowest entry index
+    val tie = VectorExprs.pqEncode(arr(0.5, 0.5, 0.0, 0.0),
+      new GenericArrayData(Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+        .map(VectorExprs.pqScaled)), 2, 2)
+    assert(tie.toIntArray()(0) == 0)
+    // decode = centroid + picked entries, exact doubles
+    val dec = VectorExprs.pqDecode(codes,
+      arr(10.0, 20.0, 30.0, 40.0), new GenericArrayData(cbD), 2)
+    assert(dec.toDoubleArray().toSeq == Seq(11.0, 20.0, 29.0, 40.0))
+    // malformed codebooks fail loudly, never mis-encode
+    intercept[IllegalArgumentException](
+      VectorExprs.pqEncode(arr(1.0, 2.0, 3.0), cbI, 2, 2))
+    intercept[IllegalArgumentException](
+      VectorExprs.pqDecode(codes, arr(1.0, 2.0, 3.0, 4.0),
+        new GenericArrayData(cbD.take(6)), 2))
+  }
+
   test("Similarity.withBandBuckets is deterministic, disjoint across bands, in range") {
     val vecs = Seq((0L, Array(0.3, -1.2, 2.0)), (1L, Array(-0.5, 0.5, 0.1)))
       .toDF("vec_id", "v")
