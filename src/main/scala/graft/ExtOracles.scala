@@ -471,6 +471,9 @@ object ExtOracles {
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("sql_point_lookup" -> oracle("sql_point_lookup")) +
       ("sql_agg_meta" -> oracle("sql_agg_meta")) +
+      ("sql_tag_read" -> oracle("sql_tag_read")) +
+      ("sql_mview_refresh" -> oracle("sql_mview_refresh")) +
+      ("sql_write_order_range" -> oracle("sql_write_order_range")) +
       ("txn_pair" -> oracle("txn_pair")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +

@@ -2858,6 +2858,109 @@ object ExtQueries {
   }
 
   /**
+   * Named-tag time travel through the statement door: tag the
+   * pre-March state, insert March, read back AS OF the tag — the
+   * Iceberg `CREATE TAG` + `VERSION AS OF '<name>'` surface.
+   * RefsOrderSpec pins replace/drop/refs-listing/vacuum-retention;
+   * this gate pins the pinned DATA against DuckDB's replay of the
+   * pre-tag inserts.
+   */
+  private def sqlTagRead(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqltag_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA tr")
+    life.execute("""
+      CREATE TABLE tr.orders (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val base = monthlyOrders(s, dir)
+    base.where(col("month").between("1995-01", "1995-02"))
+      .createOrReplaceTempView("tag_src_early")
+    base.where(col("month") === "1995-03")
+      .createOrReplaceTempView("tag_src_late")
+    life.execute("INSERT INTO tr.orders SELECT * FROM tag_src_early")
+    life.execute("ALTER TABLE tr.orders CREATE TAG before_march")
+    life.execute("INSERT INTO tr.orders SELECT * FROM tag_src_late")
+    life.query("""
+      SELECT month, count(*) AS n_rows, sum(o_totalprice) AS total
+      FROM tr.orders VERSION AS OF 'before_march'
+      GROUP BY month ORDER BY month""")
+      .select(col("month"), col("n_rows"),
+        col("total").cast("double").as("total"))
+  }
+
+  /**
+   * Declared write order through the statement door (`WRITE ORDERED
+   * BY` + `graft.maxRecordsPerFile` + `graft.statsColumns` — Iceberg's
+   * SortOrder): inserts cluster-sort each partition on the order
+   * column and roll files along it, so files carry disjoint key ranges
+   * and a routed range statement skips most of them (plan shape pinned
+   * by RefsOrderSpec). This gate pins the ANSWER of the range read
+   * over the ordered layout against DuckDB.
+   */
+  private def sqlWriteOrderRange(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlworder_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA wr")
+    life.execute("""
+      CREATE TABLE wr.orders (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("ALTER TABLE wr.orders SET TBLPROPERTIES " +
+      "('graft.statsColumns'='o_orderkey', 'graft.maxRecordsPerFile'='64')")
+    life.execute("ALTER TABLE wr.orders WRITE ORDERED BY (o_orderkey)")
+    monthlyOrders(s, dir)
+      .where(col("month").between("1995-01", "1995-03"))
+      .createOrReplaceTempView("worder_src")
+    life.execute("INSERT INTO wr.orders SELECT * FROM worder_src")
+    life.query("""
+      SELECT month, o_orderkey, o_totalprice FROM wr.orders
+      WHERE o_orderkey BETWEEN 1000 AND 3000
+      ORDER BY month, o_orderkey""")
+      .select(col("month"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /**
+   * Materialized view with incremental refresh through the statement
+   * door (`CREATE/REFRESH MATERIALIZED VIEW` → ops/Mview +
+   * IncrementalAgg delta maintenance): materialize at months 01–02,
+   * insert month 03, retract month 01, REFRESH — each refresh folds
+   * only the touched partitions (MviewSpec pins the delta plan shape,
+   * exactly-once cursor semantics, MoR-delete windows and group
+   * death); this gate pins the refreshed NUMBERS against DuckDB's
+   * from-scratch recompute of the final state.
+   */
+  private def sqlMviewRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlmview_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA mvg")
+    life.execute("""
+      CREATE TABLE mvg.orders (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val base = monthlyOrders(s, dir)
+    base.where(col("month").between("1995-01", "1995-02"))
+      .createOrReplaceTempView("mvg_early")
+    base.where(col("month") === "1995-03")
+      .createOrReplaceTempView("mvg_late")
+    life.execute("INSERT INTO mvg.orders SELECT * FROM mvg_early")
+    life.execute("CREATE MATERIALIZED VIEW mvg.monthly AS " +
+      "SELECT month, count(*) AS n_rows, sum(o_totalprice) AS total " +
+      "FROM mvg.orders WHERE o_orderkey > 100 GROUP BY month")
+    life.execute("INSERT INTO mvg.orders SELECT * FROM mvg_late")
+    life.execute("DELETE FROM mvg.orders WHERE month = '1995-01'")
+    life.execute("REFRESH MATERIALIZED VIEW mvg.monthly")
+    life.query("SELECT month, n_rows, total FROM mvg.monthly")
+      .select(col("month"), col("n_rows"),
+        col("total").cast("double").as("total"))
+      .orderBy("month")
+  }
+
+  /**
    * Multi-table transaction (ops/Txn — the Iceberg REST-catalog
    * transaction shape over the file-based logs): the reference's
    * promote+cumulate pair committed as one transaction per "day"
@@ -5166,6 +5269,9 @@ object ExtQueries {
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
     "sql_agg_meta" -> ((s, dir) => sqlAggMeta(s, dir)),
+    "sql_tag_read" -> ((s, dir) => sqlTagRead(s, dir)),
+    "sql_mview_refresh" -> ((s, dir) => sqlMviewRefresh(s, dir)),
+    "sql_write_order_range" -> ((s, dir) => sqlWriteOrderRange(s, dir)),
     "txn_pair" -> ((s, dir) => txnPair(s, dir)),
     "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),

@@ -133,13 +133,30 @@ object Exchange {
    * sibling — `recoverSwap` renames them back. Used for the one-time
    * dedup-corpus index migration (`Streaming.admitBatch`).
    */
-  def swapTable(df: DataFrame, path: String): Unit = {
+  def swapTable(df: DataFrame, path: String): Unit =
+    swapTableWith(df, path, Map.empty)
+
+  /** `swapTable` plus underscore-named marker files written INTO the
+    * staging dir BEFORE the renames — data and markers become visible
+    * in the same atomic swap (the exactly-once cursor trick
+    * materialized-view refresh rides: a crash anywhere leaves state
+    * and cursor from the SAME refresh). Spark ignores `_`-prefixed
+    * files on read, so markers are invisible to scans. */
+  def swapTableWith(df: DataFrame, path: String,
+      markers: Map[String, String]): Unit = {
     val spark = df.sparkSession
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new HPath(path.stripSuffix("/") + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
+    markers.foreach { case (name, content) =>
+      require(name.startsWith("_"),
+        s"marker $name must be underscore-prefixed (scan-invisible)")
+      val os = fs.create(new HPath(staging, name), true)
+      try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
     val old = hiddenOld(target)
     if (fs.exists(old)) fs.delete(old, true)
     val existed = fs.exists(target)

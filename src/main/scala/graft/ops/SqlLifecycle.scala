@@ -80,6 +80,12 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           Option(partBy).map(_.trim.toLowerCase),
           orReplace = orReplace != null, ifNotExists = ifNotExists != null)
         None
+      case CreateMviewRe(name, body) =>
+        createMview(name.toLowerCase, body); None
+      case RefreshMviewRe(name, full) =>
+        refreshMview(name.toLowerCase, full != null); None
+      case DropMviewRe(name) =>
+        dropMview(name.toLowerCase); None
       case CreateViewRe(orReplace, name, body) =>
         createView(name.toLowerCase, body, orReplace != null); None
       case DropViewRe(name) =>
@@ -126,6 +132,13 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         truncateTable(name.toLowerCase); None
       case AlterBranchRe(name, verb, branch) =>
         alterBranch(name.toLowerCase, verb, branch); None
+      case AlterTagRe(name, verb, tag, asOf) =>
+        alterTag(name.toLowerCase, verb, tag,
+          Option(asOf).map(_.toLong)); None
+      case WriteOrderRe(name, cols, unordered) =>
+        alterWriteOrder(name.toLowerCase,
+          if (unordered != null) Nil
+          else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq); None
       case InsertOverwriteBranchRe(name, branch, body) =>
         insertToBranch(name.toLowerCase, branch, body, overwrite = true); None
       case InsertBranchRe(name, branch, body) =>
@@ -136,6 +149,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         optimizeTable(name.toLowerCase, Option(whereCol).map(_.toLowerCase),
           Option(whereVal), splitTop(zCols).map(_.trim),
           Option(bits).map(_.toInt).getOrElse(8)); None
+      case OptimizePlainRe(name, whereCol, whereVal) =>
+        optimizePlainTable(name.toLowerCase,
+          Option(whereCol).map(_.toLowerCase), Option(whereVal)); None
       case VacuumRe(name, retain) =>
         val n = Option(retain).map(_.toInt).getOrElse(1)
         val path = tableDir(name.toLowerCase).toString
@@ -702,8 +718,10 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             import spark.implicits._
             (("main", "BRANCH",
               VersionedPartitioned.currentVersion(spark, path).get) +:
-              VersionedPartitioned.branches(spark, path)
-                .map { case (b, v) => (b, "BRANCH", v) })
+              (VersionedPartitioned.branches(spark, path)
+                .map { case (b, v) => (b, "BRANCH", v) } ++
+                VersionedPartitioned.tags(spark, path)
+                  .map { case (t2, v) => (t2, "TAG", v) }))
               .toDF("name", "type", "snapshot_id")
         }
         val vn = viewName(t) + "__meta_" + kind
@@ -743,9 +761,19 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         vn
       }
     }
-    val s1 = VersionAsOfRe.replaceAllIn(sel, m =>
+    val s0 = VersionAsOfRe.replaceAllIn(sel, m =>
       scala.util.matching.Regex.quoteReplacement(
         pinned(m.group(1), "__v" + m.group(2), _ => m.group(2).toLong)
+          .getOrElse(m.matched)))
+    // quoted form = a named TAG: resolve the ref, then pin exactly
+    // like the numeric form (pruning/metadata-agg compose for free)
+    val s1 = TagAsOfRe.replaceAllIn(s0, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        // tag names allow dots; view names don't — sanitize the suffix
+        pinned(m.group(1), "__tag_" + m.group(2).replace('.', '_'), p =>
+          VersionedPartitioned.tagVersion(spark, p, m.group(2)).getOrElse(
+            throw new IllegalArgumentException(
+              s"${m.group(1)} VERSION AS OF '${m.group(2)}': no such tag")))
           .getOrElse(m.matched)))
     TimestampAsOfRe.replaceAllIn(s1, m => {
       val raw = m.group(2)
@@ -1224,6 +1252,34 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** `ALTER TABLE t CREATE [OR REPLACE]|DROP TAG name [AS OF VERSION
+    * n]` — Iceberg's named-ref surface for the versioned format: a tag
+    * is an immutable pointer into main's commit history (default: the
+    * current head), readable as `t VERSION AS OF '<name>'` and listed
+    * in the `refs` metadata table; `vacuum` retains tagged commits and
+    * their snapshots past any retention window. */
+  private def alterTag(name: String, verb: String, tag: String,
+      asOf: Option[Long]): Unit = {
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"ALTER TABLE $name $verb TAG: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"ALTER TABLE $name $verb TAG: tags ride the partitioned " +
+        "(versioned) format — unpartitioned tables have no commit log")
+    val path = tableDir(name).toString
+    verb.toUpperCase.replaceAll("\\s+", " ") match {
+      case "CREATE" =>
+        VersionedPartitioned.createTag(spark, path, tag, asOf)
+      case "CREATE OR REPLACE" =>
+        VersionedPartitioned.createTag(spark, path, tag, asOf,
+          replace = true)
+      case "DROP" =>
+        require(asOf.isEmpty,
+          s"ALTER TABLE $name DROP TAG $tag: AS OF makes no sense here")
+        VersionedPartitioned.dropTag(spark, path, tag)
+    }
+    ()
+  }
+
   /** `INSERT INTO|OVERWRITE t.branch_<b> …` — staging writes on a
     * branch, main untouched: INSERT folds overlapping branch-visible
     * partitions (true insert, `insertIntoBranch`); OVERWRITE stages a
@@ -1272,7 +1328,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   private def appendRows(name: String, meta: TableMeta,
-      rows: DataFrame): Unit = meta.partitionCol match {
+      rows: DataFrame): Unit = {
+    requireNotMview(name, "INSERT INTO")
+    meta.partitionCol match {
     case Some(p) =>
       // true INSERT semantics on the partition-overwrite format:
       // write-snapshot-first, partitions discovered from the written
@@ -1282,16 +1340,19 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       // VersionedPartitioned.insertInto)
       VersionedPartitioned.insertInto(withPhysKey(rows, meta),
         tableDir(name).toString, p, bloomCols = meta.bloomCols,
-        statsCols = meta.statsCols)
+        statsCols = meta.statsCols, clusterBy = meta.writeOrder,
+        maxRecordsPerFile = meta.maxRecsPerFile)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
       val cur = readUnpartitioned(meta, dataDir)
       Exchange.swapTable(cur.unionByName(rows), dataDir)
+    }
   }
 
   private def deletePartition(name: String, colName: String,
       d: String): Unit = {
+    requireNotMview(name, "DELETE FROM")
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"DELETE FROM $name: no such table"))
     val p = meta.partitionCol.getOrElse(
@@ -1332,6 +1393,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * tables filter-and-swap. SQL DELETE's three-valued rule (a NULL
     * predicate keeps its row) is enforced by both paths. */
   private def deleteRows(name: String, predText: String): Unit = {
+    requireNotMview(name, "DELETE FROM")
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"DELETE FROM $name: no such table"))
     val pred = expr(predText)
@@ -1360,6 +1422,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * the table is inherited by manifest reference. */
   private def update(name: String, setBlock: String,
       predText: Option[String]): Unit = {
+    requireNotMview(name, "UPDATE")
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"UPDATE $name: no such table"))
     val assigns: Seq[(String, org.apache.spark.sql.Column)] =
@@ -1411,7 +1474,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         VersionedPartitioned.overwritePartitions(
           withPhysKey(applyTo(cur), meta), path, affected.contains,
-          bloomCols = meta.bloomCols, statsCols = meta.statsCols)
+          bloomCols = meta.bloomCols, statsCols = meta.statsCols,
+          clusterBy = meta.writeOrder,
+          maxRecordsPerFile = meta.maxRecsPerFile)
         ()
       case None =>
         val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1447,6 +1512,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         "cannot parse MERGE INTO: expected MERGE INTO <schema.table> " +
           "[AS] <alias> USING …"))
     val target = head.group(1).toLowerCase
+    requireNotMview(target, "MERGE INTO")
     val tAlias = head.group(2)
     val meta0 = metaOf(target).getOrElse(
       throw new IllegalArgumentException(s"MERGE INTO $target: no such table"))
@@ -1640,7 +1706,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
           if (insertAll && ins.take(1).nonEmpty) {
             VersionedPartitioned.promote(withPhysKey(ins, meta), path, p,
-              bloomCols = meta.bloomCols, statsCols = meta.statsCols)
+              bloomCols = meta.bloomCols, statsCols = meta.statsCols,
+              clusterBy = meta.writeOrder,
+              maxRecordsPerFile = meta.maxRecsPerFile)
           }
           return
         }
@@ -1652,7 +1720,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
             path, _ => true, bloomCols = meta.bloomCols,
-            statsCols = meta.statsCols)
+            statsCols = meta.statsCols, clusterBy = meta.writeOrder,
+            maxRecordsPerFile = meta.maxRecsPerFile)
         } else {
           val srcParts = partsOf(withPhysKey(src, meta))
           val matchedParts =
@@ -1668,7 +1737,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
             path, affected.contains, bloomCols = meta.bloomCols,
-            statsCols = meta.statsCols)
+            statsCols = meta.statsCols, clusterBy = meta.writeOrder,
+            maxRecordsPerFile = meta.maxRecsPerFile)
         }
         ()
     }
@@ -1739,7 +1809,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     writeMeta(name, meta.copy(schema =
       StructType(meta.schema.fields.filterNot(_.name == field)),
       bloomCols = meta.bloomCols.filterNot(_ == field),
-      statsCols = meta.statsCols.filterNot(_ == field)))
+      statsCols = meta.statsCols.filterNot(_ == field),
+      writeOrder = meta.writeOrder.filterNot(_ == field)))
   }
 
   /** ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only lossless
@@ -1759,6 +1830,32 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * verb. `UNSET` removes the property; existing sidecars ride out
     * with their snapshots. Unknown property keys fail loudly — a
     * silently ignored storage property is a debugging trap. */
+  /** `ALTER TABLE t WRITE ORDERED BY (c1, …)` / `WRITE UNORDERED` —
+    * Iceberg's SortOrder surface: the columns are recorded in META and
+    * every subsequent partitioned write clusters + sorts its rows by
+    * them inside each partition. Combined with
+    * `'graft.maxRecordsPerFile'` (so the writer rolls files along the
+    * sort) and `'graft.statsColumns'`, each partition's files carry
+    * DISJOINT [min,max] ranges on the order columns — the Z-order-lite
+    * layout `promote(clusterBy = …)` established, now declared once on
+    * the table instead of threaded through every write call. Existing
+    * files re-lay-out on their next rewrite (`OPTIMIZE`). */
+  private def alterWriteOrder(name: String, cols: Seq[String]): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER TABLE $name: no such table"))
+    require(meta.partitionCol.isDefined,
+      s"ALTER TABLE $name WRITE ORDERED BY: write order rides the " +
+        "partitioned (versioned) format's snapshot writer")
+    val resolved = cols.map(c =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE $name WRITE ORDERED BY $c: no such column")).name)
+    require(!resolved.exists(c => meta.partitionCol.exists(_ == c)),
+      s"ALTER TABLE $name WRITE ORDERED BY: the partition column is " +
+        "already the outer clustering — order by data columns")
+    writeMeta(name, meta.copy(writeOrder = resolved.distinct))
+  }
+
   private def alterTblProps(name: String, set: Boolean,
       propsBlock: String): Unit = {
     val meta = metaOf(name).getOrElse(
@@ -1785,9 +1882,17 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
                   s"no such column $c")).name)
           cur = cur.copy(statsCols = resolved.distinct)
         } else cur = cur.copy(statsCols = Nil)
+      case "graft.maxRecordsPerFile" =>
+        if (set) {
+          val n = v.flatMap(_.trim.toLongOption).filter(_ > 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER TABLE $name SET TBLPROPERTIES: '$k' needs a " +
+                "positive integer value"))
+          cur = cur.copy(maxRecsPerFile = n)
+        } else cur = cur.copy(maxRecsPerFile = 0L)
       case other => throw new IllegalArgumentException(
         s"ALTER TABLE $name: unsupported table property '$other' — " +
-          "supported: 'graft.statsColumns'")
+          "supported: 'graft.statsColumns', 'graft.maxRecordsPerFile'")
     }
     writeMeta(name, cur)
   }
@@ -1864,7 +1969,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       schema = StructType(meta.schema.fields.map(f =>
         if (f.name == field) f.copy(name = to) else f)),
       bloomCols = meta.bloomCols.map(c => if (c == field) to else c),
-      statsCols = meta.statsCols.map(c => if (c == field) to else c)))
+      statsCols = meta.statsCols.map(c => if (c == field) to else c),
+      writeOrder = meta.writeOrder.map(c => if (c == field) to else c)))
   }
 
   /** TRUNCATE TABLE — metadata-only on the partitioned format (one
@@ -1907,6 +2013,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   private def truncateTable(name: String): Unit = {
+    requireNotMview(name, "TRUNCATE TABLE")
     val meta = metaOf(name).getOrElse(
       throw new IllegalArgumentException(s"TRUNCATE TABLE $name: no such table"))
     meta.partitionCol match {
@@ -1932,6 +2039,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     * full. The idempotent alternative to the reference's DELETE-day +
     * INSERT pair, in one statement and one commit. */
   private def insertOverwrite(name: String, body: String): Unit = {
+    requireNotMview(name, "INSERT OVERWRITE")
     val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
       s"INSERT OVERWRITE $name: no such table"))
     val src = conform(query(body), meta.schema, name)
@@ -1939,7 +2047,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case Some(p) =>
         VersionedPartitioned.promote(withPhysKey(src, meta),
           tableDir(name).toString, p, bloomCols = meta.bloomCols,
-          statsCols = meta.statsCols)
+          statsCols = meta.statsCols, clusterBy = meta.writeOrder,
+          maxRecordsPerFile = meta.maxRecsPerFile)
         ()
       case None =>
         Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
@@ -1992,6 +2101,40 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Plain `OPTIMIZE t [WHERE <partitionCol> = '<v>']` (no ZORDER) —
+    * Delta's compaction verb: rewrite the kept partitions' live state
+    * as one fresh snapshot honoring the table's DECLARED layout
+    * properties (`WRITE ORDERED BY` clustering, `graft.statsColumns`
+    * sidecars, bloom indexes, `graft.maxRecordsPerFile` rolling).
+    * This is how files written before an `ALTER TABLE … WRITE ORDERED
+    * BY` / `SET TBLPROPERTIES` re-lay-out: small files compact,
+    * merge-on-read delete refs materialize, and every declared stat
+    * starts covering the rewritten files. O(kept partitions), like the
+    * z-order form. */
+  private def optimizePlainTable(name: String, whereCol: Option[String],
+      whereVal: Option[String]): Unit = {
+    val meta = metaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"OPTIMIZE $name: no such table"))
+    val p = meta.partitionCol.getOrElse(throw new IllegalArgumentException(
+      s"OPTIMIZE $name: staging tables have no snapshot layout to optimize"))
+    whereCol.foreach(c => require(c == p,
+      s"OPTIMIZE $name WHERE $c: only partition-targeted optimize routes " +
+        s"through the statement form (table is partitioned by $p)"))
+    val path = tableDir(name).toString
+    if (VersionedPartitioned.currentVersion(spark, path).isEmpty) return
+    val keep: String => Boolean = whereVal match {
+      case Some(v) => _ == v
+      case None => _ => true
+    }
+    val cur = VersionedPartitioned.readPartitionsWhere(spark, path, keep)
+      .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+    VersionedPartitioned.overwritePartitions(withPhysKey(cur, meta),
+      path, keep, statsCols = meta.statsCols, bloomCols = meta.bloomCols,
+      clusterBy = meta.writeOrder,
+      maxRecordsPerFile = meta.maxRecsPerFile)
+    ()
+  }
+
   /** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, …)` —
     * Databricks' point-lookup index verb, with Databricks' semantics:
     * the index columns are recorded in the table META, and every
@@ -2025,6 +2168,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   private def dropTable(name: String): Unit = {
+    require(mviewDefOf(name).isEmpty,
+      s"DROP TABLE $name: it is a MATERIALIZED VIEW — " +
+        "use DROP MATERIALIZED VIEW")
     uncacheTable(name)
     val dir = tableDir(name)
     if (java.nio.file.Files.exists(dir)) {
@@ -2032,6 +2178,161 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       fs.delete(p, true)
       ()
     }
+  }
+
+  // ------------------------------------------------- materialized views —
+
+  private def mviewDefOf(name: String): Option[graft.ops.Mview.Def] = {
+    val f = tableDir(name).resolve(Mview.DefFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(Mview.Def.parse(java.nio.file.Files.readString(f)))
+  }
+
+  /** Write routes call this: a materialized view's state is DERIVED —
+    * the only legal mutations are REFRESH (fold the source's delta)
+    * and DROP. */
+  private def requireNotMview(name: String, verb: String): Unit =
+    require(mviewDefOf(name).isEmpty,
+      s"$verb $name: it is a MATERIALIZED VIEW — its state is derived " +
+        "from its source; REFRESH MATERIALIZED VIEW to update it")
+
+  /** `CREATE MATERIALIZED VIEW mv AS SELECT <groups>, count(*)/sum(c)
+    * AS … FROM <versioned table> [WHERE <pred>] GROUP BY <groups>` —
+    * the door face of `Mview`/`IncrementalAgg` delta-rule maintenance:
+    * the view materializes ONCE at the source's current version, and
+    * `REFRESH MATERIALIZED VIEW` folds only the partitions the source
+    * touched since (O(changed), never O(table)), exactly-once via the
+    * state+cursor atomic swap. Count/sum are the self-maintainable
+    * aggregates; anything else is rejected loudly (the Scala API's
+    * maintained min/max/top-k/quantile shapes ride the change feed —
+    * `Streaming.maintainMinMax` and friends). */
+  private def createMview(name: String, body: String): Unit = {
+    require(metaOf(name).isEmpty,
+      s"CREATE MATERIALIZED VIEW $name: a table with this name exists")
+    // two-relation form first (the single-table regex cannot match a
+    // JOIN body): fact ⋈ dim on same-named equi-keys, maintained by
+    // the two-sided delta rule with a composite cursor
+    val (selectList, src, dimOpt, keys, whereOpt, groupByList) =
+      body.trim match {
+        case MvJoinBodyRe(sl, f, dm, using, on, g) =>
+          val ks =
+            if (using != null)
+              using.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            else splitTop(on).map(_.trim).map {
+              case MvOnEqRe(a, b) =>
+                require(a.equalsIgnoreCase(b),
+                  s"CREATE MATERIALIZED VIEW $name: join keys must be " +
+                    s"same-named on both sides, got $a = $b")
+                a
+              case other => throw new IllegalArgumentException(
+                s"CREATE MATERIALIZED VIEW $name: unsupported join " +
+                  s"condition '$other' — use t.k = u.k equi-keys or " +
+                  "USING (k, …)")
+            }
+          (sl, f.toLowerCase, Some(dm.toLowerCase), ks,
+            Option.empty[String], g)
+        case MvBodyRe(sl, s2, w, g) =>
+          (sl, s2.toLowerCase, None, Seq.empty[String], Option(w), g)
+        case _ => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: body must be SELECT " +
+            "<cols+aggs> FROM <table> [JOIN <table> ON|USING …] " +
+            "[WHERE <pred>] GROUP BY <cols>")
+      }
+    def metaFor(t: String): TableMeta = {
+      val m = metaOf(t).getOrElse(throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: no such table $t"))
+      require(m.partitionCol.isDefined,
+        s"CREATE MATERIALIZED VIEW $name: source $t must be a " +
+          "partitioned (versioned) table — the refresh delta is " +
+          "partition-grained")
+      m
+    }
+    val srcMeta = metaFor(src)
+    val dimMeta = dimOpt.map(metaFor)
+    // resolve against fact ∪ dim; a non-key name living on both sides
+    // would be ambiguous in the join — refuse
+    def resolve(c: String, what: String): String = {
+      val inF = srcMeta.schema.fields.find(_.name.equalsIgnoreCase(c))
+      val inD = dimMeta.flatMap(
+        _.schema.fields.find(_.name.equalsIgnoreCase(c)))
+      (inF, inD) match {
+        case (Some(f), Some(_)) if keys.exists(_.equalsIgnoreCase(c)) =>
+          f.name
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: $what $c exists on both " +
+            "join sides and is not a join key — ambiguous")
+        case (Some(f), None) => f.name
+        case (None, Some(f)) => f.name
+        case (None, None) => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: $what $c is not a column " +
+            s"of ${(src +: dimOpt.toSeq).mkString(" or ")}")
+      }
+    }
+    val resolvedKeys = keys.map(resolve(_, "join key"))
+    resolvedKeys.foreach { k =>
+      require(srcMeta.schema.fieldNames.exists(_.equalsIgnoreCase(k)) &&
+        dimMeta.exists(_.schema.fieldNames.exists(_.equalsIgnoreCase(k))),
+        s"CREATE MATERIALIZED VIEW $name: join key $k must exist on " +
+          "both sides")
+    }
+    val out = splitTop(selectList).map(_.trim).map {
+      case MvCountItemRe(alias) => Mview.OutCol("count", "*", alias)
+      case MvSumItemRe(c, alias) =>
+        Mview.OutCol("sum", resolve(c, "SUM column"), alias)
+      case MvGroupItemRe(c, alias) =>
+        val rc = resolve(c, "group column")
+        Mview.OutCol("group", rc, Option(alias).getOrElse(rc))
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: unsupported select item " +
+          s"'$other' — supported: <col> [AS a], COUNT(*) AS a, " +
+          "SUM(col) AS a (count/sum are the self-maintainable " +
+          "aggregates the delta rule carries)")
+    }
+    val groups = groupByList.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(resolve(_, "GROUP BY column")).toSeq
+    val groupOuts = out.collect { case Mview.OutCol("group", c, _) => c }
+    require(groupOuts.toSet == groups.toSet,
+      s"CREATE MATERIALIZED VIEW $name: selected plain columns " +
+        s"${groupOuts.mkString(",")} must equal the GROUP BY list " +
+        groups.mkString(","))
+    val sums = out.collect { case Mview.OutCol("sum", c, _) => c }.distinct
+    val d = Mview.Def(src, groups, sums, whereOpt.map(_.trim), out,
+      dimOpt, resolvedKeys)
+    // the visible schema comes from projecting a typed empty state
+    val emptyState = dimMeta match {
+      case None => graft.ops.IncrementalAgg.aggregate(
+        readTable(src, srcMeta).where(lit(false)), groups, sums)
+      case Some(dm) => graft.ops.IncrementalAgg.joinAggregate(
+        readTable(src, srcMeta).where(lit(false)),
+        readTable(dimOpt.get, dm).where(lit(false)),
+        resolvedKeys, groups, sums)
+    }
+    val visible = Mview.project(d, emptyState).schema
+    java.nio.file.Files.createDirectories(tableDir(name))
+    java.nio.file.Files.writeString(tableDir(name).resolve(Mview.DefFile),
+      d.render)
+    writeMeta(name, TableMeta(StructType(visible.fields), None))
+    Mview.initialize(spark, d, tableDir(src).toString,
+      tableDir(name).resolve(DataDir).toString,
+      dimOpt.map(t => tableDir(t).toString))
+    ()
+  }
+
+  private def refreshMview(name: String, full: Boolean): Unit = {
+    val d = mviewDefOf(name).getOrElse(throw new IllegalArgumentException(
+      s"REFRESH MATERIALIZED VIEW $name: no such materialized view"))
+    Mview.refresh(spark, d, tableDir(d.source).toString,
+      tableDir(name).resolve(DataDir).toString, full,
+      d.dim.map(t => tableDir(t).toString))
+    ()
+  }
+
+  private def dropMview(name: String): Unit = {
+    require(mviewDefOf(name).isDefined,
+      s"DROP MATERIALIZED VIEW $name: no such materialized view")
+    val (fs, p) = Versioned.fsOf(spark, tableDir(name).toString)
+    fs.delete(p, true)
+    ()
   }
 
   // ---------------------------------------------------------- caching —
@@ -2097,7 +2398,17 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         else emptyDf(meta.schema)
       case None =>
-        readUnpartitioned(meta, tableDir(name).resolve(DataDir).toString)
+        mviewDefOf(name) match {
+          case Some(d) =>
+            // a materialized view reads as its visible projection of
+            // the swapped internal state (group cols + n_rows + sum_*)
+            Mview.project(d, Mview.rawState(spark,
+                tableDir(name).resolve(DataDir).toString))
+              .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
+          case None =>
+            readUnpartitioned(meta,
+              tableDir(name).resolve(DataDir).toString)
+        }
     }
 
   private def readUnpartitioned(meta: TableMeta, dataDir: String): DataFrame = {
@@ -2277,12 +2588,16 @@ object SqlLifecycle {
 
   private final case class TableMeta(schema: StructType,
       partitionCol: Option[String], bloomCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil, writeOrder: Seq[String] = Nil,
+      maxRecsPerFile: Long = 0L) {
     def render: String =
       s"partition=${partitionCol.getOrElse("-")}\nddl=${schema.toDDL}\n" +
         (if (bloomCols.isEmpty) "" else s"bloom=${bloomCols.mkString(",")}\n") +
         (if (statsCols.isEmpty) ""
-         else s"stats=${statsCols.mkString(",")}\n")
+         else s"stats=${statsCols.mkString(",")}\n") +
+        (if (writeOrder.isEmpty) ""
+         else s"order=${writeOrder.mkString(",")}\n") +
+        (if (maxRecsPerFile <= 0) "" else s"maxrecs=$maxRecsPerFile\n")
   }
 
   private object TableMeta {
@@ -2293,7 +2608,9 @@ object SqlLifecycle {
       TableMeta(StructType.fromDDL(kv("ddl")),
         Some(kv("partition")).filter(_ != "-"),
         kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
-        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.get("order").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.get("maxrecs").flatMap(_.toLongOption).getOrElse(0L))
     }
   }
 
@@ -2451,6 +2768,16 @@ object SqlLifecycle {
   // documents — one regex each, the FOR prefix optional
   private val VersionAsOfRe =
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+|VERSION\s+)AS\s+OF\s+(\d+)""".r
+  private val TagAsOfRe =
+    """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+|VERSION\s+)AS\s+OF\s+'([A-Za-z0-9_.]+)'""".r
+  private val AlterTagRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+""" +
+      """(CREATE(?:\s+OR\s+REPLACE)?|DROP)\s+TAG\s+([A-Za-z0-9_.]+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val WriteOrderRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+""" +
+      """(?:ORDERED\s+BY\s+\(?\s*([\w\s,]+?)\s*\)?|(UNORDERED))""" +
+      """\s*;?\s*$""").r
   private val TimestampAsOfRe =
     """(?i)([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+|TIMESTAMP\s+)AS\s+OF\s+'([^']+)'""".r
   private val InsertRe =
@@ -2502,6 +2829,25 @@ object SqlLifecycle {
       """([\w.]+)(?:\s+USING\s+\w+)?""" +
       """(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """\s+AS\s+((?:SELECT|WITH)\s.*)$""").r
+  private val CreateMviewRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+""" +
+      """(SELECT\s+.*?)\s*;?\s*$""").r
+  private val RefreshMviewRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*$""".r
+  private val DropMviewRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$""".r
+  private val MvBodyRe =
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)""" +
+      """(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+([\w\s,]+?)\s*$""").r
+  private val MvJoinBodyRe =
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+JOIN\s+([\w.]+)\s+""" +
+      """(?:USING\s*\(\s*([\w\s,]+?)\s*\)|ON\s+(.+?))""" +
+      """\s+GROUP\s+BY\s+([\w\s,]+?)\s*$""").r
+  private val MvOnEqRe =
+    """(?i)^\s*[\w.]+\.(\w+)\s*=\s*[\w.]+\.(\w+)\s*$""".r
+  private val MvGroupItemRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
+  private val MvCountItemRe = """(?is)^COUNT\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
+  private val MvSumItemRe = """(?is)^SUM\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val DropViewRe =
@@ -2545,6 +2891,9 @@ object SqlLifecycle {
       """(?:\s+WHERE\s+([\w]+)\s*=\s*'([^']*)')?""" +
       """\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
       """(?:\s+BITS\s+(\d+))?\s*;?\s*$""").r
+  private val OptimizePlainRe =
+    ("""(?is)^\s*OPTIMIZE\s+([\w.]+)""" +
+      """(?:\s+WHERE\s+([\w]+)\s*=\s*'([^']*)')?\s*;?\s*$""").r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val DropTableRe =

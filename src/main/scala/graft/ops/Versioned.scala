@@ -394,6 +394,15 @@ object Versioned {
   private[ops] val BranchPrefix = "_branch-"
   private[ops] val BranchMid = "-v"
 
+  // Named TAGS (Iceberg's `ALTER TABLE … CREATE TAG` surface): one
+  // `_tag-<name>.ref` file per tag holding the referenced MAIN version
+  // in digits. Unlike a branch (its own commit line), a tag is an
+  // immutable pointer into main's history; `vacuum` retains the tagged
+  // commit files and their manifests' snapshot dirs, so a tag can
+  // outlive any retention window.
+  private[ops] val TagPrefix = "_tag-"
+  private[ops] val TagSuffix = ".ref"
+
   private[ops] def branchFilePrefix(branch: String): String = {
     require(branch.matches("[A-Za-z0-9_.]+"),
       s"branch name must match [A-Za-z0-9_.]+ (no dashes): $branch")

@@ -741,7 +741,8 @@ object VersionedPartitioned {
     * round-trips. Returns None (no commit) for an empty insert. */
   def insertInto(df: DataFrame, root: String,
       partitionCol: String, bloomCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Option[Long] = {
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Option[Long] = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
@@ -750,7 +751,8 @@ object VersionedPartitioned {
     // aggregation, so it must describe the snapshot's FINAL file set —
     // a sidecar written before the appended current-rows files would
     // silently drop them from pruned reads
-    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil,
+      clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
     val snapPath = new HPath(rootPath, snapName)
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory &&
@@ -1047,6 +1049,83 @@ object VersionedPartitioned {
     * `Versioned.dropBranch`). Staged snapshots fall to `vacuum`. */
   def dropBranch(spark: SparkSession, root: String, branch: String): Int =
     Versioned.dropBranch(spark, root, branch)
+
+  // ── named TAGS: immutable refs into main's commit history ──
+
+  private def tagPath(rootPath: HPath, tag: String): HPath = {
+    require(tag.matches("[A-Za-z0-9_.]+"),
+      s"tag name must match [A-Za-z0-9_.]+ (no dashes): $tag")
+    new HPath(rootPath, s"${Versioned.TagPrefix}$tag${Versioned.TagSuffix}")
+  }
+
+  /** Create (or with `replace` move) a named tag pointing at `version`
+    * (default: the current head). The version must exist NOW — a tag
+    * to a never-committed or already-vacuumed version would dangle
+    * silently forever. Returns the tagged version. */
+  def createTag(spark: SparkSession, root: String, tag: String,
+      version: Option[Long] = None, replace: Boolean = false): Long = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no commits under $root — nothing to tag")))
+    Versioned.rawAt(fs, rootPath, v) // throws if the version is gone
+    val p = tagPath(rootPath, tag)
+    require(replace || !fs.exists(p),
+      s"tag $tag already exists under $root (use CREATE OR REPLACE)")
+    val os = fs.create(p, replace)
+    try os.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    v
+  }
+
+  /** Drop a tag; missing tags fail loudly (a typo'd cleanup must not
+    * no-op while the real ref pins retention). */
+  def dropTag(spark: SparkSession, root: String, tag: String): Unit = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val p = tagPath(rootPath, tag)
+    require(fs.exists(p), s"no such tag $tag under $root")
+    fs.delete(p, false)
+    ()
+  }
+
+  /** The version a tag references, if the tag exists. */
+  def tagVersion(spark: SparkSession, root: String,
+      tag: String): Option[Long] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    val p = tagPath(rootPath, tag)
+    if (!fs.exists(p)) None
+    else new String(readFully(fs, p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+  }
+
+  /** Live tags with their versions — one directory listing. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getLen > 0
+        && s.getPath.getName.startsWith(Versioned.TagPrefix)
+        && s.getPath.getName.endsWith(Versioned.TagSuffix))
+      .flatMap { s =>
+        val name = s.getPath.getName
+          .stripPrefix(Versioned.TagPrefix)
+          .stripSuffix(Versioned.TagSuffix)
+        new String(readFully(fs, s.getPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          .map(name -> _)
+      }
+      .sortBy(_._1)
+  }
+
+  private def readFully(fs: FileSystem, p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
 
   /** (snapshot dirs, delete sidecars) referenced by ANY branch pointer
     * manifest — the partitioned vacuum's branch keep-sets (all branch
@@ -1768,19 +1847,35 @@ object VersionedPartitioned {
   def changedSides(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Option[Long] = None): (DataFrame, DataFrame) = {
     val mTo = manifestAt(spark, root, toVersion)
-    val fromEntries: Map[String, String] =
-      if (fromVersion <= 0) Map.empty
-      else manifestAt(spark, root, Some(fromVersion)).entries
+    val mFrom: Option[Manifest] =
+      if (fromVersion <= 0) None
+      else Some(manifestAt(spark, root, Some(fromVersion)))
+    val fromEntries = mFrom.map(_.entries).getOrElse(Map.empty)
+    val fromDeletes = mFrom.map(_.deletes).getOrElse(Map.empty)
+    // a partition is "touched" when its snapshot entry OR its
+    // merge-on-read delete set moved — a delete-only commit rewrites
+    // no files, but its partitions' live rows still changed, and a
+    // delta consumer that missed them would silently drift
     val changed = (fromEntries.keySet ++ mTo.entries.keySet)
-      .filter(p => fromEntries.get(p) != mTo.entries.get(p))
-    def side(entries: Map[String, String]): Option[DataFrame] = {
+      .filter(p => fromEntries.get(p) != mTo.entries.get(p) ||
+        fromDeletes.get(p) != mTo.deletes.get(p))
+    // each side reads with ITS OWN manifest's DELETE sidecars: the old
+    // side must show row membership as it was AT fromVersion —
+    // applying the new window's deletes to it would make a deleted row
+    // vanish from both sides and the delta lose it. Schema view
+    // (evolution rules, snapshot gens) stays aligned to the NEW
+    // manifest on both sides — the established CDC contract: old rows
+    // are presented in the current schema.
+    def side(entries: Map[String, String],
+        deletes: Map[String, Seq[String]]): Option[DataFrame] = {
       val kept = entries.filter { case (p, _) => changed(p) }
       if (kept.isEmpty) None
       else Some(readManifest(spark, root,
         Manifest(mTo.partitionCol, kept, None, mTo.evolution,
-        mTo.deletes, mTo.snapGens)))
+          deletes, mTo.snapGens)))
     }
-    val (oldSide, newSide) = (side(fromEntries), side(mTo.entries))
+    val (oldSide, newSide) =
+      (side(fromEntries, fromDeletes), side(mTo.entries, mTo.deletes))
     val anchor = newSide.orElse(oldSide).getOrElse(
       readManifest(spark, root, mTo)) // nothing changed: schema-only read
     val empty = anchor.where(org.apache.spark.sql.functions.lit(false))
@@ -2015,7 +2110,8 @@ object VersionedPartitioned {
    */
   def overwritePartitions(replacement: DataFrame, root: String,
       affected: String => Boolean, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Long = {
     val spark = replacement.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     val m0 = manifestAt(spark, root, None)
@@ -2024,7 +2120,8 @@ object VersionedPartitioned {
       unescapePathName(dir.substring(dir.indexOf('=') + 1))
     val affectedDirs = m0.entries.keySet.filter(d => affected(valueOf(d)))
     val snapName = writeSnapshot(replacement, rootPath, pcol, statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, clusterBy = clusterBy,
+      maxRecordsPerFile = maxRecordsPerFile)
     val snapPath = new HPath(rootPath, snapName)
     val written = fs.listStatus(snapPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
@@ -2516,8 +2613,14 @@ object VersionedPartitioned {
     val h = history(spark, root)
     val committedDirs = h.flatMap(_._2.entries.values).toSet
     val keep = h.takeRight(keepLast)
-    val keepDirs = keep.flatMap(_._2.entries.values).toSet
     val keepMin = keep.headOption.map(_._1).getOrElse(Long.MaxValue)
+    // TAGGED commits are pinned regardless of the retention window:
+    // their commit files survive the deletion loop below, and their
+    // manifests' snapshot dirs / delete sidecars join the keep sets
+    val taggedVs = tags(spark, root).map(_._2).toSet
+    val taggedMs = h.filter(x => taggedVs.contains(x._1)).map(_._2)
+    val keepDirs = keep.flatMap(_._2.entries.values).toSet ++
+      taggedMs.flatMap(_.entries.values)
     // carry the propagate cursor forward if every commit holding its
     // maximum is about to be dropped
     def srcVersions(ms: Seq[(Long, Manifest)]): Seq[Long] =
@@ -2557,7 +2660,7 @@ object VersionedPartitioned {
         val v = try n.stripPrefix(Versioned.CommitPrefix)
           .stripSuffix(Versioned.CommitSuffix).toLong
           catch { case _: NumberFormatException => Long.MinValue }
-        if (v < keepMin) fs.delete(s.getPath, false)
+        if (v < keepMin && !taggedVs.contains(v)) fs.delete(s.getPath, false)
       }
     }
     // branch-referenced snapshots are NEVER dropped: an unpublished
@@ -2578,7 +2681,8 @@ object VersionedPartitioned {
     // (kept while any retained or branch manifest references them;
     // superseded ones reclaimed immediately, orphans age-gated)
     val committedDel = h.flatMap(_._2.deletes.values.flatten).toSet
-    val keepDel = keep.flatMap(_._2.deletes.values.flatten).toSet
+    val keepDel = keep.flatMap(_._2.deletes.values.flatten).toSet ++
+      taggedMs.flatMap(_.deletes.values.flatten)
     val dels = fs.listStatus(rootPath)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(DelDirPrefix))

@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SqlLifecycle
+
+/**
+ * Materialized views through the statement door (`CREATE/REFRESH/DROP
+ * MATERIALIZED VIEW` → ops/Mview + IncrementalAgg delta maintenance):
+ * every refresh folds only the changed partitions and the result
+ * always hash-equals a from-scratch recompute — including through
+ * partition overwrites, metadata partition deletes, merge-on-read row
+ * deletes, and group death.
+ */
+class MviewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkLife(): (SqlLifecycle, String) = {
+    val root = Files.createTempDirectory("graft_mview_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA mv")
+    life.execute("CREATE TABLE mv.src (d DATE, grp STRING, amt " +
+      "DECIMAL(10,2), flag BIGINT) USING ICEBERG PARTITIONED BY (d)")
+    (life, root)
+  }
+
+  private def ins(life: SqlLifecycle, rows: (String, String, String, Long)*)
+      : Unit =
+    life.execute("INSERT INTO mv.src VALUES " + rows.map { case (d, g, a, f) =>
+      s"(DATE'$d','$g',$a,$f)"
+    }.mkString(","))
+
+  /** The from-scratch recompute of the view, for equality checks. */
+  private def recompute(life: SqlLifecycle) =
+    life.query("SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+        "WHERE flag = 1 GROUP BY grp")
+      .orderBy("grp").collect().toSeq
+
+  private def mvRows(life: SqlLifecycle) =
+    life.query("SELECT grp, n, total FROM mv.v")
+      .orderBy("grp").collect().toSeq
+
+  test("incremental refresh tracks inserts, overwrites, deletes, MoR deletes, group death") {
+    val (life, _) = mkLife()
+    ins(life, ("2024-01-01", "a", "10.00", 1), ("2024-01-01", "b", "5.00", 1),
+      ("2024-01-02", "a", "2.50", 1), ("2024-01-02", "b", "1.00", 0))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    assert(mvRows(life) == recompute(life))
+
+    // a no-op refresh is a no-op
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // new partition + INSERT folding into an existing one
+    ins(life, ("2024-01-03", "c", "7.00", 1), ("2024-01-01", "a", "3.00", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // the view is a snapshot between refreshes: source moves, view
+    // stays until the next refresh
+    ins(life, ("2024-01-04", "a", "100.00", 1))
+    val before = mvRows(life)
+    assert(before != recompute(life))
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // metadata partition delete (a whole day retracts)
+    life.execute("DELETE FROM mv.src WHERE d = DATE'2024-01-04'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // merge-on-read ROW delete: a delete-only commit rewrites no
+    // files; the refresh must still see it (changedSides treats a
+    // moved delete set as a touched partition)
+    life.execute("DELETE FROM mv.src WHERE grp = 'b' AND flag = 1")
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // group death: c's only row leaves; the group must disappear
+    life.execute("DELETE FROM mv.src WHERE d = DATE'2024-01-03'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    val rows = mvRows(life)
+    assert(rows == recompute(life))
+    assert(!rows.exists(_.getString(0) == "c"))
+
+    // double refresh with no source movement: idempotent
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+
+    // FULL recompute agrees with the incremental state
+    life.execute("REFRESH MATERIALIZED VIEW mv.v FULL")
+    assert(mvRows(life) == recompute(life))
+  }
+
+  test("materialized views are read-only, drop by the matching verb, loud rejections") {
+    val (life, _) = mkLife()
+    ins(life, ("2024-01-01", "a", "1.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    // every mutation verb is rejected with the MV named
+    for (stmt <- Seq(
+      "INSERT INTO mv.v VALUES ('x', 1, 1.0)",
+      "DELETE FROM mv.v WHERE grp = 'a'",
+      "UPDATE mv.v SET n = 2 WHERE grp = 'a'",
+      "TRUNCATE TABLE mv.v",
+      "DROP TABLE mv.v")) {
+      val e = intercept[Exception](life.execute(stmt))
+      assert(e.getMessage != null && e.getMessage.contains("mv.v"), stmt)
+    }
+    // unsupported aggregate shapes are rejected at CREATE, loudly
+    val bad = intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mv.bad AS SELECT grp, avg(amt) AS a " +
+        "FROM mv.src GROUP BY grp"))
+    assert(bad.getMessage.contains("avg(amt)"))
+    // duplicate name / missing source / refresh of a non-view
+    intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mv.v AS SELECT grp, count(*) AS n " +
+        "FROM mv.src GROUP BY grp"))
+    intercept[IllegalArgumentException](life.execute(
+      "REFRESH MATERIALIZED VIEW mv.src"))
+    life.execute("DROP MATERIALIZED VIEW mv.v")
+    intercept[IllegalArgumentException](life.execute(
+      "DROP MATERIALIZED VIEW mv.v"))
+    // gone from reads too
+    intercept[Exception](life.query("SELECT * FROM mv.v").collect())
+  }
+
+  test("join views: two-sided delta rule with a composite cursor") {
+    val root = Files.createTempDirectory("graft_mviewj_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA mj")
+    life.execute("CREATE TABLE mj.fact (d DATE, k BIGINT, amt " +
+      "DECIMAL(10,2)) USING ICEBERG PARTITIONED BY (d)")
+    life.execute("CREATE TABLE mj.dim (r STRING, k BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (r)")
+    life.execute("INSERT INTO mj.fact VALUES (DATE'2024-01-01',1,10.00)," +
+      "(DATE'2024-01-01',2,5.00),(DATE'2024-01-02',1,2.00)")
+    life.execute("INSERT INTO mj.dim VALUES ('east',1),('west',2)")
+    life.execute("CREATE MATERIALIZED VIEW mj.v AS " +
+      "SELECT r, count(*) AS n, sum(amt) AS total " +
+      "FROM mj.fact JOIN mj.dim ON mj.fact.k = mj.dim.k GROUP BY r")
+    def recompute() = life.query(
+      "SELECT r, count(*) AS n, sum(amt) AS total FROM mj.fact f " +
+        "JOIN mj.dim dm ON f.k = dm.k GROUP BY r")
+      .orderBy("r").collect().toSeq
+    def mv() = life.query("SELECT r, n, total FROM mj.v")
+      .orderBy("r").collect().toSeq
+    assert(mv() == recompute())
+    // fact-side delta only
+    life.execute("INSERT INTO mj.fact VALUES (DATE'2024-01-03',2,7.00)")
+    life.execute("REFRESH MATERIALIZED VIEW mj.v")
+    assert(mv() == recompute())
+    // dim-side delta only: key 2 migrates west → north (old group
+    // loses its rows, a NEW group appears)
+    life.execute("DELETE FROM mj.dim WHERE r = 'west'")
+    life.execute("INSERT INTO mj.dim VALUES ('north',2)")
+    life.execute("REFRESH MATERIALIZED VIEW mj.v")
+    val rows = mv()
+    assert(rows == recompute())
+    assert(rows.exists(_.getString(0) == "north") &&
+      !rows.exists(_.getString(0) == "west"))
+    // both sides move in one window
+    life.execute("INSERT INTO mj.fact VALUES (DATE'2024-01-04',3,1.00)")
+    life.execute("INSERT INTO mj.dim VALUES ('south',3)")
+    life.execute("REFRESH MATERIALIZED VIEW mj.v")
+    assert(mv() == recompute())
+    // USING form parses to the same definition
+    life.execute("CREATE MATERIALIZED VIEW mj.v2 AS " +
+      "SELECT r, count(*) AS n, sum(amt) AS total " +
+      "FROM mj.fact JOIN mj.dim USING (k) GROUP BY r")
+    assert(life.query("SELECT r, n, total FROM mj.v2")
+      .orderBy("r").collect().toSeq == recompute())
+    // ambiguous non-key columns are refused loudly
+    val amb = intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mj.bad AS SELECT k, count(*) AS n " +
+        "FROM mj.fact JOIN mj.dim ON mj.fact.amt = mj.dim.r GROUP BY k"))
+    assert(amb.getMessage.contains("same-named") ||
+      amb.getMessage.contains("join"))
+  }
+
+  test("refresh cost is delta-shaped: only changed partitions are read") {
+    val (life, root) = mkLife()
+    ins(life, ("2024-01-01", "a", "1.00", 1), ("2024-01-02", "a", "2.00", 1),
+      ("2024-01-03", "a", "3.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    ins(life, ("2024-01-04", "a", "4.00", 1))
+    // the delta read touches only the new day's partition
+    val (oldS, newS) = graft.ops.VersionedPartitioned.changedSides(
+      spark, s"$root/mv/src",
+      graft.ops.Mview.readCursor(spark, s"$root/mv/v/data"))
+    assert(oldS.inputFiles.isEmpty, "a pure-insert window has no old side")
+    assert(newS.inputFiles.forall(_.contains("d=2024-01-04")),
+      s"delta must touch only the new day: ${newS.inputFiles.toSeq}")
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+  }
+}
