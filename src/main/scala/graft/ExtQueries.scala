@@ -2858,6 +2858,41 @@ object ExtQueries {
   }
 
   /**
+   * Metadata-only aggregation over a HIDDEN-partitioned table: on a
+   * `days(ts)` layout, a day-aligned time bound decides every
+   * partition interval exactly (contains / excludes — a straddling
+   * bound falls back to the scan, StatsAggSpec pins both), so
+   * count/count(c)/sum(c) fold from the `_stats` sidecars with zero
+   * data I/O even though the PREDICATE names the source column, not
+   * the partition key. The 100 TB shape: `count(*) WHERE ts >= day`
+   * on an event firehose = a metadata read.
+   */
+  private def sqlAggMetaHidden(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlaggmetah_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA hm")
+    life.execute("""
+      CREATE TABLE hm.events (ts TIMESTAMP, event_id BIGINT)
+      USING ICEBERG PARTITIONED BY (days(ts))""")
+    life.execute(
+      "ALTER TABLE hm.events SET TBLPROPERTIES " +
+        "('graft.statsColumns'='event_id')")
+    Tables.load(s, dir, "events")
+      .select(col("ts"), col("event_id"))
+      .where(col("ts") < expr("TIMESTAMP'2024-01-11 00:00:00'"))
+      .createOrReplaceTempView("aggmetah_src")
+    life.execute("INSERT INTO hm.events SELECT * FROM aggmetah_src")
+    life.query("""
+      SELECT count(*) AS n_rows, count(event_id) AS n_ids,
+             min(event_id) AS min_id, max(event_id) AS max_id,
+             sum(event_id) AS sum_id
+      FROM hm.events
+      WHERE ts >= TIMESTAMP'2024-01-04 00:00:00'
+        AND ts < TIMESTAMP'2024-01-09 00:00:00'""")
+  }
+
+  /**
    * Named-tag time travel through the statement door: tag the
    * pre-March state, insert March, read back AS OF the tag — the
    * Iceberg `CREATE TAG` + `VERSION AS OF '<name>'` surface.
@@ -5269,6 +5304,7 @@ object ExtQueries {
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
     "sql_agg_meta" -> ((s, dir) => sqlAggMeta(s, dir)),
+    "sql_agg_meta_hidden" -> ((s, dir) => sqlAggMetaHidden(s, dir)),
     "sql_tag_read" -> ((s, dir) => sqlTagRead(s, dir)),
     "sql_mview_refresh" -> ((s, dir) => sqlMviewRefresh(s, dir)),
     "sql_write_order_range" -> ((s, dir) => sqlWriteOrderRange(s, dir)),

@@ -393,7 +393,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .forall(_.toBoolean))
         StatsAgg.tryAnswer(spark, df, occs.flatMap(o =>
           o.meta.partitionCol.map(pc => StatsAgg.OccTable(
-            tableDir(o.table).toString, o.version, pc, o.rels))))
+            tableDir(o.table).toString, o.version, pc, o.rels,
+            hiddenOf(o.meta)))))
       else None
     statsAnswered match {
       case Some(a) =>

@@ -43,10 +43,14 @@ object StatsAgg {
 
   /** What the door knows about one statement occurrence of a
     * cataloged partitioned table: its root dir, optional pinned
-    * version, partition column, and the BaseRelation INSTANCES its
-    * registered frame scans (identity maps plan leaves back to it). */
+    * version, partition column, the BaseRelation INSTANCES its
+    * registered frame scans (identity maps plan leaves back to it),
+    * and — for hidden-partitioned tables — the partition transform,
+    * which lets time-interval predicates on the SOURCE column decide
+    * partitions exactly. */
   final case class OccTable(root: String, version: Option[Long],
-      partitionCol: String, rels: Seq[AnyRef])
+      partitionCol: String, rels: Seq[AnyRef],
+      transform: Option[PartitionTransform] = None)
 
   private final case class AggItem(func: String, inId: Option[ExprId],
       outName: String, outType: org.apache.spark.sql.types.DataType)
@@ -159,19 +163,15 @@ object StatsAgg {
     // one leaf per snapshot (the frame unions each snapshot once)
     if (leaves.map(_.snap).distinct.length != leaves.length) return None
     // conjunct exactness per leaf: deterministic, subquery-free, and
-    // referencing ONLY the partition column
-    for (l <- leaves) {
-      val pAttr = l.rel.output.find(
-        _.name.equalsIgnoreCase(occ.partitionCol)) match {
-        case Some(a) => a
-        case None => if (l.conjuncts.nonEmpty) return None else null
-      }
-      for (c <- l.conjuncts) {
-        if (!c.deterministic) return None
-        if (c.exists(_.isInstanceOf[PlanExpression[_]])) return None
-        if (!c.references.forall(_.exprId == pAttr.exprId)) return None
-      }
-    }
+    // either referencing ONLY the partition column (identity
+    // partitioning — dir-value substitution decides every predicate)
+    // or, on a days()/months() hidden-partitioned table, ONLY the
+    // transform's source column in interval-decidable comparison
+    // shapes (a partition IS a time interval; a bound either contains
+    // it, excludes it, or straddles it — straddling bails)
+    val keepEvals: Map[String, KeepEval] = leaves.map { l =>
+      l.snap -> keepEvalFor(l, occ).getOrElse(return None)
+    }.toMap
     // needed columns must resolve to the SAME stored name in every leaf
     def storedName(id: ExprId): Option[String] = {
       val names = leaves.map(_.resolve.get(id).map(_.name)).distinct
@@ -210,31 +210,15 @@ object StatsAgg {
     // per-(value, snapshot) keep: substitute the parsed partition
     // value into the owning leaf's conjuncts and evaluate; a snapshot
     // with no surviving leaf was optimized away as empty/contradicted
-    val bySnap: Map[String, LeafInfo] = leaves.map(l => l.snap -> l).toMap
     val anyFilter = leaves.exists(_.conjuncts.nonEmpty)
     val keep: Option[(String, String) => Option[Boolean]] =
       Some { (value, snap) =>
-        bySnap.get(snap) match {
+        keepEvals.get(snap) match {
           // a snapshot with no surviving leaf: under a filter the
           // optimizer contradicted it away (rows provably excluded);
           // with NO filter a missing branch is unexplained — bail
           case None => if (anyFilter) Some(false) else None
-          case Some(l) if l.conjuncts.isEmpty => Some(true)
-          case Some(l) =>
-            val pAttr = l.rel.output
-              .find(_.name.equalsIgnoreCase(occ.partitionCol)).get
-            parseValue(value, pAttr.dataType) match {
-              case None => None
-              case Some(v) =>
-                val lit = Literal.create(v, pAttr.dataType)
-                val ok = l.conjuncts.forall { c =>
-                  c.transform {
-                    case a: AttributeReference if a.exprId == pAttr.exprId =>
-                      lit
-                  }.eval() == true
-                }
-                Some(ok)
-            }
+          case Some(ke) => evalKeep(ke, value)
         }
       }
     // every ORDER BY key must be one of the aggregate's own outputs —
@@ -267,6 +251,166 @@ object StatsAgg {
       if (sortCols.isEmpty) named else named.orderBy(sortCols: _*)
     }
   }
+
+  /** How one leaf's conjuncts map partition-dir values to keeps. */
+  private sealed trait KeepEval
+  private case object AllRows extends KeepEval
+  /** Identity partitioning (or days() over a DATE column — one day IS
+    * one date): substitute the typed dir value into the conjuncts. */
+  private final case class ByValue(attr: Attribute,
+      conjuncts: Seq[Expression]) extends KeepEval
+  /** days()/months() over a time column: each partition covers the
+    * half-open interval [lo, hi) in the column's own integer space
+    * (days for DATE, micros for TIMESTAMP); each comparison either
+    * contains the interval, excludes it, or straddles it (bail). */
+  private final case class ByInterval(kind: String, isDate: Boolean,
+      cmps: Seq[(String, Long)]) extends KeepEval
+
+  private def keepEvalFor(l: LeafInfo, occ: OccTable): Option[KeepEval] = {
+    if (l.conjuncts.isEmpty) return Some(AllRows)
+    for (c <- l.conjuncts) {
+      if (!c.deterministic) return None
+      if (c.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    }
+    val refIds = l.conjuncts.flatMap(_.references).map(_.exprId).toSet
+    val pAttr = l.rel.output.find(
+      _.name.equalsIgnoreCase(occ.partitionCol))
+    pAttr match {
+      case Some(p) if refIds == Set(p.exprId) =>
+        return Some(ByValue(p, l.conjuncts))
+      case _ =>
+    }
+    occ.transform match {
+      case Some(t @ (DaysOf(_) | MonthsOf(_))) =>
+        val src = l.rel.output.find(
+          _.name.equalsIgnoreCase(t.sourceCol)).getOrElse(return None)
+        if (refIds != Set(src.exprId)) return None
+        val kind = t match {
+          case _: DaysOf => "days"
+          case _ => "months"
+        }
+        src.dataType match {
+          case org.apache.spark.sql.types.DateType if kind == "days" =>
+            // `days(d)` over a DATE column is identity: the dir value
+            // IS the date, so full substitution stays exact for ANY
+            // deterministic predicate
+            Some(ByValue(src, l.conjuncts))
+          case org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType =>
+            val isDate =
+              src.dataType == org.apache.spark.sql.types.DateType
+            val cmps = l.conjuncts.map(c =>
+              intervalCmpOf(src, c).getOrElse(return None))
+            Some(ByInterval(kind, isDate, cmps))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** One interval-decidable comparison: (op ∈ {>=, >, <, <=, =},
+    * literal in the column's integer space). The literal must already
+    * carry the column's exact type — Catalyst normalizes comparisons
+    * that way; anything else bails. */
+  private def intervalCmpOf(src: Attribute,
+      e: Expression): Option[(String, Long)] = {
+    def lv(l: Literal): Option[Long] =
+      if (l.dataType != src.dataType) None
+      else l.value match {
+        case i: java.lang.Integer => Some(i.toLong)
+        case i: java.lang.Long => Some(i.longValue)
+        case _ => None
+      }
+    def at(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.exprId == src.exprId
+      case _ => false
+    }
+    e match {
+      case GreaterThanOrEqual(a, l: Literal) if at(a) => lv(l).map((">=", _))
+      case GreaterThan(a, l: Literal) if at(a) => lv(l).map((">", _))
+      case LessThan(a, l: Literal) if at(a) => lv(l).map(("<", _))
+      case LessThanOrEqual(a, l: Literal) if at(a) => lv(l).map(("<=", _))
+      case EqualTo(a, l: Literal) if at(a) => lv(l).map(("=", _))
+      case GreaterThanOrEqual(l: Literal, a) if at(a) => lv(l).map(("<=", _))
+      case GreaterThan(l: Literal, a) if at(a) => lv(l).map(("<", _))
+      case LessThan(l: Literal, a) if at(a) => lv(l).map((">", _))
+      case LessThanOrEqual(l: Literal, a) if at(a) => lv(l).map((">=", _))
+      case EqualTo(l: Literal, a) if at(a) => lv(l).map(("=", _))
+      // null predicates (the optimizer injects isnotnull under every
+      // comparison): a DATED partition holds only rows whose transform
+      // produced its value — the source is never null there; the null
+      // partition is the HIVE_DEFAULT dir, decided in evalKeep
+      case IsNotNull(a) if at(a) => Some(("notnull", 0L))
+      case IsNull(a) if at(a) => Some(("isnull", 0L))
+      case _ => None
+    }
+  }
+
+  private def evalKeep(ke: KeepEval, value: String): Option[Boolean] =
+    ke match {
+      case AllRows => Some(true)
+      case ByValue(attr, conjuncts) =>
+        parseValue(value, attr.dataType) match {
+          case None => None
+          case Some(v) =>
+            val lit = Literal.create(v, attr.dataType)
+            Some(conjuncts.forall { c =>
+              c.transform {
+                case a: AttributeReference if a.exprId == attr.exprId =>
+                  lit
+              }.eval() == true
+            })
+        }
+      case ByInterval(kind, isDate, cmps) =>
+        // the writer's null partition: its rows are exactly the
+        // NULL-source rows — comparisons and IS NOT NULL drop them,
+        // a pure IS NULL keeps them
+        if (value == "__HIVE_DEFAULT_PARTITION__")
+          return Some(cmps.forall(_._1 == "isnull"))
+        val bounds: Option[(Long, Long)] =
+          try {
+            val (loDay, hiDay) =
+              if (kind == "days") {
+                val d = java.time.LocalDate.parse(value)
+                (d.toEpochDay, d.toEpochDay + 1)
+              } else {
+                val d = java.time.LocalDate.parse(value + "-01")
+                (d.toEpochDay, d.plusMonths(1).toEpochDay)
+              }
+            Some(
+              if (isDate) (loDay, hiDay)
+              else (loDay * 86400000000L, hiDay * 86400000000L))
+          } catch { case _: java.time.format.DateTimeParseException => None }
+        bounds match {
+          case None => None // unparseable dir: cannot decide — bail
+          case Some((lo, hi)) =>
+            // rows in this partition span [lo, hi); decide each bound
+            val decisions = cmps.map { case (op, c) =>
+              op match {
+                case ">=" =>
+                  if (lo >= c) Some(true)
+                  else if (hi <= c) Some(false) else None
+                case ">" =>
+                  if (lo > c) Some(true)
+                  else if (hi <= c + 1) Some(false) else None
+                case "<" =>
+                  if (hi <= c) Some(true)
+                  else if (lo >= c) Some(false) else None
+                case "<=" =>
+                  if (hi <= c + 1) Some(true)
+                  else if (lo > c) Some(false) else None
+                case "=" =>
+                  if (c < lo || c >= hi) Some(false) else None
+                case "notnull" => Some(true) // dated dir: never null
+                case "isnull" => Some(false)
+                case _ => None
+              }
+            }
+            if (decisions.contains(Some(false))) Some(false)
+            else if (decisions.forall(_ == Some(true))) Some(true)
+            else None // a straddling bound: metadata cannot decide
+        }
+    }
 
   /** Partition dir VALUE string → typed value; None = unparseable
     * (bail), Some(null) = the writer's null partition. */

@@ -211,6 +211,70 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d4.head().getLong(0) == 3L)
   }
 
+  test("hidden partitioning: interval-decidable time predicates fold from metadata") {
+    val root = Files.createTempDirectory("graft_statshidden_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA hd")
+    life.execute("CREATE TABLE hd.t (ts TIMESTAMP, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (days(ts))")
+    life.execute(
+      "ALTER TABLE hd.t SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    life.execute("INSERT INTO hd.t VALUES " +
+      "(TIMESTAMP'2024-01-01 09:00:00',1)," +
+      "(TIMESTAMP'2024-01-01 18:00:00',2)," +
+      "(TIMESTAMP'2024-01-02 12:00:00',4)," +
+      "(TIMESTAMP'2024-01-03 06:00:00',8)")
+
+    // a day-aligned bound decides every partition exactly → metadata
+    val q1 = life.query("SELECT count(*) AS n, sum(v) AS s FROM hd.t " +
+      "WHERE ts >= TIMESTAMP'2024-01-02 00:00:00'")
+    assert(dataFilesRead(q1).isEmpty,
+      s"day-aligned interval must fold from metadata: ${dataFilesRead(q1)}")
+    assert(q1.collect().toSeq == Seq(Row(2L, 12L)))
+
+    // a mid-day bound straddles a partition → scan, same answer shape
+    val q2 = life.query("SELECT count(*) AS n FROM hd.t " +
+      "WHERE ts >= TIMESTAMP'2024-01-02 11:00:00'")
+    assert(dataFilesRead(q2).nonEmpty)
+    assert(q2.head.getLong(0) == 2L)
+
+    // a BETWEEN of aligned bounds folds; count(*) with no filter folds
+    val q3 = life.query("SELECT count(*) AS n FROM hd.t WHERE " +
+      "ts >= TIMESTAMP'2024-01-01 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-03 00:00:00'")
+    assert(dataFilesRead(q3).isEmpty)
+    assert(q3.head.getLong(0) == 3L)
+
+    // months(date) table: month-aligned DATE bounds fold
+    life.execute("CREATE TABLE hd.m (d DATE, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (months(d))")
+    life.execute(
+      "ALTER TABLE hd.m SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    life.execute("INSERT INTO hd.m VALUES (DATE'2024-01-15',1)," +
+      "(DATE'2024-02-10',2),(DATE'2024-03-05',4)")
+    val q4 = life.query("SELECT count(*) AS n, sum(v) AS s FROM hd.m " +
+      "WHERE d >= DATE'2024-02-01'")
+    assert(dataFilesRead(q4).isEmpty, s"read: ${dataFilesRead(q4)}")
+    assert(q4.collect().toSeq == Seq(Row(2L, 6L)))
+    // a mid-month bound straddles → scan
+    val q5 = life.query(
+      "SELECT count(*) AS n FROM hd.m WHERE d >= DATE'2024-02-15'")
+    assert(dataFilesRead(q5).nonEmpty)
+    assert(q5.head.getLong(0) == 1L)
+
+    // days(DATE) is identity: ANY date predicate folds by substitution
+    life.execute("CREATE TABLE hd.dd (d DATE, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (days(d))")
+    life.execute(
+      "ALTER TABLE hd.dd SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    life.execute("INSERT INTO hd.dd VALUES (DATE'2024-01-01',1)," +
+      "(DATE'2024-01-02',2),(DATE'2024-01-09',4)")
+    val q6 = life.query("SELECT count(*) AS n FROM hd.dd " +
+      "WHERE d IN (DATE'2024-01-02', DATE'2024-01-09')")
+    assert(dataFilesRead(q6).isEmpty)
+    assert(q6.head.getLong(0) == 2L)
+  }
+
   test("insertInto overlap keeps the stats sidecar complete") {
     // regression: the overlap fold appends the partition's CURRENT rows
     // into the snapshot AFTER the data write; a sidecar computed before
