@@ -96,6 +96,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case ShowTablesRe() =>
         import spark.implicits._
         Some((tables() ++ views().map(_ + " (view)")).toDF("table_name"))
+      case ShowTblPropsRe(name) =>
+        Some(showTblProps(name.toLowerCase))
       case ShowPartitionsRe(name) =>
         Some(showPartitions(name.toLowerCase))
       case ShowCreateRe(name) =>
@@ -1857,6 +1859,26 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     writeMeta(name, meta.copy(writeOrder = resolved.distinct))
   }
 
+  /** `SHOW TBLPROPERTIES t` — the read side of the property verbs:
+    * one (key, value) row per set storage property, including the ones
+    * declared through their own DDL (bloom index, write order) so a
+    * user can audit a table's whole declared layout in one statement. */
+  private def showTblProps(name: String): DataFrame = {
+    import spark.implicits._
+    val meta = metaOf(name).getOrElse(throw new IllegalArgumentException(
+      s"SHOW TBLPROPERTIES $name: no such table"))
+    val rows = Seq(
+      Option.when(meta.statsCols.nonEmpty)(
+        "graft.statsColumns" -> meta.statsCols.mkString(",")),
+      Option.when(meta.maxRecsPerFile > 0)(
+        "graft.maxRecordsPerFile" -> meta.maxRecsPerFile.toString),
+      Option.when(meta.bloomCols.nonEmpty)(
+        "graft.bloomIndexColumns" -> meta.bloomCols.mkString(",")),
+      Option.when(meta.writeOrder.nonEmpty)(
+        "graft.writeOrderedBy" -> meta.writeOrder.mkString(","))).flatten
+    rows.toDF("key", "value")
+  }
+
   private def alterTblProps(name: String, set: Boolean,
       propsBlock: String): Unit = {
     val meta = metaOf(name).getOrElse(
@@ -2854,6 +2876,8 @@ object SqlLifecycle {
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ShowTblPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*$""".r
   private val ExplainRe =
     ("""(?is)^\s*EXPLAIN(?:\s+(SIMPLE|EXTENDED|CODEGEN|COST|FORMATTED))?""" +
       """\s+((?:SELECT|WITH|VALUES)\s.*)$""").r

@@ -970,6 +970,23 @@ object Streaming {
       ()
     }
 
+  /** A materialized view (`ops/Mview`) as a STREAMING SUBSCRIPTION:
+    * poll the source table(s) on `trigger`'s cadence and fold the
+    * delta each tick — the auto-refresh twin of the door's `REFRESH
+    * MATERIALIZED VIEW`. Delivery state is the view's own
+    * state+cursor atomic swap, so the query needs no checkpoint and
+    * restarts anywhere; a tick where no source advanced is a pure
+    * metadata no-op. */
+  def maintainedMview(spark: SparkSession, d: graft.ops.Mview.Def,
+      sourceRoot: String, stateDir: String,
+      dimRoot: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    maintained(spark, trigger) { () =>
+      graft.ops.Mview.refresh(spark, d, sourceRoot, stateDir,
+        full = false, dimRoot)
+      ()
+    }
+
   /** The change-feed as a STREAMING SUBSCRIPTION: a `StreamingQuery`
     * that polls the source commit log on `trigger`'s cadence and runs
     * `changeFeedHop` per tick. The rate source is only the clock —

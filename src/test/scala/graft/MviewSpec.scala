@@ -185,6 +185,36 @@ class MviewSpec extends AnyFunSuite {
       amb.getMessage.contains("join"))
   }
 
+  test("streaming subscription: maintainedMview auto-refreshes, checkpoint-free") {
+    val (life, root) = mkLife()
+    ins(life, ("2024-01-01", "a", "1.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    ins(life, ("2024-01-02", "b", "2.00", 1), ("2024-01-03", "a", "3.00", 1))
+    val d = graft.ops.Mview.Def.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "mv", "v",
+        graft.ops.Mview.DefFile)))
+    val q = graft.pipeline.Streaming.maintainedMview(spark, d,
+      s"$root/mv/src", s"$root/mv/v/data")
+    q.awaitTermination()
+    assert(mvRows(life) == recompute(life))
+    // a second AvailableNow run with no source movement is a no-op
+    // restart (no checkpoint anywhere), and SHOW TBLPROPERTIES audits
+    // a declared layout in one statement
+    val q2 = graft.pipeline.Streaming.maintainedMview(spark, d,
+      s"$root/mv/src", s"$root/mv/v/data")
+    q2.awaitTermination()
+    assert(mvRows(life) == recompute(life))
+    life.execute("ALTER TABLE mv.src SET TBLPROPERTIES " +
+      "('graft.statsColumns'='amt')")
+    life.execute("ALTER TABLE mv.src WRITE ORDERED BY (amt)")
+    val props = life.execute("SHOW TBLPROPERTIES mv.src").get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("graft.statsColumns" -> "amt",
+      "graft.writeOrderedBy" -> "amt"))
+  }
+
   test("refresh cost is delta-shaped: only changed partitions are read") {
     val (life, root) = mkLife()
     ins(life, ("2024-01-01", "a", "1.00", 1), ("2024-01-02", "a", "2.00", 1),
