@@ -185,6 +185,30 @@ class MviewSpec extends AnyFunSuite {
       amb.getMessage.contains("join"))
   }
 
+  test("a crash inside the state swap recovers: state and cursor stay paired") {
+    val (life, root) = mkLife()
+    ins(life, ("2024-01-01", "a", "1.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    ins(life, ("2024-01-02", "b", "2.00", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    val good = mvRows(life)
+    assert(good == recompute(life))
+    // simulate swapTable dying BETWEEN its two renames: live dir moved
+    // to the hidden .old sibling, replacement never renamed in
+    val stateDir = java.nio.file.Paths.get(root, "mv", "v", "data")
+    val hidden = stateDir.resolveSibling("." + stateDir.getFileName + ".old")
+    java.nio.file.Files.move(stateDir, hidden)
+    assert(!java.nio.file.Files.exists(stateDir))
+    // the next read/refresh first runs recoverSwap: the previous
+    // state+cursor pair comes back intact — never a torn view
+    assert(mvRows(life) == good)
+    ins(life, ("2024-01-03", "c", "3.00", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    assert(mvRows(life) == recompute(life))
+  }
+
   test("streaming subscription: maintainedMview auto-refreshes, checkpoint-free") {
     val (life, root) = mkLife()
     ins(life, ("2024-01-01", "a", "1.00", 1))

@@ -211,6 +211,39 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d4.head().getLong(0) == 3L)
   }
 
+  test("schema evolution bails column aggs but count(*) stays metadata-only") {
+    val root = Files.createTempDirectory("graft_statsevo_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA se")
+    life.execute("CREATE TABLE se.t (d DATE, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    life.execute(
+      "ALTER TABLE se.t SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    life.execute("INSERT INTO se.t VALUES (DATE'2024-01-01', 5)")
+    // a metadata-only ADD COLUMN: the existing snapshot's files now
+    // need a replayed default, so stored column stats no longer
+    // represent what a scan returns — column aggs must fall back
+    life.execute("ALTER TABLE se.t ADD COLUMN extra BIGINT DEFAULT 7")
+    val q1 = life.query("SELECT sum(v) AS s FROM se.t")
+    assert(dataFilesRead(q1).nonEmpty,
+      "column agg over an evolution-replayed snapshot must scan")
+    assert(q1.head.getLong(0) == 5L)
+    // row counts never evolve: count(*) still folds from metadata
+    val q2 = life.query("SELECT count(*) AS n FROM se.t")
+    assert(dataFilesRead(q2).isEmpty)
+    assert(q2.head.getLong(0) == 1L)
+    // a fresh post-evolution write is at full generation; once the old
+    // snapshot is rewritten (OPTIMIZE, with the new column added to
+    // the stats set) column aggs fold again
+    life.execute("ALTER TABLE se.t SET TBLPROPERTIES " +
+      "('graft.statsColumns'='v,extra')")
+    life.execute("OPTIMIZE se.t")
+    val q3 = life.query("SELECT sum(v) AS s, max(extra) AS x FROM se.t")
+    assert(dataFilesRead(q3).isEmpty,
+      s"post-rewrite fold expected, read: ${dataFilesRead(q3)}")
+    assert(q3.collect().toSeq == Seq(Row(5L, 7L)))
+  }
+
   test("hidden partitioning: interval-decidable time predicates fold from metadata") {
     val root = Files.createTempDirectory("graft_statshidden_").toString
     val life = new SqlLifecycle(spark, root)
