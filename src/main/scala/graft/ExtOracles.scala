@@ -474,6 +474,8 @@ object ExtOracles {
       ("sql_agg_meta_hidden" -> oracle("sql_agg_meta_hidden")) +
       ("sql_tag_read" -> oracle("sql_tag_read")) +
       ("sql_mview_refresh" -> oracle("sql_mview_refresh")) +
+      ("sql_mview_minmax" -> oracle("sql_mview_minmax")) +
+      ("sql_mview_avg" -> oracle("sql_mview_avg")) +
       ("sql_write_order_range" -> oracle("sql_write_order_range")) +
       ("txn_pair" -> oracle("txn_pair")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +

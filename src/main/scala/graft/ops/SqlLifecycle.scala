@@ -2302,14 +2302,20 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case MvCountItemRe(alias) => Mview.OutCol("count", "*", alias)
       case MvSumItemRe(c, alias) =>
         Mview.OutCol("sum", resolve(c, "SUM column"), alias)
+      case MvMinItemRe(c, alias) =>
+        Mview.OutCol("min", resolve(c, "MIN column"), alias)
+      case MvMaxItemRe(c, alias) =>
+        Mview.OutCol("max", resolve(c, "MAX column"), alias)
+      case MvAvgItemRe(c, alias) =>
+        Mview.OutCol("avg", resolve(c, "AVG column"), alias)
       case MvGroupItemRe(c, alias) =>
         val rc = resolve(c, "group column")
         Mview.OutCol("group", rc, Option(alias).getOrElse(rc))
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW $name: unsupported select item " +
           s"'$other' — supported: <col> [AS a], COUNT(*) AS a, " +
-          "SUM(col) AS a (count/sum are the self-maintainable " +
-          "aggregates the delta rule carries)")
+          "SUM/MIN/MAX/AVG(col) AS a (count/sum/avg fold by the delta " +
+          "rule; min/max by affected-group rescan)")
     }
     val groups = groupByList.split(",").map(_.trim).filter(_.nonEmpty)
       .map(resolve(_, "GROUP BY column")).toSeq
@@ -2319,25 +2325,31 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         s"${groupOuts.mkString(",")} must equal the GROUP BY list " +
         groups.mkString(","))
     val sums = out.collect { case Mview.OutCol("sum", c, _) => c }.distinct
+    val mins = out.collect { case Mview.OutCol("min", c, _) => c }.distinct
+    val maxs = out.collect { case Mview.OutCol("max", c, _) => c }.distinct
+    val avgs = out.collect { case Mview.OutCol("avg", c, _) => c }.distinct
+    require(dimOpt.isEmpty || (mins ++ maxs ++ avgs).isEmpty,
+      s"CREATE MATERIALIZED VIEW $name: a JOIN view carries count/sum " +
+        "only — min/max/avg ride the single-table extended state")
     val d = Mview.Def(src, groups, sums, whereOpt.map(_.trim), out,
-      dimOpt, resolvedKeys)
+      dimOpt, resolvedKeys, mins, maxs, avgs)
     // the visible schema comes from projecting a typed empty state
-    val emptyState = dimMeta match {
-      case None => graft.ops.IncrementalAgg.aggregate(
-        readTable(src, srcMeta).where(lit(false)), groups, sums)
-      case Some(dm) => graft.ops.IncrementalAgg.joinAggregate(
-        readTable(src, srcMeta).where(lit(false)),
-        readTable(dimOpt.get, dm).where(lit(false)),
-        resolvedKeys, groups, sums)
-    }
+    val emptyState = Mview.stateShape(d,
+      readTable(src, srcMeta).where(lit(false)),
+      dimMeta.map(dm => readTable(dimOpt.get, dm).where(lit(false))))
     val visible = Mview.project(d, emptyState).schema
     java.nio.file.Files.createDirectories(tableDir(name))
-    java.nio.file.Files.writeString(tableDir(name).resolve(Mview.DefFile),
-      d.render)
-    writeMeta(name, TableMeta(StructType(visible.fields), None))
+    // initialize FIRST, catalog after: if the initial materialization
+    // refuses (e.g. the source has no committed version to pin a
+    // cursor to), nothing is cataloged — a def/meta written before a
+    // failed initialize would leave a half-created view whose SELECTs
+    // fail on the missing state and whose name blocks re-CREATE
     Mview.initialize(spark, d, tableDir(src).toString,
       tableDir(name).resolve(DataDir).toString,
       dimOpt.map(t => tableDir(t).toString))
+    java.nio.file.Files.writeString(tableDir(name).resolve(Mview.DefFile),
+      d.render)
+    writeMeta(name, TableMeta(StructType(visible.fields), None))
     ()
   }
 
@@ -2871,6 +2883,9 @@ object SqlLifecycle {
   private val MvGroupItemRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
   private val MvCountItemRe = """(?is)^COUNT\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val MvSumItemRe = """(?is)^SUM\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+  private val MvMinItemRe = """(?is)^MIN\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+  private val MvMaxItemRe = """(?is)^MAX\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
+  private val MvAvgItemRe = """(?is)^AVG\(\s*(\w+)\s*\)\s+AS\s+(\w+)$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val DropViewRe =

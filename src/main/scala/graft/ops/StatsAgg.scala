@@ -266,6 +266,15 @@ object StatsAgg {
   private final case class ByInterval(kind: String, isDate: Boolean,
       cmps: Seq[(String, Long)]) extends KeepEval
 
+  /** True iff the active session's timezone is fixed-offset UTC (any
+    * spelling: UTC, Etc/UTC, Z, +00:00); an unparseable id is treated
+    * as non-UTC — bail-on-doubt like every other gate here. */
+  private def sessionTzIsUtc: Boolean =
+    try java.time.ZoneId
+      .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      .normalized() == java.time.ZoneOffset.UTC
+    catch { case scala.util.control.NonFatal(_) => false }
+
   private def keepEvalFor(l: LeafInfo, occ: OccTable): Option[KeepEval] = {
     if (l.conjuncts.isEmpty) return Some(AllRows)
     for (c <- l.conjuncts) {
@@ -299,6 +308,15 @@ object StatsAgg {
                org.apache.spark.sql.types.TimestampType =>
             val isDate =
               src.dataType == org.apache.spark.sql.types.DateType
+            // TIMESTAMP interval bounds are computed in UTC epoch
+            // micros, but the writer derived partition values via
+            // date_format in the SESSION timezone — embedded in a
+            // non-UTC session, a bound not day-aligned in local time
+            // could keep a partition's out-of-bound early hours and
+            // answer WRONGLY from metadata. Dates are timezone-free;
+            // timestamps fold only under a UTC session, else bail to
+            // the scan.
+            if (!isDate && !sessionTzIsUtc) return None
             val cmps = l.conjuncts.map(c =>
               intervalCmpOf(src, c).getOrElse(return None))
             Some(ByInterval(kind, isDate, cmps))

@@ -116,9 +116,14 @@ class MviewSpec extends AnyFunSuite {
     }
     // unsupported aggregate shapes are rejected at CREATE, loudly
     val bad = intercept[IllegalArgumentException](life.execute(
-      "CREATE MATERIALIZED VIEW mv.bad AS SELECT grp, avg(amt) AS a " +
+      "CREATE MATERIALIZED VIEW mv.bad AS SELECT grp, median(amt) AS a " +
         "FROM mv.src GROUP BY grp"))
-    assert(bad.getMessage.contains("avg(amt)"))
+    assert(bad.getMessage.contains("median(amt)"))
+    // count(DISTINCT) is not delta-maintainable through this door
+    val badD = intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mv.bad AS SELECT grp, " +
+        "count(DISTINCT amt) AS a FROM mv.src GROUP BY grp"))
+    assert(badD.getMessage.contains("unsupported"))
     // duplicate name / missing source / refresh of a non-view
     intercept[IllegalArgumentException](life.execute(
       "CREATE MATERIALIZED VIEW mv.v AS SELECT grp, count(*) AS n " +
@@ -237,6 +242,134 @@ class MviewSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props == Map("graft.statsColumns" -> "amt",
       "graft.writeOrderedBy" -> "amt"))
+  }
+
+  test("extended views: min/max/avg maintained exactly through extremum churn") {
+    val (life, _) = mkLife()
+    ins(life, ("2024-01-01", "a", "10.00", 1), ("2024-01-01", "a", "2.00", 1),
+      ("2024-01-01", "b", "5.00", 1), ("2024-01-02", "a", "7.50", 1),
+      ("2024-01-02", "b", "1.00", 0))
+    life.execute("CREATE MATERIALIZED VIEW mv.x AS " +
+      "SELECT grp, count(*) AS n, min(amt) AS lo, max(amt) AS hi, " +
+      "avg(amt) AS mean, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    // the recompute spells avg as the exact sum/count division — the
+    // projection's own semantics, so equality is EXACT incl. types
+    def recomputeX() = life.query("SELECT grp, count(*) AS n, " +
+        "min(amt) AS lo, max(amt) AS hi, sum(amt)/count(amt) AS mean, " +
+        "sum(amt) AS total FROM mv.src WHERE flag = 1 GROUP BY grp")
+      .orderBy("grp").collect().toSeq
+    def mvX() = life.query("SELECT grp, n, lo, hi, mean, total FROM mv.x")
+      .orderBy("grp").collect().toSeq
+    assert(mvX() == recomputeX())
+
+    // pure inserts merge without any rescan (least/greatest)
+    ins(life, ("2024-01-03", "a", "20.00", 1), ("2024-01-03", "b", "0.50", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    assert(mvX() == recomputeX())
+
+    // delete the current MAX of group a (MoR row delete): the rescan
+    // path must recompute a's extremes from the source
+    life.execute("DELETE FROM mv.src WHERE amt = 20.00")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    assert(mvX() == recomputeX())
+
+    // delete strictly-inside values (7.50 is neither a's min nor max):
+    // provably cannot de-extreme — still exact
+    life.execute("DELETE FROM mv.src WHERE amt = 7.50")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    assert(mvX() == recomputeX())
+
+    // the semantic claim: mean tracks Spark's own avg() to rounding
+    val viaAvg = life.query("SELECT grp, round(avg(amt), 6) AS m " +
+        "FROM mv.src WHERE flag = 1 GROUP BY grp")
+      .orderBy("grp").collect().map(r => (r.getString(0),
+        Option(r.getDecimal(1)).map(_.doubleValue))).toSeq
+    val viaMv = life.query(
+        "SELECT grp, round(CAST(mean AS DOUBLE), 6) AS m FROM mv.x")
+      .orderBy("grp").collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+    assert(viaAvg.nonEmpty && viaAvg == viaMv)
+
+    // whole-partition retraction kills day 1; group death must drop b
+    // when its last flagged row leaves
+    life.execute("DELETE FROM mv.src WHERE d = DATE'2024-01-01'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    assert(mvX() == recomputeX())
+    life.execute("DELETE FROM mv.src WHERE grp = 'b'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    val rows = mvX()
+    assert(rows == recomputeX())
+    assert(!rows.exists(_.getString(0) == "b"))
+
+    // FULL rebuild agrees with the maintained state
+    life.execute("REFRESH MATERIALIZED VIEW mv.x FULL")
+    assert(mvX() == recomputeX())
+
+    // NULL exactness: a group whose non-null values all leave must
+    // project NULL sum/avg while count(*) keeps counting
+    life.execute("INSERT INTO mv.src VALUES " +
+      "(DATE'2024-02-01','z',NULL,1),(DATE'2024-02-01','z',4.00,1)")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    assert(mvX() == recomputeX())
+    life.execute("DELETE FROM mv.src WHERE grp = 'z' AND amt = 4.00")
+    life.execute("REFRESH MATERIALIZED VIEW mv.x")
+    val z = mvX().find(_.getString(0) == "z").get
+    assert(z.getLong(1) == 1L && z.isNullAt(2) && z.isNullAt(3) &&
+      z.isNullAt(4) && z.isNullAt(5), s"all-NULL group must project NULLs: $z")
+    assert(mvX() == recomputeX())
+
+    // min/max/avg on a JOIN view is refused loudly
+    life.execute("CREATE TABLE mv.dim (r STRING, grp STRING) " +
+      "USING ICEBERG PARTITIONED BY (r)")
+    life.execute("INSERT INTO mv.dim VALUES ('east','a')")
+    val e = intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mv.badj AS SELECT r, min(amt) AS lo " +
+        "FROM mv.src JOIN mv.dim USING (grp) GROUP BY r"))
+    assert(e.getMessage.contains("count/sum only"))
+  }
+
+  test("a multi-line WHERE predicate round-trips the def file intact") {
+    val (life, root) = mkLife()
+    ins(life, ("2024-01-01", "a", "10.00", 1), ("2024-01-01", "b", "5.00", 0))
+    // the predicate spans lines (statements are not whitespace-
+    // normalized); an unescaped def render would truncate it to its
+    // first line and every REFRESH after would fold a DIFFERENT filter
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1\n  AND amt > 1.00\nGROUP BY grp")
+    val reparsed = graft.ops.Mview.Def.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "mv", "v", graft.ops.Mview.DefFile)))
+    assert(reparsed.where.exists(_.contains("amt > 1.00")),
+      s"re-parsed predicate lost lines: ${reparsed.where}")
+    ins(life, ("2024-01-02", "a", "0.50", 1), ("2024-01-02", "b", "2.00", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.v")
+    val expect = life.query("SELECT grp, count(*) AS n, sum(amt) AS total " +
+        "FROM mv.src WHERE flag = 1 AND amt > 1.00 GROUP BY grp")
+      .orderBy("grp").collect().toSeq
+    assert(mvRows(life) == expect)
+    // a def file with an unattributable line fails LOUDLY, not silently
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Mview.Def.parse("source=mv.src\ngarbage line\n"))
+    assert(e.getMessage.contains("unattributable"))
+  }
+
+  test("a failed CREATE leaves nothing cataloged — the name stays creatable") {
+    val (life, _) = mkLife()
+    // the source has no committed version: initialize refuses, and
+    // NOTHING may be cataloged (a half-created view would block
+    // re-CREATE and fail every SELECT)
+    val e = intercept[IllegalArgumentException](life.execute(
+      "CREATE MATERIALIZED VIEW mv.v AS SELECT grp, count(*) AS n " +
+        "FROM mv.src GROUP BY grp"))
+    assert(e.getMessage.contains("no") && e.getMessage.contains("version"))
+    intercept[Exception](life.query("SELECT * FROM mv.v").collect())
+    // after the first insert the same name creates cleanly
+    ins(life, ("2024-01-01", "a", "1.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    assert(mvRows(life) == recompute(life))
   }
 
   test("refresh cost is delta-shaped: only changed partitions are read") {

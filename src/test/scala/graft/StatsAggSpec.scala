@@ -295,6 +295,19 @@ class StatsAggSpec extends AnyFunSuite {
     assert(dataFilesRead(q5).nonEmpty)
     assert(q5.head.getLong(0) == 1L)
 
+    // a NON-UTC session must bail the timestamp interval path even for
+    // a bound that is day-aligned in UTC: the writer derived partition
+    // values in the session timezone, so the UTC-micros interval logic
+    // could keep a partition's out-of-bound local-time hours — the
+    // guard routes the statement to the scan instead
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val qtz = life.query("SELECT count(*) AS n FROM hd.t " +
+        "WHERE ts >= TIMESTAMP'2024-01-02 00:00:00'")
+      assert(dataFilesRead(qtz).nonEmpty,
+        "non-UTC session: timestamp interval fold must bail to the scan")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     // days(DATE) is identity: ANY date predicate folds by substitution
     life.execute("CREATE TABLE hd.dd (d DATE, v BIGINT) " +
       "USING ICEBERG PARTITIONED BY (days(d))")
