@@ -10,9 +10,14 @@ WITH b AS (
   FROM orders
   WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
         BETWEEN '1995-01' AND '1995-06')
+-- mean_key spelled as one exact-sum double division — the fold's own
+-- arithmetic (and DuckDB's avg over BIGINT computes the same at these
+-- magnitudes; the spelling keeps parity arithmetic, not
+-- implementation-dependent)
 SELECT month, count(*) AS n_rows, count(o_orderkey) AS n_keys,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-       CAST(sum(o_totalprice) AS DOUBLE) AS total
+       CAST(sum(o_totalprice) AS DOUBLE) AS total,
+       CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS mean_key
 FROM b
 WHERE month BETWEEN '1995-02' AND '1995-05'
 GROUP BY month

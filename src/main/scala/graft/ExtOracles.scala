@@ -471,6 +471,7 @@ object ExtOracles {
       ("sql_dpp_join" -> oracle("sql_dpp_join")) +
       ("sql_point_lookup" -> oracle("sql_point_lookup")) +
       ("sql_agg_meta" -> oracle("sql_agg_meta")) +
+      ("sql_agg_meta_trunc" -> oracle("sql_agg_meta_trunc")) +
       ("sql_agg_meta_hidden" -> oracle("sql_agg_meta_hidden")) +
       ("sql_tag_read" -> oracle("sql_tag_read")) +
       ("sql_mview_refresh" -> oracle("sql_mview_refresh")) +

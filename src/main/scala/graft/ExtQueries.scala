@@ -2848,13 +2848,52 @@ object ExtQueries {
     life.query("""
       SELECT month, count(*) AS n_rows, count(o_orderkey) AS n_keys,
              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-             sum(o_totalprice) AS total
+             sum(o_totalprice) AS total, avg(o_orderkey) AS mean_key
       FROM am.orders
       WHERE month BETWEEN '1995-02' AND '1995-05'
       GROUP BY month""")
       .select(col("month"), col("n_rows"), col("n_keys"), col("min_key"),
-        col("max_key"), col("total").cast("double").as("total"))
+        col("max_key"), col("total").cast("double").as("total"),
+        col("mean_key"))
       .orderBy("month")
+  }
+
+  /**
+   * Metadata-only aggregation over a truncate(w)-partitioned table:
+   * a string-prefix predicate decides every partition (each partition
+   * IS the interval of its prefix; a bound falling inside a prefix
+   * straddles and bails — StatsAggSpec pins both), so the whole
+   * COUNT/MIN/MAX/SUM/AVG answers from `_stats` sidecars with zero
+   * data I/O. DuckDB recomputes from the raw rows.
+   */
+  private def sqlAggMetaTrunc(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlaggmetat_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA tm")
+    life.execute("""
+      CREATE TABLE tm.orders (o_orderpriority STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (truncate(2, o_orderpriority))""")
+    life.execute("ALTER TABLE tm.orders SET TBLPROPERTIES " +
+      "('graft.statsColumns'='o_orderkey,o_totalprice')")
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .createOrReplaceTempView("aggtrunc_src")
+    life.execute("INSERT INTO tm.orders SELECT * FROM aggtrunc_src")
+    // '2-HIGH'/'3-MEDIUM' partitions ('2-', '3-') are fully inside the
+    // ['2','4') bound; every other prefix is fully outside — decidable
+    life.query("""
+      SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price, sum(o_totalprice) AS total,
+             avg(o_orderkey) AS mean_key
+      FROM tm.orders
+      WHERE o_orderpriority >= '2' AND o_orderpriority < '4'""")
+      .select(col("n_rows"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_price").cast("double").as("max_price"),
+        col("total").cast("double").as("total"), col("mean_key"))
   }
 
   /**
@@ -5385,6 +5424,7 @@ object ExtQueries {
     "sql_dpp_join" -> ((s, dir) => sqlDppJoin(s, dir)),
     "sql_point_lookup" -> ((s, dir) => sqlPointLookup(s, dir)),
     "sql_agg_meta" -> ((s, dir) => sqlAggMeta(s, dir)),
+    "sql_agg_meta_trunc" -> ((s, dir) => sqlAggMetaTrunc(s, dir)),
     "sql_agg_meta_hidden" -> ((s, dir) => sqlAggMetaHidden(s, dir)),
     "sql_tag_read" -> ((s, dir) => sqlTagRead(s, dir)),
     "sql_mview_refresh" -> ((s, dir) => sqlMviewRefresh(s, dir)),

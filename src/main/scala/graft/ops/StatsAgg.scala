@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.col
@@ -17,11 +17,14 @@ import org.apache.spark.sql.types.LongType
  * sidecar format. After `SqlLifecycle.query` resolves a routed
  * statement, the OPTIMIZED plan is inspected: if it is exactly one
  * ungrouped (or partition-grouped) Aggregate of
- * count(*) / count(c) / min(c) / max(c) / sum(c) over ONE cataloged
- * partitioned table, filtered — if at all — by a predicate the
- * partition VALUE alone decides, the answer folds from the per-file
- * `_stats` sidecars: O(metadata), zero data I/O. At 100 TB that turns
- * a full-table scan into a planning-sized job.
+ * count(*) / count(c) / min(c) / max(c) / sum(c) / avg(c) over ONE
+ * cataloged partitioned table, filtered — if at all — by a predicate
+ * the partition VALUE alone decides (identity values, days()/months()
+ * time intervals, truncate(w) string-prefix intervals), the answer
+ * folds from the per-file `_stats` sidecars: O(metadata), zero data
+ * I/O. At 100 TB that turns a full-table scan into a planning-sized
+ * job. avg folds as its exact (sum, non-null count) pair — one
+ * division at the end, typed like Spark's own Average.
  *
  * The safety argument mirrors `ScanPrune` but is strictly tighter:
  * pruning needs conjuncts to be NECESSARY conditions; an exact answer
@@ -93,8 +96,36 @@ object StatsAgg {
       case _ => return None
     }
     // classify the output list; bail on anything but the supported
-    // aggregate shapes and the grouping column itself
+    // aggregate shapes and the grouping column itself.
+    // avg over a small-precision decimal arrives REWRITTEN by the
+    // DecimalAggregates optimizer rule as
+    //   Cast(Divide(Average(UnscaledValue(c)), 10^s as double), dt) —
+    // the scan averages the unscaled longs in double and descales
+    // once; the fold reproduces that exact expression over the exact
+    // folded unscaled sum (`avgScale` records s per output)
+    val avgScale = scala.collection.mutable.Map.empty[String, Int]
     val items: Seq[OutItem] = agg.aggregateExpressions.map {
+      case al @ Alias(Cast(Divide(ae: AggregateExpression, sl: Literal,
+          _), _, _, _), n)
+          if !ae.isDistinct && ae.filter.isEmpty &&
+            ae.aggregateFunction.isInstanceOf[Average] =>
+        ae.aggregateFunction.asInstanceOf[Average].child match {
+          case uv: UnscaledValue => uv.child match {
+            case a: AttributeReference
+                if a.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+              val s = a.dataType
+                .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+              // the divisor must be exactly the rule's own 10^s; any
+              // other shape is not the rewrite we understand — bail
+              if (sl.value != math.pow(10.0, s)) return None
+              avgScale.put(n, s)
+              AggOut(AggItem("avg_unscaled", Some(a.exprId), n,
+                al.dataType))
+            case _ => return None
+          }
+          case _ => return None
+        }
       case a: AttributeReference
           if groupAttr.exists(_.exprId == a.exprId) => GroupOut(a.name)
       case al @ Alias(a: AttributeReference, n)
@@ -137,6 +168,11 @@ object StatsAgg {
               AggItem("sum", Some(a.exprId), n, al.dataType)
             case _ => return None
           }
+          case av: Average => av.child match {
+            case a: AttributeReference =>
+              AggItem("avg", Some(a.exprId), n, al.dataType)
+            case _ => return None
+          }
           case _ => return None
         }
         AggOut(item)
@@ -172,15 +208,23 @@ object StatsAgg {
     val keepEvals: Map[String, KeepEval] = leaves.map { l =>
       l.snap -> keepEvalFor(l, occ).getOrElse(return None)
     }.toMap
-    // needed columns must resolve to the SAME stored name in every leaf
-    def storedName(id: ExprId): Option[String] = {
-      val names = leaves.map(_.resolve.get(id).map(_.name)).distinct
-      names match { case Seq(Some(n)) => Some(n); case _ => None }
+    // needed columns must resolve to the SAME stored name (and type)
+    // in every leaf
+    def storedAttr(id: ExprId)
+        : Option[(String, org.apache.spark.sql.types.DataType)] = {
+      val attrs = leaves.map(_.resolve.get(id).map(a => (a.name, a.dataType)))
+        .distinct
+      attrs match { case Seq(Some(p)) => Some(p); case _ => None }
     }
-    val specs = aggItems.map { i =>
-      val colName = i.inId match {
-        case Some(id) => storedName(id) match {
-          case Some(n) => Some(n)
+    def storedName(id: ExprId): Option[String] = storedAttr(id).map(_._1)
+    // AVG folds as its exact (sum, non-null count) sidecar pair and
+    // divides ONCE at the end — childType drives the division typing
+    val avgChild = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.types.DataType]
+    val specs = aggItems.flatMap { i =>
+      val stored = i.inId match {
+        case Some(id) => storedAttr(id) match {
+          case Some(p) => Some(p)
           case None => return None
         }
         case None => None
@@ -188,8 +232,41 @@ object StatsAgg {
       // the distinct census only answers for the partition column
       // itself (any other column needs real data)
       if (i.func == "count_distinct_part" &&
-        !colName.exists(_.equalsIgnoreCase(occ.partitionCol))) return None
-      VersionedPartitioned.StatsAggSpec(i.func, colName, i.outName, i.outType)
+        !stored.exists(_._1.equalsIgnoreCase(occ.partitionCol))) return None
+      i.func match {
+        case "avg" | "avg_unscaled" =>
+          val (cn, ct) = stored.get
+          // only exactly-summable inputs (integrals, decimals — the
+          // types the sidecar carries sums for at all): an FP sum is
+          // write-order-dependent, so an FP avg never folds
+          val sumFold: org.apache.spark.sql.types.DataType = ct match {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              // Spark's Average sums decimals in bounded(p+10, s)
+              // (DecimalType.bounded is private — min against the max
+              // precision is its whole body); folding in the same type
+              // makes the final division reproduce the scan's typing
+              // and rounding exactly
+              org.apache.spark.sql.types.DecimalType(
+                math.min(d.precision + 10,
+                  org.apache.spark.sql.types.DecimalType.MAX_PRECISION),
+                d.scale)
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType =>
+              org.apache.spark.sql.types.LongType
+            case _ => return None
+          }
+          avgChild.put(i.outName, ct)
+          Seq(
+            VersionedPartitioned.StatsAggSpec("sum", Some(cn),
+              s"__avg_sum_${i.outName}", sumFold),
+            VersionedPartitioned.StatsAggSpec("count", Some(cn),
+              s"__avg_cnt_${i.outName}", LongType))
+        case f =>
+          Seq(VersionedPartitioned.StatsAggSpec(f, stored.map(_._1),
+            i.outName, i.outType))
+      }
     }
     // grouping must be BY the partition column itself (dir-derivable)
     val groupSpec: Option[(String, org.apache.spark.sql.types.DataType)] =
@@ -245,6 +322,44 @@ object StatsAgg {
       // its exact types (nullability differences are benign)
       val cols = items.map {
         case GroupOut(n) => col(s"`$n`")
+        case AggOut(i) if i.func == "avg_unscaled" =>
+          // the DecimalAggregates scan shape, replayed over the exact
+          // folded sum: unscale exactly in decimal space (38 digits),
+          // round to double ONCE, then the rule's own divisions
+          val s = avgScale(i.outName)
+          val sumC = col(s"`__avg_sum_${i.outName}`")
+          val cntC = col(s"`__avg_cnt_${i.outName}`")
+          val unscaled = (sumC * org.apache.spark.sql.functions.lit(
+              new java.math.BigDecimal(java.math.BigInteger.TEN.pow(s))))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .cast(org.apache.spark.sql.types.DoubleType)
+          (unscaled / cntC.cast(org.apache.spark.sql.types.DoubleType) /
+            org.apache.spark.sql.functions.lit(math.pow(10.0, s)))
+            .cast(i.outType)
+        case AggOut(i) if i.func == "avg" =>
+          // one division over the exact folded pair. Decimals follow
+          // Average's own expression shape (sum(p+10,s) ÷ count cast
+          // decimal(20,0), then cast to the avg result type) — same
+          // DecimalPrecision typing, same HALF_UP rounding, so the
+          // fold equals the scan bit for bit. Integrals divide the
+          // EXACT long sum as one double division: the correctly-
+          // rounded mean, where the scan's own double accumulation is
+          // partition-order-dependent in the last ulp — the fold is
+          // the deterministic member of that rounding family (and
+          // exactly the scan's value whenever the accumulation stays
+          // exact, i.e. sums within 2^53).
+          val sumC = col(s"`__avg_sum_${i.outName}`")
+          val cntC = col(s"`__avg_cnt_${i.outName}`")
+          avgChild(i.outName) match {
+            case _: org.apache.spark.sql.types.DecimalType =>
+              (sumC / cntC.cast(
+                org.apache.spark.sql.types.DecimalType(20, 0)))
+                .cast(i.outType)
+            case _ =>
+              (sumC.cast(org.apache.spark.sql.types.DoubleType) /
+                cntC.cast(org.apache.spark.sql.types.DoubleType))
+                .cast(i.outType)
+          }
         case AggOut(i) => col(s"`${i.outName}`").cast(i.outType)
       }
       val named = folded.select(cols: _*).toDF(df.columns: _*)
@@ -265,6 +380,15 @@ object StatsAgg {
     * contains the interval, excludes it, or straddles it (bail). */
   private final case class ByInterval(kind: String, isDate: Boolean,
       cmps: Seq[(String, Long)]) extends KeepEval
+  /** truncate(w) over a STRING column: a partition value P of length
+    * w holds exactly the strings with prefix P — the string interval
+    * [P, next-prefix); a SHORTER P holds exactly the string P itself
+    * (truncate is identity there, fully decidable). Comparisons are
+    * evaluated in UTF8String binary order — Spark's own string order —
+    * and prefixes taken with UTF8String code-point semantics, so the
+    * decision can never disagree with the scan's comparison. */
+  private final case class ByPrefix(w: Int,
+      cmps: Seq[(String, String)]) extends KeepEval
 
   /** True iff the active session's timezone is fixed-offset UTC (any
     * spelling: UTC, Etc/UTC, Z, +00:00); an unparseable id is treated
@@ -322,6 +446,47 @@ object StatsAgg {
             Some(ByInterval(kind, isDate, cmps))
           case _ => None
         }
+      case Some(t @ TruncateOf(w, _)) =>
+        val src = l.rel.output.find(
+          _.name.equalsIgnoreCase(t.sourceCol)).getOrElse(return None)
+        if (refIds != Set(src.exprId)) return None
+        src.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val cmps = l.conjuncts.map(c =>
+              prefixCmpOf(src, c).getOrElse(return None))
+            Some(ByPrefix(w, cmps))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** One prefix-decidable comparison against a string literal: (op ∈
+    * {>=, >, <, <=, =, notnull, isnull}, literal). */
+  private def prefixCmpOf(src: Attribute,
+      e: Expression): Option[(String, String)] = {
+    def lv(l: Literal): Option[String] =
+      if (l.dataType != org.apache.spark.sql.types.StringType) None
+      else Option(l.value).map(_.toString)
+    def at(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.exprId == src.exprId
+      case _ => false
+    }
+    e match {
+      case GreaterThanOrEqual(a, l: Literal) if at(a) => lv(l).map((">=", _))
+      case GreaterThan(a, l: Literal) if at(a) => lv(l).map((">", _))
+      case LessThan(a, l: Literal) if at(a) => lv(l).map(("<", _))
+      case LessThanOrEqual(a, l: Literal) if at(a) => lv(l).map(("<=", _))
+      case EqualTo(a, l: Literal) if at(a) => lv(l).map(("=", _))
+      case GreaterThanOrEqual(l: Literal, a) if at(a) => lv(l).map(("<=", _))
+      case GreaterThan(l: Literal, a) if at(a) => lv(l).map(("<", _))
+      case LessThan(l: Literal, a) if at(a) => lv(l).map((">", _))
+      case LessThanOrEqual(l: Literal, a) if at(a) => lv(l).map((">=", _))
+      case EqualTo(l: Literal, a) if at(a) => lv(l).map(("=", _))
+      // a truncated dir holds only rows whose source produced its
+      // value — never null there; the null partition is HIVE_DEFAULT
+      case IsNotNull(a) if at(a) => Some(("notnull", ""))
+      case IsNull(a) if at(a) => Some(("isnull", ""))
       case _ => None
     }
   }
@@ -379,6 +544,54 @@ object StatsAgg {
               }.eval() == true
             })
         }
+      case ByPrefix(w, cmps) =>
+        // the writer's null partition: exactly the NULL-source rows
+        if (value == "__HIVE_DEFAULT_PARTITION__")
+          return Some(cmps.forall(_._1 == "isnull"))
+        val pU = org.apache.spark.unsafe.types.UTF8String.fromString(value)
+        // a dir value SHORTER than w is the row itself (truncate is
+        // identity there): every comparison decides exactly. A full-
+        // width value P holds the string interval [P, next-prefix):
+        // the min row is P; the sup is open above within the prefix.
+        val exact = pU.numChars() < w
+        val decisions = cmps.map { case (op, lRaw) =>
+          op match {
+            case "notnull" => Some(true) // truncated dir: never null
+            case "isnull" => Some(false)
+            case _ =>
+              val lU =
+                org.apache.spark.unsafe.types.UTF8String.fromString(lRaw)
+              val c0 = pU.compareTo(lU)
+              if (exact) op match {
+                case ">=" => Some(c0 >= 0)
+                case ">" => Some(c0 > 0)
+                case "<" => Some(c0 < 0)
+                case "<=" => Some(c0 <= 0)
+                case "=" => Some(c0 == 0)
+                case _ => None
+              } else {
+                // cp: P vs the literal's own width-w prefix. lp > P ⇒
+                // every P-prefixed row sorts below L; lp == P ⇒ the
+                // bound falls INSIDE the partition (straddle, bail)
+                val cp = pU.compareTo(lU.substringSQL(1, w))
+                op match {
+                  case ">=" => if (c0 >= 0) Some(true)
+                    else if (cp < 0) Some(false) else None
+                  case ">" => if (c0 > 0) Some(true)
+                    else if (cp < 0) Some(false) else None
+                  case "<" => if (cp < 0) Some(true)
+                    else if (c0 >= 0) Some(false) else None
+                  case "<=" => if (cp < 0) Some(true)
+                    else if (c0 > 0) Some(false) else None
+                  case "=" => if (cp != 0) Some(false) else None
+                  case _ => None
+                }
+              }
+          }
+        }
+        if (decisions.contains(Some(false))) Some(false)
+        else if (decisions.forall(_ == Some(true))) Some(true)
+        else None
       case ByInterval(kind, isDate, cmps) =>
         // the writer's null partition: its rows are exactly the
         // NULL-source rows — comparisons and IS NOT NULL drop them,

@@ -147,9 +147,33 @@ class StatsAggSpec extends AnyFunSuite {
     assert(dataFilesRead(q4).nonEmpty)
     assert(q4.head().getLong(0) == 3L)
 
-    // avg is not foldable → scan, same answer shape
-    val q5 = life.query("SELECT avg(qty) AS a FROM sa.t")
-    assert(dataFilesRead(q5).nonEmpty)
+    // avg folds as its exact (sum, non-null count) sidecar pair: the
+    // BIGINT mean is one double division over the exact long sum, the
+    // DECIMAL mean reproduces Average's own decimal typing — both
+    // metadata-only and equal to the scan
+    val q5 = life.query(
+      "SELECT avg(qty) AS a, avg(amt) AS b FROM sa.t")
+    assert(dataFilesRead(q5).isEmpty,
+      s"avg must fold from metadata, read: ${dataFilesRead(q5)}")
+    spark.conf.set("spark.graft.sql.statsAgg", "false")
+    val q5scan =
+      try life.query("SELECT avg(qty) AS a, avg(amt) AS b FROM sa.t")
+      finally spark.conf.unset("spark.graft.sql.statsAgg")
+    assert(q5.collect().toSeq == q5scan.collect().toSeq)
+    assert(q5.schema == q5scan.schema,
+      s"${q5.schema} vs scan ${q5scan.schema}")
+    // …including grouped by the partition column (01-01 averages over
+    // one non-null qty of two rows — cnt_, not __rows, is the divisor)
+    val q5g = life.query(
+      "SELECT d, avg(qty) AS a FROM sa.t GROUP BY d ORDER BY d")
+    assert(dataFilesRead(q5g).isEmpty)
+    assert(q5g.collect().toSeq == Seq(
+      Row(java.sql.Date.valueOf("2024-01-01"), 1.0),
+      Row(java.sql.Date.valueOf("2024-01-02"), 6.0),
+      Row(java.sql.Date.valueOf("2024-01-03"), 11.0)))
+    // avg over a STRING (or any non-summable) column bails to the scan
+    val q5s = life.query("SELECT avg(id) AS a FROM sa.t")
+    assert(dataFilesRead(q5s).nonEmpty)
 
     // kill switch: same statement reads data files again
     spark.conf.set("spark.graft.sql.statsAgg", "false")
@@ -319,6 +343,53 @@ class StatsAggSpec extends AnyFunSuite {
       "WHERE d IN (DATE'2024-01-02', DATE'2024-01-09')")
     assert(dataFilesRead(q6).isEmpty)
     assert(q6.head.getLong(0) == 2L)
+  }
+
+  test("truncate(w) hidden partitioning: prefix predicates fold from metadata") {
+    val root = Files.createTempDirectory("graft_statstrunc_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA tp")
+    life.execute("CREATE TABLE tp.t (sku STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (truncate(2, sku))")
+    life.execute(
+      "ALTER TABLE tp.t SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    life.execute("INSERT INTO tp.t VALUES " +
+      "('aa-1',1),('aa-2',2),('ab-1',4),('b',8),('bz-9',16)")
+
+    // a width-aligned range decides every partition: 'aa*' + 'ab*'
+    // keep, 'b' (short value: identity) and 'bz*' drop
+    val q1 = life.query("SELECT count(*) AS n, sum(v) AS s FROM tp.t " +
+      "WHERE sku >= 'aa' AND sku < 'ac'")
+    assert(dataFilesRead(q1).isEmpty,
+      s"prefix-aligned bounds must fold: ${dataFilesRead(q1)}")
+    assert(q1.collect().toSeq == Seq(Row(3L, 7L)))
+
+    // the short dir value 'b' IS the row (truncate is identity below
+    // width): equality on it decides exactly
+    val q2 = life.query("SELECT count(*) AS n FROM tp.t WHERE sku = 'b'")
+    assert(dataFilesRead(q2).isEmpty)
+    assert(q2.head.getLong(0) == 1L)
+
+    // a bound falling INSIDE a partition's prefix straddles → scan
+    val q3 = life.query(
+      "SELECT count(*) AS n FROM tp.t WHERE sku >= 'aa-2'")
+    assert(dataFilesRead(q3).nonEmpty,
+      "a mid-prefix bound cannot be metadata-decided")
+    assert(q3.head.getLong(0) == 4L)
+
+    // equality against a full-width value straddles too (the
+    // partition holds other strings with the same prefix) → scan
+    val q4 = life.query(
+      "SELECT count(*) AS n FROM tp.t WHERE sku = 'ab-1'")
+    assert(dataFilesRead(q4).nonEmpty)
+    assert(q4.head.getLong(0) == 1L)
+
+    // equality against a value whose prefix matches NO partition is
+    // decidable-false everywhere: zero-row aggregate from metadata
+    val q5 = life.query(
+      "SELECT count(*) AS n FROM tp.t WHERE sku = 'zz-1'")
+    assert(dataFilesRead(q5).isEmpty)
+    assert(q5.head.getLong(0) == 0L)
   }
 
   test("insertInto overlap keeps the stats sidecar complete") {
