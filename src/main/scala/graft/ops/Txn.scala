@@ -84,34 +84,49 @@ object Txn {
   }
 
   /**
-   * Roll back any table whose HEAD commit carries an INCOMPLETE
-   * transaction id — the crash-window cleanup. Returns the rolled-back
-   * roots. A table whose incomplete-txn commit was its FIRST version
-   * rolls back to empty (every partition dropped). Heads that have
-   * since been committed over are left alone: the partial write is
-   * already part of acknowledged history, and destroying newer commits
-   * would be worse than the anomaly — run recover before new writes,
-   * like any WAL.
+   * Roll back any table whose HEAD commits carry an INCOMPLETE
+   * transaction id — the crash-window cleanup. A transaction may have
+   * written one table SEVERAL times (several positions — the door's
+   * DELETE-day-then-INSERT pair), and a crash during a previous
+   * recovery can stack runs, so the rollback walks past the table's
+   * whole head RUN of incomplete-transaction commits, not just one. A
+   * table whose entire history is aborted-transaction commits closes
+   * with one clean empty commit. Heads that have since been committed
+   * over are left alone: the partial write is already part of
+   * acknowledged history, and destroying newer commits would be worse
+   * than the anomaly — run recover before new writes, like any WAL.
+   *
+   * Cost when idle (the common case — e.g. every SQL-door open): one
+   * driver-side head-manifest read per root, zero jobs — rollback only
+   * ever touches heads, so an untagged head proves there is nothing to
+   * do on that root, and no txn-tagged head anywhere skips the full
+   * history scan entirely.
    */
   def recover(spark: SparkSession, roots: Seq[String]): Seq[String] = {
+    if (!roots.exists(r => VersionedPartitioned.headTag(spark, r)
+        .exists(_.startsWith(TagPrefix)))) return Nil
     val (_, incomplete) = partition(spark, roots)
     if (incomplete.isEmpty) return Nil
     roots.flatMap { r =>
       VersionedPartitioned.currentVersion(spark, r).flatMap { head =>
-        txnTags(spark, r).find(t => t._1 == head && incomplete(t._2))
-          .map { _ =>
-            if (head > 1L) {
-              VersionedPartitioned.rollbackTo(spark, r, head - 1)
-              ()
-            } else {
-              val parts = VersionedPartitioned.partitions(spark, r)
-              if (parts.nonEmpty) {
-                VersionedPartitioned.dropPartitions(spark, r, parts)
-                ()
-              }
-            }
-            r
+        val aborted = txnTags(spark, r).filter(t => incomplete(t._2))
+          .map(_._1).toSet
+        if (!aborted(head)) None
+        else {
+          var target = head
+          while (aborted(target)) target -= 1
+          if (target >= 1L) {
+            VersionedPartitioned.rollbackTo(spark, r, target)
+            ()
+          } else {
+            // partitionCol is read from the existing manifest (a head
+            // exists here), so the placeholder is never used
+            VersionedPartitioned.emptyCommit(spark, r, "",
+              Some(s"rollback-$TagPrefix$head"), dropAll = true)
+            ()
           }
+          Some(r)
+        }
       }
     }
   }
@@ -131,11 +146,15 @@ object Txn {
     if (common.isEmpty)
       roots.map(r => VersionedPartitioned.read(spark, r))
     else {
+      // a transaction may write one table at several positions (the
+      // door's DELETE+INSERT pair): the table's version under the id
+      // is its LATEST tagged commit, and "newest transaction" orders
+      // by that same maximum
       val (_, rows) = common.maxBy { case (_, rs) =>
-        rs.find(_._1 == roots.head).map(_._2).getOrElse(0L) }
+        rs.filter(_._1 == roots.head).map(_._2).maxOption.getOrElse(0L) }
       roots.map { r =>
         VersionedPartitioned.readAt(spark, r,
-          rows.find(_._1 == r).get._2)
+          rows.filter(_._1 == r).map(_._2).max)
       }
     }
   }

@@ -498,6 +498,36 @@ object VersionedPartitioned {
     * newest-first and stopping at the first match — the O(1)
     * steady-state resolution for monotone tag families (streaming
     * epochs, the propagate cursor). */
+  /** The HEAD commit's tag — one driver-side manifest read, no job.
+    * None when the table has no commits (or an untagged head). */
+  def headTag(spark: SparkSession, root: String): Option[String] =
+    if (currentVersion(spark, root).isEmpty) None
+    else manifestAt(spark, root, None).tag
+
+  /**
+   * A data-less commit: re-render the current manifest (or, on a
+   * never-written table, a first EMPTY manifest) at the next version,
+   * carrying `tag` — zero data I/O, zero jobs. Two callers need it:
+   * a transaction statement that no-ops (an idempotent DELETE-day on
+   * its first run) must still occupy its `txn:<id>:<k>of<n>` position
+   * or recovery would read the transaction as incomplete forever; and
+   * transaction rollback-to-empty, where `dropAll = true` empties the
+   * entry set and the clean tag closes the aborted head.
+   */
+  def emptyCommit(spark: SparkSession, root: String, partitionCol: String,
+      tag: Option[String], dropAll: Boolean = false): Long = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    claimLoop(spark, root) {
+      case Some((pv, m)) =>
+        (pv + 1, render(Manifest(m.partitionCol,
+          if (dropAll) Map.empty else m.entries, tag, m.evolution,
+          if (dropAll) Map.empty else m.deletes, m.snapGens)))
+      case None =>
+        (1L, render(Manifest(partitionCol, Map.empty, tag)))
+    }
+  }
+
   def latestTagWithPrefix(spark: SparkSession, root: String,
       prefix: String): Option[String] = {
     val (fs, rootPath) = Versioned.fsOf(spark, root)
@@ -742,7 +772,8 @@ object VersionedPartitioned {
   def insertInto(df: DataFrame, root: String,
       partitionCol: String, bloomCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Option[Long] = {
+      maxRecordsPerFile: Long = 0L,
+      tag: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     val (fs, rootPath) = Versioned.fsOf(spark, root)
     if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
@@ -775,7 +806,7 @@ object VersionedPartitioned {
     }
     writeStats(spark, snapPath, snapName, statsCols, bloomCols)
     Some(commitSnapshot(spark, fs, rootPath, root, partitionCol,
-      written.map(_ -> snapName).toMap, None))
+      written.map(_ -> snapName).toMap, tag))
   }
 
   /** Read the latest committed state: one immutable-parquet scan per

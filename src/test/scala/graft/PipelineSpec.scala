@@ -478,6 +478,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(VersionedPartitioned.partitions(spark, solo).isEmpty)
   }
 
+  test("SQL door: BEGIN…COMMIT is one transaction — isolation, rollback, crash recovery on open") {
+    import graft.ops.{SqlLifecycle, Txn, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_sqltxn_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA tx")
+    life.execute("CREATE TABLE tx.fact (d STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    life.execute("CREATE TABLE tx.cum (d STRING, n BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    val (factRoot, cumRoot) = (s"$root/tx/fact", s"$root/tx/cum")
+
+    // the reference pair as ONE transaction: the idempotent DELETE-day
+    // no-ops (still takes a tagged position), the INSERT promotes, and
+    // the cumulate reads the rows ITS OWN transaction just wrote
+    life.execute("BEGIN")
+    life.execute("DELETE FROM tx.fact WHERE d = '2024-03-01'")
+    life.execute("INSERT INTO tx.fact VALUES ('2024-03-01',1),('2024-03-01',2)")
+    life.execute("INSERT OVERWRITE tx.cum " +
+      "SELECT d, count(*) AS n FROM tx.fact GROUP BY d")
+    life.execute("COMMIT")
+    val Seq(f1, c1) = Txn.readAll(spark, Seq(factRoot, cumRoot))
+    assert(f1.count() == 2 &&
+      c1.selectExpr("CAST(d AS STRING) AS d", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("2024-03-01", 2L)))
+
+    // snapshot isolation: a query issued MID-transaction sees the
+    // pre-transaction state; ROLLBACK discards the buffer entirely
+    life.execute("BEGIN")
+    life.execute("INSERT INTO tx.fact VALUES ('2024-03-02',3)")
+    assert(life.query("SELECT count(*) AS n FROM tx.fact")
+      .head.getLong(0) == 2, "mid-txn reads must see the pre-txn state")
+    life.execute("ROLLBACK")
+    assert(life.query("SELECT count(*) AS n FROM tx.fact")
+      .head.getLong(0) == 2)
+
+    // only single-commit write verbs on versioned tables participate
+    life.execute("BEGIN")
+    val bad = intercept[IllegalArgumentException](life.execute(
+      "CREATE TABLE tx.other (v BIGINT) USING ICEBERG"))
+    assert(bad.getMessage.contains("transaction body"))
+    life.execute("ROLLBACK")
+    intercept[Exception](life.execute("ROLLBACK")) // without BEGIN: loud
+    intercept[Exception](life.execute("COMMIT"))
+
+    // crash mid-COMMIT: statement 2's body fails AFTER statement 1
+    // landed — the prefix carries an incomplete id; the NEXT door open
+    // runs Txn.recover and rolls the orphaned half back
+    life.execute("BEGIN")
+    life.execute("INSERT INTO tx.fact VALUES ('2024-03-02',3)")
+    life.execute("INSERT INTO tx.cum SELECT d, v FROM tx.nonexistent")
+    intercept[Exception](life.execute("COMMIT"))
+    assert(VersionedPartitioned.headTag(spark, factRoot)
+      .exists(_.startsWith(Txn.TagPrefix)),
+      "the landed prefix must be txn-tagged")
+    // a reader BETWEEN crash and recovery still never sees the partial
+    val Seq(f2, _) = Txn.readAll(spark, Seq(factRoot, cumRoot))
+    assert(f2.count() == 2)
+    val life2 = new SqlLifecycle(spark, root) // recover runs on open
+    assert(life2.query("SELECT count(*) AS n FROM tx.fact")
+      .head.getLong(0) == 2, "door open must roll back the aborted prefix")
+    // …and the retry lands cleanly
+    life2.execute("BEGIN")
+    life2.execute("DELETE FROM tx.fact WHERE d = '2024-03-02'")
+    life2.execute("INSERT INTO tx.fact VALUES ('2024-03-02',3)")
+    life2.execute("INSERT OVERWRITE tx.cum " +
+      "SELECT d, count(*) AS n FROM tx.fact GROUP BY d")
+    life2.execute("COMMIT")
+    val Seq(f3, c3) = Txn.readAll(spark, Seq(factRoot, cumRoot))
+    assert(f3.count() == 3 && c3.count() == 2)
+  }
+
   test("SQL door: occurrence views are dropped after the statement") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqloccdrop_").toString
