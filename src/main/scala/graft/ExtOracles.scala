@@ -533,6 +533,8 @@ object ExtOracles {
       ("gopher_rules" -> oracle("gopher_rules")) +
       ("c4_clean" -> oracle("c4_clean")) +
       ("html_strip" -> oracle("html_strip")) +
+      ("warc_extract" -> oracle("warc_extract")) +
+      ("wet_extract" -> oracle("wet_extract")) +
       ("blocklist_filter" -> oracle("blocklist_filter")) +
       ("nfkc_normalize" -> oracle("nfkc_normalize"))
   }

@@ -3202,6 +3202,75 @@ object ExtQueries {
   }
 
   /**
+   * WARC container ingestion (ext/Warc): build a deterministic
+   * synthetic crawl from the documents table — 8 `.warc.gz` files, one
+   * gzip member per record, executor-written (no driver collect) —
+   * stream-parse it back (one task per file, O(record) memory), and
+   * HTTP-split the response payloads. The oracle reconstructs every
+   * record's exact bytes in SQL: container parsing must lose or alter
+   * NOTHING — lengths and body hashes match or the gate fails.
+   */
+  private def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.ext.Warc.writeFixture(s"$tmp/part-$pid.warc.gz",
+            it.map { r =>
+              val id = r.getLong(0)
+              val html = s"<html><head><title>doc-$id</title></head>" +
+                s"<body><p>${r.getString(2)}</p></body></html>"
+              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+                "\r\n\r\n" + html
+              ("response", s"https://example.org/${r.getString(1)}/$id",
+                "application/http; msgtype=response",
+                http.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }, gzip = true)
+        }
+      }
+    graft.ext.Warc.records(s, tmp)
+      .where(col("warc_type") === "response")
+      .select(col("target_uri"), col("content_length"),
+        md5(col("body")).as("body_md5"))
+      .orderBy("target_uri")
+  }
+
+  /**
+   * WET (extracted-text) container ingestion: the same crawl shape
+   * with `conversion` records carrying plain text — the form Common
+   * Crawl ships pre-extracted corpora in, and the direct feed into
+   * `curateCorpus`. Round-trips the documents table byte-exactly.
+   */
+  private def wetExtract(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wet_").toString
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.ext.Warc.writeFixture(s"$tmp/part-$pid.wet.gz",
+            it.map { r =>
+              ("conversion",
+                s"https://example.org/${r.getString(1)}/${r.getLong(0)}",
+                "text/plain",
+                r.getString(2)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }, gzip = true)
+        }
+      }
+    graft.ext.Warc.wetTexts(graft.ext.Warc.records(s, tmp))
+      .select(col("target_uri"),
+        octet_length(col("text").cast("binary")).cast("long")
+          .as("text_bytes"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("target_uri")
+  }
+
+  /**
    * CACHE TABLE through the statement door (ops/SqlLifecycle
    * .cacheTable — Spark's verb, snapshot-pinned and version-checked):
    * the cached read serves the first aggregate; the INSERT after it
@@ -5272,6 +5341,8 @@ object ExtQueries {
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
     "c4_clean" -> ((s, dir) => c4CleanQ(s, dir)),
     "html_strip" -> ((s, dir) => htmlStripQ(s, dir)),
+    "warc_extract" -> ((s, dir) => warcExtract(s, dir)),
+    "wet_extract" -> ((s, dir) => wetExtract(s, dir)),
     "blocklist_filter" -> ((s, dir) => blocklistFilterQ(s, dir)),
     "nfkc_normalize" -> ((s, dir) => nfkcNormalizeQ(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),

@@ -1461,4 +1461,65 @@ class ExtSpec extends AnyFunSuite {
       "documents")
     assert(d.where(expr("nfkc(text)") =!= col("text")).count() == 0)
   }
+
+  // ------------------------------------------------------------ warc —
+
+  test("Warc: streams gzip members and plain files, HTTP-splits, fails loudly on malformed input") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ext.Warc
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warcspec_")
+    val dir = tmp.toString
+    Warc.writeFixture(s"$dir/a.warc.gz", Iterator(
+      ("response", "https://x/1", "application/http; msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html>hello</html>").getBytes(UTF_8)),
+      ("warcinfo", "", "application/warc-fields",
+        "robots: classic\r\n".getBytes(UTF_8)),
+      ("conversion", "https://x/2", "text/plain",
+        "plain text".getBytes(UTF_8))), gzip = true)
+    Warc.writeFixture(s"$dir/b.warc", Iterator(
+      ("response", "https://x/3", "application/http; msgtype=response",
+        "HTTP/1.1 404 Not Found\r\n\r\nmissing".getBytes(UTF_8))),
+      gzip = false)
+    val recs = Warc.records(spark, dir)
+    assert(recs.count() == 4)
+    // record ids are deterministic (URI-derived), lengths exact
+    val byUri = recs.collect()
+      .map(r => r.getAs[String]("target_uri") -> r).toMap
+    assert(byUri("https://x/1").getAs[Long]("content_length") ==
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html>hello</html>").getBytes(UTF_8).length)
+    assert(byUri("https://x/1").getAs[String]("record_id").nonEmpty)
+    // HTTP split: response bodies lose their HTTP headers; WET
+    // conversion records pass through whole
+    val html = Warc.htmlResponses(recs).orderBy("target_uri")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(html == Seq("https://x/1" -> "<html>hello</html>",
+      "https://x/3" -> "missing"))
+    assert(Warc.wetTexts(recs).collect().map(_.getString(1)).toSeq ==
+      Seq("plain text"))
+
+    def rootMsg(e: Throwable): String = {
+      var t = e
+      while (t.getCause != null) t = t.getCause
+      Option(t.getMessage).getOrElse("")
+    }
+    // a truncated record errors loudly with file + record index
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_warctrunc_")
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/b.warc"))
+    java.nio.file.Files.write(dir2.resolve("c.warc"),
+      whole.dropRight(10))
+    val e1 = intercept[Exception](
+      Warc.records(spark, dir2.toString).collect())
+    assert(rootMsg(e1).contains("truncated") &&
+      rootMsg(e1).contains("c.warc"), rootMsg(e1))
+    // a garbage version line errors loudly too
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_warcbad_")
+    java.nio.file.Files.write(dir3.resolve("d.warc"),
+      "GARBAGE/9.9\r\nWARC-Type: response\r\n\r\n".getBytes(UTF_8))
+    val e2 = intercept[Exception](
+      Warc.records(spark, dir3.toString).collect())
+    assert(rootMsg(e2).contains("version line"), rootMsg(e2))
+  }
 }
