@@ -157,25 +157,44 @@ object Exchange {
       try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
     }
-    val old = hiddenOld(target)
-    if (fs.exists(old)) fs.delete(old, true)
-    val existed = fs.exists(target)
-    if (existed) renameOrThrow(fs, target, old)
-    renameOrThrow(fs, staging, target)
-    if (existed) fs.delete(old, true)
+    // only the rename window holds the in-process monitor — the
+    // (long) staging write above runs unserialized
+    monitorFor(path).synchronized {
+      val old = hiddenOld(target)
+      if (fs.exists(old)) fs.delete(old, true)
+      val existed = fs.exists(target)
+      if (existed) renameOrThrow(fs, target, old)
+      renameOrThrow(fs, staging, target)
+      if (existed) fs.delete(old, true)
+    }
   }
+
+  /** Same-JVM swap/read serialization: the two renames of a swap are
+    * not atomic TOGETHER, so an in-process reader running
+    * `recoverSwap` inside the window would "restore" a swap that is
+    * mid-flight and collide with the writer's second rename — a live
+    * hazard once a door auto-refresh subscription folds deltas while
+    * queries read the same view. Cross-PROCESS safety stays the crash
+    * contract (atomic renames + recoverSwap on next access); this
+    * monitor closes the in-process window. */
+  private val swapMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(path: String): Object =
+    swapMonitors.computeIfAbsent(path.stripSuffix("/"), _ => new Object)
 
   /** Close `swapTable`'s crash window: if `path` is absent but the
     * hidden `.name.old` sibling exists, rename it back and return true.
     * Callers treating a missing table as empty MUST try this first, or
     * a crash inside the swap would silently orphan the previous rows. */
-  def recoverSwap(spark: SparkSession, path: String): Boolean = {
-    val target = new HPath(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = hiddenOld(target)
-    if (!fs.exists(target) && fs.exists(old)) { renameOrThrow(fs, old, target); true }
-    else false
-  }
+  def recoverSwap(spark: SparkSession, path: String): Boolean =
+    monitorFor(path).synchronized {
+      val target = new HPath(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = hiddenOld(target)
+      if (!fs.exists(target) && fs.exists(old)) {
+        renameOrThrow(fs, old, target); true
+      } else false
+    }
 
   private def hiddenOld(target: HPath): HPath =
     new HPath(target.getParent, "." + target.getName + ".old")

@@ -101,6 +101,9 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         refreshMview(name.toLowerCase, full != null); None
       case DropMviewRe(name) =>
         dropMview(name.toLowerCase); None
+      case AlterMviewAutoRe(name, verb, secs) =>
+        alterMviewAutoRefresh(name.toLowerCase,
+          verb.equalsIgnoreCase("SET"), Option(secs).map(_.toLong)); None
       case CreateViewRe(orReplace, name, body) =>
         createView(name.toLowerCase, body, orReplace != null); None
       case DropViewRe(name) =>
@@ -2381,9 +2384,51 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   private def dropMview(name: String): Unit = {
     require(mviewDefOf(name).isDefined,
       s"DROP MATERIALIZED VIEW $name: no such materialized view")
+    mviewSubs.remove(name).foreach(_.stop())
     val (fs, p) = Versioned.fsOf(spark, tableDir(name).toString)
     fs.delete(p, true)
     ()
+  }
+
+  /** Auto-refresh subscriptions started by `ALTER MATERIALIZED VIEW …
+    * SET AUTO REFRESH`, by view name — stopped by UNSET or DROP. */
+  private val mviewSubs = scala.collection.mutable
+    .Map.empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+
+  /**
+   * `ALTER MATERIALIZED VIEW mv SET AUTO REFRESH [EVERY n SECONDS]` —
+   * the Databricks-style schedule spelling over
+   * `Streaming.maintainedMview`: a checkpoint-free StreamingQuery
+   * polls the source on the given cadence (default 60 s) and folds
+   * the delta each tick; a tick where no source advanced is a pure
+   * metadata no-op. Delivery state is the view's own state+cursor
+   * atomic swap, so stop/restart (UNSET then SET, or a new session)
+   * resumes exactly from the swapped cursor — nothing double-applies.
+   * `UNSET AUTO REFRESH` stops the subscription; re-issuing SET
+   * replaces the running one. Subscriptions live in the SparkSession:
+   * dropping the door object does not stop them, UNSET/DROP does.
+   */
+  private def alterMviewAutoRefresh(name: String, set: Boolean,
+      everySecs: Option[Long]): Unit = {
+    val d = mviewDefOf(name).getOrElse(throw new IllegalArgumentException(
+      s"ALTER MATERIALIZED VIEW $name: no such materialized view"))
+    val existing = mviewSubs.remove(name)
+    existing.foreach(_.stop())
+    if (set) {
+      val interval = everySecs.getOrElse(60L)
+      require(interval > 0,
+        s"ALTER MATERIALIZED VIEW $name: EVERY must be positive")
+      val q = graft.pipeline.Streaming.maintainedMview(spark, d,
+        tableDir(d.source).toString,
+        tableDir(name).resolve(DataDir).toString,
+        d.dim.map(t => tableDir(t).toString),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(s"$interval seconds"))
+      mviewSubs.put(name, q)
+      ()
+    } else require(existing.isDefined,
+      s"ALTER MATERIALIZED VIEW $name UNSET AUTO REFRESH: no auto " +
+        "refresh is set")
   }
 
   // ----------------------------------------------- transactions (Txn) —
@@ -2987,6 +3032,9 @@ object SqlLifecycle {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*$""".r
   private val DropMviewRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$""".r
+  private val AlterMviewAutoRe =
+    ("""(?is)^\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+(SET|UNSET)""" +
+      """\s+AUTO\s+REFRESH(?:\s+EVERY\s+(\d+)\s+SECONDS?)?\s*;?\s*$""").r
   private val MvBodyRe =
     ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)""" +
       """(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+([\w\s,]+?)\s*$""").r

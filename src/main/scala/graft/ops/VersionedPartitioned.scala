@@ -1389,33 +1389,50 @@ object VersionedPartitioned {
         val ranged = st.where(substring_index(col("__file"), "/", 1)
             .isin(partDirs: _*))
           .where(rangeCond.foldLeft(lit(true))(_ && _))
-        // driver-side XxHash64 of each probe value in the stored type;
-        // None = unconvertible value → this column cannot skip
-        val probeHashes: Seq[Option[Seq[Long]]] = usablePts.map {
-          case (c, vs) =>
-            val dt = st.schema(st.schema.fieldIndex(s"min_$c")).dataType
-            try Some(vs.map { v =>
-              // seed 42 = the `xxhash64(...)` SQL default the build
-              // aggregate hashed with
-              new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-                org.apache.spark.sql.catalyst.expressions.Literal
-                  .create(v, dt))).eval(null).asInstanceOf[Long]
-            }) catch { case scala.util.control.NonFatal(_) => None }
-        }
-        val rows = ranged
-          .select((col("__file") +: usablePts.map { case (c, _) =>
-            col(s"bloom_$c") }): _*)
-          .collect()
-        rows.filter { r =>
-          probeHashes.zipWithIndex.forall { case (hs, i) =>
-            hs.isEmpty || r.isNullAt(i + 1) || {
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(
-                  r.getAs[Array[Byte]](i + 1)))
-              hs.get.exists(bf.mightContainLong)
-            }
+        // the range-surviving file NAMES first — metadata-sized, no
+        // bloom blob rides this pass
+        val files = ranged.select(col("__file")).collect()
+          .map(_.getString(0))
+        // PLANNING BUDGET for the point probes: each candidate file's
+        // bloom blob (~1 MB at default sizing) would be collected to
+        // the driver — bounded fan-outs are fine, but a hot partition
+        // with thousands of files is real driver memory. Beyond the
+        // budget the point columns degrade to min/max-only for this
+        // statement: never wrong, just less skipping.
+        val bloomBudget = spark.conf
+          .getOption("spark.graft.bloom.maxProbeFiles")
+          .map(_.toInt).getOrElse(1024)
+        if (usablePts.isEmpty || files.length > bloomBudget)
+          files.toSeq.sorted.map(snap -> _)
+        else {
+          // driver-side XxHash64 of each probe value in the stored
+          // type; None = unconvertible value → this column cannot skip
+          val probeHashes: Seq[Option[Seq[Long]]] = usablePts.map {
+            case (c, vs) =>
+              val dt = st.schema(st.schema.fieldIndex(s"min_$c")).dataType
+              try Some(vs.map { v =>
+                // seed 42 = the `xxhash64(...)` SQL default the build
+                // aggregate hashed with
+                new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+                  org.apache.spark.sql.catalyst.expressions.Literal
+                    .create(v, dt))).eval(null).asInstanceOf[Long]
+              }) catch { case scala.util.control.NonFatal(_) => None }
           }
-        }.map(r => snap -> r.getString(0)).toSeq.sortBy(_._2)
+          val rows = ranged
+            .select((col("__file") +: usablePts.map { case (c, _) =>
+              col(s"bloom_$c") }): _*)
+            .collect()
+          rows.filter { r =>
+            probeHashes.zipWithIndex.forall { case (hs, i) =>
+              hs.isEmpty || r.isNullAt(i + 1) || {
+                val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    r.getAs[Array[Byte]](i + 1)))
+                hs.get.exists(bf.mightContainLong)
+              }
+            }
+          }.map(r => snap -> r.getString(0)).toSeq.sortBy(_._2)
+        }
       }
     }
   }

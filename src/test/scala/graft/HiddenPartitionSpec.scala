@@ -373,6 +373,20 @@ class HiddenPartitionSpec extends AnyFunSuite {
       .where(col("doc").isin(target, other))
     assert(both.select("id").as[Long].collect().toSeq.sorted ==
       Seq(500L, 2500L))
+    // PLANNING BUDGET: with the cap below the candidate fan-out, the
+    // point columns degrade to min/max-only for the statement — the
+    // answer is unchanged and no bloom blob reaches the driver
+    spark.conf.set("spark.graft.bloom.maxProbeFiles", "2")
+    try {
+      val capped = VersionedPartitioned.prunedFilesWhere(spark, root,
+        Nil, points = Seq(("doc", Seq(target))))
+      assert(capped.size == census.size,
+        "an over-budget probe must degrade to keep-all, never skip")
+      val viaRead = VersionedPartitioned.readPrunedWhere(spark, root, Nil,
+          points = Seq(("doc", Seq(target))))
+        .where(col("doc") === target)
+      assert(viaRead.select("id").as[Long].collect().toSeq == Seq(500L))
+    } finally spark.conf.unset("spark.graft.bloom.maxProbeFiles")
   }
 
   test("SQL door: BLOOMFILTER INDEX point lookup skips files") {

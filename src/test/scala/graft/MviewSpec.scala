@@ -372,6 +372,58 @@ class MviewSpec extends AnyFunSuite {
     assert(mvRows(life) == recompute(life))
   }
 
+  test("SET AUTO REFRESH: the door subscription folds promotes; UNSET/DROP stop it") {
+    val (life, _) = mkLife()
+    ins(life, ("2024-01-01", "a", "1.00", 1))
+    life.execute("CREATE MATERIALIZED VIEW mv.v AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM mv.src " +
+      "WHERE flag = 1 GROUP BY grp")
+    // reads can transiently lose a race with the subscription's
+    // atomic swap (state files replaced between plan and read) —
+    // retry, that is the poll loop's job
+    def eventually(cond: => Boolean): Boolean = {
+      var i = 0
+      var ok = false
+      while (i < 60 && !ok) {
+        ok = try cond catch { case scala.util.control.NonFatal(_) => false }
+        if (!ok) Thread.sleep(500)
+        i += 1
+      }
+      ok
+    }
+    life.execute(
+      "ALTER MATERIALIZED VIEW mv.v SET AUTO REFRESH EVERY 1 SECONDS")
+    ins(life, ("2024-01-02", "b", "2.00", 1))
+    assert(eventually(mvRows(life) == recompute(life)),
+      "the subscription must fold the promote without a manual REFRESH")
+    // UNSET stops the subscription: a later promote stays unfolded
+    life.execute("ALTER MATERIALIZED VIEW mv.v UNSET AUTO REFRESH")
+    ins(life, ("2024-01-03", "c", "3.00", 1))
+    Thread.sleep(2500)
+    assert(mvRows(life) != recompute(life),
+      "after UNSET no subscription may fold")
+    // re-SET resumes from the swapped cursor and catches up — nothing
+    // double-applies (counts would show it)
+    life.execute(
+      "ALTER MATERIALIZED VIEW mv.v SET AUTO REFRESH EVERY 1 SECONDS")
+    assert(eventually(mvRows(life) == recompute(life)))
+    life.execute("ALTER MATERIALIZED VIEW mv.v UNSET AUTO REFRESH")
+    // loud edges: double UNSET, not a view
+    intercept[IllegalArgumentException](life.execute(
+      "ALTER MATERIALIZED VIEW mv.v UNSET AUTO REFRESH"))
+    intercept[IllegalArgumentException](life.execute(
+      "ALTER MATERIALIZED VIEW mv.src SET AUTO REFRESH"))
+    // DROP stops a running subscription with the view (count-based:
+    // other suites may have their own active streams on this session)
+    val before = spark.streams.active.length
+    life.execute(
+      "ALTER MATERIALIZED VIEW mv.v SET AUTO REFRESH EVERY 1 SECONDS")
+    assert(spark.streams.active.length == before + 1)
+    life.execute("DROP MATERIALIZED VIEW mv.v")
+    assert(eventually(spark.streams.active.length == before),
+      "DROP must stop the auto-refresh subscription")
+  }
+
   test("refresh cost is delta-shaped: only changed partitions are read") {
     val (life, root) = mkLife()
     ins(life, ("2024-01-01", "a", "1.00", 1), ("2024-01-02", "a", "2.00", 1),
