@@ -483,6 +483,7 @@ object ExtOracles {
       // oracle (the txn_pair file) for the Scala Txn API and the
       // statement door
       ("sql_txn_pair" -> oracle("txn_pair")) +
+      ("versioned_upsert" -> oracle("versioned_upsert")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
       ("changefeed_incremental_minmax" ->

@@ -3202,6 +3202,38 @@ object ExtQueries {
   }
 
   /**
+   * Keyed UPSERT into the versioned format
+   * (`VersionedPartitioned.upsertInto` — the CDC-ingestion primitive
+   * `Streaming.upsertSink` wraps with the exactly-once epoch
+   * contract): one atomic commit lands the batch's rows and retires
+   * existing rows sharing a batch key, folding only the touched
+   * partitions. The batch re-prices part of month 01 and appends
+   * month 03; month 02 must ride untouched. DuckDB recomputes the
+   * final keyed state from scratch.
+   */
+  private def versionedUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedPartitioned
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vupsert_").toString
+    val base = monthlyOrders(s, dir)
+    VersionedPartitioned.promote(
+      base.where(col("month").between("1995-01", "1995-02")),
+      root, "month")
+    val batch = base
+      .where(col("month") === "1995-01" && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") * 2).cast("decimal(18,2)"))
+      .unionByName(base.where(col("month") === "1995-03"))
+    VersionedPartitioned.upsertInto(batch, root, "month",
+      Seq("month", "o_orderkey"))
+    VersionedPartitioned.read(s, root)
+      .groupBy(col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_totalprice").cast("double").as("total"))
+      .orderBy("month")
+  }
+
+  /**
    * WARC container ingestion (ext/Warc): build a deterministic
    * synthetic crawl from the documents table — 8 `.warc.gz` files, one
    * gzip member per record, executor-written (no driver collect) —
@@ -5554,6 +5586,7 @@ object ExtQueries {
     "sql_write_order_range" -> ((s, dir) => sqlWriteOrderRange(s, dir)),
     "txn_pair" -> ((s, dir) => txnPair(s, dir)),
     "sql_txn_pair" -> ((s, dir) => sqlTxnPair(s, dir)),
+    "versioned_upsert" -> ((s, dir) => versionedUpsert(s, dir)),
     "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),
     "changefeed_incremental_minmax" -> ((s, dir) => changefeedMinMax(s, dir)),

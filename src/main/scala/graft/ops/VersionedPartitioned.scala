@@ -809,6 +809,84 @@ object VersionedPartitioned {
       written.map(_ -> snapName).toMap, tag))
   }
 
+  /**
+   * UPSERT by equality keys, as ONE atomic commit: the batch's rows
+   * land, and existing rows sharing a batch key are gone. `insertInto`
+   * with the overlap fold anti-joined against the batch's keys — the
+   * current rows of overlapping partitions (minus the keyed rows) join
+   * the new rows inside the same snapshot, so the commit is atomic and
+   * a reader can never observe the deleted-but-not-reinserted middle.
+   *
+   * Why not compose `deleteKeysMor` + `insertInto` (two commits)?
+   * Twice broken: the window between the commits is a VISIBLE partial
+   * state, and a merge-on-read delete sidecar strikes by key equality
+   * over the WHOLE partition — it would kill the replacement rows too
+   * (Iceberg scopes equality deletes by sequence number to dodge this;
+   * this format's one-snapshot-per-partition entries make the folded
+   * rewrite the honest primitive, and `insertInto` already pays that
+   * fold on every overlap, so upsert costs the same as insert).
+   *
+   * `keyCols` must include the partition column (a key that migrated
+   * partitions would leave its old row alive in an untouched
+   * partition — same contract as the CDC feed) and key values must be
+   * non-null (the anti-join never matches NULL). Batch rows are
+   * inserted as-is — dedup multi-version batches upstream (keep the
+   * newest) or both versions land.
+   *
+   * Scale: O(touched partitions) read+rewrite + one commit, never
+   * O(table) — the streaming upsert path for CDC ingestion
+   * (`Streaming.upsertSink` adds the exactly-once epoch contract).
+   */
+  def upsertInto(df: DataFrame, root: String, partitionCol: String,
+      keyCols: Seq[String], bloomCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      tag: Option[String] = None): Option[Long] = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.exists(_.equalsIgnoreCase(partitionCol)),
+      s"upsert keys $keyCols must include partition column " +
+        s"'$partitionCol' — a key that can change partitions would " +
+        "leave its old row alive in an untouched partition")
+    val missing = keyCols.filterNot(k =>
+      df.columns.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty, s"upsert keys not in batch: $missing")
+    val spark = df.sparkSession
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val snapName = writeSnapshot(df, rootPath, partitionCol, Nil,
+      clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
+    val snapPath = new HPath(rootPath, snapName)
+    val written = fs.listStatus(snapPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath.getName).toSet
+    if (written.isEmpty) { fs.delete(snapPath, true); return None }
+    val overlap = latestManifest(spark, root)
+      .map(_._2.entries.keySet.intersect(written)).getOrElse(Set.empty)
+    if (overlap.nonEmpty) {
+      val vals = overlap.map(d =>
+        unescapePathName(d.substring(d.indexOf('=') + 1)))
+      // survivors: the overlapped partitions' current rows MINUS any
+      // row sharing a batch key — the upsert's delete half, applied
+      // inside the same snapshot the insert half wrote
+      val batchKeys = df.select(keyCols.map(c => col(s"`$c`")): _*)
+        .dropDuplicates()
+      readPartitionsWhere(spark, root, vals.contains)
+        .select(df.columns.map(c => col(s"`$c`")): _*)
+        // broadcast: the build side is the batch's own keys, micro-
+        // batch-sized by contract — the anti-join never shuffles the
+        // partitions' current rows
+        .join(org.apache.spark.sql.functions.broadcast(batchKeys),
+          keyCols, "left_anti")
+        .transform(clusterForWrite(_, partitionCol))
+        .write.mode("append").partitionBy(partitionCol)
+        .parquet(snapPath.toString)
+    }
+    writeStats(spark, snapPath, snapName, statsCols, bloomCols)
+    Some(commitSnapshot(spark, fs, rootPath, root, partitionCol,
+      written.map(_ -> snapName).toMap, tag))
+  }
+
   /** Read the latest committed state: one immutable-parquet scan per
     * referenced snapshot dir (partition values recovered from dir
     * names via basePath), unioned by name. A frame resolved here is

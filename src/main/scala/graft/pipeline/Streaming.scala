@@ -366,6 +366,74 @@ object Streaming {
       }
       .start()
 
+  /**
+   * Exactly-once streaming UPSERT into a `VersionedPartitioned` table:
+   * each micro-batch lands via `VersionedPartitioned.upsertInto` — the
+   * batch's rows in, existing rows sharing a batch key out, as ONE
+   * atomic epoch-tagged commit (see upsertInto's header for why the
+   * two-commit deleteKeysMor composition is rejected: a visible
+   * partial window AND equality deletes would strike the replacement
+   * rows). The CDC-ingestion shape: a change stream keyed on
+   * (partition col + row key) keeps the table at
+   * latest-version-per-key, exactly once — foreachBatch's
+   * at-least-once replay of a committed epoch finds its tag and
+   * no-ops. Per epoch the work is O(touched partitions), never
+   * O(table).
+   */
+  def upsertSink(stream: DataFrame, root: String, checkpointDir: String,
+      partitionCol: String, keyCols: Seq[String],
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val b = transform(batch)
+          val prefix = s"epoch=${checkpointId(checkpointDir)}-"
+          val latest = VersionedPartitioned.latestTagWithPrefix(
+            b.sparkSession, root, prefix).map(_.toLong)
+          if (!latest.exists(_ >= epoch)) {
+            VersionedPartitioned.upsertInto(b, root, partitionCol,
+              keyCols, tag = Some(s"$prefix$epoch"))
+            ()
+          }
+        }
+        ()
+      }
+      .start()
+
+  /**
+   * Exactly-once streaming EQUALITY DELETE: each micro-batch of keys
+   * (partition col + key cols, nothing else) lands as one
+   * merge-on-read delete commit (`VersionedPartitioned.deleteKeysMor`
+   * — a metadata-sized sidecar per batch, ZERO partition rewrite),
+   * epoch-tagged under `versionedSink`'s replay contract. The GDPR /
+   * bad-record retraction shape: a key stream keeps striking rows
+   * from a 100 TB table at sidecar cost; compaction materializes the
+   * deletes later. Delete-only streams dodge the equality-delete
+   * upsert hazard by construction — there are no replacement rows to
+   * strike.
+   */
+  def equalityDeleteSink(stream: DataFrame, root: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val prefix = s"epoch=${checkpointId(checkpointDir)}-"
+          val latest = VersionedPartitioned.latestTagWithPrefix(
+            batch.sparkSession, root, prefix).map(_.toLong)
+          if (!latest.exists(_ >= epoch)) {
+            VersionedPartitioned.deleteKeysMor(batch.sparkSession, root,
+              batch, tag = Some(s"$prefix$epoch"))
+            ()
+          }
+        }
+        ()
+      }
+      .start()
+
   /** `versionedPartitionedSink` under a HIDDEN partition transform
     * (ops/HiddenPartition): the stream carries only source columns and
     * each micro-batch derives the physical key on the way in, so

@@ -171,6 +171,72 @@ class VersionedSpec extends AnyFunSuite {
       .contains("2024-01-04" -> 4))
   }
 
+  test("upsertSink + equalityDeleteSink: keyed CDC writes, exactly-once, MoR deletes") {
+    import graft.pipeline.Streaming
+    val root = Files.createTempDirectory("graft_upsink").toString
+    val (in, table, ckpt) = (s"$root/in", s"$root/table", s"$root/ckpt")
+    new java.io.File(in).mkdirs()
+    def rows(t: (String, Long, Double)*) = t.toSeq.toDF("date", "k", "v")
+    val schema = rows(("x", 0L, 0.0)).schema
+    rows(("2024-01-01", 1L, 1.0), ("2024-01-01", 2L, 2.0),
+      ("2024-01-02", 3L, 3.0)).write.mode("append").parquet(in)
+    def runUpsert() = Streaming.upsertSink(
+      spark.readStream.schema(schema).parquet(in),
+      table, ckpt, "date", Seq("date", "k")).awaitTermination()
+    runUpsert()
+    def state() = VersionedPartitioned.read(spark, table)
+      .select(col("date").cast("string"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(state() == Set(("2024-01-01", 1L, 1.0),
+      ("2024-01-01", 2L, 2.0), ("2024-01-02", 3L, 3.0)))
+
+    // restart with a CDC batch: a new version of key (01,1) plus a
+    // brand-new key — the old row leaves, day 02's key 3 is untouched
+    rows(("2024-01-01", 1L, 10.0), ("2024-01-02", 4L, 4.0))
+      .write.mode("append").parquet(in)
+    runUpsert()
+    assert(state() == Set(("2024-01-01", 1L, 10.0),
+      ("2024-01-01", 2L, 2.0), ("2024-01-02", 3L, 3.0),
+      ("2024-01-02", 4L, 4.0)))
+    val cid = Streaming.checkpointId(ckpt)
+    assert(VersionedPartitioned.history(spark, table)
+      .flatMap(_._2.tag) == Seq(s"epoch=$cid-0", s"epoch=$cid-1"))
+
+    // a no-new-data restart commits nothing (exactly-once idle)
+    val v2 = VersionedPartitioned.currentVersion(spark, table)
+    runUpsert()
+    assert(VersionedPartitioned.currentVersion(spark, table) == v2)
+
+    // keys must pin rows to their partition — loud otherwise
+    intercept[IllegalArgumentException](VersionedPartitioned.upsertInto(
+      rows(("2024-01-01", 1L, 0.0)), table, "date", Seq("k")))
+
+    // equality-delete stream: keys only, one MoR sidecar commit per
+    // epoch — ZERO partition rewrite (entries keep their snapshots)
+    val delIn = s"$root/delin"
+    new java.io.File(delIn).mkdirs()
+    val delSchema = Seq(("x", 0L)).toDF("date", "k").schema
+    Seq(("2024-01-01", 2L), ("2024-01-02", 3L)).toDF("date", "k")
+      .write.mode("append").parquet(delIn)
+    val entriesBefore =
+      VersionedPartitioned.history(spark, table).last._2.entries
+    def runDelete() = Streaming.equalityDeleteSink(
+      spark.readStream.schema(delSchema).parquet(delIn),
+      table, s"$root/ckptdel").awaitTermination()
+    runDelete()
+    assert(state() == Set(("2024-01-01", 1L, 10.0),
+      ("2024-01-02", 4L, 4.0)))
+    val after = VersionedPartitioned.history(spark, table).last._2
+    assert(after.entries == entriesBefore,
+      "an equality-delete commit must rewrite no partition")
+    assert(after.deletes.nonEmpty, "the delete rides a MoR sidecar")
+    // replay with no new key files: no commit
+    val v3 = VersionedPartitioned.currentVersion(spark, table)
+    runDelete()
+    assert(VersionedPartitioned.currentVersion(spark, table) == v3)
+  }
+
   test("readAsOf: timestamp resolves between commits, before-history raises, both formats agree") {
     val root = Files.createTempDirectory("graft_ver").toString
     val t0 = System.currentTimeMillis()
