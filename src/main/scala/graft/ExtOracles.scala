@@ -802,6 +802,8 @@ object ExtOracles {
     "join_semi_anti" -> oracle("join_semi_anti"),
     "set_ops" -> oracle("set_ops"),
     "json_props" -> oracle("json_props"),
+    "events_variant" -> oracle("events_variant"),
+    "versioned_shred" -> oracle("versioned_shred"),
     "docs_pivot" -> oracle("docs_pivot"),
     "quantiles_lineitem" -> oracle("quantiles_lineitem"),
     "range_bands" -> oracle("range_bands"),

@@ -1146,6 +1146,48 @@ object ExtQueries {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** The VARIANT path family (Spark 4 `parse_json`/`variant_get` —
+    * typed extraction through the variant encoding instead of per-call
+    * string re-parsing like `get_json_object`): same aggregate as
+    * `json_props`, so the two doors must agree with each other AND the
+    * oracle. */
+  private def eventsVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k",
+        variant_get(parse_json(col("props")), "$.k", "bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /**
+   * VARIANT SHREDDING into the versioned format (ops/Shred): the hot
+   * JSON path `$.k` materializes as a typed column at write, with
+   * stats sidecars + write-order clustering on it — a range predicate
+   * on the shredded column then file-skips and folds like any typed
+   * column (VersionedSpec pins the skip; this gate pins the numbers).
+   * The raw `props` column rides along untouched.
+   */
+  private def versionedShred(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Shred, VersionedPartitioned}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vshred_").toString
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("props"))
+    VersionedPartitioned.promote(
+      Shred.shredded(ev, "props",
+        Seq(Shred.Field("$.k", "bigint", "props_k"))),
+      root, "event_type", statsCols = Seq("props_k"),
+      clusterBy = Seq("props_k"), maxRecordsPerFile = 2048L)
+    VersionedPartitioned.readPrunedWhere(s, root,
+        Seq(("props_k", Some(10L), Some(39L))))
+      .where(col("props_k").between(10L, 39L))
+      .groupBy(col("event_type").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum("props_k").as("sum_k"),
+        min("props_k").as("min_k"), max("props_k").as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Pivot (wide aggregation): avg doc length per source × language. */
   private def docsPivot(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).groupBy("source")
@@ -5402,6 +5444,8 @@ object ExtQueries {
     "range_bands" -> ((s, dir) => rangeBands(s, dir)),
     "quantiles_lineitem" -> ((s, dir) => quantiles(s, dir)),
     "json_props" -> ((s, dir) => jsonProps(s, dir)),
+    "events_variant" -> ((s, dir) => eventsVariant(s, dir)),
+    "versioned_shred" -> ((s, dir) => versionedShred(s, dir)),
     "docs_pivot" -> ((s, dir) => docsPivot(s, dir)),
     "join_semi_anti" -> ((s, dir) => joinSemiAnti(s, dir)),
     "set_ops" -> ((s, dir) => setOps(s, dir)),

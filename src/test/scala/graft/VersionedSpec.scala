@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Versioned, VersionedPartitioned}
@@ -235,6 +235,45 @@ class VersionedSpec extends AnyFunSuite {
     val v3 = VersionedPartitioned.currentVersion(spark, table)
     runDelete()
     assert(VersionedPartitioned.currentVersion(spark, table) == v3)
+  }
+
+  test("Shred: JSON paths materialize typed, dirty docs yield NULL, shredded stats skip files") {
+    import graft.ops.Shred
+    val root = Files.createTempDirectory("graft_shred").toString
+    val df = (1 to 2000).map(i =>
+        (s"t${i % 2}", s"""{"k": ${i % 100}, "s": "x$i"}"""))
+      .toDF("g", "props")
+    val sh = Shred.shredded(df, "props", Seq(
+      Shred.Field("$.k", "bigint", "props_k"),
+      Shred.Field("$.s", "string", "props_s")))
+    assert(sh.schema("props_k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val one = sh.where(col("props") === """{"k": 7, "s": "x7"}""")
+      .select("props_k", "props_s").head()
+    assert(one.getLong(0) == 7L && one.getString(1) == "x7")
+    // total extraction: malformed JSON, missing path, mistyped value
+    // all shred to NULL — ingestion never fails on dirty data
+    val dirty = Seq("not json at all", """{"other": 1}""",
+      """{"k": "not a number"}""").toDF("props").withColumn("g", lit("t0"))
+    val shDirty = Shred.shredded(dirty, "props",
+      Seq(Shred.Field("$.k", "bigint", "props_k")))
+    assert(shDirty.where(col("props_k").isNull).count() == 3)
+
+    // shredded stats sidecars skip files on the typed column: the
+    // write-order clustering gives files disjoint props_k ranges
+    VersionedPartitioned.promote(sh, root, "g",
+      statsCols = Seq("props_k"), clusterBy = Seq("props_k"),
+      maxRecordsPerFile = 200)
+    val census = VersionedPartitioned.prunedFilesWhere(spark, root, Nil)
+    val pruned = VersionedPartitioned.prunedFilesWhere(spark, root,
+      Seq(("props_k", Some(10L), Some(19L))))
+    assert(pruned.size < census.size,
+      s"shredded range must skip files: ${pruned.size} of ${census.size}")
+    val got = VersionedPartitioned.readPrunedWhere(spark, root,
+        Seq(("props_k", Some(10L), Some(19L))))
+      .where(col("props_k").between(10L, 19L)).count()
+    assert(got == df.where(expr("CAST(get_json_object(props, '$.k') AS LONG)")
+      .between(10L, 19L)).count())
   }
 
   test("readAsOf: timestamp resolves between commits, before-history raises, both formats agree") {
