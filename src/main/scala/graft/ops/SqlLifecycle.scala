@@ -1073,9 +1073,19 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         Seq((table, to, v)).toDF("table", "rolled_back_to", "current_version")
       case "expire_snapshots" =>
         val keep = arg(Seq("retain_last"), 1).toInt
-        val removed = VersionedPartitioned.vacuum(spark, path,
-          keepLast = keep, orphanMinAgeMs = 0L)
-        Seq((table, removed)).toDF("table", "deleted_data_files_count")
+        val dryRun = args.collectFirst {
+          case (Some("dry_run"), v) => v.toBoolean }.getOrElse(false)
+        if (dryRun) {
+          // the safety preview: one row per dir a real expire with the
+          // same retention would reclaim RIGHT NOW — zero writes
+          val plan = VersionedPartitioned.vacuumPlan(spark, path,
+            keepLast = keep, orphanMinAgeMs = 0L)
+          plan.map(d => (table, d)).toDF("table", "would_delete_location")
+        } else {
+          val removed = VersionedPartitioned.vacuum(spark, path,
+            keepLast = keep, orphanMinAgeMs = 0L)
+          Seq((table, removed)).toDF("table", "deleted_data_files_count")
+        }
       case "rewrite_data_files" =>
         val v = VersionedPartitioned.compact(spark, path)
         Seq((table, v)).toDF("table", "current_version")

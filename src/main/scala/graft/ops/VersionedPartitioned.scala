@@ -2732,10 +2732,26 @@ object VersionedPartitioned {
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
-      orphanMinAgeMs: Long = 3600000L): Int = {
+      orphanMinAgeMs: Long = 3600000L): Int =
+    vacuumCore(spark, root, keepLast, orphanMinAgeMs,
+      dryRun = false).size
+
+  /** The DRY RUN of [[vacuum]]: the dir names (snapshot dirs + delete
+    * sidecars) a real vacuum with the same arguments would reclaim
+    * RIGHT NOW — computed by the same doomed-set logic, with zero
+    * writes (no deletions, and none of vacuum's carry-forward re-tag
+    * commits — those never change which dirs are doomed, only which
+    * commit file carries a surviving tag). The safety preview for a
+    * destructive retention change. */
+  def vacuumPlan(spark: SparkSession, root: String, keepLast: Int,
+      orphanMinAgeMs: Long = 3600000L): Seq[String] =
+    vacuumCore(spark, root, keepLast, orphanMinAgeMs, dryRun = true)
+
+  private def vacuumCore(spark: SparkSession, root: String, keepLast: Int,
+      orphanMinAgeMs: Long, dryRun: Boolean): Seq[String] = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val (fs, rootPath) = Versioned.fsOf(spark, root)
-    if (!fs.exists(rootPath)) return 0
+    if (!fs.exists(rootPath)) return Nil
     val h = history(spark, root)
     val committedDirs = h.flatMap(_._2.entries.values).toSet
     val keep = h.takeRight(keepLast)
@@ -2755,21 +2771,22 @@ object VersionedPartitioned {
     val droppedMax = srcVersions(h.filter(_._1 < keepMin))
       .reduceOption(_ max _)
     val keptMax = srcVersions(keep).reduceOption(_ max _)
-    droppedMax.filter(d => keptMax.forall(_ < d)).foreach { cursor =>
-      claimLoop(spark, root) { latest =>
-        val (pv, m) = latest.get
-        (pv + 1, render(Manifest(m.partitionCol, m.entries,
-          Some(s"$SrcVersionTag$cursor"), m.evolution, m.deletes,
-          m.snapGens)))
+    if (!dryRun) droppedMax.filter(d => keptMax.forall(_ < d))
+      .foreach { cursor =>
+        claimLoop(spark, root) { latest =>
+          val (pv, m) = latest.get
+          (pv + 1, render(Manifest(m.partitionCol, m.entries,
+            Some(s"$SrcVersionTag$cursor"), m.evolution, m.deletes,
+            m.snapGens)))
+        }
+        // the carry-forward commit is above keepMin, so the deletions
+        // below leave it (and therefore the cursor) intact
       }
-      // the carry-forward commit is above keepMin, so the deletions
-      // below leave it (and therefore the cursor) intact
-    }
     // same carry-forward for each stream's newest `epoch=` tag: the
     // exactly-once replay guard (`commitEpoch` via latestTagWithPrefix)
     // must survive interleaved writers pushing the tagged commit below
     // the floor — each stale stream gets one metadata-only re-tag commit
-    Versioned.epochCarryTags(
+    if (!dryRun) Versioned.epochCarryTags(
         h.filter(_._1 < keepMin).flatMap(_._2.tag),
         keep.flatMap(_._2.tag))
       .foreach { t =>
@@ -2779,7 +2796,7 @@ object VersionedPartitioned {
             Some(t), m.evolution, m.deletes, m.snapGens)))
         }
       }
-    fs.listStatus(rootPath).foreach { s =>
+    if (!dryRun) fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile && n.startsWith(Versioned.CommitPrefix)
           && n.endsWith(Versioned.CommitSuffix)) {
@@ -2802,7 +2819,7 @@ object VersionedPartitioned {
         committedDirs.contains(s.getPath.getName) ||
           now - s.getModificationTime >= orphanMinAgeMs
       }
-    doomed.foreach(s => fs.delete(s.getPath, true))
+    if (!dryRun) doomed.foreach(s => fs.delete(s.getPath, true))
     // merge-on-read delete sidecars: same retention rules as snapshots
     // (kept while any retained or branch manifest references them;
     // superseded ones reclaimed immediately, orphans age-gated)
@@ -2818,7 +2835,7 @@ object VersionedPartitioned {
         committedDel.contains(s.getPath.getName) ||
           now - s.getModificationTime >= orphanMinAgeMs
       }
-    doomedDel.foreach(s => fs.delete(s.getPath, true))
-    doomed.length + doomedDel.length
+    if (!dryRun) doomedDel.foreach(s => fs.delete(s.getPath, true))
+    (doomed ++ doomedDel).map(_.getPath.getName).toSeq.sorted
   }
 }

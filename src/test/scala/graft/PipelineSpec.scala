@@ -1184,6 +1184,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("expire_snapshots dry_run lists exactly what the real expire reclaims") {
+    import graft.ops.SqlLifecycle
+    val root = Files.createTempDirectory("graft_sqlexpiredry_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA x")
+    life.execute("CREATE TABLE x.t (d STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    // three versions; the overwrites supersede day-01 snapshots
+    life.execute("INSERT INTO x.t VALUES ('2024-01-01', 1)")
+    life.execute("INSERT OVERWRITE x.t SELECT '2024-01-01' AS d, 2 AS v")
+    life.execute("INSERT OVERWRITE x.t SELECT '2024-01-01' AS d, 3 AS v")
+    val dry = life.execute("CALL system.expire_snapshots(" +
+      "table => 'x.t', retain_last => 1, dry_run => true)").get
+      .collect().map(_.getString(1)).toSeq
+    assert(dry.nonEmpty, "superseded snapshots must be listed")
+    // the preview wrote NOTHING: full history still time-travels
+    assert(life.query("SELECT v FROM x.t VERSION AS OF 1")
+      .head().getLong(0) == 1L)
+    val tdir = java.nio.file.Paths.get(root, "x", "t")
+    assert(dry.forall(d => java.nio.file.Files.exists(tdir.resolve(d))),
+      "dry run must not delete")
+    // the real expire reclaims exactly the listed dirs
+    val real = life.execute("CALL system.expire_snapshots(" +
+      "table => 'x.t', retain_last => 1)").get
+    assert(real.head().getInt(1) == dry.size ||
+      real.head().get(1).toString.toInt == dry.size)
+    assert(dry.forall(d => !java.nio.file.Files.exists(tdir.resolve(d))),
+      "the real expire must reclaim the previewed dirs")
+  }
+
   test("create_changelog_view with identifier_columns classifies updates as updates") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqlclv_ids_").toString
