@@ -1522,4 +1522,32 @@ class ExtSpec extends AnyFunSuite {
       Warc.records(spark, dir3.toString).collect())
     assert(rootMsg(e2).contains("version line"), rootMsg(e2))
   }
+
+  test("crawl-to-corpus: WARC responses feed stripHtml and recover the document text") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ext.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_")
+      .toString
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs")
+    Warc.writeFixture(s"$dir/crawl.warc.gz", texts.iterator.map {
+      case (id, t) =>
+        val html = "<html><head><title></title>" +
+          "<script>var x = 1;</script></head>" +
+          s"<body><p>$t</p><!-- note --></body></html>"
+        ("response", s"https://x/$id",
+          "application/http; msgtype=response",
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+            .getBytes(UTF_8))
+    }, gzip = true)
+    // the whole chain: container parse → HTTP split → HTML strip —
+    // scripts/comments/tags gone, the document text recovered intact
+    val got = Warc.htmlResponses(Warc.records(spark, dir))
+      .select(col("target_uri"),
+        trim(graft.ext.TextOps.stripHtml(col("html"))).as("text"))
+      .orderBy("target_uri").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == texts.map { case (id, t) => (s"https://x/$id", t) })
+  }
 }

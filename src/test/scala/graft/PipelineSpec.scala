@@ -550,6 +550,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(f3.count() == 3 && c3.count() == 2)
   }
 
+  test("executeScript: the promote+cumulate pair inside one BEGIN…COMMIT block") {
+    import graft.ops.{SqlLifecycle, Txn}
+    val root = Files.createTempDirectory("graft_sqltxnscript_").toString
+    val life = new SqlLifecycle(spark, root)
+    // one SCRIPT text, the reference-day shape wrapped in a
+    // transaction: idempotent DELETE-day, promote, cumulate reading
+    // the promote, tail SELECT returned — statements split on
+    // top-level semicolons and routed in order
+    val out = life.executeScript("""
+      CREATE SCHEMA sp;
+      CREATE TABLE sp.prod (d STRING, v BIGINT)
+        USING ICEBERG PARTITIONED BY (d);
+      CREATE TABLE sp.cum (d STRING, n BIGINT)
+        USING ICEBERG PARTITIONED BY (d);
+      BEGIN;
+      DELETE FROM sp.prod WHERE d = '2024-01-01';
+      INSERT INTO sp.prod VALUES ('2024-01-01', 1), ('2024-01-01', 2);
+      INSERT OVERWRITE sp.cum
+        SELECT d, count(*) AS n FROM sp.prod GROUP BY d;
+      COMMIT;
+      SELECT d, n FROM sp.cum
+    """).get
+    // date-like STRING partition values read back type-inferred (the
+    // parquet partition-discovery convention) — cast for the check
+    assert(out.selectExpr("CAST(d AS STRING) AS d", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("2024-01-01", 2L)))
+    // both tables resolve to the same complete transaction
+    val Seq(f, c) = Txn.readAll(spark,
+      Seq(s"$root/sp/prod", s"$root/sp/cum"))
+    assert(f.count() == 2 && c.count() == 1)
+    // the backfill re-run is idempotent END TO END: the DELETE now
+    // really retracts, the promote re-lands the same day, the
+    // cumulate recomputes — same final state, one more transaction
+    life.executeScript("""
+      BEGIN;
+      DELETE FROM sp.prod WHERE d = '2024-01-01';
+      INSERT INTO sp.prod VALUES ('2024-01-01', 1), ('2024-01-01', 2);
+      INSERT OVERWRITE sp.cum
+        SELECT d, count(*) AS n FROM sp.prod GROUP BY d;
+      COMMIT
+    """)
+    assert(life.query(
+        "SELECT CAST(d AS STRING) AS d, n FROM sp.cum").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("2024-01-01", 2L)))
+    assert(life.query("SELECT count(*) AS n FROM sp.prod")
+      .head.getLong(0) == 2L)
+  }
+
   test("SQL door: occurrence views are dropped after the statement") {
     import graft.ops.SqlLifecycle
     val root = Files.createTempDirectory("graft_sqloccdrop_").toString
