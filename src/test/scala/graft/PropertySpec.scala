@@ -360,4 +360,87 @@ class PropertySpec extends AnyFunSuite {
         s"seed $seed: firstPerDay picked a non-first row")
     }
   }
+
+  test("extended mview maintenance equals recompute under random churn") {
+    import graft.ops.SqlLifecycle
+    for (seed <- 21L to 23L) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mvprop$seed").toString
+      val life = new SqlLifecycle(spark, root)
+      life.execute("CREATE SCHEMA mp")
+      life.execute("CREATE TABLE mp.src (d DATE, grp STRING, amt " +
+        "DECIMAL(10,2), flag BIGINT) USING ICEBERG PARTITIONED BY (d)")
+      val rnd = new scala.util.Random(seed)
+      def randRows(n: Int): String = (1 to n).map { _ =>
+        val d = f"2024-02-${rnd.nextInt(6) + 1}%02d"
+        val g = s"g${rnd.nextInt(3)}"
+        // NULL amounts exercise the cnt_-driven NULL exactness
+        val a = if (rnd.nextInt(5) == 0) "NULL"
+          else f"${rnd.nextInt(2000) / 100.0}%.2f"
+        s"(DATE'$d','$g',$a,${rnd.nextInt(2)})"
+      }.mkString(",")
+      life.execute(s"INSERT INTO mp.src VALUES ${randRows(20)}")
+      life.execute("CREATE MATERIALIZED VIEW mp.v AS SELECT grp, " +
+        "count(*) AS n, sum(amt) AS total, min(amt) AS lo, " +
+        "max(amt) AS hi, avg(amt) AS mean FROM mp.src " +
+        "WHERE flag = 1 GROUP BY grp")
+      def recompute() = life.query("SELECT grp, count(*) AS n, " +
+          "sum(amt) AS total, min(amt) AS lo, max(amt) AS hi, " +
+          "sum(amt)/count(amt) AS mean FROM mp.src WHERE flag = 1 " +
+          "GROUP BY grp").orderBy("grp").collect().toSeq
+      def view() = life.query(
+          "SELECT grp, n, total, lo, hi, mean FROM mp.v")
+        .orderBy("grp").collect().toSeq
+      assert(view() == recompute(), s"seed $seed: initial materialize")
+      for (step <- 1 to 6) {
+        rnd.nextInt(3) match {
+          case 0 => // insert a random batch (new + overlapping days)
+            life.execute(s"INSERT INTO mp.src VALUES ${randRows(8)}")
+          case 1 => // retract a whole random day (metadata delete)
+            life.execute("DELETE FROM mp.src WHERE d = " +
+              f"DATE'2024-02-${rnd.nextInt(6) + 1}%02d'")
+          case 2 => // row-level delete that may hit a group's extremum
+            life.execute("DELETE FROM mp.src WHERE amt " +
+              (if (rnd.nextBoolean()) ">=" else "<=") +
+              f" ${rnd.nextInt(2000) / 100.0}%.2f AND grp = 'g${rnd.nextInt(3)}'")
+        }
+        life.execute("REFRESH MATERIALIZED VIEW mp.v")
+        assert(view() == recompute(), s"seed $seed step $step diverged")
+      }
+    }
+  }
+
+  test("truncate(w) metadata folding is SOUND on adversarial prefix boundaries") {
+    import graft.ops.SqlLifecycle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_truncprop").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA pp")
+    life.execute("CREATE TABLE pp.t (sku STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (truncate(2, sku))")
+    life.execute(
+      "ALTER TABLE pp.t SET TBLPROPERTIES ('graft.statsColumns'='v')")
+    // values straddling every boundary kind: shorter-than-width
+    // (identity partitions), exact-width, extensions, ASCII order
+    // extremes, and path-escaping hazards (space, '=') — non-ASCII
+    // partition values are untestable here (the container JVM's
+    // default charset rejects them inside Spark's own dir writer)
+    val values = Seq("a", "ab", "abc", "abd", "ab~", "ab!", "ac",
+      "b", "ba", "b x", "a=c", "zz")
+    life.execute("INSERT INTO pp.t VALUES " + values.zipWithIndex
+      .map { case (s, i) => s"('$s', $i)" }.mkString(","))
+    val literals = Seq("a", "ab", "abc", "ab~", "b", "a=")
+    // soundness: whatever path answers (metadata fold, partial prune,
+    // or full scan), the count must equal the kill-switch scan's
+    for (op <- Seq(">=", ">", "<", "<=", "="); lit <- literals) {
+      val stmt = s"SELECT count(*) AS n FROM pp.t WHERE sku $op '$lit'"
+      val folded = life.query(stmt).head.getLong(0)
+      spark.conf.set("spark.graft.sql.statsAgg", "false")
+      val scanned =
+        try life.query(stmt).head.getLong(0)
+        finally spark.conf.unset("spark.graft.sql.statsAgg")
+      assert(folded == scanned,
+        s"sku $op '$lit': fold said $folded, scan said $scanned")
+    }
+  }
 }
