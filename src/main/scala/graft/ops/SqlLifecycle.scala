@@ -2583,10 +2583,24 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
         // the format read refuses (schema unknowable from data), but
         // the catalog knows the declared schema
         if (cur.isDefined &&
-            VersionedPartitioned.partitions(spark, path).nonEmpty)
-          VersionedPartitioned.read(spark, path)
-            .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
-        else emptyDf(meta.schema)
+            VersionedPartitioned.partitions(spark, path).nonEmpty) {
+          // partition-value inference can type a dir value more
+          // eagerly than the declaration (a date-parseable STRING key
+          // reads back DATE); the CATALOG is the contract, so
+          // mismatched columns conform by cast. Matching columns —
+          // every table in the gates — select untouched, so plans
+          // (and the metadata-fold/prune walks) are unchanged there;
+          // a conformed column's statements degrade to the scan,
+          // correct-but-slower, never mistyped.
+          val raw = VersionedPartitioned.read(spark, path)
+          val rawTypes = raw.schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          raw.select(meta.schema.fields.map { f =>
+            val c = col(s"`${f.name}`")
+            if (rawTypes.get(f.name.toLowerCase).contains(f.dataType)) c
+            else c.cast(f.dataType).as(f.name)
+          }: _*)
+        } else emptyDf(meta.schema)
       case None =>
         mviewDefOf(name) match {
           case Some(d) =>

@@ -572,9 +572,11 @@ class PipelineSpec extends AnyFunSuite {
       COMMIT;
       SELECT d, n FROM sp.cum
     """).get
-    // date-like STRING partition values read back type-inferred (the
-    // parquet partition-discovery convention) — cast for the check
-    assert(out.selectExpr("CAST(d AS STRING) AS d", "n").collect()
+    // the door returns the DECLARED type even where partition-value
+    // inference would read the date-like STRING key back as DATE
+    assert(out.schema("d").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("2024-01-01", 2L)))
     // both tables resolve to the same complete transaction
