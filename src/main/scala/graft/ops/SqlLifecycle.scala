@@ -172,13 +172,28 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case OptimizePlainRe(name, whereCol, whereVal) =>
         optimizePlainTable(name.toLowerCase,
           Option(whereCol).map(_.toLowerCase), Option(whereVal)); None
-      case VacuumRe(name, retain) =>
+      case VacuumRe(name, retain, dryRun) =>
         val n = Option(retain).map(_.toInt).getOrElse(1)
         val path = tableDir(name.toLowerCase).toString
-        if (VersionedPartitioned.currentVersion(spark, path).isDefined)
-          VersionedPartitioned.vacuum(spark, path, keepLast = n,
-            orphanMinAgeMs = 0L)
-        None
+        if (dryRun != null) {
+          // Delta's spelling of the retention safety preview: one row
+          // per dir the real VACUUM would reclaim right now, zero
+          // writes (the same vacuumPlan core as CALL expire_snapshots'
+          // dry_run — the preview cannot drift from the deletion)
+          import spark.implicits._
+          val plan =
+            if (VersionedPartitioned.currentVersion(spark, path).isEmpty)
+              Nil
+            else VersionedPartitioned.vacuumPlan(spark, path,
+              keepLast = n, orphanMinAgeMs = 0L)
+          Some(plan.map(d => (name.toLowerCase, d))
+            .toDF("table", "would_delete_location"))
+        } else {
+          if (VersionedPartitioned.currentVersion(spark, path).isDefined)
+            VersionedPartitioned.vacuum(spark, path, keepLast = n,
+              orphanMinAgeMs = 0L)
+          None
+        }
       case AnalyzeRe(name, allMark, colsBlock) =>
         analyzeTable(name.toLowerCase, allMark != null,
           Option(colsBlock)); None
@@ -3123,7 +3138,8 @@ object SqlLifecycle {
     ("""(?is)^\s*OPTIMIZE\s+([\w.]+)""" +
       """(?:\s+WHERE\s+([\w]+)\s*=\s*'([^']*)')?\s*;?\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // leading (col, col, ...) list of an INSERT body

@@ -1258,12 +1258,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(dry.forall(d => java.nio.file.Files.exists(tdir.resolve(d))),
       "dry run must not delete")
     // the real expire reclaims exactly the listed dirs
+    // the VACUUM statement's DRY RUN spelling previews the same plan
+    val vdry = life.execute("VACUUM x.t RETAIN 1 VERSIONS DRY RUN").get
+      .collect().map(_.getString(1)).toSeq
+    assert(vdry.sorted == dry.sorted,
+      "VACUUM … DRY RUN and expire_snapshots dry_run must agree")
+    assert(dry.forall(d => java.nio.file.Files.exists(tdir.resolve(d))))
     val real = life.execute("CALL system.expire_snapshots(" +
       "table => 'x.t', retain_last => 1)").get
     assert(real.head().getInt(1) == dry.size ||
       real.head().get(1).toString.toInt == dry.size)
     assert(dry.forall(d => !java.nio.file.Files.exists(tdir.resolve(d))),
       "the real expire must reclaim the previewed dirs")
+    // post-reclaim preview is empty, and DRY RUN on a never-written
+    // table is an empty listing, not an error
+    assert(life.execute("VACUUM x.t DRY RUN").get.count() == 0)
+    life.execute("CREATE TABLE x.empty (d STRING, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    assert(life.execute("VACUUM x.empty DRY RUN").get.count() == 0)
   }
 
   test("create_changelog_view with identifier_columns classifies updates as updates") {
