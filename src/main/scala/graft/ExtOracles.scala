@@ -483,6 +483,8 @@ object ExtOracles {
       // oracle (the txn_pair file) for the Scala Txn API and the
       // statement door
       ("sql_txn_pair" -> oracle("txn_pair")) +
+      ("sql_txn_merge" -> oracle("sql_txn_merge")) +
+      ("sql_mview_join_minmax" -> oracle("sql_mview_join_minmax")) +
       ("versioned_upsert" -> oracle("versioned_upsert")) +
       ("sql_cache_table" -> oracle("sql_cache_table")) +
       ("changefeed_incremental" -> oracle("changefeed_incremental")) +
@@ -536,6 +538,7 @@ object ExtOracles {
       ("html_strip" -> oracle("html_strip")) +
       ("warc_extract" -> oracle("warc_extract")) +
       ("wet_extract" -> oracle("wet_extract")) +
+      ("dedup_url" -> oracle("dedup_url")) +
       ("blocklist_filter" -> oracle("blocklist_filter")) +
       ("nfkc_normalize" -> oracle("nfkc_normalize"))
   }
@@ -1356,6 +1359,9 @@ object ExtOracles {
         |                     AND ex.neighbor_id = ann.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "similarity_ivf" -> oracle("similarity_ivf"),
+    // the persisted-index serving path answers EXACTLY the one-shot
+    // IVF query — one oracle file for both
+    "similarity_indexed" -> oracle("similarity_ivf"),
     "similarity_ivfpq" -> oracle("similarity_ivfpq"),
 
     // Funnel replay: the same chained conditional cumulative mins — step

@@ -276,6 +276,25 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The persisted-index IVF serving path (`Similarity.buildIvfIndex`
+    * → `indexedIvfTopK`): the index — cell-partitioned assignments +
+    * broadcast-sized centroids — is built ONCE and published as one
+    * transaction; the query phase reads ONLY the index tables, never
+    * the corpus (ExtSpec pins that via inputFiles). Bit-identical to
+    * the one-shot path, so it replays the similarity_ivf oracle. */
+  private def similarityIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_simidx_").toString
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", root,
+      centroidStride = 20)
+    Similarity.indexedIvfTopK(s, root, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN (coarse cells + residual product-quantization codes +
     * asymmetric-distance shortlist + exact rerank — the billion-scale
     * index layout): code assignment is an exact-integer argmin
@@ -3244,6 +3263,129 @@ object ExtQueries {
   }
 
   /**
+   * MERGE INTO and UPDATE riding `BEGIN … COMMIT` (the round-18
+   * verdict's transaction-body widening): the CDC pipeline shape —
+   * dimension bootstrap-MERGE + fact promote as one transaction, then
+   * dimension update-MERGE + fact promote + a row-level fact UPDATE as
+   * a second — each statement one tagged single-commit position. The
+   * oracle recomputes the final cross-table state from scratch;
+   * PipelineSpec pins position tags, the mid-COMMIT failure rollback,
+   * and the WITH SCHEMA EVOLUTION refusal.
+   */
+  private def sqlTxnMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqltxnmerge_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA tmg")
+    life.execute("""
+      CREATE TABLE tmg.dim (b STRING, o_custkey BIGINT, seg STRING)
+      USING ICEBERG PARTITIONED BY (b)""")
+    life.execute("""
+      CREATE TABLE tmg.fact (month STRING, o_orderkey BIGINT,
+        o_custkey BIGINT, o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    val orders = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM")
+          .as("month"),
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val dimBase = Tables.load(s, dir, "customer")
+      .select((col("c_custkey") % 4).cast("string").as("b"),
+        col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+    dimBase.createOrReplaceTempView("tmg_dim_seed")
+    dimBase.where(col("o_custkey") % 10 === 0)
+      .withColumn("seg", lit("VIP"))
+      .createOrReplaceTempView("tmg_dim_upd")
+    orders.where(col("month") === "1995-01")
+      .createOrReplaceTempView("tmg_f1")
+    orders.where(col("month") === "1995-02")
+      .createOrReplaceTempView("tmg_f2")
+    life.execute("BEGIN")
+    life.execute("MERGE INTO tmg.dim AS t USING tmg_dim_seed AS s " +
+      "ON t.o_custkey = s.o_custkey WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    life.execute("INSERT INTO tmg.fact SELECT * FROM tmg_f1")
+    life.execute("COMMIT")
+    life.execute("BEGIN")
+    life.execute("MERGE INTO tmg.dim AS t USING tmg_dim_upd AS s " +
+      "ON t.o_custkey = s.o_custkey WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    life.execute("INSERT INTO tmg.fact SELECT * FROM tmg_f2")
+    life.execute("UPDATE tmg.fact SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_totalprice > 300000.00")
+    life.execute("COMMIT")
+    life.query("SELECT d.seg AS seg, count(*) AS n_orders, " +
+        "sum(f.o_totalprice) AS total_price FROM tmg.fact f " +
+        "JOIN tmg.dim d ON f.o_custkey = d.o_custkey " +
+        "GROUP BY d.seg")
+      .select(col("seg"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+      .orderBy("seg")
+  }
+
+  /**
+   * Extended (min/max/avg) materialized view over the fact ⋈ dim
+   * shape (the round-18 verdict's third ask): `Mview.maintainExtended`
+   * applied to the JOINED relation's true changed row sets — see the
+   * refresh join branch in ops/Mview for the ΔJ derivation — churned
+   * on EACH side: a fact insert (merge, no rescan), a fact delete that
+   * de-extremes a group (rescan), and a dim row delete that strips
+   * rows out of every group (dim-side delta). The oracle recomputes
+   * the final joined aggregate from scratch.
+   */
+  private def sqlMviewJoinMinmax(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlmviewjmm_").toString
+    val life = new graft.ops.SqlLifecycle(s, root)
+    life.execute("CREATE SCHEMA mvj")
+    life.execute("""
+      CREATE TABLE mvj.fact (month STRING, o_orderkey BIGINT,
+        o_custkey BIGINT, o_totalprice DECIMAL(18,2))
+      USING ICEBERG PARTITIONED BY (month)""")
+    life.execute("""
+      CREATE TABLE mvj.dim (b STRING, o_custkey BIGINT, seg STRING)
+      USING ICEBERG PARTITIONED BY (b)""")
+    val orders = Tables.load(s, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM")
+          .as("month"),
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    Tables.load(s, dir, "customer")
+      .select((col("c_custkey") % 4).cast("string").as("b"),
+        col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("mvj_dim")
+    orders.where(col("month").between("1995-01", "1995-02"))
+      .createOrReplaceTempView("mvj_early")
+    orders.where(col("month") === "1995-03")
+      .createOrReplaceTempView("mvj_late")
+    life.execute("INSERT INTO mvj.fact SELECT * FROM mvj_early")
+    life.execute("INSERT INTO mvj.dim SELECT * FROM mvj_dim")
+    life.execute("CREATE MATERIALIZED VIEW mvj.x AS " +
+      "SELECT seg, count(*) AS n, min(o_totalprice) AS lo, " +
+      "max(o_totalprice) AS hi, avg(o_orderkey) AS mean " +
+      "FROM mvj.fact JOIN mvj.dim USING (o_custkey) GROUP BY seg")
+    // fact-side insert: least/greatest merge, no rescan
+    life.execute("INSERT INTO mvj.fact SELECT * FROM mvj_late")
+    life.execute("REFRESH MATERIALIZED VIEW mvj.x")
+    // fact-side delete de-extremes month-02 maxima → rescan over the
+    // JOINED relation, restricted to the affected groups
+    life.execute("DELETE FROM mvj.fact WHERE month = '1995-02' " +
+      "AND o_totalprice > 150000.00")
+    life.execute("REFRESH MATERIALIZED VIEW mvj.x")
+    // dim-side row delete (MoR sidecar): every seventh customer leaves
+    // — its orders drop out of the join on the F_unch ⋈ ΔD_old term
+    life.execute("DELETE FROM mvj.dim WHERE o_custkey % 7 = 0")
+    life.execute("REFRESH MATERIALIZED VIEW mvj.x")
+    life.query("SELECT seg, n, lo, hi, mean FROM mvj.x")
+      .select(col("seg"), col("n"),
+        col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"), col("mean"))
+      .orderBy("seg")
+  }
+
+  /**
    * Keyed UPSERT into the versioned format
    * (`VersionedPartitioned.upsertInto` — the CDC-ingestion primitive
    * `Streaming.upsertSink` wraps with the exactly-once epoch
@@ -3342,6 +3484,48 @@ object ExtQueries {
           .as("text_bytes"),
         md5(col("text").cast("binary")).as("text_md5"))
       .orderBy("target_uri")
+  }
+
+  /**
+   * URL-level crawl dedup (`Warc.dedupByUrl` over `Warc.canonicalUrl`):
+   * the synthetic crawl writes each document 1–3 times under VARIANT
+   * spellings of one logical URL — scheme http/https in mixed case,
+   * host case permuted, query parameters reordered, a fragment
+   * appended — and the reader must collapse them to one canonical URL
+   * each, keep the FIRST capture (the ` v0` payload), and count the
+   * copies. The oracle states the expected canonical form and survivor
+   * bytes directly; ExtSpec pins the canonicalization edge cases.
+   */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dedupurl_").toString
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.ext.Warc.writeFixture(s"$tmp/part-$pid.wet.gz",
+            it.flatMap { r =>
+              val (id, src, text) =
+                (r.getLong(0), r.getString(1), r.getString(2))
+              val qa = id % 5
+              val variants = Seq(
+                s"https://Example.ORG/$src/$id?a=$qa&b=2",
+                s"http://example.org/$src/$id?b=2&a=$qa#sec1",
+                s"HTTPS://EXAMPLE.org/$src/$id?b=2&a=$qa")
+              (0 to (id % 3).toInt).map { v =>
+                ("conversion", variants(v), "text/plain",
+                  (text + s" v$v")
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }, gzip = true)
+        }
+      }
+    graft.ext.Warc.dedupByUrl(graft.ext.Warc.records(s, tmp))
+      .select(col("canonical_url"), col("url_copies"),
+        col("content_length"), md5(col("body")).as("body_md5"))
+      .orderBy("canonical_url")
   }
 
   /**
@@ -5410,6 +5594,7 @@ object ExtQueries {
     "similarity_ann" -> ((s, dir) => similarityAnn(s, dir)),
     "similarity_recall" -> ((s, dir) => similarityRecall(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
+    "similarity_indexed" -> ((s, dir) => similarityIndexed(s, dir)),
     "similarity_ivfpq" -> ((s, dir) => similarityIvfPq(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),
@@ -5417,6 +5602,7 @@ object ExtQueries {
     "html_strip" -> ((s, dir) => htmlStripQ(s, dir)),
     "warc_extract" -> ((s, dir) => warcExtract(s, dir)),
     "wet_extract" -> ((s, dir) => wetExtract(s, dir)),
+    "dedup_url" -> ((s, dir) => dedupUrl(s, dir)),
     "blocklist_filter" -> ((s, dir) => blocklistFilterQ(s, dir)),
     "nfkc_normalize" -> ((s, dir) => nfkcNormalizeQ(s, dir)),
     "text_lang_profile" -> ((s, dir) => textLangProfile(s, dir)),
@@ -5630,6 +5816,8 @@ object ExtQueries {
     "sql_write_order_range" -> ((s, dir) => sqlWriteOrderRange(s, dir)),
     "txn_pair" -> ((s, dir) => txnPair(s, dir)),
     "sql_txn_pair" -> ((s, dir) => sqlTxnPair(s, dir)),
+    "sql_txn_merge" -> ((s, dir) => sqlTxnMerge(s, dir)),
+    "sql_mview_join_minmax" -> ((s, dir) => sqlMviewJoinMinmax(s, dir)),
     "versioned_upsert" -> ((s, dir) => versionedUpsert(s, dir)),
     "sql_cache_table" -> ((s, dir) => sqlCacheTable(s, dir)),
     "changefeed_incremental" -> ((s, dir) => changefeedIncremental(s, dir)),

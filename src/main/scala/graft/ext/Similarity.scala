@@ -190,17 +190,27 @@ object Similarity {
     val cents = prep(
         corpus.where(col(idCol) % centroidStride === 0), idCol, vecCol,
         "__cent_id", "__ev", "__en")
+    ivfProbeScore(q, cents, ivfAssign(c, cents), k, nProbe)
+  }
 
-    // nearest centroid per corpus vector (cell assignment)
+  /** Nearest centroid per corpus vector (the IVF cell assignment):
+    * one broadcast scoring pass, ties to the lowest centroid id. */
+  private def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("neighbor_id")
       .orderBy(col("__csim").desc, col("__cent_id"))
-    val assigned = c.crossJoin(broadcast(cents))
+    c.crossJoin(broadcast(cents))
       .withColumn("__csim", dot(col("__cv"), col("__ev")) / (col("__cn") * col("__en")))
       .withColumn("__rn", row_number().over(wAssign))
       .where(col("__rn") === 1)
       .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__cent_id"))
+  }
 
-    // nProbe nearest cells per query
+  /** The IVF probe-and-score tail shared by the one-shot and the
+    * persisted-index paths: `nProbe` nearest cells per query (the only
+    * broadcast is the centroid table), then exact cosine over ONLY the
+    * probed cells' assignments. */
+  private def ivfProbeScore(q: DataFrame, cents: DataFrame,
+      assigned: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("__qsim").desc, col("__cent_id"))
     val probes = q.crossJoin(broadcast(cents))
@@ -208,8 +218,6 @@ object Similarity {
       .withColumn("__rn", row_number().over(wProbe))
       .where(col("__rn") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__qn"), col("__cent_id"))
-
-    // score only candidates inside probed cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(assigned, "__cent_id")
@@ -218,6 +226,66 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Sub-table names of a persisted IVF index under its root. */
+  val IvfCellsTable = "cells"
+  val IvfCentroidsTable = "centroids"
+
+  /**
+   * Build and PERSIST the IVF index — the 100 TB serving shape, where
+   * the one-shot `ivfTopK` rebuild-per-query is wrong: assignment runs
+   * ONCE over the corpus and queries forever after read only the index
+   * tables. Two versioned tables under `root`, published atomically as
+   * one `Txn` transaction (a crash between the two writes can never
+   * leave centroids without their cells or vice versa):
+   *
+   *  - `cells`: one row per corpus vector — (id, vector, norm, cell) —
+   *    PARTITIONED BY CELL, so a probe-bounded read plan can prune to
+   *    the probed cells' files alone;
+   *  - `centroids`: the stride-sampled centroid vectors (corpus/stride
+   *    rows — broadcast-sized by construction).
+   *
+   * Deterministic: centroids are the same every-`centroidStride`-th-id
+   * sample as `ivfTopK`, assignment the same lowest-id-tie argmax, so
+   * build-then-query is bit-identical to the one-shot path
+   * (spec-pinned; the `similarity_indexed` gate replays the
+   * `similarity_ivf` oracle).
+   */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, centroidStride: Int = 20): Unit = {
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val cents = prep(
+      corpus.where(col(idCol) % centroidStride === 0), idCol, vecCol,
+      "__cent_id", "__ev", "__en")
+    val cells = ivfAssign(c, cents)
+      .withColumn("__cell", col("__cent_id").cast("string"))
+    graft.ops.Txn.commit(Seq(
+      graft.ops.Txn.Write(cells, s"$root/$IvfCellsTable", "__cell"),
+      graft.ops.Txn.Write(cents.withColumn("__cell", lit("all")),
+        s"$root/$IvfCentroidsTable", "__cell")))
+    ()
+  }
+
+  /**
+   * `ivfTopK` served from the PERSISTED index: the corpus is never
+   * read — the candidate scan is the `cells` table (cell-partitioned,
+   * so file pruning tracks the probe set) and the only broadcast is
+   * the metadata-sized `centroids` table, resolved together through
+   * `Txn.readAll`'s snapshot-consistent view. Bit-identical to the
+   * one-shot `ivfTopK` over the same corpus and knobs.
+   */
+  def indexedIvfTopK(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val Seq(cellsDf, centsDf) = graft.ops.Txn.readAll(spark,
+      Seq(s"$root/$IvfCellsTable", s"$root/$IvfCentroidsTable"))
+    val q = prep(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfProbeScore(q,
+      centsDf.select(col("__cent_id"), col("__ev"), col("__en")),
+      cellsDf.select(col("neighbor_id"), col("__cv"), col("__cn"),
+        col("__cent_id")), k, nProbe)
   }
 
   /**

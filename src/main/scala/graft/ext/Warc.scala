@@ -55,12 +55,18 @@ object Warc {
       .map(_.getPath.toString).filter(f =>
         f.endsWith(".warc") || f.endsWith(".warc.gz") ||
           f.endsWith(".wet") || f.endsWith(".wet.gz")).sorted
+    // executor tasks must open files with the SESSION's Hadoop config
+    // (fs credentials, s3a/abfs settings) — a bare `new Configuration()`
+    // works for local paths but drops object-store auth, which is
+    // exactly the Common Crawl scale this reader targets
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     spark.createDataset(files)
       .repartition(math.max(files.size, 1))
       .flatMap { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val path = new HPath(f)
-        val raw = FileSystem.get(path.toUri, conf).open(path)
+        val raw = FileSystem.get(path.toUri, confB.value.value).open(path)
         val in: InputStream =
           if (f.endsWith(".gz")) new GZIPInputStream(raw)
           else new BufferedInputStream(raw)
@@ -82,6 +88,60 @@ object Warc {
     import org.apache.spark.sql.functions._
     records.where(col("warc_type") === "conversion")
       .select(col("target_uri"), col("body").cast("string").as("text"))
+  }
+
+  /**
+   * Canonical form of a crawl URL — the key of URL-level dedup, the
+   * cheapest and most universal crawl dedup pass (upstream of any body
+   * hashing or MinHash: the same page recrawled under http/https, with
+   * a fragment, or with permuted tracker parameters is one document):
+   * scheme stripped (http ≡ https), fragment dropped, HOST lowercased
+   * (paths stay case-sensitive per RFC 3986), query split at the FIRST
+   * `?` and its `&`-separated parameters SORTED in binary order. A
+   * pure codegen column expression — no UDF, no driver round trip.
+   */
+  def canonicalUrl(uri: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val noFrag = regexp_replace(regexp_replace(uri,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "#.*$", "")
+    val base = substring_index(noFrag, "?", 1)
+    val host = lower(substring_index(base, "/", 1))
+    val path = base.substr(length(host) + lit(1), length(base))
+    val q = noFrag.substr(length(base) + lit(2), length(noFrag))
+    concat(host, path,
+      when(length(noFrag) > length(base),
+        concat(lit("?"), array_join(sort_array(split(q, "&")), "&")))
+        .otherwise(lit("")))
+  }
+
+  /**
+   * URL-level dedup of a crawl: keep the FIRST capture — lowest
+   * (file, rec_index) — per canonical URL, with `canonical_url` and
+   * the per-URL capture count `url_copies` attached to each survivor.
+   *
+   * Scale shape: the winner per URL resolves by a key-only aggregate
+   * (canonical_url, file, rec_index — bodies never enter that
+   * shuffle), then one equi-join whose key includes the UNIQUE record
+   * position, so a hot URL recrawled millions of times cannot skew a
+   * reducer with its bodies — they spread across (file, rec_index).
+   */
+  def dedupByUrl(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withCanon = records.withColumn("canonical_url",
+      canonicalUrl(col("target_uri")))
+    val winners = withCanon
+      .groupBy("canonical_url")
+      .agg(min(struct(col("file"), col("rec_index"))).as("__w"),
+        count(lit(1)).as("url_copies"))
+      .select(col("canonical_url").as("__cu"),
+        col("__w.file").as("__wf"), col("__w.rec_index").as("__wi"),
+        col("url_copies"))
+    withCanon.join(winners,
+        withCanon("canonical_url") === winners("__cu") &&
+          withCanon("file") === winners("__wf") &&
+          withCanon("rec_index") === winners("__wi"))
+      .drop("__cu", "__wf", "__wi")
   }
 
   // ------------------------------------------------------------ parser —
@@ -136,6 +196,15 @@ object Warc {
           }
           val len = headers.getOrElse("content-length",
             fail("missing Content-Length")).toLong
+          // validate BEFORE allocating: a record ≥ 2 GiB (or a corrupt
+          // length whose low 32 bits happen to be small) would silently
+          // truncate through toInt, read the wrong byte count, and
+          // desynchronize the rest of the stream — the fail-loudly
+          // contract demands file + record index instead
+          if (len < 0 || len > Int.MaxValue)
+            fail(s"Content-Length $len outside [0, ${Int.MaxValue}] — " +
+              "corrupt or unsupported (records are bounded by the " +
+              "per-record gzip-member container)")
           val payload = new Array[Byte](len.toInt)
           var off = 0
           while (off < len) {
@@ -191,13 +260,14 @@ object Warc {
     * inputs produce byte-identical files. */
   def writeFixture(file: String,
       recs: Iterator[(String, String, String, Array[Byte])],
-      gzip: Boolean): Unit = {
+      gzip: Boolean,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
     val p = new HPath(file)
-    val out = FileSystem
-      .get(p.toUri, new org.apache.hadoop.conf.Configuration()).create(p, true)
+    val out = FileSystem.get(p.toUri, conf).create(p, true)
     try recs.foreach { case (wtype, uri, ctype, payload) =>
       val sink: OutputStream =
-        if (gzip) new GZIPOutputStream(out) else out
+        if (gzip) new MemberGzip(out) else out
       val id = "<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
         uri.getBytes(UTF_8)) + ">"
       val header =
@@ -212,9 +282,20 @@ object Warc {
       sink.write(payload)
       sink.write("\r\n\r\n".getBytes(UTF_8))
       sink match {
-        case g: GZIPOutputStream => g.finish()
+        case g: MemberGzip => g.finish(); g.end()
         case _ =>
       }
     } finally out.close()
+  }
+
+  /** One gzip MEMBER (identical bytes to a plain GZIPOutputStream —
+    * fixtures stay byte-reproducible) whose native Deflater is freed
+    * eagerly: `finish()` writes the trailer without closing the
+    * underlying stream, and `end()` releases the native memory —
+    * without it, every record leaks one Deflater until GC, real
+    * native-memory churn at corpus-sized record counts. */
+  private final class MemberGzip(out: OutputStream)
+      extends GZIPOutputStream(out) {
+    def end(): Unit = `def`.end()
   }
 }

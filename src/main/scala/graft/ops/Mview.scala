@@ -52,11 +52,12 @@ object Mview {
     * same-named equi-keys) maintained by `IncrementalAgg.maintainJoin`
     * with a composite fact-version,dim-version cursor.
     *
-    * `mins`/`maxs`/`avgs` present = the EXTENDED single-table shape:
-    * the state additionally carries `min_`/`max_` per extreme column
-    * and a non-null count `cnt_` per sum/avg column, maintained by
-    * the split rule [[Mview.maintainExtended]] documents. Join views
-    * stay count/sum-only (enforced at create). */
+    * `mins`/`maxs`/`avgs` present = the EXTENDED state shape: the
+    * state additionally carries `min_`/`max_` per extreme column and
+    * a non-null count `cnt_` per sum/avg column, maintained by the
+    * split rule [[Mview.maintainExtended]] documents. An extended
+    * JOIN view maintains the same rule over the JOINED relation's
+    * true changed row sets (see `refresh`'s join branch). */
   final case class Def(source: String, groups: Seq[String],
       sums: Seq[String], where: Option[String], out: Seq[OutCol],
       dim: Option[String] = None, keys: Seq[String] = Nil,
@@ -152,6 +153,7 @@ object Mview {
   def stateShape(d: Def, rows: DataFrame,
       dimRows: Option[DataFrame] = None): DataFrame = dimRows match {
     case None => stateOf(d, rows)
+    case Some(dr) if d.extended => extendedShape(d, rows.join(dr, d.keys))
     case Some(dr) =>
       IncrementalAgg.joinAggregate(rows, dr, d.keys, d.groups, d.sums)
   }
@@ -295,9 +297,6 @@ object Mview {
     * (there is no version to pin a cursor to). */
   def initialize(spark: SparkSession, d: Def, sourceRoot: String,
       stateDir: String, dimRoot: Option[String] = None): Long = {
-    require(!(d.extended && dimRoot.isDefined),
-      "join materialized views carry count/sum only — min/max/avg " +
-        "ride the single-table extended state")
     def pin(root: String): Long =
       VersionedPartitioned.currentVersion(spark, root)
         .getOrElse(throw new IllegalArgumentException(
@@ -311,10 +310,9 @@ object Mview {
           v0.toString)
       case Some(dr) =>
         val vd = pin(dr)
-        val state = IncrementalAgg.joinAggregate(
+        val state = stateShape(d,
           VersionedPartitioned.readAt(spark, sourceRoot, v0),
-          VersionedPartitioned.readAt(spark, dr, vd),
-          d.keys, d.groups, d.sums)
+          Some(VersionedPartitioned.readAt(spark, dr, vd)))
         writeState(spark, d, stateDir, state, s"$v0,$vd")
     }
     v0
@@ -389,10 +387,19 @@ object Mview {
         if (full) {
           require(cur > 0L && curD > 0L,
             s"REFRESH FULL: a join-view source has no commits")
-          writeState(spark, d, stateDir, IncrementalAgg.joinAggregate(
-            VersionedPartitioned.readAt(spark, sourceRoot, cur),
-            VersionedPartitioned.readAt(spark, dr, curD),
-            d.keys, d.groups, d.sums), s"$cur,$curD")
+          // a fully-retracted side recomputes to an empty view; the
+          // format read refuses an empty manifest, so reuse the
+          // state's own (stable) schema
+          val next =
+            if (VersionedPartitioned
+                  .partitions(spark, sourceRoot, Some(cur)).isEmpty ||
+                VersionedPartitioned.partitions(spark, dr, Some(curD))
+                  .isEmpty)
+              rawState(spark, stateDir).where(lit(false))
+            else stateShape(d,
+              VersionedPartitioned.readAt(spark, sourceRoot, cur),
+              Some(VersionedPartitioned.readAt(spark, dr, curD)))
+          writeState(spark, d, stateDir, next, s"$cur,$curD")
           return cur
         }
         if (cur == cursor && curD == dimCursor) return cursor
@@ -403,13 +410,53 @@ object Mview {
           sourceRoot, cursor, Some(cur))
         val (oldD, newD) = VersionedPartitioned.changedSides(spark,
           dr, dimCursor, Some(curD))
-        val maintained = IncrementalAgg.maintainJoin(
-          rawState(spark, stateDir),
-          oldFact = VersionedPartitioned.readAt(spark, sourceRoot, cursor),
-          oldFactChanged = oldF, newFactChanged = newF,
-          newDim = VersionedPartitioned.readAt(spark, dr, curD),
-          oldDimChanged = oldD, newDimChanged = newD,
-          d.keys, d.groups, d.sums)
+        val maintained =
+          if (d.extended) {
+            // extended (min/max/avg) join views maintain the
+            // single-table split rule over the JOINED relation's TRUE
+            // changed row sets — NOT maintainJoin's signed terms:
+            //   ΔJ_old = ΔF_old ⋈ D_old  ∪  F_unch ⋈ ΔD_old
+            //   ΔJ_new = ΔF_new ⋈ D_new  ∪  F_unch ⋈ ΔD_new
+            // F_unch (fact partitions untouched in the window) is
+            // identical at both versions, so each union is a disjoint
+            // partition split and J_old ∖ ΔJ_old = J_new ∖ ΔJ_new —
+            // exactly maintainExtended's contract. The signed
+            // cancellation counts/sums ride on would feed least/
+            // greatest values that are NOT in the final join (a
+            // deleted fact row joined to the new dim rides
+            // maintainJoin's plus term F_old ⋈ ΔD_new), so min/max
+            // maintenance needs membership precision. Cost shape is
+            // maintainJoin's: the F_unch ⋈ ΔD terms restrict the
+            // unchanged fact to changed dim keys (broadcast-sized dim
+            // deltas at scale), and the rescan-on-doubt branch over
+            // J_new collapses via AQE when no group is affected.
+            def orEmpty(root: String, v: Long, proto: DataFrame)
+                : DataFrame =
+              if (v <= 0L || VersionedPartitioned
+                    .partitions(spark, root, Some(v)).isEmpty)
+                proto.where(lit(false))
+              else VersionedPartitioned.readAt(spark, root, v)
+            val dimOld = orEmpty(dr, dimCursor, newD)
+            val dimNew = orEmpty(dr, curD, newD)
+            val factUnch = VersionedPartitioned
+              .unchangedSide(spark, sourceRoot, cursor, Some(cur))
+              .getOrElse(newF.where(lit(false)))
+            val jOld = oldF.join(dimOld, d.keys)
+              .unionByName(factUnch.join(oldD, d.keys))
+            val jNew = newF.join(dimNew, d.keys)
+              .unionByName(factUnch.join(newD, d.keys))
+            val srcAtTo = orEmpty(sourceRoot, cur, newF)
+              .join(dimNew, d.keys)
+            maintainExtended(d, rawState(spark, stateDir),
+              jOld, jNew, srcAtTo)
+          }
+          else IncrementalAgg.maintainJoin(
+            rawState(spark, stateDir),
+            oldFact = VersionedPartitioned.readAt(spark, sourceRoot, cursor),
+            oldFactChanged = oldF, newFactChanged = newF,
+            newDim = VersionedPartitioned.readAt(spark, dr, curD),
+            oldDimChanged = oldD, newDimChanged = newD,
+            d.keys, d.groups, d.sums)
         writeState(spark, d, stateDir, maintained, s"$cur,$curD")
         cur
     }

@@ -1521,6 +1521,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
         VersionedPartitioned.overwritePartitions(
           withPhysKey(applyTo(cur), meta), path, affected.contains,
+          tag = txnTag,
           bloomCols = meta.bloomCols, statsCols = meta.statsCols,
           clusterBy = meta.writeOrder,
           maxRecordsPerFile = meta.maxRecsPerFile)
@@ -1753,6 +1754,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             src.alias("s").where(expr(rewriteAliases(c)))).getOrElse(src)
           if (insertAll && ins.take(1).nonEmpty) {
             VersionedPartitioned.promote(withPhysKey(ins, meta), path, p,
+              tag = txnTag,
               bloomCols = meta.bloomCols, statsCols = meta.statsCols,
               clusterBy = meta.writeOrder,
               maxRecordsPerFile = meta.maxRecsPerFile)
@@ -1766,7 +1768,7 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           val cur = readTable(target, meta)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, _ => true, bloomCols = meta.bloomCols,
+            path, _ => true, tag = txnTag, bloomCols = meta.bloomCols,
             statsCols = meta.statsCols, clusterBy = meta.writeOrder,
             maxRecordsPerFile = meta.maxRecsPerFile)
         } else {
@@ -1783,7 +1785,8 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
             .select(meta.schema.fieldNames.map(c => col(s"`$c`")): _*)
           VersionedPartitioned.overwritePartitions(
             withPhysKey(conform(doMerge(cur), meta.schema, target), meta),
-            path, affected.contains, bloomCols = meta.bloomCols,
+            path, affected.contains, tag = txnTag,
+            bloomCols = meta.bloomCols,
             statsCols = meta.statsCols, clusterBy = meta.writeOrder,
             maxRecordsPerFile = meta.maxRecsPerFile)
         }
@@ -2372,9 +2375,6 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     val mins = out.collect { case Mview.OutCol("min", c, _) => c }.distinct
     val maxs = out.collect { case Mview.OutCol("max", c, _) => c }.distinct
     val avgs = out.collect { case Mview.OutCol("avg", c, _) => c }.distinct
-    require(dimOpt.isEmpty || (mins ++ maxs ++ avgs).isEmpty,
-      s"CREATE MATERIALIZED VIEW $name: a JOIN view carries count/sum " +
-        "only — min/max/avg ride the single-table extended state")
     val d = Mview.Def(src, groups, sums, whereOpt.map(_.trim), out,
       dimOpt, resolvedKeys, mins, maxs, avgs)
     // the visible schema comes from projecting a typed empty state
@@ -2489,9 +2489,22 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
       case InsertRe(name, _) => name.toLowerCase
       case DeletePartRe(name, _, _) => name.toLowerCase
       case DeleteRowsRe(name, _) => name.toLowerCase
+      case UpdateRe(name, _, _) => name.toLowerCase
+      case MergeEvolveRe(_) => throw new IllegalArgumentException(
+        "transaction body: MERGE WITH SCHEMA EVOLUTION may add " +
+          "metadata-only column commits before the merge — not " +
+          "single-commit; evolve the schema outside the transaction")
+      case MergeStmtRe() =>
+        MergeHeadRe.findPrefixMatchOf(s.trim.stripSuffix(";")) match {
+          case Some(m) => m.group(1).toLowerCase
+          case None => throw new IllegalArgumentException(
+            "transaction body: cannot parse MERGE INTO target — " +
+              "expected MERGE INTO <schema.table> [AS] <alias> USING …")
+        }
       case _ => throw new IllegalArgumentException(
         "transaction body: only INSERT INTO / INSERT OVERWRITE / " +
-          s"DELETE FROM route through BEGIN…COMMIT, got: ${s.take(80)}")
+          "DELETE FROM / UPDATE / MERGE INTO route through " +
+          s"BEGIN…COMMIT, got: ${s.take(80)}")
     }
     val meta = metaOf(target).getOrElse(throw new IllegalArgumentException(
       s"transaction body: no such table $target"))
@@ -2508,10 +2521,15 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
    * contract). A statement that no-ops (the reference's idempotent
    * DELETE-day on its first run) still occupies its position with a
    * data-less tagged commit — recovery would otherwise read the
-   * transaction as incomplete forever. A crash or failure mid-replay
-   * leaves a tagged PREFIX that `Txn.recover` — run on every door
-   * open — rolls back; `Txn.readAll` readers never observe a partial
-   * transaction either way.
+   * transaction as incomplete forever. A CRASH mid-replay leaves a
+   * tagged PREFIX that `Txn.recover` — run on every door open — rolls
+   * back. A statement FAILURE mid-replay (no crash) rolls the landed
+   * prefix back HERE, before the exception propagates: recover only
+   * runs on door OPEN, so without this the same live session's later
+   * reads would see the partial transaction — and any subsequent
+   * write would commit over the tagged head, making it permanent
+   * (recover leaves non-head tagged commits alone by design). Either
+   * way, `Txn.readAll` readers never observe a partial transaction.
    */
   private def commitTxn(): Unit = {
     val stmts = txnBuffer.getOrElse(
@@ -2520,6 +2538,11 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
     if (stmts.isEmpty) return
     val id = java.util.UUID.randomUUID().toString
     val n = stmts.size
+    // pre-transaction head per table: the in-session rollback target
+    val preTxn: Seq[(String, Long)] = stmts.map(_._2).distinct.map { t =>
+      t -> VersionedPartitioned
+        .currentVersion(spark, tableDir(t).toString).getOrElse(0L)
+    }
     try {
       stmts.zipWithIndex.foreach { case ((stmt, target), i) =>
         val path = tableDir(target).toString
@@ -2537,6 +2560,27 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
           ()
         }
       }
+    } catch {
+      case e: Throwable =>
+        txnTag = None
+        // restore-forward each touched table to its pre-transaction
+        // head (Iceberg-rollback style — the audit trail keeps the
+        // aborted attempt); a rollback failure is suppressed onto the
+        // original error, and the door-open recover remains the
+        // backstop for whatever this pass could not undo
+        try preTxn.foreach { case (t, v) =>
+          val path = tableDir(t).toString
+          val cur =
+            VersionedPartitioned.currentVersion(spark, path).getOrElse(0L)
+          if (cur > v) {
+            if (v >= 1L) VersionedPartitioned.rollbackTo(spark, path, v)
+            else VersionedPartitioned.emptyCommit(spark, path,
+              metaOf(t).flatMap(_.partitionCol).getOrElse(""),
+              Some(s"rollback-${Txn.TagPrefix}$id"), dropAll = true)
+            ()
+          }
+        } catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
     } finally txnTag = None
   }
 

@@ -254,7 +254,14 @@ object StatsAgg {
                  org.apache.spark.sql.types.ShortType |
                  org.apache.spark.sql.types.IntegerType |
                  org.apache.spark.sql.types.LongType =>
-              org.apache.spark.sql.types.LongType
+              // integral sums fold in DecimalType(38,0), NOT LongType:
+              // a true sum beyond Long range would wrap SILENTLY in a
+              // long fold (Spark's own Average accumulates integrals
+              // in double, which saturates but never wraps) — the
+              // decimal fold is exact at any realistic scale and the
+              // division below casts it to double once, the same
+              // single rounding as before
+              org.apache.spark.sql.types.DecimalType(38, 0)
             case _ => return None
           }
           avgChild.put(i.outName, ct)
@@ -342,8 +349,9 @@ object StatsAgg {
           // decimal(20,0), then cast to the avg result type) — same
           // DecimalPrecision typing, same HALF_UP rounding, so the
           // fold equals the scan bit for bit. Integrals divide the
-          // EXACT long sum as one double division: the correctly-
-          // rounded mean, where the scan's own double accumulation is
+          // EXACT decimal(38,0) sum as one double division: the
+          // correctly-rounded mean (and wrap-proof beyond Long range),
+          // where the scan's own double accumulation is
           // partition-order-dependent in the last ulp — the fold is
           // the deterministic member of that rounding family (and
           // exactly the scan's value whenever the accumulation stays

@@ -23,15 +23,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    heads back (restore-forward commits, so the audit trail keeps the
  *    aborted attempt, Iceberg-rollback style). Run it before new
  *    writes, the same discipline as every WAL recovery.
- *  - CONCURRENT READERS: [[readAll]] resolves the newest transaction
- *    id COMPLETE on every requested table and time-travels each table
- *    to ITS version under that id — a snapshot-consistent cross-table
- *    view even while a transaction (or its recovery) is mid-flight.
- *    Tables never written transactionally fall back to head reads.
+ *  - CONCURRENT READERS: [[readAll]] walks each table's head past
+ *    exactly the commits of INCOMPLETE transaction ids and reads
+ *    there — the state a crash-free recover would expose, without
+ *    writing — so a partial transaction is never observable even
+ *    while it (or its recovery) is mid-flight. Completed transactions
+ *    and ordinary commits are acknowledged history and read at head.
  *
- * Scale shape: everything here is commit-log metadata — tag parsing is
- * O(#versions) small file reads per table; no data I/O beyond the
- * promotes themselves and the final pinned reads.
+ * Scale shape: everything here is commit-log metadata, and the scans
+ * are BOUNDED: [[readAll]]/[[recover]] read each table's commit log
+ * newest-first through a lazy tag scanner and stop at the first
+ * non-transactional (or complete-transaction) commit — a table whose
+ * head is untagged costs ONE commit-file read, regardless of how many
+ * epoch commits a year of streaming appended. Only deciding a
+ * transaction id actually found in a head run deepens the scan (to
+ * locate its other positions), and only an ABORTED id — the
+ * post-crash case — can push that to the full history. No data I/O
+ * beyond the promotes themselves and the final pinned reads.
  */
 object Txn {
 
@@ -58,29 +66,79 @@ object Txn {
     }
   }
 
-  /** (version, txnId, position, size) for every txn-tagged commit on a
-    * root — commit-log metadata only. */
-  private def txnTags(spark: SparkSession, root: String)
-      : Seq[(Long, String, Int, Int)] =
-    if (VersionedPartitioned.currentVersion(spark, root).isEmpty) Nil
-    else VersionedPartitioned.historyDf(spark, root)
-      .select("version", "tag").collect().toSeq.flatMap { r =>
-        Option(r.getAs[String]("tag")).collect {
-          case TagRe(id, k, n) => (r.getAs[Long]("version"), id, k.toInt, n.toInt)
+  /**
+   * Bounded newest-first tag scanner over the roots' commit logs: one
+   * directory listing per root up front, then ONE commit-file read per
+   * consumed element, deepening only as far as a decision needs. This
+   * replaces the full-history collects readAll/recover used to pay on
+   * EVERY call — a streaming table accumulates 10⁵–10⁶ epoch commits a
+   * year, and scanning them all just to learn "no transaction is in
+   * flight" was the metadata bottleneck (round-18 verdict). The
+   * steady-state costs: untagged head → one read; txn tags at the
+   * heads (the normal post-COMMIT state — every position IS at a
+   * head run) → O(run lengths); only an id whose positions are buried
+   * (aborted, or interleaved with later non-txn writes) deepens
+   * further, bounded by the depth of its oldest position.
+   */
+  private final class TagScan(spark: SparkSession, roots: Seq[String]) {
+    private val its = roots.map(r =>
+      r -> VersionedPartitioned.tagsNewestFirst(spark, r)).toMap
+    /** Consumed (version, parsed txn tag) per root, newest-first. */
+    private val seen = roots.map(r => r -> scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Option[(String, Int, Int)])]).toMap
+    private val decided =
+      scala.collection.mutable.Map.empty[String, Boolean]
+
+    /** Read one more (older) commit of `r`; false when exhausted. */
+    private def advance(r: String): Boolean = {
+      val it = its(r)
+      if (!it.hasNext) false
+      else {
+        val (v, t) = it.next()
+        seen(r) += ((v, t.collect {
+          case TagRe(id, k, n) => (id, k.toInt, n.toInt) }))
+        true
+      }
+    }
+
+    /** Entry at depth `i` (0 = head) of `r`, advancing as needed;
+      * None when the log has fewer than i+1 commits. */
+    def at(r: String, i: Int): Option[(Long, Option[(String, Int, Int)])] = {
+      while (seen(r).length <= i && advance(r)) {}
+      seen(r).lift(i)
+    }
+
+    /** Is `id` COMPLETE — tagged positions covering 1..n across the
+      * roots? Deepens ALL roots in lockstep until the cover is found
+      * or every log is exhausted (then: incomplete/aborted). Memoized
+      * — both outcomes are final for a given scan. */
+    def decide(id: String): Boolean = decided.getOrElseUpdate(id, {
+      def complete: Boolean = {
+        val hits = roots.flatMap(r => seen(r).flatMap(_._2))
+          .filter(_._1 == id)
+        hits.headOption.exists(h => hits.map(_._2).toSet == (1 to h._3).toSet)
+      }
+      var progress = true
+      while (!complete && progress)
+        progress = roots.map(advance).exists(identity)
+      complete
+    })
+
+    /** The newest version of `r` not written by an INCOMPLETE
+      * transaction — what a crash-free recover would leave as head.
+      * None = every retained commit is an aborted-transaction commit
+      * (or the log is empty). */
+    def target(r: String): Option[Long] = {
+      var i = 0
+      while (true) {
+        at(r, i) match {
+          case None => return None
+          case Some((_, Some((id, _, _)))) if !decide(id) => i += 1
+          case Some((v, _)) => return Some(v)
         }
       }
-
-  /** Transaction ids whose tagged positions cover 1..n across `roots`
-    * (complete), and the rest (incomplete). */
-  private def partition(spark: SparkSession, roots: Seq[String])
-      : (Map[String, Seq[(String, Long)]], Set[String]) = {
-    val all = roots.flatMap(r => txnTags(spark, r).map {
-      case (v, id, k, n) => (id, r, v, k, n) })
-    val byId = all.groupBy(_._1)
-    val complete = byId.filter { case (_, rows) =>
-      rows.map(_._4).toSet == (1 to rows.head._5).toSet }
-    (complete.map { case (id, rows) =>
-      id -> rows.map(r => (r._2, r._3)) }, (byId.keySet -- complete.keySet))
+      None // unreachable
+    }
   }
 
   /**
@@ -105,56 +163,56 @@ object Txn {
   def recover(spark: SparkSession, roots: Seq[String]): Seq[String] = {
     if (!roots.exists(r => VersionedPartitioned.headTag(spark, r)
         .exists(_.startsWith(TagPrefix)))) return Nil
-    val (_, incomplete) = partition(spark, roots)
-    if (incomplete.isEmpty) return Nil
+    val scan = new TagScan(spark, roots)
     roots.flatMap { r =>
-      VersionedPartitioned.currentVersion(spark, r).flatMap { head =>
-        val aborted = txnTags(spark, r).filter(t => incomplete(t._2))
-          .map(_._1).toSet
-        if (!aborted(head)) None
-        else {
-          var target = head
-          while (aborted(target)) target -= 1
-          if (target >= 1L) {
-            VersionedPartitioned.rollbackTo(spark, r, target)
-            ()
-          } else {
-            // partitionCol is read from the existing manifest (a head
-            // exists here), so the placeholder is never used
+      scan.at(r, 0).flatMap { case (head, _) =>
+        scan.target(r) match {
+          case Some(v) if v == head => None // head is clean
+          case Some(v) =>
+            VersionedPartitioned.rollbackTo(spark, r, v)
+            Some(r)
+          case None =>
+            // every retained commit is aborted: close with one clean
+            // empty commit (partitionCol is read from the existing
+            // manifest — a head exists here — so the placeholder is
+            // never used)
             VersionedPartitioned.emptyCommit(spark, r, "",
               Some(s"rollback-$TagPrefix$head"), dropAll = true)
-            ()
-          }
-          Some(r)
+            Some(r)
         }
       }
     }
   }
 
   /**
-   * Snapshot-consistent cross-table read: every root pinned to its
-   * version under the NEWEST transaction id complete on ALL of them
-   * (newest by the first root's version — commits are ordered, so any
-   * root's order agrees). Roots with no common complete transaction
-   * read at head (not under transaction discipline). One frame per
-   * root, in input order.
+   * Snapshot-consistent cross-table read: every root reads at its
+   * newest version NOT written by an incomplete transaction — the
+   * state a crash-free recover would expose, without writing anything.
+   * The only cross-table anomaly transactions introduce is observing a
+   * PARTIAL one (some tables carrying an in-flight/crashed id's writes,
+   * others not yet); walking each head past exactly the incomplete-id
+   * runs excludes it, while completed transactions and ordinary
+   * (non-transactional) commits read at head as acknowledged history.
+   * One frame per root, in input order; a root whose entire retained
+   * history is aborted-transaction commits reads EMPTY (what recover
+   * would leave). Cost: one commit-file read per untagged-head root —
+   * see [[TagScan]] for the deepening bounds.
    */
   def readAll(spark: SparkSession, roots: Seq[String]): Seq[DataFrame] = {
-    val (complete, _) = partition(spark, roots)
-    val common = complete.filter { case (_, rows) =>
-      roots.forall(r => rows.exists(_._1 == r)) }
-    if (common.isEmpty)
-      roots.map(r => VersionedPartitioned.read(spark, r))
-    else {
-      // a transaction may write one table at several positions (the
-      // door's DELETE+INSERT pair): the table's version under the id
-      // is its LATEST tagged commit, and "newest transaction" orders
-      // by that same maximum
-      val (_, rows) = common.maxBy { case (_, rs) =>
-        rs.filter(_._1 == roots.head).map(_._2).maxOption.getOrElse(0L) }
-      roots.map { r =>
-        VersionedPartitioned.readAt(spark, r,
-          rows.filter(_._1 == r).map(_._2).max)
+    val scan = new TagScan(spark, roots)
+    roots.map { r =>
+      scan.at(r, 0) match {
+        case None | Some((_, None)) =>
+          // no commits (the format read stays loud, as before) or a
+          // non-transactional head: the head IS the consistent state
+          VersionedPartitioned.read(spark, r)
+        case Some((head, Some(_))) =>
+          scan.target(r) match {
+            case Some(v) if v == head => VersionedPartitioned.read(spark, r)
+            case Some(v) => VersionedPartitioned.readAt(spark, r, v)
+            case None => VersionedPartitioned.read(spark, r)
+              .where(org.apache.spark.sql.functions.lit(false))
+          }
       }
     }
   }

@@ -244,6 +244,24 @@ object VersionedPartitioned {
     Versioned.latestRaw(fs, rootPath).map { case (v, c) => (v, parse(c)) }
   }
 
+  /** (version, commit tag) NEWEST-FIRST as a LAZY iterator: one
+    * directory listing up front, then ONE commit-file read per element
+    * consumed. Bounded consumers (`Txn`'s head-run scans) read only
+    * the tail they need instead of `historyDf`'s O(#versions) collect
+    * — on a streaming table with 10⁵ epoch commits, the difference
+    * between one head read and a full metadata scan per call. Commit
+    * files vacuumed between the listing and the open are skipped (the
+    * `latestTagWithPrefix` TOCTOU guard). */
+  def tagsNewestFirst(spark: SparkSession,
+      root: String): Iterator[(Long, Option[String])] = {
+    val (fs, rootPath) = Versioned.fsOf(spark, root)
+    Versioned.listCommits(fs, rootPath).reverseIterator.flatMap {
+      case (v, p) =>
+        try Some((v, parse(Versioned.readCommit(fs, p)).tag))
+        catch { case _: java.io.FileNotFoundException => None }
+    }
+  }
+
   /** Iceberg's `history` metadata table for the manifest format: the
     * commit log as a DataFrame — (version, tag, n_partitions,
     * n_snapshots, committed_at millis from commit-file mtime). A
@@ -2006,6 +2024,34 @@ object VersionedPartitioned {
       readManifest(spark, root, mTo)) // nothing changed: schema-only read
     val empty = anchor.where(org.apache.spark.sql.functions.lit(false))
     (oldSide.getOrElse(empty), newSide.getOrElse(empty))
+  }
+
+  /** The complement of [[changedSides]]: rows of the partitions NOT
+    * touched between the two versions — identical at both ends (entry
+    * and MoR delete set unchanged), read under the new manifest's
+    * schema view with the new manifest's delete sidecars (equal to the
+    * old ones on these partitions by construction). None = no
+    * partition survived unchanged. Extended JOIN-view maintenance
+    * needs this as a true ROW SET: its F_unchanged ⋈ ΔD terms must be
+    * disjoint from the ΔF ⋈ D terms — min/max maintenance reasons
+    * about actual row membership, where count/sum maintenance gets
+    * away with signed-multiset cancellation over the full F_old. */
+  def unchangedSide(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): Option[DataFrame] = {
+    val mTo = manifestAt(spark, root, toVersion)
+    val mFrom: Option[Manifest] =
+      if (fromVersion <= 0) None
+      else Some(manifestAt(spark, root, Some(fromVersion)))
+    val fromEntries = mFrom.map(_.entries).getOrElse(Map.empty)
+    val fromDeletes = mFrom.map(_.deletes).getOrElse(Map.empty)
+    val kept = mTo.entries.filter { case (p, _) =>
+      fromEntries.get(p) == mTo.entries.get(p) &&
+        fromDeletes.get(p) == mTo.deletes.get(p)
+    }
+    if (kept.isEmpty) None
+    else Some(readManifest(spark, root,
+      Manifest(mTo.partitionCol, kept, None, mTo.evolution,
+        mTo.deletes, mTo.snapGens)))
   }
 
   /** Whole-partition DELETE (the reference's idempotent DELETE-day,

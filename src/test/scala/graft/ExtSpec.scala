@@ -834,6 +834,37 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF pruned recall $recall collapsed")
   }
 
+  test("Similarity persisted IVF index: build-then-query == one-shot; queries read ONLY the index") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where($"vec_id" % 50 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_simidx_spec_").toString
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", root,
+      centroidStride = 50)
+    // queries come from MEMORY so every scanned file is attributable
+    val qMem = spark.createDataFrame(
+      spark.sparkContext.parallelize(q.collect().toSeq), q.schema)
+    val served = Similarity.indexedIvfTopK(spark, root, qMem,
+      "vec_id", "embedding", 5, nProbe = 4)
+    val oneShot = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+      centroidStride = 50, nProbe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rows(served) == rows(oneShot),
+      "the persisted index must serve the one-shot answer bit for bit")
+    // the serving plan never touches the corpus parquet — its only
+    // file inputs are the index tables under the index root
+    val files = served.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(root)),
+      s"query phase must read only the index, got: ${files.take(3).mkString(", ")}")
+    // the index is one TRANSACTION: both tables or neither
+    import graft.ops.VersionedPartitioned
+    assert(VersionedPartitioned
+      .headTag(spark, s"$root/${Similarity.IvfCellsTable}")
+      .exists(_.startsWith("txn:")))
+  }
+
   test("Similarity.ivfPqTopK: exact with exhaustive knobs; PQ shortlist keeps recall") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where($"vec_id" % 50 === 0)
@@ -1521,6 +1552,68 @@ class ExtSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       Warc.records(spark, dir3.toString).collect())
     assert(rootMsg(e2).contains("version line"), rootMsg(e2))
+  }
+
+  test("Warc.canonicalUrl + dedupByUrl: variant spellings collapse, first capture wins") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ext.Warc
+    // canonicalization edges: scheme/fragment/host-case/query-order
+    // invariance; PATH case preserved; no-query, no-path, bare-token
+    // query all stable
+    val got = Seq(
+        "https://Example.COM/Path/X?b=2&a=1#frag",
+        "HTTP://example.com/Path/X?a=1&b=2",
+        "example.com/Path/X?a=1&b=2",
+        "https://example.com/Path/X",
+        "https://HOST.com?z=1&y=2",
+        "https://h.com/p?one")
+      .toDF("u").select(Warc.canonicalUrl($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "example.com/Path/X?a=1&b=2",
+      "example.com/Path/X?a=1&b=2",
+      "example.com/Path/X?a=1&b=2",
+      "example.com/Path/X",
+      "host.com?y=2&z=1",
+      "h.com/p?one"), got.mkString("\n"))
+
+    // dedup: three spellings of one URL + one distinct URL; the FIRST
+    // capture (lowest (file, rec_index)) survives with url_copies = 3
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_urldedup_").toString
+    Warc.writeFixture(s"$dir/a.wet.gz", Iterator(
+      ("conversion", "https://Site.org/a?y=2&x=1", "text/plain",
+        "first".getBytes(UTF_8)),
+      ("conversion", "http://site.org/a?x=1&y=2#f", "text/plain",
+        "second".getBytes(UTF_8)),
+      ("conversion", "https://site.org/b", "text/plain",
+        "unique".getBytes(UTF_8)),
+      ("conversion", "HTTPS://SITE.ORG/a?x=1&y=2", "text/plain",
+        "third".getBytes(UTF_8))), gzip = true)
+    val kept = Warc.dedupByUrl(Warc.records(spark, dir))
+      .select($"canonical_url", $"url_copies", $"body".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(kept == Set(
+      ("site.org/a?x=1&y=2", 3L, "first"),
+      ("site.org/b", 1L, "unique")))
+
+    // a Content-Length outside [0, Int.MaxValue] fails LOUDLY with the
+    // file name — a silent toInt truncation would desynchronize the
+    // stream and misparse every record after it
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_warclen_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/big.warc"),
+      ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        "Content-Length: 99999999999\r\n\r\n").getBytes(UTF_8))
+    val e = intercept[Exception](Warc.records(spark, dir2).collect())
+    def rootMsg(t0: Throwable): String = {
+      var t = t0
+      while (t.getCause != null) t = t.getCause
+      Option(t.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("Content-Length") &&
+      rootMsg(e).contains("big.warc"), rootMsg(e))
   }
 
   test("crawl-to-corpus: WARC responses feed stripHtml and recover the document text") {

@@ -319,14 +319,60 @@ class MviewSpec extends AnyFunSuite {
       z.isNullAt(4) && z.isNullAt(5), s"all-NULL group must project NULLs: $z")
     assert(mvX() == recomputeX())
 
-    // min/max/avg on a JOIN view is refused loudly
+  }
+
+  test("extended JOIN views: min/max/avg maintained through churn on EACH side") {
+    val (life, _) = mkLife()
+    ins(life, ("2024-03-01", "a", "10.00", 1), ("2024-03-01", "a", "3.00", 1),
+      ("2024-03-02", "z", "8.00", 1), ("2024-03-02", "z", null, 1))
     life.execute("CREATE TABLE mv.dim (r STRING, grp STRING) " +
       "USING ICEBERG PARTITIONED BY (r)")
-    life.execute("INSERT INTO mv.dim VALUES ('east','a')")
-    val e = intercept[IllegalArgumentException](life.execute(
-      "CREATE MATERIALIZED VIEW mv.badj AS SELECT r, min(amt) AS lo " +
-        "FROM mv.src JOIN mv.dim USING (grp) GROUP BY r"))
-    assert(e.getMessage.contains("count/sum only"))
+    life.execute("INSERT INTO mv.dim VALUES ('east','a'),('west','z')")
+    life.execute("CREATE MATERIALIZED VIEW mv.jx AS " +
+      "SELECT r, count(*) AS n, min(amt) AS lo, max(amt) AS hi, " +
+      "avg(amt) AS mean FROM mv.src JOIN mv.dim USING (grp) GROUP BY r")
+    def recomputeJ() = life.query("SELECT r, count(*) AS n, " +
+        "min(amt) AS lo, max(amt) AS hi, sum(amt)/count(amt) AS mean " +
+        "FROM mv.src JOIN mv.dim USING (grp) GROUP BY r")
+      .orderBy("r").collect().toSeq
+    def mvJ() = life.query("SELECT r, n, lo, hi, mean FROM mv.jx")
+      .orderBy("r").collect().toSeq
+    assert(mvJ() == recomputeJ())
+
+    // fact-side insert raises a max: least/greatest merge, no rescan
+    ins(life, ("2024-03-03", "a", "99.00", 1))
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx")
+    assert(mvJ() == recomputeJ())
+
+    // fact-side delete of that max: the affected-group rescan runs
+    // over the JOINED relation at the window's end versions
+    life.execute("DELETE FROM mv.src WHERE amt = 99.00")
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx")
+    assert(mvJ() == recomputeJ())
+
+    // dim-side insert fans z's rows into east too (F_unch ⋈ ΔD_new)
+    life.execute("INSERT INTO mv.dim VALUES ('east','z')")
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx")
+    assert(mvJ() == recomputeJ())
+
+    // dim-side row delete strips group a from east — east keeps only
+    // z's rows, so its extremes MUST de-extreme via the rescan
+    life.execute("DELETE FROM mv.dim WHERE grp = 'a'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx")
+    val afterDimDel = mvJ()
+    assert(afterDimDel == recomputeJ())
+    assert(afterDimDel.exists(_.getString(0) == "east"))
+
+    // dim-side partition delete kills west entirely (group death)
+    life.execute("DELETE FROM mv.dim WHERE r = 'west'")
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx")
+    val rows2 = mvJ()
+    assert(rows2 == recomputeJ())
+    assert(!rows2.exists(_.getString(0) == "west"))
+
+    // FULL rebuild agrees with the maintained state
+    life.execute("REFRESH MATERIALIZED VIEW mv.jx FULL")
+    assert(mvJ() == recomputeJ())
   }
 
   test("a multi-line WHERE predicate round-trips the def file intact") {

@@ -478,6 +478,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(VersionedPartitioned.partitions(spark, solo).isEmpty)
   }
 
+  test("Txn.readAll/recover cost O(tail) commit reads, not O(#versions)") {
+    import graft.ops.{Txn, Versioned, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_txnscale_").toString
+    val (fact, cum) = (s"$root/fact", s"$root/cum")
+    def rows(d: String, vs: Seq[Long]) =
+      vs.map(v => (d, v)).toDF("date", "v")
+    Txn.commit(Seq(
+      Txn.Write(rows("2024-03-01", Seq(1L, 2L)), fact, "date"),
+      Txn.Write(rows("2024-03-01", Seq(2L)), cum, "date")))
+    // a year of "streaming" activity: untagged data-less commits bury
+    // the transaction deep in both logs — a snapshot-consistent read
+    // must NOT pay an O(#versions) metadata scan to learn that no
+    // transaction is in flight
+    (1 to 200).foreach { _ =>
+      VersionedPartitioned.emptyCommit(spark, fact, "date", None)
+      VersionedPartitioned.emptyCommit(spark, cum, "date", None)
+      ()
+    }
+    val before = Versioned.commitFileReads.get()
+    val Seq(f, c) = Txn.readAll(spark, Seq(fact, cum))
+    assert(f.count() == 2 && c.count() == 1)
+    val reads = Versioned.commitFileReads.get() - before
+    assert(reads <= 8,
+      s"readAll on untagged heads must cost O(1) commit reads per " +
+        s"root; took $reads on a 200-commit log")
+    // idle recover: the head-tag guard alone — no history scan
+    val before2 = Versioned.commitFileReads.get()
+    assert(Txn.recover(spark, Seq(fact, cum)).isEmpty)
+    val reads2 = Versioned.commitFileReads.get() - before2
+    assert(reads2 <= 4,
+      s"idle recover must cost one head read per root; took $reads2")
+    // a COMPLETE transaction back at the heads: decided within the
+    // head runs — still no full-history walk
+    Txn.commit(Seq(
+      Txn.Write(rows("2024-03-02", Seq(3L)), fact, "date"),
+      Txn.Write(rows("2024-03-02", Seq(1L)), cum, "date")))
+    val before3 = Versioned.commitFileReads.get()
+    val Seq(f2, c2) = Txn.readAll(spark, Seq(fact, cum))
+    assert(f2.count() == 3 && c2.count() == 2)
+    val reads3 = Versioned.commitFileReads.get() - before3
+    assert(reads3 <= 10,
+      s"complete-txn heads must decide within the head runs; took $reads3")
+  }
+
   test("SQL door: BEGIN…COMMIT is one transaction — isolation, rollback, crash recovery on open") {
     import graft.ops.{SqlLifecycle, Txn, VersionedPartitioned}
     val root = Files.createTempDirectory("graft_sqltxn_").toString
@@ -523,22 +567,31 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception](life.execute("ROLLBACK")) // without BEGIN: loud
     intercept[Exception](life.execute("COMMIT"))
 
-    // crash mid-COMMIT: statement 2's body fails AFTER statement 1
-    // landed — the prefix carries an incomplete id; the NEXT door open
-    // runs Txn.recover and rolls the orphaned half back
+    // statement 2's body fails AFTER statement 1 landed: COMMIT rolls
+    // the landed prefix back BEFORE rethrowing — the SAME session's
+    // next read sees the pre-transaction state. (recover only runs on
+    // door open; without the in-commit rollback, a later write would
+    // commit over the tagged head and make the partial transaction
+    // permanent. The CRASH window — process death mid-replay — is the
+    // raw-Txn spec above.)
     life.execute("BEGIN")
     life.execute("INSERT INTO tx.fact VALUES ('2024-03-02',3)")
     life.execute("INSERT INTO tx.cum SELECT d, v FROM tx.nonexistent")
     intercept[Exception](life.execute("COMMIT"))
-    assert(VersionedPartitioned.headTag(spark, factRoot)
-      .exists(_.startsWith(Txn.TagPrefix)),
-      "the landed prefix must be txn-tagged")
-    // a reader BETWEEN crash and recovery still never sees the partial
+    assert(life.query("SELECT count(*) AS n FROM tx.fact")
+      .head.getLong(0) == 2,
+      "a failed COMMIT must roll back its landed prefix in-session")
     val Seq(f2, _) = Txn.readAll(spark, Seq(factRoot, cumRoot))
     assert(f2.count() == 2)
+    // a subsequent plain write lands on the ROLLED-BACK head — the
+    // aborted prefix can no longer become permanent
+    life.execute("INSERT INTO tx.fact VALUES ('2024-03-03',9)")
+    assert(life.query("SELECT count(*) AS n FROM tx.fact")
+      .head.getLong(0) == 3)
+    life.execute("DELETE FROM tx.fact WHERE d = '2024-03-03'")
     val life2 = new SqlLifecycle(spark, root) // recover runs on open
     assert(life2.query("SELECT count(*) AS n FROM tx.fact")
-      .head.getLong(0) == 2, "door open must roll back the aborted prefix")
+      .head.getLong(0) == 2)
     // …and the retry lands cleanly
     life2.execute("BEGIN")
     life2.execute("DELETE FROM tx.fact WHERE d = '2024-03-02'")
@@ -548,6 +601,60 @@ class PipelineSpec extends AnyFunSuite {
     life2.execute("COMMIT")
     val Seq(f3, c3) = Txn.readAll(spark, Seq(factRoot, cumRoot))
     assert(f3.count() == 3 && c3.count() == 2)
+  }
+
+  test("SQL door: MERGE INTO and UPDATE ride BEGIN…COMMIT") {
+    import graft.ops.{SqlLifecycle, VersionedPartitioned}
+    val root = Files.createTempDirectory("graft_sqltxnmerge_").toString
+    val life = new SqlLifecycle(spark, root)
+    life.execute("CREATE SCHEMA tm")
+    life.execute("CREATE TABLE tm.dim (r STRING, k BIGINT, name STRING) " +
+      "USING ICEBERG PARTITIONED BY (r)")
+    life.execute("CREATE TABLE tm.fact (d STRING, k BIGINT, v BIGINT) " +
+      "USING ICEBERG PARTITIONED BY (d)")
+    life.execute("INSERT INTO tm.dim VALUES ('east',1,'old'),('west',2,'two')")
+    Seq(("east", 1L, "ONE"), ("east", 3L, "three"))
+      .toDF("r", "k", "name").createOrReplaceTempView("dim_updates")
+    // the CDC shape: dimension MERGE + fact INSERT + fact UPDATE move
+    // atomically — each is one tagged commit at its txn position
+    life.execute("BEGIN")
+    life.execute("MERGE INTO tm.dim AS t USING dim_updates AS s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    life.execute(
+      "INSERT INTO tm.fact VALUES ('2024-01-01',1,10),('2024-01-01',3,30)")
+    life.execute("UPDATE tm.fact SET v = v * 2 WHERE k = 3")
+    life.execute("COMMIT")
+    assert(life.query("SELECT k, name FROM tm.dim ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ONE"), (2L, "two"), (3L, "three")))
+    assert(life.query("SELECT k, v FROM tm.fact ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (3L, 60L)))
+    assert(VersionedPartitioned.headTag(spark, s"$root/tm/fact")
+      .exists(_.matches("txn:[0-9a-f-]+:3of3")),
+      "the UPDATE must occupy the transaction's third position")
+    // a failure mid-COMMIT rolls the landed MERGE back with the rest
+    Seq(("west", 2L, "TWO")).toDF("r", "k", "name")
+      .createOrReplaceTempView("dim_updates2")
+    life.execute("BEGIN")
+    life.execute("MERGE INTO tm.dim AS t USING dim_updates2 AS s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    life.execute("INSERT INTO tm.fact SELECT * FROM tm.nope")
+    intercept[Exception](life.execute("COMMIT"))
+    assert(life.query("SELECT name FROM tm.dim WHERE k = 2")
+      .head.getString(0) == "two",
+      "the dimension MERGE must roll back with the failed transaction")
+    // schema evolution inside a transaction body is refused loudly
+    // (it may add metadata-only column commits — not single-commit)
+    life.execute("BEGIN")
+    val evo = intercept[IllegalArgumentException](life.execute(
+      "MERGE WITH SCHEMA EVOLUTION INTO tm.dim AS t USING dim_updates " +
+        "AS s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(evo.getMessage.contains("SCHEMA EVOLUTION"))
+    life.execute("ROLLBACK")
   }
 
   test("executeScript: the promote+cumulate pair inside one BEGIN…COMMIT block") {
