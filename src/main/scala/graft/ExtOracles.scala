@@ -744,6 +744,8 @@ object ExtOracles {
     // position weights (2c)+(2c+1)+(32+2c)+(32+2c+1) = 8c+66, rows 1-3
     // appear 2× with weights 16r+4c+1
     "image_png_stats" -> oracle("image_png_stats"),
+    "image_jpeg_stats" -> oracle("image_jpeg_stats"),
+    "image_jpeg_resize" -> oracle("image_jpeg_resize"),
     // 8×5 → 4×2 nearest picks source rows 0,2 at even columns = base
     // pixels 0-3 and 8-11, same surviving set as the QOI resize gate
     "image_png_resize" -> oracle("image_png_resize"),

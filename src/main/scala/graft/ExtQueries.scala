@@ -882,6 +882,76 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /**
+   * Baseline JFIF JPEG (`Multimodal.JpegCodec`) — decode stats over a
+   * 4:2:0 crawl-shaped fixture. JPEG is LOSSY, so the oracle strategy
+   * differs from the seven lossless codecs: the fixture's 16×16 color
+   * regions make every MCU CONSTANT, and constant blocks round-trip
+   * EXACTLY at quality 100 (DC-only transform, all-ones quantization),
+   * leaving the RGB↔YCbCr rounding as the ONLY pixel math — which the
+   * oracle replays in SQL expression for expression. The 64×24 height
+   * exercises edge-padded partial MCUs; 8 regions per image exercise
+   * DC differentials across MCUs. Lossy (q<100) behavior is ExtSpec's
+   * bounded-error pin, deliberately not oracle-gated.
+   */
+  private def imageJpegStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(8)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(64 * 24) { i =>
+          base(((i / 64) / 16) * 4 + ((i % 64) / 16))
+        }
+        val bytes = Multimodal.JpegCodec.encode(64, 24, rgb,
+          quality = 100, chroma420 = true)
+        val (w, h, dec) = Multimodal.JpegCodec.decode(bytes)
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
+  /** JPEG 4:2:0 decode → nearest resize (32×16 → 16×8) → RE-ENCODE as
+    * 4:4:4 JPEG → decode again → stats. The resized halves stay
+    * block-constant, so the double round trip is exactly TWO chained
+    * YCbCr roundtrips per color — replayed in the oracle. One hash
+    * covers both sampling layouts and both transform directions. */
+  private def imageJpegResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(2)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(32 * 16)(i => base((i % 32) / 16))
+        val (w, h, dec) = Multimodal.JpegCodec.decode(
+          Multimodal.JpegCodec.encode(32, 16, rgb,
+            quality = 100, chroma420 = true))
+        val small = Multimodal.PgmCodec.nearestResize(w, h, dec, 16, 8)
+        val (_, _, dec2) = Multimodal.JpegCodec.decode(
+          Multimodal.JpegCodec.encode(16, 8, small,
+            quality = 100, chroma420 = false))
+        val lumas = dec2.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, dec2.length, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "n_px", "luma_sum", "luma_min", "luma_max", "pos_luma")
+      .orderBy("vec_id")
+  }
+
   /** Shared 4-frame animated-GIF builder for the video_* gates: an 8×4
     * logical screen, frame 0 full (the QOI/PNG base layout), frame 1 a
     * 4×2 delta rect with disposal RESTORE-TO-BACKGROUND, frame 2 an
@@ -5618,6 +5688,8 @@ object ExtQueries {
     "image_qoi_stats" -> ((s, dir) => imageQoiStats(s, dir)),
     "image_png_stats" -> ((s, dir) => imagePngStats(s, dir)),
     "image_png_resize" -> ((s, dir) => imagePngResize(s, dir)),
+    "image_jpeg_stats" -> ((s, dir) => imageJpegStats(s, dir)),
+    "image_jpeg_resize" -> ((s, dir) => imageJpegResize(s, dir)),
     "image_qoi_resize" -> ((s, dir) => imageQoiResize(s, dir)),
     "video_gif_stats" -> ((s, dir) => videoGifStats(s, dir)),
     "video_gif_frames" -> ((s, dir) => videoGifFrames(s, dir)),

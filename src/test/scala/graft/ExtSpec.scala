@@ -1554,6 +1554,82 @@ class ExtSpec extends AnyFunSuite {
     assert(rootMsg(e2).contains("version line"), rootMsg(e2))
   }
 
+  test("JpegCodec: constant-MCU images round-trip exactly at q100; lossy path bounded; malformed loud") {
+    import Multimodal.JpegCodec
+    // the reference YCbCr round trip (the ONLY pixel math on the
+    // exact path) — same expression shapes as the codec and the
+    // dedup/image oracles
+    def clamp(v: Long): Int =
+      if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    // the codec's scaled-integer color transform (exact, tie-free
+    // across engines — same formulas as the image_jpeg_* oracles)
+    def roundTrip(p: Int): Int = {
+      val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      val y = clamp((299L * r + 587L * g + 114L * b + 500L) / 1000L)
+      val cb = clamp(128L + (-168735892L * r - 331264108L * g +
+        500000000L * b + 500000000L) / 1000000000L)
+      val cr = clamp(128L + (500000000L * r - 418687589L * g -
+        81312411L * b + 500000000L) / 1000000000L)
+      val r2 = clamp(y + (1402L * (cr - 128) + 500L) / 1000L)
+      val g2 = clamp(y + (-344136L * (cb - 128) -
+        714136L * (cr - 128) + 500000L) / 1000000L)
+      val b2 = clamp(y + (1772L * (cb - 128) + 500L) / 1000L)
+      (r2 << 16) | (g2 << 8) | b2
+    }
+    // 64×24 (bottom MCU row partial → edge padding), 4×2 color grid of
+    // 16×16 regions → every 4:2:0 MCU is constant → exact at q100
+    val colors = Array(0xc86432, 0x0afa82, 0x102030, 0xfefdfc,
+      0x804020, 0x33cc99, 0x5a5a5a, 0xff0004)
+    def grid(x: Int, y: Int): Int = colors((y / 16) * 4 + (x / 16))
+    val img = Array.tabulate(64 * 24)(i => grid(i % 64, i / 64))
+    val (w, h, dec) = JpegCodec.decode(
+      JpegCodec.encode(64, 24, img, quality = 100, chroma420 = true))
+    assert(w == 64 && h == 24)
+    val expected = img.map(roundTrip)
+    assert(dec.sameElements(expected),
+      s"4:2:0 q100 constant-MCU decode diverged at index " +
+        s"${dec.zip(expected).indexWhere(t => t._1 != t._2)}")
+    // 4:4:4 (8×8 blocks): 16×8 two-block image, also exact
+    val img2 = Array.tabulate(16 * 8)(i =>
+      if (i % 16 < 8) colors(0) else colors(1))
+    val (_, _, dec2) = JpegCodec.decode(
+      JpegCodec.encode(16, 8, img2, quality = 100, chroma420 = false))
+    assert(dec2.sameElements(img2.map(roundTrip)))
+    // grayscale: luma-only stream replicates into all channels
+    val (_, _, dec3) = JpegCodec.decode(
+      JpegCodec.encode(16, 8, img2, quality = 100, gray = true))
+    val lumas = img2.map { p =>
+      val l = clamp((299L * ((p >> 16) & 0xff) +
+        587L * ((p >> 8) & 0xff) + 114L * (p & 0xff) + 500L) / 1000L)
+      (l << 16) | (l << 8) | l
+    }
+    assert(dec3.sameElements(lumas))
+
+    // LOSSY path: a gradient at quality 50 is deterministic and close
+    val grad = Array.tabulate(32 * 32) { i =>
+      val (x, y) = (i % 32, i / 32)
+      ((x * 8) << 16) | ((y * 8) << 8) | ((x * 4 + y * 4) & 0xff)
+    }
+    val bytes1 = JpegCodec.encode(32, 32, grad, quality = 50)
+    val bytes2 = JpegCodec.encode(32, 32, grad, quality = 50)
+    assert(java.util.Arrays.equals(bytes1, bytes2), "encode must be deterministic")
+    val (_, _, lossy) = JpegCodec.decode(bytes1)
+    val maxErr = grad.zip(lossy).map { case (a, b) =>
+      Seq(16, 8, 0).map(s => math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))).max
+    }.max
+    assert(maxErr <= 40, s"q50 per-channel error $maxErr out of bounds")
+
+    // malformed input fails LOUDLY with a reason
+    def msg(bs: Array[Byte]): String =
+      intercept[IllegalArgumentException](JpegCodec.decode(bs)).getMessage
+    assert(msg(Array(0, 1, 2, 3).map(_.toByte)).contains("SOI"))
+    assert(msg(Array(0xff, 0xd8, 0xff, 0xc2).map(_.toByte))
+      .contains("progressive"))
+    assert(msg(Array(0xff, 0xd8, 0xff, 0xdd).map(_.toByte))
+      .contains("restart"))
+    assert(msg(bytes1.dropRight(12)).contains("truncated"))
+  }
+
   test("Warc.canonicalUrl + dedupByUrl: variant spellings collapse, first capture wins") {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.ext.Warc
@@ -1614,6 +1690,49 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(rootMsg(e).contains("Content-Length") &&
       rootMsg(e).contains("big.warc"), rootMsg(e))
+  }
+
+  test("crawl-to-multimodal: JPEG response payloads decode straight off WARC records") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ext.Warc
+    import Multimodal.JpegCodec
+    // the chain the codec exists for: a crawl's image/jpeg responses,
+    // HTTP-split by the WARC reader, decode per row with no temp files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crawljpeg_").toString
+    val colors = Seq(0x113355, 0xaabbcc)
+    Warc.writeFixture(s"$dir/img.warc.gz", colors.zipWithIndex.iterator
+      .map { case (c, i) =>
+        val jpeg = JpegCodec.encode(16, 16,
+          Array.fill(256)(c), quality = 100, chroma420 = true)
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n")
+          .getBytes(UTF_8) ++ jpeg
+        ("response", s"https://imgs.example/$i.jpg", "image/jpeg", http)
+      }, gzip = true)
+    val rows = Warc.records(spark, dir)
+      .where($"warc_type" === "response")
+      .select($"target_uri", $"body").as[(String, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(rows.length == 2)
+    def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    def roundTrip(p: Int): Int = {
+      val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      val y = clamp((299L * r + 587L * g + 114L * b + 500L) / 1000L)
+      val cb = clamp(128L + (-168735892L * r - 331264108L * g +
+        500000000L * b + 500000000L) / 1000000000L)
+      val cr = clamp(128L + (500000000L * r - 418687589L * g -
+        81312411L * b + 500000000L) / 1000000000L)
+      (clamp(y + (1402L * (cr - 128) + 500L) / 1000L) << 16) |
+        (clamp(y + (-344136L * (cb - 128) -
+          714136L * (cr - 128) + 500000L) / 1000000L) << 8) |
+        clamp(y + (1772L * (cb - 128) + 500L) / 1000L)
+    }
+    rows.zip(colors).foreach { case ((_, body), c) =>
+      val (w, h, px) = JpegCodec.decode(body)
+      assert(w == 16 && h == 16)
+      assert(px.forall(_ == roundTrip(c)),
+        "a constant 16×16 q100 JPEG must round-trip exactly off the crawl")
+    }
   }
 
   test("crawl-to-corpus: WARC responses feed stripHtml and recover the document text") {

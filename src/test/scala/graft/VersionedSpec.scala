@@ -1072,6 +1072,53 @@ class VersionedSpec extends AnyFunSuite {
       spark, proot, Seq("date", "v"), 20L).count()) <= 3)
   }
 
+  test("streaming-commit scale: metadata costs stay flat at 10,000 epoch commits") {
+    // the table-format paths are O(1)-per-resolution by design; this
+    // drives them at streaming-history scale (an epoch commit every
+    // few seconds → 10⁵–10⁶ versions/year) so an accidental
+    // whole-history read anywhere in resolution shows up as a count,
+    // not a slow CI run
+    val root = Files.createTempDirectory("graft_vpscale").toString
+    VersionedPartitioned.promote(pdf("2024-01-01" -> 1), root)
+    // synthesize the epoch commits directly (each is the v1 manifest
+    // re-rendered with an epoch tag — exactly what emptyCommit writes;
+    // the claim loop itself is O(1) reads per commit, but SIMULATING
+    // 10k of them through it costs 10k directory listings)
+    val v1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, f"_v${1L}%020d.commit")), "UTF-8")
+    val lines = v1.linesIterator.toSeq
+    (2 to 10001).foreach { i =>
+      val content =
+        (lines.head +: s"tag:epoch:${i - 1}" +: lines.tail).mkString("\n")
+      Files.write(
+        java.nio.file.Paths.get(root, f"_v${i.toLong}%020d.commit"),
+        content.getBytes("UTF-8"))
+      ()
+    }
+    def delta(body: => Unit): Long = {
+      val before = Versioned.commitFileReads.get()
+      body
+      Versioned.commitFileReads.get() - before
+    }
+    assert(delta(assert(VersionedPartitioned.currentVersion(spark, root)
+      .contains(10001L))) == 0, "version probe must stay a pure listing")
+    assert(delta(VersionedPartitioned.read(spark, root).count()) <= 2,
+      "head read must resolve via the latest manifest only")
+    assert(delta(VersionedPartitioned.readAt(spark, root, 4321L).count())
+      <= 2, "time travel must be one exact-version read")
+    assert(delta(VersionedPartitioned.headTag(spark, root)) <= 2)
+    assert(delta(assert(VersionedPartitioned
+      .latestTagWithPrefix(spark, root, "epoch:").contains("10000")))
+      <= 2, "monotone tag resolution must stop at the newest match")
+    // snapshot-consistent cross-table read: an epoch-tagged (non-txn)
+    // head proves no transaction is in flight in ONE read
+    assert(delta(graft.ops.Txn.readAll(spark, Seq(root)).head.count())
+      <= 3)
+    assert(delta(VersionedPartitioned.promote(pdf("2024-02-01" -> 2),
+      root)) <= 3,
+      "promote's claim loop must merge against the latest manifest only")
+  }
+
   test("vacuumOlderThan: age-based retention keeps young commits and the retainLast floor") {
     val root = Files.createTempDirectory("graft_ver").toString
     Versioned.commit(df(1), root)
