@@ -1135,10 +1135,11 @@ object Multimodal {
    * Supported subset: SOF0 baseline, grayscale or 3-component YCbCr,
    * per-component sampling factors up to 2×2 (4:4:4, 4:2:0, 4:2:2,
    * 4:4:0), arbitrary quantization/Huffman tables read from the
-   * stream, 0xFF00 byte stuffing, edge-padded partial MCUs. Loud,
-   * reasoned failure on everything else: progressive (SOF2),
-   * arithmetic coding, 12-bit precision, restart intervals (DRI),
-   * unknown SOF families.
+   * stream, 0xFF00 byte stuffing, edge-padded partial MCUs, and
+   * restart intervals (DRI + RST0-7 — ubiquitous in real crawl
+   * JPEGs). Loud, reasoned failure on everything else: progressive
+   * (SOF2), arithmetic coding, 12-bit precision, unknown SOF
+   * families.
    *
    * Determinism contract (what lets a DuckDB oracle gate a LOSSY
    * format): DCT and IDCT run in IEEE doubles — bit-reproducible on
@@ -1441,12 +1442,14 @@ object Multimodal {
      * Encode `rgb` (packed 0xRRGGBB, row-major) as baseline JFIF.
      * `chroma420 = true` writes 2×2-sampled luma MCUs (the web's
      * dominant layout); false writes 4:4:4. `gray = true` writes a
-     * single-component (luma-only) stream. Deterministic: same inputs,
-     * same bytes.
+     * single-component (luma-only) stream. `restartInterval > 0`
+     * writes a DRI segment and RST0-7 markers every that many MCUs
+     * (predictor resets — same decoded pixels, resynchronizable
+     * stream). Deterministic: same inputs, same bytes.
      */
     def encode(width: Int, height: Int, rgb: Array[Int],
         quality: Int = 100, chroma420: Boolean = true,
-        gray: Boolean = false): Array[Byte] = {
+        gray: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
       require(width > 0 && height > 0 && rgb.length == width * height,
         s"encode: ${rgb.length} pixels for ${width}x$height")
       val qL = scaled(QLumaBase, quality)
@@ -1523,6 +1526,9 @@ object Multimodal {
         dht(0, 1, DcChromaBits, DcChromaVals)
         dht(1, 1, AcChromaBits, AcChromaVals)
       }
+      if (restartInterval > 0) { // DRI
+        marker(0xdd); u16(4); u16(restartInterval)
+      }
       marker(0xda) // SOS
       u16(6 + 2 * nComp); u8(nComp)
       u8(1); u8(0x00)
@@ -1536,10 +1542,17 @@ object Multimodal {
       var predY = 0
       var predCb = 0
       var predCr = 0
+      var mcuDone = 0
       var my = 0
       while (my < ny) {
         var mx = 0
         while (mx < nx) {
+          if (restartInterval > 0 && mcuDone > 0 &&
+            mcuDone % restartInterval == 0) {
+            bw.flush()
+            marker(0xd0 + (mcuDone / restartInterval - 1) % 8)
+            predY = 0; predCb = 0; predCr = 0
+          }
           var by = 0
           while (by < vs) {
             var bx = 0
@@ -1557,6 +1570,7 @@ object Multimodal {
             predCr = writeBlock(bw, encodeBlock(crPad, cw, mx, my, qC),
               predCr, dcC, acC)
           }
+          mcuDone += 1
           mx += 1
         }
         my += 1
@@ -1581,7 +1595,8 @@ object Multimodal {
             val m = data(pos) & 0xff; pos += 1
             if (m != 0x00)
               fail(f"marker 0xFF$m%02X inside entropy data " +
-                "(restart markers are outside the baseline subset here)")
+                "(a restart marker here means the MCU cadence " +
+                "disagrees with DRI)")
           }
           acc = b; n = 8
         }
@@ -1593,6 +1608,17 @@ object Multimodal {
         var i = 0
         while (i < k) { v = (v << 1) | bit(); i += 1 }
         v
+      }
+      /** Byte-align (dropping pad bits) and consume the expected
+        * RSTk marker — the restart-interval resync point. */
+      def expectRestart(k: Int): Unit = {
+        n = 0
+        if (pos + 1 >= data.length) fail("truncated at restart marker")
+        val b0 = data(pos) & 0xff
+        val b1 = data(pos + 1) & 0xff
+        if (b0 != 0xff || b1 != 0xd0 + k)
+          fail(f"expected RST$k%d, got 0x$b0%02X$b1%02X")
+        pos += 2
       }
     }
 
@@ -1657,6 +1683,7 @@ object Multimodal {
       var width = 0
       var height = 0
       var sawSof = false
+      var restartInterval = 0
       var scan: Seq[(Int, Int, Int)] = Nil // (compIdx, dcId, acId)
       var atScan = false
       while (!atScan) {
@@ -1708,8 +1735,9 @@ object Multimodal {
             fail("arithmetic-coded JPEG is not baseline Huffman")
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
             fail(f"SOF marker 0x$m%02X — only SOF0 baseline routes")
-          case 0xdd => fail("restart intervals (DRI) are unsupported " +
-            "— re-encode without restart markers")
+          case 0xdd =>
+            if (u16() != 4) fail("DRI segment length must be 4")
+            restartInterval = u16()
           case 0xda =>
             if (!sawSof) fail("SOS before SOF0")
             val end = { val len = u16(); pos + len - 2 }
@@ -1744,10 +1772,16 @@ object Multimodal {
       val br = new BitReader(bytes, pos, fail)
       val preds = new Array[Int](comps.length)
       val block = new Array[Double](64)
+      var mcuDone = 0
       var my = 0
       while (my < ny) {
         var mx = 0
         while (mx < nx) {
+          if (restartInterval > 0 && mcuDone > 0 &&
+            mcuDone % restartInterval == 0) {
+            br.expectRestart((mcuDone / restartInterval - 1) % 8)
+            java.util.Arrays.fill(preds, 0)
+          }
           var ci = 0
           while (ci < scan.length) {
             val (idx, dcId, acId) = scan(ci)
@@ -1801,6 +1835,7 @@ object Multimodal {
             }
             ci += 1
           }
+          mcuDone += 1
           mx += 1
         }
         my += 1

@@ -2476,7 +2476,13 @@ class SqlLifecycle(val spark: SparkSession, val root: String) {
   /** Validate + buffer one statement of an open transaction. Only
     * single-commit write verbs on PARTITIONED (versioned) tables may
     * participate — the transaction guarantee is built on commit-log
-    * tags, which staging tables and DDL do not have. Reads issued
+    * tags, which staging tables and DDL do not have. The buffer is
+    * per-DOOR-INSTANCE state under the documented single-writer
+    * discipline: one door writes a root at a time — two doors in one
+    * JVM keep independent buffers (no interleaving), but their COMMIT
+    * replays racing on the same tables would interleave position
+    * tags, exactly as any two concurrent writers race promotes.
+    * Reads issued
     * mid-transaction (`query`) are NOT buffered: they see the
     * pre-transaction state — snapshot isolation, not read-your-writes.
     * Statements run at COMMIT in order, so LATER statements of the

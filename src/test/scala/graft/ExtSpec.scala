@@ -1619,14 +1619,29 @@ class ExtSpec extends AnyFunSuite {
     }.max
     assert(maxErr <= 40, s"q50 per-channel error $maxErr out of bounds")
 
+    // restart intervals (DRI + RST0-7, ubiquitous in crawl JPEGs):
+    // identical decoded pixels, predictor resets at each marker
+    val bytesR = JpegCodec.encode(32, 32, grad, quality = 50,
+      restartInterval = 2)
+    val (_, _, lossyR) = JpegCodec.decode(bytesR)
+    assert(lossyR.sameElements(lossy),
+      "restart markers must not change decoded pixels")
+
     // malformed input fails LOUDLY with a reason
     def msg(bs: Array[Byte]): String =
       intercept[IllegalArgumentException](JpegCodec.decode(bs)).getMessage
     assert(msg(Array(0, 1, 2, 3).map(_.toByte)).contains("SOI"))
     assert(msg(Array(0xff, 0xd8, 0xff, 0xc2).map(_.toByte))
       .contains("progressive"))
-    assert(msg(Array(0xff, 0xd8, 0xff, 0xdd).map(_.toByte))
-      .contains("restart"))
+    // a DRI that disagrees with the marker cadence is caught, not
+    // silently resynced into garbage
+    val driAt = bytesR.indexOfSlice(
+      Seq(0xff.toByte, 0xdd.toByte, 0.toByte, 4.toByte))
+    assert(driAt > 0)
+    val tampered = bytesR.clone()
+    tampered(driAt + 5) = 3
+    assert(msg(tampered).contains("cadence") ||
+      msg(tampered).contains("RST"), msg(tampered))
     assert(msg(bytes1.dropRight(12)).contains("truncated"))
   }
 
