@@ -1362,8 +1362,10 @@ object ExtOracles {
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "similarity_ivf" -> oracle("similarity_ivf"),
     // the persisted-index serving path answers EXACTLY the one-shot
-    // IVF query — one oracle file for both
+    // IVF query — one oracle file for all three spellings (one-shot,
+    // build-then-query, build-append-query)
     "similarity_indexed" -> oracle("similarity_ivf"),
+    "similarity_indexed_incremental" -> oracle("similarity_ivf"),
     "similarity_ivfpq" -> oracle("similarity_ivfpq"),
 
     // Funnel replay: the same chained conditional cumulative mins — step

@@ -295,6 +295,30 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The steady-state index-maintenance path: bootstrap the persisted
+    * IVF index on the even-id half of the corpus (a superset of the
+    * centroid sample, so the stored centroids equal the full-corpus
+    * sample), APPEND the odd-id half batch-style
+    * (`Similarity.appendToIvfIndex` — assigns only the batch against
+    * the stored centroids; the corpus is never rescanned), then query.
+    * Bit-identical to the one-shot build, so it replays the
+    * similarity_ivf oracle. */
+  private def similarityIndexedIncremental(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_simidxinc_").toString
+    Similarity.buildIvfIndex(e.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", root, centroidStride = 20)
+    Similarity.appendToIvfIndex(s, root,
+      e.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    Similarity.indexedIvfTopK(s, root, e.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN (coarse cells + residual product-quantization codes +
     * asymmetric-distance shortlist + exact rerank — the billion-scale
     * index layout): code assignment is an exact-integer argmin
@@ -5665,6 +5689,8 @@ object ExtQueries {
     "similarity_recall" -> ((s, dir) => similarityRecall(s, dir)),
     "similarity_ivf" -> ((s, dir) => similarityIvf(s, dir)),
     "similarity_indexed" -> ((s, dir) => similarityIndexed(s, dir)),
+    "similarity_indexed_incremental" ->
+      ((s, dir) => similarityIndexedIncremental(s, dir)),
     "similarity_ivfpq" -> ((s, dir) => similarityIvfPq(s, dir)),
     "text_stats" -> ((s, dir) => textStats(s, dir)),
     "gopher_rules" -> ((s, dir) => gopherRulesQ(s, dir)),

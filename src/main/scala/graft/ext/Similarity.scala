@@ -268,6 +268,34 @@ object Similarity {
   }
 
   /**
+   * Incremental index maintenance — the steady-state crawl→index
+   * flow (the `dedup_incremental_indexed` shape for ANN): assign ONLY
+   * the new batch against the STORED centroids (broadcast-sized read,
+   * one scoring pass over the batch — the corpus is never touched)
+   * and append the assignments to `cells` as one commit. Because
+   * assignment is per-vector deterministic given the centroids, an
+   * index bootstrapped on any superset of the centroid sample and
+   * grown batch-by-batch is BIT-IDENTICAL to a one-shot build over
+   * the full corpus — the `similarity_indexed_incremental` gate pins
+   * exactly that against the one-shot oracle.
+   */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    graft.functions.VectorExprs.register(spark)
+    val cents = graft.ops.VersionedPartitioned
+      .read(spark, s"$root/$IvfCentroidsTable")
+      .select(col("__cent_id"), col("__ev"), col("__en"))
+    val b = prep(batch, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val cells = ivfAssign(b, cents)
+      .withColumn("__cell", col("__cent_id").cast("string"))
+    graft.ops.VersionedPartitioned.insertInto(cells,
+        s"$root/$IvfCellsTable", "__cell")
+      .getOrElse(graft.ops.VersionedPartitioned
+        .currentVersion(spark, s"$root/$IvfCellsTable").getOrElse(0L))
+  }
+
+  /**
    * `ivfTopK` served from the PERSISTED index: the corpus is never
    * read — the candidate scan is the `cells` table (cell-partitioned,
    * so file pruning tracks the probe set) and the only broadcast is
