@@ -746,6 +746,9 @@ object ExtOracles {
     "image_png_stats" -> oracle("image_png_stats"),
     "image_jpeg_stats" -> oracle("image_jpeg_stats"),
     "image_jpeg_resize" -> oracle("image_jpeg_resize"),
+    // the progressive stream decodes the identical constant-MCU
+    // fixture — one analytic oracle for both encodings
+    "image_jpeg_progressive" -> oracle("image_jpeg_stats"),
     // 8×5 → 4×2 nearest picks source rows 0,2 at even columns = base
     // pixels 0-3 and 8-11, same surviving set as the QOI resize gate
     "image_png_resize" -> oracle("image_png_resize"),

@@ -944,6 +944,39 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** The same constant-MCU fixture as image_jpeg_stats, encoded
+    * PROGRESSIVE (SOF2 with successive approximation — the web's
+    * other dominant JPEG shape): DC-only blocks stay exact through
+    * the DC-first(Al=1)/AC-first/DC-refine/AC-refine scan script, so
+    * the decode replays the identical analytic oracle. The entropy
+    * layers (EOB runs, correction bits) are pinned bit-for-bit
+    * against the baseline decode in ExtSpec. */
+  private def imageJpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        def ch(x: Double): Int =
+          math.max(0L, math.min(255L, math.round((x + 1) * 127))).toInt
+        val base = Array.tabulate(8)(p =>
+          (ch(emb(3 * p)) << 16) | (ch(emb(3 * p + 1)) << 8) | ch(emb(3 * p + 2)))
+        val rgb = Array.tabulate(64 * 24) { i =>
+          base(((i / 64) / 16) * 4 + ((i % 64) / 16))
+        }
+        val bytes = Multimodal.JpegCodec.encodeProgressive(64, 24, rgb,
+          quality = 100, chroma420 = true)
+        val (w, h, dec) = Multimodal.JpegCodec.decode(bytes)
+        val lumas = dec.map(p => (299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L)
+        val posLuma = lumas.zipWithIndex.map { case (l, i) => l * i }.sum
+        (id, w, h, lumas.sum, lumas.min, lumas.max, posLuma)
+      })
+      .toDF("vec_id", "width", "height", "luma_sum", "luma_min", "luma_max",
+        "pos_luma")
+      .orderBy("vec_id")
+  }
+
   /** JPEG 4:2:0 decode → nearest resize (32×16 → 16×8) → RE-ENCODE as
     * 4:4:4 JPEG → decode again → stats. The resized halves stay
     * block-constant, so the double round trip is exactly TWO chained
@@ -5716,6 +5749,7 @@ object ExtQueries {
     "image_png_resize" -> ((s, dir) => imagePngResize(s, dir)),
     "image_jpeg_stats" -> ((s, dir) => imageJpegStats(s, dir)),
     "image_jpeg_resize" -> ((s, dir) => imageJpegResize(s, dir)),
+    "image_jpeg_progressive" -> ((s, dir) => imageJpegProgressive(s, dir)),
     "image_qoi_resize" -> ((s, dir) => imageQoiResize(s, dir)),
     "video_gif_stats" -> ((s, dir) => videoGifStats(s, dir)),
     "video_gif_frames" -> ((s, dir) => videoGifFrames(s, dir)),

@@ -1580,6 +1580,301 @@ object Multimodal {
       out.toByteArray
     }
 
+    /**
+     * Encode as PROGRESSIVE JFIF (SOF2) with successive approximation
+     * — the script most web encoders ship: an interleaved DC-first
+     * scan at Al=1, per-component AC-first scans of the full band at
+     * Al=1 (EOB-run coding), a raw-bit DC refinement, and
+     * per-component AC refinements (the correction-bit algorithm,
+     * ISO 10918-1 G.1.2.3). Same quantized coefficients as [[encode]]
+     * — a progressive stream decodes to BIT-IDENTICAL pixels as the
+     * baseline encoding of the same image (spec-pinned), which is what
+     * makes the entropy layers testable end to end. EOB runs are
+     * flushed per block (EOB0 only), so the stream stays within the
+     * standard Annex K tables; the decoder accepts general EOBn.
+     */
+    def encodeProgressive(width: Int, height: Int, rgb: Array[Int],
+        quality: Int = 100, chroma420: Boolean = true,
+        gray: Boolean = false): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height,
+        s"encodeProgressive: ${rgb.length} pixels for ${width}x$height")
+      val qL = scaled(QLumaBase, quality)
+      val qC = scaled(QChromaBase, quality)
+      val yP = new Array[Int](width * height)
+      val cbP = new Array[Int](width * height)
+      val crP = new Array[Int](width * height)
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        yP(i) = rgbToY(r, g, b)
+        cbP(i) = rgbToCb(r, g, b)
+        crP(i) = rgbToCr(r, g, b)
+        i += 1
+      }
+      val (hs, vs) = if (gray) (1, 1) else if (chroma420) (2, 2) else (1, 1)
+      val mcuW = 8 * hs
+      val mcuH = 8 * vs
+      val nx = (width + mcuW - 1) / mcuW
+      val ny = (height + mcuH - 1) / mcuH
+      val lw = nx * mcuW
+      val lh = ny * mcuH
+      val yPad = padPlane(yP, width, height, lw, lh)
+      val cw = nx * 8
+      val chh = ny * 8
+      val (cbPad, crPad) =
+        if (gray) (null, null)
+        else if (!chroma420)
+          (padPlane(cbP, width, height, cw, chh),
+            padPlane(crP, width, height, cw, chh))
+        else {
+          val cbFull = padPlane(cbP, width, height, lw, lh)
+          val crFull = padPlane(crP, width, height, lw, lh)
+          def down(p: Array[Int]): Array[Int] = Array.tabulate(cw * chh) {
+            j =>
+              val (x, y) = (j % cw, j / cw)
+              (p(2 * y * lw + 2 * x) + p(2 * y * lw + 2 * x + 1) +
+                p((2 * y + 1) * lw + 2 * x) +
+                p((2 * y + 1) * lw + 2 * x + 1) + 2) / 4
+          }
+          (down(cbFull), down(crFull))
+        }
+      // quantize every block up front (natural-order coefficients);
+      // per component: (coefs, storage blocksW, blocksH, sampled dims)
+      case class PC(coefs: Array[Int], bw: Int, bh: Int,
+          sw: Int, sh: Int, dc: Array[(Int, Int)], ac: Array[(Int, Int)])
+      val dcL = encTable(DcLumaBits, DcLumaVals)
+      val acL = encTable(AcLumaBits, AcLumaVals)
+      val dcC = encTable(DcChromaBits, DcChromaVals)
+      val acC = encTable(AcChromaBits, AcChromaVals)
+      def quantAll(plane: Array[Int], pw: Int, bw: Int, bh: Int,
+          qt: Array[Int]): Array[Int] = {
+        val out = new Array[Int](bw * bh * 64)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val c = encodeBlock(plane, pw, bx, by, qt)
+            System.arraycopy(c, 0, out, (by * bw + bx) * 64, 64)
+            bx += 1
+          }
+          by += 1
+        }
+        out
+      }
+      val pcs: Seq[PC] =
+        PC(quantAll(yPad, lw, nx * hs, ny * vs, qL), nx * hs, ny * vs,
+          width, height, dcL, acL) +:
+          (if (gray) Nil
+           else Seq(
+             PC(quantAll(cbPad, cw, nx, ny, qC), nx, ny,
+               (width + hs - 1) / hs, (height + vs - 1) / vs, dcC, acC),
+             PC(quantAll(crPad, cw, nx, ny, qC), nx, ny,
+               (width + hs - 1) / hs, (height + vs - 1) / vs, dcC, acC)))
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def marker(m: Int): Unit = { u8(0xff); u8(m) }
+      marker(0xd8)
+      marker(0xe0)
+      u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+      u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+      def dqt(id: Int, t: Array[Int]): Unit = {
+        marker(0xdb); u16(67); u8(id)
+        var k = 0
+        while (k < 64) { u8(t(Zigzag(k))); k += 1 }
+      }
+      dqt(0, qL)
+      if (!gray) dqt(1, qC)
+      marker(0xc2) // SOF2: progressive
+      val nComp = if (gray) 1 else 3
+      u16(8 + 3 * nComp); u8(8); u16(height); u16(width); u8(nComp)
+      u8(1); u8((hs << 4) | vs); u8(0)
+      if (!gray) { u8(2); u8(0x11); u8(1); u8(3); u8(0x11); u8(1) }
+      def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int])
+          : Unit = {
+        marker(0xc4); u16(19 + vals.length); u8((cls << 4) | id)
+        bits.foreach(u8); vals.foreach(u8)
+      }
+      dht(0, 0, DcLumaBits, DcLumaVals)
+      dht(1, 0, AcLumaBits, AcLumaVals)
+      if (!gray) {
+        dht(0, 1, DcChromaBits, DcChromaVals)
+        dht(1, 1, AcChromaBits, AcChromaVals)
+      }
+      def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+          : Unit = {
+        marker(0xda)
+        u16(6 + 2 * compIds.length); u8(compIds.length)
+        compIds.foreach { cid =>
+          u8(cid)
+          u8(if (cid == 1) 0x00 else 0x11)
+        }
+        u8(ss); u8(se); u8((ah << 4) | al)
+      }
+      def nonIntGrid(pc: PC): (Int, Int) =
+        ((pc.sw + 7) / 8, (pc.sh + 7) / 8)
+
+      // scan 1: DC first, interleaved, Al=1
+      sos((1 to nComp), 0, 0, 0, 1)
+      locally {
+        val bw2 = new BitWriter(out)
+        val preds = new Array[Int](nComp)
+        var my = 0
+        while (my < ny) {
+          var mx = 0
+          while (mx < nx) {
+            var ci = 0
+            while (ci < nComp) {
+              val pc = pcs(ci)
+              val (h, v) = if (ci == 0) (hs, vs) else (1, 1)
+              var by = 0
+              while (by < v) {
+                var bx = 0
+                while (bx < h) {
+                  val off = ((my * v + by) * pc.bw + (mx * h + bx)) * 64
+                  val dv = pc.coefs(off) >> 1
+                  val diff = dv - preds(ci)
+                  preds(ci) = dv
+                  val cat = bitLen(math.abs(diff))
+                  val (c, l) = pc.dc(cat)
+                  bw2.put(c, l)
+                  if (cat > 0)
+                    bw2.put(if (diff >= 0) diff
+                      else diff + (1 << cat) - 1, cat)
+                  bx += 1
+                }
+                by += 1
+              }
+              ci += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+        bw2.flush()
+      }
+      // scans 2..: AC first per component, band 1..63, Al=1
+      (0 until nComp).foreach { ci =>
+        val pc = pcs(ci)
+        sos(Seq(ci + 1), 1, 63, 0, 1)
+        val bw2 = new BitWriter(out)
+        val (gw, gh) = nonIntGrid(pc)
+        var by = 0
+        while (by < gh) {
+          var bx = 0
+          while (bx < gw) {
+            val off = (by * pc.bw + bx) * 64
+            var r = 0
+            var k = 1
+            while (k <= 63) {
+              val cv = pc.coefs(off + Zigzag(k))
+              val av = math.abs(cv) >> 1
+              if (av == 0) r += 1
+              else {
+                while (r > 15) {
+                  val (zc, zl) = pc.ac(0xf0); bw2.put(zc, zl); r -= 16
+                }
+                val cat = bitLen(av)
+                val (c, l) = pc.ac((r << 4) | cat)
+                bw2.put(c, l)
+                val v = if (cv >= 0) av else -av
+                bw2.put(if (v >= 0) v else v + (1 << cat) - 1, cat)
+                r = 0
+              }
+              k += 1
+            }
+            // trailing zeros: EOB0 per block (stays within Annex K
+            // tables; the decoder accepts general EOBn from the wild)
+            if (r > 0) { val (c, l) = pc.ac(0x00); bw2.put(c, l) }
+            bx += 1
+          }
+          by += 1
+        }
+        bw2.flush()
+      }
+      // scan: DC refinement — one raw bit per block, interleaved
+      sos((1 to nComp), 0, 0, 1, 0)
+      locally {
+        val bw2 = new BitWriter(out)
+        var my = 0
+        while (my < ny) {
+          var mx = 0
+          while (mx < nx) {
+            var ci = 0
+            while (ci < nComp) {
+              val pc = pcs(ci)
+              val (h, v) = if (ci == 0) (hs, vs) else (1, 1)
+              var by = 0
+              while (by < v) {
+                var bx = 0
+                while (bx < h) {
+                  val off = ((my * v + by) * pc.bw + (mx * h + bx)) * 64
+                  bw2.put(pc.coefs(off) & 1, 1)
+                  bx += 1
+                }
+                by += 1
+              }
+              ci += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+        bw2.flush()
+      }
+      // scans: AC refinement per component (G.1.2.3 correction bits)
+      (0 until nComp).foreach { ci =>
+        val pc = pcs(ci)
+        sos(Seq(ci + 1), 1, 63, 1, 0)
+        val bw2 = new BitWriter(out)
+        val (gw, gh) = nonIntGrid(pc)
+        var by = 0
+        while (by < gh) {
+          var bx = 0
+          while (bx < gw) {
+            val off = (by * pc.bw + bx) * 64
+            var r = 0
+            val br2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+            def flushBr2(): Unit = {
+              br2.foreach(b => bw2.put(b, 1)); br2.clear()
+            }
+            var k = 1
+            while (k <= 63) {
+              val cv = pc.coefs(off + Zigzag(k))
+              val av = math.abs(cv)
+              if (av == 0) r += 1
+              else {
+                while (r > 15) {
+                  val (zc, zl) = pc.ac(0xf0)
+                  bw2.put(zc, zl); flushBr2(); r -= 16
+                }
+                if (av > 1) br2 += (av & 1)
+                else {
+                  val (c, l) = pc.ac((r << 4) | 1)
+                  bw2.put(c, l)
+                  bw2.put(if (cv >= 0) 1 else 0, 1)
+                  flushBr2()
+                  r = 0
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || br2.nonEmpty) {
+              val (c, l) = pc.ac(0x00) // EOB0 + its correction bits
+              bw2.put(c, l)
+              flushBr2()
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        bw2.flush()
+      }
+      marker(0xd9)
+      out.toByteArray
+    }
+
     // ------------------------------------------------------- decoder —
 
     private final class BitReader(data: Array[Byte], var pos: Int,
@@ -1686,12 +1981,212 @@ object Multimodal {
       var restartInterval = 0
       var scan: Seq[(Int, Int, Int)] = Nil // (compIdx, dcId, acId)
       var atScan = false
-      while (!atScan) {
+      // progressive (SOF2) state: coefficients accumulate per block
+      // across scans (natural order), reconstructed at EOI
+      var progressive = false
+      var pCoefs: Array[Array[Int]] = null
+      var anyScan = false
+      var eoi = false
+      var hmax = 1
+      var vmax = 1
+      var nx = 0
+      var ny = 0
+      def blocksW(i: Int): Int = nx * comps(i)._2
+      def blocksH(i: Int): Int = ny * comps(i)._3
+      /** A single-component (non-interleaved) scan iterates the
+        * component's OWN block grid — ceil(sampled dim / 8), NOT the
+        * MCU-padded grid; the classic progressive-geometry trap. */
+      def nonInterleavedGrid(i: Int): (Int, Int) = {
+        val (_, h, v, _) = comps(i)
+        (((width * h + hmax - 1) / hmax + 7) / 8,
+          ((height * v + vmax - 1) / vmax + 7) / 8)
+      }
+
+      /** One progressive scan (ISO 10918-1 G.2, the jdphuff shapes):
+        * DC first/refine over (possibly interleaved) MCUs, AC
+        * first/refine over one component's own grid with EOB-run
+        * coding; coefficients accumulate into `pCoefs` in natural
+        * order, point-transformed by `al`. Returns the byte position
+        * after the scan's entropy segment. */
+      def decodeProgScan(scanComps: Seq[(Int, Int, Int)], ss: Int,
+          se: Int, ah: Int, al: Int, startPos: Int): Int = {
+        if (pCoefs == null)
+          pCoefs = comps.indices.toArray.map(i =>
+            new Array[Int](blocksW(i) * blocksH(i) * 64))
+        if (ss > se || se > 63) fail(s"bad spectral band $ss..$se")
+        if (ss == 0 && se != 0)
+          fail("a progressive scan mixes DC and AC coefficients")
+        if (ss > 0 && scanComps.length != 1)
+          fail("progressive AC scans carry exactly one component")
+        val br = new BitReader(bytes, startPos, fail)
+        val preds = new Array[Int](comps.length)
+        var eobrun = 0
+        var unitDone = 0
+        def restartCheck(): Unit =
+          if (restartInterval > 0 && unitDone > 0 &&
+            unitDone % restartInterval == 0) {
+            br.expectRestart((unitDone / restartInterval - 1) % 8)
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+          }
+        if (ss == 0) {
+          def dcOne(idx: Int, dcId: Int, bx: Int, by: Int): Unit = {
+            val off = (by * blocksW(idx) + bx) * 64
+            if (ah == 0) {
+              val dc = hufs.getOrElse((0, dcId),
+                fail(s"no DC Huffman table $dcId"))
+              val cat = dc.decode(br)
+              if (cat > 15) fail(s"DC category $cat out of range")
+              preds(idx) += extend(br.bits(cat), cat)
+              pCoefs(idx)(off) = preds(idx) << al
+            } else if (br.bit() != 0) pCoefs(idx)(off) |= (1 << al)
+          }
+          if (scanComps.length > 1) {
+            var my2 = 0
+            while (my2 < ny) {
+              var mx2 = 0
+              while (mx2 < nx) {
+                restartCheck()
+                scanComps.foreach { case (idx, dcId, _) =>
+                  val (_, h, v, _) = comps(idx)
+                  var by2 = 0
+                  while (by2 < v) {
+                    var bx2 = 0
+                    while (bx2 < h) {
+                      dcOne(idx, dcId, mx2 * h + bx2, my2 * v + by2)
+                      bx2 += 1
+                    }
+                    by2 += 1
+                  }
+                }
+                unitDone += 1
+                mx2 += 1
+              }
+              my2 += 1
+            }
+          } else {
+            val (idx, dcId, _) = scanComps.head
+            val (bw2, bh2) = nonInterleavedGrid(idx)
+            var by2 = 0
+            while (by2 < bh2) {
+              var bx2 = 0
+              while (bx2 < bw2) {
+                restartCheck()
+                dcOne(idx, dcId, bx2, by2)
+                unitDone += 1
+                bx2 += 1
+              }
+              by2 += 1
+            }
+          }
+        } else {
+          val (idx, _, acId) = scanComps.head
+          val ac = hufs.getOrElse((1, acId),
+            fail(s"no AC Huffman table $acId"))
+          val (bw2, bh2) = nonInterleavedGrid(idx)
+          val p1 = 1 << al
+          val m1 = -1 << al
+          var by2 = 0
+          while (by2 < bh2) {
+            var bx2 = 0
+            while (bx2 < bw2) {
+              restartCheck()
+              val off = (by2 * blocksW(idx) + bx2) * 64
+              if (ah == 0) {
+                // AC first scan: run/size with EOB-run coding
+                if (eobrun > 0) eobrun -= 1
+                else {
+                  var k = ss
+                  while (k <= se) {
+                    val rs = ac.decode(br)
+                    val r = rs >> 4
+                    val s2 = rs & 15
+                    if (s2 != 0) {
+                      k += r
+                      if (k > se) fail("AC run past band end")
+                      pCoefs(idx)(off + Zigzag(k)) =
+                        extend(br.bits(s2), s2) << al
+                      k += 1
+                    } else if (r == 15) k += 16 // ZRL
+                    else {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) eobrun += br.bits(r)
+                      k = 64
+                    }
+                  }
+                }
+              } else {
+                // AC refinement: runs count only zero-HISTORY
+                // positions; nonzero-history ones are transparent and
+                // receive correction bits (one each)
+                def correct(off2: Int): Unit = {
+                  val cur = pCoefs(idx)(off2)
+                  if (br.bit() != 0 && (cur & p1) == 0)
+                    pCoefs(idx)(off2) =
+                      if (cur >= 0) cur + p1 else cur + m1
+                }
+                var k = ss
+                if (eobrun == 0) {
+                  var broke = false
+                  while (k <= se && !broke) {
+                    val rs = ac.decode(br)
+                    var r = rs >> 4
+                    val s2 = rs & 15
+                    var newVal = 0
+                    if (s2 == 0) {
+                      if (r != 15) {
+                        eobrun = 1 << r
+                        if (r > 0) eobrun += br.bits(r)
+                        broke = true
+                      }
+                    } else {
+                      if (s2 != 1)
+                        fail("AC refinement symbol with magnitude > 1")
+                      newVal = if (br.bit() != 0) p1 else m1
+                    }
+                    if (!broke) {
+                      var stopped = false
+                      while (k <= se && !stopped) {
+                        val off2 = off + Zigzag(k)
+                        if (pCoefs(idx)(off2) != 0) {
+                          correct(off2); k += 1
+                        } else if (r == 0) stopped = true
+                        else { r -= 1; k += 1 }
+                      }
+                      if (newVal != 0) {
+                        if (k > se)
+                          fail("AC refinement run past band end")
+                        pCoefs(idx)(off + Zigzag(k)) = newVal
+                      }
+                      k += 1
+                    }
+                  }
+                }
+                if (eobrun > 0) {
+                  while (k <= se) {
+                    val off2 = off + Zigzag(k)
+                    if (pCoefs(idx)(off2) != 0) correct(off2)
+                    k += 1
+                  }
+                  eobrun -= 1
+                }
+              }
+              unitDone += 1
+              bx2 += 1
+            }
+            by2 += 1
+          }
+        }
+        br.pos
+      }
+      while (!atScan && !eoi) {
         var m = u8()
         if (m != 0xff) fail(f"expected a marker, got 0x$m%02X at ${pos - 1}")
         while (m == 0xff) m = u8() // fill bytes
         m match {
-          case 0xd9 => fail("EOI before SOS (no image data)")
+          case 0xd9 =>
+            if (progressive && anyScan) eoi = true
+            else fail("EOI before SOS (no image data)")
           case 0xdb =>
             val end = { val len = u16(); pos + len - 2 }
             while (pos < end) {
@@ -1712,9 +2207,10 @@ object Multimodal {
               val vals = Array.fill(bits.sum)(u8())
               hufs((tcTh >> 4, tcTh & 0x0f)) = new HuffDec(bits, vals, fail)
             }
-          case 0xc0 =>
+          case sof if sof == 0xc0 || sof == 0xc2 =>
+            progressive = sof == 0xc2
             val end = { val len = u16(); pos + len - 2 }
-            if (u8() != 8) fail("only 8-bit precision is baseline")
+            if (u8() != 8) fail("only 8-bit precision routes")
             height = u16(); width = u16()
             val n = u8()
             if (n != 1 && n != 3)
@@ -1728,32 +2224,41 @@ object Multimodal {
                 fail(s"component $id sampling ${h}x$v — factors above " +
                   "2 are outside this decoder's subset")
             }
+            hmax = comps.map(_._2).max
+            vmax = comps.map(_._3).max
+            nx = (width + 8 * hmax - 1) / (8 * hmax)
+            ny = (height + 8 * vmax - 1) / (8 * vmax)
             sawSof = true
-            if (pos != end) fail("SOF0 length mismatch")
-          case 0xc2 => fail("progressive JPEG (SOF2) is not baseline")
+            if (pos != end) fail("SOF length mismatch")
           case 0xc9 | 0xca | 0xcb =>
             fail("arithmetic-coded JPEG is not baseline Huffman")
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
-            fail(f"SOF marker 0x$m%02X — only SOF0 baseline routes")
+            fail(f"SOF marker 0x$m%02X — only SOF0 sequential and " +
+              "SOF2 progressive route")
           case 0xdd =>
             if (u16() != 4) fail("DRI segment length must be 4")
             restartInterval = u16()
           case 0xda =>
-            if (!sawSof) fail("SOS before SOF0")
+            if (!sawSof) fail("SOS before SOF")
             val end = { val len = u16(); pos + len - 2 }
             val ns = u8()
-            if (ns != comps.length) fail("SOS component count mismatch")
             scan = (0 until ns).map { _ =>
               val cid = u8(); val tt = u8()
               val idx = comps.indexWhere(_._1 == cid)
               if (idx < 0) fail(s"SOS names unknown component $cid")
               (idx, tt >> 4, tt & 0x0f)
             }
-            val (ss, se, ah) = (u8(), u8(), u8())
-            if (ss != 0 || se != 63 || ah != 0)
-              fail("non-full-spectrum scan — not sequential baseline")
+            val (ss, se, ahal) = (u8(), u8(), u8())
             if (pos != end) fail("SOS length mismatch")
-            atScan = true
+            if (!progressive) {
+              if (ns != comps.length) fail("SOS component count mismatch")
+              if (ss != 0 || se != 63 || ahal != 0)
+                fail("non-full-spectrum scan — not sequential baseline")
+              atScan = true
+            } else {
+              pos = decodeProgScan(scan, ss, se, ahal >> 4, ahal & 15, pos)
+              anyScan = true
+            }
           case x if x >= 0xe0 && x <= 0xef => // APPn: skip content
             val len = u16(); pos += len - 2
           case 0xfe => // COM: skip content
@@ -1761,14 +2266,50 @@ object Multimodal {
           case other => fail(f"unsupported marker 0x$other%02X")
         }
       }
-      val hmax = comps.map(_._2).max
-      val vmax = comps.map(_._3).max
-      val nx = (width + 8 * hmax - 1) / (8 * hmax)
-      val ny = (height + 8 * vmax - 1) / (8 * vmax)
       // decoded planes at each component's own padded grid
       val planes = comps.map { case (_, h, v, _) =>
         new Array[Int](nx * h * 8 * ny * v * 8)
       }
+      if (progressive) {
+        // every scan has landed: dequantize + inverse-transform the
+        // accumulated coefficients, then fall into the shared
+        // upsample/color tail
+        var idx = 0
+        while (idx < comps.length) {
+          val (_, h, _, qId) = comps(idx)
+          val qt = qtabs.getOrElse(qId, fail(s"no quantization table $qId"))
+          val pw = nx * h * 8
+          val bw2 = blocksW(idx)
+          val bh2 = blocksH(idx)
+          val blockD = new Array[Double](64)
+          var byi = 0
+          while (byi < bh2) {
+            var bxi = 0
+            while (bxi < bw2) {
+              val off = (byi * bw2 + bxi) * 64
+              var n2 = 0
+              while (n2 < 64) {
+                blockD(n2) = pCoefs(idx)(off + n2).toDouble * qt(n2)
+                n2 += 1
+              }
+              val px = idct(blockD)
+              var yy2 = 0
+              while (yy2 < 8) {
+                var xx2 = 0
+                while (xx2 < 8) {
+                  planes(idx)((byi * 8 + yy2) * pw + bxi * 8 + xx2) =
+                    clamp255(Math.round(px(yy2 * 8 + xx2)) + 128L)
+                  xx2 += 1
+                }
+                yy2 += 1
+              }
+              bxi += 1
+            }
+            byi += 1
+          }
+          idx += 1
+        }
+      } else {
       val br = new BitReader(bytes, pos, fail)
       val preds = new Array[Int](comps.length)
       val block = new Array[Double](64)
@@ -1839,6 +2380,7 @@ object Multimodal {
           mx += 1
         }
         my += 1
+      }
       }
       val outPx = new Array[Int](width * height)
       val pws = comps.map { case (_, h, _, _) => nx * h * 8 }

@@ -1631,8 +1631,10 @@ class ExtSpec extends AnyFunSuite {
     def msg(bs: Array[Byte]): String =
       intercept[IllegalArgumentException](JpegCodec.decode(bs)).getMessage
     assert(msg(Array(0, 1, 2, 3).map(_.toByte)).contains("SOI"))
-    assert(msg(Array(0xff, 0xd8, 0xff, 0xc2).map(_.toByte))
-      .contains("progressive"))
+    assert(msg(Array(0xff, 0xd8, 0xff, 0xc9).map(_.toByte))
+      .contains("arithmetic"))
+    assert(msg(Array(0xff, 0xd8, 0xff, 0xc1).map(_.toByte))
+      .contains("SOF"))
     // a DRI that disagrees with the marker cadence is caught, not
     // silently resynced into garbage
     val driAt = bytesR.indexOfSlice(
@@ -1643,6 +1645,50 @@ class ExtSpec extends AnyFunSuite {
     assert(msg(tampered).contains("cadence") ||
       msg(tampered).contains("RST"), msg(tampered))
     assert(msg(bytes1.dropRight(12)).contains("truncated"))
+  }
+
+  test("JpegCodec progressive (SOF2): successive approximation decodes to the baseline pixels") {
+    import Multimodal.JpegCodec
+    // the strong pin: progressive and baseline encode the SAME
+    // quantized coefficients, so after all scans the decoded pixels
+    // must be IDENTICAL — any lost or misordered bit in the DC/AC
+    // first/refinement scans (EOB runs, ZRL-with-correction-bits,
+    // newly-nonzero placement) breaks full-array equality
+    val grad = Array.tabulate(32 * 32) { i =>
+      val (x, y) = (i % 32, i / 32)
+      ((x * 8) << 16) | ((y * 8) << 8) | ((x * 4 + y * 4) & 0xff)
+    }
+    for ((c420, q) <- Seq((true, 50), (false, 50), (true, 100))) {
+      val base = JpegCodec.decode(
+        JpegCodec.encode(32, 32, grad, quality = q, chroma420 = c420))._3
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(
+        32, 32, grad, quality = q, chroma420 = c420))._3
+      assert(prog.sameElements(base),
+        s"progressive(q=$q, c420=$c420) diverged from baseline at " +
+          s"index ${prog.zip(base).indexWhere(t => t._1 != t._2)}")
+    }
+    // grayscale progressive (single-component non-interleaved DC scan)
+    val bg = JpegCodec.decode(
+      JpegCodec.encode(24, 16, grad.take(24 * 16), quality = 50,
+        gray = true))._3
+    val pg = JpegCodec.decode(JpegCodec.encodeProgressive(
+      24, 16, grad.take(24 * 16), quality = 50, gray = true))._3
+    assert(pg.sameElements(bg))
+    // non-multiple-of-16 dims exercise the non-interleaved AC grid
+    // (ceil(sampled/8), NOT the MCU-padded grid — the classic trap)
+    val odd = Array.tabulate(40 * 24) { i =>
+      val (x, y) = (i % 40, i / 40)
+      ((x * 6) << 16) | ((y * 10) << 8) | ((x * 3 + y * 5) & 0xff)
+    }
+    val ob = JpegCodec.decode(
+      JpegCodec.encode(40, 24, odd, quality = 50, chroma420 = true))._3
+    val op = JpegCodec.decode(JpegCodec.encodeProgressive(
+      40, 24, odd, quality = 50, chroma420 = true))._3
+    assert(op.sameElements(ob))
+    // deterministic bytes
+    assert(java.util.Arrays.equals(
+      JpegCodec.encodeProgressive(32, 32, grad, quality = 50),
+      JpegCodec.encodeProgressive(32, 32, grad, quality = 50)))
   }
 
   test("Warc.canonicalUrl + dedupByUrl: variant spellings collapse, first capture wins") {
